@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** The relational operator inventory of SURVEY.md §2 (scans, projections,
+  * predicates, scalar functions, aggregations, joins, sorts, sets, windows,
+  * dedup), re-expressed Spark-first over the TESTDATA corpus. Each method is
+  * one `SparkEntry.queries` entry with a DuckDB oracle.
+  *
+  * Conventions for oracle parity:
+  *  - every query ends in a total ORDER BY so row order is deterministic;
+  *  - float aggregates are rounded (4–6 dp) to absorb summation-order ULPs;
+  *  - aggregate/computed columns are aliased identically on both sides.
+  *
+  * Scale notes are per-query; the common theme is: filters/projections sit
+  * directly on the parquet scan (pushdown + pruning), aggregations are
+  * partial-agg friendly, small dimensions broadcast.
+  */
+object Relational {
+  private val ts = (s: String) => to_timestamp(lit(s))
+
+  /** S3 — parquet scan, smallest table. Whole table fits in one partition;
+    * at scale this is a metadata-only pruned scan of a dimension. */
+  def s3ParquetScan(s: SparkSession, d: String): DataFrame =
+    Tables.region(s, d).orderBy("r_regionkey")
+
+  /** P1/P2 — projection (column pruning reaches the scan: ReadSchema shows
+    * only 2 of 5 customer columns). */
+  def p2Select(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** P5 — date-range predicate; pushed to parquet (PushedFilters). */
+  def p5Between(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate").between(ts("1996-01-01 00:00:00"), ts("1996-12-31 23:59:59")))
+      .select("l_orderkey", "l_linenumber", "l_shipdate")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** P6/P7/P8 — equality + IN-list + null-handling predicates combined. */
+  def p6p7p8Predicates(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "F")
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .filter(col("o_custkey").isNotNull)
+      .select("o_orderkey", "o_custkey", "o_orderpriority")
+      .orderBy("o_orderkey")
+
+  /** Flagship: TPC-H Q1-shaped grouped aggregation (SURVEY A2/A3/A6 family).
+    * Partial aggregation map-side, 6 groups → trivial shuffle; the scan
+    * reads only the 7 referenced columns. */
+  def q1Agg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+        round(avg("l_quantity"), 6).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** A1 — mode via group-count-sort-first (silver_credit_history.py:31–37
+    * semantics), tie broken by value for determinism. */
+  def a1Mode(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("o_orderpriority"))
+      .limit(1)
+      .select("o_orderpriority")
+
+  /** A2 — scalar mean (mean-imputation statistic, silver_financial.py:20). */
+  def a2Mean(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).agg(round(avg("l_quantity"), 6).as("avg_qty"))
+
+  /** A4/O1 — top-K by frequency (top-10 emp_title, gold_feature_store.py:98).
+    * Catalyst plans TakeOrderedAndProject: no full sort, no full shuffle. */
+  def a4TopK(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .groupBy("p_brand").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("p_brand"))
+      .limit(10)
+
+  /** A5 — distinct values of a column (silver_processing.py:51). */
+  def a5Distinct(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select("o_orderpriority").distinct()
+      .orderBy("o_orderpriority")
+
+  /** A6 — grouped multi-aggregate summary (query_model_performance.py:29–43
+    * shape: COUNT/AVG/MIN/MAX/STDDEV/SUM … GROUP BY … ORDER BY avg DESC). */
+  def a6Summary(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg("c_acctbal"), 6).as("avg_bal"),
+        round(min("c_acctbal"), 4).as("min_bal"),
+        round(max("c_acctbal"), 4).as("max_bal"),
+        round(stddev("c_acctbal"), 6).as("std_bal"),
+        round(sum("c_acctbal"), 4).as("sum_bal"))
+      .orderBy(desc("avg_bal"), asc("c_mktsegment"))
+
+  /** A9 — exact percentiles (PSI breakpoint computation, model_operations.py:165).
+    * `percentile` (exact, interpolated) matches DuckDB quantile_cont. */
+  def a9Percentile(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(o_totalprice, 0.50)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
+        round(expr("percentile(o_totalprice, 0.90)"), 4).as("p90"))
+
+  /** J1 — multi-way left-join spine (gold_feature_store.py:325–327 shape).
+    * nation/region are tiny → Catalyst broadcasts both; customer never
+    * shuffles. At 100 TB the fact side streams map-side only. */
+  def j1LeftJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"), "left")
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"), "left")
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_customers"), round(sum("c_acctbal"), 4).as("sum_bal"))
+      .orderBy("r_name", "n_name")
+
+  /** J2 — inner equi-join fact⋈fact (features⋈labels, model_operations.py:39).
+    * Both sides large → shuffle hash/sort-merge on the key; AQE picks. */
+  def j2InnerJoin(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"), "inner")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_lines"), round(sum("l_extendedprice"), 4).as("sum_price"))
+      .orderBy("o_orderstatus")
+
+  /** J3 — left-semi join (EXISTS): orders having at least one high-qty line. */
+  def j3SemiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(
+        Tables.lineitem(s, d).filter(col("l_quantity") >= 49),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  /** J4 — left-anti join (NOT EXISTS): customers with no orders. */
+  def j4AntiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** O1/O3 — global top-k by value (TakeOrderedAndProject). */
+  def o1TopkLimit(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(10)
+
+  /** U2 — union of two partition-like subsets then aggregate (multi-week
+    * union, model_operations.py:33–35). */
+  def u2Union(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val a = o.filter(col("o_orderdate") < ts("1997-01-01 00:00:00"))
+    val b = o.filter(col("o_orderdate") >= ts("1999-01-01 00:00:00"))
+    a.unionByName(b)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** W1 — ROW_NUMBER() … PARTITION BY … ORDER BY … DESC, keep rank 1
+    * (best-model-per-week, query_model_performance.py:147–166). One shuffle
+    * on the partition key; no global sort. */
+  def w1RowNumber(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey")
+  }
+
+  /** W2 — IN-subquery over recent partitions (query_model_performance.py:96);
+    * Catalyst rewrites to left-semi against the distinct-orderBy-limit. */
+  def w2InSubquery(s: SparkSession, d: String): DataFrame = {
+    val recent = Tables.orders(s, d)
+      .select(to_date(col("o_orderdate")).as("od")).distinct()
+      .orderBy(desc("od")).limit(30)
+    Tables.orders(s, d)
+      .join(broadcast(recent), to_date(col("o_orderdate")) === col("od"), "left_semi")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_day"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("sum_price"))
+      .orderBy("o_day")
+  }
+
+  /** W3 — running sum with explicit frame (ROWS UNBOUNDED PRECEDING) +
+    * lag(): frame-spec coverage beyond the reference (SURVEY §2.8 note). */
+  def w3RunningSum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 100)
+      .withColumn("run_qty",
+        round(sum("l_quantity").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4))
+      .withColumn("prev_qty", lag("l_quantity", 1).over(w))
+      .select("l_orderkey", "l_linenumber", "run_qty", "prev_qty")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** R3 — full-row distinct (gold_feature_store.py:330). */
+  def r3Distinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select("l_returnflag", "l_linestatus")
+      .distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** F1–F8 — scalar function battery: CASE WHEN, date trunc/extract,
+    * months_between, trim/upper/coalesce, regexp_extract (SURVEY §2.3). */
+  def fScalarFns(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") <= 500)
+      .select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 200000, "high")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("low").as("price_band"),
+        date_format(trunc(col("o_orderdate"), "MM"), "yyyy-MM-dd").as("order_month"),
+        round(months_between(ts("2002-01-01 00:00:00"), col("o_orderdate")), 6).as("months_ago"),
+        upper(trim(col("o_orderpriority"))).as("prio_norm"),
+        coalesce(col("o_orderstatus"), lit("MISSING")).as("status_filled"),
+        regexp_extract(col("o_orderpriority"), "^(\\d+)", 1).cast("int").as("prio_rank"))
+      .orderBy("o_orderkey")
+}
