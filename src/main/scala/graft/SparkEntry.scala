@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.Relational
+import graft.queries.{MLFeatures, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -39,6 +39,15 @@ object SparkEntry {
     "w2_in_subquery"  -> (Relational.w2InSubquery _),
     "w3_running_sum"  -> (Relational.w3RunningSum _),
     "r3_distinct"     -> (Relational.r3Distinct _),
+    "m5_parse_emp_length" -> (MLFeatures.m5ParseEmpLength _),
+    "a1_modes_multi"  -> (MLFeatures.a1ModesMulti _),
+    "ops_mean_impute" -> (MLFeatures.opsMeanImpute _),
+    "m1_string_indexer" -> (MLFeatures.m1StringIndexer _),
+    "m2_one_hot"      -> (MLFeatures.m2OneHot _),
+    "m6_label_encode" -> (MLFeatures.m6LabelEncode _),
+    "m7_binary_target" -> (MLFeatures.m7BinaryTarget _),
+    "m8_psi"          -> (MLFeatures.m8Psi _),
+    "a7_value_counts" -> (MLFeatures.a7ValueCounts _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -157,5 +166,88 @@ object SparkEntry {
     "r3_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "m5_parse_emp_length" ->
+      """WITH raw AS (SELECT p_partkey,
+        |  CASE WHEN p_size >= 40 THEN '10+ years'
+        |       WHEN p_size = 1 THEN '< 1 year'
+        |       WHEN p_size % 7 = 0 THEN 'missing'
+        |       WHEN p_size % 11 = 0 THEN 'garbage value'
+        |       ELSE p_size || ' years' END AS emp_length FROM part)
+        |SELECT p_partkey, emp_length,
+        |  CASE WHEN lower(trim(emp_length)) = '10+ years' THEN 10
+        |       WHEN lower(trim(emp_length)) = '< 1 year' THEN 0
+        |       WHEN lower(trim(emp_length)) = 'missing' THEN -1
+        |       ELSE coalesce(TRY_CAST(nullif(regexp_extract(lower(trim(emp_length)), '^(\d+)', 1), '') AS INTEGER), -1)
+        |  END AS emp_length_int
+        |FROM raw ORDER BY p_partkey""".stripMargin,
+    "a1_modes_multi" ->
+      """SELECT col_name, mode_value FROM (
+        |  SELECT 'l_returnflag' AS col_name, CAST(l_returnflag AS VARCHAR) AS mode_value,
+        |    ROW_NUMBER() OVER (ORDER BY count(*) DESC, CAST(l_returnflag AS VARCHAR) ASC) AS rk
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY l_returnflag
+        |  UNION ALL
+        |  SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR),
+        |    ROW_NUMBER() OVER (ORDER BY count(*) DESC, CAST(l_linestatus AS VARCHAR) ASC)
+        |  FROM lineitem WHERE l_linestatus IS NOT NULL GROUP BY l_linestatus
+        |  UNION ALL
+        |  SELECT 'l_quantity', CAST(l_quantity AS VARCHAR),
+        |    ROW_NUMBER() OVER (ORDER BY count(*) DESC, CAST(l_quantity AS VARCHAR) ASC)
+        |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY l_quantity
+        |) WHERE rk = 1 ORDER BY col_name""".stripMargin,
+    "ops_mean_impute" ->
+      """WITH t AS (SELECT nullif(l_discount, 0.05) AS disc FROM lineitem),
+        |m AS (SELECT avg(disc) AS am FROM t)
+        |SELECT round(sum(coalesce(disc, am)), 4) AS sum_disc,
+        |  CAST(sum(CASE WHEN disc IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+        |  count(*) AS n
+        |FROM t, m""".stripMargin,
+    "m1_string_indexer" ->
+      """SELECT c_mktsegment,
+        |  ROW_NUMBER() OVER (ORDER BY count(*) DESC, c_mktsegment ASC) - 1 AS idx,
+        |  count(*) AS cnt
+        |FROM customer GROUP BY c_mktsegment ORDER BY idx""".stripMargin,
+    "m2_one_hot" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS o_orderstatus_ohe_F,
+        |  CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS o_orderstatus_ohe_O,
+        |  CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END AS o_orderstatus_ohe_P
+        |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin,
+    "m6_label_encode" ->
+      """WITH mapping AS (
+        |  SELECT c_mktsegment, ROW_NUMBER() OVER (ORDER BY c_mktsegment) - 1 AS label_idx
+        |  FROM (SELECT DISTINCT c_mktsegment FROM customer))
+        |SELECT c.c_mktsegment, m.label_idx, count(*) AS n
+        |FROM customer c JOIN mapping m ON c.c_mktsegment = m.c_mktsegment
+        |GROUP BY c.c_mktsegment, m.label_idx ORDER BY label_idx""".stripMargin,
+    "m7_binary_target" ->
+      """SELECT CAST(c_mktsegment IN ('AUTOMOBILE', 'BUILDING') AS INTEGER) AS target,
+        |  count(*) AS n
+        |FROM customer GROUP BY 1 ORDER BY target""".stripMargin,
+    "m8_psi" ->
+      """WITH expected AS (SELECT o_totalprice AS v FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+        |actual AS (SELECT o_totalprice AS v FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'),
+        |b AS (SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs FROM expected),
+        |ebuck AS (SELECT CASE WHEN v <= bs[1] THEN 0 WHEN v <= bs[2] THEN 1
+        |  WHEN v <= bs[3] THEN 2 WHEN v <= bs[4] THEN 3 WHEN v <= bs[5] THEN 4
+        |  WHEN v <= bs[6] THEN 5 WHEN v <= bs[7] THEN 6 WHEN v <= bs[8] THEN 7
+        |  WHEN v <= bs[9] THEN 8 ELSE 9 END AS bucket FROM expected, b),
+        |abuck AS (SELECT CASE WHEN v <= bs[1] THEN 0 WHEN v <= bs[2] THEN 1
+        |  WHEN v <= bs[3] THEN 2 WHEN v <= bs[4] THEN 3 WHEN v <= bs[5] THEN 4
+        |  WHEN v <= bs[6] THEN 5 WHEN v <= bs[7] THEN 6 WHEN v <= bs[8] THEN 7
+        |  WHEN v <= bs[9] THEN 8 ELSE 9 END AS bucket FROM actual, b),
+        |buckets AS (SELECT range AS bucket FROM range(10)),
+        |ep AS (SELECT bucket, count(*) / (SELECT count(*) FROM expected) AS p FROM ebuck GROUP BY bucket),
+        |ap AS (SELECT bucket, count(*) / (SELECT count(*) FROM actual) AS p FROM abuck GROUP BY bucket),
+        |j AS (SELECT buckets.bucket, coalesce(ep.p, 0) AS e, coalesce(ap.p, 0) AS a
+        |  FROM buckets LEFT JOIN ep ON buckets.bucket = ep.bucket
+        |  LEFT JOIN ap ON buckets.bucket = ap.bucket),
+        |c AS (SELECT CASE WHEN e = 0 THEN 0.0001 ELSE e END AS e,
+        |             CASE WHEN a = 0 THEN 0.0001 ELSE a END AS a FROM j)
+        |SELECT round(sum((a - e) * ln(a / e)), 6) AS psi FROM c""".stripMargin,
+    "a7_value_counts" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |GROUP BY event_type ORDER BY n DESC, event_type ASC""".stripMargin,
   )
 }
