@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{MLFeatures, Relational}
+import graft.queries.{Documents, MLFeatures, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -48,6 +48,16 @@ object SparkEntry {
     "m7_binary_target" -> (MLFeatures.m7BinaryTarget _),
     "m8_psi"          -> (MLFeatures.m8Psi _),
     "a7_value_counts" -> (MLFeatures.a7ValueCounts _),
+    "d1_exact_dedup"  -> (Documents.d1ExactDedup _),
+    "d2_minhash_lsh"  -> (Documents.d2MinHashLsh _),
+    "d3_simhash"      -> (Documents.d3SimHash _),
+    "d4_ngram_jaccard" -> (Documents.d4NgramJaccard _),
+    "t1_token_count"  -> (Documents.t1TokenCount _),
+    "t2_quality"      -> (Documents.t2Quality _),
+    "t3_lang_id"      -> (Documents.t3LangId _),
+    "t4_fingerprint"  -> (Documents.t4Fingerprint _),
+    "ann1_brute_force" -> (Documents.ann1BruteForce _),
+    "ann2_lsh"        -> (Documents.ann2Lsh _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -249,5 +259,78 @@ object SparkEntry {
     "a7_value_counts" ->
       """SELECT event_type, count(*) AS n FROM events
         |GROUP BY event_type ORDER BY n DESC, event_type ASC""".stripMargin,
+    "d1_exact_dedup" ->
+      """SELECT doc_id, n_chars FROM (
+        |  SELECT doc_id, n_chars, ROW_NUMBER() OVER (
+        |    PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |    ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "d2_minhash_lsh" -> ngramJaccardSql,
+    "d4_ngram_jaccard" -> ngramJaccardSql,
+    "t1_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split(trim(text), ' ')) AS n_tokens,
+        |  CAST(list_sum(list_transform(string_split(trim(text), ' '),
+        |    w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t2_quality" ->
+      """WITH t AS (SELECT doc_id, text, string_split(trim(text), ' ') AS ws FROM documents)
+        |SELECT doc_id,
+        |  length(text) AS n_chars_q,
+        |  len(ws) AS n_words,
+        |  round(list_sum(list_transform(ws, w -> length(w) * 1.0)) / len(ws), 6) AS mean_word_len,
+        |  round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) * 1.0
+        |    / length(text), 6) AS punct_ratio,
+        |  round(len(list_filter(ws, w -> w IN ('the','a','of','and','is','to','in'))) * 1.0
+        |    / len(ws), 6) AS stopword_ratio,
+        |  round(least(len(ws) / 50.0, 1.0) * 0.5
+        |    + least(len(list_filter(ws, w -> w IN ('the','a','of','and','is','to','in')))
+        |        / greatest(len(ws) * 0.05, 1.0), 1.0) * 0.5
+        |    - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) * 1.0
+        |        / greatest(length(text), 1), 6) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "t3_lang_id" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(trim(lower(text)), ' ') AS ws FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  len(list_filter(ws, w -> w IN ('der','die','das','und','ist','nicht','ein','mit'))) AS s_de,
+        |  len(list_filter(ws, w -> w IN ('the','a','of','and','is','to','in','that'))) AS s_en,
+        |  len(list_filter(ws, w -> w IN ('el','la','los','las','es','y','que','un'))) AS s_es,
+        |  len(list_filter(ws, w -> w IN ('le','la','les','et','est','que','un','une'))) AS s_fr,
+        |  len(list_filter(ws, w -> w IN ('的','是','了','在','和','有','我','不'))) AS s_zh
+        |FROM t)
+        |SELECT doc_id, lang,
+        |  CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+        |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+        |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+        |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+        |       ELSE 'zh' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "t4_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ann1_brute_force" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+        |scored AS (SELECT q_id, e.vec_id AS n_id, list_cosine_similarity(qv, e.v) AS cos
+        |  FROM q, e WHERE e.vec_id <> q_id),
+        |r AS (SELECT q_id, n_id, cos, ROW_NUMBER() OVER (
+        |  PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM scored)
+        |SELECT q_id, rank, n_id, round(cos, 6) AS cos_sim FROM r
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
   )
+
+  /** Shared oracle for d2 (MinHash+LSH, exact-verified) and d4 (direct
+    * n-gram Jaccard): ground-truth word-3-gram Jaccard pairs ≥ 0.8. */
+  private val ngramJaccardSql: String =
+    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s FROM t),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  round(shared * 1.0 / (sa.sz + sb.sz - shared), 6) AS jaccard
+      |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      |WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
 }

@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for a training-data pipeline: exact,
+  * n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design:
+  *  - exact dedup is one hash-shuffle (groupBy fingerprint);
+  *  - Jaccard pair generation joins on shingles — selective word n-grams
+  *    keep the inverted index sparse; at 100 TB add a document-frequency
+  *    cap on shingles before the self-join (hot-key guard);
+  *  - MinHash+LSH bounds candidate generation to band-bucket collisions:
+  *    the self-join key is (band, bandHash) so the shuffle is uniform and
+  *    the candidate set is ~linear, not quadratic; exact Jaccard is then
+  *    verified only for candidates;
+  *  - SimHash reduces each doc to 64 bits; banding the bits gives the same
+  *    bounded-join property for Hamming-distance candidates.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest id per normalized-content fingerprint.
+    * One shuffle on the fingerprint; at scale this is the cheapest pass
+    * and always runs first to shrink the corpus. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(TextAnalysis.fingerprint(col(textCol)))
+      .orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Distinct word-n-gram shingles per document: (id, shingle). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val grams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
+    // docs shorter than n tokens have no shingles (sequence(0, negative)
+    // would count DOWN in Spark — guard, don't generate garbage)
+    val guarded = when(size(toks) >= n, grams)
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol).as("id"), explode(array_distinct(guarded)).as("shingle"))
+  }
+
+  /** Exact pairwise Jaccard over distinct shingles for all pairs sharing
+    * at least one shingle, filtered to `threshold`. Output:
+    * (id_a, id_b, jaccard) with id_a < id_b. */
+  def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val shared = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("shared") / (col("sz_a") + col("sz_b") - col("shared")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact Jaccard restricted to a candidate pair set (id_a < id_b). */
+  def jaccardFor(sh: DataFrame, candidates: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val shared = candidates
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingle", "s_a"), "id_a")
+      .join(sh.as("b"),
+        col("id_b") === col("b.id") && col("s_a") === col("b.shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("shared") / (col("sz_a") + col("sz_b") - col("shared")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signatures: `numHashes` affine transforms of xxhash64(shingle),
+    * min per hash per doc — ONE aggregation pass over the shingle table.
+    * Seeded, fully deterministic. */
+  def minHashSignatures(sh: DataFrame, numHashes: Int, seed: Long = 42L): DataFrame = {
+    // Affine transforms over GF(2^31−1): coefficients < p keep every
+    // product < 2^62, so ANSI-mode long arithmetic can't overflow.
+    val p = 2147483647L // Mersenne prime 2^31 − 1
+    val rnd = new scala.util.Random(seed)
+    val coeffs = Array.fill(numHashes)(
+      (rnd.nextInt((p - 1).toInt).toLong + 1L, rnd.nextInt(p.toInt).toLong))
+    val h31 = xxhash64(col("shingle")).bitwiseAND(0x7FFFFFFFL)
+    val minCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(h31 * a + b, lit(p))).as(s"mh_$i")
+    }
+    sh.groupBy("id").agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** LSH candidate pairs: split the signature into `bands` bands, hash
+    * each band, self-join on (band, bandHash). Output distinct
+    * (id_a, id_b), id_a < id_b. */
+  def lshCandidates(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        hash((0 until r).map(i => col(s"mh_${b * r + i}")): _*).as("bh"))
+    }
+    val exploded = sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    exploded.as("x").join(exploded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+  }
+
+  /** MinHash+LSH near-dup pairs, verified with exact Jaccard: candidates
+    * from band-bucket collisions, then exact Jaccard ≥ threshold. With
+    * 128 hashes / 32 bands, recall at j ≥ 0.9 is 1 − (1 − j⁴)³² ≈ 1−1e−15;
+    * precision is exact because every candidate is verified. */
+  def minHashLshDedup(df: DataFrame, idCol: String, textCol: String,
+                      shingleSize: Int = 3, numHashes: Int = 128,
+                      bands: Int = 32, threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(df, idCol, textCol, shingleSize)
+    val cands = lshCandidates(minHashSignatures(sh, numHashes), numHashes, bands)
+    jaccardFor(sh, cands, threshold)
+  }
+
+  /** 64-bit SimHash over word tokens: sign of the per-bit weighted sum of
+    * xxhash64(token) bits. Duplicate tokens weigh by multiplicity. */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$i")
+    }
+    val agg = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 64).map { i =>
+      when(col(s"b_$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce(_ + _)
+    agg.select(col("id"), sim.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: band the 64 bits into 8×8-bit chunks
+    * (pigeonhole: hamming ≤ 7 ⇒ at least one identical chunk), join on
+    * chunks, verify hamming ≤ maxHamming via bit_count(xor). */
+  def simHashPairs(sig: DataFrame, maxHamming: Int = 6): DataFrame = {
+    require(maxHamming <= 7, "8-chunk banding only guarantees hamming <= 7")
+    val chunks = (0 until 8).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("simhash"), c * 8).bitwiseAND(0xFFL).as("ch")) }
+    val exploded = sig.select(col("id"), col("simhash"),
+        explode(array(chunks: _*)).as("cc"))
+      .select(col("id"), col("simhash"), col("cc.chunk").as("chunk"), col("cc.ch").as("ch"))
+    exploded.as("x").join(exploded.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ch") === col("y.ch") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (Array[Float]).
+  *
+  * Baseline: brute-force cosine top-k (exact; one broadcast of the query
+  * set, map-side scoring, per-query top-k — no shuffle of the corpus).
+  * Scale path: random-hyperplane LSH bucketing — candidates share
+  * signature bands, so the join is bounded and the corpus never
+  * cross-joins itself.
+  */
+object Similarity {
+
+  /** Cosine similarity between two float-array columns, accumulated in
+    * double (float accumulation loses ~1e−7 per element and would break
+    * oracle parity). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  /** Exact brute-force top-k: for each query vector, the k nearest corpus
+    * vectors by cosine. The query side is broadcast; the corpus is scanned
+    * once map-side; per-query top-k is a bounded window. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
+    val scored = corpus
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .join(q, col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Random-hyperplane signature: `bits` sign bits of dot products with
+    * seeded Gaussian hyperplanes, packed into a long. Cosine-similar
+    * vectors agree on most bits (P[bit agree] = 1 − θ/π). */
+  def hyperplaneSignature(vec: Column, dim: Int, bits: Int, seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+    (0 until bits).map { b =>
+      val dot = aggregate(
+        zip_with(vec, lit(planes(b)), (x, p) => x.cast("double") * p),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate top-k: candidates must share at least one
+    * of the `bands` signature bands with the query; exact cosine is then
+    * computed only for candidates. Bounded join instead of cross join —
+    * the 100 TB path. Recall < 1 by construction (tested vs brute force). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              bits: Int = 16, bands: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(bits % bands == 0)
+    val r = bits / bands
+    val mask = (1L << r) - 1
+    def banded(df: DataFrame, id: String, vec: String): DataFrame = {
+      val sig = hyperplaneSignature(col(vec), dim, bits)
+      val bandCols = (0 until bands).map(b =>
+        struct(lit(b).as("band"), shiftright(sig, b * r).bitwiseAND(mask).as("bh")))
+      df.select(col(id), col(vec), explode(array(bandCols: _*)).as("bb"))
+        .select(col(id), col(vec), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    }
+    val qb = broadcast(banded(queries, idCol, vecCol)
+      .withColumnRenamed(idCol, "q_id").withColumnRenamed(vecCol, "q_vec"))
+    val cands = banded(corpus, idCol, vecCol)
+      .withColumnRenamed(idCol, "n_id").withColumnRenamed(vecCol, "n_vec")
+      .join(qb, Seq("band", "bh"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "n_id", "q_vec", "n_vec").distinct()
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+    cands.withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 6).as("cos_sim"))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: token counting,
+  * quality scoring, language-ID, document fingerprinting. All pure
+  * Catalyst expressions (higher-order array functions + regexp) — no UDFs,
+  * fully codegen'd, embarrassingly parallel map-side work at any scale.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (split on runs of whitespace, trimmed). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: words + extra splits for long words
+    * (a word of length L costs ceil(L/4) tokens, the common ~4-chars-per-
+    * token heuristic). */
+  def subwordCountEstimate(text: Column): Column =
+    aggregate(
+      transform(tokens(text), w => ceil(length(w) / lit(4.0)).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Quality features: char length, word count, mean word length,
+    * punctuation ratio, stopword ratio, uppercase ratio. */
+  def qualityFeatures(text: Column, stopwords: Seq[String]): Seq[Column] = {
+    val toks = tokens(text)
+    val nWords = size(toks).cast("double")
+    val nChars = length(text).cast("double")
+    Seq(
+      nChars.cast("long").as("n_chars_q"),
+      size(toks).as("n_words"),
+      round(aggregate(transform(toks, w => length(w).cast("double")),
+        lit(0.0), (acc, v) => acc + v) / nWords, 6).as("mean_word_len"),
+      round((nChars - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))) / nChars, 6)
+        .as("punct_ratio"),
+      round(size(filter(toks, w => w.isin(stopwords: _*))) / nWords, 6)
+        .as("stopword_ratio"))
+  }
+
+  /** Composite quality score in [0,1]: rewards moderate length and
+    * stopword presence, penalizes punctuation noise. Deterministic,
+    * monotone pieces — the exact blend is a policy choice. */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    val nWords = size(toks).cast("double")
+    val lenScore = least(nWords / lit(50.0), lit(1.0))
+    val stopScore = least(
+      size(filter(toks, w => w.isin(stopwords: _*))) / greatest(nWords * 0.05, lit(1.0)),
+      lit(1.0))
+    val punctPenalty =
+      (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))).cast("double") /
+        greatest(length(text).cast("double"), lit(1.0))
+    round(lenScore * 0.5 + stopScore * 0.5 - punctPenalty, 6)
+  }
+
+  /** Language profiles: characteristic function words per language.
+    * Public knowledge (standard stopword lists). */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in", "that"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "que", "un"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que", "un", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不"))
+
+  /** n-gram/stopword language-ID heuristic: score = number of tokens that
+    * belong to each language's profile; argmax wins, ties broken by
+    * language code (so 'en' beats 'es' at equal score, etc.). */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scored = langProfiles.map { case (lang, words) =>
+      (lang, size(filter(toks, w => w.isin(words: _*))))
+    }
+    // argmax with lexicographic tie-break: fold keeping (bestLang, bestScore)
+    scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (when(score > bestScore, lit(lang)).otherwise(bestLang),
+         when(score > bestScore, score).otherwise(bestScore))
+    }._1
+  }
+
+  /** Content fingerprint: md5 over whitespace-normalized lowercase text
+    * (rolling-hash-class dedup key; md5 keeps it oracle-comparable). */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+}

@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Training-data-pipeline operators over the documents/embeddings tables:
+  * dedup family, text analysis, similarity search.
+  */
+object Documents {
+
+  private val stopwords = Seq("the", "a", "of", "and", "is", "to", "in")
+
+  /** D1 — exact dedup by normalized-content fingerprint. */
+  def d1ExactDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")
+      .select("doc_id", "n_chars")
+      .orderBy("doc_id")
+
+  /** D4 — exact word-3-gram Jaccard near-dup pairs (threshold 0.8:
+    * the corpus has a clean gap — planted dups sit at ≥0.9, everything
+    * else below 0.2). */
+  def d4NgramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardPairs(
+        Dedup.shingles(Tables.documents(s, d), "doc_id", "text", 3), 0.8)
+      .orderBy("id_a", "id_b")
+
+  /** D2 — MinHash+LSH near-dup pairs, exact-verified. Same oracle as D4:
+    * with 128 hashes / 32 bands, missing a true j≥0.9 pair has
+    * probability ~1e−15, and verification makes precision exact. */
+  def d2MinHashLsh(s: SparkSession, d: String): DataFrame =
+    Dedup.minHashLshDedup(Tables.documents(s, d), "doc_id", "text",
+        shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.8)
+      .orderBy("id_a", "id_b")
+
+  /** D3 — SimHash near-dup pairs (hamming ≤ 6 on 64-bit signatures).
+    * xxhash64-based → not SQL-expressible in DuckDB → rows-only check;
+    * cross-validated against D4 in ScalaTest instead. */
+  def d3SimHash(s: SparkSession, d: String): DataFrame =
+    Dedup.simHashPairs(
+        Dedup.simHash(Tables.documents(s, d), "doc_id", "text"), 6)
+      .orderBy("id_a", "id_b")
+
+  /** T1 — token counting: whitespace tokens + BPE-ish subword estimate. */
+  def t1TokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.subwordCountEstimate(col("text")).as("n_subwords"))
+      .orderBy("doc_id")
+
+  /** T2 — quality features + composite score. */
+  def t2Quality(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(Seq(col("doc_id")) ++
+        TextAnalysis.qualityFeatures(col("text"), stopwords) :+
+        TextAnalysis.qualityScore(col("text"), stopwords).as("quality"): _*)
+      .orderBy("doc_id")
+
+  /** T3 — language-ID heuristic over stopword profiles. */
+  def t3LangId(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  /** T4 — md5 content fingerprint over normalized text. */
+  def t4Fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** ANN1 — exact brute-force cosine top-5 for the first 5 vectors. */
+  def ann1BruteForce(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), 5)
+      .orderBy("q_id", "rank")
+  }
+
+  /** ANN2 — LSH-bucketed approximate top-5 (the scale path; recall vs
+    * ANN1 asserted in ScalaTest, not oracle-checked). */
+  def ann2Lsh(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    Similarity.lshTopK(e, e.filter(col("vec_id") < 5), 5, dim = 64)
+      .orderBy("q_id", "rank")
+  }
+}

@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: identical vectors score 1, orthogonal score 0") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 2.0f))).toDF("a", "b")
+    val out = df.select(Similarity.cosine($"a", $"b").as("c")).as[Double].collect()
+    assert(math.abs(out(0) - 1.0) < 1e-12)
+    assert(math.abs(out(1)) < 1e-12)
+  }
+
+  test("bruteForceTopK returns k ranked neighbors per query, descending") {
+    val e = Tables.embeddings(spark, sf)
+    val out = Similarity.bruteForceTopK(e, e.filter($"vec_id" < 3), 4).collect()
+    assert(out.length == 12)
+    val byQ = out.groupBy(_.getAs[Long]("q_id"))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      val coss = sorted.map(_.getAs[Double]("cos_sim"))
+      assert(coss.zip(coss.tail).forall { case (x, y) => x >= y })
+      assert(rows.forall(r => r.getAs[Long]("n_id") != r.getAs[Long]("q_id")))
+    }
+  }
+
+  test("lshTopK: bounded-join approximate path overlaps brute force") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(e, q, 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(e, q, 5, dim = 64)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    // random corpus has no planted neighbors; LSH recall is honest-but-low
+    assert(recall >= 0.15, s"lsh recall $recall below floor")
+  }
+}

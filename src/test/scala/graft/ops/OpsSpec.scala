@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.metrics.Psi
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("parseEmpLength covers the reference's UDF contract") {
+    val cases = Seq(
+      ("10+ years", Some(10)), ("< 1 year", Some(0)), ("missing", Some(-1)),
+      ("3 years", Some(3)), ("7 years", Some(7)), ("garbage", Some(-1)),
+      (null.asInstanceOf[String], None))
+    val df = cases.map(_._1).toDF("e")
+    val out = df.select(ColumnOps.parseEmpLength($"e").as("v"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    assert(out.toSeq == cases.map(_._2))
+  }
+
+  test("oneHot: exactly one 1 per row for in-dictionary values, all-zero otherwise") {
+    val df = Seq("RENT", "OWN", "MORTGAGE", "SURPRISE").toDF("h")
+    val cats = Seq("RENT", "OWN", "MORTGAGE")
+    val out = df.select(Seq($"h") ++ ColumnOps.oneHot("h", cats): _*).collect()
+    out.foreach { r =>
+      val ones = (1 to 3).map(r.getInt).sum
+      if (r.getString(0) == "SURPRISE") assert(ones == 0) else assert(ones == 1)
+    }
+  }
+
+  test("labelMap is a bijection on its domain, null off-domain") {
+    val mapping = Seq("A" -> 0, "B" -> 1, "C" -> 2, "D" -> 3, "E" -> 4, "F" -> 5, "G" -> 6)
+    val df = ('A' to 'G').map(_.toString).toDF("g")
+    val out = df.select(ColumnOps.labelMap($"g", mapping).as("v")).as[Int].collect()
+    assert(out.toSeq == (0 to 6))
+    val off = Seq("Z").toDF("g").select(ColumnOps.labelMap($"g", mapping)).collect()
+    assert(off(0).isNullAt(0))
+  }
+
+  test("modesOf computes all modes in one pass; ties break by value") {
+    val df = Seq(
+      ("a", 1), ("a", 2), ("b", 2), ("b", 1), ("c", 1)).toDF("s", "i")
+    val modes = Imputation.modesOf(df, Seq("s", "i")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(modes("s") == "a") // a,b tie at 2 -> 'a' smallest
+    assert(modes("i") == "1") // 1 appears 3x
+  }
+
+  test("meanImpute leaves no nulls and preserves non-null values") {
+    val df = Seq(Some(1.0), None, Some(3.0)).toDF("v")
+    val out = Imputation.meanImpute(df, "v").as[Double].collect().sorted
+    assert(out.toSeq == Seq(1.0, 2.0, 3.0))
+  }
+
+  test("modeImpute fills nulls with per-column mode") {
+    val df = Seq(Some("x"), Some("x"), Some("y"), None).toDF("c")
+    val out = Imputation.modeImpute(df, Seq("c")).as[String].collect()
+    assert(out.count(_ == "x") == 3)
+  }
+
+  test("PSI: identical distributions score ~0, shifted distributions > 0") {
+    val base = (1 to 1000).map(_.toDouble).toDF("v")
+    val same = Psi.psi(base, base, "v").as[Double].first()
+    assert(math.abs(same) < 1e-9)
+    val shifted = (501 to 1500).map(_.toDouble).toDF("v")
+    val drift = Psi.psi(base, shifted, "v").as[Double].first()
+    assert(drift > 0.5, s"expected large PSI, got $drift")
+  }
+}
