@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Documents, MLFeatures, Relational}
+import graft.queries.{Documents, Events, MLFeatures, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -58,6 +58,9 @@ object SparkEntry {
     "t4_fingerprint"  -> (Documents.t4Fingerprint _),
     "ann1_brute_force" -> (Documents.ann1BruteForce _),
     "ann2_lsh"        -> (Documents.ann2Lsh _),
+    "t1_tumbling_window" -> (Events.t1TumblingWindow _),
+    "s_sessionize"    -> (Events.sessionize _),
+    "f_json_extract"  -> (Events.fJsonExtract _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -317,6 +320,30 @@ object SparkEntry {
         |  PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM scored)
         |SELECT q_id, rank, n_id, round(cos, 6) AS cos_sim FROM r
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "t1_tumbling_window" ->
+      """SELECT strftime(make_timestamp(
+        |    CAST(floor(epoch(ts) / 604800) * 604800 AS BIGINT) * 1000000),
+        |    '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "s_sessionize" ->
+      """WITH e AS (SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+        |l AS (SELECT user_id, ts, es,
+        |  lag(es) OVER (PARTITION BY user_id ORDER BY ts) AS prev_es FROM e),
+        |n AS (SELECT user_id, ts, es,
+        |  CASE WHEN prev_es IS NULL OR es - prev_es > 1800 THEN 1 ELSE 0 END AS new_sess FROM l),
+        |s AS (SELECT user_id, es,
+        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess_id FROM n),
+        |g AS (SELECT user_id, sess_id, max(es) - min(es) AS dur, count(*) AS n_events
+        |  FROM s GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions, round(avg(dur), 6) AS avg_dur_sec,
+        |  CAST(sum(n_events) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "f_json_extract" ->
+      """SELECT event_type,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 
   /** Shared oracle for d2 (MinHash+LSH, exact-verified) and d4 (direct

@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Event-stream operator shapes (SURVEY §2.11) in their batch form —
+  * the streaming variants live in graft.streaming and are covered by
+  * ScalaTest; these batch twins are DuckDB-oracle-checked.
+  */
+object Events {
+
+  /** T1 — tumbling 7-day event-time window aggregation. Spark's window()
+    * aligns to the epoch; the oracle replicates with integer bucketing. */
+  def t1TumblingWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "7 days").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+
+  /** Sessionization: a >30-minute gap starts a new session; output
+    * per-user session count and mean session duration (seconds).
+    * Classic lag + cumulative-sum session id — shuffles once on user_id. */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val sessions = Tables.events(s, d)
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+          .otherwise(0))
+      .withColumn("sess_id", sum("new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessions
+      .groupBy("user_id", "sess_id")
+      .agg(
+        (unix_timestamp(max("ts")) - unix_timestamp(min("ts"))).as("dur"),
+        count(lit(1)).as("n_events"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        round(avg("dur"), 6).as("avg_dur_sec"),
+        sum("n_events").as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** F-json — JSON field extraction from the props column. */
+  def fJsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(round(avg("k"), 6).as("avg_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming re-expression of the reference's weekly
+  * batch-incremental semantics (SURVEY §2.11 T1–T5).
+  *
+  * The reference simulates a stream with ordered weekly Airflow runs
+  * (dag.py:63, 93–102); here the same semantics are a real stream:
+  * file source → watermarked tumbling window → sink, with
+  * mapGroupsWithState for the stateful retrain-trigger shape (T5).
+  * `Trigger.AvailableNow` gives the reference's
+  * process-everything-then-stop batch cadence on the same code path.
+  */
+object EventStream {
+
+  /** T1/T3 — tumbling event-time window with a late-data watermark.
+    * The reference has no late-data story (a week is complete or
+    * skipped); the watermark is the principled generalization. */
+  def tumblingCounts(events: DataFrame,
+                     windowLen: String = "7 days",
+                     watermark: String = "7 days"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  case class EventRow(user_id: Long, ts: Timestamp, value: Double)
+  case class UserState(count: Long, total: Double)
+  case class UserUpdate(user_id: Long, count: Long, total: Double, alert: Boolean)
+
+  /** T5 — stateful per-key accumulator with a threshold trigger
+    * (the retrain-decision shape: state + rule → signal), via
+    * mapGroupsWithState. */
+  def statefulUserTotals(events: Dataset[EventRow],
+                         alertAt: Double = 100.0): Dataset[UserUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserUpdate](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          var c = prev.count; var t = prev.total
+          rows.foreach { r => c += 1; t += r.value }
+          state.update(UserState(c, t))
+          UserUpdate(uid, c, t, t >= alertAt)
+      }
+  }
+
+  /** Ordered weekly incremental driver (T2): the batch twin of the
+    * stream — processes week partitions strictly in order, exactly once,
+    * recording progress in a ledger the way the reference's
+    * ExternalTaskSensor + depends_on_past does. */
+  def runWeeklyOrdered(weeks: Seq[String], ledger: scala.collection.mutable.Set[String])
+                      (process: String => Unit): Seq[String] = {
+    val done = scala.collection.mutable.ListBuffer[String]()
+    weeks.sorted.foreach { w =>
+      if (!ledger.contains(w)) { process(w); ledger += w; done += w }
+    }
+    done.toList
+  }
+}

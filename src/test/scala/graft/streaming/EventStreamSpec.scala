@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+  import EventStream._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("tumblingCounts aggregates a real stream by event-time window") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = tumblingCounts(df, "7 days", "7 days")
+      .writeStream.format("memory").queryName("tumble")
+      .outputMode(OutputMode.Update).start()
+    mem.addData(
+      (ts("2024-01-01 10:00:00"), "click", 1.0),
+      (ts("2024-01-02 10:00:00"), "click", 2.0),
+      (ts("2024-01-09 10:00:00"), "click", 4.0))
+    q.processAllAvailable()
+    val rows = spark.table("tumble")
+      .select("win_start", "n", "sum_value").as[(Timestamp, Long, Double)]
+      .collect().sortBy(_._1.getTime)
+    q.stop()
+    assert(rows.length == 2)          // two distinct 7-day windows
+    assert(rows(0)._2 == 2 && rows(0)._3 == 3.0)
+    assert(rows(1)._2 == 1 && rows(1)._3 == 4.0)
+  }
+
+  test("statefulUserTotals accumulates across micro-batches and alerts") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val q = statefulUserTotals(mem.toDS(), alertAt = 5.0)
+      .writeStream.format("memory").queryName("stateful")
+      .outputMode(OutputMode.Update).start()
+    mem.addData(EventRow(1L, ts("2024-01-01 00:00:00"), 2.0))
+    q.processAllAvailable()
+    mem.addData(EventRow(1L, ts("2024-01-01 01:00:00"), 4.0))
+    q.processAllAvailable()
+    val rows = spark.table("stateful").as[UserUpdate].collect().sortBy(_.count)
+    q.stop()
+    assert(rows.length == 2)
+    assert(!rows(0).alert && rows(0).total == 2.0)
+    assert(rows(1).alert && rows(1).total == 6.0 && rows(1).count == 2)
+  }
+
+  test("runWeeklyOrdered is ordered and exactly-once over a ledger") {
+    val ledger = scala.collection.mutable.Set("2024_01_07")
+    val seen = scala.collection.mutable.ListBuffer[String]()
+    val done = runWeeklyOrdered(
+      Seq("2024_01_14", "2024_01_07", "2024_01_21"), ledger)(seen += _)
+    assert(done == Seq("2024_01_14", "2024_01_21"))  // skip already-done, in order
+    assert(seen.toList == done)
+    val again = runWeeklyOrdered(Seq("2024_01_14"), ledger)(seen += _)
+    assert(again.isEmpty)
+  }
+}
