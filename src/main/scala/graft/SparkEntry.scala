@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Documents, Events, MLFeatures, Relational}
+import graft.queries.{Documents, Events, MLFeatures, PipelineE2E, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -61,6 +61,7 @@ object SparkEntry {
     "t1_tumbling_window" -> (Events.t1TumblingWindow _),
     "s_sessionize"    -> (Events.sessionize _),
     "f_json_extract"  -> (Events.fJsonExtract _),
+    "pipeline_e2e"    -> (PipelineE2E.featureStoreStats _),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -1,0 +1,101 @@
+package graft.metrics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The reference's metrics-store analytics (query_model_performance.py)
+  * over a model_performance_metrics-shaped DataFrame
+  * (FIXTURES.md §6 DDL): per-model summary, recent-weeks comparison,
+  * best-model-per-week.
+  */
+object Analytics {
+
+  /** A6 — per-model summary (query_model_performance.py:29–43). */
+  def modelSummary(metrics: DataFrame): DataFrame =
+    metrics.groupBy("model_name")
+      .agg(
+        count(lit(1)).as("total_evaluations"),
+        round(avg("accuracy"), 6).as("avg_accuracy"),
+        round(avg("macro_f1"), 6).as("avg_macro_f1"),
+        round(min("macro_f1"), 6).as("min_macro_f1"),
+        round(max("macro_f1"), 6).as("max_macro_f1"),
+        round(stddev("macro_f1"), 6).as("std_macro_f1"),
+        sum("total_samples").as("total_predictions"))
+      .orderBy(desc("avg_macro_f1"), asc("model_name"))
+
+  /** W2 — metrics restricted to the N most recent weeks
+    * (query_model_performance.py:96–103): IN-subquery as a broadcast
+    * semi-join against distinct-orderBy-limit. */
+  def recentWeeks(metrics: DataFrame, n: Int): DataFrame = {
+    val recent = metrics.select("week_date").distinct()
+      .orderBy(desc("week_date")).limit(n)
+    metrics.join(broadcast(recent), Seq("week_date"), "left_semi")
+      .groupBy("week_date", "model_name")
+      .agg(round(avg("macro_f1"), 6).as("avg_macro_f1"))
+      .orderBy("week_date", "model_name")
+  }
+
+  /** W1 — best model per week (query_model_performance.py:147–166). */
+  def bestModelPerWeek(metrics: DataFrame): DataFrame = {
+    val w = Window.partitionBy("week_date")
+      .orderBy(desc("macro_f1"), asc("model_name"))
+    metrics.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("week_date", "model_name", "macro_f1")
+      .orderBy("week_date")
+  }
+
+  /** O3 — latest evaluation for a week (dag_functions.py:392–401). */
+  def latestForWeek(metrics: DataFrame, week: String): DataFrame =
+    metrics.filter(col("week_date") === week)
+      .orderBy(desc("evaluation_date")).limit(1)
+}
+
+/** M9 — classification metrics computed distributed: the confusion
+  * matrix is ONE groupBy over (label, prediction); every F1-family
+  * number derives from that tiny matrix on the driver. No per-class
+  * jobs, no collect of predictions (the reference collects all
+  * predictions into sklearn, model_inference_utils.py:71–94).
+  */
+object Classification {
+
+  /** Confusion counts: (label, prediction, n). */
+  def confusion(pred: DataFrame, labelCol: String, predCol: String): DataFrame =
+    pred.groupBy(col(labelCol).as("label"), col(predCol).as("prediction"))
+      .agg(count(lit(1)).as("n"))
+
+  case class ClassMetrics(cls: String, precision: Double, recall: Double, f1: Double)
+  case class Summary(accuracy: Double, macroF1: Double, weightedF1: Double,
+                     perClass: Seq[ClassMetrics], total: Long)
+
+  /** Full metric family from the confusion counts. `classes` fixes the
+    * class set (absent classes score 0) — the persisted grade_mapping
+    * semantics (SURVEY §7.4 sklearn-parity note). */
+  def summarize(confusion: DataFrame, classes: Seq[String]): Summary = {
+    val m = confusion.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val total = m.values.sum
+    val correct = classes.map(c => m.getOrElse((c, c), 0L)).sum
+    val per = classes.map { c =>
+      val tp = m.getOrElse((c, c), 0L).toDouble
+      val fp = m.collect { case ((l, p), n) if p == c && l != c => n }.sum.toDouble
+      val fn = m.collect { case ((l, p), n) if l == c && p != c => n }.sum.toDouble
+      val prec = if (tp + fp == 0) 0.0 else tp / (tp + fp)
+      val rec = if (tp + fn == 0) 0.0 else tp / (tp + fn)
+      val f1 = if (prec + rec == 0) 0.0 else 2 * prec * rec / (prec + rec)
+      ClassMetrics(c, prec, rec, f1)
+    }
+    val support = classes.map(c =>
+      c -> m.collect { case ((l, _), n) if l == c => n }.sum.toDouble).toMap
+    val weighted =
+      if (total == 0) 0.0
+      else per.map(p => p.f1 * support(p.cls)).sum / total
+    Summary(
+      accuracy = if (total == 0) 0.0 else correct.toDouble / total,
+      macroF1 = per.map(_.f1).sum / classes.size,
+      weightedF1 = weighted,
+      perClass = per,
+      total = total)
+  }
+}

@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.pipeline.{Gold, Schemas, Silver}
+
+/** End-to-end credit-pipeline smoke reachable from the driver surface:
+  * synthesizes the four raw sources deterministically (no external
+  * fixtures), runs silver → gold → feature/label stores, and emits
+  * summary stats. Rows-only check (the full mode/mean-imputation chain
+  * is not reasonably SQL-expressible in one oracle query); invariants
+  * are asserted in PipelineSpec.
+  */
+object PipelineE2E {
+
+  private def gen(spark: SparkSession, schema: StructType, n: Int): DataFrame = {
+    val special: Map[String, Column] = {
+      val id = col("row_id")
+      Map(
+        "member_id" -> concat(lit("m"), (id % 75).cast("string")),
+        "id" -> concat(lit("loan"), id.cast("string")),
+        "snapshot_date" -> date_add(to_date(lit("2023-01-01")),
+          (((id / 75).cast("long") % 4) * 7).cast("int")),
+        "earliest_cr_line" -> when(id % 11 === 3, lit(null)).otherwise(
+          concat(element_at(array(Seq("Jan", "Mar", "Aug", "Nov").map(lit): _*),
+            (id % 4 + 1).cast("int")), lit("-"), (lit(1999) + id % 20).cast("string"))),
+        "emp_length" -> element_at(
+          array(Seq("10+ years", "< 1 year", "3 years", "7 years", "missing")
+            .map(lit) :+ lit(null).cast("string"): _*), (id % 6 + 1).cast("int")),
+        "term" -> element_at(array(lit("36 months"), lit("60 months")), (id % 2 + 1).cast("int")),
+        "grade" -> when(id % 13 === 5, lit(null)).otherwise(
+          element_at(array("ABCDEFG".map(ch => lit(ch.toString)): _*), (id % 7 + 1).cast("int"))),
+        "home_ownership" -> element_at(
+          array(Schemas.homeOwnershipCats.take(5).map(lit) :+ lit(null).cast("string"): _*),
+          (id % 6 + 1).cast("int")),
+        "verification_status" -> element_at(
+          array(Schemas.verificationStatusCats.map(lit): _*), (id % 3 + 1).cast("int")),
+        "application_type" -> element_at(
+          array(Schemas.applicationTypeCats.map(lit): _*), (id % 2 + 1).cast("int")),
+        "addr_state" -> element_at(
+          array(Seq("CA", "NY", "TX", "WA").map(lit): _*), (id % 4 + 1).cast("int")),
+        "purpose" -> element_at(
+          array(Seq("car", "house", "debt", "other").map(lit): _*), (id % 4 + 1).cast("int")),
+        "loan_status" -> element_at(
+          array(Seq("Current", "Fully Paid", "Charged Off").map(lit): _*), (id % 3 + 1).cast("int")),
+        "pymnt_plan" -> element_at(array(lit("y"), lit("n")), (id % 2 + 1).cast("int")),
+        "debt_settlement_flag" -> element_at(array(lit("Y"), lit("N")), (id % 2 + 1).cast("int")),
+        "initial_list_status" -> element_at(array(lit("w"), lit("f")), (id % 2 + 1).cast("int")),
+        "disbursement_method" -> element_at(array(lit("Cash"), lit("DirectPay")), (id % 2 + 1).cast("int")))
+    }
+    val base = spark.range(n.toLong).toDF("row_id")
+    base.select(schema.fields.zipWithIndex.map { case (f, i) =>
+      special.get(f.name).map(_.cast(f.dataType).as(f.name)).getOrElse {
+        val v: Column = f.dataType match {
+          case IntegerType => ((col("row_id") * 7 + i) % 20).cast("int")
+          case FloatType => (((col("row_id") * 13 + i) % 300) / 7.0).cast("float")
+          case DateType => date_add(to_date(lit("2023-01-01")), ((col("row_id") + i) % 28).cast("int"))
+          case _ => concat(lit(s"v${i}_"), (col("row_id") % 9).cast("string"))
+        }
+        when(col("row_id") + i % 11 === 0, lit(null)).otherwise(v).cast(f.dataType).as(f.name)
+      }
+    }: _*)
+  }
+
+  /** Full bronze→silver→gold→stores run over synthesized sources. */
+  def featureStoreStats(s: SparkSession, d: String): DataFrame = {
+    // dims: exactly one row per (member_id, snapshot_date) = 75 x 4;
+    // loans: 2 per member-week (spine keyed by loan id)
+    val nDim = 300
+    val loanSilver = Silver.loanTerms(gen(s, Schemas.loanTermsRaw, 600))
+    val gl = Gold.loanTerms(loanSilver,
+      Seq("car", "house", "debt", "other"), Seq("Current", "Fully Paid", "Charged Off"))
+    val gd = Gold.demographic(Silver.demographic(gen(s, Schemas.demographicRaw, nDim)),
+      Seq("CA", "NY", "TX", "WA"))
+    val gf = Gold.financial(Silver.financial(gen(s, Schemas.financialRaw, nDim)))
+    val gc = Gold.creditHistory(Silver.creditHistory(gen(s, Schemas.creditHistoryRaw, nDim)))
+    val fs = Gold.featureStore(gl, gd, gf, gc)
+    val ls = Gold.labelStore(loanSilver)
+    val fsCount = fs.count()
+    val lsGrades = ls.groupBy("grade").count().orderBy("grade")
+      .collect().map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(",")
+    import s.implicits._
+    Seq((fsCount, fs.columns.length.toLong, ls.count(), lsGrades))
+      .toDF("feature_rows", "feature_cols", "label_rows", "grade_dist")
+  }
+}

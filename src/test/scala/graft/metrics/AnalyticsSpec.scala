@@ -1,0 +1,67 @@
+package graft.metrics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // FIXTURES.md §6: >=3 models x >=10 weeks, one (model, week) pair
+  // evaluated twice
+  private lazy val metrics = {
+    val rows = for {
+      w <- 1 to 10; m <- Seq("lgbm", "catboost", "rf")
+      rep <- if (w == 1 && m == "lgbm") Seq(0, 1) else Seq(0)
+    } yield (f"2024_01_$w%02d", m, s"run_${m}_${w}_$rep",
+      0.8 + (w % 3) * 0.01, 0.85 + ((w * 7 + m.length) % 10) / 100.0,
+      0.86, 1000L + w, s"2024-01-${w}T0$rep:00:00")
+    rows.toDF("week_date", "model_name", "mlflow_run_id", "accuracy",
+      "macro_f1", "weighted_f1", "total_samples", "evaluation_date")
+  }
+
+  test("modelSummary aggregates per model, ordered by avg F1") {
+    val out = Analytics.modelSummary(metrics).collect()
+    assert(out.length == 3)
+    val avgs = out.map(_.getAs[Double]("avg_macro_f1"))
+    assert(avgs.zip(avgs.tail).forall { case (a, b) => a >= b })
+    assert(out.map(_.getAs[Long]("total_evaluations")).sum == 31)
+  }
+
+  test("recentWeeks keeps only the N latest weeks") {
+    val out = Analytics.recentWeeks(metrics, 3)
+    val weeks = out.select("week_date").distinct().as[String].collect().toSet
+    assert(weeks == Set("2024_01_08", "2024_01_09", "2024_01_10"))
+  }
+
+  test("bestModelPerWeek returns one winner per week with max F1") {
+    val out = Analytics.bestModelPerWeek(metrics)
+    assert(out.count() == 10)
+    val joined = out.as("b").join(metrics.as("m"), Seq("week_date"))
+      .groupBy("week_date")
+      .agg(max($"m.macro_f1").as("mx"), first($"b.macro_f1").as("won"))
+      .filter($"mx" =!= $"won")
+    assert(joined.count() == 0)
+  }
+
+  test("latestForWeek picks the newest evaluation") {
+    val out = Analytics.latestForWeek(metrics, "2024_01_01")
+      .select("evaluation_date").as[String].collect()
+    assert(out.toSeq == Seq("2024-01-1T01:00:00"))
+  }
+
+  test("classification metrics match hand-computed values") {
+    // confusion: A: 3 correct, 1 as B; B: 2 correct, 1 as A; C absent
+    val pred = Seq(
+      ("A", "A"), ("A", "A"), ("A", "A"), ("A", "B"),
+      ("B", "B"), ("B", "B"), ("B", "A")).toDF("label", "prediction")
+    val s = Classification.summarize(
+      Classification.confusion(pred, "label", "prediction"), Seq("A", "B", "C"))
+    assert(math.abs(s.accuracy - 5.0 / 7) < 1e-12)
+    val a = s.perClass.find(_.cls == "A").get
+    assert(math.abs(a.precision - 0.75) < 1e-12) // 3 of 4 predicted-A
+    assert(math.abs(a.recall - 0.75) < 1e-12)    // 3 of 4 true-A
+    val c = s.perClass.find(_.cls == "C").get
+    assert(c.f1 == 0.0) // absent class scores 0 (grade_mapping semantics)
+    assert(s.macroF1 < s.weightedF1) // zero-support class drags macro down
+  }
+}
