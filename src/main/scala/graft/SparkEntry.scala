@@ -62,6 +62,10 @@ object SparkEntry {
     "s_sessionize"    -> (Events.sessionize _),
     "f_json_extract"  -> (Events.fJsonExtract _),
     "pipeline_e2e"    -> (PipelineE2E.featureStoreStats _),
+    "r1_sample"       -> (MLFeatures.r1Sample _),
+    "r2_hash_split"   -> (MLFeatures.r2HashSplit _),
+    "mm1_media_meta"  -> (Documents.mm1MediaMeta _),
+    "mm2_media_features" -> (Documents.mm2MediaFeatures _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -345,6 +349,12 @@ object SparkEntry {
         |  round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k,
         |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "mm1_media_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'video' END AS modality,
+        |  octet_length(encode(text)) AS n_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
   )
 
   /** Shared oracle for d2 (MinHash+LSH, exact-verified) and d4 (direct

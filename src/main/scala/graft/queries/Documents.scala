@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data-pipeline operators over the documents/embeddings tables:
   * dedup family, text analysis, similarity search.
@@ -85,5 +85,26 @@ object Documents {
     val e = Tables.embeddings(s, d)
     Similarity.lshTopK(e, e.filter(col("vec_id") < 5), 5, dim = 64)
       .orderBy("q_id", "rank")
+  }
+
+  /** MM1 — binary-column plumbing: payload sizes oracle-checked against
+    * the utf-8 byte length DuckDB computes. */
+  def mm1MediaMeta(s: SparkSession, d: String): DataFrame =
+    Multimodal.fromDocuments(Tables.documents(s, d), s).toDF()
+      .select(col("media_id"), col("meta.modality").as("modality"),
+        length(col("bytes")).as("n_bytes"))
+      .orderBy("media_id")
+
+  /** MM2 — stubbed decode + batch feature extraction (rows-only: the
+    * stub hash is not SQL-expressible; determinism is spec-asserted). */
+  def mm2MediaFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Multimodal.extractFeatures(
+        Multimodal.fromDocuments(Tables.documents(s, d), s), dim = 16)
+      .toDF()
+      .select(col("media_id"), col("modality"), col("n_bytes"),
+        round(aggregate(col("features"),
+          lit(0.0), (acc, v) => acc + v.cast("double")), 4).as("feat_sum"))
+      .orderBy("media_id")
   }
 }

@@ -111,4 +111,24 @@ object MLFeatures {
     Tables.events(s, d)
       .groupBy("event_type").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("event_type"))
+
+  /** R1 — seeded Bernoulli sample (rows-only: RNG streams differ across
+    * engines by design; determinism within Spark is what matters). */
+  def r1Sample(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.bernoulli(Tables.orders(s, d), 0.1, seed = 42L)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  /** R2 — deterministic hash split: per-class train/test counts
+    * (rows-only: xxhash64 has no DuckDB twin; reproducibility is the
+    * contract and is spec-asserted). */
+  def r2HashSplit(s: SparkSession, d: String): DataFrame = {
+    val (train, test) = graft.ops.Sampling.hashSplit(
+      Tables.customer(s, d), "c_custkey", testPct = 20)
+    train.groupBy("c_mktsegment").agg(count(lit(1)).as("n_train"))
+      .join(test.groupBy("c_mktsegment").agg(count(lit(1)).as("n_test")),
+        Seq("c_mktsegment"), "left")
+      .na.fill(0L)
+      .orderBy("c_mktsegment")
+  }
 }

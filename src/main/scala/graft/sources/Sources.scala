@@ -1,0 +1,94 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.hadoop.fs.Path
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** Source/sink surface (SURVEY §2.1): CSV, Parquet, JSON sidecars,
+  * metrics store behind a trait, directory-listing catalog.
+  */
+object Sources {
+
+  /** S1/S2 — CSV scan with declared schema (engine default) or inference
+    * (compat option, discouraged — SURVEY §1.3). */
+  def csv(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("header", "true")
+    schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
+  }
+
+  /** S6 — CSV sink with header. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** S3/S4 — parquet scan over one or many paths (implicit union). */
+  def parquet(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.parquet(paths: _*)
+
+  /** S5 — parquet sink. */
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** S9 — JSON sidecar (driver-side metadata: trackers, mappings).
+    * Plain JVM I/O, not a Spark job — these are O(1) control files. */
+  def writeJsonSidecar(path: String, kv: Map[String, String]): Unit = {
+    val body = kv.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${escape(k)}": "${escape(v)}"""" }
+      .mkString("{", ", ", "}")
+    Files.write(Paths.get(path), body.getBytes(StandardCharsets.UTF_8))
+  }
+
+  def readJsonSidecar(spark: SparkSession, path: String): Map[String, String] = {
+    val df = spark.read.option("multiLine", "true").json(path)
+    val row = df.first()
+    df.columns.zipWithIndex.map { case (c, i) => c -> String.valueOf(row.get(i)) }.toMap
+  }
+
+  private def escape(s: String): String =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+
+  /** S10 — directory-listing "catalog": discover week partitions by
+    * directory-name prefix (weekly_evaluation.py:343–375 shape). */
+  def listPartitions(spark: SparkSession, dir: String, prefix: String): Seq[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith(prefix))
+      .sorted
+  }
+
+  /** S11 — file-existence gate (FileSensor shape). */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+}
+
+/** S7/S8 — metrics store behind a trait: parquet implementation for
+  * tests/local, JDBC for a real warehouse (same contract;
+  * model_inference_utils.py:103–136).
+  */
+trait MetricsStore {
+  def append(metrics: DataFrame): Unit
+  def read(spark: SparkSession): DataFrame
+}
+
+final class ParquetMetricsStore(path: String) extends MetricsStore {
+  def append(metrics: DataFrame): Unit =
+    metrics.write.mode(SaveMode.Append).parquet(path)
+  def read(spark: SparkSession): DataFrame = spark.read.parquet(path)
+}
+
+/** JDBC-backed store (untested here — no database in this environment;
+  * the trait keeps it swappable, and the SQL surface is identical). */
+final class JdbcMetricsStore(url: String, table: String,
+                             props: java.util.Properties) extends MetricsStore {
+  def append(metrics: DataFrame): Unit =
+    metrics.write.mode(SaveMode.Append).jdbc(url, table, props)
+  def read(spark: SparkSession): DataFrame = spark.read.jdbc(url, table, props)
+}

@@ -1,0 +1,55 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("csv sink + schema'd scan round-trips exactly") {
+    val dir = Files.createTempDirectory("csvrt").toString + "/nation"
+    val nation = Tables.nation(spark, sf)
+    Sources.writeCsv(nation, dir)
+    val back = Sources.csv(spark, dir, Some(nation.schema))
+    assert(back.schema == nation.schema)
+    assert(back.except(nation).count() == 0 && nation.except(back).count() == 0)
+  }
+
+  test("json sidecar round-trips (grade_mapping shape)") {
+    val p = Files.createTempDirectory("sidecar").toString + "/mapping.json"
+    val kv = Map("A" -> "0", "B" -> "1", "model" -> "lgbm \"best\"")
+    Sources.writeJsonSidecar(p, kv)
+    assert(Sources.readJsonSidecar(spark, p) == kv)
+  }
+
+  test("directory catalog lists week partitions by prefix") {
+    val root = Files.createTempDirectory("cat")
+    Seq("feature_store_week_2024_01_07", "feature_store_week_2024_01_14",
+      "label_store_week_2024_01_07").foreach(d =>
+      Files.createDirectory(root.resolve(d)))
+    val weeks = Sources.listPartitions(spark, root.toString, "feature_store_week_")
+    assert(weeks == Seq("feature_store_week_2024_01_07", "feature_store_week_2024_01_14"))
+    assert(Sources.exists(spark, root.toString))
+    assert(!Sources.exists(spark, root.toString + "/nope"))
+  }
+
+  test("parquet metrics store appends and reads back") {
+    val p = Files.createTempDirectory("ms").toString + "/metrics"
+    val store = new ParquetMetricsStore(p)
+    store.append(Seq(("2024_01_07", "lgbm", 0.91)).toDF("week_date", "model_name", "macro_f1"))
+    store.append(Seq(("2024_01_14", "lgbm", 0.89)).toDF("week_date", "model_name", "macro_f1"))
+    val back = store.read(spark)
+    assert(back.count() == 2)
+    assert(back.agg(max("macro_f1")).as[Double].first() == 0.91)
+  }
+
+  test("multi-path parquet scan unions weeks (S4)") {
+    val root = Files.createTempDirectory("wk").toString
+    Seq("w1", "w2").zipWithIndex.foreach { case (w, i) =>
+      Seq((i, s"row$i")).toDF("k", "v").write.parquet(s"$root/$w") }
+    val both = Sources.parquet(spark, s"$root/w1", s"$root/w2")
+    assert(both.count() == 2)
+  }
+}
