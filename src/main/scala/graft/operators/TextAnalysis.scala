@@ -67,18 +67,23 @@ object TextAnalysis {
 
   /** n-gram/stopword language-ID heuristic: score = number of tokens that
     * belong to each language's profile; argmax wins, ties broken by
-    * language code (so 'en' beats 'es' at equal score, etc.). */
+    * profile order (alphabetical, so 'en' beats 'es' at equal score).
+    *
+    * Implemented as array_max over (score, priority) structs: a when-chain
+    * fold would nest each comparison inside the next and duplicate every
+    * score subtree exponentially (measured 11 s → 0.5 s at sf0.1). */
   def langId(text: Column): Column = {
     val toks = tokens(lower(text))
-    val scored = langProfiles.map { case (lang, words) =>
-      (lang, size(filter(toks, w => w.isin(words: _*))))
+    val n = langProfiles.size
+    val entries = langProfiles.zipWithIndex.map { case ((_, words), i) =>
+      struct(
+        size(filter(toks, w => w.isin(words: _*))).as("score"),
+        lit(n - 1 - i).as("pri")) // higher pri = earlier profile wins ties
     }
-    // argmax with lexicographic tie-break: fold keeping (bestLang, bestScore)
-    scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
-      case ((bestLang, bestScore), (lang, score)) =>
-        (when(score > bestScore, lit(lang)).otherwise(bestLang),
-         when(score > bestScore, score).otherwise(bestScore))
-    }._1
+    val best = array_max(array(entries: _*))
+    element_at(
+      array(langProfiles.reverse.map(p => lit(p._1)): _*),
+      best.getField("pri") + 1)
   }
 
   /** Content fingerprint: md5 over whitespace-normalized lowercase text

@@ -27,11 +27,11 @@ object Documents {
       .orderBy("id_a", "id_b")
 
   /** D2 — MinHash+LSH near-dup pairs, exact-verified. Same oracle as D4:
-    * with 128 hashes / 32 bands, missing a true j≥0.9 pair has
+    * with 64 hashes / 16 bands, missing a true j≥0.9 pair has
     * probability ~1e−15, and verification makes precision exact. */
   def d2MinHashLsh(s: SparkSession, d: String): DataFrame =
     Dedup.minHashLshDedup(Tables.documents(s, d), "doc_id", "text",
-        shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.8)
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.8)
       .orderBy("id_a", "id_b")
 
   /** D3 — SimHash near-dup pairs (hamming ≤ 6 on 64-bit signatures).

@@ -75,13 +75,17 @@ object PipelineE2E {
       Seq("CA", "NY", "TX", "WA"))
     val gf = Gold.financial(Silver.financial(gen(s, Schemas.financialRaw, nDim)))
     val gc = Gold.creditHistory(Silver.creditHistory(gen(s, Schemas.creditHistoryRaw, nDim)))
-    val fs = Gold.featureStore(gl, gd, gf, gc)
-    val ls = Gold.labelStore(loanSilver)
+    // cache before the multi-action stats: count + grade-dist + label
+    // count would otherwise recompute the whole impute/join lineage each
+    val fs = Gold.featureStore(gl, gd, gf, gc).cache()
+    val ls = Gold.labelStore(loanSilver).cache()
     val fsCount = fs.count()
     val lsGrades = ls.groupBy("grade").count().orderBy("grade")
       .collect().map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(",")
     import s.implicits._
-    Seq((fsCount, fs.columns.length.toLong, ls.count(), lsGrades))
+    val out = Seq((fsCount, fs.columns.length.toLong, ls.count(), lsGrades))
       .toDF("feature_rows", "feature_cols", "label_rows", "grade_dist")
+    fs.unpersist(); ls.unpersist()
+    out
   }
 }
