@@ -1,0 +1,82 @@
+package graft.ml
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.classification.{RandomForestClassificationModel, RandomForestClassifier}
+import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+import org.apache.spark.ml.feature.{OneHotEncoder, StringIndexer, VectorAssembler}
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ML lifecycle surface (SURVEY §2.10 M3, M10–M12).
+  *
+  * Training itself is the one unavoidable much-smaller-than-the-data
+  * step (the reference collects ~720k rows to the driver for LightGBM,
+  * model_operations.py:46); here it stays behind a trait with a
+  * Spark-native distributed backend (RandomForest — MLlib's GBT is
+  * binary-only, so RF is the multiclass stand-in, SURVEY §2.10 M11),
+  * and the feature matrix never leaves the cluster.
+  */
+object Training {
+
+  /** Feature assembly: numeric columns → MLlib vector. */
+  def assemble(df: DataFrame, featureCols: Seq[String],
+               labelCol: String): DataFrame =
+    new VectorAssembler()
+      .setInputCols(featureCols.toArray)
+      .setOutputCol("features")
+      .setHandleInvalid("keep")
+      .transform(df)
+      .select(col("features"), col(labelCol).cast("double").as("label"))
+
+  /** Swappable training backend (M11). */
+  trait Backend {
+    def fitPredict(train: DataFrame, test: DataFrame): DataFrame
+  }
+
+  /** Spark-native multiclass backend: distributed fit, distributed
+    * scoring; seeded for determinism. */
+  final class RandomForestBackend(numTrees: Int = 50, maxDepth: Int = 6,
+                                  seed: Long = 42L) extends Backend {
+    def fitPredict(train: DataFrame, test: DataFrame): DataFrame = {
+      val rf = new RandomForestClassifier()
+        .setNumTrees(numTrees).setMaxDepth(maxDepth).setSeed(seed)
+        .setLabelCol("label").setFeaturesCol("features")
+      rf.fit(train).transform(test)
+    }
+  }
+
+  /** M10 — area under ROC for a binary target given scores. */
+  def binaryAuc(scored: DataFrame, labelCol: String, scoreCol: String): Double =
+    new BinaryClassificationEvaluator()
+      .setLabelCol(labelCol).setRawPredictionCol(scoreCol)
+      .setMetricName("areaUnderROC")
+      .evaluate(scored)
+
+  /** M12 — model selection: argmax macro-F1 over candidate runs. */
+  def selectBest(runs: Seq[(String, Double)]): (String, Double) =
+    runs.maxBy { case (name, f1) => (f1, name) }
+
+  /** M1–M4 reference-compat mode: per-batch StringIndexer(keep) +
+    * OneHotEncoder(dropLast=false) + vector_to_array flattening —
+    * bit-compatible with gold_feature_store.py:114–123 for oracle
+    * equivalence tests. The engine-native path (fixed dictionaries,
+    * ColumnOps.oneHot) is preferred; this exists because the reference's
+    * column meanings are frequency-dependent per batch. */
+  def compatOneHot(df: DataFrame, c: String): DataFrame = {
+    val pipeline = new Pipeline().setStages(Array(
+      new StringIndexer().setInputCol(c).setOutputCol(s"${c}_idx")
+        .setHandleInvalid("keep"),
+      new OneHotEncoder().setInputCols(Array(s"${c}_idx"))
+        .setOutputCols(Array(s"${c}_vec")).setDropLast(false)))
+    val model = pipeline.fit(df)
+    val labels = model.stages(0)
+      .asInstanceOf[org.apache.spark.ml.feature.StringIndexerModel]
+      .labelsArray(0)
+    val flat = model.transform(df)
+      .withColumn("_arr", vector_to_array(col(s"${c}_vec")))
+    labels.zipWithIndex.foldLeft(flat) { case (acc, (_, i)) =>
+      acc.withColumn(s"${c}_ohe_$i", element_at(col("_arr"), i + 1).cast("int"))
+    }.drop(s"${c}_idx", s"${c}_vec", "_arr")
+  }
+}

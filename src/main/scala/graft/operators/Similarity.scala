@@ -27,6 +27,15 @@ object Similarity {
     dot / (na * nb)
   }
 
+  /** Hot-path cosine: the native codegen'd expression (one fused loop,
+    * no intermediate arrays) — bit-equal to `cosine` since accumulation
+    * order and formula are identical. Registers the function
+    * idempotently on the session. */
+  private def nativeCosine(df: DataFrame)(a: Column, b: Column): Column = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    graft.plans.GraftFunctions.cosineSim(a, b)
+  }
+
   /** Exact brute-force top-k: for each query vector, the k nearest corpus
     * vectors by cosine. The query side is broadcast; the corpus is scanned
     * once map-side; per-query top-k is a bounded window. */
@@ -36,7 +45,7 @@ object Similarity {
     val scored = corpus
       .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
       .join(q, col("q_id") =!= col("n_id"))
-      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("cos", nativeCosine(corpus)(col("q_vec"), col("n_vec")))
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -82,7 +91,7 @@ object Similarity {
       .filter(col("q_id") =!= col("n_id"))
       .select("q_id", "n_id", "q_vec", "n_vec").distinct()
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
-    cands.withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+    cands.withColumn("cos", nativeCosine(corpus)(col("q_vec"), col("n_vec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 6).as("cos_sim"))

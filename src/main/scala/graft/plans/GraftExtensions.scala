@@ -1,0 +1,41 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.call_function
+import graft.functions.CosineSimilarity
+
+/** Engine extensions: registers graft's native expressions so they are
+  * callable from SQL. Activate with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`, or
+  * call `GraftFunctions.register(spark)` on an existing session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptors.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+  type Descriptor =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val descriptors: Seq[Descriptor] = Seq(
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+
+  /** Register into a live session (tests, notebooks). */
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(ident, info, builder)
+    }
+
+  /** Column-API handle for the native cosine. Requires `register(spark)`
+    * (or the extensions config) on the session first — resolution goes
+    * through the public FunctionRegistry, the one Column↔Expression
+    * bridge that isn't private[sql] in Spark 4. */
+  def cosineSim(a: Column, b: Column): Column =
+    call_function("cosine_sim", a, b)
+}

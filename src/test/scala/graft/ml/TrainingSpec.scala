@@ -1,0 +1,67 @@
+package graft.ml
+
+import graft.SparkSpec
+import graft.metrics.Classification
+import graft.ops.Sampling
+import org.apache.spark.sql.functions._
+
+class TrainingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // learnable synthetic task: label = f(x1, x2) with noise-free rule
+  private lazy val data = spark.range(2000)
+    .select(
+      (col("id") % 17 / 17.0).as("x1"),
+      (col("id") % 23 / 23.0).as("x2"),
+      (col("id") % 5 / 5.0).as("x3"),
+      col("id"))
+    .withColumn("label_raw",
+      when(col("x1") + col("x2") > 1.0, 2)
+        .when(col("x1") > 0.5, 1).otherwise(0))
+
+  test("RandomForest backend learns a separable multiclass rule") {
+    val assembled = Training.assemble(
+      data.withColumnRenamed("label_raw", "y"), Seq("x1", "x2", "x3"), "y")
+      .withColumn("id", monotonically_increasing_id())
+    val (train, test) = Sampling.hashSplit(assembled, "id", testPct = 25)
+    val pred = new Training.RandomForestBackend(numTrees = 20, maxDepth = 5)
+      .fitPredict(train.drop("id"), test.drop("id"))
+    val summary = Classification.summarize(
+      Classification.confusion(
+        pred.select(col("label").cast("string").as("l"),
+          col("prediction").cast("string").as("p")), "l", "p"),
+      Seq("0.0", "1.0", "2.0"))
+    assert(summary.accuracy > 0.95, s"accuracy ${summary.accuracy}")
+    assert(summary.macroF1 > 0.9, s"macroF1 ${summary.macroF1}")
+  }
+
+  test("binary AUC on a separable score is ~1, on a constant score ~0.5") {
+    val scored = (1 to 200).map(i => (if (i % 2 == 0) 1.0 else 0.0, (1 - i % 2) * 0.8 + 0.1))
+      .toDF("y", "score")
+    assert(Training.binaryAuc(scored, "y", "score") > 0.99)
+    val flat = (1 to 200).map(i => (if (i % 2 == 0) 1.0 else 0.0, 0.5))
+      .toDF("y", "score")
+    val aucFlat = Training.binaryAuc(flat, "y", "score")
+    assert(math.abs(aucFlat - 0.5) < 0.05)
+  }
+
+  test("selectBest picks argmax F1 with name tie-break") {
+    assert(Training.selectBest(Seq("lgbm" -> 0.91, "cb" -> 0.86)) == ("lgbm" -> 0.91))
+    assert(Training.selectBest(Seq("a" -> 0.9, "b" -> 0.9)) == ("b" -> 0.9))
+  }
+
+  test("compatOneHot matches reference per-batch OHE semantics") {
+    val df = Seq("RENT", "RENT", "RENT", "OWN", "OWN", "MORTGAGE")
+      .toDF("home_ownership")
+    val out = Training.compatOneHot(df, "home_ownership")
+    // frequency order: RENT(idx0), OWN(idx1), MORTGAGE(idx2)
+    val cols = out.columns.filter(_.startsWith("home_ownership_ohe_"))
+    assert(cols.sorted.toSeq == Seq("home_ownership_ohe_0", "home_ownership_ohe_1", "home_ownership_ohe_2"))
+    val rent = out.filter($"home_ownership" === "RENT")
+      .select("home_ownership_ohe_0").distinct().as[Int].collect()
+    assert(rent.toSeq == Seq(1))
+    // dropLast=false: exactly one 1 per row
+    val ones = out.select(cols.map(col).reduce(_ + _).as("s")).as[Int].collect()
+    assert(ones.forall(_ == 1))
+  }
+}
