@@ -39,6 +39,8 @@ object SparkEntry {
     "w2_in_subquery"  -> (Relational.w2InSubquery _),
     "w3_running_sum"  -> (Relational.w3RunningSum _),
     "r3_distinct"     -> (Relational.r3Distinct _),
+    "f2_date_parse"   -> (Relational.f2DateParse _),
+    "a_cube"          -> (Relational.aCube _),
     "m5_parse_emp_length" -> (MLFeatures.m5ParseEmpLength _),
     "a1_modes_multi"  -> (MLFeatures.a1ModesMulti _),
     "ops_mean_impute" -> (MLFeatures.opsMeanImpute _),
@@ -184,6 +186,17 @@ object SparkEntry {
     "r3_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "f2_date_parse" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%b-%Y') AS mmm_yyyy,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS parsed,
+        |  round((2002 - year(o_orderdate)) * 12 + (1 - month(o_orderdate)), 6) AS months_since
+        |FROM orders WHERE o_orderkey <= 300 ORDER BY o_orderkey""".stripMargin,
+    "a_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "m5_parse_emp_length" ->
       """WITH raw AS (SELECT p_partkey,
         |  CASE WHEN p_size >= 40 THEN '10+ years'

@@ -214,6 +214,29 @@ object Relational {
       .distinct()
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** F2 — "MMM-yyyy" date parsing (silver_credit_history.py:22 shape):
+    * strings synthesized from order dates, parsed back with to_date. */
+  def f2DateParse(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") <= 300)
+      .withColumn("mmm_yyyy", date_format(col("o_orderdate"), "MMM-yyyy"))
+      .select(
+        col("o_orderkey"),
+        col("mmm_yyyy"),
+        date_format(to_date(col("mmm_yyyy"), "MMM-yyyy"), "yyyy-MM-dd").as("parsed"),
+        round(months_between(
+          to_date(lit("2002-01-01")), to_date(col("mmm_yyyy"), "MMM-yyyy")), 6)
+          .as("months_since"))
+      .orderBy("o_orderkey")
+
+  /** A-cube — grouping-sets aggregation (beyond the reference: SURVEY
+    * §2.4 notes these come free as built-ins). */
+  def aCube(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
   /** F1–F8 — scalar function battery: CASE WHEN, date trunc/extract,
     * months_between, trim/upper/coalesce, regexp_extract (SURVEY §2.3). */
   def fScalarFns(s: SparkSession, d: String): DataFrame =
