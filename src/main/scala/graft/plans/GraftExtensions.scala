@@ -12,8 +12,10 @@ import graft.functions.CosineSimilarity
   * call `GraftFunctions.register(spark)` on an existing session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => SelfCosineRule)
+  }
 }
 
 object GraftFunctions {
