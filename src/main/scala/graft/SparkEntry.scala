@@ -68,6 +68,7 @@ object SparkEntry {
     "r2_hash_split"   -> (MLFeatures.r2HashSplit _),
     "mm1_media_meta"  -> (Documents.mm1MediaMeta _),
     "mm2_media_features" -> (Documents.mm2MediaFeatures _),
+    "ann3_ivf"        -> (Documents.ann3Ivf _),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -66,6 +66,49 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) approximate top-k: a seeded k-means coarse
+    * quantizer assigns every corpus vector to a cell; a query probes only
+    * its `nProbe` nearest cells and scores exact cosine inside them.
+    * The classic embedding-scale layout: the corpus is PARTITIONED by
+    * cell (write it `partitionBy(cell)` at rest and probing becomes
+    * partition pruning); per-query work is corpus/nCells × nProbe. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val toVec = (df: DataFrame, id: String, vec: String) =>
+      df.select(col(id), col(vec),
+        array_to_vector(col(vec).cast("array<double>")).as("_v"))
+    val corpusV = toVec(corpus, idCol, vecCol)
+    val km = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("_v").setPredictionCol("cell")
+    val model = km.fit(corpusV)
+    val cells = model.transform(corpusV)
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"), col("cell"))
+    // query → nProbe nearest centroids (tiny: nCells centroids broadcast)
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }.toSeq
+    val centroidDf = broadcast(
+      corpus.sparkSession.createDataFrame(centroids).toDF("cell", "c_vec"))
+    val qProbes = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .crossJoin(centroidDf)
+      .withColumn("c_sim", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("c_rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("c_sim"), asc("cell"))))
+      .filter(col("c_rank") <= nProbe)
+      .select("q_id", "q_vec", "cell")
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+    broadcast(qProbes).join(cells, "cell")
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", nativeCosine(corpus)(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates must share at least one
     * of the `bands` signature bands with the query; exact cosine is then
     * computed only for candidates. Bounded join instead of cross join —

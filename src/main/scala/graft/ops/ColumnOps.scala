@@ -55,4 +55,18 @@ object ColumnOps {
     * (gold_feature_store.py:68–73). */
   def monthsSince(ref: Column, d: Column): Column =
     months_between(trunc(ref, "MM"), trunc(d, "MM"))
+
+  /** Serve-time schema reconciliation (model_inference_utils.py:62–65,
+    * weekly_evaluation.py:224–229): a model's persisted feature_names is
+    * the contract — features missing from the batch are injected as 0,
+    * extra columns are dropped, order follows the contract. */
+  def reconcileFeatures(df: DataFrame, featureNames: Seq[String],
+                        keep: Seq[String] = Seq("id")): DataFrame = {
+    val present = df.columns.toSet
+    val cols =
+      keep.filter(present).map(col) ++
+        featureNames.map(n =>
+          if (present(n)) col(n) else lit(0.0).as(n))
+    df.select(cols: _*)
+  }
 }

@@ -87,6 +87,14 @@ object Documents {
       .orderBy("q_id", "rank")
   }
 
+  /** ANN3 — IVF approximate top-5: k-means coarse quantizer, nProbe cells
+    * (rows-only; recall vs ANN1 asserted in ScalaTest). */
+  def ann3Ivf(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), 5, nCells = 8, nProbe = 4)
+      .orderBy("q_id", "rank")
+  }
+
   /** MM1 — binary-column plumbing: payload sizes oracle-checked against
     * the utf-8 byte length DuckDB computes. */
   def mm1MediaMeta(s: SparkSession, d: String): DataFrame =

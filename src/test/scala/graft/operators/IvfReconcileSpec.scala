@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.ops.ColumnOps
+import org.apache.spark.sql.functions._
+
+class IvfReconcileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ivfTopK probes cells and overlaps brute-force top-k") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(e, q, 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(e, q, 5, nCells = 8, nProbe = 4)
+    val approx = ivf.select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert(ivf.groupBy("q_id").count().filter($"count" =!= 5).count() == 0,
+      "every query returns k rows")
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"ivf recall $recall below floor")
+    // determinism: same seed, same result
+    val again = Similarity.ivfTopK(e, q, 5, nCells = 8, nProbe = 4)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert(again == approx)
+  }
+
+  test("reconcileFeatures injects missing features as 0, drops extras, orders") {
+    val contract = Seq("f1", "f2", "f3")
+    val batch = Seq((1L, 0.5, 9.9)).toDF("id", "f2", "junk")
+    val out = ColumnOps.reconcileFeatures(batch, contract)
+    assert(out.columns.toSeq == Seq("id", "f1", "f2", "f3"))
+    val r = out.first()
+    assert(r.getDouble(1) == 0.0 && r.getDouble(2) == 0.5 && r.getDouble(3) == 0.0)
+  }
+}

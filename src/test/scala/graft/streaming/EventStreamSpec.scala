@@ -50,6 +50,32 @@ class EventStreamSpec extends SparkSpec {
     assert(rows(1).alert && rows(1).total == 6.0 && rows(1).count == 2)
   }
 
+  test("file source + Trigger.AvailableNow processes a landed week then stops") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("filesrc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    spark.range(100)
+      .select(
+        timestamp_seconds(lit(1704067200L) + col("id") * 3600).as("ts"),
+        (col("id") % 3).cast("string").as("event_type"),
+        (col("id") % 7).cast("double").as("value"))
+      .write.parquet(s"$dir/week1")
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/week1")
+    val q = EventStream.tumblingCounts(stream, "7 days", "7 days")
+      .writeStream.format("memory").queryName("filesrc_tumble")
+      .option("checkpointLocation", ckpt)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)  // AvailableNow terminates after draining
+    val total = spark.table("filesrc_tumble").agg(sum("n")).as[Long].first()
+    assert(total == 100)
+  }
+
   test("runWeeklyOrdered is ordered and exactly-once over a ledger") {
     val ledger = scala.collection.mutable.Set("2024_01_07")
     val seen = scala.collection.mutable.ListBuffer[String]()
