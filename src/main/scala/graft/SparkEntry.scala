@@ -54,6 +54,7 @@ object SparkEntry {
     "d2_minhash_lsh"  -> (Documents.d2MinHashLsh _),
     "d3_simhash"      -> (Documents.d3SimHash _),
     "d4_ngram_jaccard" -> (Documents.d4NgramJaccard _),
+    "d5_embed_dup"    -> (Documents.d5EmbedDup _),
     "t1_token_count"  -> (Documents.t1TokenCount _),
     "t2_quality"      -> (Documents.t2Quality _),
     "t3_lang_id"      -> (Documents.t3LangId _),
@@ -289,6 +290,13 @@ object SparkEntry {
         |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "d2_minhash_lsh" -> ngramJaccardSql,
     "d4_ngram_jaccard" -> ngramJaccardSql,
+    "d5_embed_dup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
     "t1_token_count" ->
       """SELECT doc_id,
         |  len(string_split(trim(text), ' ')) AS n_tokens,

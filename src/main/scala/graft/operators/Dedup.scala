@@ -145,6 +145,24 @@ object Dedup {
     jaccardFor(sh, cands, threshold)
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (id_a < id_b) pairs with
+    * cosine ≥ threshold, scored by the native codegen'd kernel.
+    * This is the exact baseline (O(n²) pair join — fine to a few tens of
+    * thousands of vectors); at corpus scale, generate candidates with
+    * Similarity.lshTopK / ivfTopK buckets first and verify only those,
+    * exactly like the MinHash→Jaccard split above. */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos",
+        graft.plans.GraftFunctions.cosineSim(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** 64-bit SimHash over word tokens: sign of the per-bit weighted sum of
     * xxhash64(token) bits. Duplicate tokens weigh by multiplicity. */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {

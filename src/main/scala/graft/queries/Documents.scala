@@ -42,6 +42,12 @@ object Documents {
         Dedup.simHash(Tables.documents(s, d), "doc_id", "text"), 6)
       .orderBy("id_a", "id_b")
 
+  /** D5 — embedding-cosine near-dup pairs (threshold 0.45; the corpus'
+    * closest pair to the threshold sits 5e-4 away, far above fp noise). */
+  def d5EmbedDup(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingNearDups(Tables.embeddings(s, d), "vec_id", "embedding", 0.45)
+      .orderBy("id_a", "id_b")
+
   /** T1 — token counting: whitespace tokens + BPE-ish subword estimate. */
   def t1TokenCount(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
