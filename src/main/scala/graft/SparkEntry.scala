@@ -41,6 +41,7 @@ object SparkEntry {
     "r3_distinct"     -> (Relational.r3Distinct _),
     "f2_date_parse"   -> (Relational.f2DateParse _),
     "a_cube"          -> (Relational.aCube _),
+    "s6_csv_roundtrip" -> (Relational.s6CsvRoundtrip _),
     "m5_parse_emp_length" -> (MLFeatures.m5ParseEmpLength _),
     "a1_modes_multi"  -> (MLFeatures.a1ModesMulti _),
     "ops_mean_impute" -> (MLFeatures.opsMeanImpute _),
@@ -188,6 +189,9 @@ object SparkEntry {
     "r3_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "s6_csv_roundtrip" ->
+      """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 4) AS sum_bal
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "f2_date_parse" ->
       """SELECT o_orderkey,
         |  strftime(o_orderdate, '%b-%Y') AS mmm_yyyy,

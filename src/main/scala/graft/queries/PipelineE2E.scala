@@ -67,8 +67,10 @@ object PipelineE2E {
   def featureStoreStats(s: SparkSession, d: String): DataFrame = {
     // dims: exactly one row per (member_id, snapshot_date) = 75 x 4;
     // loans: 2 per member-week (spine keyed by loan id)
+    // silver outputs cache: each feeds multiple downstream actions
+    // (mode/mean statistics jobs + the store build + stats counts)
     val nDim = 300
-    val loanSilver = Silver.loanTerms(gen(s, Schemas.loanTermsRaw, 600))
+    val loanSilver = Silver.loanTerms(gen(s, Schemas.loanTermsRaw, 600)).cache()
     val gl = Gold.loanTerms(loanSilver,
       Seq("car", "house", "debt", "other"), Seq("Current", "Fully Paid", "Charged Off"))
     val gd = Gold.demographic(Silver.demographic(gen(s, Schemas.demographicRaw, nDim)),
@@ -85,7 +87,7 @@ object PipelineE2E {
     import s.implicits._
     val out = Seq((fsCount, fs.columns.length.toLong, ls.count(), lsGrades))
       .toDF("feature_rows", "feature_cols", "label_rows", "grade_dist")
-    fs.unpersist(); ls.unpersist()
+    fs.unpersist(); ls.unpersist(); loanSilver.unpersist()
     out
   }
 }

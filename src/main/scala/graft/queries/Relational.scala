@@ -214,6 +214,20 @@ object Relational {
       .distinct()
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** S6/S2 — CSV sink + schema'd scan round-trip: writes supplier to CSV,
+    * reads it back with the declared schema, aggregates. The oracle runs
+    * the same aggregate on the parquet — proving the CSV path is
+    * lossless for the table's types. */
+  def s6CsvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.supplier(s, d)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/supplier"
+    graft.sources.Sources.writeCsv(src, tmp)
+    graft.sources.Sources.csv(s, tmp, Some(src.schema))
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"), round(sum("s_acctbal"), 4).as("sum_bal"))
+      .orderBy("s_nationkey")
+  }
+
   /** F2 — "MMM-yyyy" date parsing (silver_credit_history.py:22 shape):
     * strings synthesized from order dates, parsed back with to_date. */
   def f2DateParse(s: SparkSession, d: String): DataFrame =
