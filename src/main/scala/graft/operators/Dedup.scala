@@ -166,11 +166,15 @@ object Dedup {
   /** 64-bit SimHash over word tokens: sign of the per-bit weighted sum of
     * xxhash64(token) bits. Duplicate tokens weigh by multiplicity. */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // pre-aggregate to (id, tokenHash, multiplicity): the 64 bit-sum
+    // aggregates then run over distinct tokens per doc, not every token
     val tok = df.select(col(idCol).as("id"),
       explode(split(trim(col(textCol)), "\\s+")).as("w"))
-      .withColumn("h", xxhash64(col("w")))
+      .groupBy(col("id"), xxhash64(col("w")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
     val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$i")
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"b_$i")
     }
     val agg = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
     val sim = (0 until 64).map { i =>

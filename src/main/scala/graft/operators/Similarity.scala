@@ -120,19 +120,29 @@ object Similarity {
     val r = bits / bands
     val mask = (1L << r) - 1
     def banded(df: DataFrame, id: String, vec: String): DataFrame = {
-      val sig = hyperplaneSignature(col(vec), dim, bits)
+      // project the signature once — deriving each band from a fresh
+      // hyperplaneSignature expression would recompute all `bits` dot
+      // products per band
+      val withSig = df.select(col(id), col(vec),
+        hyperplaneSignature(col(vec), dim, bits).as("_sig"))
       val bandCols = (0 until bands).map(b =>
-        struct(lit(b).as("band"), shiftright(sig, b * r).bitwiseAND(mask).as("bh")))
-      df.select(col(id), col(vec), explode(array(bandCols: _*)).as("bb"))
-        .select(col(id), col(vec), col("bb.band").as("band"), col("bb.bh").as("bh"))
+        struct(lit(b).as("band"),
+          shiftright(col("_sig"), b * r).bitwiseAND(mask).as("bh")))
+      withSig.select(col(id), explode(array(bandCols: _*)).as("bb"))
+        .select(col(id), col("bb.band").as("band"), col("bb.bh").as("bh"))
     }
-    val qb = broadcast(banded(queries, idCol, vecCol)
-      .withColumnRenamed(idCol, "q_id").withColumnRenamed(vecCol, "q_vec"))
-    val cands = banded(corpus, idCol, vecCol)
-      .withColumnRenamed(idCol, "n_id").withColumnRenamed(vecCol, "n_vec")
+    // candidates dedupe on ids ONLY (distinct over vector payloads would
+    // compare whole arrays); vectors join back afterwards
+    val qb = broadcast(banded(queries, idCol, vecCol).withColumnRenamed(idCol, "q_id"))
+    val candIds = banded(corpus, idCol, vecCol).withColumnRenamed(idCol, "n_id")
       .join(qb, Seq("band", "bh"))
       .filter(col("q_id") =!= col("n_id"))
-      .select("q_id", "n_id", "q_vec", "n_vec").distinct()
+      .select("q_id", "n_id").distinct()
+    val qVecs = broadcast(
+      queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
+    val cands = candIds
+      .join(qVecs, "q_id")
+      .join(corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec")), "n_id")
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
     cands.withColumn("cos", nativeCosine(corpus)(col("q_vec"), col("n_vec")))
       .withColumn("rank", row_number().over(w))
