@@ -68,3 +68,51 @@ case class CosineSimilarity(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): CosineSimilarity =
     copy(left = newLeft, right = newRight)
 }
+
+/** cos(x, x) without the three accumulators: null → null, any NaN/Inf
+  * element → NaN (matching what the full kernel's arithmetic yields),
+  * all-zero or empty → NaN (0/0), else 1.0. One pass over ONE array —
+  * the SelfCosineRule rewrite target. */
+case class SelfCosine(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "self_cosine"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var anyNonZero = false
+    var i = 0
+    while (i < n) {
+      val v = x.getFloat(i)
+      if (java.lang.Float.isNaN(v) || java.lang.Float.isInfinite(v))
+        return Double.NaN
+      if (v != 0.0f) anyNonZero = true
+      i += 1
+    }
+    if (anyNonZero) 1.0 else Double.NaN
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val v = ctx.freshName("v")
+      val nz = ctx.freshName("nz")
+      val bad = ctx.freshName("bad")
+      s"""
+         |int $n = $a.numElements();
+         |boolean $nz = false; boolean $bad = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  float $v = $a.getFloat($i);
+         |  if (Float.isNaN($v) || Float.isInfinite($v)) { $bad = true; break; }
+         |  if ($v != 0.0f) $nz = true;
+         |}
+         |${ev.value} = $bad ? Double.NaN : ($nz ? 1.0 : Double.NaN);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SelfCosine =
+    copy(child = newChild)
+}

@@ -36,14 +36,19 @@ object Psi {
   /** Per-bucket proportions of `c` in `df` under the given breaks —
     * always emits all buckets (missing ones as 0). */
   private def proportions(df: DataFrame, c: String, breaks: Array[Double]): DataFrame = {
-    val n = df.count().toDouble
+    // total comes from a window-sum over the (<= breaks+1 row) bucket
+    // counts — no second scan of the raw data for a count()
     val counted = df
       .groupBy(bucketOf(col(c), breaks).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
+      .withColumn("total", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
     val allBuckets = df.sparkSession.range(breaks.length + 1)
       .select(col("id").cast("int").as("bucket"))
     allBuckets.join(counted, Seq("bucket"), "left")
-      .select(col("bucket"), (coalesce(col("cnt"), lit(0L)) / n).as("prop"))
+      .select(col("bucket"),
+        (coalesce(col("cnt"), lit(0L)) / max("total").over(
+          org.apache.spark.sql.expressions.Window.partitionBy())).as("prop"))
   }
 
   /** PSI of `actual` vs `expected` on column `c`, decile buckets. */

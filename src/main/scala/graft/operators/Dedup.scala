@@ -59,6 +59,20 @@ object Dedup {
     * 8-byte join keys halve the shuffle and the comparisons (collision
     * probability over ~10^6 distinct shingles is ~10^-7 — far below the
     * oracle's rounding noise). */
+  /** Shared tail of the two Jaccard paths: join per-doc sizes onto the
+    * per-pair shared counts, compute/filter the coefficient. Kept single
+    * so d4 (exact) and d2 (LSH-verified) can never silently diverge —
+    * they share one oracle. */
+  private def jaccardFromShared(shared: DataFrame, sizes: DataFrame,
+                                threshold: Double): DataFrame =
+    shared
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("shared") / (col("sz_a") + col("sz_b") - col("shared")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+
   def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val h = sh.select(col("id"), xxhash64(col("shingle")).as("hs"))
@@ -67,13 +81,7 @@ object Dedup {
         col("a.hs") === col("b.hs") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-      .withColumn("jaccard",
-        round(col("shared") / (col("sz_a") + col("sz_b") - col("shared")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    jaccardFromShared(shared, sizes, threshold)
   }
 
   /** Exact Jaccard restricted to a candidate pair set (id_a < id_b). */
@@ -85,13 +93,7 @@ object Dedup {
       .join(h.as("b"),
         col("id_b") === col("b.id") && col("h_a") === col("b.hs"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-      .withColumn("jaccard",
-        round(col("shared") / (col("sz_a") + col("sz_b") - col("shared")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    jaccardFromShared(shared, sizes, threshold)
   }
 
   /** MinHash signatures: `numHashes` affine transforms of xxhash64(shingle),

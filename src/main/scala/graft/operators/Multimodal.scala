@@ -63,7 +63,9 @@ object Multimodal {
     * a generator (explode) over the metadata, no decode needed to plan. */
   def sampleFrames(media: DataFrame, everyMs: Long): DataFrame =
     media
-      .filter(col("meta.modality") === "video")
+      // zero-duration media yields no frames; sequence(0, -1, step) would
+      // throw on descending bounds (same guard as Dedup.shingles)
+      .filter(col("meta.modality") === "video" && col("meta.durationMs") > 0)
       .select(col("media_id"),
         explode(sequence(lit(0L), col("meta.durationMs") - 1, lit(everyMs)))
           .as("offset_ms"))

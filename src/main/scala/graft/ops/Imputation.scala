@@ -17,8 +17,15 @@ object Imputation {
     * (deterministic, unlike the reference's unordered first()). Returns
     * (col_name, mode_value) with mode_value stringified. */
   def modesOf(df: DataFrame, cols: Seq[String]): DataFrame = {
+    // names are spliced into selectExpr — escape backticks/quotes so a
+    // hostile column name can't break the parse (the one string-built
+    // SQL surface in the engine)
     val stackExpr = cols
-      .map(c => s"'$c', CAST(`$c` AS STRING)")
+      .map { c =>
+        val label = c.replace("\\", "\\\\").replace("'", "\\'")
+        val ident = c.replace("`", "``")
+        s"'$label', CAST(`$ident` AS STRING)"
+      }
       .mkString(s"stack(${cols.size}, ", ", ", ") AS (col_name, value)")
     df.selectExpr(stackExpr)
       .filter(col("value").isNotNull)
@@ -34,8 +41,11 @@ object Imputation {
     * aggregate of the same scan) — at scale the aggregate is O(1) to the
     * driver, then the fill is map-side only. */
   def meanImpute(df: DataFrame, c: String): DataFrame = {
-    val mean = df.agg(avg(col(c))).first().getDouble(0)
-    df.na.fill(Map(c -> mean))
+    val row = df.agg(avg(col(c))).first()
+    // an all-null (or empty) column has no mean — leave it unfilled
+    // rather than NPE on the null aggregate
+    if (row.isNullAt(0)) df
+    else df.na.fill(Map(c -> row.getDouble(0)))
   }
 
   /** Constant fill per column group (silver fill-0 / fill−1 / "MISSING"

@@ -23,6 +23,12 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0)
+    // right/full outer would emit each unmatched small-side row once PER
+    // SALT (replicated side preserved) — row-identity only holds for
+    // big-side-preserving join types
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
+      s"saltedJoin does not preserve row identity for joinType=$joinType")
     val saltCol = "__salt"
     val bigSalted = big.withColumn(saltCol,
       pmod(hash(big.columns.map(col): _*), lit(saltFactor)))

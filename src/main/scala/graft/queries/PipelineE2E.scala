@@ -58,7 +58,7 @@ object PipelineE2E {
           case DateType => date_add(to_date(lit("2023-01-01")), ((col("row_id") + i) % 28).cast("int"))
           case _ => concat(lit(s"v${i}_"), (col("row_id") % 9).cast("string"))
         }
-        when(col("row_id") + i % 11 === 0, lit(null)).otherwise(v).cast(f.dataType).as(f.name)
+        when((col("row_id") + i) % 11 === 0, lit(null)).otherwise(v).cast(f.dataType).as(f.name)
       }
     }: _*)
   }

@@ -220,7 +220,9 @@ object Relational {
     * lossless for the table's types. */
   def s6CsvRoundtrip(s: SparkSession, d: String): DataFrame = {
     val src = Tables.supplier(s, d)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/supplier"
+    // fixed, overwritten path — a fresh createTempDirectory per call
+    // would accumulate a supplier copy in /tmp on every Bench/Verify run
+    val tmp = sys.props("java.io.tmpdir") + "/graft_csv_roundtrip/supplier"
     graft.sources.Sources.writeCsv(src, tmp)
     graft.sources.Sources.csv(s, tmp, Some(src.schema))
       .groupBy("s_nationkey")

@@ -39,6 +39,12 @@ class MultimodalSpec extends SparkSpec {
     assert(r.forall(x => x.bytes.length == orig(x.media_id)))
   }
 
+  test("sampleFrames yields no frames (not an error) for zero-duration video") {
+    val zero = Seq(MediaRow(99L, Array[Byte](), MediaMeta("video", 1, 1, 0, 0L)))
+      .toDS()
+    assert(sampleFrames(zero.toDF(), 500).count() == 0)
+  }
+
   test("sampleFrames explodes video rows on a time grid") {
     val frames = sampleFrames(media.toDF(), everyMs = 500)
     val vids = media.filter(_.meta.modality == "video").collect()

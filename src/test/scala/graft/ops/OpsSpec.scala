@@ -52,6 +52,12 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(1.0, 2.0, 3.0))
   }
 
+  test("meanImpute on an all-null column is a no-op, not an NPE") {
+    val df = Seq[Option[Double]](None, None).toDF("v")
+    val out = Imputation.meanImpute(df, "v")
+    assert(out.filter($"v".isNull).count() == 2)
+  }
+
   test("modeImpute fills nulls with per-column mode") {
     val df = Seq(Some("x"), Some("x"), Some("y"), None).toDF("c")
     val out = Imputation.modeImpute(df, Seq("c")).as[String].collect()

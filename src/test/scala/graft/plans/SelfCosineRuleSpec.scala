@@ -24,6 +24,12 @@ class SelfCosineRuleSpec extends SparkSpec {
       val q2 = e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id").limit(10)
         .select(GraftFunctions.cosineSim($"a.embedding", $"b.embedding").as("c"))
       assert(q2.queryExecution.optimizedPlan.toString.contains("cosine_sim"))
+      // the rewrite must preserve the kernel's NaN on zero vectors —
+      // an optimizer rule may not change results
+      val zeros = Seq(Array(0.0f, 0.0f), Array(1.0f, 0.0f)).toDF("v")
+      val out = zeros.select(GraftFunctions.cosineSim($"v", $"v").as("c"))
+        .as[Double].collect()
+      assert(out(0).isNaN && out(1) == 1.0)
     } finally {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations.filterNot(_ == SelfCosineRule)
