@@ -42,6 +42,10 @@ object SparkEntry {
     "f2_date_parse"   -> (Relational.f2DateParse _),
     "a_cube"          -> (Relational.aCube _),
     "s6_csv_roundtrip" -> (Relational.s6CsvRoundtrip _),
+    "a_pivot"         -> (Relational.aPivot _),
+    "u3_intersect_except" -> (Relational.u3IntersectExcept _),
+    "w4_lead_ntile"   -> (Relational.w4LeadNtile _),
+    "s9_json_roundtrip" -> (Relational.s9JsonRoundtrip _),
     "m5_parse_emp_length" -> (MLFeatures.m5ParseEmpLength _),
     "a1_modes_multi"  -> (MLFeatures.a1ModesMulti _),
     "ops_mean_impute" -> (MLFeatures.opsMeanImpute _),
@@ -192,6 +196,30 @@ object SparkEntry {
     "s6_csv_roundtrip" ->
       """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 4) AS sum_bal
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "a_pivot" ->
+      """SELECT l_returnflag,
+        |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS qty_f,
+        |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "u3_intersect_except" ->
+      """WITH early AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+        |late AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT o_custkey, 'both' AS set_op FROM (SELECT * FROM early INTERSECT SELECT * FROM late)
+        |UNION ALL
+        |SELECT o_custkey, 'early_only' FROM (SELECT * FROM early EXCEPT SELECT * FROM late)
+        |ORDER BY set_op, o_custkey""".stripMargin,
+    "w4_lead_ntile" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lead(o_orderkey, 1) OVER w AS next_orderkey,
+        |  ntile(4) OVER w AS quartile
+        |FROM orders WHERE o_custkey <= 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "s9_json_roundtrip" ->
+      """SELECT n_regionkey, count(*) AS n FROM nation
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "f2_date_parse" ->
       """SELECT o_orderkey,
         |  strftime(o_orderdate, '%b-%Y') AS mmm_yyyy,

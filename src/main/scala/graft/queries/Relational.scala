@@ -253,6 +253,50 @@ object Relational {
       .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
+  /** A-pivot — groupBy().pivot(): wide conditional aggregation. */
+  def aPivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum("l_quantity"), 4))
+      .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
+      .orderBy("l_returnflag")
+
+  /** U3 — intersect/except (beyond the reference; SURVEY §2.7 note). */
+  def u3IntersectExcept(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val early = o.filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
+      .select("o_custkey").distinct()
+    val late = o.filter(col("o_orderdate") >= ts("1998-01-01 00:00:00"))
+      .select("o_custkey").distinct()
+    early.intersect(late).withColumn("set_op", lit("both"))
+      .unionByName(early.except(late).withColumn("set_op", lit("early_only")))
+      .orderBy("set_op", "o_custkey")
+  }
+
+  /** W4 — lead + ntile window functions (frame coverage beyond W1–W3). */
+  def w4LeadNtile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(s, d)
+      .filter(col("o_custkey") <= 50)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        lead("o_orderkey", 1).over(w).as("next_orderkey"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** S9 — JSON sink + scan round-trip (aggregate parity vs the parquet
+    * oracle, same pattern as the CSV round-trip). */
+  def s9JsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.nation(s, d)
+    val tmp = sys.props("java.io.tmpdir") + "/graft_json_roundtrip/nation"
+    src.write.mode("overwrite").json(tmp)
+    s.read.schema(src.schema).json(tmp)
+      .groupBy("n_regionkey").agg(count(lit(1)).as("n"))
+      .orderBy("n_regionkey")
+  }
+
   /** F1–F8 — scalar function battery: CASE WHEN, date trunc/extract,
     * months_between, trim/upper/coalesce, regexp_extract (SURVEY §2.3). */
   def fScalarFns(s: SparkSession, d: String): DataFrame =

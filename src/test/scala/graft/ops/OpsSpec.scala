@@ -64,6 +64,16 @@ class OpsSpec extends SparkSpec {
     assert(out.count(_ == "x") == 3)
   }
 
+  test("approx_count_distinct lands within 5% of exact on real data") {
+    val li = graft.core.Tables.lineitem(spark, sf)
+    val (exact, approx) = li.agg(
+      countDistinct($"l_partkey").cast("double"),
+      approx_count_distinct($"l_partkey").cast("double"))
+      .as[(Double, Double)].first()
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"approx $approx vs exact $exact")
+  }
+
   test("PSI: identical distributions score ~0, shifted distributions > 0") {
     val base = (1 to 1000).map(_.toDouble).toDF("v")
     val same = Psi.psi(base, base, "v").as[Double].first()
