@@ -142,7 +142,11 @@ object Dedup {
   def minHashLshDedup(df: DataFrame, idCol: String, textCol: String,
                       shingleSize: Int = 3, numHashes: Int = 64,
                       bands: Int = 16, threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(df, idCol, textCol, shingleSize)
+    // the shingle table feeds BOTH the signature aggregation and the
+    // exact-Jaccard verification — cache it so tokenize+explode runs
+    // once (stays cached for the consumer's lifetime; callers doing
+    // repeated huge-corpus runs can spark.catalog.clearCache())
+    val sh = shingles(df, idCol, textCol, shingleSize).cache()
     val cands = lshCandidates(minHashSignatures(sh, numHashes), numHashes, bands)
     jaccardFor(sh, cands, threshold)
   }

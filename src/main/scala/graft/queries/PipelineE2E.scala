@@ -69,14 +69,18 @@ object PipelineE2E {
     // loans: 2 per member-week (spine keyed by loan id)
     // silver outputs cache: each feeds multiple downstream actions
     // (mode/mean statistics jobs + the store build + stats counts)
+    // every silver output feeds a statistics collect (top-K / mode /
+    // mean) AND the store build — cache each so the clean chain runs once
     val nDim = 300
     val loanSilver = Silver.loanTerms(gen(s, Schemas.loanTermsRaw, 600)).cache()
+    val demoSilver = Silver.demographic(gen(s, Schemas.demographicRaw, nDim)).cache()
+    val finSilver = Silver.financial(gen(s, Schemas.financialRaw, nDim)).cache()
+    val creditSilver = Silver.creditHistory(gen(s, Schemas.creditHistoryRaw, nDim)).cache()
     val gl = Gold.loanTerms(loanSilver,
       Seq("car", "house", "debt", "other"), Seq("Current", "Fully Paid", "Charged Off"))
-    val gd = Gold.demographic(Silver.demographic(gen(s, Schemas.demographicRaw, nDim)),
-      Seq("CA", "NY", "TX", "WA"))
-    val gf = Gold.financial(Silver.financial(gen(s, Schemas.financialRaw, nDim)))
-    val gc = Gold.creditHistory(Silver.creditHistory(gen(s, Schemas.creditHistoryRaw, nDim)))
+    val gd = Gold.demographic(demoSilver, Seq("CA", "NY", "TX", "WA"))
+    val gf = Gold.financial(finSilver)
+    val gc = Gold.creditHistory(creditSilver)
     // cache before the multi-action stats: count + grade-dist + label
     // count would otherwise recompute the whole impute/join lineage each
     val fs = Gold.featureStore(gl, gd, gf, gc).cache()
@@ -87,7 +91,8 @@ object PipelineE2E {
     import s.implicits._
     val out = Seq((fsCount, fs.columns.length.toLong, ls.count(), lsGrades))
       .toDF("feature_rows", "feature_cols", "label_rows", "grade_dist")
-    fs.unpersist(); ls.unpersist(); loanSilver.unpersist()
+    fs.unpersist(); ls.unpersist()
+    Seq(loanSilver, demoSilver, finSilver, creditSilver).foreach(_.unpersist())
     out
   }
 }
