@@ -63,6 +63,21 @@ object Gold {
         col("emp_length_int")) ++ ohe: _*)
   }
 
+  /** Reference-compat demographic featurizer (fitOnBatch mode, SURVEY §7):
+    * per-batch StringIndexer+OneHotEncoder fits via Training.compatOneHot,
+    * reproducing the reference's frequency-ordered, batch-dependent
+    * column meanings (gold_feature_store.py:114–123) — for byte-parity
+    * tests against reference outputs. The engine-native `demographic`
+    * (fixed dictionaries) is the default. */
+  def demographicCompat(silver: DataFrame): DataFrame = {
+    val withParsed = silver
+      .withColumn("emp_length_int", ColumnOps.parseEmpLength(col("emp_length")))
+    Seq("home_ownership", "verification_status", "application_type", "addr_state")
+      .foldLeft(withParsed)(graft.ml.Training.compatOneHot)
+      .drop("emp_title", "emp_length", "home_ownership",
+        "verification_status", "application_type", "addr_state", "zip_code")
+  }
+
   /** gold financial: everything non-key cast to double
     * (gold_financial.py:9–11). */
   def financial(silver: DataFrame): DataFrame = {

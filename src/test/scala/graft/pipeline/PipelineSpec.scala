@@ -68,6 +68,21 @@ class PipelineSpec extends SparkSpec {
     assert(Gold.nonNumericColumns(out, Set("member_id", "snapshot_date")).isEmpty)
   }
 
+  test("compat-mode demographic OHE partitions like the native path") {
+    val silver = Silver.demographic(rawDemo)
+    val compat = Gold.demographicCompat(silver)
+    // per category column family: dropLast=false handleInvalid=keep OHE
+    // still partitions — exactly one 1 per row per family
+    Seq("home_ownership", "verification_status", "application_type").foreach { fam =>
+      val cols = compat.columns.filter(_.startsWith(s"${fam}_ohe_"))
+      assert(cols.nonEmpty, s"no compat OHE columns for $fam")
+      val sums = compat.select(cols.map(c => col(c)).reduce(_ + _).as("s"))
+        .as[Int].collect()
+      assert(sums.forall(_ == 1), s"$fam compat OHE must partition")
+    }
+    assert(compat.count() == silver.count())
+  }
+
   test("gold loan terms: term digits + grade bijection") {
     val out = Gold.loanTerms(Silver.loanTerms(rawLoan),
       Seq("car", "house", "debt", "other"),
