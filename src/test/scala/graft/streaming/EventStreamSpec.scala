@@ -76,6 +76,23 @@ class EventStreamSpec extends SparkSpec {
     assert(total == 100)
   }
 
+  test("streaming dedup within watermark drops late duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "doc_id")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("doc_id")
+    val q = df.writeStream.format("memory").queryName("streamdedup")
+      .outputMode(OutputMode.Append).start()
+    mem.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:05:00"), 1L))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 10:10:00"), 1L), (ts("2024-01-01 10:10:00"), 2L))
+    q.processAllAvailable()
+    val ids = spark.table("streamdedup").select("doc_id").as[Long].collect().sorted
+    q.stop()
+    assert(ids.toSeq == Seq(1L, 2L)) // id 1 deduped across micro-batches
+  }
+
   test("runWeeklyOrdered is ordered and exactly-once over a ledger") {
     val ledger = scala.collection.mutable.Set("2024_01_07")
     val seen = scala.collection.mutable.ListBuffer[String]()
