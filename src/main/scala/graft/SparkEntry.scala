@@ -342,7 +342,7 @@ object SparkEntry {
         |  len(ws) AS n_words,
         |  round(list_sum(list_transform(ws, w -> length(w) * 1.0)) / len(ws), 6) AS mean_word_len,
         |  round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) * 1.0
-        |    / length(text), 6) AS punct_ratio,
+        |    / greatest(length(text), 1), 6) AS punct_ratio,
         |  round(len(list_filter(ws, w -> w IN ('the','a','of','and','is','to','in'))) * 1.0
         |    / len(ws), 6) AS stopword_ratio,
         |  round(least(len(ws) / 50.0, 1.0) * 0.5

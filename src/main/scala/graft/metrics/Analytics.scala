@@ -49,7 +49,7 @@ object Analytics {
   /** O3 — latest evaluation for a week (dag_functions.py:392–401). */
   def latestForWeek(metrics: DataFrame, week: String): DataFrame =
     metrics.filter(col("week_date") === week)
-      .orderBy(desc("evaluation_date")).limit(1)
+      .orderBy(desc("evaluation_date"), asc("model_name")).limit(1)
 }
 
 /** M9 — classification metrics computed distributed: the confusion
@@ -76,7 +76,10 @@ object Classification {
     val m = confusion.collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     val total = m.values.sum
-    val correct = classes.map(c => m.getOrElse((c, c), 0L)).sum
+    // accuracy counts EVERY correct prediction, including labels outside
+    // `classes` (sklearn accuracy_score has no labels restriction); only
+    // the F1 family is scoped to the persisted class set
+    val correct = m.collect { case ((l, p), n) if l == p => n }.sum
     val per = classes.map { c =>
       val tp = m.getOrElse((c, c), 0L).toDouble
       val fp = m.collect { case ((l, p), n) if p == c && l != c => n }.sum.toDouble
@@ -88,9 +91,12 @@ object Classification {
     }
     val support = classes.map(c =>
       c -> m.collect { case ((l, _), n) if l == c => n }.sum.toDouble).toMap
+    // sklearn f1_score(labels=classes, average='weighted') normalizes by
+    // the support of the GIVEN labels, not the batch total
+    val supportSum = support.values.sum
     val weighted =
-      if (total == 0) 0.0
-      else per.map(p => p.f1 * support(p.cls)).sum / total
+      if (supportSum == 0) 0.0
+      else per.map(p => p.f1 * support(p.cls)).sum / supportSum
     Summary(
       accuracy = if (total == 0) 0.0 else correct.toDouble / total,
       macroF1 = per.map(_.f1).sum / classes.size,

@@ -108,8 +108,11 @@ object Dedup {
       (rnd.nextInt((p - 1).toInt).toLong + 1L, rnd.nextInt(p.toInt).toLong))
     // project the base hash ONCE; referencing xxhash64(shingle) in all
     // numHashes aggregates would re-hash the string per aggregate
+    // 30-bit mask keeps the domain strictly below p (a 31-bit mask would
+    // admit h = p itself, which collides with h = 0 under every affine
+    // transform)
     val hashed = sh.select(col("id"),
-      xxhash64(col("shingle")).bitwiseAND(0x7FFFFFFFL).as("h31"))
+      xxhash64(col("shingle")).bitwiseAND(0x3FFFFFFFL).as("h31"))
     val minCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h31") * a + b, lit(p))).as(s"mh_$i")
     }

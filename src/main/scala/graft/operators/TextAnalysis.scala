@@ -34,7 +34,8 @@ object TextAnalysis {
       size(toks).as("n_words"),
       round(aggregate(transform(toks, w => length(w).cast("double")),
         lit(0.0), (acc, v) => acc + v) / nWords, 6).as("mean_word_len"),
-      round((nChars - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))) / nChars, 6)
+      round((nChars - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", "")))
+          / greatest(nChars, lit(1.0)), 6)
         .as("punct_ratio"),
       round(size(filter(toks, w => w.isin(stopwords: _*))) / nWords, 6)
         .as("stopword_ratio"))

@@ -25,7 +25,11 @@ object ColumnOps {
       .when(s === "< 1 year", 0)
       .when(s === "missing", -1)
       .otherwise(
-        coalesce(nullif(regexp_extract(s, "^(\\d+)", 1), lit("")).cast("int"), lit(-1)))
+        // try_cast: a digit run longer than Int.MaxValue must fall back
+        // to −1 (ANSI cast would throw), matching the reference UDF and
+        // the TRY_CAST in the m5 oracle
+        coalesce(nullif(regexp_extract(s, "^(\\d+)", 1), lit("")).try_cast("int"),
+          lit(-1)))
   }
 
   /** Deterministic one-hot over a FIXED category dictionary

@@ -22,7 +22,11 @@ object Silver {
     val cleaned = df
       .drop(Schemas.creditDropped: _*)
       .withColumn("mort_acc_missing", ColumnOps.missingFlag("mort_acc"))
-      .withColumn("earliest_cr_line", to_date(col("earliest_cr_line"), "MMM-yyyy"))
+      // try_to_date, not to_date: Spark 4 ANSI mode would THROW on a
+      // malformed month-year string where the reference yields null →
+      // 999 fill (silver_credit_history.py:23, 27)
+      .withColumn("earliest_cr_line",
+        expr("try_to_date(earliest_cr_line, 'MMM-yyyy')"))
       .withColumn("months_since_earliest_cr_line",
         months_between(col("snapshot_date"), col("earliest_cr_line")))
       .na.fill(Map("months_since_earliest_cr_line" -> 999.0))

@@ -220,9 +220,10 @@ object Relational {
     * lossless for the table's types. */
   def s6CsvRoundtrip(s: SparkSession, d: String): DataFrame = {
     val src = Tables.supplier(s, d)
-    // fixed, overwritten path — a fresh createTempDirectory per call
-    // would accumulate a supplier copy in /tmp on every Bench/Verify run
-    val tmp = sys.props("java.io.tmpdir") + "/graft_csv_roundtrip/supplier"
+    // per-process fixed path: no /tmp accumulation across runs, no
+    // overwrite-while-read race between concurrent Bench/Verify JVMs
+    val tmp = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/csv_roundtrip/supplier"
     graft.sources.Sources.writeCsv(src, tmp)
     graft.sources.Sources.csv(s, tmp, Some(src.schema))
       .groupBy("s_nationkey")
@@ -290,7 +291,8 @@ object Relational {
     * oracle, same pattern as the CSV round-trip). */
   def s9JsonRoundtrip(s: SparkSession, d: String): DataFrame = {
     val src = Tables.nation(s, d)
-    val tmp = sys.props("java.io.tmpdir") + "/graft_json_roundtrip/nation"
+    val tmp = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/json_roundtrip/nation"
     src.write.mode("overwrite").json(tmp)
     s.read.schema(src.schema).json(tmp)
       .groupBy("n_regionkey").agg(count(lit(1)).as("n"))

@@ -46,8 +46,18 @@ object Sources {
     df.columns.zipWithIndex.map { case (c, i) => c -> String.valueOf(row.get(i)) }.toMap
   }
 
-  private def escape(s: String): String =
-    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+  // full JSON string escaping incl. ALL control chars — a raw newline or
+  // tab in a value would make strict parsers (python json.load) reject
+  // the sidecar
+  private def escape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
 
   /** S10 — directory-listing "catalog": discover week partitions by
     * directory-name prefix (weekly_evaluation.py:343–375 shape). */

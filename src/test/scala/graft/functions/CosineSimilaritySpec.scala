@@ -4,6 +4,7 @@ import graft.SparkSpec
 import graft.core.Tables
 import graft.operators.Similarity
 import graft.plans.GraftFunctions
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.functions._
 
 class CosineSimilaritySpec extends SparkSpec {
@@ -27,6 +28,17 @@ class CosineSimilaritySpec extends SparkSpec {
       """SELECT cosine_sim(a.embedding, a.embedding) AS self_sim
         |FROM emb_test a""".stripMargin).as[Double].collect()
     assert(out.forall(v => math.abs(v - 1.0) < 1e-9))
+  }
+
+  test("ragged arrays yield NULL, matching the composed version") {
+    GraftFunctions.register(spark)
+    val v = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f)))
+      .toDF("a", "b")
+    val out = v.select(
+      GraftFunctions.cosineSim($"a", $"b").as("native"),
+      Similarity.cosine($"a", $"b").as("composed")).first()
+    assert(out.isNullAt(0), "native must not truncate to the shorter array")
+    assert(out.isNullAt(1))
   }
 
   test("interpreted and codegen paths agree") {

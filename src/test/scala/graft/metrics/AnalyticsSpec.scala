@@ -49,6 +49,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.toSeq == Seq("2024-01-1T01:00:00"))
   }
 
+  test("accuracy counts correct predictions outside the class set (sklearn parity)") {
+    val pred = Seq(("A", "A"), ("H", "H"), ("H", "H"), ("A", "B"))
+      .toDF("label", "prediction")
+    val s = Classification.summarize(
+      Classification.confusion(pred, "label", "prediction"), Seq("A", "B"))
+    assert(math.abs(s.accuracy - 3.0 / 4) < 1e-12) // H hits count
+    // weighted F1 normalizes by the GIVEN labels' support (2 A rows)
+    val aF1 = s.perClass.find(_.cls == "A").get.f1
+    assert(math.abs(s.weightedF1 - aF1) < 1e-12)
+  }
+
   test("classification metrics match hand-computed values") {
     // confusion: A: 3 correct, 1 as B; B: 2 correct, 1 as A; C absent
     val pred = Seq(

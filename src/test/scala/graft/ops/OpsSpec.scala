@@ -11,6 +11,7 @@ class OpsSpec extends SparkSpec {
     val cases = Seq(
       ("10+ years", Some(10)), ("< 1 year", Some(0)), ("missing", Some(-1)),
       ("3 years", Some(3)), ("7 years", Some(7)), ("garbage", Some(-1)),
+      ("99999999999 years", Some(-1)), // int overflow -> -1, not ANSI crash
       (null.asInstanceOf[String], None))
     val df = cases.map(_._1).toDF("e")
     val out = df.select(ColumnOps.parseEmpLength($"e").as("v"))

@@ -27,6 +27,15 @@ class PipelineSpec extends SparkSpec {
     assert(out.schema("earliest_cr_line").dataType.typeName == "date")
   }
 
+  test("silver credit history survives malformed date strings (ANSI mode)") {
+    val bad = rawCredit.withColumn("earliest_cr_line",
+      when($"member_id" === "m1", lit("Unknown")).otherwise($"earliest_cr_line"))
+    val out = Silver.creditHistory(bad)
+    // malformed -> null parse -> 999 fill, NOT a CANNOT_PARSE crash
+    assert(out.filter($"member_id" === "m1" &&
+      $"months_since_earliest_cr_line" === 999.0).count() > 0)
+  }
+
   test("silver demographic: normalize + MISSING fills") {
     val out = Silver.demographic(rawDemo)
     assert(out.filter($"emp_title".isNull || $"emp_length".isNull ||
