@@ -46,6 +46,9 @@ object SparkEntry {
     "u3_intersect_except" -> (Relational.u3IntersectExcept _),
     "w4_lead_ntile"   -> (Relational.w4LeadNtile _),
     "s9_json_roundtrip" -> (Relational.s9JsonRoundtrip _),
+    "s5_orc_roundtrip" -> (Relational.s5OrcRoundtrip _),
+    "s5_partitioned_roundtrip" -> (Relational.s5PartitionedRoundtrip _),
+    "q1_typed"        -> (Relational.q1Typed _),
     "m5_parse_emp_length" -> (MLFeatures.m5ParseEmpLength _),
     "a1_modes_multi"  -> (MLFeatures.a1ModesMulti _),
     "ops_mean_impute" -> (MLFeatures.opsMeanImpute _),
@@ -220,6 +223,18 @@ object SparkEntry {
     "s9_json_roundtrip" ->
       """SELECT n_regionkey, count(*) AS n FROM nation
         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "s5_orc_roundtrip" ->
+      """SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 4) AS sum_price
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "s5_partitioned_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS sum_price
+        |FROM orders WHERE year(o_orderdate) = 1997
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q1_typed" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "f2_date_parse" ->
       """SELECT o_orderkey,
         |  strftime(o_orderdate, '%b-%Y') AS mmm_yyyy,

@@ -254,6 +254,57 @@ object Relational {
       .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
+  /** S5-orc — ORC sink + scan round-trip (third columnar format after
+    * parquet/CSV; aggregate parity vs the parquet oracle). */
+  def s5OrcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.part(s, d)
+    val tmp = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/orc_roundtrip/part"
+    src.write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), round(sum("p_retailprice"), 4).as("sum_price"))
+      .orderBy("p_brand")
+  }
+
+  /** S5-partitioned — partitionBy write + partition-pruned read: lands
+    * orders partitioned by year, reads back ONE partition (the filter on
+    * the partition column prunes at planning time), aggregates. */
+  def s5PartitionedRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/part_roundtrip/orders"
+    Tables.orders(s, d)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(tmp)
+    s.read.parquet(tmp)
+      .filter(col("o_year") === 1997)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  case class LineitemSlim(l_returnflag: String, l_linestatus: String,
+                          l_quantity: Double, l_shipdate: java.sql.Timestamp)
+
+  /** Typed Dataset[T] path: the same Q1 shape through case-class
+    * Encoders — compile-time column safety where the schema is static.
+    * (Quantities are integral-valued, so the double sum is exact and
+    * group-iteration order cannot perturb it.) */
+  def q1Typed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cutoff = java.sql.Timestamp.valueOf("1998-09-02 00:00:00")
+    Tables.lineitem(s, d)
+      .select("l_returnflag", "l_linestatus", "l_quantity", "l_shipdate")
+      .as[LineitemSlim]
+      .filter(_.l_shipdate.compareTo(cutoff) <= 0)
+      .groupByKey(r => (r.l_returnflag, r.l_linestatus))
+      .mapGroups((k, rows) => (k._1, k._2, rows.map(_.l_quantity).sum))
+      .toDF("l_returnflag", "l_linestatus", "sum_qty")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("sum_qty"), 4).as("sum_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   /** A-pivot — groupBy().pivot(): wide conditional aggregation. */
   def aPivot(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)

@@ -76,6 +76,25 @@ class EventStreamSpec extends SparkSpec {
     assert(total == 100)
   }
 
+  test("stream-static join enriches a live stream with a dimension table") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val joined = mem.toDF().toDF("ts", "user_id", "value")
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
+    val q = joined.writeStream.format("memory").queryName("streamdim")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(
+      (ts("2024-01-01 10:00:00"), 1L, 5.0),
+      (ts("2024-01-01 10:01:00"), 3L, 7.0)) // no dim row -> tier null
+    q.processAllAvailable()
+    val rows = spark.table("streamdim")
+      .select("user_id", "tier").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    q.stop()
+    assert(rows(1L).contains("gold") && rows(3L).isEmpty)
+  }
+
   test("streaming dedup within watermark drops late duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]
