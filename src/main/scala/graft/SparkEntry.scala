@@ -78,6 +78,7 @@ object SparkEntry {
     "mm1_media_meta"  -> (Documents.mm1MediaMeta _),
     "mm2_media_features" -> (Documents.mm2MediaFeatures _),
     "ann3_ivf"        -> (Documents.ann3Ivf _),
+    "g_explode_slice" -> (Documents.gExplodeSlice _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -329,6 +330,10 @@ object SparkEntry {
     "a7_value_counts" ->
       """SELECT event_type, count(*) AS n FROM events
         |GROUP BY event_type ORDER BY n DESC, event_type ASC""".stripMargin,
+    "g_explode_slice" ->
+      """SELECT w, count(*) AS n FROM (
+        |  SELECT unnest(string_split(trim(text), ' ')[1:5]) AS w FROM documents)
+        |GROUP BY w ORDER BY n DESC, w ASC""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT doc_id, n_chars FROM (
         |  SELECT doc_id, n_chars, ROW_NUMBER() OVER (

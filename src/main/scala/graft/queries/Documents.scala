@@ -48,6 +48,14 @@ object Documents {
     Dedup.embeddingNearDups(Tables.embeddings(s, d), "vec_id", "embedding", 0.45)
       .orderBy("id_a", "id_b")
 
+  /** G — generator coverage: explode over a computed array (first-5
+    * tokens per doc), aggregated to a word frequency table. */
+  def gExplodeSlice(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(slice(split(trim(col("text")), "\\s+"), 1, 5)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("w"))
+
   /** T1 — token counting: whitespace tokens + BPE-ish subword estimate. */
   def t1TokenCount(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
