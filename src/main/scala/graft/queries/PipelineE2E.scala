@@ -70,17 +70,38 @@ object PipelineE2E {
     // silver outputs cache: each feeds multiple downstream actions
     // (mode/mean statistics jobs + the store build + stats counts)
     // every silver output feeds a statistics collect (top-K / mode /
-    // mean) AND the store build — cache each so the clean chain runs once
+    // mean) AND the store build — cache each so the clean chain runs
+    // once. The four source preps are independent multi-job chains, so
+    // they are SUBMITTED CONCURRENTLY (Spark's scheduler interleaves
+    // jobs from one session) instead of serializing their fixed per-job
+    // overhead — the same pattern a production driver uses for
+    // independent table builds.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val nDim = 300
-    val loanSilver = Silver.loanTerms(gen(s, Schemas.loanTermsRaw, 600)).cache()
-    val demoSilver = Silver.demographic(gen(s, Schemas.demographicRaw, nDim)).cache()
-    val finSilver = Silver.financial(gen(s, Schemas.financialRaw, nDim)).cache()
-    val creditSilver = Silver.creditHistory(gen(s, Schemas.creditHistoryRaw, nDim)).cache()
-    val gl = Gold.loanTerms(loanSilver,
-      Seq("car", "house", "debt", "other"), Seq("Current", "Fully Paid", "Charged Off"))
-    val gd = Gold.demographic(demoSilver, Seq("CA", "NY", "TX", "WA"))
-    val gf = Gold.financial(finSilver)
-    val gc = Gold.creditHistory(creditSilver)
+    val fLoan = Future {
+      val silver = Silver.loanTerms(gen(s, Schemas.loanTermsRaw, 600)).cache()
+      (silver, Gold.loanTerms(silver,
+        Seq("car", "house", "debt", "other"),
+        Seq("Current", "Fully Paid", "Charged Off")))
+    }
+    val fDemo = Future {
+      val silver = Silver.demographic(gen(s, Schemas.demographicRaw, nDim)).cache()
+      (silver, Gold.demographic(silver, Seq("CA", "NY", "TX", "WA")))
+    }
+    val fFin = Future {
+      val silver = Silver.financial(gen(s, Schemas.financialRaw, nDim)).cache()
+      (silver, Gold.financial(silver))
+    }
+    val fCredit = Future {
+      val silver = Silver.creditHistory(gen(s, Schemas.creditHistoryRaw, nDim)).cache()
+      (silver, Gold.creditHistory(silver))
+    }
+    val (loanSilver, gl) = Await.result(fLoan, Duration.Inf)
+    val (demoSilver, gd) = Await.result(fDemo, Duration.Inf)
+    val (finSilver, gf) = Await.result(fFin, Duration.Inf)
+    val (creditSilver, gc) = Await.result(fCredit, Duration.Inf)
     // cache before the multi-action stats: count + grade-dist + label
     // count would otherwise recompute the whole impute/join lineage each
     val fs = Gold.featureStore(gl, gd, gf, gc).cache()
