@@ -81,7 +81,10 @@ object Similarity {
       df.select(col(id), col(vec),
         array_to_vector(col(vec).cast("array<double>")).as("_v"))
     val corpusV = toVec(corpus, idCol, vecCol)
-    val km = new KMeans().setK(nCells).setSeed(seed)
+    // a coarse quantizer needs rough cells, not converged centroids —
+    // 5 iterations is plenty for bucketing (recall is governed by
+    // nProbe, not centroid polish)
+    val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("_v").setPredictionCol("cell")
     val model = km.fit(corpusV)
     val cells = model.transform(corpusV)
