@@ -49,6 +49,7 @@ object SparkEntry {
     "s5_orc_roundtrip" -> (Relational.s5OrcRoundtrip _),
     "s5_partitioned_roundtrip" -> (Relational.s5PartitionedRoundtrip _),
     "q1_typed"        -> (Relational.q1Typed _),
+    "a_stats_corr"    -> (Relational.aStatsCorr _),
     "m5_parse_emp_length" -> (MLFeatures.m5ParseEmpLength _),
     "a1_modes_multi"  -> (MLFeatures.a1ModesMulti _),
     "ops_mean_impute" -> (MLFeatures.opsMeanImpute _),
@@ -236,6 +237,13 @@ object SparkEntry {
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "a_stats_corr" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
+        |  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "f2_date_parse" ->
       """SELECT o_orderkey,
         |  strftime(o_orderdate, '%b-%Y') AS mmm_yyyy,

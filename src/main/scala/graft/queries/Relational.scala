@@ -305,6 +305,18 @@ object Relational {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** A-stats — bivariate statistics aggregates: Pearson correlation,
+    * sample covariance, least-squares slope/intercept. */
+  def aStatsCorr(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr("l_quantity", "l_extendedprice"), 6).as("corr_qp"),
+        round(covar_samp("l_quantity", "l_extendedprice"), 4).as("covar_qp"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6).as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"))
+      .orderBy("l_returnflag")
+
   /** A-pivot — groupBy().pivot(): wide conditional aggregation. */
   def aPivot(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
