@@ -76,6 +76,42 @@ class EventStreamSpec extends SparkSpec {
     assert(total == 100)
   }
 
+  test("streaming window agg over the real events table equals its batch twin") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    // events.parquet carries TIMESTAMP(NANOS): stream it as long + rebuild,
+    // the same treatment Tables.events applies on the batch side
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // the file stream source requires a DIRECTORY; stage the single file
+    val stageDir = java.nio.file.Files.createTempDirectory("events_stage")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      stageDir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(schema)
+      .parquet(stageDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_eq").toString
+    val q = EventStream.tumblingCounts(stream, "7 days", "7 days")
+      .writeStream.format("memory").queryName("stream_eq")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Update)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("stream_eq")
+      .groupBy("win_start", "event_type")
+      .agg(max("n").as("n")) // Update mode emits per-batch updates; last wins
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = graft.queries.Events.t1TumblingWindow(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed.map { case ((w, t), n) =>
+      (new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+        .format(w), t) -> n }.toMap == batch)
+  }
+
   test("stream-static join enriches a live stream with a dimension table") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
