@@ -10,8 +10,9 @@ import org.apache.spark.sql.expressions.Window
   * Scale design:
   *  - exact dedup is one hash-shuffle (groupBy fingerprint);
   *  - Jaccard pair generation joins on shingles — selective word n-grams
-  *    keep the inverted index sparse; at 100 TB add a document-frequency
-  *    cap on shingles before the self-join (hot-key guard);
+  *    keep the inverted index sparse; the `maxDocFreq` cap bounds every
+  *    join bucket (hot-key guard for boilerplate shingles), with exact
+  *    verification on the full shingle sets;
   *  - MinHash+LSH bounds candidate generation to band-bucket collisions:
   *    the self-join key is (band, bandHash) so the shuffle is uniform and
   *    the candidate set is ~linear, not quadratic; exact Jaccard is then
@@ -73,15 +74,44 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
 
-  def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+  def jaccardPairs(sh: DataFrame, threshold: Double,
+                   maxDocFreq: Option[Int] = None): DataFrame = maxDocFreq match {
+    case None =>
+      val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+      val h = sh.select(col("id"), xxhash64(col("shingle")).as("hs"))
+      val shared = h.as("a")
+        .join(h.as("b"),
+          col("a.hs") === col("b.hs") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("shared"))
+      jaccardFromShared(shared, sizes, threshold)
+    case Some(cap) =>
+      // hot-shingle guard: a shingle shared by k docs emits k² join rows,
+      // and real corpora have boilerplate shingles with k in the millions.
+      // Candidates come only from shingles with df <= cap; the Jaccard
+      // value is then verified on the FULL shingle sets, so every emitted
+      // pair carries its exact coefficient. Contract: a pair whose shared
+      // shingles are ALL hotter than `cap` is not emitted — at a sane cap
+      // those pairs are boilerplate-only and sit far below any near-dup
+      // threshold (and byte-identical docs are d1's job, run first).
+      val cached = sh.cache()
+      jaccardFor(cached, shingleCandidates(cached, cap), threshold)
+  }
+
+  /** Candidate pairs sharing at least one shingle with document frequency
+    * <= maxDocFreq. The df filter bounds every join bucket to `cap` docs,
+    * so the self-join emits at most cap² rows per shingle — linear in the
+    * corpus instead of quadratic in the hottest key. */
+  def shingleCandidates(sh: DataFrame, maxDocFreq: Int): DataFrame = {
     val h = sh.select(col("id"), xxhash64(col("shingle")).as("hs"))
-    val shared = h.as("a")
-      .join(h.as("b"),
-        col("a.hs") === col("b.hs") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("shared"))
-    jaccardFromShared(shared, sizes, threshold)
+    val cold = h.join(
+      h.groupBy("hs").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDocFreq).select("hs"),
+      Seq("hs"))
+    cold.as("a")
+      .join(cold.as("b"), col("a.hs") === col("b.hs") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
   }
 
   /** Exact Jaccard restricted to a candidate pair set (id_a < id_b). */
@@ -154,18 +184,120 @@ object Dedup {
     jaccardFor(sh, cands, threshold)
   }
 
-  /** Embedding-cosine near-duplicate pairs: all (id_a < id_b) pairs with
-    * cosine ≥ threshold, scored by the native codegen'd kernel.
-    * This is the exact baseline (O(n²) pair join — fine to a few tens of
-    * thousands of vectors); at corpus scale, generate candidates with
-    * Similarity.lshTopK / ivfTopK buckets first and verify only those,
-    * exactly like the MinHash→Jaccard split above. */
+  /** Embedding-cosine near-duplicate pairs, brute force: all (id_a < id_b)
+    * pairs with cosine ≥ threshold, scored by the native codegen'd kernel.
+    * The non-equi join is a BroadcastNestedLoop — it requires one full copy
+    * of the corpus per task, so it is the TEST ORACLE for the two scale
+    * paths below, not a production path. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double): DataFrame = {
     graft.plans.GraftFunctions.register(df.sparkSession)
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
     a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos",
+        graft.plans.GraftFunctions.cosineSim(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** EXACT embedding near-dup pairs at scale: tiled all-pairs θ-join.
+    *
+    * Same answer as `embeddingNearDups`, different physical plan: every
+    * vector is hashed to one of `blocks` blocks; the (block_a ≤ block_b)
+    * tile table drives two broadcast-replicate joins; the tile key is then
+    * an EQUI-join, so the corpus shuffles hash-uniformly and each task
+    * scores one (n/blocks)² tile with bounded memory. No full-corpus
+    * broadcast anywhere — this survives 10⁸ vectors on a real cluster,
+    * where BroadcastNestedLoop dies assembling the broadcast side.
+    * Replication factor is blocks+1 (the standard exact-θ-join price);
+    * the O(n²) cosine WORK is inherent to an exact answer — when the
+    * threshold has real angular separation, use `embeddingNearDupsLsh`
+    * to skip most of it.
+    *
+    * Diagonal tiles see each unordered pair in both orders; pairs are
+    * normalized (least, greatest) and distinct'd AFTER the threshold
+    * filter, so the dedup shuffle only carries survivors. */
+  def embeddingNearDupsTiled(df: DataFrame, idCol: String, vecCol: String,
+                             threshold: Double, blocks: Int = 16): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    import df.sparkSession.implicits._
+    val tiles = (for { i <- 0 until blocks; j <- i until blocks } yield (i, j))
+      .toDF("blk_a", "blk_b")
+    val withBlk = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      pmod(xxhash64(col(idCol)), lit(blocks)).cast("int").as("blk"))
+    val left = withBlk.join(broadcast(tiles), col("blk") === col("blk_a"))
+      .select(col("blk_a"), col("blk_b"), col("id").as("id_l"), col("v").as("v_l"))
+    val right = withBlk.join(broadcast(tiles), col("blk") === col("blk_b"))
+      .select(col("blk_a"), col("blk_b"), col("id").as("id_r"), col("v").as("v_r"))
+    left.join(right, Seq("blk_a", "blk_b"))
+      .filter(col("id_l") =!= col("id_r"))
+      .withColumn("cos",
+        graft.plans.GraftFunctions.cosineSim(col("v_l"), col("v_r")))
+      .filter(col("cos") >= threshold)
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"),
+        round(col("cos"), 6).as("cos_sim"))
+      .distinct()
+  }
+
+  /** Banded random-hyperplane candidate pairs: `bits` sign bits per vector
+    * (seeded Gaussian hyperplanes), split into `bands` band-hashes; a pair
+    * is a candidate iff it collides on at least one band. The self-join key
+    * is (band, bandHash), so candidates are bounded by bucket sizes —
+    * ~linear when the threshold has angular separation. */
+  def embeddingLshCandidates(df: DataFrame, idCol: String, vecCol: String,
+                             dim: Int, bits: Int, bands: Int,
+                             seed: Long = 42L): DataFrame = {
+    require(bits % bands == 0, "bands must divide bits")
+    val r = bits / bands
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+    // sign bits are projected ONCE (free subexpressions in later band
+    // hashes would recompute every dot product per band otherwise)
+    val signCols = (0 until bits).map { b =>
+      val dot = aggregate(
+        zip_with(col("_v"), lit(planes(b)), (x, p) => x.cast("double") * p),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot > 0, 1).otherwise(0).as(s"s_$b")
+    }
+    val signed = df.select(col(idCol).as("id"), col(vecCol).as("_v"))
+      .select(col("id") +: signCols: _*)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        hash((0 until r).map(i => col(s"s_${b * r + i}")): _*).as("bh"))
+    }
+    val exploded = signed.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    exploded.as("x").join(exploded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Embedding near-dup pairs at scale for SEPARABLE thresholds: LSH-band
+    * candidates + exact-cosine verify — the mirror of d2's MinHash→Jaccard
+    * split. Precision is exact (every candidate is verified); recall for a
+    * true pair at cosine c is 1 − (1 − p^r)^bands with p = 1 − arccos(c)/π,
+    * r = bits/bands — e.g. c ≥ 0.95, bits=128, bands=16: ≥ 0.9997.
+    *
+    * NOT wired as the registered d5 default: the synthetic embeddings
+    * corpus has no angular gap at its 0.45 threshold (true pairs at cos
+    * 0.450–0.513 vs background up to 0.4497 — hyperplane bit-agreement
+    * 0.649 vs 0.648), so no banding is simultaneously exact and selective
+    * there; the exact tiled join is the honest scale path for that query.
+    * See NOTES.md "d5 scale design". */
+  def embeddingNearDupsLsh(df: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double, dim: Int,
+                           bits: Int = 128, bands: Int = 16,
+                           seed: Long = 42L): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val cands = embeddingLshCandidates(df, idCol, vecCol, dim, bits, bands, seed)
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    cands
+      .join(vecs.withColumnRenamed("id", "id_a").withColumnRenamed("v", "v_a"), "id_a")
+      .join(vecs.withColumnRenamed("id", "id_b").withColumnRenamed("v", "v_b"), "id_b")
       .withColumn("cos",
         graft.plans.GraftFunctions.cosineSim(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)

@@ -23,7 +23,11 @@ object Documents {
     * else below 0.2). */
   def d4NgramJaccard(s: SparkSession, d: String): DataFrame =
     Dedup.jaccardPairs(
-        Dedup.shingles(Tables.documents(s, d), "doc_id", "text", 3), 0.8)
+        Dedup.shingles(Tables.documents(s, d), "doc_id", "text", 3), 0.8,
+        // hot-shingle guard live in the registered path; far above the
+        // corpus' max shingle df (7 at sf0.01, 25 at sf0.1) so the answer
+        // is unchanged while the bucket bound is exercised end-to-end
+        maxDocFreq = Some(100))
       .orderBy("id_a", "id_b")
 
   /** D2 — MinHash+LSH near-dup pairs, exact-verified. Same oracle as D4:
@@ -43,9 +47,12 @@ object Documents {
       .orderBy("id_a", "id_b")
 
   /** D5 — embedding-cosine near-dup pairs (threshold 0.45; the corpus'
-    * closest pair to the threshold sits 5e-4 away, far above fp noise). */
+    * closest pair to the threshold sits 5e-4 away, far above fp noise).
+    * Runs the tiled exact all-pairs join — equi-join on tile keys, no
+    * full-corpus broadcast; see Dedup.embeddingNearDupsTiled for why the
+    * LSH path is not exact at this threshold on this corpus. */
   def d5EmbedDup(s: SparkSession, d: String): DataFrame =
-    Dedup.embeddingNearDups(Tables.embeddings(s, d), "vec_id", "embedding", 0.45)
+    Dedup.embeddingNearDupsTiled(Tables.embeddings(s, d), "vec_id", "embedding", 0.45)
       .orderBy("id_a", "id_b")
 
   /** G — generator coverage: explode over a computed array (first-5

@@ -35,6 +35,79 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("embeddingNearDupsTiled matches the brute-force oracle exactly") {
+    val emb = Tables.embeddings(spark, sf)
+    val brute = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.45)
+      .select("id_a", "id_b", "cos_sim").as[(Long, Long, Double)].collect().toSet
+    val tiled = Dedup.embeddingNearDupsTiled(emb, "vec_id", "embedding", 0.45)
+      .select("id_a", "id_b", "cos_sim").as[(Long, Long, Double)].collect().toSet
+    assert(brute.nonEmpty, "corpus should contain above-threshold pairs")
+    assert(tiled == brute)
+  }
+
+  test("embeddingNearDupsTiled plans an equi-join, not a nested loop") {
+    val emb = Tables.embeddings(spark, sf)
+    val plan = Dedup.embeddingNearDupsTiled(emb, "vec_id", "embedding", 0.45)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"tiled path must not nested-loop the corpus:\n$plan")
+  }
+
+  // planted SEPARABLE corpus: 200 seeded random 64-d base vectors plus 20
+  // near-dups (base + small noise, cosine >= ~0.97) — the regime where
+  // hyperplane banding is both exact and selective
+  private def plantedEmbeddings(): (org.apache.spark.sql.DataFrame, Set[(Long, Long)]) = {
+    val rnd = new scala.util.Random(7L)
+    val base = Array.fill(200)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val dups = (0 until 20).map { i =>
+      val src = base(i * 7)
+      src.map(x => x + (rnd.nextGaussian() * 0.08).toFloat)
+    }
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) } ++
+      dups.zipWithIndex.map { case (v, i) => ((200 + i).toLong, v.toSeq) }
+    val truth = (0 until 20).map(i => ((i * 7).toLong, (200 + i).toLong)).toSet
+    (rows.toSeq.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding")), truth)
+  }
+
+  test("embeddingNearDupsLsh: full recall and bounded candidates on a separable corpus") {
+    val (df, _) = plantedEmbeddings()
+    val brute = Dedup.embeddingNearDups(df, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b", "cos_sim").as[(Long, Long, Double)].collect().toSet
+    val lsh = Dedup.embeddingNearDupsLsh(df, "vec_id", "embedding", 0.9, dim = 64)
+      .select("id_a", "id_b", "cos_sim").as[(Long, Long, Double)].collect().toSet
+    assert(brute.size >= 20, s"expected the 20 planted pairs, got ${brute.size}")
+    assert(lsh == brute, "LSH+verify must reproduce the brute-force answer")
+    val nCands = Dedup.embeddingLshCandidates(df, "vec_id", "embedding",
+      dim = 64, bits = 128, bands = 16).count()
+    val allPairs = 220L * 219 / 2
+    assert(nCands < allPairs / 4,
+      s"candidates ($nCands) should be far below all pairs ($allPairs)")
+  }
+
+  test("maxDocFreq caps hot-shingle candidates without changing the answer") {
+    // every doc shares one boilerplate shingle; two planted near-dup pairs
+    val boiler = "terms of service apply"
+    val rnd = new scala.util.Random(11L)
+    def words(n: Int) = Seq.fill(n)("w" + rnd.nextInt(100000)).mkString(" ")
+    val uniques = (0L until 40L).map(i => (i, s"$boiler ${words(12)}"))
+    val dups = Seq(
+      (100L, uniques(3)._2), (101L, uniques(8)._2 + " extra"))
+    val df = (uniques ++ dups).toDF("doc_id", "text")
+    val sh = Dedup.shingles(df, "doc_id", "text", 3)
+    val uncapped = Dedup.jaccardPairs(sh, 0.8)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val capped = Dedup.jaccardPairs(sh, 0.8, maxDocFreq = Some(5))
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(uncapped.map(p => (p._1, p._2)) == Set((3L, 100L), (8L, 101L)))
+    assert(capped == uncapped, "cap must not change above-threshold answers")
+    // the boilerplate shingle (df = 42) is excluded from candidate
+    // generation: candidates collapse from all-pairs-sharing-boilerplate
+    // (C(42,2) = 861) to just the pairs sharing rare shingles
+    val nCands = Dedup.shingleCandidates(sh, 5).count()
+    assert(nCands <= 10, s"df cap should bound candidates, got $nCands")
+  }
+
   test("simHashPairs finds most planted near-dups, verified hamming") {
     val docs = Tables.documents(spark, sf)
     val exact = Dedup.jaccardPairs(
