@@ -340,7 +340,7 @@ object SparkEntry {
         |GROUP BY event_type ORDER BY n DESC, event_type ASC""".stripMargin,
     "g_explode_slice" ->
       """SELECT w, count(*) AS n FROM (
-        |  SELECT unnest(string_split(trim(text), ' ')[1:5]) AS w FROM documents)
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')[1:5]) AS w FROM documents)
         |GROUP BY w ORDER BY n DESC, w ASC""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT doc_id, n_chars FROM (
@@ -359,12 +359,12 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
     "t1_token_count" ->
       """SELECT doc_id,
-        |  len(string_split(trim(text), ' ')) AS n_tokens,
-        |  CAST(list_sum(list_transform(string_split(trim(text), ' '),
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |  CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
         |    w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords
         |FROM documents ORDER BY doc_id""".stripMargin,
     "t2_quality" ->
-      """WITH t AS (SELECT doc_id, text, string_split(trim(text), ' ') AS ws FROM documents)
+      """WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents)
         |SELECT doc_id,
         |  length(text) AS n_chars_q,
         |  len(ws) AS n_words,
@@ -380,7 +380,7 @@ object SparkEntry {
         |        / greatest(length(text), 1), 6) AS quality
         |FROM t ORDER BY doc_id""".stripMargin,
     "t3_lang_id" ->
-      """WITH t AS (SELECT doc_id, lang, string_split(trim(lower(text)), ' ') AS ws FROM documents),
+      """WITH t AS (SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents),
         |s AS (SELECT doc_id, lang,
         |  len(list_filter(ws, w -> w IN ('der','die','das','und','ist','nicht','ein','mit'))) AS s_de,
         |  len(list_filter(ws, w -> w IN ('the','a','of','and','is','to','in','that'))) AS s_en,
@@ -442,7 +442,7 @@ object SparkEntry {
   /** Shared oracle for d2 (MinHash+LSH, exact-verified) and d4 (direct
     * n-gram Jaccard): ground-truth word-3-gram Jaccard pairs ≥ 0.8. */
   private val ngramJaccardSql: String =
-    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
       |  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s FROM t),
       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),

@@ -28,10 +28,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
-  // ragged inputs yield NULL — matching the composed zip_with version,
-  // where the null pad poisons the whole aggregate. Truncating to the
-  // shorter array would silently score corrupt vectors.
+  // ragged inputs and null ELEMENTS yield NULL — matching the composed
+  // zip_with version, where the null pad/element poisons the whole
+  // aggregate. Truncating ragged arrays or reading a null slot as 0.0
+  // would silently score corrupt vectors. The element-null check is only
+  // emitted when the static type admits null elements, so provably
+  // null-free arrays keep the tight three-accumulator loop.
   override def nullable: Boolean = true
+
+  private lazy val elementsNullable: Boolean =
+    Seq(left.dataType, right.dataType).exists {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => true // unresolved/unknown — take the safe path
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -41,6 +50,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
+      if (elementsNullable && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xv = x.getFloat(i).toDouble
       val yv = y.getFloat(i).toDouble
       dot += xv * yv; nx += xv * xv; ny += yv * yv
@@ -58,6 +68,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val ny = ctx.freshName("ny")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      val nullCheck = if (elementsNullable)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -65,11 +78,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
          |    double $xv = (double) $a.getFloat($i);
          |    double $yv = (double) $b.getFloat($i);
          |    $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
          |  }
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |  }
          |}
        """.stripMargin
     })
@@ -79,29 +95,38 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** cos(x, x) without the three accumulators: null → null, any NaN/Inf
-  * element → NaN (matching what the full kernel's arithmetic yields),
-  * all-zero or empty → NaN (0/0), else 1.0. One pass over ONE array —
-  * the SelfCosineRule rewrite target. */
+/** cos(x, x) with ONE accumulator: the self-dot d = Σv², returned as
+  * d/(√d·√d) — the exact arithmetic the full kernel performs when both
+  * inputs are x, so the rewrite is BIT-identical, ULP for ULP (d=2 gives
+  * 0.9999999999999998, not 1.0 — an exact ==1.0 filter behaves the same
+  * whether or not the rule fired). NaN/Inf elements and all-zero/empty
+  * arrays fall out of the same arithmetic (NaN/Inf → NaN, 0/0 → NaN).
+  * Still a win: one array read and one multiply per element instead of
+  * two reads and three. The SelfCosineRule rewrite target. */
 case class SelfCosine(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "self_cosine"
+  override def nullable: Boolean = true
+
+  private lazy val elementsNullable: Boolean = child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  }
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val n = x.numElements()
-    var anyNonZero = false
+    var d = 0.0
     var i = 0
     while (i < n) {
-      val v = x.getFloat(i)
-      if (java.lang.Float.isNaN(v) || java.lang.Float.isInfinite(v))
-        return Double.NaN
-      if (v != 0.0f) anyNonZero = true
+      if (elementsNullable && x.isNullAt(i)) return null
+      val v = x.getFloat(i).toDouble
+      d += v * v
       i += 1
     }
-    if (anyNonZero) 1.0 else Double.NaN
+    d / (math.sqrt(d) * math.sqrt(d))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -109,17 +134,21 @@ case class SelfCosine(child: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val v = ctx.freshName("v")
-      val nz = ctx.freshName("nz")
-      val bad = ctx.freshName("bad")
+      val d = ctx.freshName("d")
+      val nullCheck = if (elementsNullable)
+        s"if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
          |int $n = $a.numElements();
-         |boolean $nz = false; boolean $bad = false;
+         |double $d = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  float $v = $a.getFloat($i);
-         |  if (Float.isNaN($v) || Float.isInfinite($v)) { $bad = true; break; }
-         |  if ($v != 0.0f) $nz = true;
+         |  $nullCheck
+         |  double $v = (double) $a.getFloat($i);
+         |  $d += $v * $v;
          |}
-         |${ev.value} = $bad ? Double.NaN : ($nz ? 1.0 : Double.NaN);
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $d / (java.lang.Math.sqrt($d) * java.lang.Math.sqrt($d));
+         |}
        """.stripMargin
     })
 

@@ -48,10 +48,13 @@ object Events {
       .orderBy("user_id")
   }
 
-  /** F-json — JSON field extraction from the props column. */
+  /** F-json — JSON field extraction from the props column. try_cast, not
+    * cast: under Spark 4's default ANSI mode a non-integer payload value
+    * would throw mid-query; the engine's rule (NOTES.md #10) is null
+    * semantics on untrusted data, matching the DuckDB oracle's CAST. */
   def fJsonExtract(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .withColumn("k", get_json_object(col("props"), "$.k").try_cast("int"))
       .groupBy("event_type")
       .agg(round(avg("k"), 6).as("avg_k"), max("k").as("max_k"))
       .orderBy("event_type")

@@ -40,10 +40,69 @@ object Sources {
     Files.write(Paths.get(path), body.getBytes(StandardCharsets.UTF_8))
   }
 
-  def readJsonSidecar(spark: SparkSession, path: String): Map[String, String] = {
-    val df = spark.read.option("multiLine", "true").json(path)
-    val row = df.first()
-    df.columns.zipWithIndex.map { case (c, i) => c -> String.valueOf(row.get(i)) }.toMap
+  /** Sidecar read is driver-side JVM I/O like the write: a 100-week
+    * lifecycle reads its tracker 100 times, and a Spark job per O(1)
+    * control file would dominate the loop. The format is the flat
+    * string→string object `writeJsonSidecar` emits. */
+  def readJsonSidecar(path: String): Map[String, String] =
+    parseFlatJson(new String(Files.readAllBytes(Paths.get(path)),
+      StandardCharsets.UTF_8))
+
+  @deprecated("sidecar reads are driver-side; use readJsonSidecar(path)", "r2")
+  def readJsonSidecar(spark: SparkSession, path: String): Map[String, String] =
+    readJsonSidecar(path)
+
+  private def parseFlatJson(s: String): Map[String, String] = {
+    var i = 0
+    def skipWs(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
+    def expect(c: Char): Unit = {
+      skipWs()
+      require(i < s.length && s(i) == c, s"sidecar parse: expected '$c' at $i")
+      i += 1
+    }
+    def parseString(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (s(i) != '"') {
+        if (s(i) == '\\') {
+          i += 1
+          s(i) match {
+            case '"'  => sb += '"'
+            case '\\' => sb += '\\'
+            case '/'  => sb += '/'
+            case 'n'  => sb += '\n'
+            case 'r'  => sb += '\r'
+            case 't'  => sb += '\t'
+            case 'b'  => sb += '\b'
+            case 'f'  => sb += '\f'
+            case 'u'  =>
+              sb += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar
+              i += 4
+            case c => throw new IllegalArgumentException(s"sidecar parse: bad escape \\$c")
+          }
+          i += 1
+        } else { sb += s(i); i += 1 }
+      }
+      i += 1
+      sb.result()
+    }
+    val out = Map.newBuilder[String, String]
+    expect('{')
+    skipWs()
+    if (i < s.length && s(i) != '}') {
+      var more = true
+      while (more) {
+        skipWs()
+        val k = parseString()
+        expect(':')
+        skipWs()
+        out += k -> parseString()
+        skipWs()
+        if (i < s.length && s(i) == ',') i += 1 else more = false
+      }
+    }
+    expect('}')
+    out.result()
   }
 
   // full JSON string escaping incl. ALL control chars — a raw newline or

@@ -17,11 +17,35 @@ class SourcesSpec extends SparkSpec {
     assert(back.except(nation).count() == 0 && nation.except(back).count() == 0)
   }
 
-  test("json sidecar round-trips (grade_mapping shape)") {
+  test("json sidecar round-trips (grade_mapping shape) without a Spark job") {
     val p = Files.createTempDirectory("sidecar").toString + "/mapping.json"
-    val kv = Map("A" -> "0", "B" -> "1", "model" -> "lgbm \"best\"")
+    val kv = Map("A" -> "0", "B" -> "1", "model" -> "lgbm \"best\"",
+      "note" -> "tab\there\nand \\u00e9: é")
     Sources.writeJsonSidecar(p, kv)
-    assert(Sources.readJsonSidecar(spark, p) == kv)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // identical sentinel actions bracket the read; listener events
+      // deliver in order, so once the second sentinel's events arrived,
+      // any job started by the read would already have been counted —
+      // total must be exactly twice the first sentinel's job count
+      def sentinel(): Unit = spark.range(1).count()
+      def awaitAtLeast(k: Int): Int = {
+        val deadline = System.nanoTime() + 10_000_000_000L
+        while (jobs.get() < k && System.nanoTime() < deadline) Thread.sleep(20)
+        jobs.get()
+      }
+      sentinel()
+      val base = awaitAtLeast(1)
+      assert(Sources.readJsonSidecar(p) == kv)
+      sentinel()
+      val total = awaitAtLeast(2 * base)
+      assert(total == 2 * base, "sidecar read must be driver-side, no Spark job")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("directory catalog lists week partitions by prefix") {
