@@ -153,8 +153,12 @@ final class ParquetMetricsStore(path: String) extends MetricsStore {
   def read(spark: SparkSession): DataFrame = spark.read.parquet(path)
 }
 
-/** JDBC-backed store (untested here — no database in this environment;
-  * the trait keeps it swappable, and the SQL surface is identical). */
+/** JDBC-backed store (model_inference_utils.py:103–136 shape). Executed
+  * in tests against embedded Derby (the in-process JDBC engine Spark
+  * ships for its Hive metastore): append creates the table on first
+  * write. Derby maps StringType to CLOB, which can't be compared or
+  * pushed a filter — pass `createTableColumnTypes` in `props` (it is
+  * merged into the writer options) to pin VARCHAR types for key columns. */
 final class JdbcMetricsStore(url: String, table: String,
                              props: java.util.Properties) extends MetricsStore {
   def append(metrics: DataFrame): Unit =

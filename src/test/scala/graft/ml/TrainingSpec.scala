@@ -35,6 +35,28 @@ class TrainingSpec extends SparkSpec {
     assert(summary.macroF1 > 0.9, s"macroF1 ${summary.macroF1}")
   }
 
+  test("gradient-boosted backend (OneVsRest GBT) beats-or-ties RF on the same split") {
+    val assembled = Training.assemble(
+      data.withColumnRenamed("label_raw", "y"), Seq("x1", "x2", "x3"), "y")
+      .withColumn("id", monotonically_increasing_id())
+    val (train, test) = Sampling.hashSplit(assembled, "id", testPct = 25)
+    def f1Of(backend: Training.Backend): Double = {
+      val pred = backend.fitPredict(train.drop("id"), test.drop("id"))
+      Classification.summarize(
+        Classification.confusion(
+          pred.select(col("label").cast("string").as("l"),
+            col("prediction").cast("string").as("p")), "l", "p"),
+        Seq("0.0", "1.0", "2.0")).macroF1
+    }
+    val gbtF1 = f1Of(new Training.GradientBoostedBackend(maxIter = 20, maxDepth = 5))
+    val rfF1 = f1Of(new Training.RandomForestBackend(numTrees = 20, maxDepth = 5))
+    assert(gbtF1 > 0.9, s"GBT macroF1 $gbtF1")
+    assert(gbtF1 >= rfF1, s"GBT macroF1 $gbtF1 should beat-or-tie RF $rfF1")
+    // seeded determinism: same seed, same split -> identical metric
+    val gbtF1Again = f1Of(new Training.GradientBoostedBackend(maxIter = 20, maxDepth = 5))
+    assert(gbtF1Again == gbtF1)
+  }
+
   test("binary AUC on a separable score is ~1, on a constant score ~0.5") {
     val scored = (1 to 200).map(i => (if (i % 2 == 0) 1.0 else 0.0, (1 - i % 2) * 0.8 + 0.1))
       .toDF("y", "score")

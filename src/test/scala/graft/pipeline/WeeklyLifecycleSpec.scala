@@ -43,6 +43,48 @@ class WeeklyLifecycleSpec extends SparkSpec {
     assert(unioned.except(direct).count() == 0)
   }
 
+  test("retrain trigger + registry drive degrade -> retrain -> recover") {
+    import graft.ml.Lifecycle
+    import java.time.LocalDate
+    val dir = Files.createTempDirectory("weeklylc").toString
+    val tracker = new Lifecycle.RetrainTracker(s"$dir/last_retraining_date.json")
+    val registry = new Lifecycle.JsonRegistry(s"$dir/registry.json")
+    val model = "credit_scoring_model"
+
+    // initial training (the reference's run_initial_training_flow)
+    val w1 = LocalDate.parse("2024-01-07")
+    Lifecycle.registerAndPromote(registry, tracker, model, s"$dir/runs/w1", w1, 0.91)
+    assert(registry.production(model).get.runPath.endsWith("/runs/w1"))
+
+    // weekly lifecycle: (week, observed macro-F1 of the production model)
+    val observed = Seq(
+      LocalDate.parse("2024-01-14") -> 0.90,  // healthy
+      LocalDate.parse("2024-01-21") -> 0.85,  // degraded -> retrain
+      LocalDate.parse("2024-01-28") -> 0.92)  // recovered
+    var retrains = List.empty[LocalDate]
+    observed.foreach { case (week, f1) =>
+      val dec = Lifecycle.shouldRetrain(Some(f1),
+        tracker.read().map(_.lastRetrainingDate), week)
+      if (dec.retrain) {
+        retrains ::= week
+        Lifecycle.registerAndPromote(registry, tracker, model,
+          s"$dir/runs/w_$week", week, f1)
+      }
+    }
+    // the 0.87 rule fired exactly once, on the degraded week
+    assert(retrains == List(LocalDate.parse("2024-01-21")))
+    // the retrained model is what the NEXT week's inference resolves
+    val prod = registry.production(model).get
+    assert(prod.version == 2 && prod.runPath.endsWith("w_2024-01-21"))
+    assert(tracker.read().get.lastRetrainingDate == LocalDate.parse("2024-01-21"))
+
+    // ... and 90 days of healthy metrics later, the time rule fires
+    val dec90 = Lifecycle.shouldRetrain(Some(0.95),
+      tracker.read().map(_.lastRetrainingDate),
+      LocalDate.parse("2024-01-21").plusDays(90))
+    assert(dec90.retrain && dec90.reason.contains("90"))
+  }
+
   test("SQL interface answers the same query as the DataFrame API") {
     graft.core.Tables.lineitem(spark, sf).createOrReplaceTempView("li")
     val sqlOut = spark.sql(

@@ -1,0 +1,58 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.metrics.Analytics
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** S7/S8 executed against a real JDBC engine: embedded Derby (in-process,
+  * ships with Spark for the Hive metastore — no network, no server).
+  * Mirrors the reference's weekly metrics round-trip: append per week,
+  * read back, latest-evaluation-for-week query
+  * (model_inference_utils.py:103–136; dag_functions.py:392–401).
+  */
+class JdbcSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("JDBC metrics store round-trips through embedded Derby (S7/S8)") {
+    System.setProperty("derby.stream.error.file",
+      Files.createTempDirectory("derbylog").toString + "/derby.log")
+    val dir = Files.createTempDirectory("derby").toString
+    val url = s"jdbc:derby:$dir/metricsdb;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    // Derby would map StringType to CLOB (not comparable, not filterable)
+    props.setProperty("createTableColumnTypes",
+      "week_date VARCHAR(10), model_name VARCHAR(64), evaluation_date VARCHAR(19)")
+    val store = new JdbcMetricsStore(url, "model_performance_metrics", props)
+
+    def week(wk: String, model: String, f1: Double, evalTs: String) =
+      Seq((wk, model, f1, 0.93, 1000L, evalTs)).toDF(
+        "week_date", "model_name", "macro_f1", "accuracy", "total_samples",
+        "evaluation_date")
+
+    store.append(week("2024-01-07", "lgbm", 0.91, "2024-01-07 06:15:00"))
+    store.append(week("2024-01-07", "catboost", 0.86, "2024-01-07 06:20:00"))
+    store.append(week("2024-01-14", "lgbm", 0.89, "2024-01-14 06:15:00"))
+
+    val back = store.read(spark)
+    assert(back.count() == 3)
+    assert(back.schema.fieldNames.toSet.contains("macro_f1"))
+
+    // S8 shape: latest evaluation for a week, through the JDBC scan
+    val latest = Analytics.latestForWeek(back, "2024-01-07")
+      .select("model_name", "macro_f1").as[(String, Double)].collect()
+    assert(latest.toSeq == Seq(("catboost", 0.86)))
+
+    // the equality predicate reaches the JDBC source as a pushed filter
+    val filtered = back.filter(col("week_date") === "2024-01-14")
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("week_date"),
+      s"expected week_date filter pushed to JDBC:\n$scan")
+    assert(filtered.count() == 1)
+
+    // appends accumulate (reference appends one row per weekly eval)
+    store.append(week("2024-01-21", "lgbm", 0.88, "2024-01-21 06:15:00"))
+    assert(store.read(spark).count() == 4)
+  }
+}
