@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for a training-data pipeline: exact,
   * n-gram Jaccard, MinHash+LSH, SimHash.
@@ -12,7 +13,7 @@ import org.apache.spark.sql.expressions.Window
   *  - Jaccard pair generation joins on shingles — selective word n-grams
   *    keep the inverted index sparse; the `maxDocFreq` cap bounds every
   *    join bucket (hot-key guard for boilerplate shingles), with exact
-  *    verification on the full shingle sets;
+  *    coefficients over the full hashed shingle sets;
   *  - MinHash+LSH bounds candidate generation to band-bucket collisions:
   *    the self-join key is (band, bandHash) so the shuffle is uniform and
   *    the candidate set is ~linear, not quadratic; exact Jaccard is then
@@ -23,13 +24,24 @@ import org.apache.spark.sql.expressions.Window
 object Dedup {
 
   /** Exact dedup: keep the smallest id per normalized-content fingerprint.
-    * One shuffle on the fingerprint; at scale this is the cheapest pass
-    * and always runs first to shrink the corpus. */
+    *
+    * Project-before-shuffle: only (id, fingerprint) — ~24 bytes/row — goes
+    * through the exchange that ranks duplicates; the text payload never
+    * shuffles. The ids to DROP (rank > 1 within a fingerprint) are the
+    * duplicates themselves — a small minority of any real corpus — so they
+    * broadcast, and the payload side is a map-side anti join with no
+    * exchange at all. For a pathologically dup-heavy corpus where the drop
+    * set outgrows the broadcast limit, shuffle the payload on the
+    * fingerprint once instead (window + rn=1); that trade is the exception,
+    * not the default. Ids are assumed non-null (null ids would not match
+    * the anti-join condition). */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(TextAnalysis.fingerprint(col(textCol)))
-      .orderBy(col(idCol))
-    df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
+    val keyed = df.select(col(idCol).as("_id"),
+      TextAnalysis.fingerprint(col(textCol)).as("_fp"))
+    val w = Window.partitionBy("_fp").orderBy("_id")
+    val drops = keyed.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") > 1).select("_id")
+    df.join(broadcast(drops), col(idCol) === col("_id"), "left_anti")
   }
 
   /** Distinct word-n-gram shingles per document: (id, shingle).
@@ -52,15 +64,16 @@ object Dedup {
     tokenized.select(col("id"), explode(array_distinct(guarded)).as("shingle"))
   }
 
-  /** Exact pairwise Jaccard over distinct shingles for all pairs sharing
-    * at least one shingle, filtered to `threshold`. Output:
-    * (id_a, id_b, jaccard) with id_a < id_b.
-    *
-    * The self-join runs on xxhash64(shingle) longs, not shingle strings:
-    * 8-byte join keys halve the shuffle and the comparisons (collision
+  /** (id, xxhash64(shingle)) projection shared by the whole Jaccard/LSH
+    * family. The joins and aggregations all run on 8-byte hash keys, not
+    * shingle strings: half the shuffle bytes, cheap comparisons (collision
     * probability over ~10^6 distinct shingles is ~10^-7 — far below the
-    * oracle's rounding noise). */
-  /** Shared tail of the two Jaccard paths: join per-doc sizes onto the
+    * oracle's rounding noise), and when cached it is an order of magnitude
+    * lighter than caching the string shingle table. */
+  private def hashedShingles(sh: DataFrame): DataFrame =
+    sh.select(col("id"), xxhash64(col("shingle")).as("hs"))
+
+  /** Shared tail of the Jaccard paths: join per-doc sizes onto the
     * per-pair shared counts, compute/filter the coefficient. Kept single
     * so d4 (exact) and d2 (LSH-verified) can never silently diverge —
     * they share one oracle. */
@@ -74,36 +87,108 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
 
+  /** Exact pairwise Jaccard over distinct shingles for all pairs sharing
+    * at least one shingle, filtered to `threshold`. Output:
+    * (id_a, id_b, jaccard) with id_a < id_b; coefficients are exact over
+    * the full hashed shingle sets.
+    *
+    * `maxDocFreq` arms the hot-shingle guard: a shingle shared by k docs
+    * emits k² self-join rows, and real corpora have boilerplate shingles
+    * with k in the millions. One df-stats pass over the hashed projection
+    * picks the plan:
+    *  - no shingle above the cap (healthy corpora): the uncapped single
+    *    self-join IS the right plan — the guard costs exactly that one
+    *    stats pass, nothing more;
+    *  - hot shingles exist: `jaccardCapped` generates candidates from
+    *    cold postings only, so every join bucket is bounded by the cap.
+    * Contract when the guard bites: a pair whose shared shingles are ALL
+    * hotter than `cap` is not emitted — at a sane cap those pairs are
+    * boilerplate-only and sit far below any near-dup threshold (and
+    * byte-identical docs are d1's job, run first).
+    *
+    * The guard path persists the hashed projection (16-byte rows). The
+    * cache is keyed by logical plan, so repeated runs over the same input
+    * reuse one copy rather than accumulating; long-lived sessions doing
+    * one-shot scans can `spark.catalog.clearCache()`. */
   def jaccardPairs(sh: DataFrame, threshold: Double,
                    maxDocFreq: Option[Int] = None): DataFrame = maxDocFreq match {
     case None =>
-      val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-      val h = sh.select(col("id"), xxhash64(col("shingle")).as("hs"))
-      val shared = h.as("a")
-        .join(h.as("b"),
-          col("a.hs") === col("b.hs") && col("a.id") < col("b.id"))
-        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-        .agg(count(lit(1)).as("shared"))
-      jaccardFromShared(shared, sizes, threshold)
+      jaccardAllPairs(hashedShingles(sh))(threshold)
     case Some(cap) =>
-      // hot-shingle guard: a shingle shared by k docs emits k² join rows,
-      // and real corpora have boilerplate shingles with k in the millions.
-      // Candidates come only from shingles with df <= cap; the Jaccard
-      // value is then verified on the FULL shingle sets, so every emitted
-      // pair carries its exact coefficient. Contract: a pair whose shared
-      // shingles are ALL hotter than `cap` is not emitted — at a sane cap
-      // those pairs are boilerplate-only and sit far below any near-dup
-      // threshold (and byte-identical docs are d1's job, run first).
-      val cached = sh.cache()
-      jaccardFor(cached, shingleCandidates(cached, cap), threshold)
+      val h = hashedShingles(sh).persist(StorageLevel.MEMORY_AND_DISK)
+      val hot = h.groupBy("hs").agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap).select("hs")
+      // the stats action also materializes h into the cache, so whichever
+      // plan follows re-reads 16-byte rows instead of re-tokenizing
+      if (hot.isEmpty) jaccardAllPairs(h)(threshold)
+      else jaccardCapped(h, hot, threshold)
+  }
+
+  /** The uncapped plan: one hash-bucket self-join + per-pair count. */
+  private def jaccardAllPairs(h: DataFrame)(threshold: Double): DataFrame = {
+    val sizes = h.groupBy("id").agg(count(lit(1)).as("sz"))
+    val shared = h.as("a")
+      .join(h.as("b"),
+        col("a.hs") === col("b.hs") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    jaccardFromShared(shared, sizes, threshold)
+  }
+
+  /** Active-guard plan: candidate pairs AND their cold-shared counts come
+    * from ONE self-join over cold postings (df <= cap bounds every join
+    * bucket); the hot postings — tiny relative to the corpus, since at
+    * most postings/cap shingles can exceed the cap — are joined back only
+    * for pairs whose UPPER Jaccard bound (every hot shingle of the
+    * smaller-hot-set doc also shared) clears the threshold. Every emitted
+    * pair carries its exact coefficient over the full hashed sets. No
+    * driver-side collect: the hot set stays distributed and AQE
+    * broadcasts it when it is small. */
+  private def jaccardCapped(h: DataFrame, hot: DataFrame,
+                            threshold: Double): DataFrame = {
+    val sizes = h.groupBy("id").agg(count(lit(1)).as("sz"))
+    val cold = h.join(hot, Seq("hs"), "left_anti")
+    val hotPost = h.join(hot, Seq("hs"))
+    val hotN = hotPost.groupBy("id").agg(count(lit(1)).as("hot_n"))
+    val coldShared = cold.as("a")
+      .join(cold.as("b"),
+        col("a.hs") === col("b.hs") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("cold_shared"))
+    val bounded = coldShared
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .join(hotN.select(col("id").as("id_a"), col("hot_n").as("hot_a")), Seq("id_a"), "left")
+      .join(hotN.select(col("id").as("id_b"), col("hot_n").as("hot_b")), Seq("id_b"), "left")
+      .na.fill(0L, Seq("hot_a", "hot_b"))
+      .withColumn("ub_shared", col("cold_shared") + least(col("hot_a"), col("hot_b")))
+      // jaccard is monotone in shared, so the bound with ub_shared is an
+      // upper bound; pairs below it here can never pass after verification
+      .filter(col("ub_shared") / (col("sz_a") + col("sz_b") - col("ub_shared")) >= threshold)
+    val hotShared = bounded.select("id_a", "id_b").as("p")
+      .join(hotPost.as("x"), col("p.id_a") === col("x.id"))
+      .join(hotPost.as("y"),
+        col("p.id_b") === col("y.id") && col("x.hs") === col("y.hs"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("hot_shared"))
+    bounded
+      .join(hotShared, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("hot_shared"))
+      .withColumn("shared", col("cold_shared") + col("hot_shared"))
+      .withColumn("jaccard",
+        round(col("shared") / (col("sz_a") + col("sz_b") - col("shared")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
   }
 
   /** Candidate pairs sharing at least one shingle with document frequency
     * <= maxDocFreq. The df filter bounds every join bucket to `cap` docs,
     * so the self-join emits at most cap² rows per shingle — linear in the
-    * corpus instead of quadratic in the hottest key. */
+    * corpus instead of quadratic in the hottest key. (Standalone candidate
+    * generator; the registered d4 path fuses this join with the
+    * cold-shared count in `jaccardCapped` instead of re-joining.) */
   def shingleCandidates(sh: DataFrame, maxDocFreq: Int): DataFrame = {
-    val h = sh.select(col("id"), xxhash64(col("shingle")).as("hs"))
+    val h = hashedShingles(sh)
     val cold = h.join(
       h.groupBy("hs").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDocFreq).select("hs"),
@@ -115,9 +200,12 @@ object Dedup {
   }
 
   /** Exact Jaccard restricted to a candidate pair set (id_a < id_b). */
-  def jaccardFor(sh: DataFrame, candidates: DataFrame, threshold: Double): DataFrame = {
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val h = sh.select(col("id"), xxhash64(col("shingle")).as("hs"))
+  def jaccardFor(sh: DataFrame, candidates: DataFrame, threshold: Double): DataFrame =
+    jaccardForHashed(hashedShingles(sh), candidates, threshold)
+
+  private def jaccardForHashed(h: DataFrame, candidates: DataFrame,
+                               threshold: Double): DataFrame = {
+    val sizes = h.groupBy("id").agg(count(lit(1)).as("sz"))
     val shared = candidates
       .join(h.withColumnRenamed("id", "id_a").withColumnRenamed("hs", "h_a"), "id_a")
       .join(h.as("b"),
@@ -129,20 +217,23 @@ object Dedup {
   /** MinHash signatures: `numHashes` affine transforms of xxhash64(shingle),
     * min per hash per doc — ONE aggregation pass over the shingle table.
     * Seeded, fully deterministic. */
-  def minHashSignatures(sh: DataFrame, numHashes: Int, seed: Long = 42L): DataFrame = {
+  def minHashSignatures(sh: DataFrame, numHashes: Int, seed: Long = 42L): DataFrame =
+    minHashSignaturesHashed(hashedShingles(sh), numHashes, seed)
+
+  private def minHashSignaturesHashed(h: DataFrame, numHashes: Int,
+                                      seed: Long): DataFrame = {
     // Affine transforms over GF(2^31−1): coefficients < p keep every
     // product < 2^62, so ANSI-mode long arithmetic can't overflow.
     val p = 2147483647L // Mersenne prime 2^31 − 1
     val rnd = new scala.util.Random(seed)
     val coeffs = Array.fill(numHashes)(
       (rnd.nextInt((p - 1).toInt).toLong + 1L, rnd.nextInt(p.toInt).toLong))
-    // project the base hash ONCE; referencing xxhash64(shingle) in all
-    // numHashes aggregates would re-hash the string per aggregate
+    // the base hash is projected ONCE upstream (hashedShingles);
     // 30-bit mask keeps the domain strictly below p (a 31-bit mask would
     // admit h = p itself, which collides with h = 0 under every affine
     // transform)
-    val hashed = sh.select(col("id"),
-      xxhash64(col("shingle")).bitwiseAND(0x3FFFFFFFL).as("h31"))
+    val hashed = h.select(col("id"),
+      col("hs").bitwiseAND(0x3FFFFFFFL).as("h31"))
     val minCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h31") * a + b, lit(p))).as(s"mh_$i")
     }
@@ -175,13 +266,17 @@ object Dedup {
   def minHashLshDedup(df: DataFrame, idCol: String, textCol: String,
                       shingleSize: Int = 3, numHashes: Int = 64,
                       bands: Int = 16, threshold: Double = 0.8): DataFrame = {
-    // the shingle table feeds BOTH the signature aggregation and the
-    // exact-Jaccard verification — cache it so tokenize+explode runs
-    // once (stays cached for the consumer's lifetime; callers doing
-    // repeated huge-corpus runs can spark.catalog.clearCache())
-    val sh = shingles(df, idCol, textCol, shingleSize).cache()
-    val cands = lshCandidates(minHashSignatures(sh, numHashes), numHashes, bands)
-    jaccardFor(sh, cands, threshold)
+    // the hashed shingle projection feeds BOTH the signature aggregation
+    // and the exact-Jaccard verification — persist it so tokenize+explode
+    // runs once. 16-byte rows, ~10× lighter than caching the shingle
+    // strings; keyed by logical plan, so repeated runs over the same
+    // input reuse one copy rather than accumulating (long-lived sessions
+    // doing one-shot scans can spark.catalog.clearCache()).
+    val h = hashedShingles(shingles(df, idCol, textCol, shingleSize))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cands = lshCandidates(minHashSignaturesHashed(h, numHashes, 42L),
+      numHashes, bands)
+    jaccardForHashed(h, cands, threshold)
   }
 
   /** Embedding-cosine near-duplicate pairs, brute force: all (id_a < id_b)

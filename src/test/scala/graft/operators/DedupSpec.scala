@@ -16,6 +16,28 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L, 2L))
   }
 
+  test("exactDedup never shuffles the text payload (project-before-shuffle)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] = p match {
+      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+      case s: QueryStageExec => shuffles(s.plan)
+      case r: ReusedExchangeExec => shuffles(r.child)
+      case e: ShuffleExchangeExec => e +: e.children.flatMap(shuffles)
+      case other => other.children.flatMap(shuffles)
+    }
+    // inspect the INITIAL plan: with an empty drop set AQE eliminates the
+    // anti join entirely (pass-through scan), which would vacuously pass
+    val out = Dedup.exactDedup(Tables.documents(spark, sf), "doc_id", "text")
+    val ex = shuffles(out.queryExecution.executedPlan)
+    assert(ex.nonEmpty, "expected the (id, fingerprint) ranking exchange")
+    ex.foreach { e =>
+      assert(!e.output.exists(_.name == "text"),
+        s"exchange must carry only id+fingerprint, got ${e.output.map(_.name)}")
+    }
+  }
+
   test("shingles: fewer tokens than n yields no shingles") {
     val df = Seq((1L, "one two"), (2L, "a b c d")).toDF("doc_id", "text")
     val sh = Dedup.shingles(df, "doc_id", "text", 3)
