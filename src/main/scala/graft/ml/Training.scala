@@ -53,20 +53,43 @@ object Training {
     * max_depth 4, lr 0.1, 150 estimators). MLlib's GBTClassifier is
     * binary-only, so the 7-class target goes through OneVsRest: 7
     * independent boosted ensembles, each a distributed fit. Defaults
-    * mirror the reference's shape; maxIter is the estimator count. */
+    * mirror the reference's shape; maxIter is the estimator count.
+    *
+    * Early stopping mirrors the reference's `early_stopping_rounds=15`
+    * against a held-out eval set (LightGBM_training_run.py:131): a seeded
+    * `validationFraction` slice of the training set is flagged via
+    * `validationIndicatorCol` (OneVsRest passes the column through to
+    * each binary fit), and boosting stops once the validation-measure
+    * improvement drops below `validationTol` — MLlib's stop rule bounds
+    * compute the same way, though it has no round-count patience knob.
+    * `validationFraction = 0` disables the hold-out and always runs
+    * maxIter rounds. */
   final class GradientBoostedBackend(maxIter: Int = 150, maxDepth: Int = 4,
                                      stepSize: Double = 0.1,
-                                     seed: Long = 42L) extends Backend {
-    def fitPredict(train: DataFrame, test: DataFrame): DataFrame = {
+                                     seed: Long = 42L,
+                                     validationFraction: Double = 0.2,
+                                     validationTol: Double = 0.01) extends Backend {
+    /** Distributed OneVsRest fit; exposed (not just fitPredict) so
+      * callers can inspect the per-class ensembles — e.g. how many
+      * rounds each ran before the validation stop. */
+    def fit(train: DataFrame): org.apache.spark.ml.classification.OneVsRestModel = {
       val gbt = new GBTClassifier()
         .setMaxIter(maxIter).setMaxDepth(maxDepth).setStepSize(stepSize)
         .setSeed(seed)
         .setLabelCol("label").setFeaturesCol("features")
+      val fitOn = if (validationFraction > 0) {
+        gbt.setValidationIndicatorCol("is_val")
+        gbt.set(gbt.validationTol, validationTol)
+        train.withColumn("is_val", rand(seed) < validationFraction)
+      } else train
       val ovr = new OneVsRest().setClassifier(gbt)
         .setLabelCol("label").setFeaturesCol("features")
         .setParallelism(4)
-      ovr.fit(train).transform(test)
+      ovr.fit(fitOn)
     }
+
+    def fitPredict(train: DataFrame, test: DataFrame): DataFrame =
+      fit(train).transform(test)
   }
 
   /** M10 — area under ROC for a binary target given scores. */

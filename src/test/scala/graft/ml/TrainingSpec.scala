@@ -57,6 +57,31 @@ class TrainingSpec extends SparkSpec {
     assert(gbtF1Again == gbtF1)
   }
 
+  test("GBT early stopping halts before maxIter on a converged task without losing F1") {
+    import org.apache.spark.ml.classification.GBTClassificationModel
+    val assembled = Training.assemble(
+      data.withColumnRenamed("label_raw", "y"), Seq("x1", "x2", "x3"), "y")
+      .withColumn("id", monotonically_increasing_id())
+    val (train, test) = Sampling.hashSplit(assembled, "id", testPct = 25)
+    def f1Of(pred: org.apache.spark.sql.DataFrame): Double =
+      Classification.summarize(
+        Classification.confusion(
+          pred.select(col("label").cast("string").as("l"),
+            col("prediction").cast("string").as("p")), "l", "p"),
+        Seq("0.0", "1.0", "2.0")).macroF1
+    val es = new Training.GradientBoostedBackend(maxIter = 60, maxDepth = 5)
+    val model = es.fit(train.drop("id"))
+    val trees = model.models.map(_.asInstanceOf[GBTClassificationModel].getNumTrees)
+    assert(trees.exists(_ < 60),
+      s"expected at least one ensemble to stop before maxIter, got ${trees.toSeq}")
+    val f1Es = f1Of(model.transform(test.drop("id")))
+    val f1Full = f1Of(new Training.GradientBoostedBackend(
+      maxIter = 60, maxDepth = 5, validationFraction = 0.0)
+      .fitPredict(train.drop("id"), test.drop("id")))
+    assert(f1Es >= f1Full - 0.02,
+      s"early stopping F1 $f1Es fell below full-run F1 $f1Full")
+  }
+
   test("binary AUC on a separable score is ~1, on a constant score ~0.5") {
     val scored = (1 to 200).map(i => (if (i % 2 == 0) 1.0 else 0.0, (1 - i % 2) * 0.8 + 0.1))
       .toDF("y", "score")
