@@ -50,6 +50,7 @@ object SparkEntry {
     "s5_partitioned_roundtrip" -> (Relational.s5PartitionedRoundtrip _),
     "q1_typed"        -> (Relational.q1Typed _),
     "a_stats_corr"    -> (Relational.aStatsCorr _),
+    "a_map_metrics"   -> (Relational.aMapMetrics _),
     "m5_parse_emp_length" -> (MLFeatures.m5ParseEmpLength _),
     "a1_modes_multi"  -> (MLFeatures.a1ModesMulti _),
     "ops_mean_impute" -> (MLFeatures.opsMeanImpute _),
@@ -244,6 +245,16 @@ object SparkEntry {
         |  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
         |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a_map_metrics" ->
+      """SELECT '2024-01-07' AS week_date, 'lgbm' AS model_name,
+        |  round(avg(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS avg_f,
+        |  round(avg(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS avg_o,
+        |  round(avg(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4) AS avg_p,
+        |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+        |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p,
+        |  CAST(count(DISTINCT o_orderstatus) AS INTEGER) AS n_grades
+        |FROM orders ORDER BY week_date""".stripMargin,
     "f2_date_parse" ->
       """SELECT o_orderkey,
         |  strftime(o_orderdate, '%b-%Y') AS mmm_yyyy,

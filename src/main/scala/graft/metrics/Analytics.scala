@@ -69,6 +69,24 @@ object Classification {
   case class Summary(accuracy: Double, macroF1: Double, weightedF1: Double,
                      perClass: Seq[ClassMetrics], total: Long)
 
+  /** One metrics-store row (model_performance_metrics shape,
+    * model_inference_utils.py:103–118): the flat scalars plus the two
+    * JSONB-shaped columns — per-grade F1 and the predicted-grade
+    * distribution — as MapType columns (SURVEY §1.1 maps JSONB to
+    * `MapType(String, Double/Long)`). `predDist` is the per-prediction
+    * count, i.e. the column sums of the confusion matrix. */
+  def metricsRow(spark: SparkSession, weekDate: String, modelName: String,
+                 evaluationDate: String, summary: Summary,
+                 predDist: Map[String, Long]): DataFrame = {
+    import spark.implicits._
+    Seq((weekDate, modelName, evaluationDate, summary.accuracy,
+      summary.macroF1, summary.weightedF1, summary.total,
+      summary.perClass.map(c => c.cls -> c.f1).toMap, predDist))
+      .toDF("week_date", "model_name", "evaluation_date", "accuracy",
+        "macro_f1", "weighted_f1", "total_samples", "f1_by_grade",
+        "predictions_distribution")
+  }
+
   /** Full metric family from the confusion counts. `classes` fixes the
     * class set (absent classes score 0) — the persisted grade_mapping
     * semantics (SURVEY §7.4 sklearn-parity note). */

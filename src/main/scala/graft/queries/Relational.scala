@@ -377,6 +377,44 @@ object Relational {
       .orderBy("n_regionkey")
   }
 
+  /** A-map — metrics-store map columns (the reference stores per-grade
+    * F1 and the prediction distribution as Postgres JSONB,
+    * model_inference_utils.py:114–115; SURVEY §1.1 maps JSONB to
+    * MapType): per-status aggregates packed into two map columns,
+    * appended through ParquetMetricsStore, read back, and queried
+    * per-key via element_at — the reference's "F1 for grade X last
+    * week" access path. */
+  def aMapMetrics(s: SparkSession, d: String): DataFrame = {
+    val tmp = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/map_metrics/store"
+    // the store APPENDS (one row per weekly eval); start from a fresh
+    // path so re-runs in one process don't accumulate rows
+    val p = new org.apache.hadoop.fs.Path(tmp)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val per = Tables.orders(s, d).groupBy(col("o_orderstatus").as("g"))
+      .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 4).as("v"))
+    val row = per.agg(
+      map_from_entries(sort_array(collect_list(struct(col("g"), col("v")))))
+        .as("f1_by_grade"),
+      map_from_entries(sort_array(collect_list(struct(col("g"), col("n")))))
+        .as("predictions_distribution"))
+      .select(lit("2024-01-07").as("week_date"), lit("lgbm").as("model_name"),
+        col("f1_by_grade"), col("predictions_distribution"))
+    val store = new graft.sources.ParquetMetricsStore(tmp)
+    store.append(row)
+    store.read(s).select(
+      col("week_date"), col("model_name"),
+      element_at(col("f1_by_grade"), "F").as("avg_f"),
+      element_at(col("f1_by_grade"), "O").as("avg_o"),
+      element_at(col("f1_by_grade"), "P").as("avg_p"),
+      element_at(col("predictions_distribution"), "F").as("n_f"),
+      element_at(col("predictions_distribution"), "O").as("n_o"),
+      element_at(col("predictions_distribution"), "P").as("n_p"),
+      size(col("f1_by_grade")).as("n_grades"))
+      .orderBy("week_date")
+  }
+
   /** F1–F8 — scalar function battery: CASE WHEN, date trunc/extract,
     * months_between, trim/upper/coalesce, regexp_extract (SURVEY §2.3). */
   def fScalarFns(s: SparkSession, d: String): DataFrame =

@@ -158,10 +158,28 @@ final class ParquetMetricsStore(path: String) extends MetricsStore {
   * ships for its Hive metastore): append creates the table on first
   * write. Derby maps StringType to CLOB, which can't be compared or
   * pushed a filter — pass `createTableColumnTypes` in `props` (it is
-  * merged into the writer options) to pin VARCHAR types for key columns. */
+  * merged into the writer options) to pin VARCHAR types for key columns.
+  *
+  * JSONB-shaped map columns (the reference stores `f1_by_grade` and
+  * `predictions_distribution` as Postgres JSONB,
+  * model_inference_utils.py:114–115): RDBMSes have no MAP type, so
+  * MapType columns are serialized to JSON strings on append and restored
+  * with `read(spark, mapCols)` on the way back. */
 final class JdbcMetricsStore(url: String, table: String,
                              props: java.util.Properties) extends MetricsStore {
-  def append(metrics: DataFrame): Unit =
-    metrics.write.mode(SaveMode.Append).jdbc(url, table, props)
+  def append(metrics: DataFrame): Unit = {
+    val flat = metrics.schema.fields.foldLeft(metrics) {
+      case (df, f) if f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] =>
+        df.withColumn(f.name, to_json(col(f.name)))
+      case (df, _) => df
+    }
+    flat.write.mode(SaveMode.Append).jdbc(url, table, props)
+  }
   def read(spark: SparkSession): DataFrame = spark.read.jdbc(url, table, props)
+  /** Read with the named JSON-string columns decoded back to maps. */
+  def read(spark: SparkSession,
+           mapCols: Map[String, org.apache.spark.sql.types.MapType]): DataFrame =
+    mapCols.foldLeft(read(spark)) { case (df, (name, t)) =>
+      df.withColumn(name, from_json(col(name), t))
+    }
 }

@@ -55,4 +55,41 @@ class JdbcSpec extends SparkSpec {
     store.append(week("2024-01-21", "lgbm", 0.88, "2024-01-21 06:15:00"))
     assert(store.read(spark).count() == 4)
   }
+
+  test("map metrics columns round-trip through Derby as JSON strings") {
+    import org.apache.spark.sql.types.{DoubleType, LongType, MapType, StringType}
+    import graft.metrics.Classification
+    val dir = Files.createTempDirectory("derbymap").toString
+    val url = s"jdbc:derby:$dir/metricsdb;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    props.setProperty("createTableColumnTypes",
+      "week_date VARCHAR(10), model_name VARCHAR(64), " +
+        "evaluation_date VARCHAR(19), f1_by_grade VARCHAR(512), " +
+        "predictions_distribution VARCHAR(512)")
+    val store = new JdbcMetricsStore(url, "model_performance_metrics", props)
+
+    // the reference's JSONB columns, built from a real confusion matrix
+    val conf = Classification.confusion(
+      Seq(("A", "A"), ("A", "B"), ("B", "B"), ("B", "B"), ("C", "C"))
+        .toDF("grade", "pred"), "grade", "pred")
+    val summary = Classification.summarize(conf, Seq("A", "B", "C"))
+    val predDist = conf.groupBy("prediction").agg(sum("n").as("n"))
+      .as[(String, Long)].collect().toMap
+    store.append(Classification.metricsRow(spark, "2024-01-07", "lgbm",
+      "2024-01-07 06:15:00", summary, predDist))
+
+    val back = store.read(spark, Map(
+      "f1_by_grade" -> MapType(StringType, DoubleType),
+      "predictions_distribution" -> MapType(StringType, LongType)))
+    assert(back.schema("f1_by_grade").dataType ===
+      MapType(StringType, DoubleType))
+    val row = back.select(
+        col("f1_by_grade"), col("predictions_distribution"),
+        element_at(col("f1_by_grade"), "B").as("f1_b"))
+      .as[(Map[String, Double], Map[String, Long], Double)].head()
+    assert(row._1 == summary.perClass.map(c => c.cls -> c.f1).toMap)
+    assert(row._2 == predDist)
+    assert(row._3 == summary.perClass.find(_.cls == "B").get.f1)
+  }
 }
