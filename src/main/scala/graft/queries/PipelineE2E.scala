@@ -63,6 +63,14 @@ object PipelineE2E {
     }: _*)
   }
 
+  /** Where this process parquet-dumps the e2e oracle inputs (same
+    * pid-scoped tmp convention as the round-trip queries): the four gold
+    * tables plus the loan silver are fully deterministic, so DuckDB can
+    * recompute the store assembly — join, distinct, grade filter, label
+    * counts — independently and hash-check the result. */
+  def oracleDumpDir: String = sys.props("java.io.tmpdir") +
+    s"/graft_${ProcessHandle.current.pid}/pipeline_e2e"
+
   /** Full bronze→silver→gold→stores run over synthesized sources. */
   def featureStoreStats(s: SparkSession, d: String): DataFrame = {
     // dims: exactly one row per (member_id, snapshot_date) = 75 x 4;
@@ -75,33 +83,46 @@ object PipelineE2E {
     // they are SUBMITTED CONCURRENTLY (Spark's scheduler interleaves
     // jobs from one session) instead of serializing their fixed per-job
     // overhead — the same pattern a production driver uses for
-    // independent table builds.
-    import scala.concurrent.{Await, Future}
+    // independent table builds. The pool is a DEDICATED bounded one (4
+    // threads, one per source), not the unbounded global default: a
+    // production driver owns its submission parallelism explicitly.
+    import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val nDim = 300
-    val fLoan = Future {
-      val silver = Silver.loanTerms(gen(s, Schemas.loanTermsRaw, 600)).cache()
-      (silver, Gold.loanTerms(silver,
-        Seq("car", "house", "debt", "other"),
-        Seq("Current", "Fully Paid", "Charged Off")))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val (loanSilver, gl, demoSilver, gd, finSilver, gf, creditSilver, gc) =
+      try {
+        val nDim = 300
+        val fLoan = Future {
+          val silver = Silver.loanTerms(gen(s, Schemas.loanTermsRaw, 600)).cache()
+          (silver, Gold.loanTerms(silver,
+            Seq("car", "house", "debt", "other"),
+            Seq("Current", "Fully Paid", "Charged Off")))
+        }
+        val fDemo = Future {
+          val silver = Silver.demographic(gen(s, Schemas.demographicRaw, nDim)).cache()
+          (silver, Gold.demographic(silver, Seq("CA", "NY", "TX", "WA")))
+        }
+        val fFin = Future {
+          val silver = Silver.financial(gen(s, Schemas.financialRaw, nDim)).cache()
+          (silver, Gold.financial(silver))
+        }
+        val fCredit = Future {
+          val silver = Silver.creditHistory(gen(s, Schemas.creditHistoryRaw, nDim)).cache()
+          (silver, Gold.creditHistory(silver))
+        }
+        val (ls, l) = Await.result(fLoan, Duration.Inf)
+        val (ds, dm) = Await.result(fDemo, Duration.Inf)
+        val (fs_, f) = Await.result(fFin, Duration.Inf)
+        val (cs, c) = Await.result(fCredit, Duration.Inf)
+        (ls, l, ds, dm, fs_, f, cs, c)
+      } finally pool.shutdown()
+    // oracle inputs out before the store build (also materializes the
+    // silver caches the stats actions below reuse)
+    Seq("gold_loan" -> gl, "gold_demo" -> gd, "gold_fin" -> gf,
+      "gold_credit" -> gc, "silver_loan" -> loanSilver).foreach {
+      case (n, df) => df.write.mode("overwrite").parquet(s"$oracleDumpDir/$n")
     }
-    val fDemo = Future {
-      val silver = Silver.demographic(gen(s, Schemas.demographicRaw, nDim)).cache()
-      (silver, Gold.demographic(silver, Seq("CA", "NY", "TX", "WA")))
-    }
-    val fFin = Future {
-      val silver = Silver.financial(gen(s, Schemas.financialRaw, nDim)).cache()
-      (silver, Gold.financial(silver))
-    }
-    val fCredit = Future {
-      val silver = Silver.creditHistory(gen(s, Schemas.creditHistoryRaw, nDim)).cache()
-      (silver, Gold.creditHistory(silver))
-    }
-    val (loanSilver, gl) = Await.result(fLoan, Duration.Inf)
-    val (demoSilver, gd) = Await.result(fDemo, Duration.Inf)
-    val (finSilver, gf) = Await.result(fFin, Duration.Inf)
-    val (creditSilver, gc) = Await.result(fCredit, Duration.Inf)
     // cache before the multi-action stats: count + grade-dist + label
     // count would otherwise recompute the whole impute/join lineage each
     val fs = Gold.featureStore(gl, gd, gf, gc).cache()
