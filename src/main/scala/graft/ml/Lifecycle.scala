@@ -97,13 +97,20 @@ object Lifecycle {
   }
 
   /** JSON-sidecar registry: flat key space
-    * `name/latest`, `name/<v>/run`, `name/<v>/stage`. */
+    * `name/latest`, `name/<v>/run`, `name/<v>/stage`. Model names must
+    * not contain '/' — it is the key separator, and a name like "m/2"
+    * would alias into another model's version keys. */
   final class JsonRegistry(path: String) extends Registry {
     private def load(): Map[String, String] =
       if (Files.exists(Paths.get(path))) Sources.readJsonSidecar(path)
       else Map.empty
 
+    private def checkName(name: String): Unit =
+      require(!name.contains("/"),
+        s"model name must not contain '/': $name")
+
     def register(name: String, runPath: String): Int = {
+      checkName(name)
       val m = load()
       val v = m.getOrElse(s"$name/latest", "0").toInt + 1
       Sources.writeJsonSidecar(path, m ++ Map(
@@ -114,6 +121,7 @@ object Lifecycle {
     }
 
     def promote(name: String, version: Int): Unit = {
+      checkName(name)
       val m = load()
       require(m.contains(s"$name/$version/run"),
         s"unknown model version $name v$version")
@@ -127,6 +135,7 @@ object Lifecycle {
     }
 
     def production(name: String): Option[RegisteredModel] = {
+      checkName(name)
       val m = load()
       m.collectFirst {
         case (k, "Production")

@@ -42,8 +42,12 @@ object Sources {
 
   /** Sidecar read is driver-side JVM I/O like the write: a 100-week
     * lifecycle reads its tracker 100 times, and a Spark job per O(1)
-    * control file would dominate the loop. The format is the flat
-    * string→string object `writeJsonSidecar` emits. */
+    * control file would dominate the loop. Accepts the flat object
+    * `writeJsonSidecar` emits AND reference-shaped trackers where
+    * numbers/booleans are unquoted JSON scalars (the reference
+    * json.dumps model_version and macro_f1_score as numbers,
+    * dag_functions.py:344–357) — bare tokens come back as their string
+    * form. */
   def readJsonSidecar(path: String): Map[String, String] =
     parseFlatJson(new String(Files.readAllBytes(Paths.get(path)),
       StandardCharsets.UTF_8))
@@ -63,9 +67,10 @@ object Sources {
     def parseString(): String = {
       expect('"')
       val sb = new StringBuilder
-      while (s(i) != '"') {
+      while (i < s.length && s(i) != '"') {
         if (s(i) == '\\') {
           i += 1
+          require(i < s.length, "sidecar parse: truncated escape")
           s(i) match {
             case '"'  => sb += '"'
             case '\\' => sb += '\\'
@@ -76,6 +81,7 @@ object Sources {
             case 'b'  => sb += '\b'
             case 'f'  => sb += '\f'
             case 'u'  =>
+              require(i + 5 <= s.length, "sidecar parse: truncated \\u escape")
               sb += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar
               i += 4
             case c => throw new IllegalArgumentException(s"sidecar parse: bad escape \\$c")
@@ -83,8 +89,22 @@ object Sources {
           i += 1
         } else { sb += s(i); i += 1 }
       }
+      require(i < s.length, "sidecar parse: unterminated string")
       i += 1
       sb.result()
+    }
+    // value position: quoted string, or a bare JSON scalar (number /
+    // true / false / null) returned in its literal string form
+    def parseValue(): String = {
+      skipWs()
+      require(i < s.length, "sidecar parse: missing value")
+      if (s(i) == '"') parseString()
+      else {
+        val start = i
+        while (i < s.length && s(i) != ',' && s(i) != '}' && !s(i).isWhitespace) i += 1
+        require(i > start, s"sidecar parse: empty value at $start")
+        s.substring(start, i)
+      }
     }
     val out = Map.newBuilder[String, String]
     expect('{')
@@ -95,8 +115,7 @@ object Sources {
         skipWs()
         val k = parseString()
         expect(':')
-        skipWs()
-        out += k -> parseString()
+        out += k -> parseValue()
         skipWs()
         if (i < s.length && s(i) == ',') i += 1 else more = false
       }

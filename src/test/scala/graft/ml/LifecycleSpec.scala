@@ -47,6 +47,26 @@ class LifecycleSpec extends AnyFunSuite {
       && s.modelVersion == 3 && s.macroF1 == 0.9123)
   }
 
+  test("tracker reads a reference-shaped file with unquoted JSON numbers") {
+    // the reference json.dumps model_version/macro_f1_score as numbers
+    // (dag_functions.py:344–357) — the tracker must parse that shape too
+    val p = Files.createTempDirectory("tracker2").toString + "/last_retraining_date.json"
+    Files.writeString(java.nio.file.Paths.get(p),
+      """{"last_retraining_date": "2024-01-07", "model_name": "credit_scoring_model",
+        | "model_version": 3, "macro_f1_score": 0.9123}""".stripMargin)
+    val s = new RetrainTracker(p).read().get
+    assert(s.lastRetrainingDate == d0 && s.modelVersion == 3 && s.macroF1 == 0.9123)
+  }
+
+  test("registry rejects model names containing the key separator") {
+    val p = Files.createTempDirectory("reg2").toString + "/registry.json"
+    val r = new JsonRegistry(p)
+    r.register("m", "/runs/a")
+    intercept[IllegalArgumentException](r.register("m/2", "/runs/evil"))
+    intercept[IllegalArgumentException](r.promote("m/2", 1))
+    intercept[IllegalArgumentException](r.production("m/2"))
+  }
+
   test("registry: register versions, promote archives the incumbent") {
     val p = Files.createTempDirectory("reg").toString + "/registry.json"
     val r = new JsonRegistry(p)

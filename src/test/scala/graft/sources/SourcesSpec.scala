@@ -48,6 +48,23 @@ class SourcesSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("sidecar read accepts reference-shaped unquoted scalars and rejects truncation") {
+    // the reference json.dumps numbers/booleans unquoted
+    // (dag_functions.py:344–357) — bare tokens parse as their string form
+    val p = Files.createTempDirectory("sidecar2").toString + "/tracker.json"
+    Files.writeString(java.nio.file.Paths.get(p),
+      """{"last_retraining_date": "2024-01-07", "model_version": 3,
+        | "macro_f1_score": 0.9123, "healthy": true, "note": null}""".stripMargin)
+    assert(Sources.readJsonSidecar(p) == Map(
+      "last_retraining_date" -> "2024-01-07", "model_version" -> "3",
+      "macro_f1_score" -> "0.9123", "healthy" -> "true", "note" -> "null"))
+    // truncated input fails with the parse require, not an index error
+    val bad = Files.createTempDirectory("sidecar3").toString + "/bad.json"
+    Files.writeString(java.nio.file.Paths.get(bad), """{"k": "unterminated""")
+    val e = intercept[IllegalArgumentException](Sources.readJsonSidecar(bad))
+    assert(e.getMessage.contains("sidecar parse"))
+  }
+
   test("directory catalog lists week partitions by prefix") {
     val root = Files.createTempDirectory("cat")
     Seq("feature_store_week_2024_01_07", "feature_store_week_2024_01_14",
