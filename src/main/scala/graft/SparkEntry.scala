@@ -65,8 +65,11 @@ object SparkEntry {
     "d3_simhash"      -> (Documents.d3SimHash _),
     "d4_ngram_jaccard" -> (Documents.d4NgramJaccard _),
     "d5_embed_dup"    -> (Documents.d5EmbedDup _),
+    "d6_dedup_clusters" -> (Documents.d6DedupClusters _),
     "t1_token_count"  -> (Documents.t1TokenCount _),
     "t2_quality"      -> (Documents.t2Quality _),
+    "t5_tfidf"        -> (Documents.t5TfIdf _),
+    "t6_repetition"   -> (Documents.t6Repetition _),
     "t3_lang_id"      -> (Documents.t3LangId _),
     "t4_fingerprint"  -> (Documents.t4Fingerprint _),
     "ann1_brute_force" -> (Documents.ann1BruteForce _),
@@ -361,6 +364,26 @@ object SparkEntry {
         |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "d2_minhash_lsh" -> ngramJaccardSql,
     "d4_ngram_jaccard" -> ngramJaccardSql,
+    "d6_dedup_clusters" -> dedupClustersSql,
+    "t5_tfidf" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents),
+        |tf AS (SELECT doc_id AS id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT id, token, tf, df,
+        |  round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+        |FROM tf JOIN dfq USING (token), n
+        |WHERE id < 25
+        |ORDER BY id, token""".stripMargin,
+    "t6_repetition" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents)
+        |SELECT doc_id,
+        |  round(1.0 - len(list_distinct(ws)) * 1.0 / greatest(len(ws), 1), 6) AS rep_ratio,
+        |  round(list_max(list_transform(list_distinct(ws),
+        |    x -> len(list_filter(ws, w -> w = x)))) * 1.0
+        |    / greatest(len(ws), 1), 6) AS max_token_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
     "d5_embed_dup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -478,18 +501,41 @@ object SparkEntry {
        |  (SELECT string_agg(grade || ':' || n, ',' ORDER BY grade) FROM lab) AS grade_dist""".stripMargin
   }
 
-  /** Shared oracle for d2 (MinHash+LSH, exact-verified) and d4 (direct
-    * n-gram Jaccard): ground-truth word-3-gram Jaccard pairs ≥ 0.8. */
-  private val ngramJaccardSql: String =
-    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+  /** Shared CTE prefix: word-3-gram shingles, per-doc sizes, per-pair
+    * shared counts — the ground-truth Jaccard machinery used by the
+    * d2/d4 pair oracles and the d6 cluster oracle. */
+  private val ngramPairCtes: String =
+    """t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
       |  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s FROM t),
       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
       |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+
+  /** Shared oracle for d2 (MinHash+LSH, exact-verified) and d4 (direct
+    * n-gram Jaccard): ground-truth word-3-gram Jaccard pairs ≥ 0.8. */
+  private val ngramJaccardSql: String =
+    s"""WITH $ngramPairCtes
       |SELECT id_a, id_b,
       |  round(shared * 1.0 / (sa.sz + sb.sz - shared), 6) AS jaccard
       |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
       |WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** d6 oracle: transitive closure of the ground-truth pair graph via a
+    * recursive CTE, each doc labeled with the min reachable id;
+    * singletons label themselves. */
+  private val dedupClustersSql: String =
+    s"""WITH RECURSIVE $ngramPairCtes,
+      |jp AS (SELECT id_a, id_b
+      |  FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      |  WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.8),
+      |edges AS (SELECT id_a AS s, id_b AS d FROM jp
+      |  UNION SELECT id_b, id_a FROM jp),
+      |walk(s, r) AS (SELECT s, s FROM (SELECT DISTINCT s FROM edges) nodes
+      |  UNION SELECT e.s, w.r FROM edges e JOIN walk w ON e.d = w.s),
+      |comp AS (SELECT s AS doc_id, min(r) AS cluster_id FROM walk GROUP BY s)
+      |SELECT dd.doc_id, coalesce(c.cluster_id, dd.doc_id) AS cluster_id
+      |FROM documents dd LEFT JOIN comp c ON dd.doc_id = c.doc_id
+      |ORDER BY dd.doc_id""".stripMargin
 }

@@ -399,6 +399,58 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Connected components over a near-dup pair graph: every node labeled
+    * with the smallest id in its component — the step that turns pair
+    * lists (d1–d5 output) into duplicate CLUSTERS with one canonical
+    * (keeper) document each. Output: (id, cluster_id).
+    *
+    * Iterative min-label propagation: each round joins labels onto the
+    * (symmetrized, persisted-once) edge table and takes the elementwise
+    * min with the neighborhood minimum. Convergence is detected with one
+    * scalar aggregate — the label sum is strictly decreasing until the
+    * fixed point — and labels are localCheckpointed per round so the
+    * plan stays O(1) deep instead of growing with iterations. Rounds =
+    * component diameter; near-dup components are dense (quasi-cliques),
+    * so a handful of rounds suffices. For adversarial long-chain graphs
+    * the large-star/small-star variant halves rounds to O(log n) — not
+    * needed for dedup graphs and deliberately not implemented.
+    * Per-round cost at scale: one shuffle of (node, label) pairs on the
+    * node id — payload-free by construction. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("s"), col(bCol).as("d"))
+      .unionByName(pairs.select(col(bCol).as("s"), col(aCol).as("d")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("s").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .localCheckpoint(true)
+    // ids must be numeric (long): the convergence test sums labels
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("cluster_id"), lit(0L))).head().getLong(0)
+    var converged = false
+    var iter = 0
+    var lastSum = labelSum(labels)
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels, edges("d") === labels("id"))
+        .groupBy("s").agg(min("cluster_id").as("nmin"))
+      labels = labels
+        .join(neighborMin, labels("id") === neighborMin("s"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(true)
+      val s = labelSum(labels)
+      converged = s == lastSum
+      lastSum = s
+      iter += 1
+    }
+    edges.unpersist()
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
   /** 64-bit SimHash over word tokens: sign of the per-bit weighted sum of
     * xxhash64(token) bits. Duplicate tokens weigh by multiplicity. */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {

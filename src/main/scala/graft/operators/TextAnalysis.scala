@@ -91,4 +91,53 @@ object TextAnalysis {
     * (rolling-hash-class dedup key; md5 keeps it oracle-comparable). */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Token repetition ratio in [0,1): 1 − distinct/total tokens — the
+    * standard "repetitious document" filter signal for LLM corpora
+    * (boilerplate, keyword stuffing, degenerate generations). Map-side,
+    * codegen'd. */
+  def repetitionRatio(text: Column): Column = {
+    val toks = tokens(text)
+    round(lit(1.0) - size(array_distinct(toks)) /
+      greatest(size(toks), lit(1)).cast("double"), 6)
+  }
+
+  /** Frequency of the single most repeated token over total tokens —
+    * catches documents dominated by one token that still have enough
+    * distinct filler to pass `repetitionRatio`. Single pass over the
+    * sorted tokens with a (prev, run, best) accumulator — a nested
+    * per-distinct-token filter would re-evaluate the tokenization per
+    * element (free subexpressions in lambdas are not CSE'd, NOTES
+    * gotcha #4). */
+  def maxTokenRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val acc = aggregate(
+      array_sort(toks),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (a, w) => {
+        val run = when(w === a.getField("prev"), a.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(w.as("prev"), run.as("run"),
+          greatest(a.getField("best"), run).as("best"))
+      })
+    round(acc.getField("best") / greatest(size(toks), lit(1)).cast("double"), 6)
+  }
+
+  /** Per-token TF-IDF over a corpus: (id, token, tf, df, tfidf) with
+    * idf = ln(N / df). One explode + two aggregations; the token df
+    * table is the only shuffle beyond the per-doc term counts, and the
+    * final join key (token) is the same partitioning the df aggregation
+    * already produced, so Catalyst reuses the exchange. At 100 TB the
+    * df table is vocabulary-sized (≪ corpus) and broadcasts. */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = df.count()
+    val terms = df
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val docFreq = terms.groupBy("token")
+      .agg(count(lit(1)).as("df"))
+    terms.join(docFreq, "token")
+      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .select("id", "token", "tf", "df", "tfidf")
+  }
 }

@@ -55,6 +55,38 @@ object Documents {
     Dedup.embeddingNearDupsTiled(Tables.embeddings(s, d), "vec_id", "embedding", 0.45)
       .orderBy("id_a", "id_b")
 
+  /** D6 — near-dup clusters: connected components over the d4 pair
+    * graph; every document labeled with its component's smallest doc id
+    * (its canonical keeper), singletons labeling themselves. The step
+    * that turns pair lists into actionable dedup groups. */
+  def d6DedupClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.jaccardPairs(
+      Dedup.shingles(docs, "doc_id", "text", 3), 0.8, maxDocFreq = Some(100))
+    val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    docs.select(col("doc_id"))
+      .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** T5 — per-token TF-IDF (df over the FULL corpus, output sliced to
+    * the first 25 docs to keep the dump bounded). */
+  def t5TfIdf(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tfIdf(Tables.documents(s, d), "doc_id", "text")
+      .filter(col("id") < 25)
+      .orderBy("id", "token")
+
+  /** T6 — repetition filters: distinct-token ratio and max single-token
+    * frequency, the standard degenerate-document signals. */
+  def t6Repetition(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.repetitionRatio(col("text")).as("rep_ratio"),
+        TextAnalysis.maxTokenRatio(col("text")).as("max_token_ratio"))
+      .orderBy("doc_id")
+
   /** G — generator coverage: explode over a computed array (first-5
     * tokens per doc), aggregated to a word frequency table. */
   def gExplodeSlice(s: SparkSession, d: String): DataFrame =

@@ -130,6 +130,26 @@ class DedupSpec extends SparkSpec {
     assert(nCands <= 10, s"df cap should bound candidates, got $nCands")
   }
 
+  test("connectedComponents labels chains, separate components, converges") {
+    // a 6-node chain (diameter forces multiple propagation rounds), a
+    // triangle, and an isolated pair
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 6L).forall(labels(_) == 1L))
+    assert((10L to 12L).forall(labels(_) == 10L))
+    assert(labels(20L) == 20L && labels(21L) == 20L)
+    assert(labels.size == 11, "only nodes present in pairs are labeled")
+  }
+
+  test("connectedComponents on an empty pair set returns no labels") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty, "id_a", "id_b").count() == 0)
+  }
+
   test("simHashPairs finds most planted near-dups, verified hamming") {
     val docs = Tables.documents(spark, sf)
     val exact = Dedup.jaccardPairs(

@@ -40,4 +40,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("punct_ratio") > 0 && r.getAs[Double]("punct_ratio") < 1)
     assert(r.getAs[Double]("stopword_ratio") === 0.5)
   }
+
+  test("repetition ratio and max-token ratio flag degenerate documents") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),          // one token repeated
+      (2L, "all tokens here are distinct"), // clean
+      (3L, "buy now buy now buy gold now")) // dominated by two tokens
+      .toDF("id", "text")
+    val out = df.select($"id",
+      TextAnalysis.repetitionRatio($"text").as("rep"),
+      TextAnalysis.maxTokenRatio($"text").as("mtr"))
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == (0.75, 1.0))   // 1 distinct of 4; 'spam' is 4/4
+    assert(out(2L) == (0.0, 0.2))    // all distinct; any token is 1/5
+    assert(out(3L) == (0.571429, 0.428571)) // buy/now 3 of 7, 6-dp rounded
+  }
+
+  test("tfIdf: corpus-wide df, per-doc tf, ln(N/df) weighting") {
+    val df = Seq(
+      (1L, "alpha beta beta"),
+      (2L, "alpha gamma"),
+      (3L, "alpha delta")).toDF("id", "text")
+    val out = TextAnalysis.tfIdf(df, "id", "text")
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(out((1L, "alpha")) == (1L, 3L, 0.0)) // in every doc: idf = ln(1) = 0
+    assert(out((1L, "beta")) ==
+      (2L, 1L, math.rint(2 * math.log(3.0) * 1e6) / 1e6))
+    assert(out((2L, "gamma"))._2 == 1L)
+    assert(out.size == 6)
+  }
 }
