@@ -70,6 +70,9 @@ object SparkEntry {
     "t2_quality"      -> (Documents.t2Quality _),
     "t5_tfidf"        -> (Documents.t5TfIdf _),
     "t6_repetition"   -> (Documents.t6Repetition _),
+    "t7_redact_pii"   -> (Documents.t7RedactPii _),
+    "t8_pack_sequences" -> (Documents.t8PackSequences _),
+    "r4_quota_sample" -> (Documents.r4QuotaSample _),
     "t3_lang_id"      -> (Documents.t3LangId _),
     "t4_fingerprint"  -> (Documents.t4Fingerprint _),
     "ann1_brute_force" -> (Documents.ann1BruteForce _),
@@ -384,6 +387,35 @@ object SparkEntry {
         |    x -> len(list_filter(ws, w -> w = x)))) * 1.0
         |    / greatest(len(ws), 1), 6) AS max_token_ratio
         |FROM t ORDER BY doc_id""".stripMargin,
+    "t7_redact_pii" ->
+      """WITH t AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 7 = 0 THEN ' contact alice@example.com or 555-123-4567'
+        |       WHEN doc_id % 7 = 3 THEN ' server at 192.168.0.1'
+        |       ELSE '' END AS text2 FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |  + len(regexp_extract_all(text2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+        |  + len(regexp_extract_all(text2, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_pii,
+        |  length(regexp_replace(regexp_replace(regexp_replace(text2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g')) AS n_chars_redacted
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "t8_pack_sequences" ->
+      """WITH t AS (SELECT doc_id AS id, doc_id % 8 AS shard,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens FROM documents),
+        |c AS (SELECT id, shard, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT id, shard, n_tokens,
+        |  CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS chunk_id
+        |FROM c ORDER BY id""".stripMargin,
+    "r4_quota_sample" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 30 ORDER BY lang, doc_id""".stripMargin,
     "d5_embed_dup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

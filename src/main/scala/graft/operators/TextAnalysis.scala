@@ -123,6 +123,55 @@ object TextAnalysis {
     round(acc.getField("best") / greatest(size(toks), lit(1)).cast("double"), 6)
   }
 
+  /** PII patterns (email / IPv4 / dashed-or-dotted phone). Deliberately
+    * RE2-compatible (no backrefs/lookarounds) so the same pattern runs
+    * identically under Java regex and DuckDB's RE2 — cross-engine
+    * verifiable, and portable to other engines at scale. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b" -> "<PHONE>")
+
+  /** Redact PII spans with typed placeholders — the scrubbing step every
+    * LLM training corpus runs. Chained regexp_replace, map-side,
+    * codegen'd. Email runs first so an address is never half-eaten by
+    * the numeric patterns. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  /** Number of PII spans matched, counted per pattern independently over
+    * the raw text (a span matching two patterns — an IP inside an email
+    * domain — counts once per pattern, while `redactPii` replaces it
+    * once; the counts are a scrub-volume signal, not an exact diff). */
+  def piiCount(text: Column): Column =
+    piiPatterns.map { case (pat, _) => regexp_count(text, lit(pat)) }
+      .reduce(_ + _)
+
+  /** Concat-and-chop sequence packing: documents are concatenated in
+    * deterministic (shard, id) order and cut into `budget`-token chunks —
+    * the standard LLM pretraining packing scheme. Packing is SHARD-LOCAL:
+    * a single global order would serialize the running sum into one
+    * partition, while per-shard windows scale with the cluster (shard =
+    * id mod `shards`; at 100 TB set shards ≈ total cores). Output:
+    * (id, shard, n_tokens, chunk_id) — the shard-local chunk each
+    * document starts in. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    budget: Int, shards: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.select(col(idCol).as("id"),
+        pmod(col(idCol), lit(shards)).as("shard"),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("chunk_id",
+        floor((col("cum") - col("n_tokens")) / lit(budget.toDouble)).cast("long"))
+      .select("id", "shard", "n_tokens", "chunk_id")
+  }
+
   /** Per-token TF-IDF over a corpus: (id, token, tf, df, tfidf) with
     * idf = ln(N / df). One explode + two aggregations; the token df
     * table is the only shuffle beyond the per-doc term counts, and the

@@ -35,4 +35,21 @@ object Sampling {
     val b = hashBucket(col(keyCol), salt)
     (df.filter(b >= testPct), df.filter(b < testPct))
   }
+
+  /** Per-group quota sample: keep `quota` rows per group, selected by a
+    * deterministic pseudo-random rank — md5 of the key's string form, so
+    * the selection is reproducible across runs, partitionings, AND
+    * engines (md5 is cross-engine comparable where xxhash64 is not; the
+    * key tiebreak covers md5 collisions). The standard corpus-balancing
+    * step: cap each language/source/domain at a fixed share. One shuffle
+    * on the group column; rank + filter is window-local. */
+  def quotaSample(df: DataFrame, groupCol: String, keyCol: String,
+                  quota: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(md5(col(keyCol).cast("string").cast("binary")), col(keyCol))
+    df.withColumn("_qrk", row_number().over(w))
+      .filter(col("_qrk") <= quota)
+      .drop("_qrk")
+  }
 }

@@ -87,6 +87,37 @@ object Documents {
         TextAnalysis.maxTokenRatio(col("text")).as("max_token_ratio"))
       .orderBy("doc_id")
 
+  /** T7 — PII scrubbing: deterministic synthetic PII is appended to a
+    * slice of docs (the corpus itself has none), then redacted with the
+    * RE2-compatible pattern set; counts + redacted length are
+    * hash-compared against DuckDB running the SAME patterns. */
+  def t7RedactPii(s: SparkSession, d: String): DataFrame = {
+    val seeded = Tables.documents(s, d).withColumn("text2",
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          lit(" contact alice@example.com or 555-123-4567"))
+          .when(col("doc_id") % 7 === 3, lit(" server at 192.168.0.1"))
+          .otherwise(lit(""))))
+    seeded.select(col("doc_id"),
+        TextAnalysis.piiCount(col("text2")).cast("long").as("n_pii"),
+        length(TextAnalysis.redactPii(col("text2"))).cast("long")
+          .as("n_chars_redacted"))
+      .orderBy("doc_id")
+  }
+
+  /** T8 — concat-and-chop sequence packing (budget 512 tokens, 8 shards). */
+  def t8PackSequences(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.packSequences(Tables.documents(s, d), "doc_id", "text",
+        budget = 512, shards = 8)
+      .orderBy("id")
+
+  /** R4 — per-language quota sample: cap each language at 30 docs chosen
+    * by the cross-engine-reproducible md5 rank (corpus balancing). */
+  def r4QuotaSample(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.quotaSample(Tables.documents(s, d), "lang", "doc_id", 30)
+      .select("lang", "doc_id")
+      .orderBy("lang", "doc_id")
+
   /** G — generator coverage: explode over a computed array (first-5
     * tokens per doc), aggregated to a word frequency table. */
   def gExplodeSlice(s: SparkSession, d: String): DataFrame =

@@ -56,6 +56,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == (0.571429, 0.428571)) // buy/now 3 of 7, 6-dp rounded
   }
 
+  test("redactPii replaces emails, IPs, phones with typed placeholders") {
+    val df = Seq(
+      "mail bob.smith+x@corp.example.org now",
+      "host 10.0.0.1 and call 555-123-4567",
+      "clean text stays untouched").toDF("text")
+    val out = df.select(TextAnalysis.redactPii($"text").as("r"),
+      TextAnalysis.piiCount($"text").as("n")).as[(String, Int)].collect()
+    assert(out(0) == ("mail <EMAIL> now", 1))
+    assert(out(1) == ("host <IP> and call <PHONE>", 2))
+    assert(out(2) == ("clean text stays untouched", 0))
+  }
+
+  test("packSequences: shard-local running sum cuts at the token budget") {
+    // one shard (ids all even, shards=2 -> shard 0), 3-token docs,
+    // budget 5: chunks break at cumulative 0,3 | 6,9 | 12
+    val df = (0L until 5L).map(i => (i * 2, "a b c")).toDF("id", "text")
+    val out = TextAnalysis.packSequences(df, "id", "text", budget = 5, shards = 2)
+      .orderBy("id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._4) == Seq(0L, 0L, 1L, 1L, 2L),
+      s"chunk ids off: $out")
+    assert(out.forall(_._2 == 0L))
+  }
+
   test("tfIdf: corpus-wide df, per-doc tf, ln(N/df) weighting") {
     val df = Seq(
       (1L, "alpha beta beta"),

@@ -65,6 +65,21 @@ class OpsSpec extends SparkSpec {
     assert(out.count(_ == "x") == 3)
   }
 
+  test("quotaSample caps each group, deterministically, independent of partitioning") {
+    val df = (1L to 200L).map(i => (if (i % 3 == 0) "de" else "en", i))
+      .toDF("lang", "id")
+    val a = Sampling.quotaSample(df, "lang", "id", 10)
+      .as[(String, Long)].collect().toSet
+    assert(a.count(_._1 == "de") == 10 && a.count(_._1 == "en") == 10)
+    // same selection regardless of physical layout (md5 rank, no RNG)
+    val b = Sampling.quotaSample(df.repartition(7), "lang", "id", 10)
+      .as[(String, Long)].collect().toSet
+    assert(a == b)
+    // quota above group size keeps the whole group
+    val small = Sampling.quotaSample(df.filter($"id" <= 5), "lang", "id", 10)
+    assert(small.count() == 5)
+  }
+
   test("approx_count_distinct lands within 5% of exact on real data") {
     val li = graft.core.Tables.lineitem(spark, sf)
     val (exact, approx) = li.agg(
