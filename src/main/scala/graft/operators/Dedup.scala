@@ -452,17 +452,22 @@ object Dedup {
   }
 
   /** 64-bit SimHash over word tokens: sign of the per-bit weighted sum of
-    * xxhash64(token) bits. Duplicate tokens weigh by multiplicity. */
+    * xxhash64(token) bits. Duplicate tokens weigh by multiplicity.
+    *
+    * ONE aggregation straight off the exploded tokens: a document's
+    * tokens are colocated (they come from one row), so map-side partial
+    * aggregation collapses each doc to 64 longs before the exchange —
+    * the shuffle carries docs × 65 longs. The tempting (id, tokenHash,
+    * multiplicity) pre-aggregation shuffles the full token table (~one
+    * row per distinct token occurrence) through an extra exchange and
+    * measured 2.4× slower at sf0.1. */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // pre-aggregate to (id, tokenHash, multiplicity): the 64 bit-sum
-    // aggregates then run over distinct tokens per doc, not every token
     val tok = df.select(col(idCol).as("id"),
-      explode(split(trim(col(textCol)), "\\s+")).as("w"))
-      .groupBy(col("id"), xxhash64(col("w")).as("h"))
-      .agg(count(lit(1)).as("cnt"))
+        explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .select(col("id"), xxhash64(col("w")).as("h"))
     val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("cnt"))
-        .otherwise(-col("cnt"))).as(s"b_$i")
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"b_$i")
     }
     val agg = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
     val sim = (0 until 64).map { i =>

@@ -52,6 +52,21 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup — the streaming twin of Dedup.exactDedup for
+    * a continuously-arriving corpus: keep the FIRST document seen per
+    * content fingerprint. dropDuplicatesWithinWatermark bounds the state
+    * store to the watermark horizon (an unbounded dropDuplicates would
+    * grow state forever on an endless corpus); duplicates separated by
+    * more than the watermark are the batch layer's job (run d1 over the
+    * landed data), the standard lambda split. */
+  def streamingExactDedup(docs: DataFrame, tsCol: String, textCol: String,
+                          watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("_fp", graft.operators.TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("_fp")
+      .drop("_fp")
+
   /** Ordered weekly incremental driver (T2): the batch twin of the
     * stream — processes week partitions strictly in order, exactly once,
     * recording progress in a ledger the way the reference's

@@ -148,6 +148,27 @@ class EventStreamSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L)) // id 1 deduped across micro-batches
   }
 
+  test("streamingExactDedup keeps first doc per content fingerprint (d1 twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val out = streamingExactDedup(
+      mem.toDF().toDF("ts", "doc_id", "text"), "ts", "text")
+    val q = out.writeStream.format("memory").queryName("streamd1")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(
+      (ts("2024-01-01 10:00:00"), 1L, "Hello  World"),
+      (ts("2024-01-01 10:01:00"), 2L, "hello world"), // same normalized content
+      (ts("2024-01-01 10:02:00"), 3L, "other text"))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 10:30:00"), 4L, "HELLO WORLD ")) // still in watermark
+    q.processAllAvailable()
+    val ids = spark.table("streamd1").select("doc_id").as[Long].collect().sorted
+    q.stop()
+    assert(ids.toSeq == Seq(1L, 3L))
+    // the fingerprint helper column does not leak into the output
+    assert(!spark.table("streamd1").columns.contains("_fp"))
+  }
+
   test("runWeeklyOrdered is ordered and exactly-once over a ledger") {
     val ledger = scala.collection.mutable.Set("2024_01_07")
     val seen = scala.collection.mutable.ListBuffer[String]()
