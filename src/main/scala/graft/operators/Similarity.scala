@@ -66,36 +66,34 @@ object Similarity {
     }.reduce(_ + _)
   }
 
-  /** IVF (inverted-file) approximate top-k: a seeded k-means coarse
-    * quantizer assigns every corpus vector to a cell; a query probes only
-    * its `nProbe` nearest cells and scores exact cosine inside them.
-    * The classic embedding-scale layout: the corpus is PARTITIONED by
-    * cell (write it `partitionBy(cell)` at rest and probing becomes
-    * partition pruning); per-query work is corpus/nCells × nProbe. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** Seeded k-means coarse quantizer: every corpus vector assigned to a
+    * cell. 5 iterations is plenty for bucketing — recall is governed by
+    * nProbe, not centroid polish. Returns the quantized corpus
+    * (n_id, n_vec, cell) and the centroid table. */
+  private def quantize(corpus: DataFrame, nCells: Int, seed: Long,
+                       idCol: String, vecCol: String)
+      : (DataFrame, Seq[(Int, Array[Float])]) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val toVec = (df: DataFrame, id: String, vec: String) =>
-      df.select(col(id), col(vec),
-        array_to_vector(col(vec).cast("array<double>")).as("_v"))
-    val corpusV = toVec(corpus, idCol, vecCol)
-    // a coarse quantizer needs rough cells, not converged centroids —
-    // 5 iterations is plenty for bucketing (recall is governed by
-    // nProbe, not centroid polish)
+    val corpusV = corpus.select(col(idCol), col(vecCol),
+      array_to_vector(col(vecCol).cast("array<double>")).as("_v"))
     val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("_v").setPredictionCol("cell")
     val model = km.fit(corpusV)
     val cells = model.transform(corpusV)
       .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"), col("cell"))
-    // query → nProbe nearest centroids (tiny: nCells centroids broadcast)
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.map(_.toFloat))
     }.toSeq
+    (cells, centroids)
+  }
+
+  /** Query → its nProbe nearest cells (nCells centroids, broadcast). */
+  private def probes(queries: DataFrame, centroids: Seq[(Int, Array[Float])],
+                     nProbe: Int, idCol: String, vecCol: String): DataFrame = {
     val centroidDf = broadcast(
-      corpus.sparkSession.createDataFrame(centroids).toDF("cell", "c_vec"))
-    val qProbes = queries
+      queries.sparkSession.createDataFrame(centroids).toDF("cell", "c_vec"))
+    queries
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .crossJoin(centroidDf)
       .withColumn("c_sim", cosine(col("q_vec"), col("c_vec")))
@@ -103,13 +101,62 @@ object Similarity {
         Window.partitionBy("q_id").orderBy(desc("c_sim"), asc("cell"))))
       .filter(col("c_rank") <= nProbe)
       .select("q_id", "q_vec", "cell")
+  }
+
+  /** Exact cosine top-k inside the probed cells. */
+  private def scoreProbed(cells: DataFrame, qProbes: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
     broadcast(qProbes).join(cells, "cell")
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("cos", nativeCosine(corpus)(col("q_vec"), col("n_vec")))
+      .withColumn("cos", nativeCosine(cells)(col("q_vec"), col("n_vec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** IVF (inverted-file) approximate top-k: a seeded k-means coarse
+    * quantizer assigns every corpus vector to a cell; a query probes only
+    * its `nProbe` nearest cells and scores exact cosine inside them.
+    * Per-query work is corpus/nCells × nProbe. For the at-rest layout
+    * where probing prunes the SCAN, see `writeIvfIndex` /
+    * `ivfTopKFromIndex`. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (cells, centroids) = quantize(corpus, nCells, seed, idCol, vecCol)
+    scoreProbed(cells, probes(queries, centroids, nProbe, idCol, vecCol), k)
+  }
+
+  /** IVF index at rest: the quantized corpus written `partitionBy(cell)`.
+    * Returns the centroid table the query side needs. This is the
+    * embedding-scale layout — the index is built once, and every probe
+    * afterwards reads only its cells' files. */
+  def writeIvfIndex(corpus: DataFrame, path: String,
+                    nCells: Int = 16, seed: Long = 42L,
+                    idCol: String = "vec_id", vecCol: String = "embedding")
+      : Seq[(Int, Array[Float])] = {
+    val (cells, centroids) = quantize(corpus, nCells, seed, idCol, vecCol)
+    cells.write.mode("overwrite").partitionBy("cell").parquet(path)
+    centroids
+  }
+
+  /** Top-k against an at-rest IVF index: the scan is filtered to the
+    * union of all queries' probed cells, which Spark turns into
+    * PARTITION PRUNING — the cluster reads ≤ queries×nProbe cell
+    * directories instead of the corpus (asserted in IvfReconcileSpec).
+    * Same answers as `ivfTopK` with the same quantizer seed. */
+  def ivfTopKFromIndex(path: String, centroids: Seq[(Int, Array[Float])],
+                       queries: DataFrame, k: Int, nProbe: Int = 4,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val qProbes = probes(queries, centroids, nProbe, idCol, vecCol)
+    // tiny driver round-trip: ≤ queries × nProbe cell ids
+    val probedCells = qProbes.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val cells = spark.read.parquet(path)
+      .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+    scoreProbed(cells, qProbes, k)
   }
 
   /** LSH-bucketed approximate top-k: candidates must share at least one

@@ -25,6 +25,34 @@ class IvfReconcileSpec extends SparkSpec {
     assert(again == approx)
   }
 
+  test("at-rest IVF index: pruned scan, same answers as the in-memory path") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter($"vec_id" < 3)
+    val path = java.nio.file.Files.createTempDirectory("ivf").toString + "/index"
+    val centroids = Similarity.writeIvfIndex(e, path, nCells = 8)
+    val fromIndex = Similarity.ivfTopKFromIndex(path, centroids, q, 5, nProbe = 2)
+    val inMemory = Similarity.ivfTopK(e, q, 5, nCells = 8, nProbe = 2)
+    assert(fromIndex.collect().toSet == inMemory.collect().toSet,
+      "index path must reproduce the in-memory quantizer's answers")
+    // the probe filter reaches the scan as partition pruning, and fewer
+    // partition dirs than nCells are actually read
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"expected cell partition pruning in:\n$plan")
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val prunedFiles = scans(fromIndex.queryExecution.executedPlan)
+      .map(_.selectedPartitions.partitionCount).headOption
+    assert(prunedFiles.exists(n => n > 0 && n < 8),
+      s"probes should read a strict subset of the 8 cells, got $prunedFiles")
+  }
+
   test("reconcileFeatures injects missing features as 0, drops extras, orders") {
     val contract = Seq("f1", "f2", "f3")
     val batch = Seq((1L, 0.5, 9.9)).toDF("id", "f2", "junk")
