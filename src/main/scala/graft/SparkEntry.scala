@@ -33,6 +33,7 @@ object SparkEntry {
     "j2_inner_join"   -> (Relational.j2InnerJoin _),
     "j3_semi_join"    -> (Relational.j3SemiJoin _),
     "j4_anti_join"    -> (Relational.j4AntiJoin _),
+    "j5_asof_join"    -> (Events.j5AsofJoin _),
     "o1_topk_limit"   -> (Relational.o1TopkLimit _),
     "u2_union"        -> (Relational.u2Union _),
     "w1_row_number"   -> (Relational.w1RowNumber _),
@@ -172,6 +173,18 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    "j5_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts, max(value) AS vvalue FROM events
+        |  WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+        |  round(p.value, 4) AS p_value,
+        |  round(v.vvalue, 4) AS asof_value,
+        |  strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS asof_ts
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin,
     "o1_topk_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,

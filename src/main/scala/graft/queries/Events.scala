@@ -52,6 +52,26 @@ object Events {
     * cast: under Spark 4's default ANSI mode a non-integer payload value
     * would throw mid-query; the engine's rule (NOTES.md #10) is null
     * semantics on untrusted data, matching the DuckDB oracle's CAST. */
+  /** J5 — as-of join: each purchase picks up the latest view at or
+    * before it for the same user (trades⟵quotes shape). Views are
+    * pre-aggregated to one row per (user, ts) so the match is
+    * deterministic; oracle = DuckDB's native ASOF LEFT JOIN. */
+  def j5AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts").agg(max("value").as("vvalue"))
+    graft.operators.AsOfJoin
+      .asOf(purchases, views, Seq("user_id"), "ts", Seq("vvalue", "ts"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("p_ts"),
+        round(col("value"), 4).as("p_value"),
+        round(col("asof_vvalue"), 4).as("asof_value"),
+        date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("asof_ts"))
+      .orderBy("event_id")
+  }
+
   def fJsonExtract(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .withColumn("k", get_json_object(col("props"), "$.k").try_cast("int"))
