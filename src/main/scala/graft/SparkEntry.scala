@@ -73,7 +73,9 @@ object SparkEntry {
     "t6_repetition"   -> (Documents.t6Repetition _),
     "t7_redact_pii"   -> (Documents.t7RedactPii _),
     "t8_pack_sequences" -> (Documents.t8PackSequences _),
+    "t9_lm_score"     -> (Documents.t9LmScore _),
     "r4_quota_sample" -> (Documents.r4QuotaSample _),
+    "j6_range_join"   -> (Events.j6RangeJoin _),
     "t3_lang_id"      -> (Documents.t3LangId _),
     "t4_fingerprint"  -> (Documents.t4Fingerprint _),
     "ann1_brute_force" -> (Documents.ann1BruteForce _),
@@ -185,6 +187,25 @@ object SparkEntry {
         |  strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS asof_ts
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY p.event_id""".stripMargin,
+    "j6_range_join" ->
+      """WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events),
+        |iv AS (SELECT CAST(i AS BIGINT) AS interval_id,
+        |    mn + i * i * (mx - mn + 1) // 400 AS istart,
+        |    mn + (i + 1) * (i + 1) * (mx - mn + 1) // 400 AS iend
+        |  FROM range(20) t(i), b)
+        |SELECT interval_id, count(e.event_id) AS n_events
+        |FROM iv LEFT JOIN events e
+        |  ON epoch_us(e.ts) >= iv.istart AND epoch_us(e.ts) < iv.iend
+        |GROUP BY interval_id ORDER BY interval_id""".stripMargin,
+    "t9_lm_score" ->
+      """WITH tok AS (SELECT doc_id AS id,
+        |  unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents),
+        |vocab AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        |s AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS v FROM vocab)
+        |SELECT id, count(*) AS n_tokens,
+        |  round(avg(ln((cnt + 1) * 1.0 / (total + v))), 6) AS avg_logp
+        |FROM tok JOIN vocab USING (token), s
+        |GROUP BY id ORDER BY id""".stripMargin,
     "o1_topk_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,

@@ -149,6 +149,26 @@ object TextAnalysis {
     piiPatterns.map { case (pat, _) => regexp_count(text, lit(pat)) }
       .reduce(_ + _)
 
+  /** Unigram language-model score: mean ln P(token) under the corpus's
+    * own add-one-smoothed unigram distribution — the cheap fluency
+    * signal (gibberish and OOV-heavy documents score far below the
+    * corpus norm). The vocabulary table is ≪ corpus and broadcasts; the
+    * corpus-wide totals are one tiny driver aggregate. Output:
+    * (id, n_tokens, avg_logp). */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("token"))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val stats = vocab.agg(sum("cnt"), count(lit(1))).head()
+    val denom = (stats.getLong(0) + stats.getLong(1)).toDouble
+    tok.join(vocab, "token")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log((col("cnt") + 1).cast("double") / lit(denom))), 6)
+          .as("avg_logp"))
+      .select("id", "n_tokens", "avg_logp")
+  }
+
   /** Concat-and-chop sequence packing: documents are concatenated in
     * deterministic (shard, id) order and cut into `budget`-token chunks —
     * the standard LLM pretraining packing scheme. Packing is SHARD-LOCAL:

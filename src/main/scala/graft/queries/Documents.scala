@@ -111,6 +111,11 @@ object Documents {
         budget = 512, shards = 8)
       .orderBy("id")
 
+  /** T9 — unigram LM fluency score over the corpus's own distribution. */
+  def t9LmScore(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.unigramLogProb(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("id")
+
   /** R4 — per-language quota sample: cap each language at 30 docs chosen
     * by the cross-engine-reproducible md5 rank (corpus balancing). */
   def r4QuotaSample(s: SparkSession, d: String): DataFrame =

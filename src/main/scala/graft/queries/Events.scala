@@ -72,6 +72,32 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** J6 — range (point-in-interval) join: events counted into 20
+    * quadratically-spaced intervals over the corpus time span, through
+    * the bucketized equi-join; oracle = DuckDB theta join. */
+  def j6RangeJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), unix_micros(col("ts")).as("pt"))
+    val head = ev.agg(min("pt"), max("pt")).head()
+    val (mn, mx) = (head.getLong(0), head.getLong(1))
+    val n = 20
+    val span = mx - mn + 1
+    val bounds = (0 to n).map(i => mn + i.toLong * i * span / (n.toLong * n))
+    val intervals = (0 until n)
+      .map(i => (i.toLong, bounds(i), bounds(i + 1)))
+      .toDF("interval_id", "istart", "iend")
+    val joined = graft.operators.RangeJoin.pointInInterval(
+      ev, "pt", intervals, "istart", "iend",
+      bucketWidth = math.max(span / 64, 1L))
+    intervals
+      .join(joined.groupBy("interval_id").agg(count(lit(1)).as("n_events")),
+        Seq("interval_id"), "left")
+      .na.fill(0L, Seq("n_events"))
+      .select("interval_id", "n_events")
+      .orderBy("interval_id")
+  }
+
   def fJsonExtract(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .withColumn("k", get_json_object(col("props"), "$.k").try_cast("int"))
