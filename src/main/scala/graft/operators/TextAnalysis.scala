@@ -193,11 +193,11 @@ object TextAnalysis {
   }
 
   /** Per-token TF-IDF over a corpus: (id, token, tf, df, tfidf) with
-    * idf = ln(N / df). One explode + two aggregations; the token df
-    * table is the only shuffle beyond the per-doc term counts, and the
-    * final join key (token) is the same partitioning the df aggregation
-    * already produced, so Catalyst reuses the exchange. At 100 TB the
-    * df table is vocabulary-sized (≪ corpus) and broadcasts. */
+    * idf = ln(N / df). One explode + two aggregations + one join. At
+    * 100 TB the df table is vocabulary-sized (≪ corpus — Heaps' law),
+    * so the join back onto the term table broadcasts (AQE converts it
+    * once the aggregate's size is known) and the term table is not
+    * re-shuffled. */
   def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val n = df.count()
     val terms = df
