@@ -44,6 +44,18 @@ object Dedup {
     df.join(broadcast(drops), col(idCol) === col("_id"), "left_anti")
   }
 
+  /** The dup-MAJORITY fallback: one payload shuffle on the fingerprint,
+    * rank, keep rn = 1. Same answer as `exactDedup`; use it when the
+    * drop set (the duplicates) would outgrow the broadcast limit —
+    * e.g. a crawl where most rows are copies. `exactDedup` is otherwise
+    * strictly better (its exchanges carry only ids + fingerprints). */
+  def exactDedupByShuffle(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(TextAnalysis.fingerprint(col(textCol)))
+      .orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
   /** Distinct word-n-gram shingles per document: (id, shingle).
     *
     * The token array is PROJECTED first: element_at(split(...), i) inside

@@ -30,6 +30,32 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.size == 4)
   }
 
+  test("asOf matches the naive max-per-left theta join on random data") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(13)
+    val left = (0 until 300).map { i =>
+      (i.toLong, s"k${rnd.nextInt(5)}",
+        new Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L))
+    }.toDF("lid", "k", "ts")
+    // unique right (k, ts) pairs so the match is well-defined
+    val right = new scala.util.Random(7)
+      .shuffle((0 until 200).toList).take(150).map { j =>
+        (s"k${j % 5}", new Timestamp(1700000000000L + (j / 5) * 2500L * 1000L),
+          j.toDouble)
+      }.toDF("k", "ts", "v")
+    val fast = AsOfJoin.asOf(left, right, Seq("k"), "ts", Seq("v"))
+      .select("lid", "asof_v").as[(Long, Option[Double])].collect().toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lid").orderBy($"r.ts".desc_nulls_last)
+    val naive = left.as("l")
+      .join(right.as("r"), $"l.k" === $"r.k" && $"l.ts" >= $"r.ts", "left")
+      .withColumn("_rn", row_number().over(w))
+      .filter($"_rn" === 1)
+      .select($"lid", $"r.v".as("v"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(fast == naive)
+  }
+
   test("asOf preserves every left column and row") {
     val left = Seq((1L, "A", ts("2024-01-01 00:00:01"), "keep-me"))
       .toDF("id", "k", "ts", "note")

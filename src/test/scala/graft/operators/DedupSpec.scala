@@ -16,6 +16,17 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L, 2L))
   }
 
+  test("exactDedupByShuffle (dup-majority fallback) agrees with exactDedup") {
+    val df = Seq(
+      (3L, "Hello  World"), (1L, "hello world"), (2L, "other text"),
+      (5L, "HELLO WORLD "), (4L, "other  TEXT")).toDF("doc_id", "text")
+    val a = Dedup.exactDedup(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Dedup.exactDedupByShuffle(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == Seq(1L, 2L) && b == a)
+  }
+
   test("exactDedup never shuffles the text payload (project-before-shuffle)") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}

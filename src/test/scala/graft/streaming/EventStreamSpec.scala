@@ -169,6 +169,32 @@ class EventStreamSpec extends SparkSpec {
     assert(!spark.table("streamd1").columns.contains("_fp"))
   }
 
+  test("stream-stream interval join pairs events within the time bound") {
+    // purchases join views of the same user within the preceding hour —
+    // both sides live streams, watermarks bound the join state
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Timestamp, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Double)]
+    val v = views.toDF().toDF("v_ts", "user_id").withWatermark("v_ts", "2 hours")
+    val p = purchases.toDF().toDF("p_ts", "user_id", "amount")
+      .withWatermark("p_ts", "2 hours")
+    val q = p.as("p").join(v.as("v"),
+        expr("p.user_id = v.user_id AND v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts <= p_ts"))
+      .select(col("p.user_id"), col("p_ts"), col("v_ts"), col("amount"))
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode(OutputMode.Append).start()
+    views.addData(
+      (ts("2024-01-01 09:30:00"), 1L),   // in window for the 10:00 purchase
+      (ts("2024-01-01 07:00:00"), 1L),   // too old
+      (ts("2024-01-01 09:45:00"), 2L))   // other user
+    purchases.addData((ts("2024-01-01 10:00:00"), 1L, 9.99))
+    q.processAllAvailable()
+    val rows = spark.table("ssjoin")
+      .select("user_id", "v_ts").as[(Long, Timestamp)].collect()
+    q.stop()
+    assert(rows.toSeq == Seq((1L, ts("2024-01-01 09:30:00"))))
+  }
+
   test("runWeeklyOrdered is ordered and exactly-once over a ledger") {
     val ledger = scala.collection.mutable.Set("2024_01_07")
     val seen = scala.collection.mutable.ListBuffer[String]()
