@@ -80,6 +80,57 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("packSequences conserves tokens and chunk ids are shard-monotone") {
+    import graft.operators.TextAnalysis
+    val gen = Gen.listOfN(40, Gen.chooseNum(1, 30))
+    samples(gen, 4).foreach { lens =>
+      val df = lens.zipWithIndex
+        .map { case (n, i) => (i.toLong, Seq.fill(n)("w").mkString(" ")) }
+        .toDF("id", "text")
+      val out = TextAnalysis.packSequences(df, "id", "text", budget = 16, shards = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(out.map(_._3).sum == lens.map(_.toLong).sum, "token conservation")
+      out.groupBy(_._2).foreach { case (_, rows) =>
+        val byId = rows.sortBy(_._1)
+        assert(byId.map(_._4).toSeq == byId.map(_._4).sorted.toSeq,
+          "chunk ids monotone in id")
+        // a doc starts in the chunk its preceding tokens filled up to
+        byId.foldLeft(0L) { case (cum, (_, _, n, chunk)) =>
+          assert(chunk == cum / 16, s"chunk $chunk vs cum $cum")
+          cum + n
+        }
+      }
+    }
+  }
+
+  test("connectedComponents: every label is a component member <= the node") {
+    import graft.operators.Dedup
+    val gen = Gen.listOfN(25,
+      for { a <- Gen.chooseNum(0L, 15L); b <- Gen.chooseNum(0L, 15L) if a != b }
+        yield (math.min(a, b), math.max(a, b)))
+    samples(gen, 4).filter(_.nonEmpty).foreach { pairs =>
+      val labels = Dedup.connectedComponents(
+          pairs.toDF("id_a", "id_b"), "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      // union-find ground truth
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val roots = parent.keys.map(n => n -> find(n)).toMap
+      val minOfComp = roots.groupBy(_._2).map { case (r, m) => r -> m.keys.min }
+      labels.foreach { case (node, label) =>
+        assert(label == minOfComp(roots(node)),
+          s"node $node labeled $label, expected ${minOfComp(roots(node))}")
+      }
+    }
+  }
+
   test("grade labelMap is a bijection A-G <-> 0-6 and null off-domain") {
     import graft.pipeline.Schemas
     val gen = Gen.nonEmptyListOf(
