@@ -49,7 +49,11 @@ object PipelineE2E {
         "initial_list_status" -> element_at(array(lit("w"), lit("f")), (id % 2 + 1).cast("int")),
         "disbursement_method" -> element_at(array(lit("Cash"), lit("DirectPay")), (id % 2 + 1).cast("int")))
     }
-    val base = spark.range(n.toLong).toDF("row_id")
+    // a few hundred synthetic rows don't need the session's default
+    // parallelism: 4 partitions keeps every one of this query's ~30
+    // downstream jobs at 4 tasks instead of 32 (pure scheduler overhead
+    // at this size; real sources size their own partitions)
+    val base = spark.range(0L, n.toLong, 1L, 4).toDF("row_id")
     base.select(schema.fields.zipWithIndex.map { case (f, i) =>
       special.get(f.name).map(_.cast(f.dataType).as(f.name)).getOrElse {
         val v: Column = f.dataType match {
