@@ -50,6 +50,26 @@ object Analytics {
   def latestForWeek(metrics: DataFrame, week: String): DataFrame =
     metrics.filter(col("week_date") === week)
       .orderBy(desc("evaluation_date"), asc("model_name")).limit(1)
+
+  /** Per-period distinct-count SKETCHES (DataSketches HLL): the
+    * 100 TB-incremental pattern for "distinct users per week / overall".
+    * Each period keeps a mergeable fixed-size sketch; totals over any
+    * period range are a sketch UNION — no rescan of history, no exact
+    * distinct shuffle over the full corpus. Returns
+    * (periodCol, n_distinct_approx, sketch). */
+  def distinctSketchByPeriod(df: DataFrame, periodCol: String,
+                             keyCol: String): DataFrame =
+    df.groupBy(periodCol)
+      .agg(hll_sketch_agg(col(keyCol)).as("sketch"))
+      .select(col(periodCol),
+        hll_sketch_estimate(col("sketch")).cast("long").as("n_distinct_approx"),
+        col("sketch"))
+
+  /** Union of period sketches → overall approximate distinct count. */
+  def distinctSketchTotal(sketches: DataFrame): Long =
+    sketches.agg(
+        hll_sketch_estimate(hll_union_agg(col("sketch"))).cast("long"))
+      .head().getLong(0)
 }
 
 /** M9 — classification metrics computed distributed: the confusion

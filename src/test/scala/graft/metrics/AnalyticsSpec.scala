@@ -49,6 +49,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.toSeq == Seq("2024-01-1T01:00:00"))
   }
 
+  test("HLL distinct sketches: per-week estimates and mergeable union") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.core.Tables.events(spark, sf)
+      .withColumn("week", date_trunc("week", col("ts")))
+    val weekly = Analytics.distinctSketchByPeriod(ev, "week", "user_id")
+    val exactWeekly = ev.groupBy("week")
+      .agg(countDistinct("user_id").as("n")).collect()
+      .map(r => r.get(0) -> r.getLong(1)).toMap
+    weekly.collect().foreach { r =>
+      val est = r.getLong(1); val exact = exactWeekly(r.get(0))
+      assert(math.abs(est - exact) <= math.max(2, exact * 0.05),
+        s"week ${r.get(0)}: est $est vs exact $exact")
+    }
+    // union of weekly sketches ≈ exact overall distinct — the
+    // incremental path never rescans history
+    val total = Analytics.distinctSketchTotal(weekly)
+    val exactTotal = ev.agg(countDistinct("user_id")).head().getLong(0)
+    assert(math.abs(total - exactTotal) <= math.max(2, exactTotal * 0.05),
+      s"union est $total vs exact $exactTotal")
+  }
+
   test("accuracy counts correct predictions outside the class set (sklearn parity)") {
     val pred = Seq(("A", "A"), ("H", "H"), ("H", "H"), ("A", "B"))
       .toDF("label", "prediction")
