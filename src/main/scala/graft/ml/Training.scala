@@ -80,7 +80,14 @@ object Training {
       val fitOn = if (validationFraction > 0) {
         gbt.setValidationIndicatorCol("is_val")
         gbt.set(gbt.validationTol, validationTol)
-        train.withColumn("is_val", rand(seed) < validationFraction)
+        // hash-based membership, not rand(): rand(seed) depends on the
+        // physical partition layout, so the same data repartitioned
+        // would train a different model — content hashing keeps the
+        // split (and the fitted model) reproducible across layouts,
+        // like Sampling.hashSplit
+        train.withColumn("is_val",
+          pmod(hash(col("features"), col("label"), lit(seed)), lit(100))
+            < (validationFraction * 100).toInt)
       } else train
       val ovr = new OneVsRest().setClassifier(gbt)
         .setLabelCol("label").setFeaturesCol("features")

@@ -27,31 +27,38 @@ object AsOfJoin {
 
   /** Left keeps all its columns; the matched right row contributes
     * `payloadCols`, renamed with `prefix`. Unmatched left rows carry
-    * null payloads (left-outer semantics). */
+    * null payloads (left-outer semantics).
+    *
+    * The right payload travels as ONE struct, not per-column: the struct
+    * wrapper is non-null for every right row even when its fields are
+    * null, so last(ignoreNulls) forward-fills the MATCHED ROW atomically
+    * — a matched row with a null field yields that null (as DuckDB ASOF
+    * does), and multiple payload columns can never be stitched together
+    * from different right rows. */
   def asOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
            tsCol: String, payloadCols: Seq[String],
            prefix: String = "asof_"): DataFrame = {
     val lRow = struct(left.columns.map(col): _*)
+    val rPay = struct(payloadCols.map(col): _*)
     val lTagged = left.select(
       keyCols.map(col) ++
         Seq(col(tsCol).as("_ts"), lit(1).as("_side"), lRow.as("_lrow")) ++
-        payloadCols.map(c =>
-          lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
+        Seq(lit(null).cast(right.select(rPay).schema.head.dataType)
+          .as("_rpay")): _*)
     val rTagged = right.select(
       keyCols.map(col) ++
         Seq(col(tsCol).as("_ts"), lit(0).as("_side"),
           lit(null).cast(lTagged.schema("_lrow").dataType).as("_lrow")) ++
-        payloadCols.map(c => col(c).as(s"_r_$c")): _*)
+        Seq(rPay.as("_rpay")): _*)
     // right (side 0) sorts before left (side 1) at equal ts → inclusive
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("_ts"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lTagged.unionByName(rTagged)
-      .select(
-        Seq(col("_side"), col("_lrow")) ++
-          payloadCols.map(c =>
-            last(col(s"_r_$c"), ignoreNulls = true).over(w).as(s"$prefix$c")): _*)
+      .select(col("_side"), col("_lrow"),
+        last(col("_rpay"), ignoreNulls = true).over(w).as("_match"))
       .filter(col("_side") === 1)
-      .select(col("_lrow.*") +: payloadCols.map(c => col(s"$prefix$c")): _*)
+      .select(col("_lrow.*") +:
+        payloadCols.map(c => col("_match").getField(c).as(s"$prefix$c")): _*)
   }
 }

@@ -33,8 +33,10 @@ object Dedup {
     * exchange at all. For a pathologically dup-heavy corpus where the drop
     * set outgrows the broadcast limit, shuffle the payload on the
     * fingerprint once instead (window + rn=1); that trade is the exception,
-    * not the default. Ids are assumed non-null (null ids would not match
-    * the anti-join condition). */
+    * not the default. CONTRACT: ids must be unique and non-null — a
+    * duplicated id that ranks > 1 would anti-join away ALL of its rows
+    * (and a null id never matches the condition). With non-unique ids
+    * use `exactDedupByShuffle`, which ranks physical rows. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val keyed = df.select(col(idCol).as("_id"),
       TextAnalysis.fingerprint(col(textCol)).as("_fp"))
@@ -45,10 +47,13 @@ object Dedup {
   }
 
   /** The dup-MAJORITY fallback: one payload shuffle on the fingerprint,
-    * rank, keep rn = 1. Same answer as `exactDedup`; use it when the
-    * drop set (the duplicates) would outgrow the broadcast limit —
-    * e.g. a crawl where most rows are copies. `exactDedup` is otherwise
-    * strictly better (its exchanges carry only ids + fingerprints). */
+    * rank, keep rn = 1. Same answer as `exactDedup` under that method's
+    * unique-id contract; unlike it, this variant ranks PHYSICAL rows, so
+    * it also behaves (keeps exactly one row per fingerprint) when ids
+    * collide. Use it when the drop set (the duplicates) would outgrow
+    * the broadcast limit — e.g. a crawl where most rows are copies.
+    * `exactDedup` is otherwise strictly better (its exchanges carry only
+    * ids + fingerprints). */
   def exactDedupByShuffle(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = Window.partitionBy(TextAnalysis.fingerprint(col(textCol)))
       .orderBy(col(idCol))
@@ -416,18 +421,18 @@ object Dedup {
     * lists (d1–d5 output) into duplicate CLUSTERS with one canonical
     * (keeper) document each. Output: (id, cluster_id).
     *
-    * Iterative min-label propagation: each round joins labels onto the
-    * (symmetrized, persisted-once) edge table and takes the elementwise
-    * min with the neighborhood minimum. Convergence is detected with one
-    * scalar aggregate — the label sum is strictly decreasing until the
-    * fixed point — and labels are localCheckpointed per round so the
-    * plan stays O(1) deep instead of growing with iterations. Rounds =
-    * component diameter; near-dup components are dense (quasi-cliques),
-    * so a handful of rounds suffices. For adversarial long-chain graphs
-    * the large-star/small-star variant halves rounds to O(log n) — not
-    * needed for dedup graphs and deliberately not implemented.
-    * Per-round cost at scale: one shuffle of (node, label) pairs on the
-    * node id — payload-free by construction. */
+    * Iterative min-label propagation WITH POINTER JUMPING: each round
+    * (a) takes the elementwise min of a node's label and its neighbors'
+    * labels over the (symmetrized, persisted-once) edge table, then
+    * (b) follows the resulting label one hop (label := label(label)) —
+    * the classic shortcut that makes even a pure path graph converge in
+    * O(log n) rounds instead of O(diameter), so the default `maxIter`
+    * covers components of astronomical depth (2^24 hops). Convergence
+    * is detected with one scalar aggregate — the label sum is strictly
+    * decreasing until the fixed point — and labels are
+    * localCheckpointed per round so the plan stays O(1) deep. Per-round
+    * cost at scale: two shuffles of (node, label) pairs —
+    * payload-free by construction. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col(aCol).as("s"), col(bCol).as("d"))
@@ -447,10 +452,19 @@ object Dedup {
       val neighborMin = edges
         .join(labels, edges("d") === labels("id"))
         .groupBy("s").agg(min("cluster_id").as("nmin"))
-      labels = labels
+      val stepped = labels
         .join(neighborMin, labels("id") === neighborMin("s"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
+            .as("cluster_id"))
+      // pointer jumping: follow the new label one hop so label chains
+      // halve every round (O(log n) total instead of O(diameter))
+      val parents = stepped
+        .select(col("id").as("cluster_id"), col("cluster_id").as("_pl"))
+      labels = stepped
+        .join(parents, Seq("cluster_id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("_pl"), col("cluster_id")))
             .as("cluster_id"))
         .localCheckpoint(true)
       val s = labelSum(labels)

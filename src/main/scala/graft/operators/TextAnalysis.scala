@@ -159,12 +159,17 @@ object TextAnalysis {
     val tok = df.select(col(idCol).as("id"),
       explode(tokens(col(textCol))).as("token"))
     val vocab = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
-    val stats = vocab.agg(sum("cnt"), count(lit(1))).head()
-    val denom = (stats.getLong(0) + stats.getLong(1)).toDouble
+    // the smoothing denominator stays IN the plan (1-row broadcast) —
+    // an eager .head() here would tokenize and aggregate the corpus in
+    // a separate job and then recompute it all when the result runs;
+    // as one query, the vocab aggregation exchange is shared/reused
+    val denom = broadcast(vocab.agg(
+      (sum("cnt") + count(lit(1))).cast("double").as("_denom")))
     tok.join(vocab, "token")
+      .crossJoin(denom)
       .groupBy("id")
       .agg(count(lit(1)).as("n_tokens"),
-        round(avg(log((col("cnt") + 1).cast("double") / lit(denom))), 6)
+        round(avg(log((col("cnt") + 1).cast("double") / col("_denom"))), 6)
           .as("avg_logp"))
       .select("id", "n_tokens", "avg_logp")
   }

@@ -56,6 +56,21 @@ class AsOfJoinSpec extends SparkSpec {
     assert(fast == naive)
   }
 
+  test("asOf honors null payload fields in the matched row (no stale carry-forward)") {
+    val left = Seq((1L, "A", ts("2024-01-01 10:00:06"))).toDF("lid", "k", "ts")
+    val right = Seq(
+      ("A", ts("2024-01-01 10:00:00"), Option(5.0), Option("old")),
+      ("A", ts("2024-01-01 10:00:05"), Option.empty[Double], Option("new")))
+      .toDF("k", "ts", "v", "tag")
+    val r = AsOfJoin.asOf(left, right, Seq("k"), "ts", Seq("v", "tag"))
+      .select("asof_v", "asof_tag")
+      .as[(Option[Double], Option[String])].head()
+    // the 10:00:05 row is the match: its null v must come through as
+    // null, NOT the 10:00:00 row's 5.0 — and v/tag must not be stitched
+    // from different right rows
+    assert(r == (None, Some("new")))
+  }
+
   test("asOf preserves every left column and row") {
     val left = Seq((1L, "A", ts("2024-01-01 00:00:01"), "keep-me"))
       .toDF("id", "k", "ts", "note")

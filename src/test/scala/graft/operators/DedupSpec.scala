@@ -156,6 +156,15 @@ class DedupSpec extends SparkSpec {
     assert(labels.size == 11, "only nodes present in pairs are labeled")
   }
 
+  test("connectedComponents converges on a deep chain (pointer jumping)") {
+    // a 60-node path: pure min-propagation would need 59 rounds; with
+    // pointer jumping the default maxIter is ample
+    val pairs = (0L until 59L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 60 && labels.values.forall(_ == 0L))
+  }
+
   test("connectedComponents on an empty pair set returns no labels") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(empty, "id_a", "id_b").count() == 0)
