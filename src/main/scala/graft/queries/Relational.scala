@@ -377,6 +377,45 @@ object Relational {
       .orderBy("n_regionkey")
   }
 
+  /** Q3-shaped flagship: shipping-priority revenue — 3-way join with
+    * filters on all three tables, grouped revenue, top-10. The scan-side
+    * filters (mktsegment, both date bounds) push down; customer is the
+    * small probe side and broadcasts; only lineitem⋈orders shuffles. */
+  def q3Shipping(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < ts("1995-03-15 00:00:00"))
+      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > ts("1995-03-15 00:00:00"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+
+  /** Q5-shaped flagship: local-supplier volume — 6-way join (two fact
+    * tables + four dims), region filter walked down the dim chain,
+    * per-nation revenue. Dims broadcast; the c_nationkey = s_nationkey
+    * condition rides the supplier join. */
+  def q5LocalSupplier(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1997-01-01 00:00:00"))
+      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+
   /** A-map — metrics-store map columns (the reference stores per-grade
     * F1 and the prediction distribution as Postgres JSONB,
     * model_inference_utils.py:114–115; SURVEY §1.1 maps JSONB to
