@@ -65,10 +65,12 @@ object Analytics {
         hll_sketch_estimate(col("sketch")).cast("long").as("n_distinct_approx"),
         col("sketch"))
 
-  /** Union of period sketches → overall approximate distinct count. */
+  /** Union of period sketches → overall approximate distinct count
+    * (0 for an empty sketch set — the union aggregate yields null). */
   def distinctSketchTotal(sketches: DataFrame): Long =
     sketches.agg(
-        hll_sketch_estimate(hll_union_agg(col("sketch"))).cast("long"))
+        coalesce(hll_sketch_estimate(hll_union_agg(col("sketch")))
+          .cast("long"), lit(0L)))
       .head().getLong(0)
 }
 

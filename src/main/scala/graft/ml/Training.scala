@@ -77,6 +77,8 @@ object Training {
         .setMaxIter(maxIter).setMaxDepth(maxDepth).setStepSize(stepSize)
         .setSeed(seed)
         .setLabelCol("label").setFeaturesCol("features")
+      require(validationFraction >= 0 && validationFraction < 1,
+        s"validationFraction must be in [0, 1): $validationFraction")
       val fitOn = if (validationFraction > 0) {
         gbt.setValidationIndicatorCol("is_val")
         gbt.set(gbt.validationTol, validationTol)
@@ -84,10 +86,14 @@ object Training {
         // physical partition layout, so the same data repartitioned
         // would train a different model — content hashing keeps the
         // split (and the fitted model) reproducible across layouts,
-        // like Sampling.hashSplit
+        // reusing Sampling.hashBucket's membership idiom. Percent is
+        // rounded and floored at 1 so a small positive fraction can
+        // never silently produce an EMPTY validation set (MLlib crashes
+        // averaging validation error over zero rows).
+        val pct = math.max(1, math.round(validationFraction * 100).toInt)
         train.withColumn("is_val",
-          pmod(hash(col("features"), col("label"), lit(seed)), lit(100))
-            < (validationFraction * 100).toInt)
+          graft.ops.Sampling.hashBucket(
+            struct(col("features"), col("label")), seed.toString) < pct)
       } else train
       val ovr = new OneVsRest().setClassifier(gbt)
         .setLabelCol("label").setFeaturesCol("features")

@@ -457,9 +457,11 @@ object Dedup {
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
             .as("cluster_id"))
-      // pointer jumping: follow the new label one hop so label chains
-      // halve every round (O(log n) total instead of O(diameter))
-      val parents = stepped
+      // pointer jumping: follow the stepped label one hop THROUGH THE
+      // PREVIOUS (already-materialized) labels — label chains still
+      // halve every round (one-round lag), but `stepped` is computed
+      // exactly once instead of feeding two plan subtrees
+      val parents = labels
         .select(col("id").as("cluster_id"), col("cluster_id").as("_pl"))
       labels = stepped
         .join(parents, Seq("cluster_id"), "left")

@@ -69,7 +69,8 @@ class TrainingSpec extends SparkSpec {
           pred.select(col("label").cast("string").as("l"),
             col("prediction").cast("string").as("p")), "l", "p"),
         Seq("0.0", "1.0", "2.0")).macroF1
-    val es = new Training.GradientBoostedBackend(maxIter = 60, maxDepth = 5)
+    val es = new Training.GradientBoostedBackend(maxIter = 60, maxDepth = 5,
+      validationTol = 0.05)
     val model = es.fit(train.drop("id"))
     val trees = model.models.map(_.asInstanceOf[GBTClassificationModel].getNumTrees)
     assert(trees.exists(_ < 60),
