@@ -52,6 +52,8 @@ object SparkEntry {
     "q1_typed"        -> (Relational.q1Typed _),
     "q3_shipping"     -> (Relational.q3Shipping _),
     "q5_local_supplier" -> (Relational.q5LocalSupplier _),
+    "u_upsert"        -> (Relational.uUpsert _),
+    "s_merge_schema"  -> (Relational.sMergeSchema _),
     "a_stats_corr"    -> (Relational.aStatsCorr _),
     "a_map_metrics"   -> (Relational.aMapMetrics _),
     "m5_parse_emp_length" -> (MLFeatures.m5ParseEmpLength _),
@@ -305,6 +307,25 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "u_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS version
+        |  FROM orders),
+        |upd AS (SELECT o_orderkey, 'U' AS o_orderstatus,
+        |    round(o_totalprice * 1.1, 2) AS o_totalprice, 2 AS version
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+        |latest AS (SELECT * FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+        |  FROM u) WHERE rn = 1)
+        |SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS sum_price
+        |FROM latest GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "s_merge_schema" ->
+      """WITH m AS (
+        |  SELECT n_nationkey, n_name, CAST(NULL AS BIGINT) AS n_regionkey FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey, n_name, n_regionkey FROM nation)
+        |SELECT n_regionkey, count(*) AS n, count(n_regionkey) AS n_with_region
+        |FROM m GROUP BY n_regionkey ORDER BY n_regionkey NULLS FIRST""".stripMargin,
     "a_stats_corr" ->
       """SELECT l_returnflag,
         |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,

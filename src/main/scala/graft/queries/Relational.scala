@@ -416,6 +416,48 @@ object Relational {
         .as("revenue"))
       .orderBy(desc("revenue"), asc("n_name"))
 
+  /** U-upsert — snapshot merge (SCD-1): a base snapshot plus an update
+    * batch, keep the newest version per key — the reference's
+    * weekly-store maintenance generalized to true upserts. One window
+    * over (key, version desc); at scale this is one shuffle on the key,
+    * the same plan a MERGE INTO executes for latest-wins. */
+  def uUpsert(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val base = o.select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice"), lit(1).as("version"))
+    // deterministic update batch: every 7th order re-lands 10% pricier
+    val updates = o.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        round(col("o_totalprice") * 1.1, 2).as("o_totalprice"),
+        lit(2).as("version"))
+    val w = Window.partitionBy("o_orderkey")
+      .orderBy(desc("version"))
+    base.unionByName(updates)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** S-merge-schema — schema-evolution read: two parquet batches with
+    * different (compatible) schemas read back as one table via
+    * mergeSchema, missing columns null-filled — the drift story the
+    * reference meets with inferSchema + serve-time zero-fill. */
+  def sMergeSchema(s: SparkSession, d: String): DataFrame = {
+    val tmp = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/merge_schema"
+    val n = Tables.nation(s, d)
+    n.select("n_nationkey", "n_name")
+      .write.mode("overwrite").parquet(s"$tmp/batch1")
+    n.select("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$tmp/batch2")
+    s.read.option("mergeSchema", "true").parquet(s"$tmp/batch1", s"$tmp/batch2")
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n"), count(col("n_regionkey")).as("n_with_region"))
+      .orderBy(asc_nulls_first("n_regionkey"))
+  }
+
   /** A-map — metrics-store map columns (the reference stores per-grade
     * F1 and the prediction distribution as Postgres JSONB,
     * model_inference_utils.py:114–115; SURVEY §1.1 maps JSONB to
