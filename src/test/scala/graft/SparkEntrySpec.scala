@@ -17,4 +17,21 @@ class SparkEntrySpec extends SparkSpec {
       assert(df.columns.nonEmpty, s"$name has no columns")
     }
   }
+
+  // queries whose plan INTENTIONALLY contains a bounded broadcast nested
+  // loop: ann1 (the exact ANN baseline: broadcast query set × one corpus
+  // scan), ann3 (queries × nCells centroid table), t9 (1-row smoothing
+  // denominator crossed in)
+  private val intendedNestedLoop = Set("ann1_brute_force", "ann3_ivf", "t9_lm_score")
+
+  test("no query plans an unintended nested-loop or cartesian join") {
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      if (!intendedNestedLoop(name)) {
+        assert(!plan.contains("BroadcastNestedLoopJoin") &&
+          !plan.contains("CartesianProduct"),
+          s"$name plans a nested loop / cartesian — a scale killer:\n$plan")
+      }
+    }
+  }
 }
