@@ -54,6 +54,7 @@ object SparkEntry {
     "q5_local_supplier" -> (Relational.q5LocalSupplier _),
     "u_upsert"        -> (Relational.uUpsert _),
     "s_merge_schema"  -> (Relational.sMergeSchema _),
+    "dq_checks"       -> (Relational.dqChecks _),
     "a_stats_corr"    -> (Relational.aStatsCorr _),
     "a_map_metrics"   -> (Relational.aMapMetrics _),
     "m5_parse_emp_length" -> (MLFeatures.m5ParseEmpLength _),
@@ -307,6 +308,28 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "dq_checks" ->
+      """WITH checks AS (
+        |  SELECT 'orders_pk_unique' AS check,
+        |    count(*) - count(DISTINCT o_orderkey) AS violations FROM orders
+        |  UNION ALL SELECT 'customer_pk_unique',
+        |    count(*) - count(DISTINCT c_custkey) FROM customer
+        |  UNION ALL SELECT 'lineitem_pk_unique',
+        |    count(*) - count(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem
+        |  UNION ALL SELECT 'orders_custkey_not_null',
+        |    count(CASE WHEN o_custkey IS NULL THEN 1 END) FROM orders
+        |  UNION ALL SELECT 'orders_customer_fk', count(*) FROM orders o
+        |    WHERE o_custkey IS NOT NULL AND NOT EXISTS
+        |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |  UNION ALL SELECT 'lineitem_orders_fk', count(*) FROM lineitem l
+        |    WHERE l_orderkey IS NOT NULL AND NOT EXISTS
+        |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |  UNION ALL SELECT 'lineitem_discount_range',
+        |    count(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 END)
+        |    FROM lineitem)
+        |SELECT "check", CAST(violations AS BIGINT) AS violations,
+        |  violations = 0 AS passed
+        |FROM checks ORDER BY "check"""".stripMargin,
     "u_upsert" ->
       """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS version
         |  FROM orders),

@@ -458,6 +458,29 @@ object Relational {
       .orderBy(asc_nulls_first("n_regionkey"))
   }
 
+  /** DQ — data-quality gate over the corpus: key uniqueness, not-null,
+    * referential integrity, and a value-range check, one aggregation
+    * pass each (graft.ops.Quality; the reference ships the dependency
+    * for this and never uses it — SURVEY §5). */
+  def dqChecks(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Quality
+    val orders = Tables.orders(s, d)
+    val customer = Tables.customer(s, d)
+    val lineitem = Tables.lineitem(s, d)
+    Quality.report(Seq(
+      Quality.uniqueCheck(orders, Seq("o_orderkey"), "orders_pk_unique"),
+      Quality.uniqueCheck(customer, Seq("c_custkey"), "customer_pk_unique"),
+      Quality.uniqueCheck(lineitem, Seq("l_orderkey", "l_linenumber"),
+        "lineitem_pk_unique"),
+      Quality.notNullCheck(orders, "o_custkey", "orders_custkey_not_null"),
+      Quality.fkCheck(orders, "o_custkey", customer, "c_custkey",
+        "orders_customer_fk"),
+      Quality.fkCheck(lineitem, "l_orderkey", orders, "o_orderkey",
+        "lineitem_orders_fk"),
+      Quality.rangeCheck(lineitem, "l_discount", 0.0, 0.1,
+        "lineitem_discount_range")))
+  }
+
   /** A-map — metrics-store map columns (the reference stores per-grade
     * F1 and the prediction distribution as Postgres JSONB,
     * model_inference_utils.py:114–115; SURVEY §1.1 maps JSONB to

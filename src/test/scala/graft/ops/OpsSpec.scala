@@ -80,6 +80,26 @@ class OpsSpec extends SparkSpec {
     assert(small.count() == 5)
   }
 
+  test("quality checks count violations and pass on clean data") {
+    val dirty = Seq((1L, Some(10.0)), (1L, Some(20.0)), (2L, None), (3L, Some(99.0)))
+      .toDF("id", "v")
+    val parent = Seq(1L, 2L).toDF("pid")
+    val rpt = Quality.report(Seq(
+      Quality.uniqueCheck(dirty, Seq("id"), "id_unique"),
+      Quality.notNullCheck(dirty, "v", "v_not_null"),
+      Quality.rangeCheck(dirty, "v", 0.0, 50.0, "v_range"),
+      Quality.fkCheck(dirty, "id", parent, "pid", "id_fk")))
+      .as[(String, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(rpt("id_unique") == (1L, false))  // id 1 twice
+    assert(rpt("v_not_null") == (1L, false)) // one null
+    assert(rpt("v_range") == (1L, false))    // 99.0 out of range
+    assert(rpt("id_fk") == (1L, false))      // id 3 has no parent
+    val clean = Quality.uniqueCheck(parent, Seq("pid"), "ok")
+      .as[(String, Long, Boolean)].head()
+    assert(clean == ("ok", 0L, true))
+  }
+
   test("approx_count_distinct lands within 5% of exact on real data") {
     val li = graft.core.Tables.lineitem(spark, sf)
     val (exact, approx) = li.agg(
