@@ -87,10 +87,12 @@ object Training {
         // would train a different model — content hashing keeps the
         // split (and the fitted model) reproducible across layouts,
         // reusing Sampling.hashBucket's membership idiom. Percent is
-        // rounded and floored at 1 so a small positive fraction can
-        // never silently produce an EMPTY validation set (MLlib crashes
-        // averaging validation error over zero rows).
-        val pct = math.max(1, math.round(validationFraction * 100).toInt)
+        // rounded and clamped to [1, 99] so quantization can never
+        // DETERMINISTICALLY empty the validation set (MLlib crashes
+        // averaging validation error over zero rows) or the training
+        // set; a tiny dataset can still land zero rows in the hash
+        // bucket — use validationFraction = 0 there.
+        val pct = math.min(99, math.max(1, math.round(validationFraction * 100).toInt))
         train.withColumn("is_val",
           graft.ops.Sampling.hashBucket(
             struct(col("features"), col("label")), seed.toString) < pct)

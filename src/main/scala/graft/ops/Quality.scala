@@ -21,7 +21,11 @@ object Quality {
       .select(lit(check).as("check"), col("violations"),
         (col("violations") === 0).as("passed"))
 
-  /** No duplicate values over `cols` (nulls group like values). */
+  /** No duplicate values over `cols`. Nulls group like values — two
+    * null keys count as one duplicate, STRICTER than SQL
+    * `count(DISTINCT col)` which drops nulls entirely (null-key
+    * presence is `notNullCheck`'s job; this check answers "is the key
+    * set collision-free"). */
   def uniqueCheck(df: DataFrame, cols: Seq[String], name: String): DataFrame =
     row(df, name,
       count(lit(1)) - countDistinct(struct(cols.map(col): _*)))
@@ -39,18 +43,17 @@ object Quality {
     * parent. Anti-join on the key — the parent key set broadcasts when
     * small, and the count never materializes the violating rows. */
   def fkCheck(child: DataFrame, childKey: String,
-              parent: DataFrame, parentKey: String, name: String): DataFrame = {
-    val violations = child
-      .filter(col(childKey).isNotNull)
-      .join(parent.select(col(parentKey).as(childKey)),
-        Seq(childKey), "left_anti")
-      .agg(count(lit(1)).cast("long").as("violations"))
-    violations.select(lit(name).as("check"), col("violations"),
-      (col("violations") === 0).as("passed"))
-  }
+              parent: DataFrame, parentKey: String, name: String): DataFrame =
+    row(
+      child.filter(col(childKey).isNotNull)
+        .join(parent.select(col(parentKey).as(childKey)),
+          Seq(childKey), "left_anti"),
+      name, count(lit(1)))
 
   /** Union of independent checks into one (check, violations, passed)
     * table, ordered by check name. */
-  def report(checks: Seq[DataFrame]): DataFrame =
+  def report(checks: Seq[DataFrame]): DataFrame = {
+    require(checks.nonEmpty, "report needs at least one check")
     checks.reduce(_ unionByName _).orderBy("check")
+  }
 }
