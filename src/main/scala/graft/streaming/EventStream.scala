@@ -52,6 +52,48 @@ object EventStream {
       }
   }
 
+  /** Streaming drift monitor — the reference's retrain trigger
+    * (macro-F1/PSI thresholding, dag_functions.py:61–99) as a real
+    * stream: per event-time window, bucket the incoming score
+    * distribution against fixed baseline decile `breaks`, compute PSI
+    * against the baseline's `expected` bucket probabilities, and flag
+    * windows whose PSI clears `threshold`. ONE streaming aggregation:
+    * the per-bucket counts are conditional sums inside the window
+    * group-by (chained streaming aggregations would be illegal), and
+    * the PSI fold is a plain projection over the counts. The baseline
+    * (breaks + expected) is driver-supplied — at scale it comes from
+    * the training snapshot exactly like Psi.decileBreaks. */
+  def psiDriftMonitor(scores: DataFrame, breaks: Seq[Double],
+                      expected: Seq[Double], windowLen: String = "7 days",
+                      watermark: String = "7 days",
+                      threshold: Double = 0.2): DataFrame = {
+    require(expected.length == breaks.length + 1,
+      "expected must have one probability per bucket (breaks + 1)")
+    // fold REVERSED so the smallest break is the outermost when —
+    // score <= breaks(0) must win before any larger break matches
+    val bucketOf = breaks.zipWithIndex.reverse.foldLeft(lit(breaks.length)) {
+      case (acc, (b, i)) => when(col("score") <= b, i).otherwise(acc)
+    }
+    val counts = (0 to breaks.length).map(i =>
+      sum(when(col("_bucket") === i, 1L).otherwise(0L)).as(s"c_$i"))
+    val total = (0 to breaks.length).map(i => col(s"c_$i")).reduce(_ + _)
+    // clamp-1e-4 like Psi: empty buckets contribute bounded terms
+    val psi = (0 to breaks.length).map { i =>
+      val a = greatest(col(s"c_$i") / total.cast("double"), lit(1e-4))
+      val e = lit(math.max(expected(i), 1e-4))
+      (a - e) * log(a / e)
+    }.reduce(_ + _)
+    scores
+      .withColumn("_bucket", bucketOf)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(counts.head, counts.tail: _*)
+      .select(col("window.start").as("win_start"),
+        total.as("n_scores"),
+        round(psi, 6).as("psi"))
+      .withColumn("retrain", col("psi") >= threshold)
+  }
+
   /** Streaming exact dedup — the streaming twin of Dedup.exactDedup for
     * a continuously-arriving corpus: keep the FIRST document seen per
     * content fingerprint. dropDuplicatesWithinWatermark bounds the state

@@ -148,6 +148,31 @@ class EventStreamSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L)) // id 1 deduped across micro-batches
   }
 
+  test("psiDriftMonitor flags the drifted window, passes the stable one") {
+    implicit val sqlCtx = spark.sqlContext
+    // baseline: uniform over 4 buckets split at 0.25/0.5/0.75
+    val breaks = Seq(0.25, 0.5, 0.75)
+    val expected = Seq(0.25, 0.25, 0.25, 0.25)
+    val mem = MemoryStream[(Timestamp, Double)]
+    val q = psiDriftMonitor(mem.toDF().toDF("ts", "score"),
+        breaks, expected, windowLen = "1 day", watermark = "1 day",
+        threshold = 0.2)
+      .writeStream.format("memory").queryName("drift")
+      .outputMode(OutputMode.Update).start()
+    // day 1: matches the baseline (one score per bucket)
+    mem.addData(Seq(0.1, 0.3, 0.6, 0.9).map(v => (ts("2024-01-01 10:00:00"), v)): _*)
+    // day 2: everything collapses into the top bucket — heavy drift
+    mem.addData(Seq(0.8, 0.85, 0.9, 0.95).map(v => (ts("2024-01-02 10:00:00"), v)): _*)
+    q.processAllAvailable()
+    val rows = spark.table("drift")
+      .select("win_start", "psi", "retrain")
+      .as[(Timestamp, Double, Boolean)].collect().sortBy(_._1.getTime)
+    q.stop()
+    assert(rows.length == 2)
+    assert(!rows(0)._3 && rows(0)._2 < 0.05, s"stable window flagged: ${rows(0)}")
+    assert(rows(1)._3 && rows(1)._2 > 0.5, s"drifted window missed: ${rows(1)}")
+  }
+
   test("streamingExactDedup keeps first doc per content fingerprint (d1 twin)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String)]
