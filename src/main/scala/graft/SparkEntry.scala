@@ -80,6 +80,7 @@ object SparkEntry {
     "t8_pack_sequences" -> (Documents.t8PackSequences _),
     "t9_lm_score"     -> (Documents.t9LmScore _),
     "r4_quota_sample" -> (Documents.r4QuotaSample _),
+    "llm_corpus_pipeline" -> (Documents.llmCorpusPipeline _),
     "j6_range_join"   -> (Events.j6RangeJoin _),
     "t3_lang_id"      -> (Documents.t3LangId _),
     "t4_fingerprint"  -> (Documents.t4Fingerprint _),
@@ -515,6 +516,37 @@ object SparkEntry {
         |SELECT id, shard, n_tokens,
         |  CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS chunk_id
         |FROM c ORDER BY id""".stripMargin,
+    "llm_corpus_pipeline" ->
+      """WITH t0 AS (SELECT doc_id, lang, text,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |      ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |feat AS (SELECT doc_id, lang, text,
+        |    regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM t0 WHERE rn = 1),
+        |scored AS (SELECT doc_id, lang, ws,
+        |    round(least(len(ws) / 50.0, 1.0) * 0.5
+        |      + least(len(list_filter(ws, w -> w IN ('the','a','of','and','is','to','in')))
+        |          / greatest(len(ws) * 0.05, 1.0), 1.0) * 0.5
+        |      - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) * 1.0
+        |          / greatest(length(text), 1), 6) AS q,
+        |    round(1.0 - len(list_distinct(ws)) * 1.0 / greatest(len(ws), 1), 6) AS rep
+        |  FROM feat),
+        |ranked AS (SELECT doc_id, lang, ws,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS qrk
+        |  FROM scored WHERE q >= 0.4 AND rep < 0.5),
+        |sampled AS (SELECT doc_id, lang, len(ws) AS n_tokens, doc_id % 4 AS shard
+        |  FROM ranked WHERE qrk <= 40),
+        |packed AS (SELECT doc_id, lang, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM sampled)
+        |SELECT lang, shard, count(*) AS n_docs,
+        |  max(CAST(floor((cum - n_tokens) / 256.0) AS BIGINT)) AS max_chunk,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tok_total
+        |FROM packed GROUP BY lang, shard ORDER BY lang, shard""".stripMargin,
     "r4_quota_sample" ->
       """SELECT lang, doc_id FROM (
         |  SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang

@@ -123,6 +123,31 @@ object Documents {
       .select("lang", "doc_id")
       .orderBy("lang", "doc_id")
 
+  /** LLM corpus pipeline — the end-to-end composite this operator
+    * family exists for, as ONE oracle-checked query: exact dedup →
+    * quality + repetition filtering → per-language quota sampling →
+    * shard-local sequence packing → per-(lang, shard) corpus summary.
+    * Every stage is the registered scale-path operator; the DuckDB twin
+    * recomputes the whole chain independently. */
+  def llmCorpusPipeline(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Sampling
+    val deduped = Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")
+    val filtered = deduped
+      .withColumn("q", TextAnalysis.qualityScore(col("text"), stopwords))
+      .withColumn("rep", TextAnalysis.repetitionRatio(col("text")))
+      .filter(col("q") >= 0.4 && col("rep") < 0.5)
+    val sampled = Sampling.quotaSample(filtered, "lang", "doc_id", 40)
+    val packed = TextAnalysis.packSequences(sampled, "doc_id", "text",
+      budget = 256, shards = 4)
+    sampled.select(col("doc_id").as("id"), col("lang"))
+      .join(packed, "id")
+      .groupBy("lang", "shard")
+      .agg(count(lit(1)).as("n_docs"),
+        max("chunk_id").as("max_chunk"),
+        sum("n_tokens").as("tok_total"))
+      .orderBy("lang", "shard")
+  }
+
   /** G — generator coverage: explode over a computed array (first-5
     * tokens per doc), aggregated to a word frequency table. */
   def gExplodeSlice(s: SparkSession, d: String): DataFrame =
