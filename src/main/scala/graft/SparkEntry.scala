@@ -55,6 +55,8 @@ object SparkEntry {
     "u_upsert"        -> (Relational.uUpsert _),
     "s_merge_schema"  -> (Relational.sMergeSchema _),
     "dq_checks"       -> (Relational.dqChecks _),
+    "w5_rank_family"  -> (Relational.w5RankFamily _),
+    "a_rollup"        -> (Relational.aRollup _),
     "a_stats_corr"    -> (Relational.aStatsCorr _),
     "a_map_metrics"   -> (Relational.aMapMetrics _),
     "m5_parse_emp_length" -> (MLFeatures.m5ParseEmpLength _),
@@ -309,6 +311,20 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "w5_rank_family" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  dense_rank() OVER w AS drank,
+        |  round(percent_rank() OVER w, 6) AS prank,
+        |  round(cume_dist() OVER w, 6) AS cdist
+        |FROM customer WHERE c_custkey <= 200
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |  ORDER BY c_acctbal DESC, c_custkey ASC)
+        |ORDER BY c_custkey""".stripMargin,
+    "a_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "dq_checks" ->
       """WITH checks AS (
         |  SELECT 'orders_pk_unique' AS check,

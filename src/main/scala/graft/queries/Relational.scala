@@ -458,6 +458,26 @@ object Relational {
       .orderBy(asc_nulls_first("n_regionkey"))
   }
 
+  /** W5 — remaining rank family: dense_rank, percent_rank, cume_dist
+    * over one window (completes W1–W4's row_number/lead/ntile/frames). */
+  def w5RankFamily(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy(desc("c_acctbal"), asc("c_custkey"))
+    Tables.customer(s, d)
+      .filter(col("c_custkey") <= 200)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        dense_rank().over(w).as("drank"),
+        round(percent_rank().over(w), 6).as("prank"),
+        round(cume_dist().over(w), 6).as("cdist"))
+      .orderBy("c_custkey")
+  }
+
+  /** A-rollup — hierarchical grouping-sets twin of `a_cube`. */
+  def aRollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
   /** DQ — data-quality gate over the corpus: key uniqueness, not-null,
     * referential integrity, and a value-range check, one aggregation
     * pass each (graft.ops.Quality; the reference ships the dependency
