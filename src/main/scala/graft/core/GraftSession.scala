@@ -24,6 +24,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // runtime bloom-filter injection (off by default in this build):
+      // a selective filter on one join side plants a bloom filter on the
+      // other side's key, killing most probe rows BEFORE the shuffle —
+      // at 100 TB this is the difference between shuffling a filtered
+      // fact and shuffling the whole one
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       // scan partition sizing: default 128m; keep explicit — it is the
       // other half of the memory-per-task contract
       .config("spark.sql.files.maxPartitionBytes", "134217728")
