@@ -24,11 +24,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // runtime bloom-filter injection (off by default in this build):
-      // a selective filter on one join side plants a bloom filter on the
-      // other side's key, killing most probe rows BEFORE the shuffle —
-      // at 100 TB this is the difference between shuffling a filtered
-      // fact and shuffling the whole one
+      // runtime bloom-filter injection: a selective filter on one join
+      // side plants a bloom filter on the other side's key, killing most
+      // probe rows BEFORE the shuffle. ON by default in Spark ≥3.4 —
+      // pinned here explicitly because the engine's join-pruning story
+      // depends on it (injection is additionally gated by size
+      // thresholds sized for real tables; see PlanShapeSpec)
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       // scan partition sizing: default 128m; keep explicit — it is the
       // other half of the memory-per-task contract

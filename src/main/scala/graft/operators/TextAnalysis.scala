@@ -181,20 +181,24 @@ object TextAnalysis {
     * partition, while per-shard windows scale with the cluster (shard =
     * id mod `shards`; at 100 TB set shards ≈ total cores). Output:
     * (id, shard, n_tokens, chunk_id) — the shard-local chunk each
-    * document starts in. */
+    * document starts in — plus any `carry` columns passed through
+    * verbatim (so callers don't re-join the input, re-running its
+    * lineage, just to recover a label). */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-                    budget: Int, shards: Int): DataFrame = {
+                    budget: Int, shards: Int,
+                    carry: Seq[String] = Nil): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy("id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    df.select(col(idCol).as("id"),
+    df.select(Seq(col(idCol).as("id"),
         pmod(col(idCol), lit(shards)).as("shard"),
-        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+        tokenCount(col(textCol)).cast("long").as("n_tokens")) ++
+        carry.map(col): _*)
       .withColumn("cum", sum("n_tokens").over(w))
       .withColumn("chunk_id",
         floor((col("cum") - col("n_tokens")) / lit(budget.toDouble)).cast("long"))
-      .select("id", "shard", "n_tokens", "chunk_id")
+      .select((Seq("id", "shard", "n_tokens", "chunk_id") ++ carry).map(col): _*)
   }
 
   /** Per-token TF-IDF over a corpus: (id, token, tf, df, tfidf) with

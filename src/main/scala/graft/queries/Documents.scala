@@ -137,10 +137,10 @@ object Documents {
       .withColumn("rep", TextAnalysis.repetitionRatio(col("text")))
       .filter(col("q") >= 0.4 && col("rep") < 0.5)
     val sampled = Sampling.quotaSample(filtered, "lang", "doc_id", 40)
-    val packed = TextAnalysis.packSequences(sampled, "doc_id", "text",
-      budget = 256, shards = 4)
-    sampled.select(col("doc_id").as("id"), col("lang"))
-      .join(packed, "id")
+    // lang rides through the packer: a join back onto `sampled` would
+    // re-run the whole dedup→score→quota lineage a second time
+    TextAnalysis.packSequences(sampled, "doc_id", "text",
+        budget = 256, shards = 4, carry = Seq("lang"))
       .groupBy("lang", "shard")
       .agg(count(lit(1)).as("n_docs"),
         max("chunk_id").as("max_chunk"),

@@ -77,10 +77,13 @@ object EventStream {
     val counts = (0 to breaks.length).map(i =>
       sum(when(col("_bucket") === i, 1L).otherwise(0L)).as(s"c_$i"))
     val total = (0 to breaks.length).map(i => col(s"c_$i")).reduce(_ + _)
-    // clamp-1e-4 like Psi: empty buckets contribute bounded terms
+    // clamp EXACT ZEROS to 1e-4, like batch Psi (Psi.scala) — a rare but
+    // nonempty bucket keeps its true proportion so the streaming monitor
+    // and m8-style batch PSI agree on the same data
     val psi = (0 to breaks.length).map { i =>
-      val a = greatest(col(s"c_$i") / total.cast("double"), lit(1e-4))
-      val e = lit(math.max(expected(i), 1e-4))
+      val raw = col(s"c_$i") / total.cast("double")
+      val a = when(raw === 0.0, 1e-4).otherwise(raw)
+      val e = lit(if (expected(i) == 0.0) 1e-4 else expected(i))
       (a - e) * log(a / e)
     }.reduce(_ + _)
     scores

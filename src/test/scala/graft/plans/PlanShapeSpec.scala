@@ -26,11 +26,11 @@ class PlanShapeSpec extends SparkSpec {
 
   test("runtime bloom filter guards a selective fact-to-fact join") {
     // a selective filter on one join side → Spark injects a bloom filter
-    // on the other side's key so most rows die before the shuffle.
-    // GraftSession turns this on (off by default in this build); the
-    // shared test session needs it set for the scope of this test
+    // on the other side's key so most rows die before the shuffle. The
+    // feature is ON by default (Spark ≥3.4); what gates it on smoke data
+    // are the size thresholds sized for real tables — lower them for the
+    // scope of this test so the injection demonstrably fires
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-    // drop below the injection thresholds sized for real tables
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
