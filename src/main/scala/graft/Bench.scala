@@ -5,7 +5,10 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR, forcing FULL materialization through the noop
   * sink (count() alone lets parquet metadata short-circuit scans), and
-  * prints one JSON line with per-query seconds.
+  * prints per-query seconds as JSON: first a full medians+spread line
+  * (also persisted to BENCH_DETAIL.json), then a compact medians-only
+  * line LAST — consumers that keep only the final ~2 KB of output get a
+  * complete, parseable object.
   *
   * Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3); the
   * headline "queries" numbers are per-query MEDIANS, with the min/max
@@ -51,7 +54,7 @@ object Bench {
       val ts = timed.map(_._1).sorted
       (name, ts(ts.size / 2), ts.head, ts.last, timed.forall(_._2))
     }
-    val qs = results.map { case (k, med, _, _, _) => "\"" + k + f"""\":$med%.3f""" }
+    val qs3 = results.map { case (k, med, _, _, _) => "\"" + k + f"""\":$med%.3f""" }
       .mkString("{", ",", "}")
     val spread = results
       .map { case (k, _, lo, hi, _) => "\"" + k + f"""\":[$lo%.3f,$hi%.3f]""" }
@@ -61,7 +64,25 @@ object Bench {
     val failures = results.collect { case (k, _, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"queries":$qs,"spread":$spread,"failures":$failures,"sf":"$sfDir"}""")
+    val detail =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"queries":$qs3,"spread":$spread,"failures":$failures,"sf":"$sfDir"}"""
+    // Full medians+spread JSON: printed first and persisted to a file.
+    // The consumer of this output keeps only the LAST ~2000 characters,
+    // so the detail line (≈4.5 KB at 80 queries) can never be the final
+    // line — it would be truncated mid-object and parse as nothing.
+    println(detail)
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_DETAIL.json"),
+        (detail + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    // Final line: compact medians-only (2 dp, ~10 ms resolution — well
+    // below the ±10–20% box noise), sized to survive a 2000-char tail
+    // with room for the build tool's trailing status line.
+    val qs2 = results.map { case (k, med, _, _, _) => "\"" + k + f"""\":$med%.2f""" }
+      .mkString("{", ",", "}")
+    val sfName = new java.io.File(sfDir).getName
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs2,"failures":$failures,"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -351,7 +351,8 @@ object SparkEntry {
       """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS version
         |  FROM orders),
         |upd AS (SELECT o_orderkey, 'U' AS o_orderstatus,
-        |    round(o_totalprice * 1.1, 2) AS o_totalprice, 2 AS version
+        |    CAST(round(CAST(o_totalprice AS DECIMAL(15,2)) * 1.1, 2) AS DOUBLE)
+        |      AS o_totalprice, 2 AS version
         |  FROM orders WHERE o_orderkey % 7 = 0),
         |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
         |latest AS (SELECT * FROM (

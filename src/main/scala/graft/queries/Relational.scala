@@ -425,10 +425,17 @@ object Relational {
     val o = Tables.orders(s, d)
     val base = o.select(col("o_orderkey"), col("o_orderstatus"),
       col("o_totalprice"), lit(1).as("version"))
-    // deterministic update batch: every 7th order re-lands 10% pricier
+    // deterministic update batch: every 7th order re-lands 10% pricier.
+    // The ×1.1 runs in exact decimal: round(double*1.1, 2) straddles
+    // half-way points differently across engines (the binary double for
+    // x.xx5 sits just below the decimal midpoint), so cast to
+    // DECIMAL(15,2) first — decimal×decimal is exact and HALF_UP then
+    // agrees everywhere — and cast back to double for the union.
     val updates = o.filter(col("o_orderkey") % 7 === 0)
       .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
-        round(col("o_totalprice") * 1.1, 2).as("o_totalprice"),
+        round(col("o_totalprice").cast("decimal(15,2)") *
+            lit(new java.math.BigDecimal("1.1")), 2)
+          .cast("double").as("o_totalprice"),
         lit(2).as("version"))
     val w = Window.partitionBy("o_orderkey")
       .orderBy(desc("version"))
