@@ -41,7 +41,11 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args select a subset (targeted local iteration)
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val timed = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -51,6 +55,11 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
+      // drop caches this query (or its upstream operators) persisted so
+      // later queries aren't taxed by lingering blocks — timings stay
+      // position-independent. Within one query's consecutive runs the
+      // cache IS shared (that's the warm median being measured).
+      spark.catalog.clearCache()
       val ts = timed.map(_._1).sorted
       (name, ts(ts.size / 2), ts.head, ts.last, timed.forall(_._2))
     }

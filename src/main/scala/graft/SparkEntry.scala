@@ -82,6 +82,9 @@ object SparkEntry {
     "t8_pack_sequences" -> (Documents.t8PackSequences _),
     "t9_lm_score"     -> (Documents.t9LmScore _),
     "r4_quota_sample" -> (Documents.r4QuotaSample _),
+    "d7_incremental_dedup" -> (Documents.d7IncrementalDedup _),
+    "r5_temperature_mix" -> (Documents.r5TemperatureMix _),
+    "t10_contamination" -> (Documents.t10Contamination _),
     "llm_corpus_pipeline" -> (Documents.llmCorpusPipeline _),
     "j6_range_join"   -> (Events.j6RangeJoin _),
     "t3_lang_id"      -> (Documents.t3LangId _),
@@ -570,6 +573,37 @@ object SparkEntry {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 30 ORDER BY lang, doc_id""".stripMargin,
+    "d7_incremental_dedup" ->
+      """WITH fp AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |batch AS (SELECT * FROM fp WHERE doc_id % 5 = 0),
+        |corpus AS (SELECT * FROM fp WHERE doc_id % 5 <> 0),
+        |keep AS (SELECT fp, min(doc_id) AS doc_id FROM batch GROUP BY fp)
+        |SELECT doc_id, fp FROM keep
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = keep.fp)
+        |ORDER BY doc_id""".stripMargin,
+    "r5_temperature_mix" ->
+      """WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |q AS (SELECT lang,
+        |    CAST(greatest(1, least(n,
+        |      floor(200.0 * (pow(n, 0.5) / sum(pow(n, 0.5)) OVER ())))) AS BIGINT)
+        |      AS quota
+        |  FROM counts),
+        |r AS (SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM documents)
+        |SELECT r.lang AS lang, r.doc_id AS doc_id FROM r JOIN q ON r.lang = q.lang
+        |WHERE rk <= quota ORDER BY r.lang, r.doc_id""".stripMargin,
+    "t10_contamination" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+        |  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s FROM t),
+        |corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0),
+        |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 97 = 0),
+        |pairs AS (SELECT c.doc_id, e.eval_id, count(*) AS shared
+        |  FROM corpus c JOIN ev e ON c.s = e.s GROUP BY 1, 2)
+        |SELECT doc_id, max(shared) AS max_shared, count(*) AS n_eval_hits
+        |FROM pairs WHERE shared >= 2 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d5_embed_dup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

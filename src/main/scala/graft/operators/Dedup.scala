@@ -61,6 +61,67 @@ object Dedup {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Incremental exact dedup — the production mode at corpus scale:
+    * dedup an incoming BATCH against an already-ingested corpus without
+    * ever re-clustering the corpus itself. Returns (id, fp) of batch
+    * rows that survive both (a) within-batch dedup (smallest id per
+    * fingerprint) and (b) the corpus check (fingerprint unseen).
+    *
+    * `corpus` only needs the text column — in production it is the
+    * persisted fingerprint STORE (a parquet of 16-byte fps, bucketed by
+    * fp), not the corpus payload; pass `corpusFpCol` naming its
+    * fingerprint column to skip re-hashing. Scale shape: the batch
+    * reduces to (fp → min id) with map-side combine, then one anti join
+    * on the fingerprint — both exchanges carry id+fp only, never text.
+    * Appending the survivors' fps to the store closes the loop for the
+    * next batch. */
+  def incrementalExactDedup(batch: DataFrame, corpus: DataFrame,
+                            idCol: String, textCol: String,
+                            corpusFpCol: Option[String] = None): DataFrame = {
+    val batchFp = batch.select(col(idCol).as("id"),
+      TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val corpusFp = corpusFpCol match {
+      case Some(c) => corpus.select(col(c).as("fp"))
+      case None => corpus.select(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    }
+    batchFp.groupBy("fp").agg(min("id").as("id"))
+      .join(corpusFp, Seq("fp"), "left_anti")
+      .select("id", "fp")
+  }
+
+  /** Benchmark decontamination: word-n-gram overlap between a training
+    * corpus and an evaluation set. Returns one row per
+    * (corpus doc, eval doc) pair sharing ≥ 1 n-gram, with the shared
+    * count — callers aggregate to flag/drop contaminated documents.
+    *
+    * Scale shape: both sides reduce to distinct (id, shingle) and meet
+    * in ONE equi-join on the shingle string; the eval side (benchmarks —
+    * thousands of docs, not billions) is tiny relative to the corpus, so
+    * its shingle table is broadcast and the corpus side never shuffles.
+    * For boilerplate-heavy corpora pass `maxDocFreq` to drop shingles
+    * whose CORPUS document frequency exceeds the cap (an ubiquitous
+    * n-gram matches everything and signals nothing). */
+  def contaminationPairs(corpus: DataFrame, evalSet: DataFrame,
+                         idCol: String, textCol: String, n: Int = 3,
+                         maxDocFreq: Option[Int] = None): DataFrame = {
+    val corpusSh = {
+      val sh = shingles(corpus, idCol, textCol, n)
+      maxDocFreq match {
+        case None => sh
+        case Some(cap) =>
+          // hot shingles are few at any sane cap — broadcast the block-list
+          val hot = sh.groupBy("shingle").agg(count(lit(1)).as("_df"))
+            .filter(col("_df") > cap).select("shingle")
+          sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+      }
+    }
+    val evalSh = shingles(evalSet, idCol, textCol, n)
+      .withColumnRenamed("id", "eval_id")
+    corpusSh.join(broadcast(evalSh), Seq("shingle"))
+      .groupBy("id", "eval_id")
+      .agg(count(lit(1)).as("shared"))
+  }
+
   /** Distinct word-n-gram shingles per document: (id, shingle).
     *
     * The token array is PROJECTED first: element_at(split(...), i) inside
@@ -435,9 +496,17 @@ object Dedup {
     * payload-free by construction. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(aCol).as("s"), col(bCol).as("d"))
-      .unionByName(pairs.select(col(bCol).as("s"), col(aCol).as("d")))
-      .distinct()
+    // Symmetrize with ONE pass over `pairs` (explode of the two
+    // directed copies) — a self-union would evaluate the upstream pair
+    // plan (often an expensive LSH/verify pipeline) twice on the first
+    // materialization. No distinct(): min-label propagation is
+    // idempotent under duplicate edges, so deduplication is a whole
+    // extra shuffle that buys nothing.
+    val edges = pairs
+      .select(explode(array(
+        struct(col(aCol).as("s"), col(bCol).as("d")),
+        struct(col(bCol).as("s"), col(aCol).as("d")))).as("e"))
+      .select(col("e.s").as("s"), col("e.d").as("d"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("s").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
@@ -447,7 +516,7 @@ object Dedup {
       df.agg(coalesce(sum("cluster_id"), lit(0L))).head().getLong(0)
     var converged = false
     var iter = 0
-    var lastSum = labelSum(labels)
+    var lastSum = -1L // sentinel: never equals a real non-negative sum
     while (!converged && iter < maxIter) {
       val neighborMin = edges
         .join(labels, edges("d") === labels("id"))
@@ -463,12 +532,15 @@ object Dedup {
       // exactly once instead of feeding two plan subtrees
       val parents = labels
         .select(col("id").as("cluster_id"), col("cluster_id").as("_pl"))
+      // lazy checkpoint: the convergence-sum action right below both
+      // materializes it and reads it — an eager checkpoint would run a
+      // separate materialization job per round for nothing
       labels = stepped
         .join(parents, Seq("cluster_id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("_pl"), col("cluster_id")))
             .as("cluster_id"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val s = labelSum(labels)
       converged = s == lastSum
       lastSum = s

@@ -52,4 +52,39 @@ object Sampling {
       .filter(col("_qrk") <= quota)
       .drop("_qrk")
   }
+
+  /** Temperature-scaled corpus mixing (the multilingual-LLM standard:
+    * sample source i with probability ∝ nᵢ^α, α ∈ (0,1] — α = 1 keeps the
+    * natural distribution, α → 0 approaches uniform, flattening the
+    * head-language dominance; see the mT5/XLM-R mixing rule).
+    *
+    * Per-group quota = floor(totalTarget · nᵢ^α / Σⱼ nⱼ^α), clamped to
+    * [1, nᵢ]; rows inside a group are picked by the same deterministic
+    * md5 rank as `quotaSample`, so the draw is reproducible across runs,
+    * partitionings, and engines.
+    *
+    * Scale shape: group sizes are one map-side-combinable count
+    * aggregate (|groups| rows to the driver-free quota computation — it
+    * stays distributed and broadcasts back), then one window shuffle on
+    * the group column — identical cost to `quotaSample`. */
+  def temperatureMix(df: DataFrame, groupCol: String, keyCol: String,
+                     alpha: Double, totalTarget: Int): DataFrame = {
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("_n"))
+    val wsum = org.apache.spark.sql.expressions.Window.partitionBy()
+    val quotas = counts
+      .withColumn("_w", pow(col("_n"), alpha) /
+        sum(pow(col("_n"), alpha)).over(wsum))
+      .withColumn("_quota",
+        greatest(lit(1L),
+          least(col("_n"), floor(lit(totalTarget.toDouble) * col("_w"))))
+          .cast("long"))
+      .select(col(groupCol), col("_quota"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(md5(col(keyCol).cast("string").cast("binary")), col(keyCol))
+    df.join(broadcast(quotas), Seq(groupCol))
+      .withColumn("_qrk", row_number().over(w))
+      .filter(col("_qrk") <= col("_quota"))
+      .drop("_qrk", "_quota")
+  }
 }

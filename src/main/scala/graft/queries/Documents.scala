@@ -71,6 +71,42 @@ object Documents {
       .orderBy("doc_id")
   }
 
+  /** D7 — incremental exact dedup: docs with doc_id % 5 = 0 arrive as
+    * the new batch, the rest is the already-ingested corpus; survivors
+    * are batch docs whose fingerprint is new to both the corpus and the
+    * batch (smallest id wins within the batch). */
+  def d7IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.incrementalExactDedup(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("fp"))
+      .orderBy("doc_id")
+  }
+
+  /** R5 — temperature-scaled language mixing (α = 0.5, 200 target rows):
+    * per-language quotas ∝ √nᵢ, rows drawn by deterministic md5 rank. */
+  def r5TemperatureMix(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.temperatureMix(
+        Tables.documents(s, d), "lang", "doc_id", 0.5, 200)
+      .select("lang", "doc_id")
+      .orderBy("lang", "doc_id")
+
+  /** T10 — benchmark decontamination: docs with doc_id % 97 = 0 stand in
+    * for an eval set; every other doc sharing ≥ 2 distinct word-3-grams
+    * with any eval doc is reported with its worst overlap. */
+  def t10Contamination(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.contaminationPairs(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", 3)
+      .filter(col("shared") >= 2)
+      .groupBy(col("id").as("doc_id"))
+      .agg(max("shared").as("max_shared"),
+        count(lit(1)).as("n_eval_hits"))
+      .orderBy("doc_id")
+  }
+
   /** T5 — per-token TF-IDF (df over the FULL corpus, output sliced to
     * the first 25 docs to keep the dump bounded). */
   def t5TfIdf(s: SparkSession, d: String): DataFrame =

@@ -170,6 +170,43 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.connectedComponents(empty, "id_a", "id_b").count() == 0)
   }
 
+  test("incrementalExactDedup drops corpus-seen and within-batch dups") {
+    val corpus = Seq((1L, "seen before"), (2L, "other doc")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "Seen  BEFORE"),   // dup of corpus doc 1 after normalization
+      (11L, "fresh content"),
+      (12L, "fresh  CONTENT"), // within-batch dup of 11 — min id wins
+      (13L, "more text")).toDF("doc_id", "text")
+    val out = Dedup.incrementalExactDedup(batch, corpus, "doc_id", "text")
+      .select("id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(11L, 13L))
+    // fingerprint-store fast path gives the same answer
+    val store = corpus.select(
+      graft.operators.TextAnalysis.fingerprint($"text").as("fp"))
+    val viaStore = Dedup.incrementalExactDedup(batch, store, "doc_id", "text",
+        corpusFpCol = Some("fp"))
+      .select("id").as[Long].collect().sorted
+    assert(viaStore.toSeq == Seq(11L, 13L))
+  }
+
+  test("contaminationPairs counts shared distinct n-grams per (doc, eval doc)") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // shares 3-grams with eval 100
+      (2L, "unrelated words entirely here now")).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "alpha beta gamma delta zeta")).toDF("doc_id", "text")
+    val out = Dedup.contaminationPairs(corpus, eval_, "doc_id", "text", 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // shared 3-grams: "alpha beta gamma", "beta gamma delta" → 2
+    assert(out == Set((1L, 100L, 2L)))
+    // hot-shingle cap drops ubiquitous n-grams from the corpus side
+    val boiler = Seq.tabulate(5)(i => (i.toLong, s"common boiler plate tail$i"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.contaminationPairs(boiler,
+      Seq((200L, "common boiler plate")).toDF("doc_id", "text"),
+      "doc_id", "text", 3, maxDocFreq = Some(3))
+    assert(capped.count() == 0, "shingle in 5 corpus docs must be capped out")
+  }
+
   test("simHashPairs finds most planted near-dups, verified hamming") {
     val docs = Tables.documents(spark, sf)
     val exact = Dedup.jaccardPairs(

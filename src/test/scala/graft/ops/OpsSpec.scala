@@ -80,6 +80,30 @@ class OpsSpec extends SparkSpec {
     assert(small.count() == 5)
   }
 
+  test("temperatureMix flattens head-group dominance as alpha drops") {
+    // en 10× de: natural share 10:1; alpha=0.5 should pull toward √10:1
+    val df = (1L to 1100L).map(i => (if (i <= 1000) "en" else "de", i))
+      .toDF("lang", "id")
+    val mixed = Sampling.temperatureMix(df, "lang", "id", 0.5, 300)
+      .as[(String, Long)].collect()
+    val en = mixed.count(_._1 == "en").toDouble
+    val de = mixed.count(_._1 == "de").toDouble
+    // expected ratio √(1000/100) ≈ 3.16 — far from the natural 10
+    assert(en / de > 2.0 && en / de < 5.0, s"ratio ${en / de}")
+    // alpha=1 reproduces the natural distribution (±floor effects)
+    val nat = Sampling.temperatureMix(df, "lang", "id", 1.0, 300)
+      .as[(String, Long)].collect()
+    val enN = nat.count(_._1 == "en").toDouble
+    assert(enN / nat.count(_._1 == "de") > 8.0)
+    // deterministic under repartitioning
+    val again = Sampling.temperatureMix(df.repartition(7), "lang", "id", 0.5, 300)
+      .as[(String, Long)].collect()
+    assert(mixed.toSet == again.toSet)
+    // never exceeds a group's size, never empties a group
+    val tiny = Sampling.temperatureMix(df.filter($"id" > 995), "lang", "id", 0.5, 1000)
+    assert(tiny.count() == 105)
+  }
+
   test("quality checks count violations and pass on clean data") {
     val dirty = Seq((1L, Some(10.0)), (1L, Some(20.0)), (2L, None), (3L, Some(99.0)))
       .toDF("id", "v")
