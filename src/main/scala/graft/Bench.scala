@@ -91,7 +91,10 @@ object Bench {
     val qs2 = results.map { case (k, med, _, _, _) => "\"" + k + f"""\":$med%.2f""" }
       .mkString("{", ",", "}")
     val sfName = new java.io.File(sfDir).getName
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs2,"failures":$failures,"sf":"$sfName"}""")
+    // failures stay in-band when present; omitted when empty to keep
+    // the line comfortably inside the consumer's tail window
+    val failPart = if (failures == "[]") "" else s""","failures":$failures"""
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs2$failPart,"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -85,6 +85,7 @@ object SparkEntry {
     "d7_incremental_dedup" -> (Documents.d7IncrementalDedup _),
     "r5_temperature_mix" -> (Documents.r5TemperatureMix _),
     "t10_contamination" -> (Documents.t10Contamination _),
+    "t11_chunking"    -> (Documents.t11Chunking _),
     "llm_corpus_pipeline" -> (Documents.llmCorpusPipeline _),
     "j6_range_join"   -> (Events.j6RangeJoin _),
     "t3_lang_id"      -> (Documents.t3LangId _),
@@ -594,6 +595,15 @@ object SparkEntry {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM documents)
         |SELECT r.lang AS lang, r.doc_id AS doc_id FROM r JOIN q ON r.lang = q.lang
         |WHERE rk <= quota ORDER BY r.lang, r.doc_id""".stripMargin,
+    "t11_chunking" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents WHERE doc_id < 50),
+        |st AS (SELECT doc_id, ws, unnest(range(0, greatest(len(ws), 1), 24)) AS start
+        |  FROM t)
+        |SELECT doc_id, CAST(start / 24 AS BIGINT) AS chunk_id,
+        |  array_to_string(list_slice(ws, start + 1, start + 32), ' ') AS chunk_text,
+        |  CAST(len(list_slice(ws, start + 1, start + 32)) AS BIGINT) AS n_tokens
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
     "t10_contamination" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),

@@ -201,6 +201,33 @@ object TextAnalysis {
       .select((Seq("id", "shard", "n_tokens", "chunk_id") ++ carry).map(col): _*)
   }
 
+  /** Sliding-window document chunking: split each document into
+    * token-window chunks of `chunkSize` tokens starting every `stride`
+    * tokens (stride < chunkSize ⇒ overlapping chunks — the standard
+    * long-context preprocessing step before embedding or training).
+    * Output: (id, chunk_id, chunk_text, n_tokens); the final chunk may
+    * be short, and a document shorter than one chunk yields exactly one.
+    *
+    * Scale shape: pure map-side — tokenize once (the token array is
+    * projected BEFORE the lambda, see `shingles` for why), generate
+    * window starts with `sequence`, slice per start, posexplode. No
+    * shuffle at all; parallelism is the scan's. */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkSize: Int, stride: Int): DataFrame = {
+    require(stride > 0 && chunkSize > 0, "chunkSize and stride must be positive")
+    val tokenized = df.select(col(idCol).as("id"),
+      tokens(col(textCol)).as("toks"))
+    val toks = col("toks")
+    val chunks = transform(
+      sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride)),
+      s => slice(toks, s + 1, lit(chunkSize)))
+    tokenized
+      .select(col("id"), posexplode(chunks).as(Seq("chunk_id", "chunk")))
+      .select(col("id"), col("chunk_id").cast("long").as("chunk_id"),
+        concat_ws(" ", col("chunk")).as("chunk_text"),
+        size(col("chunk")).cast("long").as("n_tokens"))
+  }
+
   /** Per-token TF-IDF over a corpus: (id, token, tf, df, tfidf) with
     * idf = ln(N / df). One explode + two aggregations + one join. At
     * 100 TB the df table is vocabulary-sized (≪ corpus — Heaps' law),

@@ -107,6 +107,15 @@ object Documents {
       .orderBy("doc_id")
   }
 
+  /** T11 — sliding-window chunking (32-token chunks every 24 tokens,
+    * i.e. 8-token overlap), output bounded to the first 50 docs. */
+  def t11Chunking(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.chunkDocuments(
+        Tables.documents(s, d).filter(col("doc_id") < 50),
+        "doc_id", "text", 32, 24)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "chunk_id")
+
   /** T5 — per-token TF-IDF (df over the FULL corpus, output sliced to
     * the first 25 docs to keep the dump bounded). */
   def t5TfIdf(s: SparkSession, d: String): DataFrame =

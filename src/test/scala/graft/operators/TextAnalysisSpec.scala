@@ -79,6 +79,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.forall(_._2 == 0L))
   }
 
+  test("chunkDocuments: overlapping windows, short tail, tiny-doc singleton") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b")).toDF("id", "text")
+    val out = TextAnalysis.chunkDocuments(df, "id", "text", 4, 3)
+      .as[(Long, Long, String, Long)].collect().sortBy(r => (r._1, r._2))
+    val d1 = out.filter(_._1 == 1L)
+    // starts 0,3,6,9 → windows of 4,4,4 and a 1-token tail
+    assert(d1.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(d1.map(_._4).toSeq == Seq(4L, 4L, 4L, 1L))
+    assert(d1.head._3 == "w1 w2 w3 w4" && d1(1)._3 == "w4 w5 w6 w7")
+    assert(d1.last._3 == "w10")
+    // doc shorter than one chunk → exactly one chunk with all tokens
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.toSeq == Seq((2L, 0L, "a b", 2L)))
+  }
+
   test("tfIdf: corpus-wide df, per-doc tf, ln(N/df) weighting") {
     val df = Seq(
       (1L, "alpha beta beta"),
