@@ -207,6 +207,26 @@ class DedupSpec extends SparkSpec {
     assert(capped.count() == 0, "shingle in 5 corpus docs must be capped out")
   }
 
+  test("packed simHash is bit-identical to the signed ±1 bit-sum definition") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).limit(100)
+    // the textbook formulation, computed independently: sum of ±1 per bit
+    val tok = docs.select($"doc_id".as("id"),
+        explode(split(trim($"text"), "\\s+")).as("w"))
+      .select($"id", xxhash64($"w").as("h"))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright($"h", i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+        .as(s"b_$i") }
+    val reference = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select($"id", (0 until 64).map { i =>
+        when(col(s"b_$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
+      }.reduce(_ + _).as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    val packed = Dedup.simHash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(packed == reference)
+  }
+
   test("simHashPairs finds most planted near-dups, verified hamming") {
     val docs = Tables.documents(spark, sf)
     val exact = Dedup.jaccardPairs(
