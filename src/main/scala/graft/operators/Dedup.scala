@@ -594,13 +594,22 @@ object Dedup {
 
   /** SimHash near-dup pairs: band the 64 bits into 8×8-bit chunks
     * (pigeonhole: hamming ≤ 7 ⇒ at least one identical chunk), join on
-    * chunks, verify hamming ≤ maxHamming via bit_count(xor). */
+    * chunks, verify hamming ≤ maxHamming via bit_count(xor).
+    *
+    * The signature table is persisted before the self-join: its two
+    * sides cannot share a physical subtree (one side broadcasts, so
+    * exchange reuse never fires) and the upstream signature aggregation
+    * — a full corpus scan — would otherwise run twice. Signatures are
+    * 16 bytes/doc; at any corpus size the cache is ~trivial next to
+    * recomputing the scan. (Same policy as the shingle projection in
+    * `minHashLshDedup`; the cache manager dedupes by plan.) */
   def simHashPairs(sig: DataFrame, maxHamming: Int = 6): DataFrame = {
     require(maxHamming <= 7, "8-chunk banding only guarantees hamming <= 7")
+    val sigP = sig.persist(StorageLevel.MEMORY_AND_DISK)
     val chunks = (0 until 8).map { c =>
       struct(lit(c).as("chunk"),
         shiftright(col("simhash"), c * 8).bitwiseAND(0xFFL).as("ch")) }
-    val exploded = sig.select(col("id"), col("simhash"),
+    val exploded = sigP.select(col("id"), col("simhash"),
         explode(array(chunks: _*)).as("cc"))
       .select(col("id"), col("simhash"), col("cc.chunk").as("chunk"), col("cc.ch").as("ch"))
     exploded.as("x").join(exploded.as("y"),
