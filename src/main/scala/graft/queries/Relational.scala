@@ -107,12 +107,17 @@ object Relational {
   /** A9 — exact percentiles (PSI breakpoint computation, model_operations.py:165).
     * `percentile` (exact, interpolated) matches DuckDB quantile_cont. */
   def a9Percentile(s: SparkSession, d: String): DataFrame =
+    // ONE array-percentile aggregate: four scalar percentile() calls
+    // would each maintain their own value-count buffer over the same
+    // column — 4× the aggregation memory and merge work for one answer
     Tables.orders(s, d)
-      .agg(
-        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
-        round(expr("percentile(o_totalprice, 0.50)"), 4).as("p50"),
-        round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
-        round(expr("percentile(o_totalprice, 0.90)"), 4).as("p90"))
+      .agg(expr("percentile(o_totalprice, array(0.25D, 0.50D, 0.75D, 0.90D))")
+        .as("_ps"))
+      .select(
+        round(element_at(col("_ps"), 1), 4).as("p25"),
+        round(element_at(col("_ps"), 2), 4).as("p50"),
+        round(element_at(col("_ps"), 3), 4).as("p75"),
+        round(element_at(col("_ps"), 4), 4).as("p90"))
 
   /** J1 — multi-way left-join spine (gold_feature_store.py:325–327 shape).
     * nation/region are tiny → Catalyst broadcasts both; customer never
