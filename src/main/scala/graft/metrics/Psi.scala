@@ -33,31 +33,34 @@ object Psi {
       case ((b, i), rest) => when(c <= b, i).otherwise(rest)
     }
 
-  /** Per-bucket proportions of `c` in `df` under the given breaks —
-    * always emits all buckets (missing ones as 0). */
-  private def proportions(df: DataFrame, c: String, breaks: Array[Double]): DataFrame = {
-    // total comes from a window-sum over the (<= breaks+1 row) bucket
-    // counts — no second scan of the raw data for a count()
-    val counted = df
-      .groupBy(bucketOf(col(c), breaks).as("bucket"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("total", sum("cnt").over(
-        org.apache.spark.sql.expressions.Window.partitionBy()))
-    val allBuckets = df.sparkSession.range(breaks.length + 1)
-      .select(col("id").cast("int").as("bucket"))
-    allBuckets.join(counted, Seq("bucket"), "left")
-      .select(col("bucket"),
-        (coalesce(col("cnt"), lit(0L)) / max("total").over(
-          org.apache.spark.sql.expressions.Window.partitionBy())).as("prop"))
-  }
-
-  /** PSI of `actual` vs `expected` on column `c`, decile buckets. */
+  /** PSI of `actual` vs `expected` on column `c`, decile buckets.
+    *
+    * After the O(1)-output breakpoint aggregate, BOTH sides bucket-count
+    * in one pass: a tagged union feeds a single aggregation with
+    * conditional sums per side (map-side combinable, ≤ 10 groups), so
+    * the plan has one scan per input and one tiny shuffle — no
+    * per-side count jobs and no bucket join of two aggregates. */
   def psi(expected: DataFrame, actual: DataFrame, c: String): DataFrame = {
     val breaks = decileBreaks(expected, c)
-    val e = proportions(expected, c, breaks).withColumnRenamed("prop", "e_prop")
-    val a = proportions(actual, c, breaks).withColumnRenamed("prop", "a_prop")
+    val tagged = expected.select(lit("e").as("_side"), col(c))
+      .unionByName(actual.select(lit("a").as("_side"), col(c)))
+    val counted = tagged
+      .groupBy(bucketOf(col(c), breaks).as("bucket"))
+      .agg(sum(when(col("_side") === "e", 1L).otherwise(0L)).as("e_cnt"),
+        sum(when(col("_side") === "a", 1L).otherwise(0L)).as("a_cnt"))
+    // missing buckets must still contribute (they clamp to 1e-4) —
+    // outer-join the full bucket range back in
+    val allBuckets = expected.sparkSession.range(breaks.length + 1)
+      .select(col("id").cast("int").as("bucket"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val props = allBuckets.join(counted, Seq("bucket"), "left")
+      .select(col("bucket"),
+        (coalesce(col("e_cnt"), lit(0L)) /
+          sum(coalesce(col("e_cnt"), lit(0L))).over(w)).as("e_prop"),
+        (coalesce(col("a_cnt"), lit(0L)) /
+          sum(coalesce(col("a_cnt"), lit(0L))).over(w)).as("a_prop"))
     val clamp = (x: Column) => when(x === 0.0, 1e-4).otherwise(x)
-    e.join(a, Seq("bucket"))
+    props
       .select(
         ((clamp(col("a_prop")) - clamp(col("e_prop"))) *
           log(clamp(col("a_prop")) / clamp(col("e_prop")))).as("term"))
