@@ -17,6 +17,44 @@ class SourcesSpec extends SparkSpec {
     assert(back.except(nation).count() == 0 && nation.except(back).count() == 0)
   }
 
+  test("malformed CSV rows: PERMISSIVE captures, DROPMALFORMED drops") {
+    // a crawl-grade ingest never gets clean CSVs; the engine must
+    // quarantine bad rows without failing the batch (ANSI mode makes
+    // silent coercion an exception, so the mode choice is load-bearing)
+    val dir = Files.createTempDirectory("badcsv").toString
+    val csv = Seq(
+      "id,price,when",
+      "1,10.5,2024-01-02",
+      "2,notanumber,2024-01-03",      // unparseable double
+      "3,30.25,2024-01-04",
+      "garbage line without commas",  // wrong arity
+      "5,50.0,2024-01-06").mkString("\n")
+    Files.write(java.nio.file.Paths.get(s"$dir/batch.csv"), csv.getBytes)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id INT, price DOUBLE, `when` DATE, _bad STRING")
+    val permissive = spark.read
+      .option("header", "true").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .schema(schema).csv(s"$dir/batch.csv")
+      .cache() // the corrupt-record column must be materialized once
+    assert(permissive.count() == 5)
+    assert(permissive.filter($"_bad".isNotNull).count() == 2)
+    // good rows parse fully; quarantined rows keep their raw text
+    assert(permissive.filter($"_bad".isNull).agg(sum($"price")).first.getDouble(0)
+      == 90.75)
+    assert(permissive.filter($"_bad".isNotNull).select("_bad")
+      .as[String].collect().exists(_.contains("notanumber")))
+    val dropped = spark.read
+      .option("header", "true").option("mode", "DROPMALFORMED")
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "id INT, price DOUBLE, `when` DATE")).csv(s"$dir/batch.csv")
+    // count() alone would parse NO columns (CSV count pushdown) and see
+    // nothing malformed — malformedness is per-REQUESTED-column, so
+    // drop counts must be taken over a full-width projection
+    assert(dropped.select($"id", $"price", $"when").collect().length == 3)
+    assert(dropped.count() == 5, "count pushdown skips parsing by design")
+  }
+
   test("json sidecar round-trips (grade_mapping shape) without a Spark job") {
     val p = Files.createTempDirectory("sidecar").toString + "/mapping.json"
     val kv = Map("A" -> "0", "B" -> "1", "model" -> "lgbm \"best\"",
