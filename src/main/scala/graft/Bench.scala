@@ -90,11 +90,12 @@ object Bench {
     // with room for the build tool's trailing status line.
     val qs2 = results.map { case (k, med, _, _, _) => "\"" + k + f"""\":$med%.2f""" }
       .mkString("{", ",", "}")
-    val sfName = new java.io.File(sfDir).getName
-    // failures stay in-band when present; omitted when empty to keep
-    // the line comfortably inside the consumer's tail window
+    // failures stay in-band when present; omitted when empty (like the
+    // sf tag, which the detail line carries) to keep this line
+    // comfortably inside the consumer's ~2 KB tail window as the query
+    // battery grows
     val failPart = if (failures == "[]") "" else s""","failures":$failures"""
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs2$failPart,"sf":"$sfName"}""")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs2$failPart}""")
     spark.stop()
   }
 }

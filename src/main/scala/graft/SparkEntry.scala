@@ -86,6 +86,7 @@ object SparkEntry {
     "r5_temperature_mix" -> (Documents.r5TemperatureMix _),
     "t10_contamination" -> (Documents.t10Contamination _),
     "t11_chunking"    -> (Documents.t11Chunking _),
+    "s_jsonl_roundtrip" -> (Documents.sJsonlRoundtrip _),
     "llm_corpus_pipeline" -> (Documents.llmCorpusPipeline _),
     "j6_range_join"   -> (Events.j6RangeJoin _),
     "t3_lang_id"      -> (Documents.t3LangId _),
@@ -595,6 +596,10 @@ object SparkEntry {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM documents)
         |SELECT r.lang AS lang, r.doc_id AS doc_id FROM r JOIN q ON r.lang = q.lang
         |WHERE rk <= quota ORDER BY r.lang, r.doc_id""".stripMargin,
+    "s_jsonl_roundtrip" ->
+      """SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars,
+        |  sum(length(text)) AS sum_text_len
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "t11_chunking" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
         |  FROM documents WHERE doc_id < 50),

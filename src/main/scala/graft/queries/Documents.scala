@@ -201,6 +201,24 @@ object Documents {
       .groupBy("w").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("w"))
 
+  /** S-JSONL — the de-facto LLM corpus interchange format: dump the
+    * documents table as JSON Lines, read it back with an explicit
+    * schema (no inference pass at scale), aggregate per language.
+    * Parity subtlety: JSONL round-trips text verbatim but a read
+    * without a schema would re-infer long-vs-double; the explicit
+    * schema keeps types bit-stable. */
+  def sJsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(s, d)
+    val tmp = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/jsonl_roundtrip/documents"
+    src.write.mode("overwrite").json(tmp)
+    s.read.schema(src.schema).json(tmp)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"),
+        sum(length(col("text"))).as("sum_text_len"))
+      .orderBy("lang")
+  }
+
   /** T1 — token counting: whitespace tokens + BPE-ish subword estimate. */
   def t1TokenCount(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
