@@ -87,6 +87,7 @@ object SparkEntry {
     "t10_contamination" -> (Documents.t10Contamination _),
     "t11_chunking"    -> (Documents.t11Chunking _),
     "s_jsonl_roundtrip" -> (Documents.sJsonlRoundtrip _),
+    "llm_pretrain_pipeline" -> (Documents.llmPretrainPipeline _),
     "llm_corpus_pipeline" -> (Documents.llmCorpusPipeline _),
     "j6_range_join"   -> (Events.j6RangeJoin _),
     "t3_lang_id"      -> (Documents.t3LangId _),
@@ -597,9 +598,44 @@ object SparkEntry {
         |SELECT r.lang AS lang, r.doc_id AS doc_id FROM r JOIN q ON r.lang = q.lang
         |WHERE rk <= quota ORDER BY r.lang, r.doc_id""".stripMargin,
     "s_jsonl_roundtrip" ->
-      """SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars,
-        |  sum(length(text)) AS sum_text_len
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "llm_pretrain_pipeline" ->
+      """WITH fp AS (SELECT doc_id, lang, text,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id % 97 <> 0),
+        |keep AS (SELECT fp, min(doc_id) AS doc_id FROM fp GROUP BY fp),
+        |dd AS (SELECT f.doc_id, f.lang,
+        |    regexp_split_to_array(trim(f.text), '\s+') AS ws
+        |  FROM fp f JOIN keep k ON f.doc_id = k.doc_id),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+        |  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s FROM dd),
+        |esh AS (SELECT doc_id AS eval_id, unnest(list_distinct(list_transform(
+        |    range(1, len(ews) - 1), i -> ews[i] || ' ' || ews[i+1] || ' ' || ews[i+2]))) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ews
+        |        FROM documents WHERE doc_id % 97 = 0)),
+        |contam AS (SELECT DISTINCT doc_id FROM (
+        |  SELECT c.doc_id, e.eval_id, count(*) AS shared
+        |  FROM sh c JOIN esh e ON c.s = e.s GROUP BY 1, 2) WHERE shared >= 2),
+        |clean AS (SELECT * FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+        |counts AS (SELECT lang, count(*) AS n FROM clean GROUP BY lang),
+        |q AS (SELECT lang,
+        |    CAST(greatest(1, least(n,
+        |      floor(300.0 * (pow(n, 0.5) / sum(pow(n, 0.5)) OVER ())))) AS BIGINT)
+        |      AS quota
+        |  FROM counts),
+        |r AS (SELECT lang, doc_id, ws, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM clean),
+        |mixed AS (SELECT r.lang, r.doc_id, r.ws FROM r JOIN q ON r.lang = q.lang
+        |  WHERE rk <= quota),
+        |ch AS (SELECT lang, doc_id, ws,
+        |    unnest(range(0, greatest(len(ws), 1), 24)) AS start FROM mixed),
+        |chunks AS (SELECT lang, doc_id,
+        |    len(list_slice(ws, start + 1, start + 32)) AS n_tokens FROM ch)
+        |SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+        |  CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens
+        |FROM chunks GROUP BY lang ORDER BY lang""".stripMargin,
     "t11_chunking" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
         |  FROM documents WHERE doc_id < 50),

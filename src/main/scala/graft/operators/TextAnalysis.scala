@@ -213,19 +213,21 @@ object TextAnalysis {
     * window starts with `sequence`, slice per start, posexplode. No
     * shuffle at all; parallelism is the scan's. */
   def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
-                     chunkSize: Int, stride: Int): DataFrame = {
+                     chunkSize: Int, stride: Int,
+                     carry: Seq[String] = Nil): DataFrame = {
     require(stride > 0 && chunkSize > 0, "chunkSize and stride must be positive")
-    val tokenized = df.select(col(idCol).as("id"),
-      tokens(col(textCol)).as("toks"))
+    val tokenized = df.select(Seq(col(idCol).as("id"),
+      tokens(col(textCol)).as("toks")) ++ carry.map(col): _*)
     val toks = col("toks")
     val chunks = transform(
       sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride)),
       s => slice(toks, s + 1, lit(chunkSize)))
     tokenized
-      .select(col("id"), posexplode(chunks).as(Seq("chunk_id", "chunk")))
-      .select(col("id"), col("chunk_id").cast("long").as("chunk_id"),
+      .select(Seq(col("id"),
+        posexplode(chunks).as(Seq("chunk_id", "chunk"))) ++ carry.map(col): _*)
+      .select(Seq(col("id"), col("chunk_id").cast("long").as("chunk_id"),
         concat_ws(" ", col("chunk")).as("chunk_text"),
-        size(col("chunk")).cast("long").as("n_tokens"))
+        size(col("chunk")).cast("long").as("n_tokens")) ++ carry.map(col): _*)
   }
 
   /** Per-token TF-IDF over a corpus: (id, token, tf, df, tfidf) with

@@ -193,6 +193,35 @@ object Documents {
       .orderBy("lang", "shard")
   }
 
+  /** LLM pretrain pipeline — the round-4 operators composed end-to-end
+    * as ONE oracle-checked query: exact dedup → benchmark
+    * decontamination (drop corpus docs sharing ≥ 2 word-3-grams with
+    * the eval slice) → temperature-scaled language mixing (α = 0.5,
+    * 300 target docs) → sliding-window chunking (32/24) → per-language
+    * corpus summary. Every stage is the registered scale-path operator;
+    * the DuckDB twin recomputes the whole chain independently. */
+  def llmPretrainPipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val evalSet = docs.filter(col("doc_id") % 97 === 0)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val deduped = Dedup.exactDedup(corpus, "doc_id", "text")
+    val contaminated = Dedup.contaminationPairs(
+        deduped, evalSet, "doc_id", "text", 3)
+      .filter(col("shared") >= 2)
+      .select(col("id").as("doc_id")).distinct()
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    val mixed = graft.ops.Sampling.temperatureMix(clean, "lang", "doc_id", 0.5, 300)
+    // lang rides through the chunker (carry) — a join back onto `mixed`
+    // would re-run the dedup→decontaminate→mix lineage a second time
+    TextAnalysis.chunkDocuments(mixed, "doc_id", "text", 32, 24,
+        carry = Seq("lang"))
+      .groupBy("lang")
+      .agg(countDistinct(col("id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum("n_tokens").as("chunk_tokens"))
+      .orderBy("lang")
+  }
+
   /** G — generator coverage: explode over a computed array (first-5
     * tokens per doc), aggregated to a word frequency table. */
   def gExplodeSlice(s: SparkSession, d: String): DataFrame =
