@@ -86,9 +86,15 @@ object Bench {
         (detail + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     // Final line: compact medians-only (2 dp, ~10 ms resolution — well
-    // below the ±10–20% box noise), sized to survive a 2000-char tail
-    // with room for the build tool's trailing status line.
-    val qs2 = results.map { case (k, med, _, _, _) => "\"" + k + f"""\":$med%.2f""" }
+    // below the ±10–20% box noise; trailing zeros stripped), sized to
+    // survive a 2000-char tail with room for the build tool's trailing
+    // status line.
+    def short(v: Double): String = {
+      val s = f"$v%.2f"
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      else s
+    }
+    val qs2 = results.map { case (k, med, _, _, _) => "\"" + k + "\":" + short(med) }
       .mkString("{", ",", "}")
     // failures stay in-band when present; omitted when empty (like the
     // sf tag, which the detail line carries) to keep this line
