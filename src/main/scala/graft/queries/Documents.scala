@@ -204,7 +204,11 @@ object Documents {
     val docs = Tables.documents(s, d)
     val evalSet = docs.filter(col("doc_id") % 97 === 0)
     val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    // deduped feeds BOTH the contamination probe and the anti-join left
+    // side — persist it once or the scan→fingerprint→rank lineage runs
+    // twice inside the same job (no exchange to reuse across branches)
     val deduped = Dedup.exactDedup(corpus, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val contaminated = Dedup.contaminationPairs(
         deduped, evalSet, "doc_id", "text", 3)
       .filter(col("shared") >= 2)
