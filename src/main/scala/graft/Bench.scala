@@ -10,13 +10,21 @@ import org.apache.spark.sql.SparkSession
   * line LAST — consumers that keep only the final ~2 KB of output get a
   * complete, parseable object.
   *
-  * Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3); the
-  * headline "queries" numbers are per-query MEDIANS, with the min/max
-  * spread reported alongside — the documented ±10–20% box noise on this
-  * machine is the same order as a 1.2–1.5× regression, and a single
-  * pass cannot tell them apart. Runs of one query are consecutive, so
-  * medians reflect a warm engine (OS page cache, JIT, any operator
-  * caches); the cold first pass is visible as the max of the spread.
+  * Repetitions are INTERLEAVED round-robin: the whole battery runs
+  * SPARK_GRAFT_BENCH_RUNS times (default 5) and each query's headline
+  * number is the MEDIAN of its per-pass times. A noisy window on this
+  * shared box therefore taxes one PASS of many queries instead of every
+  * run of one query — back-to-back repetition let a single contention
+  * spike move one query's median up to 12× between rounds on
+  * byte-identical code. The min/max spread is reported alongside, and
+  * the detail line records the system load average at start and end so
+  * a contended run is identifiable after the fact.
+  *
+  * The cache is cleared after every query run (operator-persisted
+  * blocks from 80+ queries would otherwise accumulate across a pass and
+  * tax later queries — see NOTES.md gotcha 16), so per-pass times are
+  * position-independent; OS page cache and JIT warmth still carry
+  * across passes, which is what the median reflects after pass 1.
   *
   * A warm-up pass (tiny range job + one parquet footer read) is excluded
   * from timings so the first measured query doesn't absorb JVM/codegen/
@@ -26,7 +34,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -37,6 +45,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val load0 = loadAvg
+
     // warm-up: JVM + codegen + parquet reader paths, not part of timings
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
@@ -45,23 +58,27 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val timed = (1 to runs).map { _ =>
+    val names = selected.toSeq.sortBy(_._1)
+    val times = scala.collection.mutable.Map.empty[String, Vector[(Double, Boolean)]]
+    (1 to runs).foreach { _ =>
+      names.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
           }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        val t = (System.nanoTime() - t0) / 1e9
+        // drop caches this query (or its upstream operators) persisted so
+        // the rest of the pass isn't taxed by lingering blocks
+        spark.catalog.clearCache()
+        times(name) = times.getOrElse(name, Vector.empty) :+ (t, ok)
       }
-      // drop caches this query (or its upstream operators) persisted so
-      // later queries aren't taxed by lingering blocks — timings stay
-      // position-independent. Within one query's consecutive runs the
-      // cache IS shared (that's the warm median being measured).
-      spark.catalog.clearCache()
-      val ts = timed.map(_._1).sorted
-      (name, ts(ts.size / 2), ts.head, ts.last, timed.forall(_._2))
+    }
+    val results = names.map { case (name, _) =>
+      val runsFor = times(name)
+      val ts = runsFor.map(_._1).sorted
+      (name, ts(ts.size / 2), ts.head, ts.last, runsFor.forall(_._2))
     }
     val qs3 = results.map { case (k, med, _, _, _) => "\"" + k + f"""\":$med%.3f""" }
       .mkString("{", ",", "}")
@@ -74,7 +91,7 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val detail =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"queries":$qs3,"spread":$spread,"failures":$failures,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"loadavg":[$load0%.2f,$loadAvg%.2f],"queries":$qs3,"spread":$spread,"failures":$failures,"sf":"$sfDir"}"""
     // Full medians+spread JSON: printed first and persisted to a file.
     // The consumer of this output keeps only the LAST ~2000 characters,
     // so the detail line (≈4.5 KB at 80 queries) can never be the final

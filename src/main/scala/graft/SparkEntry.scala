@@ -458,6 +458,25 @@ object SparkEntry {
       """SELECT CAST(c_mktsegment IN ('AUTOMOBILE', 'BUILDING') AS INTEGER) AS target,
         |  count(*) AS n
         |FROM customer GROUP BY 1 ORDER BY target""".stripMargin,
+    // R1's sampled SET is Spark-RNG-specific, but a healthy sampler's
+    // per-class count always sits within ±5σ+1 of n·p — the oracle pins
+    // the classes, totals, and that flag (see MLFeatures.r1Sample).
+    "r1_sample" ->
+      """SELECT o_orderstatus, count(*) AS n_total, 1 AS within_ci
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // R2's membership rule is md5-threshold (Sampling.portableTestMember
+    // with pct=20 → threshold 0x0.3333…, 32 hex digits of 0.2), which any
+    // engine recomputes exactly — the oracle re-derives the member SET,
+    // not just the split fractions.
+    "r2_hash_split" ->
+      """WITH b AS (SELECT c_mktsegment,
+        |    md5(CAST(c_custkey AS VARCHAR) || 'split')
+        |      < '33333333333333333333333333333333' AS t
+        |  FROM customer)
+        |SELECT c_mktsegment,
+        |  CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS n_train,
+        |  CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+        |FROM b GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "m8_psi" ->
       """WITH expected AS (SELECT o_totalprice AS v FROM orders
         |  WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
@@ -741,6 +760,17 @@ object SparkEntry {
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |    ELSE 'video' END AS modality,
         |  octet_length(encode(text)) AS n_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
+    // MM2's rolling-hash feature values are JVM-side, but the stub's
+    // algebra pins hard invariants the oracle CAN recompute: 16 slots,
+    // each byte contributing [0, 1) to one of them (see
+    // Documents.mm2MediaFeatures).
+    "mm2_media_features" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'video' END AS modality,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  16 AS feat_dim, 1 AS feat_ok
         |FROM documents ORDER BY media_id""".stripMargin,
     "pipeline_e2e" -> pipelineE2ESql,
   )

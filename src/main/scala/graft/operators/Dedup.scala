@@ -46,6 +46,40 @@ object Dedup {
     df.join(broadcast(drops), col(idCol) === col("_id"), "left_anti")
   }
 
+  /** True ⇔ the drop set is small enough to broadcast (the `exactDedup`
+    * plan); false ⇔ shuffle the payload once instead
+    * (`exactDedupByShuffle`). Pure, so the rule itself is spec-pinned. */
+  private[operators] def dropSetBroadcastable(nDrops: Long, maxDrops: Long): Boolean =
+    nDrops <= maxDrops
+
+  /** Exact dedup with AUTOMATIC variant selection. `exactDedup`'s
+    * broadcast of the drop set is unbounded — on a dup-MAJORITY corpus
+    * (a crawl where most rows are copies) assembling it would OOM the
+    * driver. This entry point measures instead of trusting the caller:
+    * it counts the drop set first (an (id, fp)-only aggregation — the
+    * same exchange `exactDedup` pays anyway, with nothing wasted: the
+    * counted plan is persisted and REUSED as the broadcast side when it
+    * wins) and broadcasts only when the count is under `maxBroadcastDrops`
+    * ids (default 10 M ≈ 80 MB — comfortably under executor broadcast
+    * budgets); otherwise it takes the one-payload-shuffle ranked plan.
+    * Same answer both ways under `exactDedup`'s unique-id contract. */
+  def exactDedupAuto(df: DataFrame, idCol: String, textCol: String,
+                     maxBroadcastDrops: Long = 10000000L): DataFrame = {
+    val keyed = df.select(col(idCol).as("_id"),
+      TextAnalysis.fingerprint(col(textCol)).as("_fp"))
+    val w = Window.partitionBy("_fp").orderBy("_id")
+    val drops = keyed.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") > 1).select("_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nDrops = drops.count()
+    if (dropSetBroadcastable(nDrops, maxBroadcastDrops))
+      df.join(broadcast(drops), col(idCol) === col("_id"), "left_anti")
+    else {
+      drops.unpersist(blocking = false)
+      exactDedupByShuffle(df, idCol, textCol)
+    }
+  }
+
   /** The dup-MAJORITY fallback: one payload shuffle on the fingerprint,
     * rank, keep rn = 1. Same answer as `exactDedup` under that method's
     * unique-id contract; unlike it, this variant ranks PHYSICAL rows, so
@@ -169,6 +203,13 @@ object Dedup {
     * at least one shingle, filtered to `threshold`. Output:
     * (id_a, id_b, jaccard) with id_a < id_b; coefficients are exact over
     * the full hashed shingle sets.
+    *
+    * SCALE POSTURE: this is the exact SMALL-CORPUS BASELINE (and the
+    * oracle for the LSH path). Even with the hot-shingle cap the
+    * candidate join is near-quadratic in shared-shingle co-occurrence —
+    * a corpus of uniformly warm (sub-cap) shingles still pays it. At
+    * corpus scale call `nearDupPairs`, which measures and routes to
+    * MinHash+LSH above `maxExactDocs`.
     *
     * `maxDocFreq` arms the hot-shingle guard: a shingle shared by k docs
     * emits k² self-join rows, and real corpora have boilerplate shingles
@@ -356,6 +397,36 @@ object Dedup {
       numHashes, bands)
     jaccardForHashed(h, cands, threshold)
   }
+
+  /** True ⇔ the corpus is small enough that the exact all-shared-shingle
+    * self-join (`jaccardPairs`) is affordable; false ⇔ take the MinHash
+    *+LSH path. Pure, so the routing rule itself is spec-pinned. */
+  private[operators] def exactJaccardAffordable(nDocs: Long, maxExactDocs: Long): Boolean =
+    nDocs <= maxExactDocs
+
+  /** Near-duplicate pairs with AUTOMATIC path selection — the entry point
+    * callers should use when the corpus size is not known up front.
+    *
+    * `jaccardPairs` is exact but its candidate join is near-quadratic in
+    * shared-shingle co-occurrence even with the hot-shingle cap (measured:
+    * 5.4× slower than MinHash+LSH at 50 k docs and widening — NOTES.md
+    * "Measured dedup scaling"), so it must never be the default reached
+    * at corpus scale. This wrapper counts the corpus (one cheap
+    * metadata-backed action) and routes: ≤ `maxExactDocs` → the exact
+    * baseline; above it → `minHashLshDedup`. Both paths emit
+    * (id_a, id_b, jaccard) with EXACT coefficients (LSH candidates are
+    * exact-verified), so the switch changes recall only for pairs
+    * hugging the threshold — with 64 hashes / 16 bands, P[miss] at
+    * j ≥ 0.8 is ≤ (1 − 0.8⁴)¹⁶ ≈ 3·10⁻⁴ and falls off a cliff above it. */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleSize: Int = 3, threshold: Double = 0.8,
+                   maxDocFreq: Option[Int] = Some(100),
+                   maxExactDocs: Long = 25000L,
+                   numHashes: Int = 64, bands: Int = 16): DataFrame =
+    if (exactJaccardAffordable(df.count(), maxExactDocs))
+      jaccardPairs(shingles(df, idCol, textCol, shingleSize), threshold, maxDocFreq)
+    else
+      minHashLshDedup(df, idCol, textCol, shingleSize, numHashes, bands, threshold)
 
   /** Embedding-cosine near-duplicate pairs, brute force: all (id_a < id_b)
     * pairs with cosine ≥ threshold, scored by the native codegen'd kernel.

@@ -23,17 +23,52 @@ object Sampling {
     df.stat.sampleBy(labelCol, fractions, seed)
 
   /** Deterministic hash membership: true ⇔ row lands in [0, pct) of 100
-    * buckets derived from xxhash64(key, salt). */
+    * buckets derived from xxhash64(key, salt). The fast IN-ENGINE
+    * bucketing primitive (one codegen'd 8-byte hash, no digest) — use it
+    * where the consumer is this engine; for a membership rule other SQL
+    * engines can recompute, use `portableTestMember`. */
   def hashBucket(key: Column, salt: String): Column =
     pmod(xxhash64(key, lit(salt)), lit(100))
 
+  /** The hex expansion of pct/100 to 32 digits — the md5-space threshold
+    * below which a key is a test member. Exact integer arithmetic
+    * (pct/100 in base 16 digit by digit), so both engines compare against
+    * the identical string. */
+  private[ops] def pctHexThreshold(pct: Int): String = {
+    require(pct >= 0 && pct <= 100, s"pct must be in [0,100], got $pct")
+    if (pct == 100) "g" // lexicographically above every hex digest
+    else {
+      val sb = new StringBuilder
+      var x = pct
+      (1 to 32).foreach { _ =>
+        x *= 16
+        sb.append(Character.forDigit(x / 100, 16))
+        x %= 100
+      }
+      sb.toString
+    }
+  }
+
+  /** Cross-ENGINE-portable test membership: md5 hex of (key || salt)
+    * compared lexicographically against the 32-hex-digit expansion of
+    * pct/100. md5 produces the identical lowercase hex string in Spark,
+    * DuckDB, Postgres, …, and hex strings of equal length order like the
+    * 128-bit integers they encode, so membership — not just the split
+    * fractions — is reproducible by ANY engine:
+    * `md5(CAST(key AS VARCHAR) || salt) < '<threshold>'`. */
+  def portableTestMember(key: Column, pct: Int, salt: String): Column =
+    md5(concat(key.cast("string"), lit(salt)).cast("binary")) <
+      lit(pctHexThreshold(pct))
+
   /** R2 (engine-native) — reproducible stratified-ish train/test split:
-    * same key always lands on the same side, no RNG, no collect.
+    * same key always lands on the same side, no RNG, no collect, and the
+    * membership rule is recomputable by any SQL engine (md5-threshold —
+    * the driver's DuckDB oracle recomputes the exact member set).
     * Returns (train, test). */
   def hashSplit(df: DataFrame, keyCol: String, testPct: Int,
                 salt: String = "split"): (DataFrame, DataFrame) = {
-    val b = hashBucket(col(keyCol), salt)
-    (df.filter(b >= testPct), df.filter(b < testPct))
+    val t = portableTestMember(col(keyCol), testPct, salt)
+    (df.filter(!t), df.filter(t))
   }
 
   /** Per-group quota sample: keep `quota` rows per group, selected by a

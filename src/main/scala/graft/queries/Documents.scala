@@ -14,20 +14,27 @@ object Documents {
 
   /** D1 — exact dedup by normalized-content fingerprint. */
   def d1ExactDedup(s: SparkSession, d: String): DataFrame =
-    Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")
+    // the AUTO variant live end-to-end: it measures the drop set and
+    // picks broadcast-anti (tiny here) vs the payload-shuffle plan —
+    // same answer either way, so the oracle gates the selector too
+    Dedup.exactDedupAuto(Tables.documents(s, d), "doc_id", "text")
       .select("doc_id", "n_chars")
       .orderBy("doc_id")
 
-  /** D4 — exact word-3-gram Jaccard near-dup pairs (threshold 0.8:
-    * the corpus has a clean gap — planted dups sit at ≥0.9, everything
-    * else below 0.2). */
+  /** D4 — word-3-gram Jaccard near-dup pairs (threshold 0.8: the corpus
+    * has a clean gap — planted dups sit at ≥0.9, everything else below
+    * 0.2), through the size-ROUTED entry point: ≤ 25 k docs (sf0.01,
+    * the driver's oracle gate) runs the exact self-join with the
+    * hot-shingle guard armed (cap 100, far above the corpus' max
+    * shingle df of 7/25, so the answer is unchanged while the bucket
+    * bound is exercised); above it (sf0.1+) delegates to MinHash+LSH —
+    * the measured 5.4×-at-50 k-docs quadratic gap is NOTES.md "Measured
+    * dedup scaling". Both paths emit exact-verified coefficients and
+    * identical pairs on this corpus (gap ≫ LSH miss band). */
   def d4NgramJaccard(s: SparkSession, d: String): DataFrame =
-    Dedup.jaccardPairs(
-        Dedup.shingles(Tables.documents(s, d), "doc_id", "text", 3), 0.8,
-        // hot-shingle guard live in the registered path; far above the
-        // corpus' max shingle df (7 at sf0.01, 25 at sf0.1) so the answer
-        // is unchanged while the bucket bound is exercised end-to-end
-        maxDocFreq = Some(100))
+    Dedup.nearDupPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleSize = 3, threshold = 0.8, maxDocFreq = Some(100),
+        maxExactDocs = 25000L)
       .orderBy("id_a", "id_b")
 
   /** D2 — MinHash+LSH near-dup pairs, exact-verified. Same oracle as D4:
@@ -313,16 +320,26 @@ object Documents {
         length(col("bytes")).as("n_bytes"))
       .orderBy("media_id")
 
-  /** MM2 — stubbed decode + batch feature extraction (rows-only: the
-    * stub hash is not SQL-expressible; determinism is spec-asserted). */
+  /** MM2 — stubbed decode + batch feature extraction, hard-gated by the
+    * stub's algebraic invariants. The rolling-hash values themselves are
+    * not SQL-expressible, but every byte contributes [0, 1) to exactly
+    * one of the 16 slots, so a healthy extractor always satisfies
+    * feat_dim = 16 and 0 ≤ Σ features ≤ n_bytes — the oracle recomputes
+    * the ids, modalities, byte lengths, and pins those flags. A broken
+    * decode (wrong dim, NaN features, dropped bytes → the plumbing
+    * failures a swapped-in real codec could introduce) flips a flag →
+    * hash mismatch. Exact feature VALUES stay pinned in MultimodalSpec. */
   def mm2MediaFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val featSum = aggregate(col("features"),
+      lit(0.0), (acc, v) => acc + v.cast("double"))
     Multimodal.extractFeatures(
         Multimodal.fromDocuments(Tables.documents(s, d), s), dim = 16)
       .toDF()
       .select(col("media_id"), col("modality"), col("n_bytes"),
-        round(aggregate(col("features"),
-          lit(0.0), (acc, v) => acc + v.cast("double")), 4).as("feat_sum"))
+        size(col("features")).as("feat_dim"),
+        when(featSum >= 0.0 && featSum <= col("n_bytes"), 1)
+          .otherwise(0).as("feat_ok"))
       .orderBy("media_id")
   }
 }

@@ -112,16 +112,36 @@ object MLFeatures {
       .groupBy("event_type").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("event_type"))
 
-  /** R1 — seeded Bernoulli sample (rows-only: RNG streams differ across
-    * engines by design; determinism within Spark is what matters). */
-  def r1Sample(s: SparkSession, d: String): DataFrame =
-    graft.ops.Sampling.bernoulli(Tables.orders(s, d), 0.1, seed = 42L)
-      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+  /** R1 — seeded Bernoulli sample, hard-gated by a binomial CI.
+    * RNG streams differ across engines by design, so the oracle cannot
+    * recompute the sampled SET — but it CAN pin what a healthy sampler
+    * must produce: per class, the sampled count within ±5σ of n·p
+    * (σ = √(n·p·(1−p)), +1 for tiny classes). The query emits
+    * (class, n_total, within_ci) where within_ci is 1 iff the draw is in
+    * bounds; the oracle computes the same classes and totals and expects
+    * within_ci = 1 everywhere. A broken sampler (wrong fraction, empty,
+    * or pass-through) flips the flag → hash mismatch. The exact-count
+    * determinism contract (same seed + partitioning ⇒ same rows) stays
+    * spec-asserted. */
+  def r1Sample(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val p = 0.1
+    val sampled = graft.ops.Sampling.bernoulli(orders, p, seed = 42L)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n_sampled"))
+    orders.groupBy("o_orderstatus").agg(count(lit(1)).as("n_total"))
+      .join(sampled, Seq("o_orderstatus"), "left")
+      .na.fill(0L, Seq("n_sampled"))
+      .select(col("o_orderstatus"), col("n_total"),
+        when(abs(col("n_sampled") - col("n_total") * p) <=
+          lit(5.0) * sqrt(col("n_total") * p * (1 - p)) + 1.0, 1)
+          .otherwise(0).as("within_ci"))
       .orderBy("o_orderstatus")
+  }
 
-  /** R2 — deterministic hash split: per-class train/test counts
-    * (rows-only: xxhash64 has no DuckDB twin; reproducibility is the
-    * contract and is spec-asserted). */
+  /** R2 — deterministic hash split: per-class train/test counts.
+    * Membership is the md5-threshold rule (Sampling.portableTestMember),
+    * so the DuckDB oracle recomputes the EXACT member set — the split is
+    * hard-gated end to end, not just spec-asserted. */
   def r2HashSplit(s: SparkSession, d: String): DataFrame = {
     val (train, test) = graft.ops.Sampling.hashSplit(
       Tables.customer(s, d), "c_custkey", testPct = 20)

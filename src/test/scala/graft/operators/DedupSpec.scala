@@ -57,6 +57,50 @@ class DedupSpec extends SparkSpec {
       == Seq("a b c", "b c d"))
   }
 
+  test("exactDedupAuto: dup-majority fixture takes the shuffle plan, same answer") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    // 400 rows, 20 distinct texts -> 380 drops: a dup-MAJORITY corpus
+    val df = (1L to 400L).map(i => (i, s"text number ${i % 20}"))
+      .toDF("doc_id", "text")
+    val expected = Dedup.exactDedup(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // the selection rule itself
+    assert(!Dedup.dropSetBroadcastable(380L, 100L))
+    assert(Dedup.dropSetBroadcastable(380L, 1000L))
+    // over the cap -> the ranked payload-shuffle plan: no join (so no
+    // OOM-shaped broadcast of the drop set can exist in it)
+    val viaShuffle = Dedup.exactDedupAuto(df, "doc_id", "text",
+      maxBroadcastDrops = 100L)
+    assert(viaShuffle.queryExecution.optimizedPlan.collect {
+      case j: Join => j }.isEmpty,
+      "dup-majority corpus must take the join-free ranked plan")
+    assert(viaShuffle.select("doc_id").as[Long].collect().sorted.toSeq == expected)
+    // under the cap -> the broadcast anti join plan, same answer
+    val viaBroadcast = Dedup.exactDedupAuto(df, "doc_id", "text",
+      maxBroadcastDrops = 1000L)
+    assert(viaBroadcast.queryExecution.optimizedPlan.collect {
+      case j: Join => j }.nonEmpty)
+    assert(viaBroadcast.select("doc_id").as[Long].collect().sorted.toSeq == expected)
+  }
+
+  test("nearDupPairs routes by corpus size; both paths emit the same pairs") {
+    val docs = Tables.documents(spark, sf)
+    // the routing rule itself
+    assert(Dedup.exactJaccardAffordable(25000L, 25000L))
+    assert(!Dedup.exactJaccardAffordable(25001L, 25000L))
+    // plan tell: the LSH route aggregates minhash columns, the exact
+    // route never mentions them
+    val exactRoute = Dedup.nearDupPairs(docs, "doc_id", "text",
+      maxExactDocs = Long.MaxValue)
+    val lshRoute = Dedup.nearDupPairs(docs, "doc_id", "text", maxExactDocs = 0L)
+    assert(!exactRoute.queryExecution.analyzed.toString.contains("mh_0"))
+    assert(lshRoute.queryExecution.analyzed.toString.contains("mh_0"))
+    val a = exactRoute.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val b = lshRoute.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(a.nonEmpty, "corpus should contain planted near-dups")
+    assert(a == b)
+  }
+
   test("minHashLshDedup matches exact jaccardPairs ground truth") {
     val docs = Tables.documents(spark, sf)
     val exact = Dedup.jaccardPairs(

@@ -142,4 +142,39 @@ class OpsSpec extends SparkSpec {
     val drift = Psi.psi(base, shifted, "v").as[Double].first()
     assert(drift > 0.5, s"expected large PSI, got $drift")
   }
+
+  test("pctHexThreshold is the exact base-16 expansion of pct/100") {
+    assert(Sampling.pctHexThreshold(20) == "3" * 32)  // 0.2 = 0x0.333…
+    assert(Sampling.pctHexThreshold(25) == "4" + "0" * 31)
+    assert(Sampling.pctHexThreshold(50) == "8" + "0" * 31)
+    assert(Sampling.pctHexThreshold(0) == "0" * 32)
+    assert(Sampling.pctHexThreshold(100) == "g") // above every hex digest
+  }
+
+  test("portableTestMember membership equals an independent md5 recompute") {
+    // the contract r2's DuckDB oracle relies on: any engine reproduces
+    // the member SET from md5(key || salt) < hex-threshold
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def ref(key: Long): Boolean = {
+      val hex = md.digest(s"${key}split".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      hex < Sampling.pctHexThreshold(20)
+    }
+    val keys = (1L to 500L)
+    val got = keys.toDF("k")
+      .select($"k", Sampling.portableTestMember($"k", 20, "split").as("t"))
+      .as[(Long, Boolean)].collect().toMap
+    keys.foreach(k => assert(got(k) == ref(k), s"key $k"))
+  }
+
+  test("hashSplit: disjoint, exhaustive, ~pct test fraction, repartition-stable") {
+    val df = (1L to 5000L).toDF("id")
+    val (train, test) = Sampling.hashSplit(df, "id", testPct = 20)
+    val nTrain = train.count(); val nTest = test.count()
+    assert(nTrain + nTest == 5000L)
+    assert(math.abs(nTest / 5000.0 - 0.20) < 0.03, s"test fraction ${nTest / 5000.0}")
+    val (_, test2) = Sampling.hashSplit(df.repartition(7), "id", testPct = 20)
+    assert(test2.select("id").as[Long].collect().sorted.toSeq ==
+      test.select("id").as[Long].collect().sorted.toSeq)
+  }
 }
