@@ -55,11 +55,11 @@ object ScaleProbe {
         Dedup.simHash(d, "doc_id", "text"), 6)),
       "d4_jaccard_capped" -> (d => Dedup.jaccardPairs(
         Dedup.shingles(d, "doc_id", "text", 3), 0.8, maxDocFreq = Some(100))),
-      // the size-ROUTED entry point: exact ≤ 25 k docs, MinHash+LSH above —
-      // its row should track d4 at n=1..2 and flat-line to d2 where d4 widens
+      // the size-ROUTED entry point: exact ≤ 10 k docs, MinHash+LSH above —
+      // its row should track d4 at the base corpus and flat-line to d2
+      // where d4 widens
       "d4_routed_neardup" -> (d => Dedup.nearDupPairs(d, "doc_id", "text",
-        shingleSize = 3, threshold = 0.8, maxDocFreq = Some(100),
-        maxExactDocs = 25000L)),
+        shingleSize = 3, threshold = 0.8, maxDocFreq = Some(100))),
       "t2_quality" -> (d => d.select(col("doc_id"),
         TextAnalysis.qualityScore(col("text"),
           Seq("the", "a", "of", "and", "is", "to", "in")).as("q"))),

@@ -408,12 +408,15 @@ object Dedup {
     * callers should use when the corpus size is not known up front.
     *
     * `jaccardPairs` is exact but its candidate join is near-quadratic in
-    * shared-shingle co-occurrence even with the hot-shingle cap (measured:
-    * 5.4× slower than MinHash+LSH at 50 k docs and widening — NOTES.md
-    * "Measured dedup scaling"), so it must never be the default reached
-    * at corpus scale. This wrapper counts the corpus (one cheap
-    * metadata-backed action) and routes: ≤ `maxExactDocs` → the exact
-    * baseline; above it → `minHashLshDedup`. Both paths emit
+    * shared-shingle co-occurrence even with the hot-shingle cap
+    * (measured on the replicated-documents corpus, NOTES.md "Measured
+    * dedup scaling": exact is the FASTER path at 5 k docs — 2.3 s vs
+    * LSH's 4.5 s fixed signature cost — already 4× slower at 25 k
+    * (16.5 s vs 4.3 s), and 6.5× at 50 k), so it must never be the
+    * default reached at corpus scale. This wrapper counts the corpus
+    * (one cheap metadata-backed action) and routes: ≤ `maxExactDocs` →
+    * the exact baseline; above it → `minHashLshDedup`. The 10 k default
+    * sits at the measured crossover. Both paths emit
     * (id_a, id_b, jaccard) with EXACT coefficients (LSH candidates are
     * exact-verified), so the switch changes recall only for pairs
     * hugging the threshold — with 64 hashes / 16 bands, P[miss] at
@@ -421,7 +424,7 @@ object Dedup {
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 3, threshold: Double = 0.8,
                    maxDocFreq: Option[Int] = Some(100),
-                   maxExactDocs: Long = 25000L,
+                   maxExactDocs: Long = 10000L,
                    numHashes: Int = 64, bands: Int = 16): DataFrame =
     if (exactJaccardAffordable(df.count(), maxExactDocs))
       jaccardPairs(shingles(df, idCol, textCol, shingleSize), threshold, maxDocFreq)

@@ -23,18 +23,18 @@ object Documents {
 
   /** D4 — word-3-gram Jaccard near-dup pairs (threshold 0.8: the corpus
     * has a clean gap — planted dups sit at ≥0.9, everything else below
-    * 0.2), through the size-ROUTED entry point: ≤ 25 k docs (sf0.01,
-    * the driver's oracle gate) runs the exact self-join with the
-    * hot-shingle guard armed (cap 100, far above the corpus' max
-    * shingle df of 7/25, so the answer is unchanged while the bucket
-    * bound is exercised); above it (sf0.1+) delegates to MinHash+LSH —
-    * the measured 5.4×-at-50 k-docs quadratic gap is NOTES.md "Measured
-    * dedup scaling". Both paths emit exact-verified coefficients and
-    * identical pairs on this corpus (gap ≫ LSH miss band). */
+    * 0.2), through the size-ROUTED entry point: ≤ 10 k docs (all test
+    * SFs — sf0.01's 500 for the driver's oracle gate, sf0.1's 5 k for
+    * the bench) runs the exact self-join with the hot-shingle guard
+    * armed (cap 100, far above the corpus' max shingle df of 7/25, so
+    * the answer is unchanged while the bucket bound is exercised);
+    * above 10 k delegates to MinHash+LSH — measured 6.5× cheaper with
+    * identical output at 50 k docs (NOTES.md "Measured dedup scaling").
+    * Both paths emit exact-verified coefficients and identical pairs on
+    * this corpus (gap ≫ LSH miss band). */
   def d4NgramJaccard(s: SparkSession, d: String): DataFrame =
     Dedup.nearDupPairs(Tables.documents(s, d), "doc_id", "text",
-        shingleSize = 3, threshold = 0.8, maxDocFreq = Some(100),
-        maxExactDocs = 25000L)
+        shingleSize = 3, threshold = 0.8, maxDocFreq = Some(100))
       .orderBy("id_a", "id_b")
 
   /** D2 — MinHash+LSH near-dup pairs, exact-verified. Same oracle as D4:
