@@ -106,19 +106,28 @@ object Bench {
     // below the ±10–20% box noise; trailing zeros stripped), sized to
     // survive a 2000-char tail with room for the build tool's trailing
     // status line.
-    def short(v: Double): String = {
-      val s = f"$v%.2f"
+    def short(v: Double, dp: Int): String = {
+      val s = s"%.${dp}f".format(v)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       else s
     }
-    val qs2 = results.map { case (k, med, _, _, _) => "\"" + k + "\":" + short(med) }
-      .mkString("{", ",", "}")
     // failures stay in-band when present; omitted when empty (like the
     // sf tag, which the detail line carries) to keep this line
     // comfortably inside the consumer's ~2 KB tail window as the query
     // battery grows
     val failPart = if (failures == "[]") "" else s""","failures":$failures"""
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs2$failPart}""")
+    def compact(dp: Int): String = {
+      val qs = results.map { case (k, med, _, _, _) => "\"" + k + "\":" + short(med, dp) }
+        .mkString("{", ",", "}")
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs$failPart}"""
+    }
+    // the battery has grown past the point where 2 dp always fits the
+    // consumer's window — degrade per-query precision (never the total,
+    // never the failure list) until the line is safely under 1.9 KB;
+    // full 3 dp medians live in the detail line / BENCH_DETAIL.json
+    val line = (2 to 1 by -1).map(compact).find(_.length <= 1900)
+      .getOrElse(compact(1))
+    println(line)
     spark.stop()
   }
 }

@@ -74,6 +74,7 @@ object SparkEntry {
     "d4_ngram_jaccard" -> (Documents.d4NgramJaccard _),
     "d5_embed_dup"    -> (Documents.d5EmbedDup _),
     "d6_dedup_clusters" -> (Documents.d6DedupClusters _),
+    "d8_semantic_dedup" -> (Documents.d8SemanticDedup _),
     "t1_token_count"  -> (Documents.t1TokenCount _),
     "t2_quality"      -> (Documents.t2Quality _),
     "t5_tfidf"        -> (Documents.t5TfIdf _),
@@ -100,6 +101,7 @@ object SparkEntry {
     "pipeline_e2e"    -> (PipelineE2E.featureStoreStats _),
     "r1_sample"       -> (MLFeatures.r1Sample _),
     "r2_hash_split"   -> (MLFeatures.r2HashSplit _),
+    "m9_class_metrics" -> (MLFeatures.m9ClassMetrics _),
     "mm1_media_meta"  -> (Documents.mm1MediaMeta _),
     "mm2_media_features" -> (Documents.mm2MediaFeatures _),
     "ann3_ivf"        -> (Documents.ann3Ivf _),
@@ -458,6 +460,36 @@ object SparkEntry {
       """SELECT CAST(c_mktsegment IN ('AUTOMOBILE', 'BUILDING') AS INTEGER) AS target,
         |  count(*) AS n
         |FROM customer GROUP BY 1 ORDER BY target""".stripMargin,
+    // M9: both engines derive the same deterministic prediction fixture,
+    // and the metric algebra divides exact integer counts — bit-identical
+    // doubles, rounded only at the end (see MLFeatures.m9ClassMetrics)
+    "m9_class_metrics" ->
+      """WITH preds AS (SELECT o_orderstatus AS label,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN
+        |      CASE o_orderstatus WHEN 'F' THEN 'O' WHEN 'O' THEN 'P' ELSE 'F' END
+        |    ELSE o_orderstatus END AS pred
+        |  FROM orders),
+        |conf AS (SELECT label, pred, count(*) AS n FROM preds GROUP BY 1, 2),
+        |classes AS (SELECT label AS cls FROM conf
+        |  UNION SELECT pred FROM conf),
+        |tp AS (SELECT label AS cls, n AS tp FROM conf WHERE label = pred),
+        |bylabel AS (SELECT label AS cls, sum(n) AS support FROM conf GROUP BY 1),
+        |bypred AS (SELECT pred AS cls, sum(n) AS pred_n FROM conf GROUP BY 1),
+        |j AS (SELECT c.cls, coalesce(tp.tp, 0) AS tp,
+        |    coalesce(bylabel.support, 0) AS support,
+        |    coalesce(bypred.pred_n, 0) AS pred_n
+        |  FROM classes c LEFT JOIN tp ON c.cls = tp.cls
+        |  LEFT JOIN bylabel ON c.cls = bylabel.cls
+        |  LEFT JOIN bypred ON c.cls = bypred.cls),
+        |m AS (SELECT cls,
+        |    CASE WHEN pred_n = 0 THEN 0.0 ELSE tp * 1.0 / pred_n END AS p,
+        |    CASE WHEN support = 0 THEN 0.0 ELSE tp * 1.0 / support END AS r,
+        |    support
+        |  FROM j)
+        |SELECT cls, round(p, 6) AS precision, round(r, 6) AS recall,
+        |  round(CASE WHEN p + r = 0 THEN 0.0 ELSE 2 * p * r / (p + r) END, 6) AS f1,
+        |  CAST(support AS BIGINT) AS support
+        |FROM m ORDER BY cls""".stripMargin,
     // R1's sampled SET is Spark-RNG-specific, but a healthy sampler's
     // per-class count always sits within ±5σ+1 of n·p — the oracle pins
     // the classes, totals, and that flag (see MLFeatures.r1Sample).
@@ -681,6 +713,22 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+    // D8 = d5's cosine pair join + d6's recursive-CTE closure, pruned to
+    // each component's minimum id (singletons keep themselves)
+    "d8_semantic_dedup" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.45),
+        |edges AS (SELECT id_a AS s, id_b AS d FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |walk(s, r) AS (SELECT s, s FROM (SELECT DISTINCT s FROM edges) nodes
+        |  UNION SELECT e2.s, w.r FROM edges e2 JOIN walk w ON e2.d = w.s),
+        |comp AS (SELECT s AS cid, min(r) AS cluster_id FROM walk GROUP BY s)
+        |SELECT ee.vec_id FROM e ee LEFT JOIN comp c ON ee.vec_id = c.cid
+        |WHERE c.cluster_id IS NULL OR c.cluster_id = ee.vec_id
+        |ORDER BY ee.vec_id""".stripMargin,
     "t1_token_count" ->
       """SELECT doc_id,
         |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,

@@ -144,4 +144,39 @@ object Classification {
       perClass = per,
       total = total)
   }
+
+  /** Per-class precision/recall/F1 fully DISTRIBUTED from the confusion
+    * counts — the scale shape for metric families too wide for
+    * `summarize`'s driver-side matrix (fine at 7 grades, wrong at 10⁵
+    * labels): three reductions of (label, prediction, n) joined back on
+    * the class, no collect anywhere. Classes = labels ∪ predictions;
+    * precision/recall are 0 where undefined (sklearn zero_division=0).
+    * Output: (cls, precision, recall, f1, support), metrics at 6 dp. */
+  def perClassMetrics(confusion: DataFrame): DataFrame = {
+    val classes = confusion.select(col("label").as("cls"))
+      .union(confusion.select(col("prediction").as("cls"))).distinct()
+    val tp = confusion.filter(col("label") === col("prediction"))
+      .select(col("label").as("cls"), col("n").as("tp"))
+    val byLabel = confusion.groupBy(col("label").as("cls"))
+      .agg(sum("n").as("support"))
+    val byPred = confusion.groupBy(col("prediction").as("cls"))
+      .agg(sum("n").as("pred_n"))
+    val p = when(col("pred_n") === 0, 0.0).otherwise(col("tp") / col("pred_n"))
+    val r = when(col("support") === 0, 0.0).otherwise(col("tp") / col("support"))
+    classes
+      .join(tp, Seq("cls"), "left")
+      .join(byLabel, Seq("cls"), "left")
+      .join(byPred, Seq("cls"), "left")
+      .na.fill(0L, Seq("tp", "support", "pred_n"))
+      .withColumn("_p", p).withColumn("_r", r)
+      .select(col("cls"),
+        round(col("_p"), 6).as("precision"),
+        round(col("_r"), 6).as("recall"),
+        // f1 from the UNROUNDED ratios (ratios of exact integer counts are
+        // bit-identical across engines; rounding first would not be)
+        round(when(col("_p") + col("_r") === 0.0, 0.0)
+          .otherwise(lit(2.0) * col("_p") * col("_r") / (col("_p") + col("_r"))), 6)
+          .as("f1"),
+        col("support"))
+  }
 }

@@ -625,6 +625,62 @@ object Dedup {
     labels
   }
 
+  /** Keep one canonical row per near-dup cluster: connected components
+    * over the pair graph, keep the row whose id IS its cluster's minimum
+    * (singletons keep themselves). The shared tail of the semantic-dedup
+    * variants; `pairs` must carry (id_a, id_b). */
+  private def keepersFromPairs(df: DataFrame, idCol: String,
+                               pairs: DataFrame): DataFrame = {
+    val clusters = connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", idCol)
+    df.join(clusters, Seq(idCol), "left")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col(idCol))
+      .drop("cluster_id")
+  }
+
+  /** Semantic (embedding-space) dedup, EXACT: drop every document whose
+    * embedding sits within `threshold` cosine of a kept document —
+    * near-dup pairs from the tiled exact θ-join, clustered, one keeper
+    * (smallest id) per cluster. The SemDeDup operation
+    * (Abbas et al. 2023, arXiv:2303.09540) with exact pair generation:
+    * the paper prunes ~50% of web-scale corpora at minimal quality loss
+    * by removing embedding-space near-duplicates that string-level dedup
+    * (d1–d4) cannot see. Cost is the exact θ-join's O(n²) cosine work —
+    * inherent to an exact answer (see `embeddingNearDupsTiled`); at
+    * corpus scale use `semanticDedupWithinCells`, which is the paper's
+    * actual formulation. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, blocks: Int = 16): DataFrame =
+    keepersFromPairs(df, idCol,
+      embeddingNearDupsTiled(df, idCol, vecCol, threshold, blocks))
+
+  /** Semantic dedup, WITHIN-CELL (the SemDeDup paper's formulation and
+    * the 100 TB path): a seeded k-means coarse quantizer assigns every
+    * embedding to one of `nCells` cells; near-dup pairs are generated
+    * only INSIDE a cell (one equi-join on the cell id — per-cell
+    * all-pairs, so sizing nCells ∝ n keeps cells bounded and total work
+    * ~n²/nCells instead of n²), then clustered and pruned to one keeper
+    * per component. Cross-cell near-dups are missed BY DESIGN — the
+    * paper's accepted trade; consequently the kept set is always a
+    * SUPERSET of `semanticDedup`'s (fewer edges → finer components →
+    * every exact keeper still keeps; spec-pinned). K-means centroids are
+    * JVM-float products, so this variant is ScalaTest-verified against
+    * the exact path rather than DuckDB-oracle-checked. */
+  def semanticDedupWithinCells(df: DataFrame, idCol: String, vecCol: String,
+                               threshold: Double, nCells: Int = 16,
+                               seed: Long = 42L): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val (cells, _) = Similarity.quantize(df, nCells, seed, idCol, vecCol)
+    val pairs = cells.select(col("n_id"), col("n_vec"), col("cell")).as("a")
+      .join(cells.select(col("n_id"), col("n_vec"), col("cell")).as("b"),
+        col("a.cell") === col("b.cell") && col("a.n_id") < col("b.n_id"))
+      .withColumn("cos",
+        graft.plans.GraftFunctions.cosineSim(col("a.n_vec"), col("b.n_vec")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.n_id").as("id_a"), col("b.n_id").as("id_b"))
+    keepersFromPairs(df, idCol, pairs)
+  }
+
   /** 64-bit SimHash over word tokens: sign of the per-bit weighted sum of
     * xxhash64(token) bits. Duplicate tokens weigh by multiplicity.
     *

@@ -70,8 +70,8 @@ object Similarity {
     * cell. 5 iterations is plenty for bucketing — recall is governed by
     * nProbe, not centroid polish. Returns the quantized corpus
     * (n_id, n_vec, cell) and the centroid table. */
-  private def quantize(corpus: DataFrame, nCells: Int, seed: Long,
-                       idCol: String, vecCol: String)
+  private[operators] def quantize(corpus: DataFrame, nCells: Int, seed: Long,
+                                  idCol: String, vecCol: String)
       : (DataFrame, Seq[(Int, Array[Float])]) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector

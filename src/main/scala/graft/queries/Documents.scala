@@ -62,6 +62,19 @@ object Documents {
     Dedup.embeddingNearDupsTiled(Tables.embeddings(s, d), "vec_id", "embedding", 0.45)
       .orderBy("id_a", "id_b")
 
+  /** D8 — semantic dedup (SemDeDup): one keeper per embedding-space
+    * near-dup cluster — the composite the pretraining pipelines actually
+    * run (pairs → components → prune), oracle-recomputed by DuckDB as a
+    * cosine self-join + recursive-CTE closure. Registered path is the
+    * exact tiled θ-join (same reasoning as d5: this corpus has no
+    * angular gap at 0.45, so cell/LSH bucketing can't be exact here);
+    * the within-cell SemDeDup formulation is the scale path, spec-pinned
+    * as a superset of this output. */
+  def d8SemanticDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding", 0.45)
+      .select("vec_id")
+      .orderBy("vec_id")
+
   /** D6 — near-dup clusters: connected components over the d4 pair
     * graph; every document labeled with its component's smallest doc id
     * (its canonical keeper), singletons labeling themselves. The step

@@ -138,6 +138,30 @@ object MLFeatures {
       .orderBy("o_orderstatus")
   }
 
+  /** M9 — classification metric family, fully distributed and
+    * driver-gated: a deterministic prediction fixture (labels =
+    * o_orderstatus; every 10th order key mis-predicts via the rotation
+    * F→O→P→F) feeds `Classification.confusion` →
+    * `Classification.perClassMetrics` — per-class precision/recall/F1
+    * with NO driver collect, the shape that survives 10⁵-label
+    * families. DuckDB recomputes the fixture and the metric algebra
+    * verbatim (ratios of exact integer counts are bit-identical;
+    * rounding only at the end). The 7-grade sklearn-parity path
+    * (`summarize`) stays spec-checked in AnalyticsSpec. */
+  def m9ClassMetrics(s: SparkSession, d: String): DataFrame = {
+    import graft.metrics.Classification
+    val preds = Tables.orders(s, d).select(
+      col("o_orderstatus").as("label"),
+      when(col("o_orderkey") % 10 === 0,
+        when(col("o_orderstatus") === "F", "O")
+          .when(col("o_orderstatus") === "O", "P")
+          .otherwise("F"))
+        .otherwise(col("o_orderstatus")).as("prediction"))
+    Classification.perClassMetrics(
+        Classification.confusion(preds, "label", "prediction"))
+      .orderBy("cls")
+  }
+
   /** R2 — deterministic hash split: per-class train/test counts.
     * Membership is the md5-threshold rule (Sampling.portableTestMember),
     * so the DuckDB oracle recomputes the EXACT member set — the split is

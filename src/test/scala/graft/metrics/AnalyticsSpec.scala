@@ -96,4 +96,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(c.f1 == 0.0) // absent class scores 0 (grade_mapping semantics)
     assert(s.macroF1 < s.weightedF1) // zero-support class drags macro down
   }
+
+  test("perClassMetrics (distributed) agrees with summarize (driver matrix)") {
+    val pred = Seq(
+      ("A", "A"), ("A", "A"), ("A", "A"), ("A", "B"),
+      ("B", "B"), ("B", "B"), ("B", "A"),
+      ("C", "A")).toDF("label", "prediction") // C: present label, never predicted
+    val conf = Classification.confusion(pred, "label", "prediction")
+    val s = Classification.summarize(conf, Seq("A", "B", "C"))
+    val dist = Classification.perClassMetrics(conf)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    s.perClass.foreach { pc =>
+      val (p, r, f1, support) = dist(pc.cls)
+      assert(math.abs(p - pc.precision) < 5e-7, s"${pc.cls} precision")
+      assert(math.abs(r - pc.recall) < 5e-7, s"${pc.cls} recall")
+      assert(math.abs(f1 - pc.f1) < 5e-7, s"${pc.cls} f1")
+      assert(support == pred.filter($"label" === pc.cls).count())
+    }
+    // no collect in the distributed plan's data path: output is one row
+    // per class straight from the joins
+    assert(dist.size == 3)
+  }
 }

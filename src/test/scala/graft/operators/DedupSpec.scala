@@ -101,6 +101,46 @@ class DedupSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("semanticDedup keeps exactly one doc per embedding near-dup cluster") {
+    val (df, truth) = plantedEmbeddings()
+    // ground-truth keepers from the brute-force pair set via union-find
+    val pairs = Dedup.embeddingNearDups(df, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val all = df.select("vec_id").as[Long].collect().toSet
+    val expected = all.filter(id => find(id) == id)
+    val kept = Dedup.semanticDedup(df, "vec_id", "embedding", 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(truth.nonEmpty && kept == expected)
+    assert(kept.size < all.size, "planted dups must be pruned")
+  }
+
+  test("semanticDedupWithinCells keeps a superset of the exact keepers") {
+    val (df, _) = plantedEmbeddings()
+    val exact = Dedup.semanticDedup(df, "vec_id", "embedding", 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    val withinCells = Dedup.semanticDedupWithinCells(
+      df, "vec_id", "embedding", 0.9, nCells = 4)
+      .select("vec_id").as[Long].collect().toSet
+    // missing a cross-cell pair can only KEEP more docs, never drop a keeper
+    assert(exact.subsetOf(withinCells))
+    // near-identical vectors land in the same k-means cell: the paper's
+    // trade should still prune most planted dups on a separable corpus
+    val n = df.count()
+    val prunedExact = n - exact.size
+    val prunedCells = n - withinCells.size
+    assert(prunedExact > 0 && prunedCells * 2 >= prunedExact,
+      s"within-cell pruned $prunedCells of $prunedExact")
+  }
+
   test("minHashLshDedup matches exact jaccardPairs ground truth") {
     val docs = Tables.documents(spark, sf)
     val exact = Dedup.jaccardPairs(
