@@ -153,13 +153,19 @@ object Classification {
     * precision/recall are 0 where undefined (sklearn zero_division=0).
     * Output: (cls, precision, recall, f1, support), metrics at 6 dp. */
   def perClassMetrics(confusion: DataFrame): DataFrame = {
-    val classes = confusion.select(col("label").as("cls"))
-      .union(confusion.select(col("prediction").as("cls"))).distinct()
-    val tp = confusion.filter(col("label") === col("prediction"))
+    // four reductions read the confusion table — persist it (≤ |classes|²
+    // rows) so the upstream prediction scan runs ONCE, not four times.
+    // Keyed by logical plan, so repeated runs reuse one copy; long-lived
+    // sessions can spark.catalog.clearCache() (same policy as the dedup
+    // operators' shingle projections).
+    val conf = confusion.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val classes = conf.select(col("label").as("cls"))
+      .union(conf.select(col("prediction").as("cls"))).distinct()
+    val tp = conf.filter(col("label") === col("prediction"))
       .select(col("label").as("cls"), col("n").as("tp"))
-    val byLabel = confusion.groupBy(col("label").as("cls"))
+    val byLabel = conf.groupBy(col("label").as("cls"))
       .agg(sum("n").as("support"))
-    val byPred = confusion.groupBy(col("prediction").as("cls"))
+    val byPred = conf.groupBy(col("prediction").as("cls"))
       .agg(sum("n").as("pred_n"))
     val p = when(col("pred_n") === 0, 0.0).otherwise(col("tp") / col("pred_n"))
     val r = when(col("support") === 0, 0.0).otherwise(col("tp") / col("support"))

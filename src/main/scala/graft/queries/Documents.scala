@@ -81,8 +81,10 @@ object Documents {
     * that turns pair lists into actionable dedup groups. */
   def d6DedupClusters(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val pairs = Dedup.jaccardPairs(
-      Dedup.shingles(docs, "doc_id", "text", 3), 0.8, maxDocFreq = Some(100))
+    // same size-routed pair generation as d4, so the cluster step rides
+    // the LSH path past 10 k docs too (identical pairs on this corpus)
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
+      shingleSize = 3, threshold = 0.8, maxDocFreq = Some(100))
     val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
     docs.select(col("doc_id"))
       .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
