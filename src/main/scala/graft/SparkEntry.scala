@@ -106,6 +106,10 @@ object SparkEntry {
     "mm2_media_features" -> (Documents.mm2MediaFeatures _),
     "ann3_ivf"        -> (Documents.ann3Ivf _),
     "g_explode_slice" -> (Documents.gExplodeSlice _),
+    "d9_dup_spans"    -> (Documents.d9DupSpans _),
+    "r6_epoch_mix"    -> (Documents.r6EpochMix _),
+    "t12_quality_cut" -> (Documents.t12QualityCut _),
+    "a10_approx_distinct" -> (Relational.a10ApproxDistinct _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -821,6 +825,47 @@ object SparkEntry {
         |  16 AS feat_dim, 1 AS feat_ok
         |FROM documents ORDER BY media_id""".stripMargin,
     "pipeline_e2e" -> pipelineE2ESql,
+    // D9's engine path hashes grams to 8 bytes before exchanging; the
+    // oracle recomputes the document frequencies on the raw gram
+    // strings — counts are hash-projection-invariant.
+    "d9_dup_spans" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 3),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS s
+        |  FROM t WHERE len(ws) >= 5),
+        |dupset AS (SELECT s FROM g GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+        |dup AS (SELECT doc_id, count(*) AS n_dup FROM g JOIN dupset USING (s) GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(greatest(len(ws) - 4, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup,
+        |  round(coalesce(n_dup, 0) * 1.0 / greatest(len(ws) - 4, 1), 6) AS dup_frac
+        |FROM t LEFT JOIN dup ON t.doc_id = dup.doc_id ORDER BY t.doc_id""".stripMargin,
+    "r6_epoch_mix" ->
+      """SELECT doc_id, source, epoch FROM (
+        |  SELECT doc_id, source, unnest(range(1,
+        |    CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2
+        |      WHEN 'src2' THEN 2 ELSE 1 END + 1)) AS epoch
+        |  FROM documents)
+        |ORDER BY doc_id, epoch""".stripMargin,
+    // T12: DuckDB's quantile_cont uses the same (n-1)*frac linear
+    // interpolation as Spark's exact percentile, over the same
+    // 6-dp-rounded scores; rows AT the threshold are kept on both sides.
+    "t12_quality_cut" ->
+      """WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |q AS (SELECT doc_id,
+        |  round(least(len(ws) / 50.0, 1.0) * 0.5
+        |    + least(len(list_filter(ws, w -> w IN ('the','a','of','and','is','to','in')))
+        |        / greatest(len(ws) * 0.05, 1.0), 1.0) * 0.5
+        |    - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) * 1.0
+        |        / greatest(length(text), 1), 6) AS quality
+        |  FROM t),
+        |thr AS (SELECT quantile_cont(quality, 0.25) AS thr FROM q)
+        |SELECT doc_id, quality FROM q, thr WHERE quality >= thr
+        |ORDER BY doc_id""".stripMargin,
+    // A10: the HLL estimate is engine-specific, so the oracle pins the
+    // exact counts plus the within-5%-of-exact flag (rsd = 2%).
+    "a10_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact, 1 AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 
   /** pipeline_e2e oracle: the query parquet-dumps its deterministic gold

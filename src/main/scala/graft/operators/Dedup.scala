@@ -156,6 +156,61 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
   }
 
+  /** D9 — inter-document duplicated-span coverage: for each document,
+    * how many of its word-n-gram POSITIONS carry an n-gram that occurs
+    * in at least `minDocs` distinct documents (itself included), plus
+    * the covered fraction. This is the doc-level signal exact-substring
+    * dedup pipelines threshold on (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better", §4 — spans repeated
+    * across documents; the reference corpus-cleaning stage has no
+    * counterpart, this is a scale-pipeline addition): a doc that is 60%
+    * covered by spans shared with other docs is boilerplate/template
+    * material even when no single whole-doc near-dup pair exists.
+    *
+    * Unlike the Jaccard family this keeps POSITIONAL grams (not the
+    * distinct set) — coverage is a property of positions, so a doc that
+    * repeats one shared span ten times is 10/n covered, not 1/n.
+    *
+    * Scale shape: grams are hashed to 8 bytes map-side before any
+    * exchange (the Jaccard-family trick); document frequencies are one
+    * map-side-combinable aggregate over the distinct (id, gram)
+    * projection; the duplicated-gram set joins back onto the positional
+    * grams as a LEFT SEMI on the hash key. Every exchange carries
+    * (id|hash, count) — text never shuffles. The positional-gram
+    * projection is persisted (16-byte rows) because both the df
+    * aggregate and the semi join consume it.
+    *
+    * Output: (id, n_grams, n_dup, dup_frac), one row per input doc —
+    * docs shorter than n tokens report (0, 0, 0.0). */
+  def dupSpanCoverage(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 5, minDocs: Int = 2): DataFrame = {
+    val tokenized = df.select(col(idCol).as("id"),
+      split(trim(col(textCol)), "\\s+").as("toks"))
+    val toks = col("toks")
+    // hash inside the transform: the exploded rows are (id, int64)
+    // from the start — the gram string never leaves its partition
+    val grams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => xxhash64(concat_ws(" ",
+        (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
+    val guarded = when(size(toks) >= n, grams)
+      .otherwise(array().cast("array<bigint>"))
+    val pos = tokenized.select(col("id"), explode(guarded).as("hg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dup = pos.distinct()
+      .groupBy("hg").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDocs).select("hg")
+    val perDoc = pos.join(dup, Seq("hg"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_dup"))
+    val totals = tokenized.select(col("id"),
+      greatest(size(toks) - (n - 1), lit(0)).cast("long").as("n_grams"))
+    totals.join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        round(coalesce(col("n_dup"), lit(0L)) /
+          greatest(col("n_grams"), lit(1L)), 6).as("dup_frac"))
+  }
+
   /** Distinct word-n-gram shingles per document: (id, shingle).
     *
     * The token array is PROJECTED first: element_at(split(...), i) inside

@@ -57,6 +57,35 @@ object TextAnalysis {
     round(lenScore * 0.5 + stopScore * 0.5 - punctPenalty, 6)
   }
 
+  /** T12 — quality-percentile gate: drop the bottom `frac` quantile of
+    * the corpus by `scoreCol` (the corpus-relative cut quality-filter
+    * stages apply — an absolute threshold drifts as the corpus mix
+    * changes, a percentile tracks it).
+    *
+    * `exact = false` (the 100 TB default) thresholds on
+    * `approx_percentile` — a t-digest-style sketch, one map-side-
+    * combinable pass, error bounded by `accuracy`. `exact = true` uses
+    * the exact interpolated `percentile` aggregate (sort-buffers the
+    * score column per partial — fine up to ~10⁸ rows, the
+    * cross-engine-checkable baseline; DuckDB's quantile_cont computes
+    * the same (n−1)·frac interpolation).
+    *
+    * Either way the threshold stays IN the plan as a 1-row broadcast —
+    * no collect, and the filter is a plain comparison the scan side
+    * evaluates map-side (the nested-loop the crossJoin plans is 1×n
+    * against a single broadcast row; a constant-key equi-join would be
+    * constant-folded back to exactly this shape). Rows equal to the
+    * threshold are KEPT. */
+  def qualityCut(df: DataFrame, scoreCol: String, frac: Double,
+                 exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    require(frac >= 0.0 && frac < 1.0, s"frac must be in [0,1), got $frac")
+    val thrAgg =
+      if (exact) percentile(col(scoreCol), lit(frac))
+      else percentile_approx(col(scoreCol), lit(frac), lit(accuracy))
+    val thr = broadcast(df.agg(thrAgg.as("_thr")))
+    df.crossJoin(thr).filter(col(scoreCol) >= col("_thr")).drop("_thr")
+  }
+
   /** Language profiles: characteristic function words per language.
     * Public knowledge (standard stopword lists). */
   val langProfiles: Seq[(String, Seq[String])] = Seq(

@@ -88,6 +88,35 @@ object Sampling {
       .drop("_qrk")
   }
 
+  /** R6 — epoch-based source mixing (data-constrained pretraining:
+    * scarce high-quality sources are repeated for several epochs while
+    * abundant web text makes one pass — the repetition rule studied in
+    * Muennighoff et al. 2023, "Scaling Data-Constrained Language
+    * Models"). Each row is replicated `epochs(group)` times (groups not
+    * in the map get `defaultEpochs`) and tagged with a 1-based `epoch`
+    * index, so a downstream shuffle/pack stage sees each repetition as
+    * an independent row.
+    *
+    * Scale shape: the epoch table is a tiny map LITERAL folded into the
+    * projection and the replication is `explode(sequence(...))` — pure
+    * map-side generate, ZERO shuffle and zero join at any corpus size.
+    * Row growth is exactly Σ epochs(srcᵢ)·nᵢ, the caller's declared
+    * budget. */
+  def epochMix(df: DataFrame, groupCol: String, epochs: Map[String, Int],
+               defaultEpochs: Int = 1): DataFrame = {
+    require(defaultEpochs >= 1 && epochs.values.forall(_ >= 1),
+      "epoch counts must be >= 1 (0 would silently drop a source)")
+    val perGroup =
+      if (epochs.isEmpty) lit(defaultEpochs.toLong)
+      else coalesce(
+        element_at(
+          map(epochs.toSeq.flatMap { case (k, v) =>
+            Seq(lit(k), lit(v.toLong)) }: _*),
+          col(groupCol)),
+        lit(defaultEpochs.toLong))
+    df.withColumn("epoch", explode(sequence(lit(1L), perGroup)))
+  }
+
   /** Temperature-scaled corpus mixing (the multilingual-LLM standard:
     * sample source i with probability ∝ nᵢ^α, α ∈ (0,1] — α = 1 keeps the
     * natural distribution, α → 0 approaches uniform, flattening the

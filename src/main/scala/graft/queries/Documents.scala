@@ -106,6 +106,41 @@ object Documents {
       .orderBy("doc_id")
   }
 
+  /** D9 — duplicated-span coverage (word-5-grams shared by ≥ 2 docs):
+    * per-doc positional coverage by inter-document repeated spans, the
+    * signal exact-substring dedup thresholds on. The corpus' planted
+    * near-dups surface as high-coverage docs; everything else sits near
+    * zero. Fully oracle-checked: DuckDB recomputes the positional-gram
+    * document frequencies on the raw gram strings (the engine's
+    * xxhash64 projection is count-invariant). */
+  def d9DupSpans(s: SparkSession, d: String): DataFrame =
+    Dedup.dupSpanCoverage(Tables.documents(s, d), "doc_id", "text",
+        n = 5, minDocs = 2)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  /** R6 — epoch-based source mixing: src0 makes 3 epochs, src1/src2
+    * make 2, the long tail makes 1 — each repetition an independent
+    * row tagged with its epoch index (map-side generate, zero shuffle). */
+  def r6EpochMix(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.epochMix(Tables.documents(s, d), "source",
+        Map("src0" -> 3, "src1" -> 2, "src2" -> 2))
+      .select("doc_id", "source", "epoch")
+      .orderBy("doc_id", "epoch")
+
+  /** T12 — corpus-relative quality gate: drop the bottom quartile by
+    * composite quality score. Registered path runs the EXACT
+    * interpolated percentile (the cross-engine-checkable baseline —
+    * DuckDB's quantile_cont computes the same (n−1)·frac rule over the
+    * same 6-dp-rounded scores); the approx_percentile scale variant is
+    * spec-pinned against it in TextAnalysisSpec. */
+  def t12QualityCut(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.documents(s, d).select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text"), stopwords).as("quality"))
+    TextAnalysis.qualityCut(scored, "quality", 0.25, exact = true)
+      .orderBy("doc_id")
+  }
+
   /** R5 — temperature-scaled language mixing (α = 0.5, 200 target rows):
     * per-language quotas ∝ √nᵢ, rows drawn by deterministic md5 rank. */
   def r5TemperatureMix(s: SparkSession, d: String): DataFrame =

@@ -567,4 +567,24 @@ object Relational {
         coalesce(col("o_orderstatus"), lit("MISSING")).as("status_filled"),
         regexp_extract(col("o_orderpriority"), "^(\\d+)", 1).cast("int").as("prio_rank"))
       .orderBy("o_orderkey")
+
+  /** A10 — approximate distinct count (HyperLogLog++): the map-side-
+    * combinable sketch that replaces exact countDistinct's
+    * expand-then-shuffle at 100 TB (a distinct over 10¹¹ keys shuffles
+    * the key set; the HLL sketch is a few KB per group regardless).
+    * Oracle-gated like r1: DuckDB recomputes the exact count and the
+    * query pins the approx estimate to within ±5% of it (rsd = 2%, so a
+    * healthy sketch clears 5% with overwhelming margin; a broken one
+    * flips the flag → hash mismatch). The raw estimate is
+    * engine-specific (HLL register layout), hence gated, not
+    * value-compared. */
+  def a10ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("n_exact"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("_approx"))
+      .select(col("l_returnflag"), col("n_exact"),
+        when(abs(col("_approx") - col("n_exact")) <=
+          col("n_exact") * lit(0.05), 1).otherwise(0).as("approx_ok"))
+      .orderBy("l_returnflag")
 }

@@ -21,8 +21,9 @@ class SparkEntrySpec extends SparkSpec {
   // queries whose plan INTENTIONALLY contains a bounded broadcast nested
   // loop: ann1 (the exact ANN baseline: broadcast query set × one corpus
   // scan), ann3 (queries × nCells centroid table), t9 (1-row smoothing
-  // denominator crossed in)
-  private val intendedNestedLoop = Set("ann1_brute_force", "ann3_ivf", "t9_lm_score")
+  // denominator crossed in), t12 (1-row percentile threshold crossed in)
+  private val intendedNestedLoop =
+    Set("ann1_brute_force", "ann3_ivf", "t9_lm_score", "t12_quality_cut")
 
   test("no query plans an unintended nested-loop or cartesian join") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -291,6 +291,26 @@ class DedupSpec extends SparkSpec {
     assert(capped.count() == 0, "shingle in 5 corpus docs must be capped out")
   }
 
+  test("dupSpanCoverage: positional counts, repeats, short docs") {
+    // docs 0/1/2 share the 5-gram "a b c d e"; doc 2 carries it at TWO
+    // positions (positional coverage must count both); doc 3 shares
+    // nothing; doc 4 is shorter than n and must report (0, 0, 0.0)
+    val docs = Seq(
+      (0L, "a b c d e x y z"),
+      (1L, "q a b c d e"),
+      (2L, "a b c d e a b c d e"),
+      (3L, "u v w x y z t"),
+      (4L, "p q")).toDF("doc_id", "text")
+    val out = Dedup.dupSpanCoverage(docs, "doc_id", "text", n = 5, minDocs = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(0L) == ((4L, 1L, 0.25)))
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((6L, 2L, 0.333333)))
+    assert(out(3L) == ((3L, 0L, 0.0)))
+    assert(out(4L) == ((0L, 0L, 0.0)))
+  }
+
   test("packed simHash is bit-identical to the signed ±1 bit-sum definition") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf).limit(100)

@@ -22,6 +22,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps.distinct.length == 1)
   }
 
+  test("qualityCut: exact gate keeps threshold ties; approx path agrees") {
+    // interpolated p25 of {1..5} is 2.0 -> rows AT the threshold are kept
+    val mini = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0), (5L, 5.0))
+      .toDF("id", "q")
+    val kept = TextAnalysis.qualityCut(mini, "q", 0.25, exact = true)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 4L, 5L))
+    // on the real corpus the approx (t-digest) path — the 100 TB
+    // default — matches the exact baseline to within a sliver
+    val stop = Seq("the", "a", "of", "and", "is", "to", "in")
+    val scored = graft.core.Tables.documents(spark, sf).select($"doc_id",
+      TextAnalysis.qualityScore($"text", stop).as("quality"))
+    val n = scored.count()
+    val exIds = TextAnalysis.qualityCut(scored, "quality", 0.25, exact = true)
+      .select("doc_id").as[Long].collect().toSet
+    val apIds = TextAnalysis.qualityCut(scored, "quality", 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exIds.size >= (n * 0.74).toInt && exIds.size < n)
+    val diff = (exIds diff apIds) ++ (apIds diff exIds)
+    assert(diff.size <= (n * 0.02).toInt,
+      s"approx vs exact cut differ on ${diff.size} of $n docs")
+  }
+
   test("langId picks the profile language; ties break alphabetically") {
     val df = Seq(
       "the cat is on the mat and it is happy",

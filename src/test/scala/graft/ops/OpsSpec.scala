@@ -19,6 +19,23 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq == cases.map(_._2))
   }
 
+  test("epochMix replicates per-group with a 1-based epoch index, map-side") {
+    val df = Seq((0L, "wiki"), (1L, "wiki"), (2L, "web"), (3L, "books"))
+      .toDF("id", "src")
+    val out = Sampling.epochMix(df, "src", Map("wiki" -> 3, "books" -> 2))
+    val byId = out.select("id", "epoch").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byId(0L) == Seq(1L, 2L, 3L) && byId(1L) == Seq(1L, 2L, 3L))
+    assert(byId(2L) == Seq(1L))          // unlisted group -> defaultEpochs
+    assert(byId(3L) == Seq(1L, 2L))
+    // zero shuffle: the replication is a generate, never an exchange
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"epochMix must not shuffle:\n$plan")
+    intercept[IllegalArgumentException] {
+      Sampling.epochMix(df, "src", Map("wiki" -> 0))
+    }
+  }
+
   test("oneHot: exactly one 1 per row for in-dictionary values, all-zero otherwise") {
     val df = Seq("RENT", "OWN", "MORTGAGE", "SURPRISE").toDF("h")
     val cats = Seq("RENT", "OWN", "MORTGAGE")
