@@ -125,8 +125,27 @@ object Bench {
     // consumer's window — degrade per-query precision (never the total,
     // never the failure list) until the line is safely under 1.9 KB;
     // full 3 dp medians live in the detail line / BENCH_DETAIL.json
+    //
+    // If even 1 dp overflows (the battery outgrew the window at ~95
+    // queries: names alone are ~1.4 KB), keep explicit entries for the
+    // SLOWEST queries — the ones perf judgment needs — and fold the
+    // fastest remainder into one EXPLICIT bucket carrying its count,
+    // summed seconds, and per-query max. Never a silent cap: the bucket
+    // says exactly what it absorbed, and the full per-query medians are
+    // one line up and in BENCH_DETAIL.json.
+    def bucketed(k: Int): String = {
+      val bySlow = results.sortBy(r => -r._2)
+      val keep = bySlow.take(k).sortBy(_._1)
+      val rest = bySlow.drop(k)
+      val qs = keep.map { case (n, med, _, _, _) => "\"" + n + "\":" + short(med, 1) }
+        .mkString("{", ",", "}")
+      val restPart = if (rest.isEmpty) "" else
+        s""","fastest_omitted":{"n":${rest.size},"sum_sec":${short(rest.map(_._2).sum, 2)},"max_sec":${short(rest.map(_._2).max, 2)}}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs$restPart$failPart}"""
+    }
     val line = (2 to 1 by -1).map(compact).find(_.length <= 1900)
-      .getOrElse(compact(1))
+      .getOrElse((results.size to 0 by -1).view.map(bucketed)
+        .find(_.length <= 1900).get)
     println(line)
     spark.stop()
   }

@@ -60,6 +60,11 @@ object ScaleProbe {
       // where d4 widens
       "d4_routed_neardup" -> (d => Dedup.nearDupPairs(d, "doc_id", "text",
         shingleSize = 3, threshold = 0.8, maxDocFreq = Some(100))),
+      // positional-gram coverage: one distinct+aggregate and one semi
+      // join over 8-byte gram hashes — should track corpus size, not
+      // bend upward with duplication
+      "d9_dup_spans" -> (d => Dedup.dupSpanCoverage(d, "doc_id", "text",
+        n = 5, minDocs = 2)),
       "t2_quality" -> (d => d.select(col("doc_id"),
         TextAnalysis.qualityScore(col("text"),
           Seq("the", "a", "of", "and", "is", "to", "in")).as("q"))),

@@ -110,6 +110,8 @@ object SparkEntry {
     "r6_epoch_mix"    -> (Documents.r6EpochMix _),
     "t12_quality_cut" -> (Documents.t12QualityCut _),
     "a10_approx_distinct" -> (Relational.a10ApproxDistinct _),
+    "d10_incremental_neardup" -> (Documents.d10IncrementalNearDup _),
+    "j7_salted_join"  -> (Relational.j7SaltedJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -866,6 +868,28 @@ object SparkEntry {
     "a10_approx_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact, 1 AS approx_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // D10: exact ground-truth cross-set Jaccard pairs (batch = doc_id
+    // % 5 = 0 vs landed corpus = the rest) — same shingle machinery as
+    // the d2/d4 oracle, pairs restricted to batch×corpus.
+    "d10_incremental_neardup" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+        |  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s FROM t),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.s = b.s
+        |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0 GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(shared * 1.0 / (sa.sz + sb.sz - shared), 6) AS jaccard
+        |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+        |WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    // J7: salting is shuffle topology only — the oracle is the PLAIN
+    // join + aggregate the salted plan must be row-identical to.
+    "j7_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 
   /** pipeline_e2e oracle: the query parquet-dumps its deterministic gold

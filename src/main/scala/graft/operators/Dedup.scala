@@ -414,18 +414,25 @@ object Dedup {
     hashed.groupBy("id").agg(minCols.head, minCols.tail: _*)
   }
 
-  /** LSH candidate pairs: split the signature into `bands` bands, hash
-    * each band, self-join on (band, bandHash). Output distinct
-    * (id_a, id_b), id_a < id_b. */
-  def lshCandidates(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  /** (id, band, bandHash) bucket rows for a signature table — the LSH
+    * join key shared by the self-join (lshCandidates) and the
+    * batch-vs-corpus join (incrementalNearDup). */
+  private def bandBuckets(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         hash((0 until r).map(i => col(s"mh_${b * r + i}")): _*).as("bh"))
     }
-    val exploded = sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+    sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  /** LSH candidate pairs: split the signature into `bands` bands, hash
+    * each band, self-join on (band, bandHash). Output distinct
+    * (id_a, id_b), id_a < id_b. */
+  def lshCandidates(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val exploded = bandBuckets(sig, numHashes, bands)
     exploded.as("x").join(exploded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.id") < col("y.id"))
@@ -451,6 +458,40 @@ object Dedup {
     val cands = lshCandidates(minHashSignaturesHashed(h, numHashes, 42L),
       numHashes, bands)
     jaccardForHashed(h, cands, threshold)
+  }
+
+  /** D10 — incremental near-dup: pair a NEW batch against the landed
+    * corpus WITHOUT pairing the corpus with itself — the production
+    * ingest shape (the corpus was already near-dedup'd when it landed;
+    * re-running the self-join over 100 TB per batch would dwarf the
+    * batch). Both sides get MinHash band buckets; the join is
+    * batch-buckets × corpus-buckets only, so cost scales with
+    * |batch| · collision-rate, never |corpus|²; candidates are then
+    * exact-Jaccard-verified over the union of the hashed shingle
+    * tables. At production scale the corpus side of BOTH tables
+    * (signatures and hashed shingles) is the at-rest store appended at
+    * ingest — recomputing here stands in for reading it.
+    *
+    * CONTRACT: batch and corpus ids must be disjoint (they share one id
+    * space). Output: (id_a = batch id, id_b = corpus id, jaccard),
+    * exact coefficients. */
+  def incrementalNearDup(batch: DataFrame, corpus: DataFrame,
+                         idCol: String, textCol: String,
+                         shingleSize: Int = 3, numHashes: Int = 64,
+                         bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+    val hB = hashedShingles(shingles(batch, idCol, textCol, shingleSize))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hC = hashedShingles(shingles(corpus, idCol, textCol, shingleSize))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bB = bandBuckets(minHashSignaturesHashed(hB, numHashes, 42L),
+      numHashes, bands)
+    val bC = bandBuckets(minHashSignaturesHashed(hC, numHashes, 42L),
+      numHashes, bands)
+    val cands = bB.as("x").join(bC.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    jaccardForHashed(hB.unionByName(hC), cands, threshold)
   }
 
   /** True ⇔ the corpus is small enough that the exact all-shared-shingle

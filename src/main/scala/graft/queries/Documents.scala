@@ -141,6 +141,21 @@ object Documents {
       .orderBy("doc_id")
   }
 
+  /** D10 — incremental near-dup: docs with doc_id % 5 = 0 arrive as the
+    * new batch (same split as d7), the rest is the landed corpus; emit
+    * every (batch, corpus) pair at Jaccard ≥ 0.8. LSH-bucketed
+    * batch×corpus join, exact-verified — the oracle recomputes the
+    * exact cross-set pair list (identical here: the corpus' planted
+    * dups sit ≥ 0.9, far above the ~3·10⁻⁴ LSH miss band). */
+  def d10IncrementalNearDup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.incrementalNearDup(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", shingleSize = 3, threshold = 0.8)
+      .orderBy("id_a", "id_b")
+  }
+
   /** R5 — temperature-scaled language mixing (α = 0.5, 200 target rows):
     * per-language quotas ∝ √nᵢ, rows drawn by deterministic md5 rank. */
   def r5TemperatureMix(s: SparkSession, d: String): DataFrame =

@@ -568,6 +568,23 @@ object Relational {
         regexp_extract(col("o_orderpriority"), "^(\\d+)", 1).cast("int").as("prio_rank"))
       .orderBy("o_orderkey")
 
+  /** J7 — skew-salted equi-join: lineitem⋈orders on the order key
+    * through Skew.saltedJoin (salt factor 8). Salting is pure shuffle
+    * topology — the big side's rows spread over 8 sub-keys per join
+    * key, the small side replicates across them — so the result is
+    * row-identical to the plain join, which is exactly what the oracle
+    * recomputes. The mitigation for the single-hot-key stragglers AQE's
+    * skew split can't break up. */
+  def j7SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    graft.ops.Skew.saltedJoin(l, o, Seq("l_orderkey"), saltFactor = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
   /** A10 — approximate distinct count (HyperLogLog++): the map-side-
     * combinable sketch that replaces exact countDistinct's
     * expand-then-shuffle at 100 TB (a distinct over 10¹¹ keys shuffles
@@ -577,14 +594,26 @@ object Relational {
     * healthy sketch clears 5% with overwhelming margin; a broken one
     * flips the flag → hash mismatch). The raw estimate is
     * engine-specific (HLL register layout), hence gated, not
-    * value-compared. */
-  def a10ApproxDistinct(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .groupBy("l_returnflag")
-      .agg(countDistinct(col("l_orderkey")).as("n_exact"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("_approx"))
+    * value-compared.
+    *
+    * The exact and approx aggregates run as SEPARATE aggregations
+    * joined on the (3-row) group key: combined in one `agg`, Spark
+    * rewrites countDistinct+other as a first aggregate keyed by
+    * (group, distinct value) that carries the other function's partial
+    * buffer per group — and the rsd=2% HLL buffer is ~412 longs, so
+    * ~450 k (returnflag, orderkey) groups dragged ~1.5 GB through the
+    * first exchange (measured 3.4 s; split: two clean pruned scans,
+    * each exchange carrying only its own partials). */
+  def a10ApproxDistinct(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d).select("l_returnflag", "l_orderkey")
+    val exact = l.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+    val approx = l.groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("_approx"))
+    exact.join(approx, "l_returnflag")
       .select(col("l_returnflag"), col("n_exact"),
         when(abs(col("_approx") - col("n_exact")) <=
           col("n_exact") * lit(0.05), 1).otherwise(0).as("approx_ok"))
       .orderBy("l_returnflag")
+  }
 }

@@ -291,6 +291,32 @@ class DedupSpec extends SparkSpec {
     assert(capped.count() == 0, "shingle in 5 corpus docs must be capped out")
   }
 
+  test("incrementalNearDup pairs batch against corpus only; matches exact cross-set slice") {
+    // fixture: within-set near-dups must NOT be emitted
+    val t1 = "alpha beta gamma delta epsilon zeta eta"
+    val corpus = Seq((1L, t1), (2L, t1), (3L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    val batch = Seq((100L, t1), (101L, t1), (102L, "red green blue cyan pink teal"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDup(batch, corpus, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((100L, 1L), (100L, 2L), (101L, 1L), (101L, 2L)))
+
+    // real corpus: identical to the cross-set slice of exact jaccardPairs
+    val docs = Tables.documents(spark, sf)
+    val exact = Dedup.jaccardPairs(Dedup.shingles(docs, "doc_id", "text", 3), 0.8)
+      .filter((col("id_a") % 5 === 0) =!= (col("id_b") % 5 === 0))
+      .select(
+        when(col("id_a") % 5 === 0, col("id_a")).otherwise(col("id_b")).as("b"),
+        when(col("id_a") % 5 === 0, col("id_b")).otherwise(col("id_a")).as("c"))
+      .as[(Long, Long)].collect().toSet
+    val inc = Dedup.incrementalNearDup(
+        docs.filter($"doc_id" % 5 === 0), docs.filter($"doc_id" % 5 =!= 0),
+        "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(inc == exact)
+  }
+
   test("dupSpanCoverage: positional counts, repeats, short docs") {
     // docs 0/1/2 share the 5-gram "a b c d e"; doc 2 carries it at TWO
     // positions (positional coverage must count both); doc 3 shares
