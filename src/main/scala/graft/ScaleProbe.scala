@@ -65,6 +65,12 @@ object ScaleProbe {
       // bend upward with duplication
       "d9_dup_spans" -> (d => Dedup.dupSpanCoverage(d, "doc_id", "text",
         n = 5, minDocs = 2)),
+      // batch-vs-corpus near-dup: the batch (1/5 of docs) rides LSH
+      // buckets against the corpus — cost should track corpus size
+      // linearly (bucket join), never corpus²
+      "d10_incremental" -> (d => Dedup.incrementalNearDup(
+        d.filter(col("doc_id") % 5 === 0), d.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text")),
       "t2_quality" -> (d => d.select(col("doc_id"),
         TextAnalysis.qualityScore(col("text"),
           Seq("the", "a", "of", "and", "is", "to", "in")).as("q"))),
