@@ -112,6 +112,7 @@ object SparkEntry {
     "a10_approx_distinct" -> (Relational.a10ApproxDistinct _),
     "d10_incremental_neardup" -> (Documents.d10IncrementalNearDup _),
     "j7_salted_join"  -> (Relational.j7SaltedJoin _),
+    "s_compact_roundtrip" -> (Relational.sCompactRoundtrip _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -890,6 +891,12 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // S-compact: compaction is a file-layout rewrite only — the oracle
+    // recomputes the aggregate from the ORIGINAL table.
+    "s_compact_roundtrip" ->
+      """SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars,
+        |  sum(length(text)) AS sum_text_len
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
   )
 
   /** pipeline_e2e oracle: the query parquet-dumps its deterministic gold

@@ -288,6 +288,27 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** S-compact — small-file compaction roundtrip: land documents as 64
+    * deliberately-tiny files (the micro-batch-ingest pathology), compact
+    * with `Sources.compactParquet` (driver-side file census →
+    * shuffle-free coalesce rewrite), read the compacted copy, aggregate
+    * per language. The oracle recomputes the aggregate from the
+    * original table — compaction must be bit-transparent to content. */
+  def sCompactRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val base = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/compact_roundtrip"
+    val src = s"$base/documents_small"
+    val dst = s"$base/documents_compacted"
+    Tables.documents(s, d).repartition(64)
+      .write.mode("overwrite").parquet(src)
+    graft.sources.Sources.compactParquet(s, src, dst)
+    s.read.parquet(dst)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"),
+        sum(length(col("text"))).as("sum_text_len"))
+      .orderBy("lang")
+  }
+
   case class LineitemSlim(l_returnflag: String, l_linestatus: String,
                           l_quantity: Double, l_shipdate: java.sql.Timestamp)
 

@@ -137,6 +137,37 @@ object Sources {
     case c => c.toString
   }
 
+  /** Small-file compaction — the maintenance pass every streaming/
+    * incremental ingest needs at scale: micro-batch sinks and per-week
+    * appends leave thousands of KB-sized files whose open/footer cost
+    * dominates scans long before data volume does. Rewrites `srcDir`
+    * into `dstDir` as ceil(totalBytes / targetFileBytes) files (≥ 1).
+    *
+    * Scale shape: the file census is a driver-side listing (metadata
+    * only, no data read); the rewrite is one job whose shuffle-free
+    * `coalesce` merges existing partitions when shrinking the count —
+    * content is bit-identical, only the file layout changes. Returns
+    * the output file count. Deliberately writes to a NEW directory:
+    * compact-in-place needs a commit protocol (write temp + atomic
+    * swap) that belongs to the table format / orchestrator, not the
+    * engine primitive. */
+  def compactParquet(spark: SparkSession, srcDir: String, dstDir: String,
+                     targetFileBytes: Long = 128L << 20): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val p = new Path(srcDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(p).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1L,
+      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(srcDir).coalesce(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(dstDir)
+    val d = new Path(dstDir)
+    fs.listStatus(d).count(f =>
+      f.isFile && f.getPath.getName.endsWith(".parquet"))
+  }
+
   /** S10 — directory-listing "catalog": discover week partitions by
     * directory-name prefix (weekly_evaluation.py:343–375 shape). */
   def listPartitions(spark: SparkSession, dir: String, prefix: String): Seq[String] = {

@@ -55,6 +55,58 @@ class SourcesSpec extends SparkSpec {
     assert(dropped.count() == 5, "count pushdown skips parsing by design")
   }
 
+  test("compactParquet merges small files without touching content") {
+    val base = Files.createTempDirectory("compact").toString
+    val docs = Tables.documents(spark, sf)
+    docs.repartition(64).write.mode("overwrite").parquet(s"$base/small")
+    val smallCount = new java.io.File(s"$base/small").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(smallCount == 64, s"fixture should land 64 files, got $smallCount")
+    // target sized so the whole table fits ONE file
+    val nOut = Sources.compactParquet(spark, s"$base/small", s"$base/big",
+      targetFileBytes = 1L << 30)
+    assert(nOut == 1, s"expected 1 compacted file, got $nOut")
+    val back = spark.read.parquet(s"$base/big")
+    assert(back.count() == docs.count())
+    assert(back.except(docs).count() == 0 && docs.except(back).count() == 0)
+    // a small target must yield multiple files (census drives the count)
+    val nMulti = Sources.compactParquet(spark, s"$base/small", s"$base/multi",
+      targetFileBytes = 64L << 10)
+    assert(nMulti > 1, s"64 KB target over >64 KB of data must split, got $nMulti")
+  }
+
+  test("malformed JSONL rows: PERMISSIVE quarantines, DROPMALFORMED drops") {
+    // JSON Lines is the LLM-corpus interchange format and crawl-grade
+    // corpora always carry truncated/invalid lines; same contract as
+    // the CSV quarantine: capture without failing the batch
+    val dir = Files.createTempDirectory("badjsonl").toString
+    val jsonl = Seq(
+      """{"doc_id": 1, "text": "good one"}""",
+      """{"doc_id": 2, "text": "truncated""",        // unterminated string
+      """{"doc_id": 3, "text": "good two"}""",
+      """not json at all""",
+      """{"doc_id": "five", "text": "bad id type"}""").mkString("\n")
+    Files.write(java.nio.file.Paths.get(s"$dir/batch.jsonl"), jsonl.getBytes)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, _bad STRING")
+    val permissive = spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .schema(schema).json(s"$dir/batch.jsonl")
+      .cache()
+    assert(permissive.count() == 5)
+    // quarantined: the two unparseable lines plus the type mismatch
+    assert(permissive.filter($"_bad".isNotNull).count() == 3)
+    assert(permissive.filter($"_bad".isNull && $"doc_id".isNotNull).count() == 2)
+    permissive.unpersist()
+    val dropped = spark.read
+      .option("mode", "DROPMALFORMED")
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING"))
+      .json(s"$dir/batch.jsonl")
+    assert(dropped.select("doc_id", "text").collect().length == 2)
+  }
+
   test("json sidecar round-trips (grade_mapping shape) without a Spark job") {
     val p = Files.createTempDirectory("sidecar").toString + "/mapping.json"
     val kv = Map("A" -> "0", "B" -> "1", "model" -> "lgbm \"best\"",
