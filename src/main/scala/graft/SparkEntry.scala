@@ -113,6 +113,9 @@ object SparkEntry {
     "d10_incremental_neardup" -> (Documents.d10IncrementalNearDup _),
     "j7_salted_join"  -> (Relational.j7SaltedJoin _),
     "s_compact_roundtrip" -> (Relational.sCompactRoundtrip _),
+    "r7_shuffle_shard" -> (Documents.r7ShuffleShard _),
+    "dq_profile"      -> (Relational.dqProfile _),
+    "j8_full_outer"   -> (Relational.j8FullOuter _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -897,6 +900,45 @@ object SparkEntry {
       """SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars,
         |  sum(length(text)) AS sum_text_len
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "dq_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'doc_id' AS col_name, count(*) - count(doc_id) AS n_null,
+        |    count(DISTINCT doc_id) AS n_distinct,
+        |    CAST(min(doc_id) AS VARCHAR) AS min_val,
+        |    CAST(max(doc_id) AS VARCHAR) AS max_val FROM documents
+        |  UNION ALL SELECT 'lang', count(*) - count(lang),
+        |    count(DISTINCT lang), CAST(min(lang) AS VARCHAR),
+        |    CAST(max(lang) AS VARCHAR) FROM documents
+        |  UNION ALL SELECT 'source', count(*) - count(source),
+        |    count(DISTINCT source), CAST(min(source) AS VARCHAR),
+        |    CAST(max(source) AS VARCHAR) FROM documents
+        |  UNION ALL SELECT 'n_chars', count(*) - count(n_chars),
+        |    count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR),
+        |    CAST(max(n_chars) AS VARCHAR) FROM documents)
+        |ORDER BY col_name""".stripMargin,
+    "j8_full_outer" ->
+      """WITH c AS (SELECT c_custkey FROM customer WHERE c_custkey <= 1000),
+        |o AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey)
+        |SELECT side, count(*) AS n FROM (
+        |  SELECT CASE WHEN c.c_custkey IS NULL THEN 'order_only'
+        |    WHEN o.o_custkey IS NULL THEN 'customer_only'
+        |    ELSE 'both' END AS side
+        |  FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey)
+        |GROUP BY side ORDER BY side""".stripMargin,
+    // R7: shard + position are pure md5 string arithmetic — recomputed
+    // verbatim (strpos instead of a hex-to-int builtin DuckDB lacks).
+    "r7_shuffle_shard" ->
+      """SELECT doc_id, shard, pos FROM (
+        |  SELECT doc_id,
+        |    CAST((strpos('0123456789abcdef',
+        |      substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 8 AS BIGINT) AS shard,
+        |    CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY (strpos('0123456789abcdef',
+        |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 8
+        |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 2, 31), doc_id)
+        |      AS BIGINT) AS pos
+        |  FROM documents)
+        |ORDER BY shard, pos""".stripMargin,
   )
 
   /** pipeline_e2e oracle: the query parquet-dumps its deterministic gold

@@ -117,6 +117,35 @@ object Sampling {
     df.withColumn("epoch", explode(sequence(lit(1L), perGroup)))
   }
 
+  /** R7 — deterministic corpus shuffle-and-shard: the "global shuffle
+    * before handing shards to trainer workers" stage, as a pure
+    * function of the key (no RNG state, reproducible across runs,
+    * partitionings, cluster sizes, and engines).
+    *
+    * Shard = (index of the first md5 hex digit in "0123456789abcdef")
+    * mod nShards — map-side, uniform, and recomputable by ANY SQL
+    * engine as plain string arithmetic (instr/strpos — no hex-to-int
+    * builtin needed, which DuckDB lacks); position-within-shard = rank
+    * by the REMAINING md5 hex (independent of the digit that chose the
+    * shard), tie-broken by key. A global row_number would serialize
+    * the corpus into one partition; per-shard windows scale with the
+    * cluster. Output adds (shard, pos). nShards ≤ 16 so the single-
+    * digit prefix stays uniform across shards. */
+  def shuffleShard(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1 && nShards <= 16,
+      s"nShards must be in [1,16], got $nShards")
+    val hex = md5(col(keyCol).cast("string").cast("binary"))
+    val shard = pmod(
+      (instr(lit("0123456789abcdef"), substring(hex, 1, 1)) - 1).cast("long"),
+      lit(nShards.toLong))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard")
+      .orderBy(substring(md5(col(keyCol).cast("string").cast("binary")), 2, 31),
+        col(keyCol))
+    df.withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
   /** Temperature-scaled corpus mixing (the multilingual-LLM standard:
     * sample source i with probability ∝ nᵢ^α, α ∈ (0,1] — α = 1 keeps the
     * natural distribution, α → 0 approaches uniform, flattening the

@@ -141,6 +141,15 @@ object Documents {
       .orderBy("doc_id")
   }
 
+  /** R7 — deterministic shuffle-and-shard (8 shards): every doc gets a
+    * reproducible (shard, pos) from md5 arithmetic both engines
+    * recompute — the pre-training global shuffle without RNG state or
+    * a single-partition sort. */
+  def r7ShuffleShard(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.shuffleShard(Tables.documents(s, d), "doc_id", 8)
+      .select("doc_id", "shard", "pos")
+      .orderBy("shard", "pos")
+
   /** D10 — incremental near-dup: docs with doc_id % 5 = 0 arrive as the
     * new batch (same split as d7), the rest is the landed corpus; emit
     * every (batch, corpus) pair at Jaccard ≥ 0.8. LSH-bucketed

@@ -606,6 +606,52 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** DQ-profile — ONE-pass column profiling: per-column null count,
+    * exact distinct count, and min/max, melted to one row per column —
+    * the ingest-time profile a data-quality gate reads before rules
+    * exist. One aggregation job over the table; the multi-distinct
+    * rewrite expands the input once per distinct column (the textbook
+    * trade — at 100 TB swap countDistinct for approx_count_distinct as
+    * in a10 and the expand disappears). min/max are cast AFTER
+    * aggregation so numeric columns order numerically, not
+    * lexicographically. */
+  def dqProfile(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val cols = Seq("doc_id", "lang", "source", "n_chars")
+    val aggs = cols.flatMap { c => Seq(
+      count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
+      countDistinct(col(c)).as(s"${c}__distinct"),
+      min(col(c)).cast("string").as(s"${c}__min"),
+      max(col(c)).cast("string").as(s"${c}__max")) }
+    val one = docs.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c => struct(lit(c).as("col_name"),
+      col(s"${c}__nulls").as("n_null"),
+      col(s"${c}__distinct").as("n_distinct"),
+      col(s"${c}__min").as("min_val"),
+      col(s"${c}__max").as("max_val")) }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+      .orderBy("col_name")
+  }
+
+  /** J8 — full outer join: customers (slice ≤ 1000) against per-customer
+    * order counts; rows classify as both / customer_only / order_only —
+    * the reconciliation shape (which side is missing what). Same
+    * shuffled equi-join as inner; FULL OUTER only changes null
+    * preservation, not the exchange plan. */
+  def j8FullOuter(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(col("c_custkey"))
+      .filter(col("c_custkey") <= 1000)
+    val o = Tables.orders(s, d).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+      .select(
+        when(col("c_custkey").isNull, "order_only")
+          .when(col("o_custkey").isNull, "customer_only")
+          .otherwise("both").as("side"))
+      .groupBy("side").agg(count(lit(1)).as("n"))
+      .orderBy("side")
+  }
+
   /** A10 — approximate distinct count (HyperLogLog++): the map-side-
     * combinable sketch that replaces exact countDistinct's
     * expand-then-shuffle at 100 TB (a distinct over 10¹¹ keys shuffles

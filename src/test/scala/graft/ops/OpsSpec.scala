@@ -36,6 +36,28 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("shuffleShard: deterministic, partition-independent, contiguous positions") {
+    val docs = graft.core.Tables.documents(spark, sf).select("doc_id")
+    val a = Sampling.shuffleShard(docs, "doc_id", 8)
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Long, Long)].collect().toSet
+    // reproducible across runs AND input partitionings
+    val b = Sampling.shuffleShard(docs.repartition(13), "doc_id", 8)
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b)
+    val byShard = a.groupBy(_._2)
+    assert(byShard.keySet == (0L until 8L).toSet, "all shards populated")
+    // positions are a contiguous 1..n ranking within each shard
+    byShard.foreach { case (s, rows) =>
+      val ps = rows.map(_._3).toSeq.sorted
+      assert(ps == (1L to rows.size.toLong), s"shard $s positions not contiguous")
+    }
+    // no shard takes a wildly outsized share (md5 prefix is uniform)
+    val sizes = byShard.values.map(_.size)
+    assert(sizes.max < sizes.min * 3, s"shard skew: $sizes")
+  }
+
   test("oneHot: exactly one 1 per row for in-dictionary values, all-zero otherwise") {
     val df = Seq("RENT", "OWN", "MORTGAGE", "SURPRISE").toDF("h")
     val cats = Seq("RENT", "OWN", "MORTGAGE")
