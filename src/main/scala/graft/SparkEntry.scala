@@ -116,6 +116,7 @@ object SparkEntry {
     "r7_shuffle_shard" -> (Documents.r7ShuffleShard _),
     "dq_profile"      -> (Relational.dqProfile _),
     "j8_full_outer"   -> (Relational.j8FullOuter _),
+    "t13_hopping_window" -> (Events.t13HoppingWindow _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -925,6 +926,16 @@ object SparkEntry {
         |    ELSE 'both' END AS side
         |  FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey)
         |GROUP BY side ORDER BY side""".stripMargin,
+    // T13: hopping window = the t1 epoch bucketing crossed with the
+    // two window offsets (len/slide = 2 windows per event).
+    "t13_hopping_window" ->
+      """SELECT strftime(make_timestamp(
+        |    (CAST(floor(epoch(ts) / 604800) * 604800 AS BIGINT)
+        |      - o.o * 604800) * 1000000),
+        |    '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) AS o(o)
+        |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     // R7: shard + position are pure md5 string arithmetic — recomputed
     // verbatim (strpos instead of a hex-to-int builtin DuckDB lacks).
     "r7_shuffle_shard" ->

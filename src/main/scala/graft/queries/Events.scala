@@ -22,6 +22,22 @@ object Events {
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("win_start", "event_type")
 
+  /** T13 — hopping (sliding) event-time window: 14-day windows every
+    * 7 days, so each event contributes to exactly two overlapping
+    * windows — the rolling-aggregate shape that smooths week-boundary
+    * noise. Spark's window() replicates each row into its windows
+    * map-side (a Generate, no join); the oracle replicates with the
+    * same epoch-aligned integer bucketing as t1 crossed with the two
+    * window offsets. */
+  def t13HoppingWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "14 days", "7 days").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+
   /** Sessionization: a >30-minute gap starts a new session; output
     * per-user session count and mean session duration (seconds).
     * Classic lag + cumulative-sum session id — shuffles once on user_id. */
