@@ -143,9 +143,16 @@ object Bench {
         s""","fastest_omitted":{"n":${rest.size},"sum_sec":${short(rest.map(_._2).sum, 2)},"max_sec":${short(rest.map(_._2).max, 2)}}"""
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs$restPart$failPart}"""
     }
+    // last-ditch floor: a mass-failure run can make the failures array
+    // alone outgrow the window — collapse it to a count so SOME parseable
+    // line always lands in the tail (the full list is in the detail line)
+    val floorLine = {
+      val nFail = results.count(!_._5)
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":{},"queries_omitted":${results.size},"failures_n":$nFail}"""
+    }
     val line = (2 to 1 by -1).map(compact).find(_.length <= 1900)
       .getOrElse((results.size to 0 by -1).view.map(bucketed)
-        .find(_.length <= 1900).get)
+        .find(_.length <= 1900).getOrElse(floorLine))
     println(line)
     spark.stop()
   }

@@ -187,15 +187,11 @@ object Dedup {
     val tokenized = df.select(col(idCol).as("id"),
       split(trim(col(textCol)), "\\s+").as("toks"))
     val toks = col("toks")
-    // hash inside the transform: the exploded rows are (id, int64)
-    // from the start — the gram string never leaves its partition
-    val grams = transform(
-      sequence(lit(0), size(toks) - n),
-      i => xxhash64(concat_ws(" ",
-        (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
-    val guarded = when(size(toks) >= n, grams)
-      .otherwise(array().cast("array<bigint>"))
-    val pos = tokenized.select(col("id"), explode(guarded).as("hg"))
+    // hashed grams: the exploded rows are (id, int64) from the start —
+    // the gram string never leaves its partition
+    val pos = tokenized
+      .select(col("id"),
+        explode(positionalGrams(toks, n, hashed = true)).as("hg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val dup = pos.distinct()
       .groupBy("hg").agg(count(lit(1)).as("_df"))
@@ -211,6 +207,23 @@ object Dedup {
           greatest(col("n_grams"), lit(1L)), 6).as("dup_frac"))
   }
 
+  /** Guarded positional word-n-gram array over a token-array column —
+    * one element per POSITION, in order; `hashed = true` emits xxhash64
+    * values (8-byte join keys) instead of gram strings. The single
+    * source of n-gram semantics for the family: `shingles` distincts
+    * it, `dupSpanCoverage` keeps positions — an edit here changes both
+    * or neither. Docs shorter than n yield an EMPTY array: Spark's
+    * sequence(0, negative) would count DOWN, so the guard is
+    * load-bearing, not cosmetic. */
+  private def positionalGrams(toks: Column, n: Int, hashed: Boolean): Column = {
+    val mk: Column => Column = if (hashed) xxhash64(_) else identity
+    val grams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => mk(concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
+    when(size(toks) >= n, grams)
+      .otherwise(array().cast(if (hashed) "array<bigint>" else "array<string>"))
+  }
+
   /** Distinct word-n-gram shingles per document: (id, shingle).
     *
     * The token array is PROJECTED first: element_at(split(...), i) inside
@@ -220,15 +233,9 @@ object Dedup {
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val tokenized = df.select(col(idCol).as("id"),
       split(trim(col(textCol)), "\\s+").as("toks"))
-    val toks = col("toks")
-    val grams = transform(
-      sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
-    // docs shorter than n tokens have no shingles (sequence(0, negative)
-    // would count DOWN in Spark — guard, don't generate garbage)
-    val guarded = when(size(toks) >= n, grams)
-      .otherwise(array().cast("array<string>"))
-    tokenized.select(col("id"), explode(array_distinct(guarded)).as("shingle"))
+    tokenized.select(col("id"),
+      explode(array_distinct(positionalGrams(col("toks"), n, hashed = false)))
+        .as("shingle"))
   }
 
   /** (id, xxhash64(shingle)) projection shared by the whole Jaccard/LSH

@@ -128,22 +128,31 @@ object Sampling {
     * builtin needed, which DuckDB lacks); position-within-shard = rank
     * by the REMAINING md5 hex (independent of the digit that chose the
     * shard), tie-broken by key. A global row_number would serialize
-    * the corpus into one partition; per-shard windows scale with the
-    * cluster. Output adds (shard, pos). nShards ≤ 16 so the single-
-    * digit prefix stays uniform across shards. */
+    * the corpus into one partition; per-shard windows run one task PER
+    * SHARD — that is the honest parallelism bound of the rank, so pick
+    * nShards ≈ the trainer-worker/output-file count the shuffle feeds
+    * (each worker consumes its shard in pos order anyway, so the
+    * per-shard sort is work the pipeline owes regardless). Output adds
+    * (shard, pos). nShards must DIVIDE 16: the hex digit is uniform
+    * over 16 values, so digit mod a non-divisor (e.g. 12) would load
+    * some shards with exactly 2× the documents of others. */
   def shuffleShard(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
-    require(nShards >= 1 && nShards <= 16,
-      s"nShards must be in [1,16], got $nShards")
-    val hex = md5(col(keyCol).cast("string").cast("binary"))
+    require(Set(1, 2, 4, 8, 16).contains(nShards),
+      s"nShards must divide 16 (1/2/4/8/16) for uniform shards, got $nShards")
+    // project the digest ONCE — shard digit and order key both read it,
+    // and a repeated md5 expression would hash every row twice
+    val withHex = df.withColumn("_hex",
+      md5(col(keyCol).cast("string").cast("binary")))
     val shard = pmod(
-      (instr(lit("0123456789abcdef"), substring(hex, 1, 1)) - 1).cast("long"),
+      (instr(lit("0123456789abcdef"), substring(col("_hex"), 1, 1)) - 1)
+        .cast("long"),
       lit(nShards.toLong))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard")
-      .orderBy(substring(md5(col(keyCol).cast("string").cast("binary")), 2, 31),
-        col(keyCol))
-    df.withColumn("shard", shard)
+      .orderBy(substring(col("_hex"), 2, 31), col(keyCol))
+    withHex.withColumn("shard", shard)
       .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("_hex")
   }
 
   /** Temperature-scaled corpus mixing (the multilingual-LLM standard:

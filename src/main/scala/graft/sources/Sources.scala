@@ -144,8 +144,11 @@ object Sources {
     * into `dstDir` as ceil(totalBytes / targetFileBytes) files (≥ 1).
     *
     * Scale shape: the file census is a driver-side listing (metadata
-    * only, no data read); the rewrite is one job whose shuffle-free
-    * `coalesce` merges existing partitions when shrinking the count —
+    * only, no data read); the rewrite is one job — a shuffle-free
+    * `coalesce` when SHRINKING the file count (the common small-file
+    * case), a `repartition` shuffle when GROWING it (splitting
+    * oversized files has to move rows; coalesce cannot raise the
+    * partition count and would silently keep the old layout) —
     * content is bit-identical, only the file layout changes. Returns
     * the output file count. Deliberately writes to a NEW directory:
     * compact-in-place needs a commit protocol (write temp + atomic
@@ -161,8 +164,13 @@ object Sources {
     val totalBytes = dataFiles.map(_.getLen).sum
     val nOut = math.max(1L,
       (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    spark.read.parquet(srcDir).coalesce(nOut)
-      .write.mode(SaveMode.Overwrite).parquet(dstDir)
+    val df = spark.read.parquet(srcDir)
+    val cur = df.rdd.getNumPartitions
+    val reshaped =
+      if (nOut < cur) df.coalesce(nOut)
+      else if (nOut > cur) df.repartition(nOut)
+      else df
+    reshaped.write.mode(SaveMode.Overwrite).parquet(dstDir)
     val d = new Path(dstDir)
     fs.listStatus(d).count(f =>
       f.isFile && f.getPath.getName.endsWith(".parquet"))
