@@ -117,6 +117,7 @@ object SparkEntry {
     "dq_profile"      -> (Relational.dqProfile _),
     "j8_full_outer"   -> (Relational.j8FullOuter _),
     "t13_hopping_window" -> (Events.t13HoppingWindow _),
+    "llm_shard_pipeline" -> (Documents.llmShardPipeline _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -926,6 +927,28 @@ object SparkEntry {
         |    ELSE 'both' END AS side
         |  FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey)
         |GROUP BY side ORDER BY side""".stripMargin,
+    // LLM shard pipeline: the chain recomputed from scratch — epoch
+    // unnest, md5 shard/rank arithmetic (the r7 rule over the composite
+    // row key), then the per-shard summary.
+    "llm_shard_pipeline" ->
+      """WITH m AS (SELECT doc_id, text,
+        |    unnest(range(1, CASE WHEN source IN ('src0','src1')
+        |      THEN 2 ELSE 1 END + 1)) AS epoch
+        |  FROM documents),
+        |k AS (SELECT doc_id, text, doc_id * 10 + epoch AS row_key FROM m),
+        |sh AS (SELECT doc_id, text,
+        |  CAST((strpos('0123456789abcdef',
+        |    substr(md5(CAST(row_key AS VARCHAR)), 1, 1)) - 1) % 8 AS BIGINT) AS shard,
+        |  CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY (strpos('0123456789abcdef',
+        |      substr(md5(CAST(row_key AS VARCHAR)), 1, 1)) - 1) % 8
+        |    ORDER BY substr(md5(CAST(row_key AS VARCHAR)), 2, 31), row_key)
+        |    AS BIGINT) AS pos
+        |  FROM k)
+        |SELECT shard, count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs,
+        |  sum(len(regexp_split_to_array(trim(text), '\s+'))) AS tok_total,
+        |  max(pos) AS max_pos
+        |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
     // T13: hopping window = the t1 epoch bucketing crossed with the
     // two window offsets (len/slide = 2 windows per event).
     "t13_hopping_window" ->

@@ -307,6 +307,28 @@ object Documents {
       .orderBy("lang")
   }
 
+  /** LLM shard pipeline — the round-7 operators composed end-to-end as
+    * ONE oracle-checked query: epoch-based source mixing (src0/src1
+    * make 2 epochs) → deterministic shuffle-and-shard over the
+    * (doc, epoch) row key → per-shard corpus summary. max_pos = n_rows
+    * doubles as an in-oracle contiguity check on the shard ranking.
+    * Every stage is the registered scale-path operator; the DuckDB twin
+    * recomputes the whole chain independently. */
+  def llmShardPipeline(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Sampling
+    val mixed = Sampling.epochMix(Tables.documents(s, d), "source",
+      Map("src0" -> 2, "src1" -> 2))
+    val keyed = mixed.withColumn("row_key",
+      col("doc_id") * 10 + col("epoch"))
+    Sampling.shuffleShard(keyed, "row_key", 8)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("tok_total"),
+        max("pos").as("max_pos"))
+      .orderBy("shard")
+  }
+
   /** G — generator coverage: explode over a computed array (first-5
     * tokens per doc), aggregated to a word frequency table. */
   def gExplodeSlice(s: SparkSession, d: String): DataFrame =

@@ -103,6 +103,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("epochMix: row count = sum of per-group epochs; epoch ids contiguous") {
+    val epochs = Map("a" -> 3, "b" -> 2)
+    val gen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d"))
+    samples(gen, 4).foreach { gs =>
+      val df = gs.zipWithIndex.map { case (g, i) => (i.toLong, g) }.toDF("id", "g")
+      val out = graft.ops.Sampling.epochMix(df, "g", epochs)
+      assert(out.count() == gs.map(g => epochs.getOrElse(g, 1)).sum.toLong)
+      val perId = out.select("id", "epoch").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      perId.foreach { case (id, es) =>
+        assert(es == (1L to epochs.getOrElse(gs(id.toInt), 1).toLong),
+          s"row $id (group ${gs(id.toInt)}) epochs $es")
+      }
+    }
+  }
+
+  test("shuffleShard: (shard, pos) is a bijection onto the input rows") {
+    samples(Gen.chooseNum(1, 200), 4).foreach { n =>
+      val df = (0 until n).map(_.toLong).toDF("id")
+      val out = graft.ops.Sampling.shuffleShard(df, "id", 4)
+        .select("id", "shard", "pos").as[(Long, Long, Long)].collect()
+      assert(out.length == n)
+      assert(out.map(r => (r._2, r._3)).distinct.length == n,
+        "(shard, pos) pairs must be unique")
+      out.groupBy(_._2).foreach { case (s, rows) =>
+        assert(rows.map(_._3).sorted.toSeq == (1L to rows.length.toLong),
+          s"shard $s positions not a contiguous ranking")
+      }
+    }
+  }
+
   test("connectedComponents: every label is a component member <= the node") {
     import graft.operators.Dedup
     val gen = Gen.listOfN(25,
