@@ -486,19 +486,65 @@ object Dedup {
                          idCol: String, textCol: String,
                          shingleSize: Int = 3, numHashes: Int = 64,
                          bands: Int = 16, threshold: Double = 0.8): DataFrame = {
-    val hB = hashedShingles(shingles(batch, idCol, textCol, shingleSize))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val hC = hashedShingles(shingles(corpus, idCol, textCol, shingleSize))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    crossNearDup(
+      hashedShingles(shingles(batch, idCol, textCol, shingleSize))
+        .persist(StorageLevel.MEMORY_AND_DISK),
+      hC, minHashSignaturesHashed(hC, numHashes, 42L),
+      numHashes, bands, threshold)
+  }
+
+  /** Shared tail of the incremental paths: batch hashed shingles vs a
+    * corpus given as (hashed shingles, signatures) — live or at-rest. */
+  private def crossNearDup(hB: DataFrame, hC: DataFrame, sigC: DataFrame,
+                           numHashes: Int, bands: Int,
+                           threshold: Double): DataFrame = {
     val bB = bandBuckets(minHashSignaturesHashed(hB, numHashes, 42L),
       numHashes, bands)
-    val bC = bandBuckets(minHashSignaturesHashed(hC, numHashes, 42L),
-      numHashes, bands)
+    val bC = bandBuckets(sigC, numHashes, bands)
     val cands = bB.as("x").join(bC.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
     jaccardForHashed(hB.unionByName(hC), cands, threshold)
+  }
+
+  /** Materialize the at-rest near-dup store for a corpus: the hashed
+    * shingle table and the MinHash signature table, written as parquet
+    * under `dir`. This is what turns `incrementalNearDup`'s
+    * "recomputing the corpus side stands in for reading it" into the
+    * real production shape — signatures are computed ONCE at ingest and
+    * every later batch reads them (append a dedup'd batch's own tables
+    * with SaveMode.Append to grow the store). Store rows are 8-byte
+    * hashes/ids only — ~10× lighter than the text. */
+  def writeNearDupStore(corpus: DataFrame, idCol: String, textCol: String,
+                        dir: String, shingleSize: Int = 3,
+                        numHashes: Int = 64): Unit = {
+    val h = hashedShingles(shingles(corpus, idCol, textCol, shingleSize))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    h.write.mode("overwrite").parquet(s"$dir/shingles")
+    minHashSignaturesHashed(h, numHashes, 42L)
+      .write.mode("overwrite").parquet(s"$dir/signatures")
+    h.unpersist()
+  }
+
+  /** D10 against the at-rest store: the batch is the only side that
+    * tokenizes, hashes, or signs — the corpus arrives as two pruned
+    * parquet scans of the store `writeNearDupStore` landed. Same
+    * output as `incrementalNearDup` on the same corpus (spec-pinned). */
+  def incrementalNearDupFromStore(batch: DataFrame, dir: String,
+                                  idCol: String, textCol: String,
+                                  shingleSize: Int = 3, numHashes: Int = 64,
+                                  bands: Int = 16,
+                                  threshold: Double = 0.8): DataFrame = {
+    val spark = batch.sparkSession
+    crossNearDup(
+      hashedShingles(shingles(batch, idCol, textCol, shingleSize))
+        .persist(StorageLevel.MEMORY_AND_DISK),
+      spark.read.parquet(s"$dir/shingles"),
+      spark.read.parquet(s"$dir/signatures"),
+      numHashes, bands, threshold)
   }
 
   /** True ⇔ the corpus is small enough that the exact all-shared-shingle

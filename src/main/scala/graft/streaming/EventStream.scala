@@ -112,6 +112,32 @@ object EventStream {
       .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
 
+  /** Streaming corpus ingest — the llm_corpus_pipeline head as a real
+    * stream: watermark → streaming exact dedup → map-side quality and
+    * repetition gates → per-(event-time window, language) corpus
+    * counters. Two stateful operators chained (dedup, then the
+    * windowed aggregation — legal in Spark 4's multi-stateful append
+    * pipelines because both sides are watermarked); the filter stages
+    * are stateless projections, so state is bounded by the watermark
+    * horizon at any corpus rate. */
+  def streamingCorpusIngest(docs: DataFrame, tsCol: String, textCol: String,
+                            langCol: String, stopwords: Seq[String],
+                            minQuality: Double = 0.4,
+                            maxRepetition: Double = 0.5,
+                            watermark: String = "1 hour",
+                            windowLen: String = "1 hour"): DataFrame = {
+    import graft.operators.TextAnalysis
+    streamingExactDedup(docs, tsCol, textCol, watermark)
+      .withColumn("_q", TextAnalysis.qualityScore(col(textCol), stopwords))
+      .withColumn("_rep", TextAnalysis.repetitionRatio(col(textCol)))
+      .filter(col("_q") >= minQuality && col("_rep") < maxRepetition)
+      .groupBy(window(col(tsCol), windowLen), col(langCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("tok_total"))
+      .select(col("window.start").as("win_start"), col(langCol),
+        col("n_docs"), col("tok_total"))
+  }
+
   /** Ordered weekly incremental driver (T2): the batch twin of the
     * stream — processes week partitions strictly in order, exactly once,
     * recording progress in a ledger the way the reference's

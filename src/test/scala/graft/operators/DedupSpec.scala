@@ -317,6 +317,21 @@ class DedupSpec extends SparkSpec {
     assert(inc == exact)
   }
 
+  test("incrementalNearDupFromStore equals the live path on the same corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("ndstore").toString
+    val docs = Tables.documents(spark, sf)
+    val batch = docs.filter($"doc_id" % 5 === 0)
+    val corpus = docs.filter($"doc_id" % 5 =!= 0)
+    Dedup.writeNearDupStore(corpus, "doc_id", "text", dir)
+    val fromStore = Dedup.incrementalNearDupFromStore(batch, dir, "doc_id", "text")
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val live = Dedup.incrementalNearDup(batch, corpus, "doc_id", "text")
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fromStore == live && fromStore.nonEmpty)
+  }
+
   test("dupSpanCoverage: positional counts, repeats, short docs") {
     // docs 0/1/2 share the 5-gram "a b c d e"; doc 2 carries it at TWO
     // positions (positional coverage must count both); doc 3 shares

@@ -194,6 +194,34 @@ class EventStreamSpec extends SparkSpec {
     assert(!spark.table("streamd1").columns.contains("_fp"))
   }
 
+  test("streamingCorpusIngest dedups, filters junk, and windows per language") {
+    implicit val sqlCtx = spark.sqlContext
+    val stop = Seq("the", "a", "of", "and", "is", "to", "in")
+    val good = "the data is a table and the scan is fast to run in the engine"
+    val mem = MemoryStream[(Timestamp, Long, String, String)]
+    val out = streamingCorpusIngest(
+      mem.toDF().toDF("ts", "doc_id", "text", "lang"),
+      "ts", "text", "lang", stop, minQuality = 0.1)
+    val q = out.writeStream.format("memory").queryName("corpusingest")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(
+      (ts("2024-01-01 10:00:00"), 1L, good, "en"),
+      (ts("2024-01-01 10:05:00"), 2L, good.toUpperCase, "en"), // dup of 1
+      (ts("2024-01-01 10:10:00"), 3L, "!!! ??? !!! ??? !!!", "en"), // junk
+      (ts("2024-01-01 10:20:00"), 4L, good + " again", "es"))
+    q.processAllAvailable()
+    // advance the watermark past the window so the agg emits (append mode)
+    mem.addData((ts("2024-01-01 13:00:00"), 9L, good + " late", "en"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("corpusingest")
+      .select("lang", "n_docs", "tok_total")
+      .as[(String, Long, Long)].collect().toSet
+    // doc 2 (dup) and doc 3 (punctuation junk) are gone; `good` is
+    // 15 tokens, the es variant appends one more
+    assert(rows == Set(("en", 1L, 15L), ("es", 1L, 16L)))
+  }
+
   test("stream-stream interval join pairs events within the time bound") {
     // purchases join views of the same user within the preceding hour —
     // both sides live streams, watermarks bound the join state
