@@ -118,6 +118,7 @@ object SparkEntry {
     "j8_full_outer"   -> (Relational.j8FullOuter _),
     "t13_hopping_window" -> (Events.t13HoppingWindow _),
     "llm_shard_pipeline" -> (Documents.llmShardPipeline _),
+    "w6_range_frame"  -> (Relational.w6RangeFrame _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -927,6 +928,16 @@ object SparkEntry {
         |    ELSE 'both' END AS side
         |  FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey)
         |GROUP BY side ORDER BY side""".stripMargin,
+    // W6: RANGE (value-bounded) frame on epoch seconds; floor() on the
+    // oracle side per gotcha 6 (unix_timestamp truncates to seconds).
+    "w6_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+        |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 4) AS trailing_30d
+        |FROM orders WHERE o_custkey <= 200
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     // LLM shard pipeline: the chain recomputed from scratch — epoch
     // unnest, md5 shard/rank arithmetic (the r7 rule over the composite
     // row key), then the per-shard summary.

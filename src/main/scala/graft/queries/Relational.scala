@@ -606,6 +606,24 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** W6 — RANGE-frame window: per-customer trailing-30-day order total.
+    * Unlike the w3 ROWS frame (which counts physical rows), a RANGE
+    * frame bounds by VALUE distance on the ordering key — same-second
+    * ties all enter the frame together, and gaps in time shrink it.
+    * Ordered on epoch seconds so the frame bound is plain integer
+    * arithmetic both engines share. */
+  def w6RangeFrame(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).filter(col("o_custkey") <= 200)
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("es"), col("o_totalprice"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy("es")
+      .rangeBetween(-30L * 86400, 0)
+    o.select(col("o_custkey"), col("o_orderkey"),
+        round(sum("o_totalprice").over(w), 4).as("trailing_30d"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** DQ-profile — ONE-pass column profiling: per-column null count,
     * exact distinct count, and min/max, melted to one row per column —
     * the ingest-time profile a data-quality gate reads before rules
