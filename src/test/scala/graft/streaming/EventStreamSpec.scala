@@ -194,6 +194,44 @@ class EventStreamSpec extends SparkSpec {
     assert(!spark.table("streamd1").columns.contains("_fp"))
   }
 
+  test("checkpointed restart resumes exactly-once: old files are not reprocessed") {
+    // the real incremental contract: a stopped pipeline restarted from
+    // its checkpoint picks up ONLY newly-landed files — reprocessing
+    // week1 would double-count, missing week2 would under-count
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("restartsrc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("restartckpt").toString
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    def land(offset: Long, n: Long, sub: String): Unit =
+      spark.range(n)
+        .select(
+          timestamp_seconds(lit(1704067200L) + (col("id") + offset) * 3600).as("ts"),
+          (col("id") % 3).cast("string").as("event_type"),
+          lit(1.0).as("value"))
+        .write.parquet(s"$dir/$sub")
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet").parquet(s"$dir/*")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName("restart_counts")
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    land(0, 60, "week1")
+    runOnce()
+    assert(spark.table("restart_counts").agg(sum("n")).as[Long].first() == 60)
+    land(60, 40, "week2")
+    runOnce() // restart from the SAME checkpoint
+    val total = spark.table("restart_counts").agg(sum("n")).as[Long].first()
+    assert(total == 100, s"restart must add week2 exactly once, got $total")
+  }
+
   test("streamingCorpusIngest dedups, filters junk, and windows per language") {
     implicit val sqlCtx = spark.sqlContext
     val stop = Seq("the", "a", "of", "and", "is", "to", "in")
