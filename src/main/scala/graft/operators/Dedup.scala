@@ -481,7 +481,11 @@ object Dedup {
     *
     * CONTRACT: batch and corpus ids must be disjoint (they share one id
     * space). Output: (id_a = batch id, id_b = corpus id, jaccard),
-    * exact coefficients. */
+    * exact coefficients. Cache policy: both hashed-shingle projections
+    * persist (each feeds the candidate join and the exact verify);
+    * blocks are plan-keyed and reused across calls — one-shot sessions
+    * reclaim via spark.catalog.clearCache() (NOTES.md "Cache policy in
+    * dedup operators"). */
   def incrementalNearDup(batch: DataFrame, corpus: DataFrame,
                          idCol: String, textCol: String,
                          shingleSize: Int = 3, numHashes: Int = 64,
@@ -512,7 +516,8 @@ object Dedup {
 
   /** Materialize the at-rest near-dup store for a corpus: the hashed
     * shingle table and the MinHash signature table, written as parquet
-    * under `dir`. This is what turns `incrementalNearDup`'s
+    * under `dir`, plus a `_meta.json` sidecar recording (shingleSize,
+    * numHashes). This is what turns `incrementalNearDup`'s
     * "recomputing the corpus side stands in for reading it" into the
     * real production shape — signatures are computed ONCE at ingest and
     * every later batch reads them (append a dedup'd batch's own tables
@@ -527,22 +532,40 @@ object Dedup {
     minHashSignaturesHashed(h, numHashes, 42L)
       .write.mode("overwrite").parquet(s"$dir/signatures")
     h.unpersist()
+    graft.sources.Sources.writeJsonSidecar(s"$dir/_meta.json",
+      Map("shingleSize" -> shingleSize.toString,
+        "numHashes" -> numHashes.toString))
   }
 
   /** D10 against the at-rest store: the batch is the only side that
     * tokenizes, hashes, or signs — the corpus arrives as two pruned
-    * parquet scans of the store `writeNearDupStore` landed. Same
-    * output as `incrementalNearDup` on the same corpus (spec-pinned). */
+    * parquet scans of the store `writeNearDupStore` landed. The
+    * shingle size and hash count come FROM the store's `_meta.json`
+    * (a mismatched reader would silently emit near-zero pairs —
+    * 4-gram hashes never collide with a 3-gram store); `bands` and
+    * `threshold` stay query-time knobs. Same output as
+    * `incrementalNearDup` on the same corpus (spec-pinned).
+    *
+    * Cache policy: the batch projection and the store shingle scan are
+    * persisted (both feed the candidate join AND the exact-Jaccard
+    * verify — unpersisted, the store would be scanned three times per
+    * batch). Like the rest of the dedup family the blocks are keyed by
+    * logical plan and reused across calls on the same inputs; one-shot
+    * sessions reclaim them with spark.catalog.clearCache() (NOTES.md
+    * "Cache policy in dedup operators"). */
   def incrementalNearDupFromStore(batch: DataFrame, dir: String,
                                   idCol: String, textCol: String,
-                                  shingleSize: Int = 3, numHashes: Int = 64,
                                   bands: Int = 16,
                                   threshold: Double = 0.8): DataFrame = {
     val spark = batch.sparkSession
+    val meta = graft.sources.Sources.readJsonSidecar(s"$dir/_meta.json")
+    val shingleSize = meta("shingleSize").toInt
+    val numHashes = meta("numHashes").toInt
     crossNearDup(
       hashedShingles(shingles(batch, idCol, textCol, shingleSize))
         .persist(StorageLevel.MEMORY_AND_DISK),
-      spark.read.parquet(s"$dir/shingles"),
+      spark.read.parquet(s"$dir/shingles")
+        .persist(StorageLevel.MEMORY_AND_DISK),
       spark.read.parquet(s"$dir/signatures"),
       numHashes, bands, threshold)
   }

@@ -127,9 +127,15 @@ object EventStream {
                             watermark: String = "1 hour",
                             windowLen: String = "1 hour"): DataFrame = {
     import graft.operators.TextAnalysis
+    // score the CASE-FOLDED text: the dedup fingerprint is case-folded,
+    // so any surviving representative of a duplicate set must gate the
+    // same way — scoring the raw text would make window counts depend
+    // on which case-variant arrived first
     streamingExactDedup(docs, tsCol, textCol, watermark)
-      .withColumn("_q", TextAnalysis.qualityScore(col(textCol), stopwords))
-      .withColumn("_rep", TextAnalysis.repetitionRatio(col(textCol)))
+      .withColumn("_q",
+        TextAnalysis.qualityScore(lower(col(textCol)), stopwords))
+      .withColumn("_rep",
+        TextAnalysis.repetitionRatio(lower(col(textCol))))
       .filter(col("_q") >= minQuality && col("_rep") < maxRepetition)
       .groupBy(window(col(tsCol), windowLen), col(langCol))
       .agg(count(lit(1)).as("n_docs"),
