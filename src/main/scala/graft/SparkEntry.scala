@@ -119,6 +119,7 @@ object SparkEntry {
     "t13_hopping_window" -> (Events.t13HoppingWindow _),
     "llm_shard_pipeline" -> (Documents.llmShardPipeline _),
     "w6_range_frame"  -> (Relational.w6RangeFrame _),
+    "a_grouping_sets" -> (Relational.aGroupingSets _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -928,6 +929,13 @@ object SparkEntry {
         |    ELSE 'both' END AS side
         |  FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey)
         |GROUP BY side ORDER BY side""".stripMargin,
+    "a_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 4) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     // W6: RANGE (value-bounded) frame on epoch seconds; floor() on the
     // oracle side per gotcha 6 (unix_timestamp truncates to seconds).
     "w6_range_frame" ->

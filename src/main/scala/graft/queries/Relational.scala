@@ -606,6 +606,24 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** A-grouping-sets — a custom aggregation lattice: (status, priority)
+    * detail, per-status subtotal, and grand total in ONE pass — the
+    * lattice cube/rollup can't express when only selected combinations
+    * are wanted (cube would add the per-priority slice nobody asked
+    * for, paying its aggregation). Through the SQL interface: GROUPING
+    * SETS has no stable DataFrame-API counterpart. */
+  def aGroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 4) AS sum_price
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        |""".stripMargin)
+  }
+
   /** W6 — RANGE-frame window: per-customer trailing-30-day order total.
     * Unlike the w3 ROWS frame (which counts physical rows), a RANGE
     * frame bounds by VALUE distance on the ordering key — same-second
