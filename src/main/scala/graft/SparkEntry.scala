@@ -114,12 +114,18 @@ object SparkEntry {
     "j7_salted_join"  -> (Relational.j7SaltedJoin _),
     "s_compact_roundtrip" -> (Relational.sCompactRoundtrip _),
     "r7_shuffle_shard" -> (Documents.r7ShuffleShard _),
-    "dq_profile"      -> (Relational.dqProfile _),
+    // exact distinct counts: the gate value-compares against DuckDB's
+    // exact COUNT(DISTINCT); the operator's scale default is approx
+    // (spec pins approx within 5% of exact)
+    "dq_profile"      -> ((s: SparkSession, dir: String) =>
+      Relational.dqProfile(s, dir, exact = true)),
     "j8_full_outer"   -> (Relational.j8FullOuter _),
     "t13_hopping_window" -> (Events.t13HoppingWindow _),
     "llm_shard_pipeline" -> (Documents.llmShardPipeline _),
     "w6_range_frame"  -> (Relational.w6RangeFrame _),
     "a_grouping_sets" -> (Relational.aGroupingSets _),
+    "d11_neardup_store" -> (Documents.d11NearDupStore _),
+    "d12_semantic_wc" -> (Documents.d12SemanticWc _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -730,17 +736,17 @@ object SparkEntry {
     // D8 = d5's cosine pair join + d6's recursive-CTE closure, pruned to
     // each component's minimum id (singletons keep themselves)
     "d8_semantic_dedup" ->
-      """WITH RECURSIVE e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.45),
-        |edges AS (SELECT id_a AS s, id_b AS d FROM p
-        |  UNION SELECT id_b, id_a FROM p),
-        |walk(s, r) AS (SELECT s, s FROM (SELECT DISTINCT s FROM edges) nodes
-        |  UNION SELECT e2.s, w.r FROM edges e2 JOIN walk w ON e2.d = w.s),
-        |comp AS (SELECT s AS cid, min(r) AS cluster_id FROM walk GROUP BY s)
+      s"""WITH RECURSIVE $semanticKeeperCtes
         |SELECT ee.vec_id FROM e ee LEFT JOIN comp c ON ee.vec_id = c.cid
+        |WHERE c.cluster_id IS NULL OR c.cluster_id = ee.vec_id
+        |ORDER BY ee.vec_id""".stripMargin,
+    // d12: the exact keeper rows again, each flagged kept_wc=1 — the
+    // within-cell variant keeping every exact keeper IS the superset
+    // invariant (fewer edges ⇒ finer components); see Documents.d12SemanticWc
+    "d12_semantic_wc" ->
+      s"""WITH RECURSIVE $semanticKeeperCtes
+        |SELECT ee.vec_id, 1 AS kept_wc
+        |FROM e ee LEFT JOIN comp c ON ee.vec_id = c.cid
         |WHERE c.cluster_id IS NULL OR c.cluster_id = ee.vec_id
         |ORDER BY ee.vec_id""".stripMargin,
     "t1_token_count" ->
@@ -793,6 +799,9 @@ object SparkEntry {
         |  PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM scored)
         |SELECT q_id, rank, n_id, round(cos, 6) AS cos_sim FROM r
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "ann2_lsh" -> annGateSql,
+    "ann3_ivf" -> annGateSql,
+    "d3_simhash" -> simhashGateSql,
     "t1_tumbling_window" ->
       """SELECT strftime(make_timestamp(
         |    CAST(floor(epoch(ts) / 604800) * 604800 AS BIGINT) * 1000000),
@@ -879,19 +888,10 @@ object SparkEntry {
     // D10: exact ground-truth cross-set Jaccard pairs (batch = doc_id
     // % 5 = 0 vs landed corpus = the rest) — same shingle machinery as
     // the d2/d4 oracle, pairs restricted to batch×corpus.
-    "d10_incremental_neardup" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
-        |  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s FROM t),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-        |  FROM sh a JOIN sh b ON a.s = b.s
-        |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0 GROUP BY 1, 2)
-        |SELECT id_a, id_b,
-        |  round(shared * 1.0 / (sa.sz + sb.sz - shared), 6) AS jaccard
-        |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
-        |WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.8
-        |ORDER BY id_a, id_b""".stripMargin,
+    "d10_incremental_neardup" -> crossSetJaccardSql,
+    // d11 is the SAME semantics through the at-rest store —
+    // store-equals-live is the contract the shared oracle enforces
+    "d11_neardup_store" -> crossSetJaccardSql,
     // J7: salting is shuffle topology only — the oracle is the PLAIN
     // join + aggregate the salted plan must be row-identical to.
     "j7_salted_join" ->
@@ -901,8 +901,8 @@ object SparkEntry {
     // S-compact: compaction is a file-layout rewrite only — the oracle
     // recomputes the aggregate from the ORIGINAL table.
     "s_compact_roundtrip" ->
-      """SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars,
-        |  sum(length(text)) AS sum_text_len
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "dq_profile" ->
       """SELECT * FROM (
@@ -965,7 +965,7 @@ object SparkEntry {
         |    AS BIGINT) AS pos
         |  FROM k)
         |SELECT shard, count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs,
-        |  sum(len(regexp_split_to_array(trim(text), '\s+'))) AS tok_total,
+        |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tok_total,
         |  max(pos) AS max_pos
         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
     // T13: hopping window = the t1 epoch bucketing crossed with the
@@ -1031,6 +1031,59 @@ object SparkEntry {
       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
       |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+
+  /** Shared CTE prefix for the d8/d12 oracles: exact cosine ≥ 0.45
+    * pairs, symmetrized edges, recursive closure, min-id component
+    * labels — DuckDB's ground-truth SemDeDup keeper machinery. */
+  private val semanticKeeperCtes: String =
+    """e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(a.v, b.v) >= 0.45),
+      |edges AS (SELECT id_a AS s, id_b AS d FROM p
+      |  UNION SELECT id_b, id_a FROM p),
+      |walk(s, r) AS (SELECT s, s FROM (SELECT DISTINCT s FROM edges) nodes
+      |  UNION SELECT e2.s, w.r FROM edges e2 JOIN walk w ON e2.d = w.s),
+      |comp AS (SELECT s AS cid, min(r) AS cluster_id FROM walk GROUP BY s)""".stripMargin
+
+  /** Shared oracle for d10 (live recompute) and d11 (at-rest store):
+    * ground-truth CROSS-SET word-3-gram jaccard pairs ≥ 0.8 — batch
+    * (doc_id % 5 = 0) against corpus (doc_id % 5 ≠ 0). */
+  private val crossSetJaccardSql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s FROM t),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      |  FROM sh a JOIN sh b ON a.s = b.s
+      |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0 GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  round(shared * 1.0 / (sa.sz + sb.sz - shared), 6) AS jaccard
+      |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      |WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** d3's gate oracle: the d2/d4 ground-truth jaccard pair rows plus the
+    * two invariant flags the Spark side computes over the (DuckDB-
+    * inexpressible) simhash pair set — see Documents.d3SimHash. */
+  private val simhashGateSql: String =
+    s"""WITH $ngramPairCtes
+      |SELECT id_a, id_b,
+      |  round(shared * 1.0 / (sa.sz + sb.sz - shared), 6) AS jaccard,
+      |  1 AS sim_pairs_valid, 1 AS sim_recall_ge_075
+      |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      |WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** ann2/ann3's gate oracle: the pinned (query × rank) grid with every
+    * invariant flag at 1 — see Documents.annInvariantGate. */
+  private val annGateSql: String =
+    """SELECT e.vec_id AS q_id, CAST(r.range AS INT) AS rank,
+      |  1 AS sim_ok, 1 AS neighbor_ok, 1 AS recall_floor_ok
+      |FROM embeddings e CROSS JOIN range(1, 6) r
+      |WHERE e.vec_id < 5
+      |ORDER BY q_id, rank""".stripMargin
 
   /** Shared oracle for d2 (MinHash+LSH, exact-verified) and d4 (direct
     * n-gram Jaccard): ground-truth word-3-gram Jaccard pairs ≥ 0.8. */

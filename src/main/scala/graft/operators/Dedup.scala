@@ -503,8 +503,8 @@ object Dedup {
     * corpus given as (hashed shingles, signatures) — live or at-rest. */
   private def crossNearDup(hB: DataFrame, hC: DataFrame, sigC: DataFrame,
                            numHashes: Int, bands: Int,
-                           threshold: Double): DataFrame = {
-    val bB = bandBuckets(minHashSignaturesHashed(hB, numHashes, 42L),
+                           threshold: Double, seed: Long = 42L): DataFrame = {
+    val bB = bandBuckets(minHashSignaturesHashed(hB, numHashes, seed),
       numHashes, bands)
     val bC = bandBuckets(sigC, numHashes, bands)
     val cands = bB.as("x").join(bC.as("y"),
@@ -517,34 +517,45 @@ object Dedup {
   /** Materialize the at-rest near-dup store for a corpus: the hashed
     * shingle table and the MinHash signature table, written as parquet
     * under `dir`, plus a `_meta.json` sidecar recording (shingleSize,
-    * numHashes). This is what turns `incrementalNearDup`'s
-    * "recomputing the corpus side stands in for reading it" into the
-    * real production shape — signatures are computed ONCE at ingest and
-    * every later batch reads them (append a dedup'd batch's own tables
-    * with SaveMode.Append to grow the store). Store rows are 8-byte
-    * hashes/ids only — ~10× lighter than the text. */
+    * numHashes, minhashSeed, formatVersion) — everything a reader must
+    * agree on, because ANY mismatch (4-gram reader on a 3-gram store, a
+    * differently-seeded signer) silently yields near-zero pairs. This is
+    * what turns `incrementalNearDup`'s "recomputing the corpus side
+    * stands in for reading it" into the real production shape —
+    * signatures are computed ONCE at ingest and every later batch reads
+    * them (append a dedup'd batch's own tables with SaveMode.Append to
+    * grow the store). Store rows are 8-byte hashes/ids only — ~10×
+    * lighter than the text. The sidecar goes through the store dir's
+    * Hadoop filesystem so an hdfs://-/s3a://-rooted store keeps its
+    * meta NEXT TO its tables, not on the driver's local disk. */
   def writeNearDupStore(corpus: DataFrame, idCol: String, textCol: String,
                         dir: String, shingleSize: Int = 3,
-                        numHashes: Int = 64): Unit = {
+                        numHashes: Int = 64, seed: Long = 42L): Unit = {
     val h = hashedShingles(shingles(corpus, idCol, textCol, shingleSize))
       .persist(StorageLevel.MEMORY_AND_DISK)
     h.write.mode("overwrite").parquet(s"$dir/shingles")
-    minHashSignaturesHashed(h, numHashes, 42L)
+    minHashSignaturesHashed(h, numHashes, seed)
       .write.mode("overwrite").parquet(s"$dir/signatures")
     h.unpersist()
-    graft.sources.Sources.writeJsonSidecar(s"$dir/_meta.json",
+    graft.sources.Sources.writeJsonSidecarFs(corpus.sparkSession,
+      s"$dir/_meta.json",
       Map("shingleSize" -> shingleSize.toString,
-        "numHashes" -> numHashes.toString))
+        "numHashes" -> numHashes.toString,
+        "minhashSeed" -> seed.toString,
+        "formatVersion" -> "1"))
   }
 
   /** D10 against the at-rest store: the batch is the only side that
     * tokenizes, hashes, or signs — the corpus arrives as two pruned
     * parquet scans of the store `writeNearDupStore` landed. The
-    * shingle size and hash count come FROM the store's `_meta.json`
-    * (a mismatched reader would silently emit near-zero pairs —
-    * 4-gram hashes never collide with a 3-gram store); `bands` and
-    * `threshold` stay query-time knobs. Same output as
-    * `incrementalNearDup` on the same corpus (spec-pinned).
+    * shingle size, hash count, AND MinHash seed come FROM the store's
+    * `_meta.json` (a mismatched reader would silently emit near-zero
+    * pairs — 4-gram hashes never collide with a 3-gram store, and a
+    * differently-seeded batch signer never bands with the stored
+    * signatures; stores written before the seed was recorded default
+    * to the historical 42); `bands` and `threshold` stay query-time
+    * knobs. Same output as `incrementalNearDup` on the same corpus
+    * (spec-pinned).
     *
     * Cache policy: the batch projection and the store shingle scan are
     * persisted (both feed the candidate join AND the exact-Jaccard
@@ -558,16 +569,17 @@ object Dedup {
                                   bands: Int = 16,
                                   threshold: Double = 0.8): DataFrame = {
     val spark = batch.sparkSession
-    val meta = graft.sources.Sources.readJsonSidecar(s"$dir/_meta.json")
+    val meta = graft.sources.Sources.readJsonSidecarFs(spark, s"$dir/_meta.json")
     val shingleSize = meta("shingleSize").toInt
     val numHashes = meta("numHashes").toInt
+    val seed = meta.getOrElse("minhashSeed", "42").toLong
     crossNearDup(
       hashedShingles(shingles(batch, idCol, textCol, shingleSize))
         .persist(StorageLevel.MEMORY_AND_DISK),
       spark.read.parquet(s"$dir/shingles")
         .persist(StorageLevel.MEMORY_AND_DISK),
       spark.read.parquet(s"$dir/signatures"),
-      numHashes, bands, threshold)
+      numHashes, bands, threshold, seed)
   }
 
   /** True ⇔ the corpus is small enough that the exact all-shared-shingle

@@ -45,13 +45,40 @@ object Documents {
         shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.8)
       .orderBy("id_a", "id_b")
 
-  /** D3 — SimHash near-dup pairs (hamming ≤ 6 on 64-bit signatures).
-    * xxhash64-based → not SQL-expressible in DuckDB → rows-only check;
-    * cross-validated against D4 in ScalaTest instead. */
-  def d3SimHash(s: SparkSession, d: String): DataFrame =
-    Dedup.simHashPairs(
-        Dedup.simHash(Tables.documents(s, d), "doc_id", "text"), 6)
-      .orderBy("id_a", "id_b")
+  /** D3 — SimHash near-dup gate. The pair SET is xxhash64-specific (no
+    * DuckDB twin), so the registered query reduces the operator to what
+    * the oracle CAN recompute — the r1_sample pattern. Rows: the exact
+    * jaccard ≥ 0.8 pair list (oracle = d2's self-join SQL). Flags,
+    * computed over the FULL simhash pair set and attached as 1-row
+    * broadcast columns (in-plan, no collect):
+    *   - sim_pairs_valid: every simhash pair has id_a < id_b and
+    *     hamming ∈ [0, 6] (the banding + verify contract);
+    *   - sim_recall_ge_075: simhash recovers ≥ 75% of the jaccard ≥ 0.8
+    *     pairs (measured 0.926–1.0 across sf0.001/0.01/0.1; hamming ≤ 6
+    *     on token multisets is a different geometry than shingle
+    *     jaccard, so 100% coverage is NOT guaranteed — a 0.976-jaccard
+    *     pair at sf0.001 legitimately exceeds hamming 6).
+    * The full pair set itself stays spec-verified (DedupSpec recall vs
+    * exact + banding pigeonhole). */
+  def d3SimHash(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val sim = Dedup.simHashPairs(Dedup.simHash(docs, "doc_id", "text"), 6)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val jac = Dedup.minHashLshDedup(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val simValid = sim.agg(coalesce(min(
+      when(col("id_a") < col("id_b") && col("hamming").between(0, 6), 1)
+        .otherwise(0)), lit(1)).as("sim_pairs_valid"))
+    val nJac = jac.agg(count(lit(1)).as("n_jac"))
+    val nHit = jac.join(sim.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    val flags = broadcast(simValid.crossJoin(nJac).crossJoin(nHit)
+      .select(col("sim_pairs_valid"),
+        when(col("n_hit") * 4 >= col("n_jac") * 3, 1).otherwise(0)
+          .as("sim_recall_ge_075")))
+    jac.crossJoin(flags).orderBy("id_a", "id_b")
+  }
 
   /** D5 — embedding-cosine near-dup pairs (threshold 0.45; the corpus'
     * closest pair to the threshold sits 5e-4 away, far above fp noise).
@@ -163,6 +190,45 @@ object Documents {
         docs.filter(col("doc_id") % 5 =!= 0),
         "doc_id", "text", shingleSize = 3, threshold = 0.8)
       .orderBy("id_a", "id_b")
+  }
+
+  /** D11 — the d10 semantics through the AT-REST store: the corpus'
+    * hashed shingles + MinHash signatures are landed as parquet (plus a
+    * `_meta.json` pinning shingleSize/numHashes/seed), then the batch is
+    * paired against the STORE — the production ingest path where the
+    * corpus side is read, never recomputed. Same split and parameters
+    * as d10, so the oracle is d10's exact cross-set jaccard SQL:
+    * store-equals-live is the contract under test (already spec-pinned;
+    * this row makes the driver gate it too). */
+  def d11NearDupStore(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val dir = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/neardup_store"
+    Dedup.writeNearDupStore(docs.filter(col("doc_id") % 5 =!= 0),
+      "doc_id", "text", dir)
+    Dedup.incrementalNearDupFromStore(docs.filter(col("doc_id") % 5 === 0),
+        dir, "doc_id", "text", threshold = 0.8)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** D12 — within-cell SemDeDup gate (the 100 TB path driver-gated).
+    * The k-means cells are JVM-float products (no DuckDB twin), but the
+    * paper's structural contract IS oracle-checkable: fewer edges
+    * (cross-cell pairs are dropped by design) ⇒ finer components ⇒
+    * every EXACT keeper is still kept. Rows: the exact SemDeDup keeper
+    * list (oracle = d8's recursive-closure SQL); kept_wc = 1 iff the
+    * within-cell variant also kept that id — any 0 breaks the superset
+    * invariant and the hash. The within-cell keeper set itself stays
+    * spec-verified (DedupSpec superset pin). */
+  def d12SemanticWc(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val exact = Dedup.semanticDedup(e, "vec_id", "embedding", 0.45)
+      .select("vec_id")
+    val wc = Dedup.semanticDedupWithinCells(e, "vec_id", "embedding", 0.45)
+      .select(col("vec_id"), lit(1).as("kept_wc"))
+    exact.join(wc, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("kept_wc"), lit(0)).as("kept_wc"))
+      .orderBy("vec_id")
   }
 
   /** R5 — temperature-scaled language mixing (α = 0.5, 200 target rows):
@@ -392,20 +458,57 @@ object Documents {
       .orderBy("q_id", "rank")
   }
 
-  /** ANN2 — LSH-bucketed approximate top-5 (the scale path; recall vs
-    * ANN1 asserted in ScalaTest, not oracle-checked). */
-  def ann2Lsh(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-    Similarity.lshTopK(e, e.filter(col("vec_id") < 5), 5, dim = 64)
-      .orderBy("q_id", "rank")
+  /** Shared ANN gate (r1_sample pattern): the approximate top-k's
+    * NEIGHBOR ids are hyperplane-/quantizer-specific (no DuckDB twin),
+    * so the registered frame reduces to oracle-recomputable rows — one
+    * per (q_id, rank), pinned to the query set × 1..k — plus invariant
+    * flags:
+    *   - sim_ok (per row): cos_sim ∈ [-1, 1] and non-increasing in rank
+    *     (the window-order contract);
+    *   - neighbor_ok (per row): the neighbor is not the query itself;
+    *   - recall_floor_ok (1-row broadcast, in-plan): total overlap with
+    *     the exact brute-force top-k across all queries clears a
+    *     measured floor — the approximate structure must actually find
+    *     true neighbors, not just emit well-shaped rows.
+    * The raw neighbor lists stay spec-verified (SimilaritySpec /
+    * IvfReconcileSpec recall + determinism). */
+  private[graft] def annInvariantGate(approx: DataFrame, exact: DataFrame,
+                                      recallFloor: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy("rank")
+    val rows = approx
+      .withColumn("_prev", lag(col("cos_sim"), 1).over(w))
+      .select(col("q_id"), col("rank"), col("n_id"),
+        when(col("cos_sim").between(-1.0, 1.0) &&
+          (col("_prev").isNull || col("cos_sim") <= col("_prev")), 1)
+          .otherwise(0).as("sim_ok"),
+        when(col("n_id") =!= col("q_id"), 1).otherwise(0).as("neighbor_ok"))
+    val flag = broadcast(
+      rows.join(exact.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"), "left_semi")
+        .agg(when(count(lit(1)) >= recallFloor, 1).otherwise(0)
+          .as("recall_floor_ok")))
+    rows.drop("n_id").crossJoin(flag).orderBy("q_id", "rank")
   }
 
-  /** ANN3 — IVF approximate top-5: k-means coarse quantizer, nProbe cells
-    * (rows-only; recall vs ANN1 asserted in ScalaTest). */
+  /** ANN2 — LSH-bucketed approximate top-5, invariant-gated (floor: ≥ 3
+    * of 25 exact-top-5 hits; measured 8–12 across sf0.001/0.01/0.1 on
+    * this near-uniform corpus — random chance is ~0). */
+  def ann2Lsh(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 5)
+    annInvariantGate(
+      Similarity.lshTopK(e, q, 5, dim = 64),
+      Similarity.bruteForceTopK(e, q, 5), recallFloor = 3)
+  }
+
+  /** ANN3 — IVF approximate top-5 (k-means quantizer, nProbe cells),
+    * invariant-gated (floor: ≥ 8 of 25; measured 17–19 across SFs). */
   def ann3Ivf(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-    Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), 5, nCells = 8, nProbe = 4)
-      .orderBy("q_id", "rank")
+    val q = e.filter(col("vec_id") < 5)
+    annInvariantGate(
+      Similarity.ivfTopK(e, q, 5, nCells = 8, nProbe = 4),
+      Similarity.bruteForceTopK(e, q, 5), recallFloor = 8)
   }
 
   /** MM1 — binary-column plumbing: payload sizes oracle-checked against

@@ -643,20 +643,25 @@ object Relational {
   }
 
   /** DQ-profile — ONE-pass column profiling: per-column null count,
-    * exact distinct count, and min/max, melted to one row per column —
-    * the ingest-time profile a data-quality gate reads before rules
-    * exist. One aggregation job over the table; the multi-distinct
-    * rewrite expands the input once per distinct column (the textbook
-    * trade — at 100 TB swap countDistinct for approx_count_distinct as
-    * in a10 and the expand disappears). min/max are cast AFTER
-    * aggregation so numeric columns order numerically, not
-    * lexicographically. */
-  def dqProfile(s: SparkSession, d: String): DataFrame = {
+    * distinct count, and min/max, melted to one row per column — the
+    * ingest-time profile a data-quality gate reads before rules exist.
+    * One aggregation job over the table. Distinct counting is
+    * approx_count_distinct (HLL++, rsd 2%) BY DEFAULT: exact
+    * countDistinct makes Spark expand the input once per distinct
+    * column, so a 4-column profile scans the table ~4× through the
+    * exchange — at 100 TB the profile would cost more than the queries
+    * it guards. A profile tolerates ±2% on distinct counts by nature
+    * (it feeds alerts, not answers); `exact = true` keeps the exact
+    * variant for small tables and for the DuckDB oracle gate (spec pins
+    * approx within 5% of exact). min/max are cast AFTER aggregation so
+    * numeric columns order numerically, not lexicographically. */
+  def dqProfile(s: SparkSession, d: String, exact: Boolean = false): DataFrame = {
     val docs = Tables.documents(s, d)
     val cols = Seq("doc_id", "lang", "source", "n_chars")
     val aggs = cols.flatMap { c => Seq(
       count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
-      countDistinct(col(c)).as(s"${c}__distinct"),
+      (if (exact) countDistinct(col(c))
+       else approx_count_distinct(col(c), 0.02)).as(s"${c}__distinct"),
       min(col(c)).cast("string").as(s"${c}__min"),
       max(col(c)).cast("string").as(s"${c}__max")) }
     val one = docs.agg(aggs.head, aggs.tail: _*)

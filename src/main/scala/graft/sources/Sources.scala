@@ -56,6 +56,37 @@ object Sources {
   def readJsonSidecar(spark: SparkSession, path: String): Map[String, String] =
     readJsonSidecar(path)
 
+  /** Sidecar write through the Hadoop filesystem of `path` — for
+    * sidecars that must live NEXT TO Spark-written tables (e.g. the
+    * near-dup store's `_meta.json`): with an hdfs:// or s3a:// store
+    * root, driver-local java.nio would either throw or strand the meta
+    * on the driver's disk while the tables land remotely. Still
+    * driver-side O(1) I/O, just routed to the right filesystem. */
+  def writeJsonSidecarFs(spark: SparkSession, path: String,
+                         kv: Map[String, String]): Unit = {
+    val body = kv.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${escape(k)}": "${escape(v)}"""" }
+      .mkString("{", ", ", "}")
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  /** FS-routed twin of `readJsonSidecar` — see `writeJsonSidecarFs`. */
+  def readJsonSidecarFs(spark: SparkSession, path: String): Map[String, String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      parseFlatJson(new String(bytes.toByteArray, StandardCharsets.UTF_8))
+    } finally in.close()
+  }
+
   private def parseFlatJson(s: String): Map[String, String] = {
     var i = 0
     def skipWs(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
@@ -159,9 +190,22 @@ object Sources {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val p = new Path(srcDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dataFiles = fs.listStatus(p).toSeq
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    val totalBytes = dataFiles.map(_.getLen).sum
+    // RECURSIVE census: Hive-partitioned sources keep their data files
+    // under key=value subdirectories — a flat listStatus would see 0
+    // bytes there, collapse nOut to 1, and rewrite the whole dataset as
+    // a single file in silent violation of targetFileBytes.
+    val it = fs.listFiles(p, true)
+    var totalBytes = 0L
+    var nFiles = 0
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+        totalBytes += f.getLen; nFiles += 1
+      }
+    }
+    require(nFiles > 0,
+      s"compactParquet: no .parquet data files under $srcDir — refusing to " +
+        "size the rewrite off an empty census")
     val nOut = math.max(1L,
       (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     val df = spark.read.parquet(srcDir)

@@ -20,10 +20,13 @@ class SparkEntrySpec extends SparkSpec {
 
   // queries whose plan INTENTIONALLY contains a bounded broadcast nested
   // loop: ann1 (the exact ANN baseline: broadcast query set × one corpus
-  // scan), ann3 (queries × nCells centroid table), t9 (1-row smoothing
-  // denominator crossed in), t12 (1-row percentile threshold crossed in)
+  // scan), ann2/ann3 (the same exact baseline feeds their recall gate,
+  // plus the 1-row invariant-flag broadcast), t9 (1-row smoothing
+  // denominator crossed in), t12 (1-row percentile threshold crossed
+  // in), d3 (1-row invariant-flag broadcast)
   private val intendedNestedLoop =
-    Set("ann1_brute_force", "ann3_ivf", "t9_lm_score", "t12_quality_cut")
+    Set("ann1_brute_force", "ann2_lsh", "ann3_ivf", "t9_lm_score",
+      "t12_quality_cut", "d3_simhash")
 
   test("no query plans an unintended nested-loop or cartesian join") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

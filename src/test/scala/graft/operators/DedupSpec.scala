@@ -332,6 +332,28 @@ class DedupSpec extends SparkSpec {
     assert(fromStore == live && fromStore.nonEmpty)
   }
 
+  test("near-dup store meta pins the MinHash seed; reader honors it") {
+    // a seed mismatch between writer and reader silently yields
+    // near-zero pairs — the meta sidecar must carry the seed so the
+    // reader signs the batch with the STORE's hyperplanes, not its own
+    val dir = java.nio.file.Files.createTempDirectory("ndstore7").toString
+    val docs = Tables.documents(spark, sf)
+    val batch = docs.filter($"doc_id" % 5 === 0)
+    val corpus = docs.filter($"doc_id" % 5 =!= 0)
+    Dedup.writeNearDupStore(corpus, "doc_id", "text", dir, seed = 7L)
+    val meta = graft.sources.Sources.readJsonSidecarFs(spark, s"$dir/_meta.json")
+    assert(meta("minhashSeed") == "7" && meta("formatVersion") == "1")
+    // candidates band differently under seed 7, but exact-Jaccard
+    // verification makes the OUTPUT seed-robust on this planted corpus
+    val fromStore = Dedup.incrementalNearDupFromStore(batch, dir, "doc_id", "text")
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val live = Dedup.incrementalNearDup(batch, corpus, "doc_id", "text")
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fromStore == live && fromStore.nonEmpty)
+  }
+
   test("dupSpanCoverage: positional counts, repeats, short docs") {
     // docs 0/1/2 share the 5-gram "a b c d e"; doc 2 carries it at TWO
     // positions (positional coverage must count both); doc 3 shares

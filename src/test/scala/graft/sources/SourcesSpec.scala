@@ -75,6 +75,40 @@ class SourcesSpec extends SparkSpec {
     assert(nMulti > 1, s"64 KB target over >64 KB of data must split, got $nMulti")
   }
 
+  test("compactParquet census sees Hive-partitioned data files") {
+    // partitioned sinks put data under key=value subdirs — a flat
+    // listing would census 0 bytes, collapse the rewrite to ONE file,
+    // and silently ignore targetFileBytes
+    val base = Files.createTempDirectory("compactpart").toString
+    val docs = Tables.documents(spark, sf)
+    docs.write.mode("overwrite").partitionBy("lang").parquet(s"$base/part")
+    val nOut = Sources.compactParquet(spark, s"$base/part", s"$base/out",
+      targetFileBytes = 64L << 10)
+    assert(nOut > 1, s"64 KB target over a partitioned source must split, got $nOut")
+    val back = spark.read.parquet(s"$base/out")
+    assert(back.count() == docs.count())
+    // the partition column survives as a data column after the rewrite
+    assert(back.columns.sorted.toSeq == docs.columns.sorted.toSeq)
+  }
+
+  test("compactParquet refuses a source with no data files") {
+    val base = Files.createTempDirectory("compactempty").toString
+    Files.createDirectory(java.nio.file.Paths.get(s"$base/empty"))
+    val e = intercept[IllegalArgumentException](
+      Sources.compactParquet(spark, s"$base/empty", s"$base/out"))
+    assert(e.getMessage.contains("no .parquet data files"))
+  }
+
+  test("FS-routed sidecar round-trips through the Hadoop filesystem") {
+    val dir = Files.createTempDirectory("fssidecar").toString
+    val kv = Map("shingleSize" -> "3", "numHashes" -> "64",
+      "minhashSeed" -> "42", "formatVersion" -> "1")
+    Sources.writeJsonSidecarFs(spark, s"$dir/_meta.json", kv)
+    assert(Sources.readJsonSidecarFs(spark, s"$dir/_meta.json") == kv)
+    // and the two routes agree on the wire format
+    assert(Sources.readJsonSidecar(s"$dir/_meta.json") == kv)
+  }
+
   test("malformed JSONL rows: PERMISSIVE quarantines, DROPMALFORMED drops") {
     // JSON Lines is the LLM-corpus interchange format and crawl-grade
     // corpora always carry truncated/invalid lines; same contract as

@@ -27,6 +27,24 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
                 lambda v: str(v.date()) if hasattr(v, "date") and not isinstance(v, str) else v)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
+def dtype_kind(dt) -> str:
+    """Collapse a pandas dtype to the kind the driver's value-hash is
+    sensitive to: int64 19525 vs float64 19525.0 stringify differently,
+    so a DuckDB HUGEINT (materialized as float64 by pandas) against a
+    Spark bigint is a driver hash mismatch even when cmp_vals passes.
+    int widths (int32 vs int64) stringify identically, so they share a
+    kind."""
+    k = getattr(dt, "kind", "O")
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    return "object"
+
 def cmp_vals(a, b):
     if pd.isna(a) and pd.isna(b):
         return True
@@ -63,6 +81,16 @@ def main(sf_dir, out_dir):
             n_fail += 1; continue
         if len(s) != len(d):
             print(f"FAIL {name}: rows spark={len(s)} duck={len(d)}"); n_fail += 1; continue
+        kind_bad = [(c, dtype_kind(s[c].dtype), dtype_kind(d[c].dtype))
+                    for c in s.columns
+                    if dtype_kind(s[c].dtype) != dtype_kind(d[c].dtype)]
+        if kind_bad:
+            c, ks, kd = kind_bad[0]
+            hint = (" (DuckDB sum() is HUGEINT -> pandas float64;"
+                    " CAST(... AS BIGINT) in the oracle)"
+                    if {ks, kd} == {"int", "float"} else "")
+            print(f"FAIL {name}: dtype col={c} spark={ks} duck={kd}{hint}")
+            n_fail += 1; continue
         bad = None
         for c in s.columns:
             for i, (x, y) in enumerate(zip(s[c], d[c])):
