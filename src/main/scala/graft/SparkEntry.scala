@@ -126,6 +126,8 @@ object SparkEntry {
     "a_grouping_sets" -> (Relational.aGroupingSets _),
     "d11_neardup_store" -> (Documents.d11NearDupStore _),
     "d12_semantic_wc" -> (Documents.d12SemanticWc _),
+    "d13_dedup_rewrite" -> (Documents.d13DedupRewrite _),
+    "a_unpivot"       -> (Relational.aUnpivot _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -888,6 +890,38 @@ object SparkEntry {
     // D10: exact ground-truth cross-set Jaccard pairs (batch = doc_id
     // % 5 = 0 vs landed corpus = the rest) — same shingle machinery as
     // the d2/d4 oracle, pairs restricted to batch×corpus.
+    // D13: the keep-first removal rule recomputed from scratch —
+    // positional grams, global first occurrence (doc, pos), covered-
+    // position union, token-level anti join, ordered reassembly
+    "d13_dedup_rewrite" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |g AS (SELECT doc_id, u.p AS p, u.s AS s FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 3),
+        |    i -> {'p': i, 's': ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]})) AS u
+        |  FROM t WHERE len(ws) >= 5)),
+        |occ AS (SELECT doc_id, p, ROW_NUMBER() OVER (PARTITION BY s ORDER BY doc_id, p) AS rn FROM g),
+        |cov AS (SELECT DISTINCT doc_id, unnest(range(p, p + 5)) AS i FROM occ WHERE rn > 1),
+        |tok AS (SELECT doc_id, u.i AS i, u.w AS w FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1), i -> {'i': i, 'w': ws[i]})) AS u FROM t)),
+        |kept AS (SELECT tok.doc_id, tok.i, tok.w FROM tok ANTI JOIN cov
+        |  ON tok.doc_id = cov.doc_id AND tok.i = cov.i),
+        |outp AS (SELECT doc_id, count(*) AS n_kept,
+        |  string_agg(w, ' ' ORDER BY i) AS clean_text FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(ws) AS BIGINT) AS n_toks,
+        |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(clean_text, '') AS clean_text
+        |FROM t LEFT JOIN outp ON t.doc_id = outp.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    "a_unpivot" ->
+      """WITH a AS (SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty,
+        |    round(sum(l_extendedprice), 4) AS sum_price,
+        |    round(avg(l_discount), 6) AS avg_disc
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, metric, value FROM (
+        |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+        |  UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM a
+        |  UNION ALL SELECT l_returnflag, 'avg_disc', avg_disc FROM a)
+        |ORDER BY l_returnflag, metric""".stripMargin,
     "d10_incremental_neardup" -> crossSetJaccardSql,
     // d11 is the SAME semantics through the at-rest store —
     // store-equals-live is the contract the shared oracle enforces

@@ -207,6 +207,59 @@ object Dedup {
           greatest(col("n_grams"), lit(1L)), 6).as("dup_frac"))
   }
 
+  /** Exact-substring dedup TRANSFORM (the removal stage of Lee et al.
+    * 2021 §4, word-level formulation): every token position covered by
+    * a duplicated word-n-gram occurrence is dropped, where an
+    * occurrence (doc, pos) of gram g is "duplicated" iff it is not g's
+    * GLOBAL FIRST occurrence (min (doc, pos) lexicographic — the
+    * keep-first rule). Overlapping duplicate spans union their covered
+    * positions. `dupSpanCoverage` measures this signal; this operator
+    * applies it — the pair is the detect/act split every corpus-
+    * cleaning pipeline wants.
+    *
+    * Scale shape: gram occurrences are (id, pos, 8-byte hash) from the
+    * start (text never shuffles); the first-occurrence rule is ONE
+    * map-side-combinable min(struct(id, pos)) aggregate, pruned to
+    * grams with ≥ 2 occurrences BEFORE the join back (unique grams —
+    * the overwhelming majority of a real corpus — never ride the
+    * second exchange); covered positions aggregate to a per-doc drop
+    * set that joins back to the id-keyed doc table, so the rewrite
+    * itself is map-side (a higher-order filter over the token array).
+    * Per the family cache policy the PERSISTED block is the 24-byte
+    * positional-gram projection (it feeds both the first-occurrence
+    * aggregate and the covered join); the token arrays are re-derived
+    * from the source scan on the rewrite side — two source passes beat
+    * caching corpus-sized arrays.
+    *
+    * Output: (idCol, n_toks, n_kept, clean_text) — docs shorter than n
+    * keep everything; a fully-covered doc comes back with n_kept = 0
+    * and clean_text = "" (threshold/drop downstream as policy
+    * dictates). */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 5): DataFrame = {
+    val tokenized = df.select(col(idCol).as("id"),
+      split(trim(col(textCol)), "\\s+").as("toks"))
+    val pos = tokenized.select(col("id"),
+        posexplode(positionalGrams(col("toks"), n, hashed = true)).as(Seq("p", "hg")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val firstOcc = pos.groupBy("hg")
+      .agg(min(struct(col("id"), col("p"))).as("f"), count(lit(1)).as("_occ"))
+      .filter(col("_occ") > 1)
+      .select(col("hg"), col("f.id").as("f_id"), col("f.p").as("f_p"))
+    val covered = pos.join(firstOcc, Seq("hg"))
+      .filter(!(col("id") === col("f_id") && col("p") === col("f_p")))
+      .select(col("id"), explode(sequence(col("p"), col("p") + (n - 1))).as("i"))
+      .groupBy("id").agg(collect_set(col("i")).as("_drop"))
+    val kept = when(col("_drop").isNull, col("toks"))
+      .otherwise(filter(col("toks"),
+        (_, i) => !array_contains(col("_drop"), i)))
+    tokenized.join(covered, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        size(col("toks")).cast("long").as("n_toks"),
+        size(kept).cast("long").as("n_kept"),
+        concat_ws(" ", kept).as("clean_text"))
+  }
+
   /** Guarded positional word-n-gram array over a token-array column —
     * one element per POSITION, in order; `hashed = true` emits xxhash64
     * values (8-byte join keys) instead of gram strings. The single

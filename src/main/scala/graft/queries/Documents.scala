@@ -146,6 +146,14 @@ object Documents {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** D13 — the exact-substring dedup REWRITE (Lee et al. 2021 keep-first
+    * removal): d9 measures duplicated-span coverage, this applies it —
+    * the cleaned text itself is value-compared against DuckDB running
+    * the same first-occurrence rule. */
+  def d13DedupRewrite(s: SparkSession, d: String): DataFrame =
+    Dedup.removeDupSpans(Tables.documents(s, d), "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+
   /** R6 — epoch-based source mixing: src0 makes 3 epochs, src1/src2
     * make 2, the long tail makes 1 — each repetition an independent
     * row tagged with its epoch index (map-side generate, zero shuffle). */

@@ -504,6 +504,23 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** A-unpivot — melt wide → long (the inverse of `a_pivot`): a
+    * per-flag metrics row fans out to one (metric, value) row per
+    * measure. Spark's native `unpivot` is a zero-shuffle generate over
+    * the (already tiny, post-aggregate) wide frame — the shape every
+    * metrics store / plotting layer wants long-form data in. */
+  def aUnpivot(s: SparkSession, d: String): DataFrame = {
+    val wide = Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 4).as("sum_price"),
+        round(avg("l_discount"), 6).as("avg_disc"))
+    wide.unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("avg_disc")),
+        "metric", "value")
+      .orderBy("l_returnflag", "metric")
+  }
+
   /** A-rollup — hierarchical grouping-sets twin of `a_cube`. */
   def aRollup(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)

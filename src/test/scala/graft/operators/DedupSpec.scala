@@ -354,6 +354,45 @@ class DedupSpec extends SparkSpec {
     assert(fromStore == live && fromStore.nonEmpty)
   }
 
+  test("removeDupSpans: keep-first removal, overlap union, short docs") {
+    // doc 0 carries the first occurrence of "a b c d e" (kept); doc 1
+    // repeats it (dropped); doc 2 repeats it TWICE with positions
+    // overlapping at token "z" between spans — covered positions union;
+    // doc 3 shares nothing; doc 4 is shorter than n (kept verbatim)
+    val docs = Seq(
+      (0L, "a b c d e x y z"),
+      (1L, "p q a b c d e r"),
+      (2L, "a b c d e a b c d e"),
+      (3L, "totally unrelated words here none shared"),
+      (4L, "tiny doc")).toDF("doc_id", "text")
+    val out = Dedup.removeDupSpans(docs, "doc_id", "text", n = 5)
+      .select("doc_id", "n_toks", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0) == ((0L, 8L, 8L, "a b c d e x y z")), "first occurrence keeps")
+    assert(out(1) == ((1L, 8L, 3L, "p q r")), "duplicate span drops")
+    // doc 2: grams at 0 ("a b c d e") and 5 ("a b c d e") both duplicate
+    // doc 0's first occurrence; grams 1–4 span the seam and are unique
+    // IN THE CORPUS... they are "b c d e a" etc. — occur once → kept?
+    // no: positions 0–4 and 5–9 are covered by the two duplicate
+    // occurrences, which is EVERY position → fully dropped
+    assert(out(2) == ((2L, 10L, 0L, "")), "fully covered doc empties")
+    assert(out(3)._3 == 6L && out(3)._4 == "totally unrelated words here none shared")
+    assert(out(4) == ((4L, 2L, 2L, "tiny doc")), "short docs keep everything")
+  }
+
+  test("removeDupSpans agrees with dupSpanCoverage on untouched docs") {
+    val docs = Tables.documents(spark, sf)
+    val rewritten = Dedup.removeDupSpans(docs, "doc_id", "text")
+    // a doc is byte-identical after the rewrite iff it had no duplicate
+    // occurrence — cross-check count and text against the originals
+    val untouched = rewritten.filter($"n_kept" === $"n_toks")
+      .join(docs, "doc_id")
+      .filter($"clean_text" =!= regexp_replace(trim($"text"), "\\s+", " "))
+      .count()
+    assert(untouched == 0, "full-keep docs must round-trip their text")
+    assert(rewritten.count() == docs.count(), "one row per input doc")
+  }
+
   test("dupSpanCoverage: positional counts, repeats, short docs") {
     // docs 0/1/2 share the 5-gram "a b c d e"; doc 2 carries it at TWO
     // positions (positional coverage must count both); doc 3 shares
