@@ -598,6 +598,31 @@ object Dedup {
         "formatVersion" -> "1"))
   }
 
+  /** Grow the at-rest store with a batch — the other half of the ingest
+    * loop `writeNearDupStore` starts: after a batch has been paired
+    * against the store (`incrementalNearDupFromStore`) and its true
+    * dups dropped, the SURVIVORS' hashed shingles and signatures are
+    * appended so the NEXT batch dedups against corpus ∪ batch. The
+    * batch is signed with the STORE's parameters and seed (read from
+    * `_meta.json`) — the append is only meaningful if writer and reader
+    * agree, which is exactly what the sidecar pins. Parquet
+    * SaveMode.Append is file-level, so the growth path never rewrites
+    * landed data — O(batch) work per batch regardless of corpus size. */
+  def appendToNearDupStore(batch: DataFrame, dir: String,
+                           idCol: String, textCol: String): Unit = {
+    val spark = batch.sparkSession
+    val meta = graft.sources.Sources.readJsonSidecarFs(spark, s"$dir/_meta.json")
+    val shingleSize = meta("shingleSize").toInt
+    val numHashes = meta("numHashes").toInt
+    val seed = meta.getOrElse("minhashSeed", "42").toLong
+    val h = hashedShingles(shingles(batch, idCol, textCol, shingleSize))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    h.write.mode("append").parquet(s"$dir/shingles")
+    minHashSignaturesHashed(h, numHashes, seed)
+      .write.mode("append").parquet(s"$dir/signatures")
+    h.unpersist()
+  }
+
   /** D10 against the at-rest store: the batch is the only side that
     * tokenizes, hashes, or signs — the corpus arrives as two pruned
     * parquet scans of the store `writeNearDupStore` landed. The

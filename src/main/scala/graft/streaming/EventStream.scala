@@ -144,6 +144,49 @@ object EventStream {
         col("n_docs"), col("tok_total"))
   }
 
+  /** Streaming near-dup ingest against the at-rest store — the full
+    * production loop as a stream: per micro-batch, (1) pair the batch
+    * against the landed store (`incrementalNearDupFromStore` — the
+    * corpus side is READ, never recomputed), (2) drop the batch docs
+    * that near-dup something already landed, (3) append the SURVIVORS'
+    * shingles/signatures so the next micro-batch dedups against
+    * corpus ∪ survivors. foreachBatch is the right tool, not a stateful
+    * operator: the dedup state IS the at-rest store (shared with the
+    * batch layer, unbounded corpus), not a watermark-bounded state
+    * store. Within-batch self-dups are `nearDupPairs` over the batch
+    * alone — O(batch²) bounded by micro-batch size, never the corpus.
+    * Returns a ready-to-start writer; survivors also land under
+    * `keptDir` as the cleaned corpus. */
+  def streamingNearDupIngest(docs: DataFrame, storeDir: String,
+                             keptDir: String, idCol: String, textCol: String,
+                             threshold: Double = 0.8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.Dedup
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          // vs the landed corpus
+          val vsStore = Dedup.incrementalNearDupFromStore(
+            batch, storeDir, idCol, textCol, threshold = threshold)
+          // within-batch: keep the smallest id of each near-dup pair
+          val selfPairs = Dedup.nearDupPairs(batch, idCol, textCol,
+            threshold = threshold)
+          val dropIds = vsStore.select(col("id_a").as(idCol))
+            .unionByName(selfPairs.select(col("id_b").as(idCol)))
+            .distinct()
+          val kept = batch.join(dropIds, Seq(idCol), "left_anti")
+            .persist() // feeds the corpus sink AND the store append
+          kept.write.mode("append").parquet(keptDir)
+          Dedup.appendToNearDupStore(kept, storeDir, idCol, textCol)
+          kept.unpersist()
+          // the dedup family persists plan-keyed blocks per call; a
+          // long-running stream must not accumulate one set per batch
+          spark.catalog.clearCache()
+        }
+    }
+  }
+
   /** Ordered weekly incremental driver (T2): the batch twin of the
     * stream — processes week partitions strictly in order, exactly once,
     * recording progress in a ledger the way the reference's

@@ -354,6 +354,33 @@ class DedupSpec extends SparkSpec {
     assert(fromStore == live && fromStore.nonEmpty)
   }
 
+  test("appendToNearDupStore grows the store batch by batch") {
+    // the full production ingest loop: land corpus → batch 1 pairs
+    // against it and is appended → batch 2 pairs against corpus ∪ batch 1
+    val dir = java.nio.file.Files.createTempDirectory("ndgrow").toString
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter($"doc_id" % 5 =!= 0 && $"doc_id" % 5 =!= 1)
+    val batch1 = docs.filter($"doc_id" % 5 === 1)
+    val batch2 = docs.filter($"doc_id" % 5 === 0)
+    Dedup.writeNearDupStore(corpus, "doc_id", "text", dir)
+    val pairs1 = Dedup.incrementalNearDupFromStore(batch1, dir, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val live1 = Dedup.incrementalNearDup(batch1, corpus, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs1 == live1)
+    Dedup.appendToNearDupStore(batch1, dir, "doc_id", "text")
+    val pairs2 = Dedup.incrementalNearDupFromStore(batch2, dir, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val live2 = Dedup.incrementalNearDup(batch2, corpus.unionByName(batch1),
+        "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs2 == live2 && pairs2.nonEmpty,
+      "batch 2 must see corpus AND batch 1 through the grown store")
+    // growth must actually have landed batch-1 rows in both tables
+    val nSig = spark.read.parquet(s"$dir/signatures").count()
+    assert(nSig == corpus.count() + batch1.count())
+  }
+
   test("removeDupSpans: keep-first removal, overlap union, short docs") {
     // doc 0 carries the first occurrence of "a b c d e" (kept); doc 1
     // repeats it (dropped); doc 2 repeats it TWICE with positions

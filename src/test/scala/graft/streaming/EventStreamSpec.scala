@@ -232,6 +232,44 @@ class EventStreamSpec extends SparkSpec {
     assert(total == 100, s"restart must add week2 exactly once, got $total")
   }
 
+  test("streamingNearDupIngest drops dups against the growing store") {
+    implicit val sqlCtx = spark.sqlContext
+    def doc(words: String*): String = words.mkString(" ")
+    // 20-token bases with disjoint vocabularies; a 1-word edit keeps
+    // 3-gram jaccard at 17/19 ≈ 0.89 — above the 0.8 threshold
+    val baseA = doc((1 to 20).map(i => s"a$i"): _*)
+    val baseB = doc((1 to 20).map(i => s"b$i"): _*)
+    val baseC = doc((1 to 20).map(i => s"c$i"): _*)
+    val baseD = doc((1 to 20).map(i => s"d$i"): _*)
+    def variant(base: String): String =
+      base.split(" ").dropRight(1).mkString(" ") + " zz"
+    val tmp = java.nio.file.Files.createTempDirectory("ndstream").toString
+    val (storeDir, keptDir) = (s"$tmp/store", s"$tmp/kept")
+    graft.operators.Dedup.writeNearDupStore(
+      Seq((100L, baseA)).toDF("doc_id", "text"), "doc_id", "text", storeDir)
+    val mem = MemoryStream[(Long, String)]
+    val q = streamingNearDupIngest(
+        mem.toDF().toDF("doc_id", "text"), storeDir, keptDir, "doc_id", "text")
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    // batch 1: doc 1 near-dups the LANDED corpus (dropped); docs 3/4
+    // near-dup EACH OTHER (smaller id kept); doc 2 is clean
+    mem.addData((1L, variant(baseA)), (2L, baseB), (3L, baseC), (4L, variant(baseC)))
+    q.processAllAvailable()
+    // batch 2: doc 5 near-dups batch-1 SURVIVOR 2 — only the grown
+    // store can know that; doc 6 is clean
+    mem.addData((5L, variant(baseB)), (6L, baseD))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.read.parquet(keptDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 6L),
+      s"survivors should be {2, 3, 6}, got $kept")
+    // the store grew by exactly the survivors
+    val storeIds = spark.read.parquet(s"$storeDir/signatures")
+      .select("id").distinct().as[Long].collect().toSet
+    assert(storeIds == Set(100L, 2L, 3L, 6L))
+  }
+
   test("streamingCorpusIngest dedups, filters junk, and windows per language") {
     implicit val sqlCtx = spark.sqlContext
     val stop = Seq("the", "a", "of", "and", "is", "to", "in")
