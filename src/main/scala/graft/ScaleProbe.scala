@@ -65,6 +65,15 @@ object ScaleProbe {
       // bend upward with duplication
       "d9_dup_spans" -> (d => Dedup.dupSpanCoverage(d, "doc_id", "text",
         n = 5, minDocs = 2)),
+      // the removal twin of d9: same gram machinery plus a duplicated-
+      // occurrence join and the per-doc rewrite — the extra cost over
+      // d9 should stay a constant factor, not a new curve shape. The
+      // 1-row aggregate over clean_text defeats count()'s column
+      // pruning (a bare count would skip the rewrite expressions and
+      // time only the join skeleton)
+      "d13_dedup_rewrite" -> (d => Dedup.removeDupSpans(d, "doc_id", "text",
+        n = 5).agg(sum(length(col("clean_text"))).as("chars_kept"),
+          sum(col("n_kept")).as("toks_kept"))),
       // batch-vs-corpus near-dup: the batch (1/5 of docs) rides LSH
       // buckets against the corpus — cost should track corpus size
       // linearly (bucket join), never corpus²
