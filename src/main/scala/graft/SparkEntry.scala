@@ -128,6 +128,8 @@ object SparkEntry {
     "d12_semantic_wc" -> (Documents.d12SemanticWc _),
     "d13_dedup_rewrite" -> (Documents.d13DedupRewrite _),
     "a_unpivot"       -> (Relational.aUnpivot _),
+    "ann4_ivf_store"  -> (Documents.ann4IvfStore _),
+    "d14_store_append" -> (Documents.d14StoreAppend _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -803,7 +805,12 @@ object SparkEntry {
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     "ann2_lsh" -> annGateSql,
     "ann3_ivf" -> annGateSql,
+    // ann4 = ann3's answers through the partition-pruned at-rest index
+    "ann4_ivf_store" -> annGateSql,
     "d3_simhash" -> simhashGateSql,
+    // d14 = the d10/d11 semantics with the corpus landed in TWO store
+    // installments (write + append) — same ground truth
+    "d14_store_append" -> crossSetJaccardSql,
     "t1_tumbling_window" ->
       """SELECT strftime(make_timestamp(
         |    CAST(floor(epoch(ts) / 604800) * 604800 AS BIGINT) * 1000000),

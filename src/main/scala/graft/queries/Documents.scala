@@ -519,6 +519,40 @@ object Documents {
       Similarity.bruteForceTopK(e, q, 5), recallFloor = 8)
   }
 
+  /** ANN4 — the at-rest IVF path driver-gated: the index is written
+    * `partitionBy(cell)`, probes prune the scan to their cells, answers
+    * equal `ivfTopK` with the same quantizer seed — so the gate is
+    * ann3's invariant oracle with ann3's measured floor. */
+  def ann4IvfStore(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 5)
+    val path = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/ivf_index"
+    val centroids = Similarity.writeIvfIndex(e, path, nCells = 8)
+    annInvariantGate(
+      Similarity.ivfTopKFromIndex(path, centroids, q, 5, nProbe = 4),
+      Similarity.bruteForceTopK(e, q, 5), recallFloor = 8)
+  }
+
+  /** D14 — the store APPEND path driver-gated: the corpus lands in TWO
+    * installments (initial write + `appendToNearDupStore`), then the
+    * batch pairs against the grown store. Same oracle as d10/d11 — the
+    * batch must see the whole corpus regardless of how many appends
+    * built it. */
+  def d14StoreAppend(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val dir = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/neardup_store_grown"
+    Dedup.writeNearDupStore(
+      docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1),
+      "doc_id", "text", dir)
+    Dedup.appendToNearDupStore(docs.filter(col("doc_id") % 5 === 1),
+      dir, "doc_id", "text")
+    Dedup.incrementalNearDupFromStore(docs.filter(col("doc_id") % 5 === 0),
+        dir, "doc_id", "text", threshold = 0.8)
+      .orderBy("id_a", "id_b")
+  }
+
   /** MM1 — binary-column plumbing: payload sizes oracle-checked against
     * the utf-8 byte length DuckDB computes. */
   def mm1MediaMeta(s: SparkSession, d: String): DataFrame =

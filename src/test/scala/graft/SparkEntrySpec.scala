@@ -25,8 +25,8 @@ class SparkEntrySpec extends SparkSpec {
   // denominator crossed in), t12 (1-row percentile threshold crossed
   // in), d3 (1-row invariant-flag broadcast)
   private val intendedNestedLoop =
-    Set("ann1_brute_force", "ann2_lsh", "ann3_ivf", "t9_lm_score",
-      "t12_quality_cut", "d3_simhash")
+    Set("ann1_brute_force", "ann2_lsh", "ann3_ivf", "ann4_ivf_store",
+      "t9_lm_score", "t12_quality_cut", "d3_simhash")
 
   test("no query plans an unintended nested-loop or cartesian join") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
