@@ -250,9 +250,14 @@ object Dedup {
       .filter(!(col("id") === col("f_id") && col("p") === col("f_p")))
       .select(col("id"), explode(sequence(col("p"), col("p") + (n - 1))).as("i"))
       .groupBy("id").agg(collect_set(col("i")).as("_drop"))
+    // kept indices via array_except (hash-set membership, left order
+    // preserved): O(n_toks + n_dropped) per doc — a per-token
+    // array_contains scan over the drop set would be O(n_toks ×
+    // n_dropped), quadratic for a long fully-boilerplate doc
     val kept = when(col("_drop").isNull, col("toks"))
-      .otherwise(filter(col("toks"),
-        (_, i) => !array_contains(col("_drop"), i)))
+      .otherwise(transform(
+        array_except(sequence(lit(0), size(col("toks")) - 1), col("_drop")),
+        i => element_at(col("toks"), i + 1)))
     tokenized.join(covered, Seq("id"), "left")
       .select(col("id").as(idCol),
         size(col("toks")).cast("long").as("n_toks"),
@@ -607,7 +612,20 @@ object Dedup {
     * `_meta.json`) — the append is only meaningful if writer and reader
     * agree, which is exactly what the sidecar pins. Parquet
     * SaveMode.Append is file-level, so the growth path never rewrites
-    * landed data — O(batch) work per batch regardless of corpus size. */
+    * landed data — O(batch) work per batch regardless of corpus size.
+    *
+    * IDEMPOTENT PER ID under at-least-once replay (foreachBatch's
+    * contract): ids already present in the SHINGLE table are dropped
+    * first (one anti join against an 8-byte id projection), and the
+    * two tables are written in corruption-ordered sequence — signatures
+    * FIRST, shingles LAST. Duplicated signature rows are harmless
+    * (band-bucket candidates are distinct()'d downstream); duplicated
+    * SHINGLE rows silently corrupt every later jaccard against that doc
+    * (shared and size counts both double). With this ordering every
+    * crash-and-replay interleaving converges: replay of a fully-applied
+    * batch is skipped by the anti join; a crash between the two writes
+    * re-appends only the harmless table. Retry safety is a store
+    * invariant, not a caller courtesy. */
   def appendToNearDupStore(batch: DataFrame, dir: String,
                            idCol: String, textCol: String): Unit = {
     val spark = batch.sparkSession
@@ -615,12 +633,34 @@ object Dedup {
     val shingleSize = meta("shingleSize").toInt
     val numHashes = meta("numHashes").toInt
     val seed = meta.getOrElse("minhashSeed", "42").toLong
-    val h = hashedShingles(shingles(batch, idCol, textCol, shingleSize))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    h.write.mode("append").parquet(s"$dir/shingles")
+    val landed = spark.read.parquet(s"$dir/shingles")
+      .select(col("id").as(idCol)).distinct()
+    val fresh = batch.join(landed, Seq(idCol), "left_anti")
+    // EAGER SNAPSHOT, not persist: the rows to append must be frozen
+    // BEFORE the first write touches the store. `h`'s lineage reads the
+    // store itself (the anti join scans shingles; a caller's batch —
+    // e.g. the streaming loop's `kept` — typically descends from a
+    // pairing that scans signatures), and Spark recaches path-dependent
+    // plan-keyed cache entries after each parquet write. A merely
+    // persisted `h` would be invalidated by the FIRST append and
+    // recomputed against the HALF-APPENDED store — where the batch doc
+    // now near-dups its own just-landed signature — so the SECOND write
+    // lands zero rows and the store is left inconsistent (signatures
+    // without shingles). localCheckpoint truncates the lineage so both
+    // writes emit the same frozen rows.
+    val h = hashedShingles(shingles(fresh, idCol, textCol, shingleSize))
+      .localCheckpoint()
     minHashSignaturesHashed(h, numHashes, seed)
       .write.mode("append").parquet(s"$dir/signatures")
+    h.write.mode("append").parquet(s"$dir/shingles")
     h.unpersist()
+    // invalidate cached reads of the store: CacheManager matches plans
+    // by ROOT PATH, not file listing, so a store scan persisted by an
+    // earlier incrementalNearDupFromStore in this session would keep
+    // serving the PRE-append file list — a reader in the same session
+    // would silently miss everything this append landed. The writer
+    // invalidates; readers stay oblivious.
+    spark.catalog.refreshByPath(dir)
   }
 
   /** D10 against the at-rest store: the batch is the only side that

@@ -484,6 +484,10 @@ object Documents {
                                       recallFloor: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy("rank")
+    // persisted: the flag's semi-join AND the emitted frame both read
+    // `rows` — unpersisted, the whole approximate top-k (LSH/IVF
+    // shuffles + window) would execute twice, and the flag could in
+    // principle be stamped over a different realization than the rows
     val rows = approx
       .withColumn("_prev", lag(col("cos_sim"), 1).over(w))
       .select(col("q_id"), col("rank"), col("n_id"),
@@ -491,6 +495,7 @@ object Documents {
           (col("_prev").isNull || col("cos_sim") <= col("_prev")), 1)
           .otherwise(0).as("sim_ok"),
         when(col("n_id") =!= col("q_id"), 1).otherwise(0).as("neighbor_ok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val flag = broadcast(
       rows.join(exact.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"), "left_semi")
         .agg(when(count(lit(1)) >= recallFloor, 1).otherwise(0)

@@ -193,13 +193,28 @@ object Sources {
     // RECURSIVE census: Hive-partitioned sources keep their data files
     // under key=value subdirectories — a flat listStatus would see 0
     // bytes there, collapse nOut to 1, and rewrite the whole dataset as
-    // a single file in silent violation of targetFileBytes.
+    // a single file in silent violation of targetFileBytes. Hidden path
+    // components (_temporary staging from a crashed write, _spark_
+    // metadata, dot-files) are EXCLUDED exactly as spark.read excludes
+    // them — counting them would size the rewrite off trash the reader
+    // never sees.
+    val rootUri = p.toUri.getPath
+    def hiddenUnderRoot(f: Path): Boolean = {
+      var cur = f
+      while (cur != null && cur.toUri.getPath != rootUri) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) return true
+        cur = cur.getParent
+      }
+      false
+    }
     val it = fs.listFiles(p, true)
     var totalBytes = 0L
     var nFiles = 0
     while (it.hasNext) {
       val f = it.next()
-      if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+      if (f.isFile && f.getPath.getName.endsWith(".parquet") &&
+          !hiddenUnderRoot(f.getPath)) {
         totalBytes += f.getLen; nFiles += 1
       }
     }

@@ -166,12 +166,27 @@ object EventStream {
       (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
+          // blocks persisted BEFORE this batch stay untouched — only
+          // the dedup family's per-call caches created below are
+          // released, so a co-resident batch job's persists survive
+          // (a session-global clearCache here would evict them every
+          // micro-batch)
+          val preexisting = spark.sparkContext.getPersistentRDDs.keySet
+          // the store's meta pins the shingle geometry; the WITHIN-batch
+          // judgment must use the same parameters as the vs-store one
+          // or two docs' dup verdict would depend on whether they
+          // arrived in one micro-batch or two
+          val meta = graft.sources.Sources.readJsonSidecarFs(
+            spark, s"$storeDir/_meta.json")
+          val shingleSize = meta("shingleSize").toInt
+          val numHashes = meta("numHashes").toInt
           // vs the landed corpus
           val vsStore = Dedup.incrementalNearDupFromStore(
             batch, storeDir, idCol, textCol, threshold = threshold)
           // within-batch: keep the smallest id of each near-dup pair
           val selfPairs = Dedup.nearDupPairs(batch, idCol, textCol,
-            threshold = threshold)
+            shingleSize = shingleSize, threshold = threshold,
+            numHashes = numHashes)
           val dropIds = vsStore.select(col("id_a").as(idCol))
             .unionByName(selfPairs.select(col("id_b").as(idCol)))
             .distinct()
@@ -180,9 +195,11 @@ object EventStream {
           kept.write.mode("append").parquet(keptDir)
           Dedup.appendToNearDupStore(kept, storeDir, idCol, textCol)
           kept.unpersist()
-          // the dedup family persists plan-keyed blocks per call; a
-          // long-running stream must not accumulate one set per batch
-          spark.catalog.clearCache()
+          // release only what THIS batch created; a long-running stream
+          // must not accumulate one plan-keyed block set per batch
+          spark.sparkContext.getPersistentRDDs.foreach { case (rddId, rdd) =>
+            if (!preexisting.contains(rddId)) rdd.unpersist(blocking = false)
+          }
         }
     }
   }

@@ -376,9 +376,28 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs2 == live2 && pairs2.nonEmpty,
       "batch 2 must see corpus AND batch 1 through the grown store")
-    // growth must actually have landed batch-1 rows in both tables
-    val nSig = spark.read.parquet(s"$dir/signatures").count()
-    assert(nSig == corpus.count() + batch1.count())
+    // growth must actually have landed batch-1 rows in BOTH tables —
+    // ids, not counts: an append that lands signatures but an empty
+    // shingle file (the half-appended-store recompute bug) leaves
+    // counts plausible while the store is silently inconsistent
+    val expectIds = (corpus.select("doc_id").as[Long].collect()
+      ++ batch1.select("doc_id").as[Long].collect()).toSet
+    val sigIds = spark.read.parquet(s"$dir/signatures")
+      .select("id").distinct().as[Long].collect().toSet
+    val shIds = spark.read.parquet(s"$dir/shingles")
+      .select("id").distinct().as[Long].collect().toSet
+    assert(sigIds == expectIds, "signature ids must cover corpus + batch 1")
+    assert(shIds == expectIds, "shingle ids must cover corpus + batch 1")
+    // IDEMPOTENCE: replaying an already-applied batch (foreachBatch is
+    // at-least-once) must not land duplicate shingle rows — duplicated
+    // rows would silently corrupt every later jaccard against those docs
+    val shinglesBefore = spark.read.parquet(s"$dir/shingles").count()
+    Dedup.appendToNearDupStore(batch1, dir, "doc_id", "text")
+    val shinglesAfter = spark.read.parquet(s"$dir/shingles").count()
+    assert(shinglesAfter == shinglesBefore, "replayed append must be a no-op")
+    val pairs2Replay = Dedup.incrementalNearDupFromStore(batch2, dir, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs2Replay == live2, "pairs unchanged after replay")
   }
 
   test("removeDupSpans: keep-first removal, overlap union, short docs") {

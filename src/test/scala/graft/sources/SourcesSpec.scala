@@ -99,6 +99,28 @@ class SourcesSpec extends SparkSpec {
     assert(e.getMessage.contains("no .parquet data files"))
   }
 
+  test("compactParquet census ignores _temporary residue like the reader does") {
+    // a crashed write leaves staging files under _temporary that
+    // spark.read excludes — the census must not size the rewrite off
+    // trash, and a residue-only dir must still fail loudly
+    val base = Files.createTempDirectory("compacttmp").toString
+    val docs = Tables.documents(spark, sf)
+    docs.write.mode("overwrite").parquet(s"$base/src")
+    val stage = java.nio.file.Paths.get(s"$base/src/_temporary/0")
+    Files.createDirectories(stage)
+    Files.write(stage.resolve("part-junk.parquet"), Array.fill(1 << 20)(0x42.toByte))
+    val nOut = Sources.compactParquet(spark, s"$base/src", s"$base/out",
+      targetFileBytes = 1L << 30)
+    assert(nOut == 1, "1 MB of staging junk must not inflate the census")
+    assert(spark.read.parquet(s"$base/out").count() == docs.count())
+    val residueOnly = java.nio.file.Paths.get(s"$base/residue/_temporary")
+    Files.createDirectories(residueOnly)
+    Files.write(residueOnly.resolve("part-junk.parquet"), Array[Byte](1, 2, 3))
+    val e = intercept[IllegalArgumentException](
+      Sources.compactParquet(spark, s"$base/residue", s"$base/out2"))
+    assert(e.getMessage.contains("no .parquet data files"))
+  }
+
   test("FS-routed sidecar round-trips through the Hadoop filesystem") {
     val dir = Files.createTempDirectory("fssidecar").toString
     val kv = Map("shingleSize" -> "3", "numHashes" -> "64",
