@@ -86,6 +86,7 @@ object SparkEntry {
     "d7_incremental_dedup" -> (Documents.d7IncrementalDedup _),
     "r5_temperature_mix" -> (Documents.r5TemperatureMix _),
     "t10_contamination" -> (Documents.t10Contamination _),
+    "t14_bloom_decontam" -> (Documents.t14BloomDecontam _),
     "t11_chunking"    -> (Documents.t11Chunking _),
     "s_jsonl_roundtrip" -> (Documents.sJsonlRoundtrip _),
     "llm_pretrain_pipeline" -> (Documents.llmPretrainPipeline _),
@@ -113,6 +114,7 @@ object SparkEntry {
     "d10_incremental_neardup" -> (Documents.d10IncrementalNearDup _),
     "j7_salted_join"  -> (Relational.j7SaltedJoin _),
     "s_compact_roundtrip" -> (Relational.sCompactRoundtrip _),
+    "s_zorder_roundtrip" -> (Relational.sZorderRoundtrip _),
     "r7_shuffle_shard" -> (Documents.r7ShuffleShard _),
     // exact distinct counts: the gate value-compares against DuckDB's
     // exact COUNT(DISTINCT); the operator's scale default is approx
@@ -730,6 +732,18 @@ object SparkEntry {
         |  FROM corpus c JOIN ev e ON c.s = e.s GROUP BY 1, 2)
         |SELECT doc_id, max(shared) AS max_shared, count(*) AS n_eval_hits
         |FROM pairs WHERE shared >= 2 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the Bloom path is exact after its verify join, so its oracle is
+    // t10's: same report, different scale shape on the Spark side
+    "t14_bloom_decontam" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+        |  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s FROM t),
+        |corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0),
+        |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 97 = 0),
+        |pairs AS (SELECT c.doc_id, e.eval_id, count(*) AS shared
+        |  FROM corpus c JOIN ev e ON c.s = e.s GROUP BY 1, 2)
+        |SELECT doc_id, max(shared) AS max_shared, count(*) AS n_eval_hits
+        |FROM pairs WHERE shared >= 2 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d5_embed_dup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -945,6 +959,12 @@ object SparkEntry {
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "s_zorder_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+        |  CAST(sum(l_partkey) AS BIGINT) AS sum_pk,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "dq_profile" ->
       """SELECT * FROM (
         |  SELECT 'doc_id' AS col_name, count(*) - count(doc_id) AS n_null,

@@ -156,6 +156,61 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
   }
 
+  /** Decontamination for eval sets too large to broadcast. Same result
+    * as `contaminationPairs` — bit for bit — with a different scale
+    * shape: the eval side is compressed to a Bloom filter over xxhash64
+    * gram hashes (~1.8 bytes/gram at fpp 1e-3, vs 8-byte hashes or full
+    * strings — a 100 M-gram eval suite is ~170 MiB of filter where the
+    * exact hash set would be 800 MiB and the string set GiBs), the
+    * corpus grams are prefiltered MAP-SIDE by a codegen'd probe
+    * ([[graft.functions.BloomMightContain]]), and only the surviving
+    * sliver — true overlaps plus the fpp·|corpus grams| false-positive
+    * dribble — pays a shuffle join against the eval grams for exact
+    * verification. Bloom filters have no false negatives, so the verify
+    * join restores exactness; false positives cost shuffle bytes, never
+    * wrong rows. The corpus side never shuffles in full and the eval
+    * side is never broadcast row-wise.
+    *
+    * `expectedEvalGrams` sizes the filter; when absent the eval gram
+    * projection is counted first (one cheap extra pass over the SMALL
+    * side — at production scale pass the known suite size instead). */
+  def bloomContaminationPairs(corpus: DataFrame, evalSet: DataFrame,
+                              idCol: String, textCol: String, n: Int = 3,
+                              fpp: Double = 0.001,
+                              expectedEvalGrams: Option[Long] = None,
+                              maxDocFreq: Option[Int] = None): DataFrame = {
+    val corpusSh = {
+      val sh = shingles(corpus, idCol, textCol, n)
+      maxDocFreq match {
+        case None => sh
+        case Some(cap) =>
+          val hot = sh.groupBy("shingle").agg(count(lit(1)).as("_df"))
+            .filter(col("_df") > cap).select("shingle")
+          sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+      }
+    }
+    val evalSh = shingles(evalSet, idCol, textCol, n)
+      .withColumnRenamed("id", "eval_id")
+    val evalHashes = evalSh.select(xxhash64(col("shingle")).as("hs")).distinct()
+    val expected = expectedEvalGrams.getOrElse(math.max(evalHashes.count(), 1L))
+    // one distributed pass; the driver holds only the merged bit array.
+    // The eval side is scanned at most thrice (count, build, verify) —
+    // it is the SMALL side by definition, so that beats pinning a cache
+    // entry across the caller's action.
+    val filter = evalHashes.stat.bloomFilter("hs", expected, fpp)
+    val probe = graft.plans.GraftFunctions.bloomMightContain(
+      corpus.sparkSession, xxhash64(col("shingle")),
+      graft.functions.BloomMightContain.toBytes(filter))
+    val survivors = corpusSh.filter(probe)
+    // exact verify on the raw gram STRING (not the hash): kills both the
+    // Bloom false positives and any xxhash64 collision, so the output
+    // contract is exactly contaminationPairs'. Survivors are tiny, so
+    // this join shuffles a sliver of the corpus — never the corpus.
+    survivors.join(evalSh, Seq("shingle"))
+      .groupBy("id", "eval_id")
+      .agg(count(lit(1)).as("shared"))
+  }
+
   /** D9 — inter-document duplicated-span coverage: for each document,
     * how many of its word-n-gram POSITIONS carry an n-gram that occurs
     * in at least `minDocs` distinct documents (itself included), plus

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.CosineSimilarity
+import graft.functions.{BloomMightContain, CosineSimilarity, RangeBucket}
 
 /** Engine extensions: registers graft's native expressions so they are
   * callable from SQL. Activate with
@@ -25,7 +25,13 @@ object GraftFunctions {
   val descriptors: Seq[Descriptor] = Seq(
     (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
+    (FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (args: Seq[Expression]) => BloomMightContain(args(0), args(1))),
+    (FunctionIdentifier("range_bucket"),
+      new ExpressionInfo(classOf[RangeBucket].getName, "range_bucket"),
+      (args: Seq[Expression]) => RangeBucket(args(0), args(1))))
 
   /** Register into a live session (tests, notebooks). */
   def register(spark: SparkSession): Unit =
@@ -40,4 +46,25 @@ object GraftFunctions {
     * bridge that isn't private[sql] in Spark 4. */
   def cosineSim(a: Column, b: Column): Column =
     call_function("cosine_sim", a, b)
+
+  /** Column-API handle for the Bloom membership probe: `key` is the
+    * LongType key under test, `filterBytes` a driver-built
+    * `BloomFilter`'s wire bytes (see `BloomMightContain.toBytes`),
+    * embedded as a plan literal. Registers on demand like `cosineSim`. */
+  def bloomMightContain(spark: SparkSession, key: Column,
+                        filterBytes: Array[Byte]): Column = {
+    register(spark)
+    call_function("bloom_might_contain", key,
+      org.apache.spark.sql.functions.lit(filterBytes))
+  }
+
+  /** Column-API handle for the quantile bucket kernel: `value` is cast
+    * to double by the caller, `bounds` are ascending cut points embedded
+    * as a plan literal. Registers on demand like `cosineSim`. */
+  def rangeBucket(spark: SparkSession, value: Column,
+                  bounds: Array[Double]): Column = {
+    register(spark)
+    call_function("range_bucket", value,
+      org.apache.spark.sql.functions.lit(bounds))
+  }
 }

@@ -262,6 +262,23 @@ object Documents {
       .orderBy("doc_id")
   }
 
+  /** T14 — Bloom-prefiltered decontamination: same report as
+    * [[t10Contamination]] (same oracle — the Bloom path is exact after
+    * its verify join) through the large-eval-set scale shape: the eval
+    * grams travel as a Bloom filter literal, the corpus prefilter is a
+    * map-side codegen'd probe, and only survivors pay a join. */
+  def t14BloomDecontam(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.bloomContaminationPairs(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", 3)
+      .filter(col("shared") >= 2)
+      .groupBy(col("id").as("doc_id"))
+      .agg(max("shared").as("max_shared"),
+        count(lit(1)).as("n_eval_hits"))
+      .orderBy("doc_id")
+  }
+
   /** T11 — sliding-window chunking (32-token chunks every 24 tokens,
     * i.e. 8-token overlap), output bounded to the first 50 docs. */
   def t11Chunking(s: SparkSession, d: String): DataFrame =

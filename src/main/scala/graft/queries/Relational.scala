@@ -309,6 +309,28 @@ object Relational {
       .orderBy("lang")
   }
 
+  /** Z-order roundtrip gate: lineitem rewritten z-clustered on
+    * (l_orderkey, l_partkey) must stay content-identical — the layout
+    * op may move rows between files, never change them. The pruning
+    * benefit itself (per-file min/max ranges shrink on BOTH columns) is
+    * spec-asserted in ZorderSpec; DuckDB can't see Spark's file layout,
+    * so the oracle pins content transparency. */
+  def sZorderRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val base = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/zorder_roundtrip"
+    val dst = s"$base/lineitem_z"
+    graft.sources.Sources.zorderWrite(
+      s, Tables.lineitem(s, d), Seq("l_orderkey", "l_partkey"), dst,
+      nFiles = 8)
+    s.read.parquet(dst)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_orderkey")).as("sum_ok"),
+        sum(col("l_partkey")).as("sum_pk"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   case class LineitemSlim(l_returnflag: String, l_linestatus: String,
                           l_quantity: Double, l_shipdate: java.sql.Timestamp)
 

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 import org.apache.hadoop.fs.Path
@@ -231,6 +231,77 @@ object Sources {
       else df
     reshaped.write.mode(SaveMode.Overwrite).parquet(dstDir)
     val d = new Path(dstDir)
+    fs.listStatus(d).count(f =>
+      f.isFile && f.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Z-value (Morton) interleave of per-column bucket ids: bit j of
+    * column i lands at position j·k + (k−1−i), so all columns share the
+    * high bits evenly and files that are contiguous in z cover a
+    * near-square region of the bucket grid. Pure built-in bit ops —
+    * k·bits shift/mask/or terms, fused by whole-stage codegen. */
+  def zValue(buckets: Seq[Column], bitsPerCol: Int): Column = {
+    val k = buckets.size
+    val terms = for {
+      (b, i) <- buckets.zipWithIndex
+      j <- 0 until bitsPerCol
+    } yield shiftleft(
+      shiftrightunsigned(b.cast("long"), j).bitwiseAND(lit(1L)),
+      j * k + (k - 1 - i))
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Z-order clustered rewrite — the data-layout half of multi-column
+    * pruning at 100 TB. A dataset sorted by one column prunes scans on
+    * that column only; interleaving the QUANTILE RANKS of k columns into
+    * a z-value and range-partitioning on it gives every file a bounded
+    * min/max range on EVERY z column (≈ N^(−1/k) of the domain per file
+    * for N files), so parquet row-group/file stats prune predicates on
+    * any of them. Same mechanism as lakehouse `OPTIMIZE ZORDER BY`,
+    * built from public Spark pieces.
+    *
+    * Scale shape, one distributed pass each: (1) `approxQuantile`
+    * (Greenwald–Khanna) collects 2^bits−1 cut points per column — the
+    * driver holds a few KB of doubles, never data; (2) the z-value is a
+    * codegen'd [[graft.functions.RangeBucket]] probe per column plus
+    * bit-interleave arithmetic, map-side; (3) `repartitionByRange` on z
+    * (reservoir sample + one shuffle) makes files contiguous z slabs;
+    * `sortWithinPartitions` orders rows inside each file so row-group
+    * stats prune within files too. Quantile ranks, not raw values: an
+    * equi-WIDTH grid would collapse a skewed column into one cell and
+    * z-order would degenerate to a sort on the other columns.
+    *
+    * Nulls rank below every cut point (bucket 0 via coalesce) — they
+    * cluster into the low-z files instead of smearing everywhere.
+    * Returns the output file count. New directory, same contract as
+    * [[compactParquet]]: in-place swap is the table format's commit
+    * protocol, not an engine primitive. */
+  def zorderWrite(spark: SparkSession, df: DataFrame, zCols: Seq[String],
+                  dstDir: String, nFiles: Int, bitsPerCol: Int = 8,
+                  relErr: Double = 0.002): Int = {
+    require(zCols.size >= 2, "z-order needs ≥ 2 columns (1 is a plain sort)")
+    require(zCols.size * bitsPerCol <= 62,
+      s"${zCols.size} cols × $bitsPerCol bits overflows the long z-value")
+    require(nFiles > 0, "nFiles must be positive")
+    val nBuckets = 1 << bitsPerCol
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    // one pass for ALL columns' sketches; relErr 0.002 is half a bucket
+    // at 8 bits — finer only sharpens bucket edges, not the layout
+    val dbl = df.select(zCols.map(c => col(c).cast("double").as(c)): _*)
+    val cuts = dbl.stat.approxQuantile(zCols.toArray, probs, relErr)
+    val buckets = zCols.zip(cuts).map { case (c, bounds) =>
+      coalesce(
+        graft.plans.GraftFunctions.rangeBucket(
+          spark, col(c).cast("double"), bounds),
+        lit(0))
+    }
+    df.withColumn("_graft_z", zValue(buckets, bitsPerCol))
+      .repartitionByRange(nFiles, col("_graft_z"))
+      .sortWithinPartitions("_graft_z")
+      .drop("_graft_z")
+      .write.mode(SaveMode.Overwrite).parquet(dstDir)
+    val d = new Path(dstDir)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(d).count(f =>
       f.isFile && f.getPath.getName.endsWith(".parquet"))
   }
