@@ -84,6 +84,7 @@ object SparkEntry {
     "t9_lm_score"     -> (Documents.t9LmScore _),
     "r4_quota_sample" -> (Documents.r4QuotaSample _),
     "d7_incremental_dedup" -> (Documents.d7IncrementalDedup _),
+    "d15_fp_store" -> (Documents.d15FpStore _),
     "r5_temperature_mix" -> (Documents.r5TemperatureMix _),
     "t10_contamination" -> (Documents.t10Contamination _),
     "t14_bloom_decontam" -> (Documents.t14BloomDecontam _),
@@ -654,6 +655,17 @@ object SparkEntry {
         |  FROM documents)
         |WHERE rk <= 30 ORDER BY lang, doc_id""".stripMargin,
     "d7_incremental_dedup" ->
+      """WITH fp AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |batch AS (SELECT * FROM fp WHERE doc_id % 5 = 0),
+        |corpus AS (SELECT * FROM fp WHERE doc_id % 5 <> 0),
+        |keep AS (SELECT fp, min(doc_id) AS doc_id FROM batch GROUP BY fp)
+        |SELECT doc_id, fp FROM keep
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = keep.fp)
+        |ORDER BY doc_id""".stripMargin,
+    // the Bloom-routed store path is exact (see d15FpStore) → d7's oracle
+    "d15_fp_store" ->
       """WITH fp AS (SELECT doc_id,
         |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |  FROM documents),

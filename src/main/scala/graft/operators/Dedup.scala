@@ -123,6 +123,99 @@ object Dedup {
       .select("id", "fp")
   }
 
+  /** At-rest exact-dedup fingerprint store: distinct md5 fps as parquet
+    * plus a Bloom filter sidecar over their xxhash64 keys. The filter is
+    * sized ONCE for the store's target capacity (`expectedTotalFps` —
+    * corpus plus all future batches) so per-batch filters built with the
+    * same parameters stay bit-compatible for merging; capacity and fpp
+    * travel in `_meta.json`, and everything lives on the store dir's own
+    * filesystem. The filter is the store's hot half: ~1.8 bytes/fp at
+    * fpp 1e-3 where the parquet side is 16 bytes — a 10-billion-fp store
+    * carries an ~18 GB filter, loadable where the table is join-only. */
+  def writeFpStore(corpus: DataFrame, idCol: String, textCol: String,
+                   dir: String, expectedTotalFps: Long,
+                   fpp: Double = 0.001): Unit = {
+    val spark = corpus.sparkSession
+    val fps = corpus
+      .select(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    fps.write.mode("overwrite").parquet(s"$dir/fps")
+    val filter = fps.select(xxhash64(col("fp")).as("k"))
+      .stat.bloomFilter("k", expectedTotalFps, fpp)
+    graft.sources.Sources.writeBinarySidecarFs(spark, s"$dir/_bloom.bin",
+      graft.functions.BloomMightContain.toBytes(filter))
+    graft.sources.Sources.writeJsonSidecarFs(spark, s"$dir/_meta.json",
+      Map("expectedTotalFps" -> expectedTotalFps.toString,
+        "fpp" -> fpp.toString,
+        "formatVersion" -> "1"))
+    fps.unpersist(blocking = false)
+  }
+
+  /** `incrementalExactDedup` against the at-rest store, Bloom-routed:
+    * batch fps that probe NEGATIVE are definitely new (a Bloom filter
+    * has no false negatives) and skip the store entirely — for a
+    * mostly-novel batch that is almost every row — while the
+    * might-contain sliver (true dups + the fpp dribble) pays the one
+    * anti join against the parquet fps. Same (id, fp) contract and
+    * results as `incrementalExactDedup`; the store table is only ever
+    * probed with the suspect sliver, so per-batch cost is O(batch) map
+    * work + an anti join whose left side is ~|dups|, not |batch|. */
+  def incrementalExactDedupFromFpStore(batch: DataFrame,
+                                       dir: String, idCol: String,
+                                       textCol: String): DataFrame = {
+    val spark = batch.sparkSession
+    val bloomBytes =
+      graft.sources.Sources.readBinarySidecarFs(spark, s"$dir/_bloom.bin")
+    // one row per distinct batch fp, smallest id wins (within-batch
+    // dedup) — tiny, and consumed by BOTH probe branches. Eager
+    // localCheckpoint (not persist): the frame is materialized once
+    // HERE and its lineage truncated, so neither branch re-runs the
+    // batch aggregation whenever the caller finally acts, and there is
+    // no cache entry whose unpersist timing the caller must manage.
+    val batchFp = batch
+      .select(col(idCol).as("id"),
+        TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp").agg(min("id").as("id"))
+      .withColumn("_maybe", graft.plans.GraftFunctions.bloomMightContain(
+        spark, xxhash64(col("fp")), bloomBytes))
+      .localCheckpoint()
+    val fresh = batchFp.filter(!col("_maybe")).select("id", "fp")
+    val suspects = batchFp.filter(col("_maybe")).select("id", "fp")
+    val verified = suspects.join(
+      spark.read.parquet(s"$dir/fps"), Seq("fp"), "left_anti")
+    fresh.unionByName(verified)
+  }
+
+  /** Close the exact-dedup ingest loop: land the survivors' fps and fold
+    * them into the Bloom sidecar. Write ORDER is the store invariant —
+    * the filter FIRST, the parquet append SECOND — because correctness
+    * requires bloom ⊇ fps at all times: a parquet fp missing from the
+    * filter would let a later duplicate probe negative and skip its
+    * verify (silent re-admit), while a filter entry missing from parquet
+    * only sends one more suspect to the verify join, which finds nothing
+    * and correctly admits it. Crash between the writes → the safe side.
+    * Replayed appends re-land duplicate fp ROWS, which anti-join
+    * semantics ignore (unlike the near-dup store's shingle table, where
+    * duplicates corrupt jaccard — hence its heavier id-anti-join guard;
+    * here the cheap path is also the correct one). The per-batch filter
+    * is built with the STORE's recorded capacity/fpp so `mergeInPlace`
+    * sees bit-compatible layouts. */
+  def appendToFpStore(newFps: DataFrame, dir: String): Unit = {
+    val spark = newFps.sparkSession
+    val meta = graft.sources.Sources.readJsonSidecarFs(spark, s"$dir/_meta.json")
+    val expected = meta("expectedTotalFps").toLong
+    val fpp = meta("fpp").toDouble
+    val store = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      graft.sources.Sources.readBinarySidecarFs(spark, s"$dir/_bloom.bin"))
+    val batchFilter = newFps.select(xxhash64(col("fp")).as("k"))
+      .stat.bloomFilter("k", expected, fpp)
+    store.mergeInPlace(batchFilter)
+    graft.sources.Sources.writeBinarySidecarFs(spark, s"$dir/_bloom.bin",
+      graft.functions.BloomMightContain.toBytes(store))
+    newFps.select("fp").write.mode("append").parquet(s"$dir/fps")
+  }
+
   /** Benchmark decontamination: word-n-gram overlap between a training
     * corpus and an evaluation set. Returns one row per
     * (corpus doc, eval doc) pair sharing ≥ 1 n-gram, with the shared

@@ -133,6 +133,23 @@ object Documents {
       .orderBy("doc_id")
   }
 
+  /** D15 — d7 through the at-rest Bloom-routed fp store: write the
+    * store from the corpus slice, run the batch against it. Same oracle
+    * as d7 — the Bloom route is exact (negative probes are definitely
+    * new; suspects are exact-verified against the parquet fps), so
+    * store-vs-live can never diverge without breaking this gate. */
+  def d15FpStore(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val dir = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/fp_store"
+    Dedup.writeFpStore(docs.filter(col("doc_id") % 5 =!= 0),
+      "doc_id", "text", dir, expectedTotalFps = 1000000L)
+    Dedup.incrementalExactDedupFromFpStore(
+        docs.filter(col("doc_id") % 5 === 0), dir, "doc_id", "text")
+      .select(col("id").as("doc_id"), col("fp"))
+      .orderBy("doc_id")
+  }
+
   /** D9 — duplicated-span coverage (word-5-grams shared by ≥ 2 docs):
     * per-doc positional coverage by inter-document repeated spans, the
     * signal exact-substring dedup thresholds on. The corpus' planted

@@ -73,6 +73,32 @@ object Sources {
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
+  /** Binary sidecar through the store's own filesystem (same contract
+    * as `writeJsonSidecarFs`: the whole store lives on ONE fs). Used
+    * for serialized sketches that travel with a table — e.g. the exact
+    * fp store's Bloom filter. */
+  def writeBinarySidecarFs(spark: SparkSession, path: String,
+                           bytes: Array[Byte]): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  /** FS-routed binary sidecar read — see `writeBinarySidecarFs`. */
+  def readBinarySidecarFs(spark: SparkSession, path: String): Array[Byte] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      bytes.toByteArray
+    } finally in.close()
+  }
+
   /** FS-routed twin of `readJsonSidecar` — see `writeJsonSidecarFs`. */
   def readJsonSidecarFs(spark: SparkSession, path: String): Map[String, String] = {
     val p = new Path(path)

@@ -273,6 +273,59 @@ class DedupSpec extends SparkSpec {
     assert(viaStore.toSeq == Seq(11L, 13L))
   }
 
+  test("fp store: Bloom-routed path equals live, grows, keeps bloom ⊇ fps") {
+    val dir = java.nio.file.Files.createTempDirectory("fpstore").toString
+    val docs = graft.core.Tables.documents(spark, sf)
+    val corpus = docs.filter($"doc_id" % 5 =!= 0)
+    val batch1 = docs.filter($"doc_id" % 5 === 0 && $"doc_id" % 2 === 0)
+    val batch2 = docs.filter($"doc_id" % 5 === 0 && $"doc_id" % 2 =!= 0)
+
+    Dedup.writeFpStore(corpus, "doc_id", "text", dir,
+      expectedTotalFps = 100000L)
+    val live1 = Dedup.incrementalExactDedup(batch1, corpus, "doc_id", "text")
+      .select("fp", "id").as[(String, Long)].collect().toSet
+    val store1raw = Dedup.incrementalExactDedupFromFpStore(
+      batch1, dir, "doc_id", "text")
+    assert(store1raw.columns.toSeq == Seq("id", "fp"),
+      "store path must keep incrementalExactDedup's output contract")
+    val store1 = store1raw.select("fp", "id").as[(String, Long)].collect().toSet
+    assert(store1 == live1 && store1.nonEmpty)
+
+    // grow, then batch 2 must dedup against corpus ∪ batch-1 survivors
+    Dedup.appendToFpStore(store1raw.select("fp"), dir)
+    val corpus2 = corpus.unionByName(
+      batch1.join(store1raw.select($"id".as("doc_id")), Seq("doc_id"), "left_semi"))
+    val live2 = Dedup.incrementalExactDedup(batch2, corpus2, "doc_id", "text")
+      .select("fp", "id").as[(String, Long)].collect().toSet
+    val store2 = Dedup.incrementalExactDedupFromFpStore(
+        batch2, dir, "doc_id", "text")
+      .select("fp", "id").as[(String, Long)].collect().toSet
+    assert(store2 == live2)
+
+    // store invariant after the grow: every landed fp probes POSITIVE in
+    // the sidecar filter — a parquet fp the bloom misses would let a
+    // later duplicate skip its verify and be silently re-admitted
+    val bloom = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      graft.sources.Sources.readBinarySidecarFs(spark, s"$dir/_bloom.bin"))
+    val landed = spark.read.parquet(s"$dir/fps")
+      .select(xxhash64($"fp")).as[Long].collect()
+    assert(landed.forall(bloom.mightContainLong),
+      "bloom ⊇ fps must hold after append")
+
+    // the Bloom route must actually route: on a mostly-novel batch the
+    // negative probes vastly outnumber the suspects
+    val batchFp = batch2.select(
+      graft.operators.TextAnalysis.fingerprint($"text").as("fp")).distinct()
+    val nSuspect = batchFp
+      .filter(graft.plans.GraftFunctions.bloomMightContain(
+        spark, xxhash64($"fp"),
+        graft.sources.Sources.readBinarySidecarFs(spark, s"$dir/_bloom.bin")))
+      .count()
+    val nDup = batchFp.count() - store2.size
+    assert(nSuspect < nDup + math.max(10, batchFp.count() / 20),
+      s"suspect count $nSuspect should be ≈ true dups $nDup + fpp dribble")
+  }
+
   test("contaminationPairs counts shared distinct n-grams per (doc, eval doc)") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon"), // shares 3-grams with eval 100
