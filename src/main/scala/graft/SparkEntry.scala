@@ -112,6 +112,7 @@ object SparkEntry {
     "r6_epoch_mix"    -> (Documents.r6EpochMix _),
     "t12_quality_cut" -> (Documents.t12QualityCut _),
     "a10_approx_distinct" -> (Relational.a10ApproxDistinct _),
+    "a11_heavy_hitters" -> (Relational.a11HeavyHitters _),
     "d10_incremental_neardup" -> (Documents.d10IncrementalNearDup _),
     "j7_salted_join"  -> (Relational.j7SaltedJoin _),
     "s_compact_roundtrip" -> (Relational.sCompactRoundtrip _),
@@ -920,6 +921,16 @@ object SparkEntry {
     "a10_approx_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact, 1 AS approx_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // exact hot set recomputed; in_sketch pinned to 1 — freqItems'
+    // contract is superset-above-support, so any 0 is a sketch bug
+    "a11_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS n FROM t)
+        |SELECT tok, count(*) AS n, 1 AS in_sketch
+        |FROM t GROUP BY tok
+        |HAVING count(*) > 0.01 * (SELECT n FROM tot)
+        |ORDER BY tok""".stripMargin,
     // D10: exact ground-truth cross-set Jaccard pairs (batch = doc_id
     // % 5 = 0 vs landed corpus = the rest) — same shingle machinery as
     // the d2/d4 oracle, pairs restricted to batch×corpus.

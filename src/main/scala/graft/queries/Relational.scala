@@ -763,4 +763,39 @@ object Relational {
           col("n_exact") * lit(0.05), 1).otherwise(0).as("approx_ok"))
       .orderBy("l_returnflag")
   }
+
+  /** Heavy hitters over a column: items occurring in more than
+    * `support` fraction of rows, with the exact count AND whether the
+    * one-pass sketch surfaced them. `freqItems` is Spark's Karp/
+    * Misra–Gries-family counter map — per-partition state bounded by
+    * 1/support entries, merged on the driver, NO shuffle of the value
+    * set — which is how "what are the hot n-grams/URLs/licenses" is
+    * answered over 10¹² rows (an exact groupBy shuffles every distinct
+    * value; the sketch ships ≤ 1/support counters per partition). The
+    * sketch's contract is superset-only (no false negatives above
+    * support, false positives possible), so the gate pins
+    * `in_sketch = 1` on every EXACT hot item: a sketch that drops a
+    * true heavy hitter flips the flag → hash mismatch, while the
+    * sketch's extra candidates are simply not rows here. */
+  def heavyHitters(values: DataFrame, c: String, support: Double): DataFrame = {
+    val total = values.count()
+    val sketch = values.stat.freqItems(Array(c), support)
+      .first().getSeq[Any](0)
+    values.groupBy(c).agg(count(lit(1)).as("n"))
+      .filter(col("n") > lit(support * total))
+      .withColumn("in_sketch",
+        when(col(c).isin(sketch: _*), 1).otherwise(0))
+  }
+
+  /** A11 — hot tokens of the document corpus (support 1%): the exact
+    * hot list (oracle-recomputable) flagged with the sketch's verdict.
+    * Support chosen with ≥ 245-count margin to the nearest token count
+    * at every test SF, so the strict-`>` threshold can never straddle
+    * an engine-rounding boundary. */
+  def a11HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+    heavyHitters(toks, "tok", 0.01)
+      .orderBy("tok")
+  }
 }

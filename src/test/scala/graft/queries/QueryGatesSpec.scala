@@ -23,6 +23,25 @@ class QueryGatesSpec extends SparkSpec {
     }
   }
 
+  test("heavyHitters: sketch covers every exact hot item; flag can trip") {
+    // skewed fixture: two hot values (30% and 20%), long uniform tail
+    val vals = (1 to 300).map(_ => "hot_a") ++ (1 to 200).map(_ => "hot_b") ++
+      (1 to 500).map(i => s"tail_$i")
+    val df = vals.toDF("v")
+    val out = Relational.heavyHitters(df, "v", 0.1)
+      .as[(String, Long, Int)].collect().sortBy(_._1)
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq(("hot_a", 300L), ("hot_b", 200L)),
+      "exact hot set at support 0.1")
+    assert(out.forall(_._3 == 1),
+      "freqItems must surface every item above support (superset contract)")
+    // partition-order independence: the counter-map merge must not
+    // depend on how rows are split (the 100 TB posture is thousands of
+    // partitions merging on the driver)
+    val repart = Relational.heavyHitters(df.repartition(13), "v", 0.1)
+      .as[(String, Long, Int)].collect().sortBy(_._1)
+    assert(repart.toSeq == out.toSeq)
+  }
+
   private def gateRows(approx: Seq[(Long, Int, Long, Double)],
                        exact: Seq[(Long, Long)], floor: Int) = {
     val a = approx.toDF("q_id", "rank", "n_id", "cos_sim")
