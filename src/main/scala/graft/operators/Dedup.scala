@@ -214,6 +214,10 @@ object Dedup {
     graft.sources.Sources.writeBinarySidecarFs(spark, s"$dir/_bloom.bin",
       graft.functions.BloomMightContain.toBytes(store))
     newFps.select("fp").write.mode("append").parquet(s"$dir/fps")
+    // same-session cached plans over the store keep serving the
+    // pre-append file list otherwise (CacheManager keys on root path) —
+    // the writer invalidates so readers stay oblivious
+    spark.catalog.refreshByPath(dir)
   }
 
   /** Benchmark decontamination: word-n-gram overlap between a training

@@ -204,6 +204,50 @@ object EventStream {
     }
   }
 
+  /** Exact-dedup twin of [[streamingNearDupIngest]], riding the Bloom-
+    * sidecar fp store: per micro-batch (1) `incrementalExactDedupFromFpStore`
+    * — negative Bloom probes never touch the store table, so a mostly-
+    * novel stream costs O(batch) map work per batch — (2) keep the
+    * surviving (smallest-id-per-fp, fp-unseen) docs, (3) land survivors
+    * under `keptDir` and fold their fps into the store (bloom-first
+    * ordering; see `appendToFpStore`). Within-batch dups are already
+    * resolved by the store path's (fp → min id) aggregation — no
+    * separate self-join pass is needed, which is the structural
+    * advantage of exact over near dedup here. Replay posture: the STORE
+    * converges under at-least-once (re-appended fp rows are anti-join-
+    * invisible, the bloom re-merge is idempotent), while the keptDir
+    * sink re-appends replayed survivors — exactly-once delivery of the
+    * cleaned corpus belongs to a transactional table format, not this
+    * engine primitive (same posture as the near-dup loop). */
+  def streamingExactDedupIngest(docs: DataFrame, storeDir: String,
+                                keptDir: String, idCol: String,
+                                textCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.Dedup
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val preexisting = spark.sparkContext.getPersistentRDDs.keySet
+          val survivors = Dedup.incrementalExactDedupFromFpStore(
+            batch, storeDir, idCol, textCol)
+          val kept = batch.join(
+              survivors.select(col("id").as(idCol)), Seq(idCol), "left_semi")
+            .persist() // feeds the corpus sink AND the store append
+          kept.write.mode("append").parquet(keptDir)
+          Dedup.appendToFpStore(
+            survivors.select("fp").distinct(), storeDir)
+          kept.unpersist()
+          // release only what THIS batch created (localCheckpoint blocks
+          // from the store path included) — a long-running stream must
+          // not accumulate one block set per micro-batch
+          spark.sparkContext.getPersistentRDDs.foreach { case (rddId, rdd) =>
+            if (!preexisting.contains(rddId)) rdd.unpersist(blocking = false)
+          }
+        }
+    }
+  }
+
   /** Ordered weekly incremental driver (T2): the batch twin of the
     * stream — processes week partitions strictly in order, exactly once,
     * recording progress in a ledger the way the reference's

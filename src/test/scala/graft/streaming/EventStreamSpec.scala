@@ -270,6 +270,45 @@ class EventStreamSpec extends SparkSpec {
     assert(storeIds == Set(100L, 2L, 3L, 6L))
   }
 
+  test("streamingExactDedupIngest drops exact dups against the growing fp store") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("fpstream").toString
+    val (storeDir, keptDir) = (s"$tmp/store", s"$tmp/kept")
+    graft.operators.Dedup.writeFpStore(
+      Seq((100L, "landed doc")).toDF("doc_id", "text"),
+      "doc_id", "text", storeDir, expectedTotalFps = 10000L)
+    val mem = MemoryStream[(Long, String)]
+    val preexisting = spark.sparkContext.getPersistentRDDs.keySet
+    val q = streamingExactDedupIngest(
+        mem.toDF().toDF("doc_id", "text"), storeDir, keptDir, "doc_id", "text")
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    // batch 1: doc 1 dups the LANDED corpus after normalization
+    // (dropped); 3/4 dup each other (smaller id kept); 2 is fresh
+    mem.addData((1L, "Landed  DOC"), (2L, "fresh one"),
+      (3L, "same text"), (4L, "SAME  text"))
+    q.processAllAvailable()
+    // batch 2: doc 5 dups batch-1 SURVIVOR 2 — only the grown store
+    // knows; doc 6 is fresh
+    mem.addData((5L, "FRESH one"), (6L, "brand new"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.read.parquet(keptDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 6L), s"survivors should be {2, 3, 6}, got $kept")
+    // the store grew by exactly the survivors' fps, and the bloom
+    // covers them (bloom ⊇ fps after every batch)
+    val fps = spark.read.parquet(s"$storeDir/fps")
+    assert(fps.distinct().count() == 4) // landed + 3 survivors
+    val bloom = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      graft.sources.Sources.readBinarySidecarFs(spark, s"$storeDir/_bloom.bin"))
+    val keys = fps.select(xxhash64($"fp")).as[Long].collect()
+    assert(keys.forall(bloom.mightContainLong))
+    // no per-batch cache leak: the loop must release what it created
+    // (other suites share this session, so compare against the baseline)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.subsetOf(preexisting),
+      "micro-batch caches must not accumulate")
+  }
+
   test("streamingCorpusIngest dedups, filters junk, and windows per language") {
     implicit val sqlCtx = spark.sqlContext
     val stop = Seq("the", "a", "of", "and", "is", "to", "in")
