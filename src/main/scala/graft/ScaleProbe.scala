@@ -47,7 +47,17 @@ object ScaleProbe {
           col("lang"), col("source"), col("n_chars"))
       }.reduce(_ unionByName _)
 
-    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+    // mostly-novel eval docs (disjoint gram space via token prefixing,
+    // ids offset into their own range) + a small verbatim corpus slice
+    // as planted contamination
+    def evalMix(d: DataFrame): DataFrame =
+      d.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 500000000L).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", "ev_$1").as("text"))
+        .unionByName(
+          d.filter(col("doc_id") % 997 === 0).select("doc_id", "text"))
+
+    val allOps: Seq[(String, DataFrame => DataFrame)] = Seq(
       "d1_exact" -> (d => Dedup.exactDedup(d, "doc_id", "text")),
       "d2_minhash_lsh" -> (d => Dedup.minHashLshDedup(d, "doc_id", "text",
         shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.8)),
@@ -83,7 +93,80 @@ object ScaleProbe {
       "t2_quality" -> (d => d.select(col("doc_id"),
         TextAnalysis.qualityScore(col("text"),
           Seq("the", "a", "of", "and", "is", "to", "in")).as("q"))),
-      "t5_tfidf" -> (d => TextAnalysis.tfIdf(d, "doc_id", "text")))
+      "t5_tfidf" -> (d => TextAnalysis.tfIdf(d, "doc_id", "text")),
+      // decontamination twins on a REALISTIC overlap profile: the eval
+      // side is mostly-novel grams (every token prefixed — a benchmark
+      // suite shares few n-grams with a crawl) plus a small verbatim
+      // corpus slice (%997) as the planted contamination. Both sides
+      // grow with n. The exact path broadcasts the ENTIRE eval gram
+      // table row-wise (mostly useless entries); the bloom path ships
+      // ~1.8 bytes/gram of bits and prunes corpus grams map-side down
+      // to the planted-hit sliver. NOTE (measured, round 8): on an
+      // overlap-DENSE fixture (eval ⊂ corpus verbatim) bloom prunes
+      // nothing and its sketch+verify overhead LOSES 4.6× at 50 k docs
+      // — bloom decontam is for the sparse-overlap regime, which is
+      // what production decontamination is
+      "t10_exact_decontam" -> (d => Dedup.contaminationPairs(
+        d, evalMix(d), "doc_id", "text", 3)),
+      "t14_bloom_decontam" -> (d => Dedup.bloomContaminationPairs(
+        d, evalMix(d), "doc_id", "text", 3)),
+      // one-pass counter-map sketch over the exploded token stream —
+      // the curve must track token count (map work), not distinct
+      // vocabulary (which the exact groupBy side also pays here; the
+      // probe times sketch + exact hot-list join as registered)
+      "a11_heavy_hitters" -> (d => graft.queries.Relational.heavyHitters(
+        d.select(explode(split(trim(col("text")), "\\s+")).as("tok")),
+        "tok", 0.01)))
+
+    // SPARK_GRAFT_PROBE_OPS: comma-separated op-name filter, so a
+    // targeted re-probe needn't pay the whole battery (the capped exact
+    // jaccard row alone is ~108 s at 10×)
+    val ops = sys.env.get("SPARK_GRAFT_PROBE_OPS") match {
+      case Some(list) =>
+        val want = list.split(",").map(_.trim).toSet
+        allOps.filter { case (name, _) => want(name) }
+      case None => allOps
+    }
+
+    // SPARK_GRAFT_PROBE_MODE=evalsweep: hold the corpus FIXED (2×) and
+    // sweep the EVAL side — the decontam twins' separating dimension is
+    // eval gram volume (the exact path's broadcast), not corpus size.
+    // Each factor k replicates the novel-eval slice k× with per-replica
+    // token salting (distinct gram space per replica), keeping the
+    // planted verbatim slice constant so the answer stays comparable.
+    if (sys.env.get("SPARK_GRAFT_PROBE_MODE").contains("evalsweep")) {
+      def evalMixN(d: DataFrame, k: Int): DataFrame =
+        (0 until k).map { r =>
+          d.filter(col("doc_id") % 97 === 0)
+            .select((col("doc_id") + lit((r + 1).toLong * 50000000L)).as("doc_id"),
+              regexp_replace(col("text"), "(\\S+)", s"e${r}_$$1").as("text"))
+        }.reduce(_ unionByName _)
+          .unionByName(d.filter(col("doc_id") % 997 === 0).select("doc_id", "text"))
+      val corpus = replicated(2).repartition(cpus.toInt).persist()
+      corpus.count()
+      factors.foreach { k =>
+        val ev = evalMixN(corpus, k).repartition(cpus.toInt).persist()
+        val evDocs = ev.count()
+        def timed(f: => Long): (Double, Long) = {
+          val t0 = System.nanoTime()
+          val rows = f
+          ((System.nanoTime() - t0) / 1e9, rows)
+        }
+        val (tE, rE) = timed(Dedup.contaminationPairs(
+          corpus, ev, "doc_id", "text", 3).count())
+        spark.catalog.clearCache()
+        corpus.persist().count(); ev.persist().count()
+        val (tB, rB) = timed(Dedup.bloomContaminationPairs(
+          corpus, ev, "doc_id", "text", 3).count())
+        require(rE == rB, s"decontam twins diverged: $rE vs $rB")
+        spark.catalog.clearCache()
+        corpus.persist().count()
+        ev.unpersist()
+        println(f"""{"evalFactor":$k,"evalDocs":$evDocs,"pairs":$rE,"exact_sec":$tE%.2f,"bloom_sec":$tB%.2f}""")
+      }
+      spark.stop()
+      return
+    }
 
     factors.foreach { n =>
       val corpus = replicated(n)

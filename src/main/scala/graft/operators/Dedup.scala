@@ -286,14 +286,17 @@ object Dedup {
           sh.join(broadcast(hot), Seq("shingle"), "left_anti")
       }
     }
+    // eager localCheckpoint: the eval shingle projection feeds THREE
+    // consumers (the capacity count, the filter build, the verify join)
+    // — materialized once here, with no cache entry whose unpersist
+    // timing the caller would have to manage. Bounded by the eval side,
+    // which is the small side by definition.
     val evalSh = shingles(evalSet, idCol, textCol, n)
       .withColumnRenamed("id", "eval_id")
+      .localCheckpoint()
     val evalHashes = evalSh.select(xxhash64(col("shingle")).as("hs")).distinct()
     val expected = expectedEvalGrams.getOrElse(math.max(evalHashes.count(), 1L))
-    // one distributed pass; the driver holds only the merged bit array.
-    // The eval side is scanned at most thrice (count, build, verify) —
-    // it is the SMALL side by definition, so that beats pinning a cache
-    // entry across the caller's action.
+    // one distributed pass; the driver holds only the merged bit array
     val filter = evalHashes.stat.bloomFilter("hs", expected, fpp)
     val probe = graft.plans.GraftFunctions.bloomMightContain(
       corpus.sparkSession, xxhash64(col("shingle")),
@@ -306,6 +309,35 @@ object Dedup {
     survivors.join(evalSh, Seq("shingle"))
       .groupBy("id", "eval_id")
       .agg(count(lit(1)).as("shared"))
+  }
+
+  /** Size-routed decontamination — the entry point that encodes when
+    * each twin wins. MEASURED (round-8 ScaleProbe, local[32], identical
+    * outputs on every fixture): the broadcast-exact path beats the
+    * Bloom path ~2× at every locally testable eval size (up to ~2 M
+    * eval grams — a few-MB broadcast is free inside one JVM, while the
+    * Bloom path pays an eager eval materialization, a filter build and
+    * a shuffled verify join); on an overlap-DENSE fixture the Bloom
+    * prefilter prunes nothing and loses 4.6×. So exact is the DEFAULT,
+    * and the Bloom route exists for the regime the probe cannot reach:
+    * an eval gram table too large to broadcast at all. The default
+    * threshold is a memory bound, not a latency crossover — 50 M grams
+    * ≈ 2.5 GB as a row-wise broadcast hash relation (×1000 executors on
+    * a real cluster) vs ~90 MB of Bloom bits; past it the exact plan
+    * stops being runnable long before it stops being fast. The one
+    * routing pass over the eval side doubles as the filter's capacity
+    * count when the Bloom route is taken. */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame,
+                    idCol: String, textCol: String, n: Int = 3,
+                    maxBroadcastGrams: Long = 50000000L,
+                    fpp: Double = 0.001,
+                    maxDocFreq: Option[Int] = None): DataFrame = {
+    val evalGrams = shingles(evalSet, idCol, textCol, n).count()
+    if (evalGrams <= maxBroadcastGrams)
+      contaminationPairs(corpus, evalSet, idCol, textCol, n, maxDocFreq)
+    else
+      bloomContaminationPairs(corpus, evalSet, idCol, textCol, n, fpp,
+        expectedEvalGrams = Some(evalGrams), maxDocFreq = maxDocFreq)
   }
 
   /** D9 — inter-document duplicated-span coverage: for each document,

@@ -65,6 +65,23 @@ class BloomMightContainSpec extends SparkSpec {
       "verify join must cancel every Bloom false positive and lose nothing")
   }
 
+  test("decontaminate routes by eval gram count; both routes agree") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter($"doc_id" % 97 =!= 0)
+    val eval = docs.filter($"doc_id" % 97 === 0)
+    // default threshold: this eval is far below 50M grams → exact route
+    val viaExact = Dedup.decontaminate(corpus, eval, "doc_id", "text")
+    assert(!viaExact.queryExecution.analyzed.toString
+      .contains("bloom_might_contain"), "small eval must take the broadcast route")
+    // forced tiny threshold → bloom route, same answer
+    val viaBloom = Dedup.decontaminate(corpus, eval, "doc_id", "text",
+      maxBroadcastGrams = 0L)
+    assert(viaBloom.queryExecution.analyzed.toString
+      .contains("bloom_might_contain"), "over-threshold eval must take the Bloom route")
+    assert(viaExact.as[(Long, Long, Long)].collect().toSet ==
+      viaBloom.as[(Long, Long, Long)].collect().toSet)
+  }
+
   test("hot-shingle cap applies identically on the Bloom path") {
     val docs = Tables.documents(spark, sf)
     val corpus = docs.filter($"doc_id" % 97 =!= 0)
