@@ -12,12 +12,15 @@ import org.apache.spark.util.sketch.BloomFilter
   * `left` is the LongType key under test (the engine probes xxhash64 gram
   * hashes); `right` is a foldable BinaryType literal holding a
   * `org.apache.spark.util.sketch.BloomFilter` in its `writeTo` wire
-  * format. The filter rides the plan as plain literal bytes — a few MiB
-  * for hundreds of millions of keys at fpp 1e-3 — and each JVM
-  * deserializes it once, lazily; per-row work is two hash mixes and a
-  * couple of bit probes, fused into whole-stage codegen via a reference
-  * object (the same shape Spark's own runtime row-level filtering uses,
-  * so it inherits that path's serialization guarantees).
+  * format. The filter rides the plan as plain literal bytes — ~1.8
+  * bytes/key at fpp 1e-3 (≈ 180 MiB per 100 M keys; budget broadcast
+  * memory from THAT figure, and note the JVM byte-array cap bounds a
+  * single literal at ~2 GB ≈ 1.1 B keys — shard the filter by key
+  * range past that) — and each JVM deserializes it once, lazily;
+  * per-row work is two hash mixes and a couple of bit probes, fused
+  * into whole-stage codegen via a reference object (the same shape
+  * Spark's own runtime row-level filtering uses, so it inherits that
+  * path's serialization guarantees).
   *
   * This is the scale primitive behind `Dedup.bloomContaminationPairs`:
   * a probe side that is ~50× smaller than the exact key set lets the

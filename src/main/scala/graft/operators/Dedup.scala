@@ -130,11 +130,23 @@ object Dedup {
     * same parameters stay bit-compatible for merging; capacity and fpp
     * travel in `_meta.json`, and everything lives on the store dir's own
     * filesystem. The filter is the store's hot half: ~1.8 bytes/fp at
-    * fpp 1e-3 where the parquet side is 16 bytes — a 10-billion-fp store
-    * carries an ~18 GB filter, loadable where the table is join-only. */
+    * fpp 1e-3 where the parquet side is 16 bytes. Capacity CEILING:
+    * one filter serializes through a JVM byte array, so the sidecar
+    * format tops out around 1e9 fps (~1.8 GB) at fpp 1e-3 — checked
+    * here with a loud error rather than an overflow deep inside the
+    * sketch. Past that, shard the store (and its sidecar) by an fp
+    * hash range; the probe path composes unchanged per shard. */
   def writeFpStore(corpus: DataFrame, idCol: String, textCol: String,
                    dir: String, expectedTotalFps: Long,
                    fpp: Double = 0.001): Unit = {
+    // optimal bits ≈ -n·ln(p)/ln²2; 8·Int.MaxValue is the serializable
+    // ceiling (byte-array length), reached near 1.19e9 keys at 1e-3
+    val bits = math.ceil(
+      -expectedTotalFps * math.log(fpp) / (math.log(2) * math.log(2)))
+    require(bits <= 8.0 * Int.MaxValue,
+      s"writeFpStore: expectedTotalFps=$expectedTotalFps at fpp=$fpp needs " +
+        f"${bits / 8 / 1e9}%.1f GB of filter — past the single-sidecar " +
+        "ceiling (~1e9 fps at 1e-3); shard the store by fp hash range")
     val spark = corpus.sparkSession
     val fps = corpus
       .select(TextAnalysis.fingerprint(col(textCol)).as("fp"))
@@ -423,8 +435,17 @@ object Dedup {
                      n: Int = 5): DataFrame = {
     val tokenized = df.select(col(idCol).as("id"),
       split(trim(col(textCol)), "\\s+").as("toks"))
+    // 128-bit gram keys (two independent xxhash64 lanes), NOT the
+    // family's 64-bit keys: this operator DELETES text, and at the
+    // corpus scale it exists for (~10^12 gram occurrences) 64-bit
+    // birthday math expects thousands of collisions, each one silently
+    // dropping an n-token span from an innocent document. At 128 bits
+    // the expectation is ~1e-14 — measurement ops (dupSpanCoverage)
+    // keep the cheaper 8-byte keys because a miscount is noise, not
+    // damage. Exchange rows widen 24 → 32 bytes; that is the price of
+    // destructive confidence.
     val pos = tokenized.select(col("id"),
-        posexplode(positionalGrams(col("toks"), n, hashed = true)).as(Seq("p", "hg")))
+        posexplode(positionalGrams128(col("toks"), n)).as(Seq("p", "hg")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val firstOcc = pos.groupBy("hg")
       .agg(min(struct(col("id"), col("p"))).as("f"), count(lit(1)).as("_occ"))
@@ -465,6 +486,18 @@ object Dedup {
     when(size(toks) >= n, grams)
       .otherwise(array().cast(if (hashed) "array<bigint>" else "array<string>"))
   }
+
+  /** 128-bit positional gram keys for the destructive rewrite: the
+    * string array is built once, then each gram is hashed through two
+    * xxhash64 lanes (plain, and salted with a constant second column —
+    * Spark chains multi-arg xxhash64, so the lanes differ everywhere
+    * the single-lane hash differs AND almost everywhere it collides).
+    * Two-step transform rather than one: lambda bodies are not CSE'd,
+    * so hashing the concat twice inline would build every gram string
+    * twice. */
+  private def positionalGrams128(toks: Column, n: Int): Column =
+    transform(positionalGrams(toks, n, hashed = false),
+      g => struct(xxhash64(g).as("h1"), xxhash64(g, lit(1)).as("h2")))
 
   /** Distinct word-n-gram shingles per document: (id, shingle).
     *
@@ -628,10 +661,21 @@ object Dedup {
 
   private def jaccardForHashed(h: DataFrame, candidates: DataFrame,
                                threshold: Double): DataFrame = {
-    val sizes = h.groupBy("id").agg(count(lit(1)).as("sz"))
+    // slice FIRST: only docs implicated in a candidate pair matter, so
+    // sizes/intersections aggregate the candidate slice, not the whole
+    // corpus (the previous full-table sizes aggregate was wasted work
+    // for every non-candidate doc). distinct() on the slice makes
+    // replay-duplicated store shingle rows harmless — the at-rest
+    // store's crash-convergence leans on this (see
+    // appendToNearDupStore), and distinct (id, gram-hash) is the
+    // correct Jaccard input regardless.
+    val candIds = candidates.select(col("id_a").as("id"))
+      .unionByName(candidates.select(col("id_b").as("id"))).distinct()
+    val slice = h.join(candIds, Seq("id"), "left_semi").distinct()
+    val sizes = slice.groupBy("id").agg(count(lit(1)).as("sz"))
     val shared = candidates
-      .join(h.withColumnRenamed("id", "id_a").withColumnRenamed("hs", "h_a"), "id_a")
-      .join(h.as("b"),
+      .join(slice.withColumnRenamed("id", "id_a").withColumnRenamed("hs", "h_a"), "id_a")
+      .join(slice.as("b"),
         col("id_b") === col("b.id") && col("h_a") === col("b.hs"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
     jaccardFromShared(shared, sizes, threshold)
@@ -799,17 +843,20 @@ object Dedup {
     * landed data — O(batch) work per batch regardless of corpus size.
     *
     * IDEMPOTENT PER ID under at-least-once replay (foreachBatch's
-    * contract): ids already present in the SHINGLE table are dropped
-    * first (one anti join against an 8-byte id projection), and the
-    * two tables are written in corruption-ordered sequence — signatures
-    * FIRST, shingles LAST. Duplicated signature rows are harmless
-    * (band-bucket candidates are distinct()'d downstream); duplicated
-    * SHINGLE rows silently corrupt every later jaccard against that doc
-    * (shared and size counts both double). With this ordering every
-    * crash-and-replay interleaving converges: replay of a fully-applied
-    * batch is skipped by the anti join; a crash between the two writes
-    * re-appends only the harmless table. Retry safety is a store
-    * invariant, not a caller courtesy. */
+    * contract), at O(batch + #docs) cost: the replay guard anti-joins
+    * the SIGNATURE table's id projection — one row per doc — never the
+    * shingle table (whose row count is the corpus' gram count; scanning
+    * it per append would cost more than the batch at store scale).
+    * Write order makes the signature row the COMMIT MARKER: shingles
+    * FIRST, signatures LAST. Crash-and-replay interleavings converge
+    * because both residue classes are harmless: a crash between the
+    * writes leaves shingles without a signature → the replay guard
+    * re-appends BOTH, and the duplicated shingle rows are healed at
+    * read time (jaccardForHashed distincts the candidate slice);
+    * duplicated signature rows cannot arise (signatures land only in
+    * the final, guarded step), and band-bucket candidates are
+    * distinct()'d anyway. Retry safety is a store invariant, not a
+    * caller courtesy. */
   def appendToNearDupStore(batch: DataFrame, dir: String,
                            idCol: String, textCol: String): Unit = {
     val spark = batch.sparkSession
@@ -817,8 +864,8 @@ object Dedup {
     val shingleSize = meta("shingleSize").toInt
     val numHashes = meta("numHashes").toInt
     val seed = meta.getOrElse("minhashSeed", "42").toLong
-    val landed = spark.read.parquet(s"$dir/shingles")
-      .select(col("id").as(idCol)).distinct()
+    val landed = spark.read.parquet(s"$dir/signatures")
+      .select(col("id").as(idCol))
     val fresh = batch.join(landed, Seq(idCol), "left_anti")
     // EAGER SNAPSHOT, not persist: the rows to append must be frozen
     // BEFORE the first write touches the store. `h`'s lineage reads the
@@ -834,9 +881,9 @@ object Dedup {
     // writes emit the same frozen rows.
     val h = hashedShingles(shingles(fresh, idCol, textCol, shingleSize))
       .localCheckpoint()
+    h.write.mode("append").parquet(s"$dir/shingles")
     minHashSignaturesHashed(h, numHashes, seed)
       .write.mode("append").parquet(s"$dir/signatures")
-    h.write.mode("append").parquet(s"$dir/shingles")
     h.unpersist()
     // invalidate cached reads of the store: CacheManager matches plans
     // by ROOT PATH, not file listing, so a store scan persisted by an

@@ -778,11 +778,20 @@ object Relational {
     * true heavy hitter flips the flag → hash mismatch, while the
     * sketch's extra candidates are simply not rows here. */
   def heavyHitters(values: DataFrame, c: String, support: Double): DataFrame = {
-    val total = values.count()
+    // TWO passes over the raw values, not three: the exact count table
+    // is snapshotted once (localCheckpoint — bounded by the vocabulary,
+    // which the groupBy shuffles anyway) and serves both the total (a
+    // 1-row reduction of it) and the hot-list filter; the sketch pass
+    // over the raw stream is inherent. values.count() as a third full
+    // scan was pure waste — the total is already in the counts.
+    val counts = values.groupBy(c).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val totalRow = counts.agg(sum(col("n"))).first()
+    if (totalRow.isNullAt(0)) return counts.withColumn("in_sketch", lit(1))
+    val total = totalRow.getLong(0)
     val sketch = values.stat.freqItems(Array(c), support)
       .first().getSeq[Any](0)
-    values.groupBy(c).agg(count(lit(1)).as("n"))
-      .filter(col("n") > lit(support * total))
+    counts.filter(col("n") > lit(support * total))
       .withColumn("in_sketch",
         when(col(c).isin(sketch: _*), 1).otherwise(0))
   }

@@ -33,12 +33,15 @@ object Sources {
 
   /** S9 — JSON sidecar (driver-side metadata: trackers, mappings).
     * Plain JVM I/O, not a Spark job — these are O(1) control files. */
-  def writeJsonSidecar(path: String, kv: Map[String, String]): Unit = {
-    val body = kv.toSeq.sortBy(_._1)
+  def writeJsonSidecar(path: String, kv: Map[String, String]): Unit =
+    Files.write(Paths.get(path), jsonBody(kv).getBytes(StandardCharsets.UTF_8))
+
+  // one serializer for both sidecar writers — a fix to the escaping or
+  // ordering must not be able to miss a twin
+  private def jsonBody(kv: Map[String, String]): String =
+    kv.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${escape(k)}": "${escape(v)}"""" }
       .mkString("{", ", ", "}")
-    Files.write(Paths.get(path), body.getBytes(StandardCharsets.UTF_8))
-  }
 
   /** Sidecar read is driver-side JVM I/O like the write: a 100-week
     * lifecycle reads its tracker 100 times, and a Spark job per O(1)
@@ -63,15 +66,9 @@ object Sources {
     * on the driver's disk while the tables land remotely. Still
     * driver-side O(1) I/O, just routed to the right filesystem. */
   def writeJsonSidecarFs(spark: SparkSession, path: String,
-                         kv: Map[String, String]): Unit = {
-    val body = kv.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""${escape(k)}": "${escape(v)}"""" }
-      .mkString("{", ", ", "}")
-    val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
-  }
+                         kv: Map[String, String]): Unit =
+    writeBinarySidecarFs(spark, path,
+      jsonBody(kv).getBytes(StandardCharsets.UTF_8))
 
   /** Binary sidecar through the store's own filesystem (same contract
     * as `writeJsonSidecarFs`: the whole store lives on ONE fs). Used
@@ -100,18 +97,9 @@ object Sources {
   }
 
   /** FS-routed twin of `readJsonSidecar` — see `writeJsonSidecarFs`. */
-  def readJsonSidecarFs(spark: SparkSession, path: String): Map[String, String] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    try {
-      val bytes = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-      parseFlatJson(new String(bytes.toByteArray, StandardCharsets.UTF_8))
-    } finally in.close()
-  }
+  def readJsonSidecarFs(spark: SparkSession, path: String): Map[String, String] =
+    parseFlatJson(new String(readBinarySidecarFs(spark, path),
+      StandardCharsets.UTF_8))
 
   private def parseFlatJson(s: String): Map[String, String] = {
     var i = 0
@@ -224,7 +212,11 @@ object Sources {
     // metadata, dot-files) are EXCLUDED exactly as spark.read excludes
     // them — counting them would size the rewrite off trash the reader
     // never sees.
-    val rootUri = p.toUri.getPath
+    // compare QUALIFIED paths: with a relative srcDir the raw root
+    // string never matches the qualified paths listFiles returns, the
+    // walk would climb past the table root, and a dot/underscore
+    // ancestor (a .cache CWD, say) would mark every data file hidden
+    val rootUri = fs.makeQualified(p).toUri.getPath
     def hiddenUnderRoot(f: Path): Boolean = {
       var cur = f
       while (cur != null && cur.toUri.getPath != rootUri) {

@@ -229,8 +229,13 @@ object EventStream {
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val preexisting = spark.sparkContext.getPersistentRDDs.keySet
+          // eager snapshot: survivors feed THREE consumers (the kept
+          // semi-join, the append's filter build, the fps append) — an
+          // unfrozen plan would re-run the store anti join per consumer,
+          // and the last re-run would re-read $storeDir/fps WHILE
+          // appending to it
           val survivors = Dedup.incrementalExactDedupFromFpStore(
-            batch, storeDir, idCol, textCol)
+            batch, storeDir, idCol, textCol).localCheckpoint()
           val kept = batch.join(
               survivors.select(col("id").as(idCol)), Seq(idCol), "left_semi")
             .persist() // feeds the corpus sink AND the store append

@@ -430,9 +430,10 @@ class DedupSpec extends SparkSpec {
     assert(pairs2 == live2 && pairs2.nonEmpty,
       "batch 2 must see corpus AND batch 1 through the grown store")
     // growth must actually have landed batch-1 rows in BOTH tables —
-    // ids, not counts: an append that lands signatures but an empty
-    // shingle file (the half-appended-store recompute bug) leaves
-    // counts plausible while the store is silently inconsistent
+    // ids, not counts: a half-appended store (the lineage-recompute
+    // bug: one table landed, the other written from a plan re-run
+    // against the half-appended state) leaves counts plausible while
+    // the store is silently inconsistent
     val expectIds = (corpus.select("doc_id").as[Long].collect()
       ++ batch1.select("doc_id").as[Long].collect()).toSet
     val sigIds = spark.read.parquet(s"$dir/signatures")
