@@ -661,21 +661,19 @@ object Dedup {
 
   private def jaccardForHashed(h: DataFrame, candidates: DataFrame,
                                threshold: Double): DataFrame = {
-    // slice FIRST: only docs implicated in a candidate pair matter, so
-    // sizes/intersections aggregate the candidate slice, not the whole
-    // corpus (the previous full-table sizes aggregate was wasted work
-    // for every non-candidate doc). distinct() on the slice makes
-    // replay-duplicated store shingle rows harmless — the at-rest
-    // store's crash-convergence leans on this (see
-    // appendToNearDupStore), and distinct (id, gram-hash) is the
-    // correct Jaccard input regardless.
-    val candIds = candidates.select(col("id_a").as("id"))
-      .unionByName(candidates.select(col("id_b").as("id"))).distinct()
-    val slice = h.join(candIds, Seq("id"), "left_semi").distinct()
-    val sizes = slice.groupBy("id").agg(count(lit(1)).as("sz"))
+    // deliberately THREE plain consumers of the (persisted/checkpointed)
+    // h table — sizes, and the two sides of the intersection join. A
+    // round-8 attempt to "slice h to candidate ids then distinct" cost
+    // 40% of the whole bench battery (the semi-join+distinct subtree is
+    // not a cached block, so it executed once PER consumer: d3 4.1→18.5
+    // s, d10 2.8→10.8 s) and was reverted; callers guarantee h is
+    // (id, hs)-unique (per-doc distinct shingles; the at-rest store's
+    // append path is batch-keyed idempotent, so replays overwrite
+    // rather than duplicate).
+    val sizes = h.groupBy("id").agg(count(lit(1)).as("sz"))
     val shared = candidates
-      .join(slice.withColumnRenamed("id", "id_a").withColumnRenamed("hs", "h_a"), "id_a")
-      .join(slice.as("b"),
+      .join(h.withColumnRenamed("id", "id_a").withColumnRenamed("hs", "h_a"), "id_a")
+      .join(h.as("b"),
         col("id_b") === col("b.id") && col("h_a") === col("b.hs"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
     jaccardFromShared(shared, sizes, threshold)
@@ -819,9 +817,15 @@ object Dedup {
                         numHashes: Int = 64, seed: Long = 42L): Unit = {
     val h = hashedShingles(shingles(corpus, idCol, textCol, shingleSize))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    h.write.mode("overwrite").parquet(s"$dir/shingles")
+    // batch=0 is the base install; appends land under their own
+    // batch=<id> subdirs (see appendToNearDupStore), so every write to
+    // the store is an idempotent per-batch overwrite. NOTE: overwrite
+    // replaces batch=0 only — re-installing over a dir that already has
+    // append batches keeps them (resuming an ingest line); a true
+    // fresh install starts from an empty dir.
+    h.write.mode("overwrite").parquet(s"$dir/shingles/batch=0")
     minHashSignaturesHashed(h, numHashes, seed)
-      .write.mode("overwrite").parquet(s"$dir/signatures")
+      .write.mode("overwrite").parquet(s"$dir/signatures/batch=0")
     h.unpersist()
     graft.sources.Sources.writeJsonSidecarFs(corpus.sparkSession,
       s"$dir/_meta.json",
@@ -842,48 +846,48 @@ object Dedup {
     * SaveMode.Append is file-level, so the growth path never rewrites
     * landed data — O(batch) work per batch regardless of corpus size.
     *
-    * IDEMPOTENT PER ID under at-least-once replay (foreachBatch's
-    * contract), at O(batch + #docs) cost: the replay guard anti-joins
-    * the SIGNATURE table's id projection — one row per doc — never the
-    * shingle table (whose row count is the corpus' gram count; scanning
-    * it per append would cost more than the batch at store scale).
-    * Write order makes the signature row the COMMIT MARKER: shingles
-    * FIRST, signatures LAST. Crash-and-replay interleavings converge
-    * because both residue classes are harmless: a crash between the
-    * writes leaves shingles without a signature → the replay guard
-    * re-appends BOTH, and the duplicated shingle rows are healed at
-    * read time (jaccardForHashed distincts the candidate slice);
-    * duplicated signature rows cannot arise (signatures land only in
-    * the final, guarded step), and band-bucket candidates are
-    * distinct()'d anyway. Retry safety is a store invariant, not a
-    * caller courtesy. */
+    * IDEMPOTENT PER BATCH at O(batch) cost — no store scan at all:
+    * both tables land under `batch=<batchId>` subdirectories with
+    * OVERWRITE semantics, so an at-least-once replay (foreachBatch's
+    * contract supplies the stable batchId) rewrites the same
+    * directories instead of appending duplicates, and every
+    * crash-and-replay interleaving converges by overwrite. This is the
+    * design that survives scale review: an earlier guard anti-joined a
+    * store id projection per append — O(store) work per batch on the
+    * shingle table, and the cheap signature-table variant left a crash
+    * window where replay duplicated shingle rows (which corrupt every
+    * later jaccard against those docs). A crash BETWEEN the two writes
+    * leaves a batch with shingles but no signatures (or vice versa)
+    * until the replay heals it; both orphan classes are inert — a doc
+    * pairs only when its SIGNATURE row produces a band-bucket
+    * candidate, and candidate verification reads shingles that the
+    * healed batch re-lands. Callers append SURVIVORS of a store
+    * pairing, so cross-batch id overlap is a caller contract, not a
+    * store check. */
   def appendToNearDupStore(batch: DataFrame, dir: String,
-                           idCol: String, textCol: String): Unit = {
+                           idCol: String, textCol: String,
+                           batchId: Long): Unit = {
+    require(batchId > 0, "batchId 0 is the base install (writeNearDupStore)")
     val spark = batch.sparkSession
     val meta = graft.sources.Sources.readJsonSidecarFs(spark, s"$dir/_meta.json")
     val shingleSize = meta("shingleSize").toInt
     val numHashes = meta("numHashes").toInt
     val seed = meta.getOrElse("minhashSeed", "42").toLong
-    val landed = spark.read.parquet(s"$dir/signatures")
-      .select(col("id").as(idCol))
-    val fresh = batch.join(landed, Seq(idCol), "left_anti")
-    // EAGER SNAPSHOT, not persist: the rows to append must be frozen
-    // BEFORE the first write touches the store. `h`'s lineage reads the
-    // store itself (the anti join scans shingles; a caller's batch —
+    // EAGER SNAPSHOT, not persist: the rows to write must be frozen
+    // BEFORE the first write touches the store. A caller's batch —
     // e.g. the streaming loop's `kept` — typically descends from a
-    // pairing that scans signatures), and Spark recaches path-dependent
-    // plan-keyed cache entries after each parquet write. A merely
-    // persisted `h` would be invalidated by the FIRST append and
-    // recomputed against the HALF-APPENDED store — where the batch doc
-    // now near-dups its own just-landed signature — so the SECOND write
-    // lands zero rows and the store is left inconsistent (signatures
-    // without shingles). localCheckpoint truncates the lineage so both
-    // writes emit the same frozen rows.
-    val h = hashedShingles(shingles(fresh, idCol, textCol, shingleSize))
+    // pairing that scans the store, and Spark recaches path-dependent
+    // plan-keyed cache entries after each parquet write; a merely
+    // persisted `h` would be invalidated by the FIRST write and
+    // recomputed against the HALF-WRITTEN store — where the batch doc
+    // now near-dups its own just-landed signature — so the SECOND
+    // write would land zero rows. localCheckpoint truncates the
+    // lineage so both writes emit the same frozen rows.
+    val h = hashedShingles(shingles(batch, idCol, textCol, shingleSize))
       .localCheckpoint()
-    h.write.mode("append").parquet(s"$dir/shingles")
+    h.write.mode("overwrite").parquet(s"$dir/shingles/batch=$batchId")
     minHashSignaturesHashed(h, numHashes, seed)
-      .write.mode("append").parquet(s"$dir/signatures")
+      .write.mode("overwrite").parquet(s"$dir/signatures/batch=$batchId")
     h.unpersist()
     // invalidate cached reads of the store: CacheManager matches plans
     // by ROOT PATH, not file listing, so a store scan persisted by an
@@ -922,12 +926,16 @@ object Dedup {
     val shingleSize = meta("shingleSize").toInt
     val numHashes = meta("numHashes").toInt
     val seed = meta.getOrElse("minhashSeed", "42").toLong
+    // explicit projections: the store dirs are batch=<id>-partitioned,
+    // and the discovered partition column must not ride into unions or
+    // aggregation keys
     crossNearDup(
       hashedShingles(shingles(batch, idCol, textCol, shingleSize))
         .persist(StorageLevel.MEMORY_AND_DISK),
-      spark.read.parquet(s"$dir/shingles")
+      spark.read.parquet(s"$dir/shingles").select("id", "hs")
         .persist(StorageLevel.MEMORY_AND_DISK),
-      spark.read.parquet(s"$dir/signatures"),
+      spark.read.parquet(s"$dir/signatures")
+        .select("id", (0 until numHashes).map(i => s"mh_$i"): _*),
       numHashes, bands, threshold, seed)
   }
 

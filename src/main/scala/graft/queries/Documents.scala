@@ -586,7 +586,7 @@ object Documents {
       docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1),
       "doc_id", "text", dir)
     Dedup.appendToNearDupStore(docs.filter(col("doc_id") % 5 === 1),
-      dir, "doc_id", "text")
+      dir, "doc_id", "text", batchId = 1L)
     Dedup.incrementalNearDupFromStore(docs.filter(col("doc_id") % 5 === 0),
         dir, "doc_id", "text", threshold = 0.8)
       .orderBy("id_a", "id_b")

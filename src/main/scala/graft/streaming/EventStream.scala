@@ -163,7 +163,7 @@ object EventStream {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import graft.operators.Dedup
     docs.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, _: Long) =>
+      (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           // blocks persisted BEFORE this batch stay untouched — only
@@ -193,7 +193,11 @@ object EventStream {
           val kept = batch.join(dropIds, Seq(idCol), "left_anti")
             .persist() // feeds the corpus sink AND the store append
           kept.write.mode("append").parquet(keptDir)
-          Dedup.appendToNearDupStore(kept, storeDir, idCol, textCol)
+          // batchId + 1: the stream's ids start at 0, the store reserves
+          // batch=0 for the base install; the offset keeps replays keyed
+          // to the same store directory deterministically
+          Dedup.appendToNearDupStore(kept, storeDir, idCol, textCol,
+            batchId + 1)
           kept.unpersist()
           // release only what THIS batch created; a long-running stream
           // must not accumulate one plan-keyed block set per batch

@@ -421,7 +421,7 @@ class DedupSpec extends SparkSpec {
     val live1 = Dedup.incrementalNearDup(batch1, corpus, "doc_id", "text")
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs1 == live1)
-    Dedup.appendToNearDupStore(batch1, dir, "doc_id", "text")
+    Dedup.appendToNearDupStore(batch1, dir, "doc_id", "text", batchId = 1L)
     val pairs2 = Dedup.incrementalNearDupFromStore(batch2, dir, "doc_id", "text")
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val live2 = Dedup.incrementalNearDup(batch2, corpus.unionByName(batch1),
@@ -442,13 +442,14 @@ class DedupSpec extends SparkSpec {
       .select("id").distinct().as[Long].collect().toSet
     assert(sigIds == expectIds, "signature ids must cover corpus + batch 1")
     assert(shIds == expectIds, "shingle ids must cover corpus + batch 1")
-    // IDEMPOTENCE: replaying an already-applied batch (foreachBatch is
-    // at-least-once) must not land duplicate shingle rows — duplicated
-    // rows would silently corrupt every later jaccard against those docs
+    // IDEMPOTENCE: replaying an already-applied batch under ITS OWN
+    // batchId (foreachBatch is at-least-once with stable ids) must
+    // overwrite, not duplicate — duplicate shingle rows would silently
+    // corrupt every later jaccard against those docs
     val shinglesBefore = spark.read.parquet(s"$dir/shingles").count()
-    Dedup.appendToNearDupStore(batch1, dir, "doc_id", "text")
+    Dedup.appendToNearDupStore(batch1, dir, "doc_id", "text", batchId = 1L)
     val shinglesAfter = spark.read.parquet(s"$dir/shingles").count()
-    assert(shinglesAfter == shinglesBefore, "replayed append must be a no-op")
+    assert(shinglesAfter == shinglesBefore, "replayed batchId must overwrite, not grow")
     val pairs2Replay = Dedup.incrementalNearDupFromStore(batch2, dir, "doc_id", "text")
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs2Replay == live2, "pairs unchanged after replay")
