@@ -134,6 +134,10 @@ object SparkEntry {
     "a_unpivot"       -> (Relational.aUnpivot _),
     "ann4_ivf_store"  -> (Documents.ann4IvfStore _),
     "d14_store_append" -> (Documents.d14StoreAppend _),
+    "t15_decontam_rewrite" -> (Documents.t15DecontamRewrite _),
+    "d16_cluster_best" -> (Documents.d16ClusterBest _),
+    "d17_canonical_dedup" -> (Documents.d17CanonicalDedup _),
+    "dq_skew_stats"   -> (Relational.dqSkewStats _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1076,6 +1080,54 @@ object SparkEntry {
         |      AS BIGINT) AS pos
         |  FROM documents)
         |ORDER BY shard, pos""".stripMargin,
+    // T15: span-level decontamination recomputed from scratch — eval
+    // 5-gram set, corpus positional grams, semi-join → covered
+    // positions, token anti join, ordered reassembly (d13's pattern
+    // with the eval set replacing the first-occurrence rule)
+    "t15_decontam_rewrite" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |c AS (SELECT doc_id, ws FROM t WHERE doc_id % 97 <> 0),
+        |eg AS (SELECT DISTINCT u AS s FROM (
+        |  SELECT unnest(list_transform(range(1, len(ws) - 3),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS u
+        |  FROM t WHERE doc_id % 97 = 0 AND len(ws) >= 5)),
+        |g AS (SELECT doc_id, u.p AS p, u.s AS s FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 3),
+        |    i -> {'p': i, 's': ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]})) AS u
+        |  FROM c WHERE len(ws) >= 5)),
+        |cov AS (SELECT DISTINCT doc_id, unnest(range(p, p + 5)) AS i
+        |  FROM g SEMI JOIN eg ON g.s = eg.s),
+        |tok AS (SELECT doc_id, u.i AS i, u.w AS w FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1), i -> {'i': i, 'w': ws[i]})) AS u FROM c)),
+        |kept AS (SELECT tok.doc_id, tok.i, tok.w FROM tok ANTI JOIN cov
+        |  ON tok.doc_id = cov.doc_id AND tok.i = cov.i),
+        |outp AS (SELECT doc_id, count(*) AS n_kept,
+        |  string_agg(w, ' ' ORDER BY i) AS clean_text FROM kept GROUP BY doc_id)
+        |SELECT c.doc_id, CAST(len(ws) AS BIGINT) AS n_toks,
+        |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(clean_text, '') AS clean_text
+        |FROM c LEFT JOIN outp ON c.doc_id = outp.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
+    "d16_cluster_best" -> clusterBestSql,
+    // D17: min id per canonical form, the form pinned via its md5
+    "d17_canonical_dedup" ->
+      """WITH k AS (SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents)
+        |SELECT min(doc_id) AS doc_id, fp FROM k GROUP BY fp
+        |ORDER BY doc_id""".stripMargin,
+    // DQ-skew: exact key-count distribution stats; sums cast (gotcha 19)
+    "dq_skew_stats" ->
+      """WITH c AS (SELECT l_suppkey AS k, count(*) AS n FROM lineitem GROUP BY 1),
+        |top AS (SELECT CAST(sum(n) AS BIGINT) AS top_n
+        |  FROM (SELECT n FROM c ORDER BY n DESC, k LIMIT 10)),
+        |agg AS (SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
+        |  max(n) AS max_n, round(avg(n), 4) AS mean_n,
+        |  round(max(n) / avg(n), 4) AS skew_ratio FROM c)
+        |SELECT n_keys, n_rows, max_n, mean_n, skew_ratio,
+        |  round(top_n * 1.0 / n_rows, 6) AS top_share
+        |FROM agg, top""".stripMargin,
   )
 
   /** pipeline_e2e oracle: the query parquet-dumps its deterministic gold
@@ -1195,4 +1247,37 @@ object SparkEntry {
       |SELECT dd.doc_id, coalesce(c.cluster_id, dd.doc_id) AS cluster_id
       |FROM documents dd LEFT JOIN comp c ON dd.doc_id = c.doc_id
       |ORDER BY dd.doc_id""".stripMargin
+
+  /** d16 oracle: d6's recursive component closure, every doc scored with
+    * t2's composite quality expression (rounded 6 dp on BOTH sides so
+    * the argmax ranks identical values), keeper = row_number 1 per
+    * cluster ordered (q DESC, doc_id). */
+  private val clusterBestSql: String =
+    s"""WITH RECURSIVE $ngramPairCtes,
+      |jp AS (SELECT id_a, id_b
+      |  FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      |  WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.8),
+      |edges AS (SELECT id_a AS s, id_b AS d FROM jp
+      |  UNION SELECT id_b, id_a FROM jp),
+      |walk(s, r) AS (SELECT s, s FROM (SELECT DISTINCT s FROM edges) nodes
+      |  UNION SELECT e.s, w.r FROM edges e JOIN walk w ON e.d = w.s),
+      |comp AS (SELECT s AS doc_id, min(r) AS cluster_id FROM walk GROUP BY s),
+      |lab AS (SELECT d2.doc_id, coalesce(c.cluster_id, d2.doc_id) AS cluster_id,
+      |  round(least(len(ws) / 50.0, 1.0) * 0.5
+      |    + least(len(list_filter(ws, w -> w IN ('the','a','of','and','is','to','in')))
+      |        / greatest(len(ws) * 0.05, 1.0), 1.0) * 0.5
+      |    - (length(txt) - length(regexp_replace(txt, '[^a-zA-Z0-9\\s]', '', 'g'))) * 1.0
+      |        / greatest(length(txt), 1), 6) AS q
+      |  FROM (SELECT doc_id, text AS txt,
+      |    regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents) d2
+      |  LEFT JOIN comp c ON d2.doc_id = c.doc_id),
+      |mem AS (SELECT cluster_id, count(*) AS n_members FROM lab GROUP BY cluster_id),
+      |keep AS (SELECT cluster_id, doc_id AS keeper_id FROM (
+      |  SELECT cluster_id, doc_id,
+      |    row_number() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rn
+      |  FROM lab) WHERE rn = 1)
+      |SELECT lab.doc_id, lab.cluster_id, lab.q, keep.keeper_id, mem.n_members,
+      |  CASE WHEN lab.doc_id = keep.keeper_id THEN 1 ELSE 0 END AS kept
+      |FROM lab JOIN keep USING (cluster_id) JOIN mem USING (cluster_id)
+      |ORDER BY lab.doc_id""".stripMargin
 }

@@ -64,9 +64,30 @@ object Dedup {
     * budgets); otherwise it takes the one-payload-shuffle ranked plan.
     * Same answer both ways under `exactDedup`'s unique-id contract. */
   def exactDedupAuto(df: DataFrame, idCol: String, textCol: String,
-                     maxBroadcastDrops: Long = 10000000L): DataFrame = {
-    val keyed = df.select(col(idCol).as("_id"),
-      TextAnalysis.fingerprint(col(textCol)).as("_fp"))
+                     maxBroadcastDrops: Long = 10000000L): DataFrame =
+    exactDedupAutoOn(df, idCol,
+      TextAnalysis.fingerprint(col(textCol)), maxBroadcastDrops)
+
+  /** Canonical ("fuzzy-exact") dedup: `exactDedupAuto`'s measured
+    * broadcast-vs-shuffle routing over `TextAnalysis.canonicalFingerprint`
+    * — lowercase, punctuation stripped, whitespace collapsed — so
+    * reformatting-only copies ("Hello, World!" vs "hello world") collapse
+    * to one keeper (smallest id). The C4/crawl-cleaning middle ground
+    * between byte-exact dedup (misses them) and MinHash (overkill for
+    * them); same scale shape as the exact family: exchanges carry
+    * (id, 16-byte fp) only, text never shuffles on the broadcast route. */
+  def canonicalExactDedup(df: DataFrame, idCol: String, textCol: String,
+                          maxBroadcastDrops: Long = 10000000L): DataFrame =
+    exactDedupAutoOn(df, idCol,
+      TextAnalysis.canonicalFingerprint(col(textCol)), maxBroadcastDrops)
+
+  /** Shared routed implementation for the exact-dedup family over an
+    * arbitrary fingerprint expression (byte-exact `fingerprint`,
+    * `canonicalFingerprint`, …). Same contract as `exactDedup`: unique
+    * non-null ids. */
+  private def exactDedupAutoOn(df: DataFrame, idCol: String, fp: Column,
+                               maxBroadcastDrops: Long): DataFrame = {
+    val keyed = df.select(col(idCol).as("_id"), fp.as("_fp"))
     val w = Window.partitionBy("_fp").orderBy("_id")
     val drops = keyed.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") > 1).select("_id")
@@ -76,7 +97,9 @@ object Dedup {
       df.join(broadcast(drops), col(idCol) === col("_id"), "left_anti")
     else {
       drops.unpersist(blocking = false)
-      exactDedupByShuffle(df, idCol, textCol)
+      val byShuffle = Window.partitionBy(fp).orderBy(col(idCol))
+      df.withColumn("_rn", row_number().over(byShuffle))
+        .filter(col("_rn") === 1).drop("_rn")
     }
   }
 
@@ -455,6 +478,19 @@ object Dedup {
       .filter(!(col("id") === col("f_id") && col("p") === col("f_p")))
       .select(col("id"), explode(sequence(col("p"), col("p") + (n - 1))).as("i"))
       .groupBy("id").agg(collect_set(col("i")).as("_drop"))
+    rebuildDroppingPositions(tokenized, covered, idCol)
+  }
+
+  /** Shared rewrite tail for the destructive span operators
+    * (`removeDupSpans`, `decontaminateRewrite`): drop every token whose
+    * position is in the doc's `_drop` set, reassemble in order.
+    * `covered` is (id, _drop: array<int>); docs absent from it pass
+    * through untouched. The drop-set table is tiny relative to the
+    * corpus (ids + ints, only affected docs), so AQE broadcasts the
+    * join and the token arrays never shuffle. */
+  private def rebuildDroppingPositions(tokenized: DataFrame,
+                                       covered: DataFrame,
+                                       idCol: String): DataFrame = {
     // kept indices via array_except (hash-set membership, left order
     // preserved): O(n_toks + n_dropped) per doc — a per-token
     // array_contains scan over the drop set would be O(n_toks ×
@@ -468,6 +504,48 @@ object Dedup {
         size(col("toks")).cast("long").as("n_toks"),
         size(kept).cast("long").as("n_kept"),
         concat_ws(" ", kept).as("clean_text"))
+  }
+
+  /** Span-level decontamination TRANSFORM — the removal counterpart of
+    * `contaminationPairs` the way `removeDupSpans` is the removal
+    * counterpart of `dupSpanCoverage`: every corpus token position
+    * covered by a word-n-gram that ALSO occurs anywhere in the eval set
+    * is dropped, and the document is reassembled without it. Doc-level
+    * decontamination (t10/t14) throws away whole documents for one
+    * leaked paragraph; this keeps the clean 95% — the form GPT-3's
+    * appendix-C cleanup and every since-published decontamination
+    * pipeline actually apply at the span level.
+    *
+    * Scale shape: the eval side reduces to its DISTINCT 128-bit gram
+    * keys — 16 bytes/gram, no text, no positions — and is explicitly
+    * broadcast: eval suites are bounded (10^6–10^8 grams ≈ 16 MB–1.6 GB;
+    * beyond that, route doc-level flagging through the Bloom path
+    * first and rewrite only flagged docs). The corpus side is one
+    * map-side semi-join over its positional grams — the corpus never
+    * shuffles text at any stage: the only exchanges carry (id, int)
+    * covered positions for CONTAMINATED docs only, and the final join
+    * back is AQE-broadcast for the same reason. 128-bit keys, not 64:
+    * like `removeDupSpans` this DELETES text, and a collision burns an
+    * innocent span (see the birthday-math note there).
+    *
+    * Output: (idCol, n_toks, n_kept, clean_text) over the CORPUS rows,
+    * eval rows excluded — n_kept = 0 / clean_text = "" marks a doc that
+    * was wholly eval material. */
+  def decontaminateRewrite(corpus: DataFrame, evalSet: DataFrame,
+                           idCol: String, textCol: String,
+                           n: Int = 5): DataFrame = {
+    val tokenized = corpus.select(col(idCol).as("id"),
+      split(trim(col(textCol)), "\\s+").as("toks"))
+    val pos = tokenized.select(col("id"),
+      posexplode(positionalGrams128(col("toks"), n)).as(Seq("p", "hg")))
+    val evalGrams = evalSet
+      .select(explode(positionalGrams128(
+        split(trim(col(textCol)), "\\s+"), n)).as("hg"))
+      .distinct()
+    val covered = pos.join(broadcast(evalGrams), Seq("hg"), "left_semi")
+      .select(col("id"), explode(sequence(col("p"), col("p") + (n - 1))).as("i"))
+      .groupBy("id").agg(collect_set(col("i")).as("_drop"))
+    rebuildDroppingPositions(tokenized, covered, idCol)
   }
 
   /** Guarded positional word-n-gram array over a token-array column —
@@ -1164,6 +1242,43 @@ object Dedup {
     edges.unpersist()
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     labels
+  }
+
+  /** Quality-argmax keeper selection per near-dup cluster: label every
+    * doc with its connected component over `pairs`, then elect the
+    * member with the HIGHEST `quality` (ties → smallest id) as that
+    * cluster's keeper. Min-id keeper selection (`keepersFromPairs`,
+    * d6) is arbitrary; a curation pipeline wants to keep the best copy
+    * of each duplicated document, not the first-crawled one — this is
+    * that policy as an operator, parameterized by any deterministic
+    * quality column (e.g. `TextAnalysis.qualityScore`).
+    *
+    * Scale shape: quality is a map-side per-row expression; the keeper
+    * election is ONE struct-max aggregate per cluster (map-side
+    * combinable — no corpus-wide window, whose sort would shuffle every
+    * row); the elected-keeper table is one row per CLUSTER, so AQE
+    * broadcasts the label-back join and the doc payload never shuffles.
+    * Tie-break rides inside the max: struct(q, -id, id) compares
+    * lexicographically, so max q wins, then max(-id) = min id.
+    *
+    * Output: (idCol, cluster_id, q, keeper_id, n_members, kept 0/1) —
+    * filter kept = 1 for the deduped corpus. Singletons keep
+    * themselves. */
+  def clusterKeepers(docs: DataFrame, idCol: String, quality: Column,
+                     pairs: DataFrame): DataFrame = {
+    val labeled = docs.select(col(idCol).as("id"), quality.as("q"))
+      .join(connectedComponents(pairs, "id_a", "id_b"), Seq("id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
+    val keepers = labeled.groupBy("cluster_id")
+      .agg(max(struct(col("q"), (-col("id")).as("_negid"),
+          col("id").as("kid"))).as("_m"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), col("_m.kid").as("keeper_id"),
+        col("n_members"))
+    labeled.join(keepers, Seq("cluster_id"))
+      .select(col("id").as(idCol), col("cluster_id"), col("q"),
+        col("keeper_id"), col("n_members"),
+        (col("id") === col("keeper_id")).cast("int").as("kept"))
   }
 
   /** Keep one canonical row per near-dup cluster: connected components

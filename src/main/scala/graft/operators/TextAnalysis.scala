@@ -121,6 +121,20 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** C4-style canonical form: lowercase, punctuation → space, collapsed
+    * whitespace, trimmed. Catches the reformatting-only duplicates exact
+    * dedup misses ("Hello, World!" ≡ "hello world") while staying a pure
+    * per-row codegen'd expression — no tokenizer, no model. Punctuation
+    * maps to SPACE, not empty: "foo-bar" must canonicalize like
+    * "foo bar", not fuse into a new token. */
+  def canonicalForm(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** md5 of the canonical form — the join/group key for canonical
+    * ("fuzzy-exact") dedup. */
+  def canonicalFingerprint(text: Column): Column = md5(canonicalForm(text))
+
   /** Token repetition ratio in [0,1): 1 − distinct/total tokens — the
     * standard "repetitious document" filter signal for LLM corpora
     * (boilerplate, keyword stuffing, degenerate generations). Map-side,

@@ -296,6 +296,44 @@ object Documents {
       .orderBy("doc_id")
   }
 
+  /** T15 — span-level decontamination REWRITE (t10/t14's removal
+    * counterpart): eval = doc_id % 97 = 0 (the family's convention),
+    * and every corpus token position covered by a word-5-gram that
+    * occurs anywhere in the eval set is removed, the doc reassembled
+    * without it. Corpus docs only; eval rows are not emitted. */
+  def t15DecontamRewrite(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.decontaminateRewrite(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+  }
+
+  /** D16 — quality-argmax keeper per near-dup cluster: d6's component
+    * labeling with the keeper elected by composite quality score
+    * (ties → smallest id) instead of min id — "keep the BEST copy",
+    * the curation policy a real dedup pass applies. Same routed pair
+    * generation as d4/d6 so all three agree on the cluster structure. */
+  def d16ClusterBest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
+      shingleSize = 3, threshold = 0.8, maxDocFreq = Some(100))
+    Dedup.clusterKeepers(docs, "doc_id",
+        TextAnalysis.qualityScore(col("text"), stopwords), pairs)
+      .orderBy("doc_id")
+  }
+
+  /** D17 — canonical (C4-style normalized) exact dedup: lowercase,
+    * punctuation stripped, whitespace collapsed before fingerprinting,
+    * smallest id per canonical form survives. Output carries the
+    * canonical fingerprint so the oracle pins the grouping key, not
+    * just the survivor set. */
+  def d17CanonicalDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.canonicalExactDedup(Tables.documents(s, d), "doc_id", "text")
+      .select(col("doc_id"),
+        TextAnalysis.canonicalFingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
   /** T11 — sliding-window chunking (32-token chunks every 24 tokens,
     * i.e. 8-token overlap), output bounded to the first 50 docs. */
   def t11Chunking(s: SparkSession, d: String): DataFrame =

@@ -573,6 +573,12 @@ object Relational {
         "lineitem_discount_range")))
   }
 
+  /** DQ — key-skew diagnostic over lineitem's supplier key: the
+    * measurement that decides whether a join on this key needs salting
+    * (graft.ops.Skew.skewStats). One row of exact distribution stats. */
+  def dqSkewStats(s: SparkSession, d: String): DataFrame =
+    graft.ops.Skew.skewStats(Tables.lineitem(s, d), "l_suppkey", topK = 10)
+
   /** A-map — metrics-store map columns (the reference stores per-grade
     * F1 and the prediction distribution as Postgres JSONB,
     * model_inference_utils.py:114–115; SURVEY §1.1 maps JSONB to

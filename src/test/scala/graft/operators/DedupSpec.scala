@@ -545,4 +545,56 @@ class DedupSpec extends SparkSpec {
     val recall = (simPairs & exact).size.toDouble / exact.size
     assert(recall >= 0.5, s"simhash recall $recall too low")
   }
+
+  test("decontaminateRewrite removes eval-overlapping spans, keeps the rest") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "clean document with no leaked content at all"),
+      (12L, "alpha beta gamma delta epsilon zeta"),
+      (13L, "tiny doc")).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "x quick brown fox jumps over y"),
+      (101L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val out = Dedup.decontaminateRewrite(corpus, eval, "doc_id", "text", n = 5)
+      .select("doc_id", "n_toks", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(10L, 11L, 12L, 13L),
+      "corpus rows only — eval rows are not emitted")
+    // doc 10: only "quick brown fox jumps over" (positions 1–5) occurs
+    // in the eval set; spans sharing tokens but not whole 5-grams stay
+    assert(out(0) == ((10L, 9L, 4L, "the the lazy dog")))
+    assert(out(1)._3 == 8L, "clean doc keeps every token")
+    assert(out(2) == ((12L, 6L, 0L, "")), "wholly-eval doc empties")
+    assert(out(3) == ((13L, 2L, 2L, "tiny doc")), "short docs keep everything")
+  }
+
+  test("clusterKeepers elects the quality argmax, ties to smallest id") {
+    val docs = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (7L, 0.3))
+      .toDF("doc_id", "q0")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.clusterKeepers(docs, "doc_id", $"q0", pairs)
+      .select("doc_id", "cluster_id", "keeper_id", "n_members", "kept")
+      .as[(Long, Long, Long, Long, Int)].collect().sortBy(_._1)
+    // cluster {1,2,3}: q max 0.9 shared by 2 and 3 → tie-break keeps 2
+    assert(out(0) == ((1L, 1L, 2L, 3L, 0)))
+    assert(out(1) == ((2L, 1L, 2L, 3L, 1)))
+    assert(out(2) == ((3L, 1L, 2L, 3L, 0)))
+    assert(out(3) == ((7L, 7L, 7L, 1L, 1)), "singleton keeps itself")
+  }
+
+  test("canonicalExactDedup collapses reformatting variants exactDedup keeps") {
+    val docs = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello world"),
+      (3L, "HELLO -- world..."),
+      (4L, "a different doc")).toDF("doc_id", "text")
+    val canonical = Dedup.canonicalExactDedup(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(canonical == Set(1L, 4L),
+      "punctuation/case variants collapse to the smallest id")
+    // byte-exact dedup (case/whitespace-normalized only) keeps all four
+    val exact = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact == Set(1L, 2L, 3L, 4L))
+  }
 }

@@ -28,6 +28,19 @@ class SkewBucketSpec extends SparkSpec {
     assert(salted.except(plain).count() == 0 && plain.except(salted).count() == 0)
   }
 
+  test("skewStats measures the hot-key distribution exactly") {
+    // 100 rows: key 1 holds 91, keys 2..10 hold 1 each
+    val df = spark.range(100)
+      .select(when($"id" < 91, 1L).otherwise($"id" - 89).as("k"))
+    val s = Skew.skewStats(df, "k", topK = 10)
+      .as[(Long, Long, Long, Double, Double, Double)].collect().head
+    assert(s == ((10L, 100L, 91L, 10.0, 9.1, 1.0)))
+    // topK = 1 isolates the hot key's share
+    val top1 = Skew.skewStats(df, "k", topK = 1)
+      .select("top_share").as[Double].collect().head
+    assert(top1 == 0.91)
+  }
+
   test("bucketed join plans without a shuffle exchange") {
     val o = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
     val l = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
