@@ -135,6 +135,8 @@ object SparkEntry {
     "ann4_ivf_store"  -> (Documents.ann4IvfStore _),
     "d14_store_append" -> (Documents.d14StoreAppend _),
     "t15_decontam_rewrite" -> (Documents.t15DecontamRewrite _),
+    "t16_stratified_cut" -> (Documents.t16StratifiedCut _),
+    "ann5_ivf_append" -> (Documents.ann5IvfAppend _),
     "d16_cluster_best" -> (Documents.d16ClusterBest _),
     "d17_canonical_dedup" -> (Documents.d17CanonicalDedup _),
     "dq_skew_stats"   -> (Relational.dqSkewStats _),
@@ -838,6 +840,23 @@ object SparkEntry {
     "ann3_ivf" -> annGateSql,
     // ann4 = ann3's answers through the partition-pruned at-rest index
     "ann4_ivf_store" -> annGateSql,
+    // ann5: the grow path emits the same pinned (query × rank) grid
+    "ann5_ivf_append" -> annGateSql,
+    // T16: per-language exact quartile threshold, quality recomputed
+    // (t12's oracle with the threshold stratified by lang)
+    "t16_stratified_cut" ->
+      """WITH t AS (SELECT doc_id, lang, text, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |q AS (SELECT doc_id, lang,
+        |  round(least(len(ws) / 50.0, 1.0) * 0.5
+        |    + least(len(list_filter(ws, w -> w IN ('the','a','of','and','is','to','in')))
+        |        / greatest(len(ws) * 0.05, 1.0), 1.0) * 0.5
+        |    - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) * 1.0
+        |        / greatest(length(text), 1), 6) AS quality
+        |  FROM t),
+        |thr AS (SELECT lang, quantile_cont(quality, 0.25) AS thr FROM q GROUP BY lang)
+        |SELECT q.doc_id, q.lang, q.quality FROM q JOIN thr USING (lang)
+        |WHERE q.quality >= thr.thr
+        |ORDER BY q.doc_id""".stripMargin,
     "d3_simhash" -> simhashGateSql,
     // d14 = the d10/d11 semantics with the corpus landed in TWO store
     // installments (write + append) — same ground truth

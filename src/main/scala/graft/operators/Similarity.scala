@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -127,24 +127,86 @@ object Similarity {
     scoreProbed(cells, probes(queries, centroids, nProbe, idCol, vecCol), k)
   }
 
-  /** IVF index at rest: the quantized corpus written `partitionBy(cell)`.
-    * Returns the centroid table the query side needs. This is the
-    * embedding-scale layout — the index is built once, and every probe
-    * afterwards reads only its cells' files. */
+  /** IVF index at rest: the quantized corpus written under
+    * `$path/cells/batch=0` partitioned by cell, the CENTROIDS persisted
+    * at `$path/centroids` with an `_meta.json` (nCells, kmeansSeed,
+    * formatVersion) — the index is self-contained, so a later session
+    * (or `appendToIvfIndex`) needs only the path, never the driver
+    * value. Returns the centroid table for immediate use. This is the
+    * embedding-scale layout — the index is built once, every probe
+    * afterwards reads only its cells' files, and growth lands as
+    * idempotent per-batch overwrites (`appendToIvfIndex`), the same
+    * convention as the near-dup store. */
   def writeIvfIndex(corpus: DataFrame, path: String,
                     nCells: Int = 16, seed: Long = 42L,
                     idCol: String = "vec_id", vecCol: String = "embedding")
       : Seq[(Int, Array[Float])] = {
     val (cells, centroids) = quantize(corpus, nCells, seed, idCol, vecCol)
-    cells.write.mode("overwrite").partitionBy("cell").parquet(path)
+    cells.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/cells/batch=0")
+    val spark = corpus.sparkSession
+    spark.createDataFrame(centroids).toDF("cell", "c_vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    graft.sources.Sources.writeJsonSidecarFs(spark, s"$path/_meta.json",
+      Map("nCells" -> nCells.toString, "kmeansSeed" -> seed.toString,
+        "formatVersion" -> "1"))
     centroids
+  }
+
+  /** Centroids of an at-rest IVF index — nCells tiny rows. */
+  def loadIvfCentroids(spark: SparkSession, path: String)
+      : Seq[(Int, Array[Float])] =
+    spark.read.parquet(s"$path/centroids")
+      .select("cell", "c_vec")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+
+  /** Grow an at-rest IVF index without re-clustering: assign each batch
+    * vector to its nearest EXISTING centroid (squared-euclidean, the
+    * k-means assignment rule — cosine would disagree with the base
+    * install's quantizer on unnormalized vectors) and land the
+    * assignments under `$path/cells/batch=<id>`, cell-partitioned like
+    * the base batch. IDEMPOTENT PER BATCH by overwrite — foreachBatch's
+    * stable batchId keys replays, every crash-and-replay interleaving
+    * converges (the near-dup store's convention). Centroids are read
+    * from the index itself, so writer and grower can be different
+    * sessions. Centroid DRIFT is the documented trade: appended mass
+    * shifts true cluster centers, probe quality degrades gradually —
+    * monitor per-cell counts (one groupBy) and rebuild when skew says
+    * so; same policy every production IVF service runs. */
+  def appendToIvfIndex(batch: DataFrame, path: String, batchId: Long,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit = {
+    require(batchId > 0, "batchId 0 is the base install (writeIvfIndex)")
+    val spark = batch.sparkSession
+    val centroidDf = broadcast(
+      spark.createDataFrame(loadIvfCentroids(spark, path))
+        .toDF("cell", "c_vec"))
+    val dist2 = aggregate(
+      zip_with(col("n_vec"), col("c_vec"),
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (acc, x) => acc + x)
+    val assigned = batch
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .crossJoin(centroidDf)
+      .withColumn("_d2", dist2)
+      .withColumn("_r", row_number().over(
+        Window.partitionBy("n_id").orderBy(asc("_d2"), asc("cell"))))
+      .filter(col("_r") === 1)
+      .select(col("n_id"), col("n_vec"), col("cell"))
+    assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/cells/batch=$batchId")
   }
 
   /** Top-k against an at-rest IVF index: the scan is filtered to the
     * union of all queries' probed cells, which Spark turns into
     * PARTITION PRUNING — the cluster reads ≤ queries×nProbe cell
-    * directories instead of the corpus (asserted in IvfReconcileSpec).
-    * Same answers as `ivfTopK` with the same quantizer seed. */
+    * directories instead of the corpus (asserted in IvfReconcileSpec),
+    * across every landed batch. Same answers as `ivfTopK` with the same
+    * quantizer seed (plus appended batches, if any). Explicit
+    * projection: `batch` is a discovered partition column and must not
+    * ride into scoring. */
   def ivfTopKFromIndex(path: String, centroids: Seq[(Int, Array[Float])],
                        queries: DataFrame, k: Int, nProbe: Int = 4,
                        idCol: String = "vec_id",
@@ -154,8 +216,9 @@ object Similarity {
     // tiny driver round-trip: ≤ queries × nProbe cell ids
     val probedCells = qProbes.select("cell").distinct()
       .collect().map(_.getInt(0)).sorted
-    val cells = spark.read.parquet(path)
+    val cells = spark.read.parquet(s"$path/cells")
       .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+      .select("n_id", "n_vec", "cell")
     scoreProbed(cells, qProbes, k)
   }
 

@@ -86,6 +86,28 @@ object TextAnalysis {
     df.crossJoin(thr).filter(col(scoreCol) >= col("_thr")).drop("_thr")
   }
 
+  /** Per-group corpus-relative quality gate: `qualityCut` with the
+    * percentile threshold computed WITHIN each group (e.g. language).
+    * A global cut on a multilingual crawl deletes whole low-resource
+    * languages — their scores sit below the majority language's
+    * quartile; the stratified cut keeps each stratum's own top
+    * (1 − frac). Thresholds are one row per GROUP (a handful of
+    * languages), so the join back is AQE-broadcast and the corpus
+    * never shuffles; the default approx sketch is one mergeable pass
+    * (`exact = true` only for oracle parity, like `qualityCut`). */
+  def stratifiedQualityCut(df: DataFrame, groupCol: String,
+                           scoreCol: String, frac: Double,
+                           exact: Boolean = false,
+                           accuracy: Int = 10000): DataFrame = {
+    require(frac >= 0.0 && frac < 1.0, s"frac must be in [0,1), got $frac")
+    val thrAgg =
+      if (exact) percentile(col(scoreCol), lit(frac))
+      else percentile_approx(col(scoreCol), lit(frac), lit(accuracy))
+    val thr = df.groupBy(groupCol).agg(thrAgg.as("_thr"))
+    df.join(broadcast(thr), Seq(groupCol))
+      .filter(col(scoreCol) >= col("_thr")).drop("_thr")
+  }
+
   /** Language profiles: characteristic function words per language.
     * Public knowledge (standard stopword lists). */
   val langProfiles: Seq[(String, Seq[String])] = Seq(

@@ -334,6 +334,21 @@ object Documents {
         TextAnalysis.canonicalFingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** T16 — stratified (per-language) quality cut: each language keeps
+    * its own top 75% by composite quality. The global cut (t12) deletes
+    * whole low-resource languages whose score distribution sits below
+    * the majority language's quartile; this is the curation-correct
+    * variant. Exact percentile for the oracle; the operator's scale
+    * default is the one-pass approx sketch. */
+  def t16StratifiedCut(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      TextAnalysis.qualityScore(col("text"), stopwords).as("quality"))
+    TextAnalysis.stratifiedQualityCut(scored, "lang", "quality", 0.25,
+        exact = true)
+      .select("doc_id", "lang", "quality")
+      .orderBy("doc_id")
+  }
+
   /** T11 — sliding-window chunking (32-token chunks every 24 tokens,
     * i.e. 8-token overlap), output bounded to the first 50 docs. */
   def t11Chunking(s: SparkSession, d: String): DataFrame =
@@ -606,6 +621,27 @@ object Documents {
     val path = sys.props("java.io.tmpdir") +
       s"/graft_${ProcessHandle.current.pid}/ivf_index"
     val centroids = Similarity.writeIvfIndex(e, path, nCells = 8)
+    annInvariantGate(
+      Similarity.ivfTopKFromIndex(path, centroids, q, 5, nProbe = 4),
+      Similarity.bruteForceTopK(e, q, 5), recallFloor = 8)
+  }
+
+  /** ANN5 — the IVF GROW path driver-gated: the index is built from
+    * 80% of the corpus, the remaining 20% lands via `appendToIvfIndex`
+    * (nearest-existing-centroid assignment, batch-keyed idempotent
+    * overwrite), and the queries run over the grown index. Gate is
+    * ann3's invariant oracle (floor ≥ 8 of 25; measured {16, 18, 15}
+    * across sf0.001/0.01/0.1 — tracks ann3's 17–19 despite the 80%
+    * quantizer fit). */
+  def ann5IvfAppend(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 5)
+    val path = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/ivf_index_grow"
+    val centroids = Similarity.writeIvfIndex(
+      e.filter(col("vec_id") % 5 =!= 0), path, nCells = 8)
+    Similarity.appendToIvfIndex(
+      e.filter(col("vec_id") % 5 === 0), path, batchId = 1L)
     annInvariantGate(
       Similarity.ivfTopKFromIndex(path, centroids, q, 5, nProbe = 4),
       Similarity.bruteForceTopK(e, q, 5), recallFloor = 8)

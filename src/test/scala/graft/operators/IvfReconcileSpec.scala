@@ -53,6 +53,36 @@ class IvfReconcileSpec extends SparkSpec {
       s"probes should read a strict subset of the 8 cells, got $prunedFiles")
   }
 
+  test("IVF grow path: append covers the batch, replay overwrites, centroids round-trip") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter($"vec_id" < 3)
+    val path = java.nio.file.Files.createTempDirectory("ivfg").toString + "/index"
+    val base = e.filter($"vec_id" % 5 =!= 0)
+    val batch = e.filter($"vec_id" % 5 === 0)
+    val centroids = Similarity.writeIvfIndex(base, path, nCells = 8)
+    // centroids are self-contained in the index
+    val loaded = Similarity.loadIvfCentroids(spark, path)
+    assert(loaded.map(_._1) == centroids.map(_._1) &&
+      loaded.zip(centroids).forall { case ((_, a), (_, b)) => a.sameElements(b) },
+      "loadIvfCentroids must round-trip writeIvfIndex's return")
+    Similarity.appendToIvfIndex(batch, path, batchId = 1L)
+    val ids = spark.read.parquet(s"$path/cells").select("n_id")
+      .as[Long].collect().toSet
+    val expected = e.select("vec_id").as[Long].collect().toSet
+    assert(ids == expected, "grown index must cover base ∪ batch")
+    // IDEMPOTENCE: replaying the batch under its batchId overwrites
+    val before = spark.read.parquet(s"$path/cells").count()
+    Similarity.appendToIvfIndex(batch, path, batchId = 1L)
+    assert(spark.read.parquet(s"$path/cells").count() == before,
+      "replayed batchId must overwrite, not grow")
+    // searches over the grown index see appended vectors as neighbors
+    val grown = Similarity.ivfTopKFromIndex(path, centroids, q, 5, nProbe = 4)
+    assert(grown.groupBy("q_id").count().filter($"count" =!= 5).count() == 0)
+    val appendedSeen = grown.join(batch.select($"vec_id".as("n_id")), "n_id")
+    assert(appendedSeen.count() > 0,
+      "appended vectors must be reachable through probed-cell scoring")
+  }
+
   test("reconcileFeatures injects missing features as 0, drops extras, orders") {
     val contract = Seq("f1", "f2", "f3")
     val batch = Seq((1L, 0.5, 9.9)).toDF("id", "f2", "junk")

@@ -45,6 +45,29 @@ class TextAnalysisSpec extends SparkSpec {
       s"approx vs exact cut differ on ${diff.size} of $n docs")
   }
 
+  test("stratifiedQualityCut keeps each group's own top (1-frac)") {
+    // a global p25 cut over all 8 scores (thr 2.75) would delete half
+    // the low group; the stratified cut keeps 3 of 4 in EACH group
+    val mini = Seq(
+      (1L, "lo", 1.0), (2L, "lo", 2.0), (3L, "lo", 3.0), (4L, "lo", 4.0),
+      (5L, "hi", 10.0), (6L, "hi", 20.0), (7L, "hi", 30.0), (8L, "hi", 40.0))
+      .toDF("id", "grp", "q")
+    val strat = TextAnalysis.stratifiedQualityCut(mini, "grp", "q", 0.25,
+        exact = true)
+      .select("id").as[Long].collect().toSet
+    assert(strat == Set(2L, 3L, 4L, 6L, 7L, 8L))
+    val global = TextAnalysis.qualityCut(mini, "q", 0.25, exact = true)
+      .select("id").as[Long].collect().toSet
+    assert(global == Set(3L, 4L, 5L, 6L, 7L, 8L),
+      "global cut deletes the low stratum's rows")
+    // the approx default returns a data point as the threshold (no
+    // interpolation), so on 4-row groups it can only cut at or below
+    // the exact threshold — never drop a row the exact cut keeps
+    val approx = TextAnalysis.stratifiedQualityCut(mini, "grp", "q", 0.25)
+      .select("id").as[Long].collect().toSet
+    assert(strat.subsetOf(approx))
+  }
+
   test("langId picks the profile language; ties break alphabetically") {
     val df = Seq(
       "the cat is on the mat and it is happy",
