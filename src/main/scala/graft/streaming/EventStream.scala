@@ -257,6 +257,30 @@ object EventStream {
     }
   }
 
+  /** Streaming ANN-index ingest: each micro-batch of embedding rows is
+    * assigned to its nearest existing centroid and landed in the
+    * at-rest IVF index (`Similarity.appendToIvfIndex`). The index never
+    * re-clusters in-stream — the quantizer is the base install's; this
+    * loop is pure O(batch × nCells) assignment + one cell-partitioned
+    * write per batch. Replay posture is the strongest of the three
+    * ingest loops: the append is batch-keyed idempotent overwrite
+    * (batchId + 1, batch=0 is the base install), so at-least-once
+    * replays converge bit-for-bit with no sink-side caveat. Centroid
+    * drift under sustained growth is the documented rebuild trigger
+    * (see appendToIvfIndex). */
+  def streamingIvfIngest(vectors: DataFrame, indexDir: String,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.Similarity
+    vectors.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          Similarity.appendToIvfIndex(batch, indexDir, batchId + 1,
+            idCol, vecCol)
+    }
+  }
+
   /** Ordered weekly incremental driver (T2): the batch twin of the
     * stream — processes week partitions strictly in order, exactly once,
     * recording progress in a ledger the way the reference's

@@ -20,13 +20,15 @@ class SparkEntrySpec extends SparkSpec {
 
   // queries whose plan INTENTIONALLY contains a bounded broadcast nested
   // loop: ann1 (the exact ANN baseline: broadcast query set × one corpus
-  // scan), ann2/ann3 (the same exact baseline feeds their recall gate,
-  // plus the 1-row invariant-flag broadcast), t9 (1-row smoothing
+  // scan), ann2/ann3/ann5 (the same exact baseline feeds their recall
+  // gate, plus the 1-row invariant-flag broadcast), t9 (1-row smoothing
   // denominator crossed in), t12 (1-row percentile threshold crossed
-  // in), d3 (1-row invariant-flag broadcast)
+  // in), d3 (1-row invariant-flag broadcast), dq_skew (1-row top-k sum
+  // crossed into the 1-row stats aggregate)
   private val intendedNestedLoop =
     Set("ann1_brute_force", "ann2_lsh", "ann3_ivf", "ann4_ivf_store",
-      "t9_lm_score", "t12_quality_cut", "d3_simhash")
+      "ann5_ivf_append", "t9_lm_score", "t12_quality_cut", "d3_simhash",
+      "dq_skew_stats")
 
   test("no query plans an unintended nested-loop or cartesian join") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

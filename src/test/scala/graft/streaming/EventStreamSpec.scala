@@ -309,6 +309,33 @@ class EventStreamSpec extends SparkSpec {
       "micro-batch caches must not accumulate")
   }
 
+  test("streamingIvfIngest grows the at-rest index batch by batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("ivfstream").toString
+    val idx = s"$tmp/index"
+    val e = graft.core.Tables.embeddings(spark, sf)
+    val base = e.filter($"vec_id" < 40)
+    graft.operators.Similarity.writeIvfIndex(base, idx, nCells = 4)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = streamingIvfIngest(
+        mem.toDF().toDF("vec_id", "embedding"), idx)
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    def rows(lo: Long, hi: Long) = e.filter($"vec_id" >= lo && $"vec_id" < hi)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toSeq
+    mem.addData(rows(40, 45): _*)
+    q.processAllAvailable()
+    mem.addData(rows(45, 48): _*)
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.read.parquet(s"$idx/cells")
+      .select("n_id").as[Long].collect().toSet
+    assert(ids == (0L until 48L).toSet, "index must cover base + both batches")
+    // each micro-batch landed under its own batch key (0 = base install)
+    val batches = new java.io.File(s"$idx/cells").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(batches == Set("batch=0", "batch=1", "batch=2"))
+  }
+
   test("streamingCorpusIngest dedups, filters junk, and windows per language") {
     implicit val sqlCtx = spark.sqlContext
     val stop = Seq("the", "a", "of", "and", "is", "to", "in")
