@@ -136,6 +136,7 @@ object SparkEntry {
     "d14_store_append" -> (Documents.d14StoreAppend _),
     "t15_decontam_rewrite" -> (Documents.t15DecontamRewrite _),
     "t16_stratified_cut" -> (Documents.t16StratifiedCut _),
+    "t17_vocab_per_lang" -> (Documents.t17VocabPerLang _),
     "ann5_ivf_append" -> (Documents.ann5IvfAppend _),
     "d16_cluster_best" -> (Documents.d16ClusterBest _),
     "d17_canonical_dedup" -> (Documents.d17CanonicalDedup _),
@@ -842,6 +843,15 @@ object SparkEntry {
     "ann4_ivf_store" -> annGateSql,
     // ann5: the grow path emits the same pinned (query × rank) grid
     "ann5_ivf_append" -> annGateSql,
+    // T17: exact per-language token census, rank cast to INT (Spark
+    // row_number is int32, DuckDB's is int64)
+    "t17_vocab_per_lang" ->
+      """WITH c AS (SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents),
+        |g AS (SELECT lang, token, count(*) AS n FROM c GROUP BY 1, 2),
+        |r AS (SELECT lang, token, n,
+        |  row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rank FROM g)
+        |SELECT lang, token, n, CAST(rank AS INT) AS rank FROM r
+        |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
     // T16: per-language exact quartile threshold, quality recomputed
     // (t12's oracle with the threshold stratified by lang)
     "t16_stratified_cut" ->

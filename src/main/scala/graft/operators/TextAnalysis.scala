@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text-analysis operators for a training-data pipeline: token counting,
   * quality scoring, language-ID, document fingerprinting. All pure
@@ -106,6 +107,24 @@ object TextAnalysis {
     val thr = df.groupBy(groupCol).agg(thrAgg.as("_thr"))
     df.join(broadcast(thr), Seq(groupCol))
       .filter(col(scoreCol) >= col("_thr")).drop("_thr")
+  }
+
+  /** Top-k tokens by frequency within each group (e.g. language) — the
+    * vocabulary census a tokenizer-training or corpus-mix report runs.
+    * Scale shape: the token explode is map-side generate; the
+    * (group, token) count is one map-side-combinable aggregate; the
+    * top-k window runs over the COUNTS table (vocab-sized — millions of
+    * rows, not the corpus' billions of token occurrences), partitioned
+    * by group so no single-reducer global sort exists. Ties break by
+    * token for determinism. */
+  def topTokensPerGroup(df: DataFrame, groupCol: String, textCol: String,
+                        k: Int): DataFrame = {
+    val counts = df
+      .select(col(groupCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(groupCol, "token").agg(count(lit(1)).as("n"))
+    counts.withColumn("rank", row_number().over(
+        Window.partitionBy(groupCol).orderBy(desc("n"), asc("token"))))
+      .filter(col("rank") <= k)
   }
 
   /** Language profiles: characteristic function words per language.

@@ -349,6 +349,14 @@ object Documents {
       .orderBy("doc_id")
   }
 
+  /** T17 — per-language top-10 token vocabulary: the census a
+    * tokenizer-training or corpus-mix report runs; window over the
+    * vocab-sized counts table, never the corpus. */
+  def t17VocabPerLang(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.topTokensPerGroup(Tables.documents(s, d), "lang", "text", 10)
+      .select("lang", "token", "n", "rank")
+      .orderBy("lang", "rank")
+
   /** T11 — sliding-window chunking (32-token chunks every 24 tokens,
     * i.e. 8-token overlap), output bounded to the first 50 docs. */
   def t11Chunking(s: SparkSession, d: String): DataFrame =

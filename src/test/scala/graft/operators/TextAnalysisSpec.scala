@@ -68,6 +68,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(strat.subsetOf(approx))
   }
 
+  test("topTokensPerGroup counts within group, ties break by token") {
+    val df = Seq(
+      ("en", "b b a a c"), ("en", "a b"),
+      ("fr", "x y x")).toDF("grp", "text")
+    val out = TextAnalysis.topTokensPerGroup(df, "grp", "text", 2)
+      .select("grp", "token", "n", "rank")
+      .as[(String, String, Long, Int)].collect().toSet
+    // en: a=3, b=3 (tie → a first), c=1 cut; fr: x=2, y=1
+    assert(out == Set(
+      ("en", "a", 3L, 1), ("en", "b", 3L, 2),
+      ("fr", "x", 2L, 1), ("fr", "y", 1L, 2)))
+  }
+
   test("langId picks the profile language; ties break alphabetically") {
     val df = Seq(
       "the cat is on the mat and it is happy",
