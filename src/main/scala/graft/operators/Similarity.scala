@@ -187,15 +187,21 @@ object Similarity {
       zip_with(col("n_vec"), col("c_vec"),
         (x, y) => (x - y) * (x - y)),
       lit(0.0d), (acc, x) => acc + x)
-    val assigned = batch
-      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
-      .crossJoin(centroidDf)
-      .withColumn("_d2", dist2)
-      .withColumn("_r", row_number().over(
-        Window.partitionBy("n_id").orderBy(asc("_d2"), asc("cell"))))
-      .filter(col("_r") === 1)
+    val rows = batch.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    // the vector payload is dropped BEFORE any exchange: the broadcast
+    // cross join and d2 arithmetic are map-side, so only skinny
+    // (n_id, cell, _d2) rows reach the argmin aggregate (map-side
+    // combinable struct-min — a per-id rank window here would shuffle
+    // every vector nCells times); the elected cell then joins back to
+    // the payload by id, one exchange of the batch
+    val best = rows.crossJoin(centroidDf)
+      .select(col("n_id"), col("cell"), dist2.as("_d2"))
+      .groupBy("n_id")
+      .agg(min(struct(col("_d2"), col("cell"))).as("_m"))
+      .select(col("n_id"), col("_m.cell").as("cell"))
+    rows.join(best, "n_id")
       .select(col("n_id"), col("n_vec"), col("cell"))
-    assigned.write.mode("overwrite").partitionBy("cell")
+      .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/cells/batch=$batchId")
   }
 
