@@ -141,6 +141,7 @@ object SparkEntry {
     "d16_cluster_best" -> (Documents.d16ClusterBest _),
     "d17_canonical_dedup" -> (Documents.d17CanonicalDedup _),
     "dq_skew_stats"   -> (Relational.dqSkewStats _),
+    "u_scd2"          -> (Relational.uScd2 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1146,6 +1147,30 @@ object SparkEntry {
         |  FROM documents)
         |SELECT min(doc_id) AS doc_id, fp FROM k GROUP BY fp
         |ORDER BY doc_id""".stripMargin,
+    // U-SCD2: the change-suppressed interval build recomputed from
+    // scratch (lag change filter → lead valid_to → census)
+    "u_scd2" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS version FROM orders),
+        |v2 AS (SELECT o_orderkey, 'U' AS o_orderstatus,
+        |    CAST(round(CAST(o_totalprice AS DECIMAL(15,2)) * 1.1, 2) AS DOUBLE) AS o_totalprice,
+        |    2 AS version FROM orders WHERE o_orderkey % 7 = 0),
+        |v3 AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 28 = 0 THEN 'X' ELSE 'U' END AS o_orderstatus,
+        |    CAST(round(CAST(o_totalprice AS DECIMAL(15,2)) * 1.1, 2) AS DOUBLE) AS o_totalprice,
+        |    3 AS version FROM orders WHERE o_orderkey % 14 = 0),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3),
+        |chg AS (SELECT o_orderkey, o_orderstatus, o_totalprice, version FROM (
+        |  SELECT *, lag(o_orderstatus) OVER w AS _ps, lag(o_totalprice) OVER w AS _pp
+        |  FROM u WINDOW w AS (PARTITION BY o_orderkey ORDER BY version))
+        |  WHERE _ps IS NULL OR _ps <> o_orderstatus OR _pp <> o_totalprice),
+        |hist AS (SELECT version, o_orderstatus, o_totalprice,
+        |    lead(version) OVER (PARTITION BY o_orderkey ORDER BY version) AS valid_to
+        |  FROM chg)
+        |SELECT version, o_orderstatus,
+        |  CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INT) AS is_current,
+        |  CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 4) AS sum_price
+        |FROM hist GROUP BY 1, 2, 3
+        |ORDER BY version, o_orderstatus, is_current""".stripMargin,
     // DQ-skew: exact key-count distribution stats; sums cast (gotcha 19)
     "dq_skew_stats" ->
       """WITH c AS (SELECT l_suppkey AS k, count(*) AS n FROM lineitem GROUP BY 1),

@@ -573,6 +573,37 @@ object Relational {
         "lineitem_discount_range")))
   }
 
+  /** U-SCD2 — history construction over three deterministic snapshot
+    * versions of orders: v2 reprices every 7th order (u_upsert's
+    * batch), v3 re-lands every 14th — UNCHANGED for most (suppressed:
+    * the v2 interval must extend, not fragment), but flipped to status
+    * 'X' for every 28th (a real change: v2 closes at valid_to = 3).
+    * Output is the per-(version, status, currency) census of the
+    * resulting history. */
+  def uScd2(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val priced = round(col("o_totalprice").cast("decimal(15,2)") *
+        lit(new java.math.BigDecimal("1.1")), 2)
+      .cast("double")
+    val base = o.select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice"), lit(1).as("version"))
+    val v2 = o.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        priced.as("o_totalprice"), lit(2).as("version"))
+    val v3 = o.filter(col("o_orderkey") % 14 === 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 28 === 0, "X").otherwise("U")
+          .as("o_orderstatus"),
+        priced.as("o_totalprice"), lit(3).as("version"))
+    graft.ops.Scd.scd2History(
+        base.unionByName(v2).unionByName(v3),
+        keyCols = Seq("o_orderkey"), versionCol = "version",
+        trackCols = Seq("o_orderstatus", "o_totalprice"))
+      .groupBy("version", "o_orderstatus", "is_current")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("sum_price"))
+      .orderBy("version", "o_orderstatus", "is_current")
+  }
+
   /** DQ — key-skew diagnostic over lineitem's supplier key: the
     * measurement that decides whether a join on this key needs salting
     * (graft.ops.Skew.skewStats). One row of exact distribution stats. */

@@ -216,4 +216,24 @@ class OpsSpec extends SparkSpec {
     assert(test2.select("id").as[Long].collect().sorted.toSeq ==
       test.select("id").as[Long].collect().sorted.toSeq)
   }
+
+  test("scd2History: intervals, change suppression, null-safe tracking") {
+    val snaps = Seq(
+      // key 1: value changes every version → 3 intervals
+      (1L, 1, Some("a")), (1L, 2, Some("b")), (1L, 3, Some("c")),
+      // key 2: v2 re-lands the SAME value (suppressed), v3 changes —
+      // the v1 interval must run [1, 3), not fragment at 2
+      (2L, 1, Some("x")), (2L, 2, Some("x")), (2L, 3, Some("y")),
+      // key 3: null → null is NOT a change (null-safe compare);
+      // null → value is
+      (3L, 1, None), (3L, 2, None), (3L, 3, Some("z")))
+      .toDF("k", "version", "v")
+    val h = Scd.scd2History(snaps, Seq("k"), "version", Seq("v"))
+      .select("k", "valid_from", "valid_to", "is_current")
+      .as[(Long, Int, Option[Int], Int)].collect().toSet
+    assert(h == Set(
+      (1L, 1, Some(2), 0), (1L, 2, Some(3), 0), (1L, 3, None, 1),
+      (2L, 1, Some(3), 0), (2L, 3, None, 1),
+      (3L, 1, Some(3), 0), (3L, 3, None, 1)))
+  }
 }
