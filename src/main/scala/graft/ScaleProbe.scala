@@ -90,6 +90,20 @@ object ScaleProbe {
       "d10_incremental" -> (d => Dedup.incrementalNearDup(
         d.filter(col("doc_id") % 5 === 0), d.filter(col("doc_id") % 5 =!= 0),
         "doc_id", "text")),
+      // span-level decontamination rewrite: broadcast eval-gram
+      // semi-join + per-doc rebuild — the curve must track corpus size
+      // (the probe side is map-side); the rewrite's premium over t10's
+      // flag path is a constant factor, not a new shape. Same
+      // anti-column-pruning aggregate as d13.
+      "t15_decontam_rewrite" -> (d => Dedup.decontaminateRewrite(
+        d, evalMix(d), "doc_id", "text", n = 5)
+        .agg(sum(length(col("clean_text"))).as("chars_kept"),
+          sum(col("n_kept")).as("toks_kept"))),
+      // canonical dedup rides the same (id, fp) exchanges as d1 — the
+      // canonicalization is map-side regex work, so the curve should
+      // sit a hair above d1_exact and bend nowhere
+      "d17_canonical" -> (d => Dedup.canonicalExactDedup(
+        d, "doc_id", "text")),
       "t2_quality" -> (d => d.select(col("doc_id"),
         TextAnalysis.qualityScore(col("text"),
           Seq("the", "a", "of", "and", "is", "to", "in")).as("q"))),
