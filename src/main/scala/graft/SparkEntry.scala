@@ -142,6 +142,7 @@ object SparkEntry {
     "d17_canonical_dedup" -> (Documents.d17CanonicalDedup _),
     "dq_skew_stats"   -> (Relational.dqSkewStats _),
     "u_scd2"          -> (Relational.uScd2 _),
+    "llm_curation_pipeline" -> (Documents.llmCurationPipeline _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1147,6 +1148,51 @@ object SparkEntry {
         |  FROM documents)
         |SELECT min(doc_id) AS doc_id, fp FROM k GROUP BY fp
         |ORDER BY doc_id""".stripMargin,
+    // LLM curation composite: canonical-dedup keepers → t15's
+    // span-removal chain over the survivors → t16's stratified cut
+    // over the CLEANED text → per-lang census; every stage's oracle
+    // block is individually proven (d17 / t15 / t16 / t2)
+    "llm_curation_pipeline" ->
+      """WITH t AS (SELECT doc_id, lang, text, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |corp AS (SELECT doc_id, lang, text, ws FROM t WHERE doc_id % 97 <> 0),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM (
+        |  SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        |  FROM corp) GROUP BY fp),
+        |surv AS (SELECT corp.* FROM corp SEMI JOIN keep ON corp.doc_id = keep.doc_id),
+        |eg AS (SELECT DISTINCT u AS s FROM (
+        |  SELECT unnest(list_transform(range(1, len(ws) - 3),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS u
+        |  FROM t WHERE doc_id % 97 = 0 AND len(ws) >= 5)),
+        |g AS (SELECT doc_id, u.p AS p, u.s AS s FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 3),
+        |    i -> {'p': i, 's': ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]})) AS u
+        |  FROM surv WHERE len(ws) >= 5)),
+        |cov AS (SELECT DISTINCT doc_id, unnest(range(p, p + 5)) AS i
+        |  FROM g SEMI JOIN eg ON g.s = eg.s),
+        |tok AS (SELECT doc_id, u.i AS i, u.w AS w FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1), i -> {'i': i, 'w': ws[i]})) AS u FROM surv)),
+        |kept AS (SELECT tok.doc_id, tok.i, tok.w FROM tok ANTI JOIN cov
+        |  ON tok.doc_id = cov.doc_id AND tok.i = cov.i),
+        |outp AS (SELECT doc_id, count(*) AS n_kept,
+        |  string_agg(w, ' ' ORDER BY i) AS clean_text FROM kept GROUP BY doc_id),
+        |clean AS (SELECT surv.doc_id, surv.lang,
+        |  CAST(coalesce(outp.n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(outp.clean_text, '') AS ctext
+        |  FROM surv LEFT JOIN outp ON surv.doc_id = outp.doc_id),
+        |q AS (SELECT doc_id, lang, n_kept,
+        |  round(least(len(ws2) / 50.0, 1.0) * 0.5
+        |    + least(len(list_filter(ws2, w -> w IN ('the','a','of','and','is','to','in')))
+        |        / greatest(len(ws2) * 0.05, 1.0), 1.0) * 0.5
+        |    - (length(ctext) - length(regexp_replace(ctext, '[^a-zA-Z0-9\s]', '', 'g'))) * 1.0
+        |        / greatest(length(ctext), 1), 6) AS quality
+        |  FROM (SELECT *, regexp_split_to_array(trim(ctext), '\s+') AS ws2 FROM clean)),
+        |thr AS (SELECT lang, quantile_cont(quality, 0.25) AS thr FROM q GROUP BY lang),
+        |fin AS (SELECT q.* FROM q JOIN thr USING (lang) WHERE q.quality >= thr.thr)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_kept) AS BIGINT) AS tok_total,
+        |  round(sum(quality), 4) AS quality_sum
+        |FROM fin GROUP BY lang ORDER BY lang""".stripMargin,
     // U-SCD2: the change-suppressed interval build recomputed from
     // scratch (lag change filter → lead valid_to → census)
     "u_scd2" ->

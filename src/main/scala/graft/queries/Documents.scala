@@ -418,6 +418,38 @@ object Documents {
       .select("lang", "doc_id")
       .orderBy("lang", "doc_id")
 
+  /** LLM curation pipeline — the round-8 session-4 operators composed
+    * end-to-end as ONE oracle-checked query: canonical ("fuzzy-exact")
+    * dedup → SPAN-level decontamination rewrite against the eval set
+    * (doc_id % 97 = 0) → per-language stratified quality cut over the
+    * CLEANED text → per-language corpus census. Order matters and is
+    * the production order: dedup before decontamination (fewer docs to
+    * rewrite), quality LAST (scores must reflect what survives the
+    * rewrite — a doc gutted by decontamination should be judged on its
+    * remains). The DuckDB twin recomputes the whole chain. */
+  def llmCurationPipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val evalSet = docs.filter(col("doc_id") % 97 === 0)
+    val surv = Dedup.canonicalExactDedup(corpus, "doc_id", "text")
+    val clean = Dedup.decontaminateRewrite(surv, evalSet,
+      "doc_id", "text", n = 5)
+    // re-attach lang: the rewrite projects (id, n_toks, n_kept,
+    // clean_text); the id-keyed dimension join is AQE-broadcast-or-
+    // shuffle of skinny rows, never the text
+    val scored = clean.join(docs.select("doc_id", "lang"), "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_kept"),
+        TextAnalysis.qualityScore(col("clean_text"), stopwords)
+          .as("quality"))
+    TextAnalysis.stratifiedQualityCut(scored, "lang", "quality", 0.25,
+        exact = true)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_kept").as("tok_total"),
+        round(sum("quality"), 4).as("quality_sum"))
+      .orderBy("lang")
+  }
+
   /** LLM corpus pipeline — the end-to-end composite this operator
     * family exists for, as ONE oracle-checked query: exact dedup →
     * quality + repetition filtering → per-language quota sampling →
