@@ -143,6 +143,7 @@ object SparkEntry {
     "dq_skew_stats"   -> (Relational.dqSkewStats _),
     "u_scd2"          -> (Relational.uScd2 _),
     "llm_curation_pipeline" -> (Documents.llmCurationPipeline _),
+    "ann6_hybrid_rerank" -> (Documents.ann6HybridRerank _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -845,6 +846,31 @@ object SparkEntry {
     "ann4_ivf_store" -> annGateSql,
     // ann5: the grow path emits the same pinned (query × rank) grid
     "ann5_ivf_append" -> annGateSql,
+    // ann6: fully value-compared — the candidate stage is the exact
+    // baseline (ann1's oracle) and the re-rank is deterministic
+    // arithmetic over rounded inputs
+    "ann6_hybrid_rerank" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+        |scored AS (SELECT q_id, e.vec_id AS n_id, list_cosine_similarity(qv, e.v) AS cos
+        |  FROM q, e WHERE e.vec_id <> q_id),
+        |cand AS (SELECT q_id, n_id, round(cos, 6) AS cos_sim FROM (
+        |  SELECT q_id, n_id, cos, ROW_NUMBER() OVER (
+        |    PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rnk FROM scored)
+        |  WHERE rnk <= 20),
+        |dq AS (SELECT doc_id AS n_id,
+        |  round(least(len(ws) / 50.0, 1.0) * 0.5
+        |    + least(len(list_filter(ws, w -> w IN ('the','a','of','and','is','to','in')))
+        |        / greatest(len(ws) * 0.05, 1.0), 1.0) * 0.5
+        |    - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) * 1.0
+        |        / greatest(length(text), 1), 6) AS ql
+        |  FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents)),
+        |h AS (SELECT q_id, n_id, round(cos_sim * 0.8 + ql * 0.2, 6) AS combined
+        |  FROM cand JOIN dq USING (n_id)),
+        |r AS (SELECT q_id, n_id, combined, ROW_NUMBER() OVER (
+        |  PARTITION BY q_id ORDER BY combined DESC, n_id ASC) AS rank FROM h)
+        |SELECT q_id, CAST(rank AS INT) AS rank, n_id, combined FROM r
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     // T17: exact per-language token census, rank cast to INT (Spark
     // row_number is int32, DuckDB's is int64)
     "t17_vocab_per_lang" ->

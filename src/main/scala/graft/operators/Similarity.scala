@@ -52,6 +52,35 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Hybrid re-rank: combine a candidate set's vector similarity with a
+    * per-document metadata score (quality, freshness, source weight) and
+    * keep the top k per query — the second stage of every production
+    * retrieval pipeline (candidates from ANN, final order from the
+    * hybrid score). Generator-agnostic: `candidates` is any
+    * (q_id, rank, n_id, cos_sim) frame (bruteForceTopK / lshTopK /
+    * ivfTopKFromIndex), so at corpus scale the ANN path feeds it the
+    * same way the exact baseline does.
+    *
+    * Scale shape: the candidate set is queries × kCand rows — the TINY
+    * side by construction — so Spark broadcasts it against the
+    * corpus-sized score table and the scores never shuffle; the re-rank
+    * window partitions over candidates only. `combined` is rounded to
+    * 6 dp BEFORE ranking so the order is reproducible across engines
+    * (ties → smaller neighbor id). */
+  def hybridRerank(candidates: DataFrame, scores: DataFrame, k: Int,
+                   alpha: Double, idCol: String,
+                   scoreCol: String): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha in [0,1], got $alpha")
+    val s = scores.select(col(idCol).as("n_id"), col(scoreCol).as("_s"))
+    val w = Window.partitionBy("q_id").orderBy(desc("combined"), asc("n_id"))
+    candidates.join(s, "n_id")
+      .withColumn("combined",
+        round(col("cos_sim") * alpha + col("_s") * (1 - alpha), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "combined")
+  }
+
   /** Random-hyperplane signature: `bits` sign bits of dot products with
     * seeded Gaussian hyperplanes, packed into a long. Cosine-similar
     * vectors agree on most bits (P[bit agree] = 1 − θ/π). */

@@ -687,6 +687,24 @@ object Documents {
       Similarity.bruteForceTopK(e, q, 5), recallFloor = 8)
   }
 
+  /** ANN6 — hybrid re-rank: exact top-20 cosine candidates re-ordered
+    * by 0.8·cos + 0.2·quality (the document's composite quality score,
+    * doc_id = vec_id), top-5 kept. Candidate stage is the exact
+    * baseline so the whole chain is value-oracle-able; at corpus scale
+    * the ANN generators feed the identical re-rank (generator-agnostic
+    * input shape). */
+  def ann6HybridRerank(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 5)
+    val quality = Tables.documents(s, d).select(
+      col("doc_id").as("vec_id"),
+      TextAnalysis.qualityScore(col("text"), stopwords).as("quality"))
+    Similarity.hybridRerank(
+        Similarity.bruteForceTopK(e, q, 20), quality,
+        k = 5, alpha = 0.8, idCol = "vec_id", scoreCol = "quality")
+      .orderBy("q_id", "rank")
+  }
+
   /** D14 — the store APPEND path driver-gated: the corpus lands in TWO
     * installments (initial write + `appendToNearDupStore`), then the
     * batch pairs against the grown store. Same oracle as d10/d11 — the

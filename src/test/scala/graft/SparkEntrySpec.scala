@@ -27,8 +27,8 @@ class SparkEntrySpec extends SparkSpec {
   // crossed into the 1-row stats aggregate)
   private val intendedNestedLoop =
     Set("ann1_brute_force", "ann2_lsh", "ann3_ivf", "ann4_ivf_store",
-      "ann5_ivf_append", "t9_lm_score", "t12_quality_cut", "d3_simhash",
-      "dq_skew_stats")
+      "ann5_ivf_append", "ann6_hybrid_rerank", "t9_lm_score",
+      "t12_quality_cut", "d3_simhash", "dq_skew_stats")
 
   test("no query plans an unintended nested-loop or cartesian join") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -40,4 +40,25 @@ class SimilaritySpec extends SparkSpec {
     // random corpus has no planted neighbors; LSH recall is honest-but-low
     assert(recall >= 0.15, s"lsh recall $recall below floor")
   }
+
+  test("hybridRerank: metadata score reorders candidates, alpha bounds hold") {
+    // candidate frame as any generator emits it: q 100 has three
+    // candidates whose cosine order is 1 > 2 > 3, but doc 3's score is
+    // high enough that the 0.5-blend flips it to the top
+    val cand = Seq(
+      (100L, 1, 1L, 0.90), (100L, 2, 2L, 0.85), (100L, 3, 3L, 0.80))
+      .toDF("q_id", "rank", "n_id", "cos_sim")
+    val scores = Seq((1L, 0.10), (2L, 0.20), (3L, 0.90)).toDF("id", "s")
+    val out = Similarity.hybridRerank(cand, scores, k = 2, alpha = 0.5,
+        idCol = "id", scoreCol = "s")
+      .select("q_id", "rank", "n_id", "combined")
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2)
+    // combined: doc1 0.5, doc2 0.525, doc3 0.85
+    assert(out.toSeq == Seq(
+      (100L, 1, 3L, 0.85), (100L, 2, 2L, 0.525)))
+    // alpha = 1 degenerates to pure cosine order
+    val pure = Similarity.hybridRerank(cand, scores, 3, 1.0, "id", "s")
+      .orderBy("rank").select("n_id").as[Long].collect().toSeq
+    assert(pure == Seq(1L, 2L, 3L))
+  }
 }
