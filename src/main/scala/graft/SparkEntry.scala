@@ -1170,7 +1170,7 @@ object SparkEntry {
     "d17_canonical_dedup" ->
       """WITH k AS (SELECT doc_id,
         |  md5(trim(regexp_replace(regexp_replace(lower(text),
-        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        |    '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
         |  FROM documents)
         |SELECT min(doc_id) AS doc_id, fp FROM k GROUP BY fp
         |ORDER BY doc_id""".stripMargin,
@@ -1183,7 +1183,7 @@ object SparkEntry {
         |corp AS (SELECT doc_id, lang, text, ws FROM t WHERE doc_id % 97 <> 0),
         |keep AS (SELECT min(doc_id) AS doc_id FROM (
         |  SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
-        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        |    '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
         |  FROM corp) GROUP BY fp),
         |surv AS (SELECT corp.* FROM corp SEMI JOIN keep ON corp.doc_id = keep.doc_id),
         |eg AS (SELECT DISTINCT u AS s FROM (

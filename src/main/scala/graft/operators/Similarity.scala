@@ -66,7 +66,10 @@ object Similarity {
     * corpus-sized score table and the scores never shuffle; the re-rank
     * window partitions over candidates only. `combined` is rounded to
     * 6 dp BEFORE ranking so the order is reproducible across engines
-    * (ties → smaller neighbor id). */
+    * (ties → smaller neighbor id). CONTRACT: `scores` must cover every
+    * candidate id — the join is inner, so an unscored candidate drops
+    * out silently; outer-join a default upstream if partial coverage is
+    * legitimate. */
   def hybridRerank(candidates: DataFrame, scores: DataFrame, k: Int,
                    alpha: Double, idCol: String,
                    scoreCol: String): DataFrame = {

@@ -167,10 +167,14 @@ object TextAnalysis {
     * dedup misses ("Hello, World!" ≡ "hello world") while staying a pure
     * per-row codegen'd expression — no tokenizer, no model. Punctuation
     * maps to SPACE, not empty: "foo-bar" must canonicalize like
-    * "foo bar", not fuse into a new token. */
+    * "foo bar", not fuse into a new token. The kept class is the
+    * UNICODE letters+digits (`\p{L}\p{N}`, identical semantics in Java
+    * regex and RE2/DuckDB) — an ASCII-only `[a-z0-9]` class would
+    * canonicalize every CJK document to the empty string and collapse a
+    * multilingual corpus's non-Latin slice into ONE keeper. */
   def canonicalForm(text: Column): Column =
     trim(regexp_replace(
-      regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+      regexp_replace(lower(text), "[^\\p{L}\\p{N}\\s]", " "), "\\s+", " "))
 
   /** md5 of the canonical form — the join/group key for canonical
     * ("fuzzy-exact") dedup. */
