@@ -176,4 +176,42 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("scd2History invariants hold on random snapshot streams") {
+    import graft.ops.Scd
+    // random (key, version, value) snapshots: few keys, few values →
+    // plenty of suppressed re-lands and multi-change histories
+    val gen = Gen.nonEmptyListOf(for {
+      k <- Gen.chooseNum(1, 4)
+      v <- Gen.chooseNum(1, 6)
+      s <- Gen.oneOf("a", "b", "c")
+    } yield (k.toLong, v, s)).map(_.distinctBy(r => (r._1, r._2)))
+    samples(gen).foreach { rows =>
+      val df = rows.toDF("k", "version", "v")
+      val h = Scd.scd2History(df, Seq("k"), "version", Seq("v"))
+        .select("k", "version", "v", "valid_from", "valid_to", "is_current")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+          r.getInt(3), if (r.isNullAt(4)) None else Some(r.getInt(4)),
+          r.getInt(5)))
+      val byKey = h.groupBy(_._1)
+      byKey.foreach { case (k, rs) =>
+        val sorted = rs.sortBy(_._4)
+        // exactly one current row per key, and it is the LAST interval
+        assert(rs.count(_._6 == 1) == 1)
+        assert(sorted.last._6 == 1 && sorted.last._5.isEmpty)
+        // intervals chain: each valid_to equals the next valid_from
+        sorted.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(a._5.contains(b._4), s"key $k: gap ${a._5} -> ${b._4}")
+            // consecutive kept rows must differ in the tracked value
+            assert(a._3 != b._3, s"key $k: suppressed row leaked")
+          case _ => ()
+        }
+        // the first interval starts at the key's earliest snapshot
+        val minVersion = rows.filter(_._1 == k).map(_._2).min
+        assert(sorted.head._4 == minVersion)
+      }
+    }
+  }
 }
