@@ -530,7 +530,15 @@ object Dedup {
     *
     * Output: (idCol, n_toks, n_kept, clean_text) over the CORPUS rows,
     * eval rows excluded — n_kept = 0 / clean_text = "" marks a doc that
-    * was wholly eval material. */
+    * was wholly eval material.
+    *
+    * SINGLE-PASS semantics (like Lee et al.'s rewrite): removal joins
+    * the surviving remnants, and the new adjacencies can in principle
+    * form an eval n-gram that was not present in the original text —
+    * the pass removes every ORIGINAL occurrence, not a fixpoint. If the
+    * threat model requires the output to be eval-n-gram-free in the
+    * juxtaposition sense too, iterate the operator until n_kept is
+    * stable (each pass only shrinks, so it terminates). */
   def decontaminateRewrite(corpus: DataFrame, evalSet: DataFrame,
                            idCol: String, textCol: String,
                            n: Int = 5): DataFrame = {

@@ -177,6 +177,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("decontaminateRewrite agrees with a naive reimplementation") {
+    import graft.operators.Dedup
+    val n = 3 // word-3-grams keep the naive side cheap
+    // tiny vocab → dense overlap between random corpus and eval docs
+    val word = Gen.oneOf("a", "b", "c", "d", "e")
+    val doc = Gen.chooseNum(1, 10)
+      .flatMap(len => Gen.listOfN(len, word)).map(_.mkString(" "))
+    val gen = for {
+      corpus <- Gen.listOfN(6, doc)
+      eval <- Gen.listOfN(2, doc)
+    } yield (corpus, eval)
+    samples(gen).foreach { case (corpusTexts, evalTexts) =>
+      val corpus = corpusTexts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val eval = evalTexts.zipWithIndex
+        .map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text")
+      val out = Dedup.decontaminateRewrite(corpus, eval, "doc_id", "text", n)
+        .select("doc_id", "n_toks", "n_kept", "clean_text")
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> r).toMap
+      // naive twin: covered = union of positions of grams in the eval set
+      val evalGrams = evalTexts.flatMap(_.split("\\s+").toSeq.sliding(n))
+        .filter(_.size == n).map(_.mkString(" ")).toSet
+      corpusTexts.zipWithIndex.foreach { case (t, i) =>
+        val toks = t.trim.split("\\s+").toSeq
+        val covered = toks.sliding(n).zipWithIndex
+          .filter { case (g, _) => g.size == n && evalGrams(g.mkString(" ")) }
+          .flatMap { case (_, p) => p until p + n }.toSet
+        val kept = toks.zipWithIndex.filterNot(x => covered(x._2)).map(_._1)
+        val (id, nT, nK, clean) = out(i.toLong)
+        assert(nT == toks.size && nK == kept.size && clean == kept.mkString(" "),
+          s"doc $id: expected ${kept.mkString(" ")}, got $clean")
+      }
+    }
+  }
+
   test("scd2History invariants hold on random snapshot streams") {
     import graft.ops.Scd
     // random (key, version, value) snapshots: few keys, few values →
