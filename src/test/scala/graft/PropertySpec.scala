@@ -213,6 +213,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("clusterKeepers invariants hold on random pair graphs") {
+    import graft.operators.Dedup
+    val gen = for {
+      nDocs <- Gen.chooseNum(4, 10)
+      pairs <- Gen.listOf(for {
+        a <- Gen.chooseNum(0, nDocs - 1)
+        b <- Gen.chooseNum(0, nDocs - 1) if a != b
+      } yield (math.min(a, b).toLong, math.max(a, b).toLong))
+      qs <- Gen.listOfN(nDocs, Gen.chooseNum(0, 3).map(_ * 0.25))
+    } yield (nDocs, pairs.distinct, qs)
+    samples(gen).foreach { case (nDocs, pairs, qs) =>
+      val docs = qs.zipWithIndex
+        .map { case (q, i) => (i.toLong, q) }.toDF("doc_id", "q0")
+      val pairDf = pairs.toDF("id_a", "id_b")
+      val out = Dedup.clusterKeepers(docs, "doc_id", $"q0", pairDf)
+        .select("doc_id", "cluster_id", "q", "keeper_id", "n_members", "kept")
+        .as[(Long, Long, Double, Long, Long, Int)].collect()
+      assert(out.length == nDocs, "one row per doc")
+      val byCluster = out.groupBy(_._2)
+      assert(byCluster.values.map(_.length.toLong).sum == nDocs)
+      byCluster.foreach { case (cid, members) =>
+        assert(members.forall(_._5 == members.length), "n_members consistent")
+        val keeper = members.filter(_._6 == 1)
+        assert(keeper.length == 1, s"cluster $cid: exactly one keeper")
+        val k = keeper.head
+        assert(k._1 == k._4 && members.forall(_._4 == k._1),
+          "keeper_id consistent and self-kept")
+        val maxQ = members.map(_._3).max
+        assert(k._3 == maxQ, "keeper has the max quality")
+        assert(k._1 == members.filter(_._3 == maxQ).map(_._1).min,
+          "quality ties break to the smallest id")
+        // cluster label is the component's min id (connectedComponents
+        // contract riding through)
+        assert(cid == members.map(_._1).min)
+      }
+      // connectivity: every pair's endpoints share a cluster
+      val label = out.map(r => r._1 -> r._2).toMap
+      pairs.foreach { case (a, b) =>
+        assert(label(a) == label(b), s"pair ($a,$b) split across clusters")
+      }
+    }
+  }
+
   test("scd2History invariants hold on random snapshot streams") {
     import graft.ops.Scd
     // random (key, version, value) snapshots: few keys, few values →
