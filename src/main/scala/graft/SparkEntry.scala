@@ -144,6 +144,7 @@ object SparkEntry {
     "u_scd2"          -> (Relational.uScd2 _),
     "llm_curation_pipeline" -> (Documents.llmCurationPipeline _),
     "ann6_hybrid_rerank" -> (Documents.ann6HybridRerank _),
+    "t18_self_dedup_rewrite" -> (Documents.t18SelfDedupRewrite _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1219,6 +1220,28 @@ object SparkEntry {
         |  CAST(sum(n_kept) AS BIGINT) AS tok_total,
         |  round(sum(quality), 4) AS quality_sum
         |FROM fin GROUP BY lang ORDER BY lang""".stripMargin,
+    // T18: d13's removal chain with first-occurrence keyed PER DOC
+    // (ROW_NUMBER partitioned by (doc, gram) instead of gram alone)
+    "t18_self_dedup_rewrite" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |g AS (SELECT doc_id, u.p AS p, u.s AS s FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 3),
+        |    i -> {'p': i, 's': ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]})) AS u
+        |  FROM t WHERE len(ws) >= 5)),
+        |occ AS (SELECT doc_id, p, ROW_NUMBER() OVER (
+        |  PARTITION BY doc_id, s ORDER BY p) AS rn FROM g),
+        |cov AS (SELECT DISTINCT doc_id, unnest(range(p, p + 5)) AS i FROM occ WHERE rn > 1),
+        |tok AS (SELECT doc_id, u.i AS i, u.w AS w FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1), i -> {'i': i, 'w': ws[i]})) AS u FROM t)),
+        |kept AS (SELECT tok.doc_id, tok.i, tok.w FROM tok ANTI JOIN cov
+        |  ON tok.doc_id = cov.doc_id AND tok.i = cov.i),
+        |outp AS (SELECT doc_id, count(*) AS n_kept,
+        |  string_agg(w, ' ' ORDER BY i) AS clean_text FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(ws) AS BIGINT) AS n_toks,
+        |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(clean_text, '') AS clean_text
+        |FROM t LEFT JOIN outp ON t.doc_id = outp.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     // U-SCD2: the change-suppressed interval build recomputed from
     // scratch (lag change filter → lead valid_to → census)
     "u_scd2" ->

@@ -556,6 +556,39 @@ object Dedup {
     rebuildDroppingPositions(tokenized, covered, idCol)
   }
 
+  /** WITHIN-document self-repetition removal: every token position
+    * covered by a word-n-gram occurrence that is not that gram's FIRST
+    * occurrence in the SAME document is dropped — the cleanup for
+    * degenerate generations, stuttering boilerplate, and repeated
+    * headers that `repetitionRatio` (t6) only measures. The cross-doc
+    * twin is `removeDupSpans` (global first-occurrence rule); this one
+    * keys first-occurrence by (doc, gram), so documents never interact.
+    *
+    * Scale shape: strictly lighter than `removeDupSpans` — the
+    * first-occurrence aggregate groups by (id, gram-hash), which is
+    * map-side combinable AND doc-local (no cross-doc hot grams, no
+    * skew: a gram's group size is bounded by its repetitions within one
+    * document); the covered join back is id+hash keyed. 128-bit keys
+    * because this deletes text (see removeDupSpans' birthday note).
+    * Output shape: (idCol, n_toks, n_kept, clean_text). */
+  def removeSelfRepetition(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 5): DataFrame = {
+    val tokenized = df.select(col(idCol).as("id"),
+      split(trim(col(textCol)), "\\s+").as("toks"))
+    val pos = tokenized.select(col("id"),
+        posexplode(positionalGrams128(col("toks"), n)).as(Seq("p", "hg")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val firstOcc = pos.groupBy("id", "hg")
+      .agg(min(col("p")).as("f_p"), count(lit(1)).as("_occ"))
+      .filter(col("_occ") > 1)
+      .select(col("id"), col("hg"), col("f_p"))
+    val covered = pos.join(firstOcc, Seq("id", "hg"))
+      .filter(col("p") =!= col("f_p"))
+      .select(col("id"), explode(sequence(col("p"), col("p") + (n - 1))).as("i"))
+      .groupBy("id").agg(collect_set(col("i")).as("_drop"))
+    rebuildDroppingPositions(tokenized, covered, idCol)
+  }
+
   /** Guarded positional word-n-gram array over a token-array column —
     * one element per POSITION, in order; `hashed = true` emits xxhash64
     * values (8-byte join keys) instead of gram strings. The single

@@ -349,6 +349,15 @@ object Documents {
       .orderBy("doc_id")
   }
 
+  /** T18 — within-document self-repetition removal (degenerate-
+    * generation / boilerplate cleanup): positions covered by a word-
+    * 5-gram repeating WITHIN the same doc are dropped; docs never
+    * interact. */
+  def t18SelfDedupRewrite(s: SparkSession, d: String): DataFrame =
+    Dedup.removeSelfRepetition(Tables.documents(s, d), "doc_id", "text",
+        n = 5)
+      .orderBy("doc_id")
+
   /** T17 — per-language top-10 token vocabulary: the census a
     * tokenizer-training or corpus-mix report runs; window over the
     * vocab-sized counts table, never the corpus. */

@@ -546,6 +546,26 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.5, s"simhash recall $recall too low")
   }
 
+  test("removeSelfRepetition drops within-doc repeats, ignores cross-doc shares") {
+    val docs = Seq(
+      // internal repeat: second "a b c d e" (positions 6-10) drops
+      (0L, "a b c d e x a b c d e"),
+      // shares the gram with doc 0 but never repeats it internally —
+      // must stay untouched (the defining contrast with removeDupSpans)
+      (1L, "p q a b c d e r"),
+      (2L, "tiny doc")).toDF("doc_id", "text")
+    val out = Dedup.removeSelfRepetition(docs, "doc_id", "text", n = 5)
+      .select("doc_id", "n_toks", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0) == ((0L, 11L, 6L, "a b c d e x")))
+    assert(out(1) == ((1L, 8L, 8L, "p q a b c d e r")))
+    assert(out(2) == ((2L, 2L, 2L, "tiny doc")))
+    // contrast pin: the CROSS-doc rewrite does touch doc 1
+    val cross = Dedup.removeDupSpans(docs, "doc_id", "text", n = 5)
+      .filter($"doc_id" === 1L).select("n_kept").as[Long].head()
+    assert(cross < 8L)
+  }
+
   test("decontaminateRewrite removes eval-overlapping spans, keeps the rest") {
     val corpus = Seq(
       (10L, "the quick brown fox jumps over the lazy dog"),
