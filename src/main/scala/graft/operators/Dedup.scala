@@ -986,6 +986,9 @@ object Dedup {
   def appendToNearDupStore(batch: DataFrame, dir: String,
                            idCol: String, textCol: String,
                            batchId: Long): Unit = {
+    // batchId namespace is the CALLER's contract: one writer lineage per
+    // store — a stream's ids and a manual backfill's must not collide,
+    // or the overwrite silently replaces the earlier batch
     require(batchId > 0, "batchId 0 is the base install (writeNearDupStore)")
     val spark = batch.sparkSession
     val meta = graft.sources.Sources.readJsonSidecarFs(spark, s"$dir/_meta.json")

@@ -210,6 +210,10 @@ object Similarity {
   def appendToIvfIndex(batch: DataFrame, path: String, batchId: Long,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): Unit = {
+    // batchId namespace is the CALLER's contract: one writer lineage per
+    // store (a stream's ids and a manual backfill's ids must not
+    // collide — an overwrite under a reused id silently replaces the
+    // earlier batch)
     require(batchId > 0, "batchId 0 is the base install (writeIvfIndex)")
     val spark = batch.sparkSession
     val centroidDf = broadcast(
