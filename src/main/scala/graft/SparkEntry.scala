@@ -145,6 +145,7 @@ object SparkEntry {
     "llm_curation_pipeline" -> (Documents.llmCurationPipeline _),
     "ann6_hybrid_rerank" -> (Documents.ann6HybridRerank _),
     "t18_self_dedup_rewrite" -> (Documents.t18SelfDedupRewrite _),
+    "s_publish_roundtrip" -> (Documents.sPublishRoundtrip _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1242,6 +1243,13 @@ object SparkEntry {
         |  coalesce(clean_text, '') AS clean_text
         |FROM t LEFT JOIN outp ON t.doc_id = outp.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    // S-PUBLISH: the manifest commit is a file-layout protocol only —
+    // the oracle recomputes from the ORIGINAL table, so an orphan batch
+    // leaking into the read (or a committed batch going missing) fails
+    "s_publish_roundtrip" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // U-SCD2: the change-suppressed interval build recomputed from
     // scratch (lag change filter → lead valid_to → census)
     "u_scd2" ->

@@ -358,6 +358,26 @@ object Documents {
         n = 5)
       .orderBy("doc_id")
 
+  /** S-PUBLISH — manifest-committed sink roundtrip: the corpus lands in
+    * two published batches, then a CRASH is simulated by writing a third
+    * batch dir that never reaches a manifest. The read must see exactly
+    * the two committed batches — the oracle compares against the clean
+    * table, so a visible orphan (or a lost batch) hash-fails. */
+  def sPublishRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.Sources
+    val docs = Tables.documents(s, d)
+    val dir = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/published"
+    Sources.publishBatch(docs.filter(col("doc_id") % 2 === 0), dir, 1L)
+    Sources.publishBatch(docs.filter(col("doc_id") % 2 =!= 0), dir, 2L)
+    // crash residue: data landed, manifest never did — must be invisible
+    docs.limit(50).write.mode("overwrite").parquet(s"$dir/data/batch=99")
+    Sources.readPublished(s, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+  }
+
   /** T17 — per-language top-10 token vocabulary: the census a
     * tokenizer-training or corpus-mix report runs; window over the
     * vocab-sized counts table, never the corpus. */

@@ -342,6 +342,80 @@ object Sources {
     val p = new Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
+
+  // ── Manifest-committed publish ─────────────────────────────────────
+  // The minimal transactional-table commit protocol (the pattern
+  // Iceberg/Delta formalize), closing the one caveat the streaming
+  // ingest loops document: a plain parquet `append` sink re-lands
+  // replayed batches and exposes torn writes. Here data batch dirs land
+  // FIRST under `$dir/data/batch=<id>`, and the table state is a
+  // VERSIONED manifest (`_manifest.v<N>.json`, the live batch-id list)
+  // renamed into place LAST — rename-to-fresh-name is the one
+  // filesystem primitive that is atomic on HDFS, object-store
+  // committers, and local disks alike. Readers resolve max-N and read
+  // only listed batches, so every crash interleaving degrades to an
+  // INVISIBLE orphan (batch dir without a manifest entry, or a torn
+  // `.tmp` that no reader looks at), never a torn table; the replay of
+  // the same batchId overwrites the same dir and commits the same
+  // entry — idempotent end to end. SINGLE-WRITER contract (a
+  // foreachBatch sink or one backfill job) — concurrent committers
+  // would race the version number; that coordination belongs to a real
+  // table format.
+
+  private def manifestVersions(spark: SparkSession, dir: String)
+      : Seq[(Int, Path)] = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq.map(_.getPath)
+      .flatMap { p =>
+        val m = "_manifest\\.v(\\d+)\\.json".r
+        p.getName match {
+          case m(v) => Some((v.toInt, p))
+          case _ => None
+        }
+      }.sortBy(_._1)
+  }
+
+  /** Live batch ids of a manifested table (empty before first publish). */
+  def publishedBatches(spark: SparkSession, dir: String): Seq[Long] =
+    manifestVersions(spark, dir).lastOption.toSeq.flatMap { case (_, p) =>
+      val s = readJsonSidecarFs(spark, p.toString)("batches")
+      if (s.isEmpty) Seq.empty else s.split(",").map(_.toLong).toSeq
+    }
+
+  /** Publish one batch atomically: data dir first, then the next
+    * manifest version (tmp + rename to a fresh name). Replay-idempotent
+    * under the single-writer contract. */
+  def publishBatch(df: DataFrame, dir: String, batchId: Long): Unit = {
+    val spark = df.sparkSession
+    df.write.mode("overwrite").parquet(s"$dir/data/batch=$batchId")
+    val versions = manifestVersions(spark, dir)
+    val current = publishedBatches(spark, dir)
+    val next = versions.lastOption.map(_._1 + 1).getOrElse(1)
+    val updated = (current.toSet + batchId).toSeq.sorted
+    val tmp = s"$dir/_manifest.v$next.json.tmp"
+    writeJsonSidecarFs(spark, tmp, Map("batches" -> updated.mkString(",")))
+    val d = new Path(dir)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.rename(new Path(tmp), new Path(s"$dir/_manifest.v$next.json")),
+      s"manifest commit raced: _manifest.v$next.json already exists " +
+        "(second writer? the publish contract is single-writer)")
+    // GC superseded manifests (best-effort; readers only look at max-N)
+    versions.foreach { case (_, p) => fs.delete(p, false) }
+  }
+
+  /** Read the manifested table: only batches the latest manifest lists —
+    * orphan dirs from crashed publishes are invisible. Fails loudly on a
+    * never-published dir (no manifest ⇒ no table, not an empty one). */
+  def readPublished(spark: SparkSession, dir: String): DataFrame = {
+    val batches = publishedBatches(spark, dir)
+    require(manifestVersions(spark, dir).nonEmpty,
+      s"$dir has no manifest — not a published table")
+    val paths = batches.map(b => s"$dir/data/batch=$b")
+    require(paths.nonEmpty, s"$dir manifest lists no batches")
+    spark.read.parquet(paths: _*)
+  }
 }
 
 /** S7/S8 — metrics store behind a trait: parquet implementation for

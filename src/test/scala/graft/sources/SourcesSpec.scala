@@ -239,4 +239,32 @@ class SourcesSpec extends SparkSpec {
     val both = Sources.parquet(spark, s"$root/w1", s"$root/w2")
     assert(both.count() == 2)
   }
+
+  test("manifest-committed publish: atomic visibility, replay, GC, loud reads") {
+    val dir = Files.createTempDirectory("pub").toString + "/table"
+    val b1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val b2 = Seq((3L, "c")).toDF("id", "v")
+    // reading a never-published dir fails loudly (no manifest ≠ empty)
+    intercept[IllegalArgumentException](Sources.readPublished(spark, dir))
+    Sources.publishBatch(b1, dir, 1L)
+    assert(Sources.publishedBatches(spark, dir) == Seq(1L))
+    // crash residue A: a data dir that never reached a manifest
+    Seq((99L, "orphan")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$dir/data/batch=7")
+    // crash residue B: a torn manifest tmp (crashed before rename)
+    Sources.writeJsonSidecarFs(spark, s"$dir/_manifest.v9.json.tmp",
+      Map("batches" -> "1,7"))
+    Sources.publishBatch(b2, dir, 2L)
+    val ids = Sources.readPublished(spark, dir)
+      .select("id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 3L), "only committed batches are visible")
+    // replaying a batch converges: same manifest set, same rows
+    Sources.publishBatch(b2, dir, 2L)
+    assert(Sources.publishedBatches(spark, dir) == Seq(1L, 2L))
+    assert(Sources.readPublished(spark, dir).count() == 3)
+    // superseded manifest versions are GC'd: exactly one remains
+    val manifests = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.matches("_manifest\\.v\\d+\\.json"))
+    assert(manifests.length == 1, s"expected 1 manifest, got ${manifests.toSeq}")
+  }
 }
