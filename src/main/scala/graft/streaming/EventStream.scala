@@ -156,7 +156,9 @@ object EventStream {
     * store. Within-batch self-dups are `nearDupPairs` over the batch
     * alone — O(batch²) bounded by micro-batch size, never the corpus.
     * Returns a ready-to-start writer; survivors also land under
-    * `keptDir` as the cleaned corpus. */
+    * `keptDir` as the cleaned corpus, MANIFEST-COMMITTED
+    * (`Sources.publishBatch` keyed by the stable batchId → exactly-once
+    * delivery; read with `Sources.readPublished`). */
   def streamingNearDupIngest(docs: DataFrame, storeDir: String,
                              keptDir: String, idCol: String, textCol: String,
                              threshold: Double = 0.8)
@@ -192,7 +194,11 @@ object EventStream {
             .distinct()
           val kept = batch.join(dropIds, Seq(idCol), "left_anti")
             .persist() // feeds the corpus sink AND the store append
-          kept.write.mode("append").parquet(keptDir)
+          // manifest-committed: a replayed batch overwrites its own data
+          // dir and re-commits the same manifest entry, so the cleaned
+          // corpus is delivered exactly-once (Sources.publishBatch),
+          // not at-least-once appended
+          graft.sources.Sources.publishBatch(kept, keptDir, batchId + 1)
           // batchId + 1: the stream's ids start at 0, the store reserves
           // batch=0 for the base install; the offset keeps replays keyed
           // to the same store directory deterministically
@@ -219,17 +225,18 @@ object EventStream {
     * separate self-join pass is needed, which is the structural
     * advantage of exact over near dedup here. Replay posture: the STORE
     * converges under at-least-once (re-appended fp rows are anti-join-
-    * invisible, the bloom re-merge is idempotent), while the keptDir
-    * sink re-appends replayed survivors — exactly-once delivery of the
-    * cleaned corpus belongs to a transactional table format, not this
-    * engine primitive (same posture as the near-dup loop). */
+    * invisible, the bloom re-merge is idempotent), and the keptDir sink
+    * is MANIFEST-COMMITTED (`Sources.publishBatch`, keyed by the stable
+    * batchId) — a replayed batch overwrites its own data dir and
+    * re-commits the same manifest entry, so the cleaned corpus is
+    * delivered exactly-once; read it with `Sources.readPublished`. */
   def streamingExactDedupIngest(docs: DataFrame, storeDir: String,
                                 keptDir: String, idCol: String,
                                 textCol: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import graft.operators.Dedup
     docs.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, _: Long) =>
+      (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val preexisting = spark.sparkContext.getPersistentRDDs.keySet
@@ -243,7 +250,7 @@ object EventStream {
           val kept = batch.join(
               survivors.select(col("id").as(idCol)), Seq(idCol), "left_semi")
             .persist() // feeds the corpus sink AND the store append
-          kept.write.mode("append").parquet(keptDir)
+          graft.sources.Sources.publishBatch(kept, keptDir, batchId + 1)
           Dedup.appendToFpStore(
             survivors.select("fp").distinct(), storeDir)
           kept.unpersist()

@@ -260,10 +260,12 @@ class EventStreamSpec extends SparkSpec {
     mem.addData((5L, variant(baseB)), (6L, baseD))
     q.processAllAvailable()
     q.stop()
-    val kept = spark.read.parquet(keptDir)
+    // the cleaned corpus is manifest-committed — read the published view
+    val kept = graft.sources.Sources.readPublished(spark, keptDir)
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(2L, 3L, 6L),
       s"survivors should be {2, 3, 6}, got $kept")
+    assert(graft.sources.Sources.publishedBatches(spark, keptDir) == Seq(1L, 2L))
     // the store grew by exactly the survivors
     val storeIds = spark.read.parquet(s"$storeDir/signatures")
       .select("id").distinct().as[Long].collect().toSet
@@ -292,7 +294,7 @@ class EventStreamSpec extends SparkSpec {
     mem.addData((5L, "FRESH one"), (6L, "brand new"))
     q.processAllAvailable()
     q.stop()
-    val kept = spark.read.parquet(keptDir)
+    val kept = graft.sources.Sources.readPublished(spark, keptDir)
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(2L, 3L, 6L), s"survivors should be {2, 3, 6}, got $kept")
     // the store grew by exactly the survivors' fps, and the bloom
