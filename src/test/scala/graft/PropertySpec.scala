@@ -213,6 +213,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("topTokensPerGroup and skewStats agree with naive twins") {
+    import graft.operators.TextAnalysis
+    import graft.ops.Skew
+    val gen = Gen.nonEmptyListOf(for {
+      g <- Gen.oneOf("g1", "g2")
+      t <- Gen.listOfN(4, Gen.oneOf("a", "b", "c")).map(_.mkString(" "))
+    } yield (g, t))
+    samples(gen).foreach { rows =>
+      val df = rows.toDF("grp", "text")
+      val out = TextAnalysis.topTokensPerGroup(df, "grp", "text", 2)
+        .select("grp", "token", "n", "rank")
+        .as[(String, String, Long, Int)].collect().toSet
+      val naive = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        rs.flatMap(_._2.split(" ")).groupBy(identity)
+          .map { case (t, os) => (t, os.size.toLong) }.toSeq
+          .sortBy { case (t, c) => (-c, t) }.take(2).zipWithIndex
+          .map { case ((t, c), i) => (g, t, c, i + 1) }
+      }.toSet
+      assert(out == naive)
+      // skewStats over the group column
+      val s = Skew.skewStats(df, "grp", topK = 1)
+        .select("n_keys", "n_rows", "max_n", "top_share")
+        .as[(Long, Long, Long, Double)].collect().head
+      val counts = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      assert(s._1 == counts.size && s._2 == rows.size &&
+        s._3 == counts.values.max)
+      assert(math.abs(s._4 - counts.values.max.toDouble / rows.size) < 1e-6)
+    }
+  }
+
   test("clusterKeepers invariants hold on random pair graphs") {
     import graft.operators.Dedup
     val gen = for {
