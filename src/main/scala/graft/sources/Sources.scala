@@ -82,18 +82,22 @@ object Sources {
     try out.write(bytes) finally out.close()
   }
 
-  /** FS-routed binary sidecar read — see `writeBinarySidecarFs`. */
+  /** FS-routed binary sidecar read — see `writeBinarySidecarFs`.
+    * Sized from the file status and `readFully`-filled rather than a
+    * read-until-negative loop: `InputStream.read` may legally return 0
+    * without EOF (some FS streams do under contention), and a `>= 0`
+    * loop would spin forever on it; `readFully` loops internally until
+    * the buffer is full or throws on premature EOF. */
   def readBinarySidecarFs(spark: SparkSession, path: String): Array[Byte] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val len = fs.getFileStatus(p).getLen
+    require(len <= Int.MaxValue,
+      s"sidecar $path is $len bytes — past the byte-array ceiling")
+    val bytes = new Array[Byte](len.toInt)
     val in = fs.open(p)
-    try {
-      val bytes = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-      bytes.toByteArray
-    } finally in.close()
+    try in.readFully(0, bytes) finally in.close()
+    bytes
   }
 
   /** FS-routed twin of `readJsonSidecar` — see `writeJsonSidecarFs`. */
@@ -377,32 +381,53 @@ object Sources {
       }.sortBy(_._1)
   }
 
-  /** Live batch ids of a manifested table (empty before first publish). */
-  def publishedBatches(spark: SparkSession, dir: String): Seq[Long] =
-    manifestVersions(spark, dir).lastOption.toSeq.flatMap { case (_, p) =>
-      val s = readJsonSidecarFs(spark, p.toString)("batches")
-      if (s.isEmpty) Seq.empty else s.split(",").map(_.toLong).toSeq
-    }
+  /** Live batch ids of a manifested table (empty before first publish).
+    * One retry on a vanished manifest: the writer GCs superseded
+    * versions after committing a new one, so a reader that listed
+    * max-N just before the GC can hit FileNotFound on the file it
+    * resolved — re-listing finds the newer version. (The writer also
+    * RETAINS version N-1 precisely so this window needs the file to
+    * vanish across TWO commits before the retry can fail.) */
+  def publishedBatches(spark: SparkSession, dir: String): Seq[Long] = {
+    def resolve(): Seq[Long] =
+      manifestVersions(spark, dir).lastOption.toSeq.flatMap { case (_, p) =>
+        val s = readJsonSidecarFs(spark, p.toString)("batches")
+        if (s.isEmpty) Seq.empty else s.split(",").map(_.toLong).toSeq
+      }
+    try resolve()
+    catch { case _: java.io.FileNotFoundException => resolve() }
+  }
 
-  /** Publish one batch atomically: data dir first, then the next
-    * manifest version (tmp + rename to a fresh name). Replay-idempotent
-    * under the single-writer contract. */
-  def publishBatch(df: DataFrame, dir: String, batchId: Long): Unit = {
-    val spark = df.sparkSession
-    df.write.mode("overwrite").parquet(s"$dir/data/batch=$batchId")
+  /** Commit a new manifest version listing exactly `batches` (tmp +
+    * rename to a fresh name — the atomic primitive). Shared by
+    * [[publishBatch]] (additive) and [[compactPublished]] /
+    * [[zorderPublished]] (replacing). GC keeps the PREVIOUS version as
+    * a grace copy for readers that resolved it just before this
+    * commit; only versions older than N-1 are deleted. */
+  private def commitManifest(spark: SparkSession, dir: String,
+                             batches: Seq[Long]): Int = {
     val versions = manifestVersions(spark, dir)
-    val current = publishedBatches(spark, dir)
     val next = versions.lastOption.map(_._1 + 1).getOrElse(1)
-    val updated = (current.toSet + batchId).toSeq.sorted
     val tmp = s"$dir/_manifest.v$next.json.tmp"
-    writeJsonSidecarFs(spark, tmp, Map("batches" -> updated.mkString(",")))
+    writeJsonSidecarFs(spark, tmp,
+      Map("batches" -> batches.sorted.mkString(",")))
     val d = new Path(dir)
     val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.rename(new Path(tmp), new Path(s"$dir/_manifest.v$next.json")),
       s"manifest commit raced: _manifest.v$next.json already exists " +
         "(second writer? the publish contract is single-writer)")
-    // GC superseded manifests (best-effort; readers only look at max-N)
-    versions.foreach { case (_, p) => fs.delete(p, false) }
+    versions.dropRight(1).foreach { case (_, p) => fs.delete(p, false) }
+    next
+  }
+
+  /** Publish one batch atomically: data dir first, then the next
+    * manifest version. Replay-idempotent under the single-writer
+    * contract. */
+  def publishBatch(df: DataFrame, dir: String, batchId: Long): Unit = {
+    val spark = df.sparkSession
+    df.write.mode("overwrite").parquet(s"$dir/data/batch=$batchId")
+    val updated = (publishedBatches(spark, dir).toSet + batchId).toSeq.sorted
+    commitManifest(spark, dir, updated)
   }
 
   /** Read the manifested table: only batches the latest manifest lists —
