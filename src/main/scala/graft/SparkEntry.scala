@@ -146,6 +146,7 @@ object SparkEntry {
     "ann6_hybrid_rerank" -> (Documents.ann6HybridRerank _),
     "t18_self_dedup_rewrite" -> (Documents.t18SelfDedupRewrite _),
     "s_publish_roundtrip" -> (Documents.sPublishRoundtrip _),
+    "s_publish_compact" -> (Documents.sPublishCompact _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1247,6 +1248,13 @@ object SparkEntry {
     // the oracle recomputes from the ORIGINAL table, so an orphan batch
     // leaking into the read (or a committed batch going missing) fails
     "s_publish_roundtrip" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // S-PUBLISH-COMPACT: compaction under the manifest is a pure
+    // file-layout flip — the oracle is the clean table, so a leaked
+    // orphan, lost batch, or double-counted row across the flip fails
+    "s_publish_compact" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,

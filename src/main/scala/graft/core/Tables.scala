@@ -25,14 +25,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
-    * default; read nanos as long, then rebuild a microsecond timestamp
-    * with integer division (ns-epoch exceeds double's 2^53 mantissa, so
-    * float division would corrupt timestamps). */
+  /** events.parquet's `ts` has shipped as TIMESTAMP(NANOS) in some data
+    * generations (Spark 4 rejects it by default — read nanos as long,
+    * rebuild with integer division: ns-epoch exceeds double's 2^53
+    * mantissa, so float division would corrupt timestamps) and as plain
+    * TIMESTAMP(MICROS) in others (arrives as TIMESTAMP_NTZ — cast to
+    * the session-zoned type so downstream window/diff arithmetic sees
+    * ONE type either way; the session is pinned UTC, so the cast is
+    * instant-preserving). Route by the loaded type, not by assumption. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -84,7 +84,17 @@ object Dedup {
   /** Shared routed implementation for the exact-dedup family over an
     * arbitrary fingerprint expression (byte-exact `fingerprint`,
     * `canonicalFingerprint`, …). Same contract as `exactDedup`: unique
-    * non-null ids. */
+    * non-null ids.
+    *
+    * Cache lifecycle: the drop set is persisted so the routing count and
+    * the broadcast side share ONE computation. On the shuffle branch it
+    * is unpersisted immediately (that plan never reads it again); on the
+    * broadcast branch it DELIBERATELY lingers until the caller's action
+    * completes — the returned plan reads it, and an eager unpersist here
+    * would recompute the whole ranked window at execution, paying the
+    * exchange twice to save ≤ 80 MB of plan-keyed (so non-accumulating)
+    * cache. Family policy: long-lived sessions `clearCache()` between
+    * one-shot scans (NOTES). */
   private def exactDedupAutoOn(df: DataFrame, idCol: String, fp: Column,
                                maxBroadcastDrops: Long): DataFrame = {
     val keyed = df.select(col(idCol).as("_id"), fp.as("_fp"))

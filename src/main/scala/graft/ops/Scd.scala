@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   * keeps the full history as validity intervals — the snapshot layout a
   * training pipeline needs to answer "what did this row look like when
   * the model trained" (point-in-time correctness; the reference's weekly
-  * snapshot ingest is exactly this shape, reference loader.py's
-  * dt-partitioned loads).
+  * snapshot ingest is exactly this shape — process_bronze_tables.py /
+  * process_silver_tables.py land dt-keyed weekly snapshots whose
+  * history this operator would compact).
   */
 object Scd {
 

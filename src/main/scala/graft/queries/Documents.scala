@@ -378,6 +378,35 @@ object Documents {
       .orderBy("lang")
   }
 
+  /** S-PUBLISH-COMPACT — maintenance UNDER the manifest: three
+    * fragmented publishes land (16 files each), a crashed publish
+    * leaves an orphan dir, then `compactPublished` rewrites the live
+    * batches into ONE new batch committed as one manifest version.
+    * The read afterwards must see exactly the original rows — the
+    * oracle is the clean table, so a leaked orphan, a lost batch, or a
+    * row duplicated across the flip hash-fails. The dir is wiped first
+    * because the query is not naturally idempotent across bench
+    * repeats (each run commits fresh versions). */
+  def sPublishCompact(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.Sources
+    val docs = Tables.documents(s, d)
+    val dir = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/published_compact"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    Sources.publishBatch(docs.filter(col("doc_id") % 3 === 0).repartition(16), dir, 1L)
+    Sources.publishBatch(docs.filter(col("doc_id") % 3 === 1).repartition(16), dir, 2L)
+    Sources.publishBatch(docs.filter(col("doc_id") % 3 === 2).repartition(16), dir, 3L)
+    // crash residue: data landed, manifest never did — must stay invisible
+    docs.limit(50).write.mode("overwrite").parquet(s"$dir/data/batch=99")
+    val (_, nOut) = Sources.compactPublished(s, dir, targetFileBytes = 1L << 30)
+    require(nOut == 1, s"1 GiB target must compact to one file, got $nOut")
+    Sources.readPublished(s, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+  }
+
   /** T17 — per-language top-10 token vocabulary: the census a
     * tokenizer-training or corpus-mix report runs; window over the
     * vocab-sized counts table, never the corpus. */

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
@@ -73,13 +73,28 @@ object Sources {
   /** Binary sidecar through the store's own filesystem (same contract
     * as `writeJsonSidecarFs`: the whole store lives on ONE fs). Used
     * for serialized sketches that travel with a table — e.g. the exact
-    * fp store's Bloom filter. */
+    * fp store's Bloom filter.
+    *
+    * Overwrites go through tmp + rename-with-OVERWRITE (the
+    * `FileContext` rename, atomic on HDFS and posix local disks): a
+    * bare `fs.create(p, true)` truncates in place, so a reader that
+    * sized its buffer from `getFileStatus` just before a rewrite (the
+    * `readBinarySidecarFs` pattern) could hit EOF or mixed old/new
+    * bytes mid-read. With the rename, a concurrent reader sees the old
+    * sidecar or the new one — never a torn one. Concurrent WRITERS of
+    * the same sidecar still race on the shared tmp name; stores keep
+    * their single-writer contract. */
   def writeBinarySidecarFs(spark: SparkSession, path: String,
                            bytes: Array[Byte]): Unit = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    val tmp = new Path(path + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
+    val fc = FileContext.getFileContext(fs.getUri,
+      spark.sparkContext.hadoopConfiguration)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(p),
+      Options.Rename.OVERWRITE)
   }
 
   /** FS-routed binary sidecar read — see `writeBinarySidecarFs`.
@@ -202,25 +217,36 @@ object Sources {
     * the output file count. Deliberately writes to a NEW directory:
     * compact-in-place needs a commit protocol (write temp + atomic
     * swap) that belongs to the table format / orchestrator, not the
-    * engine primitive. */
+    * engine primitive — for a MANIFESTED table, [[compactPublished]]
+    * is exactly that composition. */
   def compactParquet(spark: SparkSession, srcDir: String, dstDir: String,
                      targetFileBytes: Long = 128L << 20): Int = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val p = new Path(srcDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // RECURSIVE census: Hive-partitioned sources keep their data files
-    // under key=value subdirectories — a flat listStatus would see 0
-    // bytes there, collapse nOut to 1, and rewrite the whole dataset as
-    // a single file in silent violation of targetFileBytes. Hidden path
-    // components (_temporary staging from a crashed write, _spark_
-    // metadata, dot-files) are EXCLUDED exactly as spark.read excludes
-    // them — counting them would size the rewrite off trash the reader
-    // never sees.
-    // compare QUALIFIED paths: with a relative srcDir the raw root
-    // string never matches the qualified paths listFiles returns, the
-    // walk would climb past the table root, and a dot/underscore
-    // ancestor (a .cache CWD, say) would mark every data file hidden
-    val rootUri = fs.makeQualified(p).toUri.getPath
+    val (totalBytes, nFiles) = parquetCensus(fs, p)
+    require(nFiles > 0,
+      s"compactParquet: no .parquet data files under $srcDir — refusing to " +
+        "size the rewrite off an empty census")
+    val nOut = targetFileCount(totalBytes, targetFileBytes)
+    rewriteAs(spark.read.parquet(srcDir), nOut, dstDir)
+    countParquetFiles(fs, new Path(dstDir))
+  }
+
+  /** RECURSIVE byte/file census of a parquet directory. Hive-partitioned
+    * sources keep their data files under key=value subdirectories — a
+    * flat listStatus would see 0 bytes there, collapse the rewrite to 1
+    * file in silent violation of targetFileBytes. Hidden path
+    * components (_temporary staging from a crashed write,
+    * _spark_metadata, dot-files) are EXCLUDED exactly as spark.read
+    * excludes them — counting them would size the rewrite off trash the
+    * reader never sees.
+    * Compares QUALIFIED paths: with a relative dir the raw root string
+    * never matches the qualified paths listFiles returns, the walk
+    * would climb past the table root, and a dot/underscore ancestor (a
+    * .cache CWD, say) would mark every data file hidden. */
+  private def parquetCensus(fs: FileSystem, root: Path): (Long, Int) = {
+    val rootUri = fs.makeQualified(root).toUri.getPath
     def hiddenUnderRoot(f: Path): Boolean = {
       var cur = f
       while (cur != null && cur.toUri.getPath != rootUri) {
@@ -230,7 +256,7 @@ object Sources {
       }
       false
     }
-    val it = fs.listFiles(p, true)
+    val it = fs.listFiles(root, true)
     var totalBytes = 0L
     var nFiles = 0
     while (it.hasNext) {
@@ -240,22 +266,29 @@ object Sources {
         totalBytes += f.getLen; nFiles += 1
       }
     }
-    require(nFiles > 0,
-      s"compactParquet: no .parquet data files under $srcDir — refusing to " +
-        "size the rewrite off an empty census")
-    val nOut = math.max(1L,
-      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val df = spark.read.parquet(srcDir)
+    (totalBytes, nFiles)
+  }
+
+  private def targetFileCount(totalBytes: Long, targetFileBytes: Long): Int =
+    math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+
+  /** One rewrite job: a shuffle-free `coalesce` when SHRINKING the file
+    * count (the common small-file case), a `repartition` shuffle when
+    * GROWING it (splitting oversized files has to move rows; coalesce
+    * cannot raise the partition count and would silently keep the old
+    * layout) — content is bit-identical, only the layout changes. */
+  private def rewriteAs(df: DataFrame, nOut: Int, dstDir: String): Unit = {
     val cur = df.rdd.getNumPartitions
     val reshaped =
       if (nOut < cur) df.coalesce(nOut)
       else if (nOut > cur) df.repartition(nOut)
       else df
     reshaped.write.mode(SaveMode.Overwrite).parquet(dstDir)
-    val d = new Path(dstDir)
-    fs.listStatus(d).count(f =>
-      f.isFile && f.getPath.getName.endsWith(".parquet"))
   }
+
+  private def countParquetFiles(fs: FileSystem, dir: Path): Int =
+    fs.listStatus(dir).count(f =>
+      f.isFile && f.getPath.getName.endsWith(".parquet"))
 
   /** Z-value (Morton) interleave of per-column bucket ids: bit j of
     * column i lands at position j·k + (k−1−i), so all columns share the
@@ -297,7 +330,8 @@ object Sources {
     * cluster into the low-z files instead of smearing everywhere.
     * Returns the output file count. New directory, same contract as
     * [[compactParquet]]: in-place swap is the table format's commit
-    * protocol, not an engine primitive. */
+    * protocol, not an engine primitive ([[zorderPublished]] for the
+    * manifested composition). */
   def zorderWrite(spark: SparkSession, df: DataFrame, zCols: Seq[String],
                   dstDir: String, nFiles: Int, bitsPerCol: Int = 8,
                   relErr: Double = 0.002): Int = {
@@ -395,7 +429,19 @@ object Sources {
         if (s.isEmpty) Seq.empty else s.split(",").map(_.toLong).toSeq
       }
     try resolve()
-    catch { case _: java.io.FileNotFoundException => resolve() }
+    catch {
+      case _: java.io.FileNotFoundException =>
+        try resolve()
+        catch {
+          // a SECOND vanish is not the GC race (the writer retains
+          // N-1): the table dir itself is gone or being torn down —
+          // report that, not a raw FNF on some internal path
+          case e: java.io.FileNotFoundException =>
+            throw new java.io.FileNotFoundException(
+              s"$dir: manifest vanished twice — not a published table " +
+                s"(deleted, or torn down mid-read)? underlying: ${e.getMessage}")
+        }
+    }
   }
 
   /** Commit a new manifest version listing exactly `batches` (tmp +
@@ -440,6 +486,83 @@ object Sources {
     val paths = batches.map(b => s"$dir/data/batch=$b")
     require(paths.nonEmpty, s"$dir manifest lists no batches")
     spark.read.parquet(paths: _*)
+  }
+
+  /** First batch id above every id that has EVER landed under
+    * `$dir/data` — live, orphaned, or crash residue alike. Scanning the
+    * directory (not just the manifest) matters: a crashed-but-
+    * replayable publish leaves an unlisted dir whose id its writer WILL
+    * commit later; electing that id for a maintenance rewrite would let
+    * the replay overwrite the rewritten data and then commit a manifest
+    * pointing at it — silent data loss. Dir names outside the
+    * `batch=<long>` shape are ignored (they are not part of the table). */
+  private def nextBatchId(fs: FileSystem, dir: String): Long = {
+    val data = new Path(s"$dir/data")
+    val m = "batch=(\\d+)".r
+    val seen =
+      if (!fs.exists(data)) Seq.empty[Long]
+      else fs.listStatus(data).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName).collect { case m(id) => id.toLong }
+    seen.foldLeft(0L)(math.max) + 1
+  }
+
+  /** Maintenance under the manifest — small-file compaction of a
+    * PUBLISHED table as one transactional commit: the live batches'
+    * rows are rewritten into a SINGLE new batch dir sized by
+    * `targetFileBytes` ([[compactParquet]]'s census + coalesce/
+    * repartition shape), then ONE new manifest version lists exactly
+    * that batch. Readers atomically flip from the fragmented layout to
+    * the compacted one; the old batch dirs become invisible orphans
+    * (GC'able at leisure), and a crash at ANY point degrades to an
+    * invisible orphan of the new dir — rerun to converge. This is the
+    * loop `OPTIMIZE` closes in lakehouse formats, composed from this
+    * file's own primitives. SINGLE-WRITER like every manifest
+    * operation: the compactor takes the writer role for the commit
+    * (coordinate with the ingest loop — e.g. between micro-batches).
+    * Returns (new batch id, output file count). */
+  def compactPublished(spark: SparkSession, dir: String,
+                       targetFileBytes: Long = 128L << 20): (Long, Int) = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val live = publishedBatches(spark, dir)
+    require(live.nonEmpty,
+      s"compactPublished: $dir has no live batches (never published, " +
+        "or manifest lists none)")
+    val d = new Path(dir)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val censuses = live.map(b => parquetCensus(fs, new Path(s"$dir/data/batch=$b")))
+    val totalBytes = censuses.map(_._1).sum
+    require(censuses.map(_._2).sum > 0,
+      s"compactPublished: live batches of $dir hold no .parquet files")
+    val nOut = targetFileCount(totalBytes, targetFileBytes)
+    val newId = nextBatchId(fs, dir)
+    val dst = s"$dir/data/batch=$newId"
+    rewriteAs(spark.read.parquet(live.map(b => s"$dir/data/batch=$b"): _*),
+      nOut, dst)
+    commitManifest(spark, dir, Seq(newId))
+    (newId, countParquetFiles(fs, new Path(dst)))
+  }
+
+  /** Z-order clustering of a PUBLISHED table under the same
+    * one-commit contract as [[compactPublished]]: the live batches are
+    * rewritten through [[zorderWrite]] into one new batch dir, then a
+    * single manifest version flips the table to the clustered layout.
+    * Returns (new batch id, output file count). */
+  def zorderPublished(spark: SparkSession, dir: String, zCols: Seq[String],
+                      nFiles: Int, bitsPerCol: Int = 8,
+                      relErr: Double = 0.002): (Long, Int) = {
+    val live = publishedBatches(spark, dir)
+    require(live.nonEmpty,
+      s"zorderPublished: $dir has no live batches (never published, " +
+        "or manifest lists none)")
+    val d = new Path(dir)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val newId = nextBatchId(fs, dir)
+    val dst = s"$dir/data/batch=$newId"
+    val n = zorderWrite(spark,
+      spark.read.parquet(live.map(b => s"$dir/data/batch=$b"): _*),
+      zCols, dst, nFiles, bitsPerCol, relErr)
+    commitManifest(spark, dir, Seq(newId))
+    (newId, n)
   }
 }
 

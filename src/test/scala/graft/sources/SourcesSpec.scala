@@ -262,9 +262,47 @@ class SourcesSpec extends SparkSpec {
     Sources.publishBatch(b2, dir, 2L)
     assert(Sources.publishedBatches(spark, dir) == Seq(1L, 2L))
     assert(Sources.readPublished(spark, dir).count() == 3)
-    // superseded manifest versions are GC'd: exactly one remains
+    // superseded manifest versions are GC'd, RETAINING N-1 as the grace
+    // copy for the reader-vs-GC race publishedBatches' retry documents:
+    // after three commits exactly {v2, v3} remain
     val manifests = new java.io.File(dir).listFiles()
-      .map(_.getName).filter(_.matches("_manifest\\.v\\d+\\.json"))
-    assert(manifests.length == 1, s"expected 1 manifest, got ${manifests.toSeq}")
+      .map(_.getName).filter(_.matches("_manifest\\.v\\d+\\.json")).sorted
+    assert(manifests.toSeq == Seq("_manifest.v2.json", "_manifest.v3.json"),
+      s"expected v2+v3 to remain, got ${manifests.toSeq}")
+  }
+
+  test("compactPublished/zorderPublished: one-commit maintenance, old batches orphaned") {
+    val dir = Files.createTempDirectory("pubmaint").toString + "/table"
+    val docs = Tables.documents(spark, sf)
+    // three fragmented publishes (16 files each) + crash residue
+    Sources.publishBatch(docs.filter($"doc_id" % 3 === 0).repartition(16), dir, 1L)
+    Sources.publishBatch(docs.filter($"doc_id" % 3 === 1).repartition(16), dir, 2L)
+    Sources.publishBatch(docs.filter($"doc_id" % 3 === 2).repartition(16), dir, 3L)
+    docs.limit(10).write.mode("overwrite").parquet(s"$dir/data/batch=99")
+    def filesUnder(b: Long) = {
+      val d = new java.io.File(s"$dir/data/batch=$b")
+      if (!d.exists) 0 else d.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    assert(Seq(1L, 2L, 3L).map(filesUnder).sum == 48)
+    val (newId, nOut) = Sources.compactPublished(spark, dir,
+      targetFileBytes = 1L << 30)
+    // the new id clears EVERY dir that ever landed, orphans included —
+    // a replayed batch=99 must not be able to overwrite compacted data
+    assert(newId == 100L, s"expected id above the 99 orphan, got $newId")
+    assert(nOut == 1, s"1 GiB target must compact to one file, got $nOut")
+    assert(Sources.publishedBatches(spark, dir) == Seq(100L))
+    val after = Sources.readPublished(spark, dir)
+    assert(after.except(docs).count() == 0 && docs.except(after).count() == 0,
+      "compaction must be content-identical")
+    // old batch dirs survive on disk as INVISIBLE orphans (GC'able)
+    assert(Seq(1L, 2L, 3L).map(filesUnder).sum == 48)
+    // z-order republish: same one-commit flip, content untouched
+    val (zId, _) = Sources.zorderPublished(spark, dir,
+      Seq("doc_id", "n_chars"), nFiles = 4)
+    assert(zId == 101L)
+    assert(Sources.publishedBatches(spark, dir) == Seq(101L))
+    val zBack = Sources.readPublished(spark, dir)
+    assert(zBack.except(docs).count() == 0 && docs.except(zBack).count() == 0,
+      "z-order republish must be content-identical")
   }
 }
