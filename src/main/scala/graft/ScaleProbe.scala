@@ -99,6 +99,16 @@ object ScaleProbe {
         d, evalMix(d), "doc_id", "text", n = 5)
         .agg(sum(length(col("clean_text"))).as("chars_kept"),
           sum(col("n_kept")).as("toks_kept"))),
+      // the size-routed rewrite FORCED onto its Bloom route, against
+      // t15's broadcast row above on the same corpus: the premium for
+      // flag-first (Bloom build + verify + a second corpus pass for
+      // the passthrough) buys a gram-explosion stage bounded by the
+      // CONTAMINATED sliver — on this mostly-novel eval mix the routed
+      // curve should flatten vs t15 as replication grows duplication
+      "t19_decontam_auto_bloom" -> (d => Dedup.decontaminateRewriteAuto(
+        d, evalMix(d), "doc_id", "text", n = 5, maxBroadcastGrams = 0L)
+        .agg(sum(length(col("clean_text"))).as("chars_kept"),
+          sum(col("n_kept")).as("toks_kept"))),
       // canonical dedup rides the same (id, fp) exchanges as d1 — the
       // canonicalization is map-side regex work, so the curve should
       // sit a hair above d1_exact and bend nowhere

@@ -147,6 +147,8 @@ object SparkEntry {
     "t18_self_dedup_rewrite" -> (Documents.t18SelfDedupRewrite _),
     "s_publish_roundtrip" -> (Documents.sPublishRoundtrip _),
     "s_publish_compact" -> (Documents.sPublishCompact _),
+    "t19_decontam_auto" -> (Documents.t19DecontamAuto _),
+    "ann7_cell_stats" -> (Documents.ann7CellStats _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1144,30 +1146,11 @@ object SparkEntry {
     // 5-gram set, corpus positional grams, semi-join → covered
     // positions, token anti join, ordered reassembly (d13's pattern
     // with the eval set replacing the first-occurrence rule)
-    "t15_decontam_rewrite" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
-        |c AS (SELECT doc_id, ws FROM t WHERE doc_id % 97 <> 0),
-        |eg AS (SELECT DISTINCT u AS s FROM (
-        |  SELECT unnest(list_transform(range(1, len(ws) - 3),
-        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS u
-        |  FROM t WHERE doc_id % 97 = 0 AND len(ws) >= 5)),
-        |g AS (SELECT doc_id, u.p AS p, u.s AS s FROM (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 3),
-        |    i -> {'p': i, 's': ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]})) AS u
-        |  FROM c WHERE len(ws) >= 5)),
-        |cov AS (SELECT DISTINCT doc_id, unnest(range(p, p + 5)) AS i
-        |  FROM g SEMI JOIN eg ON g.s = eg.s),
-        |tok AS (SELECT doc_id, u.i AS i, u.w AS w FROM (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1), i -> {'i': i, 'w': ws[i]})) AS u FROM c)),
-        |kept AS (SELECT tok.doc_id, tok.i, tok.w FROM tok ANTI JOIN cov
-        |  ON tok.doc_id = cov.doc_id AND tok.i = cov.i),
-        |outp AS (SELECT doc_id, count(*) AS n_kept,
-        |  string_agg(w, ' ' ORDER BY i) AS clean_text FROM kept GROUP BY doc_id)
-        |SELECT c.doc_id, CAST(len(ws) AS BIGINT) AS n_toks,
-        |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
-        |  coalesce(clean_text, '') AS clean_text
-        |FROM c LEFT JOIN outp ON c.doc_id = outp.doc_id
-        |ORDER BY c.doc_id""".stripMargin,
+    "t15_decontam_rewrite" -> decontamRewriteSql,
+    // T19: the size-ROUTED rewrite (Bloom-flag docs, rewrite only the
+    // flagged sliver) is bit-identical to t15 BY CONTRACT — sharing
+    // t15's oracle verbatim IS the gate on that contract
+    "t19_decontam_auto" -> decontamRewriteSql,
     "d16_cluster_best" -> clusterBestSql,
     // D17: min id per canonical form, the form pinned via its md5
     "d17_canonical_dedup" ->
@@ -1282,6 +1265,10 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 4) AS sum_price
         |FROM hist GROUP BY 1, 2, 3
         |ORDER BY version, o_orderstatus, is_current""".stripMargin,
+    // ANN7: the drift monitor's stats row recounted by DuckDB straight
+    // from the at-rest index parquet (cell = hive partition column) —
+    // dq_skew_stats' formula over the index instead of a table column
+    "ann7_cell_stats" -> ivfCellStatsSql,
     // DQ-skew: exact key-count distribution stats; sums cast (gotcha 19)
     "dq_skew_stats" ->
       """WITH c AS (SELECT l_suppkey AS k, count(*) AS n FROM lineitem GROUP BY 1),
@@ -1376,6 +1363,57 @@ object SparkEntry {
       |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
       |WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** t15/t19's shared oracle: span-level decontamination recomputed
+    * from scratch — eval 5-gram set, corpus positional grams, semi-join
+    * → covered positions, token anti join, ordered reassembly. t19 (the
+    * size-routed variant forced onto its Bloom route) shares it
+    * verbatim because bit-identical output IS the routing contract. */
+  private val decontamRewriteSql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      |c AS (SELECT doc_id, ws FROM t WHERE doc_id % 97 <> 0),
+      |eg AS (SELECT DISTINCT u AS s FROM (
+      |  SELECT unnest(list_transform(range(1, len(ws) - 3),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS u
+      |  FROM t WHERE doc_id % 97 = 0 AND len(ws) >= 5)),
+      |g AS (SELECT doc_id, u.p AS p, u.s AS s FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 3),
+      |    i -> {'p': i, 's': ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]})) AS u
+      |  FROM c WHERE len(ws) >= 5)),
+      |cov AS (SELECT DISTINCT doc_id, unnest(range(p, p + 5)) AS i
+      |  FROM g SEMI JOIN eg ON g.s = eg.s),
+      |tok AS (SELECT doc_id, u.i AS i, u.w AS w FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1), i -> {'i': i, 'w': ws[i]})) AS u FROM c)),
+      |kept AS (SELECT tok.doc_id, tok.i, tok.w FROM tok ANTI JOIN cov
+      |  ON tok.doc_id = cov.doc_id AND tok.i = cov.i),
+      |outp AS (SELECT doc_id, count(*) AS n_kept,
+      |  string_agg(w, ' ' ORDER BY i) AS clean_text FROM kept GROUP BY doc_id)
+      |SELECT c.doc_id, CAST(len(ws) AS BIGINT) AS n_toks,
+      |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+      |  coalesce(clean_text, '') AS clean_text
+      |FROM c LEFT JOIN outp ON c.doc_id = outp.doc_id
+      |ORDER BY c.doc_id""".stripMargin
+
+  /** ann7's oracle: recount the per-cell occupancy distribution of the
+    * at-rest IVF index from its own parquet files (cell read from the
+    * hive partition path, CAST to INT so tie-ordering in the top-K sum
+    * matches Spark's integer cell ordering, not string ordering). The
+    * path is pid-scoped and interpolated at dump time — same process,
+    * same files the query measured. */
+  private def ivfCellStatsSql: String = {
+    val p = graft.queries.Documents.ivfStatsDir
+    s"""WITH c AS (SELECT CAST(cell AS INT) AS k, count(*) AS n
+      |  FROM read_parquet('$p/cells/batch=*/cell=*/*.parquet', hive_partitioning = 1)
+      |  GROUP BY 1),
+      |top AS (SELECT CAST(sum(n) AS BIGINT) AS top_n
+      |  FROM (SELECT n FROM c ORDER BY n DESC, k LIMIT 10)),
+      |agg AS (SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
+      |  max(n) AS max_n, round(avg(n), 4) AS mean_n,
+      |  round(max(n) / avg(n), 4) AS skew_ratio FROM c)
+      |SELECT n_keys, n_rows, max_n, mean_n, skew_ratio,
+      |  round(top_n * 1.0 / n_rows, 6) AS top_share
+      |FROM agg, top""".stripMargin
+  }
 
   /** ann2/ann3's gate oracle: the pinned (query × rank) grid with every
     * invariant flag at 1 — see Documents.annInvariantGate. */

@@ -551,7 +551,13 @@ object Dedup {
     * stable (each pass only shrinks, so it terminates). */
   def decontaminateRewrite(corpus: DataFrame, evalSet: DataFrame,
                            idCol: String, textCol: String,
-                           n: Int = 5): DataFrame = {
+                           n: Int = 5): DataFrame =
+    decontaminateRewriteOn(corpus, evalSet, idCol, textCol, n,
+      broadcastEval = true)
+
+  private def decontaminateRewriteOn(corpus: DataFrame, evalSet: DataFrame,
+                                     idCol: String, textCol: String, n: Int,
+                                     broadcastEval: Boolean): DataFrame = {
     val tokenized = corpus.select(col(idCol).as("id"),
       split(trim(col(textCol)), "\\s+").as("toks"))
     val pos = tokenized.select(col("id"),
@@ -560,10 +566,64 @@ object Dedup {
       .select(explode(positionalGrams128(
         split(trim(col(textCol)), "\\s+"), n)).as("hg"))
       .distinct()
-    val covered = pos.join(broadcast(evalGrams), Seq("hg"), "left_semi")
+    // past the broadcast bound the semi join falls back to a key
+    // shuffle — both sides are 16-byte gram keys (positions ride only
+    // the corpus side), so even then no text moves
+    val evalSide = if (broadcastEval) broadcast(evalGrams) else evalGrams
+    val covered = pos.join(evalSide, Seq("hg"), "left_semi")
       .select(col("id"), explode(sequence(col("p"), col("p") + (n - 1))).as("i"))
       .groupBy("id").agg(collect_set(col("i")).as("_drop"))
     rebuildDroppingPositions(tokenized, covered, idCol)
+  }
+
+  /** Size-routed span decontamination REWRITE — `decontaminate`'s
+    * routing pattern applied to the destructive twin, closing the
+    * escape hatch [[decontaminateRewrite]]'s doc promises for eval
+    * suites past the broadcast bound. Output is BIT-IDENTICAL to
+    * `decontaminateRewrite` on every input (t15's oracle is the shared
+    * contract); only the physical shape routes:
+    *
+    *  - eval grams ≤ `maxBroadcastGrams` (the default matches
+    *    `decontaminate`'s 50 M memory bound): the one-stage broadcast
+    *    rewrite — every corpus doc pays the map-side gram probe, no
+    *    prefilter could beat a broadcast hash semi-join.
+    *  - above it: doc-level FLAGGING first through the Bloom path
+    *    ([[bloomContaminationPairs]] — eval travels as ~1.8 bytes/gram
+    *    of filter bits, corpus grams prefiltered map-side, exact
+    *    verify restores exactness), then the rewrite machinery runs
+    *    over the FLAGGED docs only with the eval semi-join falling
+    *    back to a key shuffle (16-byte keys both sides). Contaminated
+    *    docs are a sliver of a real corpus, so the expensive stage —
+    *    positional-gram explosion + covered-position aggregation — is
+    *    paid by that sliver, not the corpus; clean docs take one
+    *    map-side whitespace retokenization (the same `clean_text`
+    *    normalization the rewrite applies to untouched docs, so the
+    *    two routes agree byte for byte).
+    *
+    * The routing count over the eval side doubles as the Bloom
+    * filter's capacity, exactly like `decontaminate`. */
+  def decontaminateRewriteAuto(corpus: DataFrame, evalSet: DataFrame,
+                               idCol: String, textCol: String, n: Int = 5,
+                               maxBroadcastGrams: Long = 50000000L,
+                               fpp: Double = 0.001): DataFrame = {
+    val evalGrams = shingles(evalSet, idCol, textCol, n).count()
+    if (evalGrams <= maxBroadcastGrams)
+      decontaminateRewrite(corpus, evalSet, idCol, textCol, n)
+    else {
+      val flagged = bloomContaminationPairs(corpus, evalSet, idCol, textCol,
+          n, fpp, expectedEvalGrams = Some(evalGrams))
+        .select(col("id").as(idCol)).distinct()
+      val hit = corpus.join(flagged, Seq(idCol), "left_semi")
+      val clean = corpus.join(flagged, Seq(idCol), "left_anti")
+        .select(col(idCol), split(trim(col(textCol)), "\\s+").as("toks"))
+      val cleanOut = clean.select(col(idCol),
+        size(col("toks")).cast("long").as("n_toks"),
+        size(col("toks")).cast("long").as("n_kept"),
+        concat_ws(" ", col("toks")).as("clean_text"))
+      decontaminateRewriteOn(hit, evalSet, idCol, textCol, n,
+          broadcastEval = false)
+        .unionByName(cleanOut)
+    }
   }
 
   /** WITHIN-document self-repetition removal: every token position

@@ -241,6 +241,37 @@ object Similarity {
       .parquet(s"$path/cells/batch=$batchId")
   }
 
+  /** Per-cell occupancy distribution of an at-rest IVF index — the
+    * MEASUREMENT behind `appendToIvfIndex`'s documented drift policy
+    * ("monitor per-cell counts and rebuild when skew says so"), as one
+    * reusable diagnostic instead of a guess. Reuses
+    * [[graft.ops.Skew.skewStats]] over the index's `cell` partition
+    * column: one map-side-combinable count per cell, then a single
+    * ~16-byte-row aggregate over the nCells counts. The projection is
+    * the partition column only, so no vector payload is read — at any
+    * index size this is a metadata-weight pass across all landed
+    * batches. `skew_ratio` here is exactly the probe-cost straggler
+    * multiplier: a probe of the hottest cell scores max_n vectors
+    * where a balanced index would score mean_n. */
+  def ivfCellStats(spark: SparkSession, path: String,
+                   topK: Int = 10): DataFrame =
+    graft.ops.Skew.skewStats(
+      spark.read.parquet(s"$path/cells").select("cell"), "cell", topK)
+
+  /** The rebuild decision as a pure, spec-pinnable rule (the
+    * `dropSetBroadcastable` routing pattern): re-run `writeIvfIndex`
+    * when the hottest cell holds `maxSkewRatio`× the mean occupancy
+    * (probe latency is cell-size-proportional, so that ratio IS the
+    * straggler multiplier queries see), or when cells have gone EMPTY
+    * (`nonEmptyCells < nCells`: appended mass drifted off part of the
+    * quantizer, so nProbe slots are wasted on dead cells and the rest
+    * of the index fattens). Thresholds are policy — pass the tolerance
+    * the serving SLO implies; 4× default matches the common "rebuild
+    * at quartile imbalance" rule of thumb. */
+  def shouldRebuildIvf(nCells: Int, nonEmptyCells: Long, skewRatio: Double,
+                       maxSkewRatio: Double = 4.0): Boolean =
+    skewRatio > maxSkewRatio || nonEmptyCells < nCells
+
   /** Top-k against an at-rest IVF index: the scan is filtered to the
     * union of all queries' probed cells, which Spark turns into
     * PARTITION PRUNING — the cluster reads ≤ queries×nProbe cell

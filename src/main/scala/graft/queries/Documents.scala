@@ -309,6 +309,22 @@ object Documents {
       .orderBy("doc_id")
   }
 
+  /** T19 — the size-ROUTED decontamination rewrite FORCED onto its
+    * Bloom route (maxBroadcastGrams = 0): doc-level Bloom flagging
+    * first, the span rewrite over flagged docs only (shuffled eval
+    * semi-join), map-side passthrough for the clean rest. Output is
+    * bit-identical to t15 by contract, so it shares t15's oracle — a
+    * flagging miss, a passthrough normalization divergence, or a
+    * dropped/duplicated doc across the union all hash-fail. */
+  def t19DecontamAuto(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.decontaminateRewriteAuto(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 5,
+        maxBroadcastGrams = 0L)
+      .orderBy("doc_id")
+  }
+
   /** D16 — quality-argmax keeper per near-dup cluster: d6's component
     * labeling with the keeper elected by composite quality score
     * (ties → smallest id) instead of min id — "keep the BEST copy",
@@ -761,6 +777,30 @@ object Documents {
         Similarity.bruteForceTopK(e, q, 20), quality,
         k = 5, alpha = 0.8, idCol = "vec_id", scoreCol = "quality")
       .orderBy("q_id", "rank")
+  }
+
+  /** ann7's at-rest index path — exposed so the oracle SQL (built in
+    * the same JVM) can point DuckDB at the very files the stats ran
+    * over, the pipeline_e2e dump-dir pattern. */
+  val ivfStatsDir: String = sys.props("java.io.tmpdir") +
+    s"/graft_${ProcessHandle.current.pid}/ivf_index_stats"
+
+  /** ANN7 — the IVF DRIFT MONITOR driver-gated: the index is built from
+    * 80% of the corpus, grown by the remaining 20%
+    * (`appendToIvfIndex`'s nearest-existing-centroid rule), then
+    * `ivfCellStats` measures the per-cell occupancy distribution across
+    * both landed batches. The oracle recounts the distribution straight
+    * from the index parquet (cell is a hive partition column), so a
+    * miscounted cell, a dropped batch, or a stats-formula drift
+    * hash-fails. Closes the documented-but-unimplemented policy loop at
+    * `appendToIvfIndex`: `shouldRebuildIvf` consumes exactly this row. */
+  def ann7CellStats(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    Similarity.writeIvfIndex(e.filter(col("vec_id") % 5 =!= 0),
+      ivfStatsDir, nCells = 8)
+    Similarity.appendToIvfIndex(e.filter(col("vec_id") % 5 === 0),
+      ivfStatsDir, batchId = 1L)
+    Similarity.ivfCellStats(s, ivfStatsDir)
   }
 
   /** D14 — the store APPEND path driver-gated: the corpus lands in TWO

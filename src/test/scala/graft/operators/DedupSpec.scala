@@ -588,6 +588,31 @@ class DedupSpec extends SparkSpec {
     assert(out(3) == ((13L, 2L, 2L, "tiny doc")), "short docs keep everything")
   }
 
+  test("decontaminateRewriteAuto: Bloom route is bit-identical to the broadcast rewrite") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "clean document with no leaked content at all"),
+      (12L, "alpha beta gamma delta epsilon zeta"),
+      (13L, "tiny doc"),
+      (14L, "extra   spacing   here    stays clean too")).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "x quick brown fox jumps over y"),
+      (101L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val direct = Dedup.decontaminateRewrite(corpus, eval, "doc_id", "text", n = 5)
+    // maxBroadcastGrams = 0 forces the flag-then-rewrite composition;
+    // the passthrough branch must apply the SAME whitespace
+    // normalization the rewrite applies to untouched docs (doc 14 pins
+    // that — multi-space text diverges if one side skips retokenizing)
+    val routed = Dedup.decontaminateRewriteAuto(corpus, eval, "doc_id", "text",
+      n = 5, maxBroadcastGrams = 0L)
+    assert(routed.count() == corpus.count())
+    assert(direct.except(routed).count() == 0 && routed.except(direct).count() == 0,
+      "routed output must be bit-identical to the one-stage rewrite")
+    // the high default routes to the broadcast path — also identical
+    val viaDefault = Dedup.decontaminateRewriteAuto(corpus, eval, "doc_id", "text", n = 5)
+    assert(direct.except(viaDefault).count() == 0 && viaDefault.except(direct).count() == 0)
+  }
+
   test("clusterKeepers elects the quality argmax, ties to smallest id") {
     val docs = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (7L, 0.3))
       .toDF("doc_id", "q0")

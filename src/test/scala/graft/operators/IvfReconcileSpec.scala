@@ -83,6 +83,36 @@ class IvfReconcileSpec extends SparkSpec {
       "appended vectors must be reachable through probed-cell scoring")
   }
 
+  test("ivfCellStats + shouldRebuildIvf: drift monitor flips on a skewed append") {
+    val e = Tables.embeddings(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("ivfd").toString + "/index"
+    Similarity.writeIvfIndex(e, path, nCells = 8)
+    def statsRow() = {
+      val r = Similarity.ivfCellStats(spark, path).first()
+      (r.getAs[Long]("n_keys"), r.getAs[Long]("n_rows"),
+        r.getAs[Double]("skew_ratio"))
+    }
+    val (cells0, rows0, skew0) = statsRow()
+    assert(rows0 == e.count(), "stats must census every landed vector")
+    assert(cells0 == 8L, "k-means on this corpus populates every cell")
+    assert(!Similarity.shouldRebuildIvf(8, cells0, skew0, maxSkewRatio = 4.0),
+      s"fresh index must not flag a rebuild (skew $skew0)")
+    // a pathological append: the SAME vector replicated — every copy
+    // lands in one nearest cell, exactly the drift the policy watches
+    val one = e.limit(1).select($"embedding").as[Array[Float]].head()
+    val skewBatch = (0 until 2000)
+      .map(i => (1000000L + i, one)).toDF("vec_id", "embedding")
+    Similarity.appendToIvfIndex(skewBatch, path, batchId = 1L)
+    val (cells1, rows1, skew1) = statsRow()
+    assert(rows1 == rows0 + 2000)
+    assert(skew1 > skew0, "hot-cell append must raise the skew ratio")
+    assert(Similarity.shouldRebuildIvf(8, cells1, skew1, maxSkewRatio = 4.0),
+      s"post-append skew $skew1 must trip the 4x rule")
+    // the dead-cell arm: fewer non-empty cells than the quantizer has
+    assert(Similarity.shouldRebuildIvf(8, 7L, 1.0))
+    assert(!Similarity.shouldRebuildIvf(8, 8L, 1.0))
+  }
+
   test("reconcileFeatures injects missing features as 0, drops extras, orders") {
     val contract = Seq("f1", "f2", "f3")
     val batch = Seq((1L, 0.5, 9.9)).toDF("id", "f2", "junk")
