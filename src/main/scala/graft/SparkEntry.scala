@@ -149,6 +149,7 @@ object SparkEntry {
     "s_publish_compact" -> (Documents.sPublishCompact _),
     "t19_decontam_auto" -> (Documents.t19DecontamAuto _),
     "ann7_cell_stats" -> (Documents.ann7CellStats _),
+    "d18_char_dedup_rewrite" -> (Documents.d18CharDedupRewrite _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1018,6 +1019,30 @@ object SparkEntry {
         |outp AS (SELECT doc_id, count(*) AS n_kept,
         |  string_agg(w, ' ' ORDER BY i) AS clean_text FROM kept GROUP BY doc_id)
         |SELECT t.doc_id, CAST(len(ws) AS BIGINT) AS n_toks,
+        |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(clean_text, '') AS clean_text
+        |FROM t LEFT JOIN outp ON t.doc_id = outp.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    // D18: the char-granular keep-first removal recomputed from scratch
+    // — substring windows, global first occurrence (doc, pos), covered-
+    // position union, character-level anti join, ordered reassembly
+    // (d13's SQL with substr windows replacing word grams)
+    "d18_char_dedup_rewrite" ->
+      """WITH t AS (SELECT doc_id, text FROM documents),
+        |g AS (SELECT doc_id, u.p AS p, u.s AS s FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, length(text) - 18),
+        |    i -> {'p': i, 's': substr(text, i, 20)})) AS u
+        |  FROM t WHERE length(text) >= 20)),
+        |occ AS (SELECT doc_id, p, ROW_NUMBER() OVER (PARTITION BY s ORDER BY doc_id, p) AS rn FROM g),
+        |cov AS (SELECT DISTINCT doc_id, unnest(range(p, p + 20)) AS i FROM occ WHERE rn > 1),
+        |ch AS (SELECT doc_id, u.i AS i, u.c AS c FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, length(text) + 1),
+        |    i -> {'i': i, 'c': substr(text, i, 1)})) AS u FROM t)),
+        |kept AS (SELECT ch.doc_id, ch.i, ch.c FROM ch ANTI JOIN cov
+        |  ON ch.doc_id = cov.doc_id AND ch.i = cov.i),
+        |outp AS (SELECT doc_id, count(*) AS n_kept,
+        |  string_agg(c, '' ORDER BY i) AS clean_text FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(length(text) AS BIGINT) AS n_chars,
         |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
         |  coalesce(clean_text, '') AS clean_text
         |FROM t LEFT JOIN outp ON t.doc_id = outp.doc_id

@@ -491,8 +491,78 @@ object Dedup {
     rebuildDroppingPositions(tokenized, covered, idCol)
   }
 
+  /** CHARACTER-level exact-substring dedup — Lee et al. 2021 §4's
+    * actual formulation: their suffix-array pass is char-granular, so
+    * duplication that does not align to token boundaries (shifted
+    * whitespace, mid-word truncation, markup residue) is invisible to
+    * the word-level rewrite (`removeDupSpans`) but caught here. Every
+    * CHARACTER position covered by a duplicated char-n-gram occurrence
+    * is dropped under the same global keep-first rule (min (doc, pos)
+    * survives), overlapping spans union, and the document reassembles
+    * from the kept characters. `n` plays the role of Lee et al.'s
+    * 50-char threshold: an n-char duplicated window marks exactly the
+    * substrings of length ≥ n shared across (or within) documents.
+    *
+    * Scale shape = `removeDupSpans` with ~wordLen× more gram rows
+    * (one per char instead of one per token — the honest cost of
+    * char granularity, same exchanges otherwise): positional grams
+    * hash to 128-bit keys map-side via substring windows (the text
+    * never explodes into a char-array for hashing), unique grams are
+    * pruned before the join back, and the rebuild joins an
+    * AQE-broadcast drop-set. 128-bit keys for the same destructive-
+    * confidence reason (see the birthday note above).
+    *
+    * Output: (idCol, n_chars, n_kept, clean_text) — docs shorter than
+    * n chars pass through; the word-level twin's column contract with
+    * chars as the unit. */
+  def removeDupSpansChars(df: DataFrame, idCol: String, textCol: String,
+                          n: Int = 20): DataFrame = {
+    val t = col(textCol)
+    // char array for the REBUILD only, via substr windows: split(text,
+    // "") keeps a trailing "" (Java split limit -1), which would
+    // inflate n_chars by one and misalign nothing visibly — off-by-one
+    // contracts are exactly how destructive ops rot
+    val chars = df.select(col(idCol).as("id"),
+      when(length(t) >= 1,
+          transform(sequence(lit(1), length(t)), i => t.substr(i, lit(1))))
+        .otherwise(array().cast("array<string>")).as("toks"))
+    val pos = df.select(col(idCol).as("id"),
+        posexplode(positionalCharGrams128(t, n)).as(Seq("p", "hg")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val firstOcc = pos.groupBy("hg")
+      .agg(min(struct(col("id"), col("p"))).as("f"), count(lit(1)).as("_occ"))
+      .filter(col("_occ") > 1)
+      .select(col("hg"), col("f.id").as("f_id"), col("f.p").as("f_p"))
+    val covered = pos.join(firstOcc, Seq("hg"))
+      .filter(!(col("id") === col("f_id") && col("p") === col("f_p")))
+      .select(col("id"), explode(sequence(col("p"), col("p") + (n - 1))).as("i"))
+      .groupBy("id").agg(collect_set(col("i")).as("_drop"))
+    rebuildDroppingPositions(chars, covered, idCol, sep = "")
+      .withColumnRenamed("n_toks", "n_chars")
+  }
+
+  /** 128-bit positional char-n-gram keys over raw text: the substring
+    * window array is built once (two-step transform — lambda bodies are
+    * not CSE'd, hashing inline would cut every window twice), then each
+    * window hashes through the two xxhash64 lanes like
+    * [[positionalGrams128]]. Docs shorter than n yield an EMPTY array
+    * (the sequence guard is load-bearing: sequence(0, negative) counts
+    * DOWN). Substring windows are code-point-addressed on both engines
+    * (Spark UTF8String and DuckDB substr), so the oracle recomputation
+    * agrees beyond ASCII. */
+  private def positionalCharGrams128(t: Column, n: Int): Column = {
+    val windows = transform(
+      sequence(lit(0), length(t) - n),
+      i => t.substr(i + lit(1), lit(n)))
+    val hashed = transform(windows,
+      g => struct(xxhash64(g).as("h1"), xxhash64(g, lit(1)).as("h2")))
+    when(length(t) >= n, hashed)
+      .otherwise(array().cast("array<struct<h1:bigint,h2:bigint>>"))
+  }
+
   /** Shared rewrite tail for the destructive span operators
-    * (`removeDupSpans`, `decontaminateRewrite`): drop every token whose
+    * (`removeDupSpans`, `decontaminateRewrite`, and — with `sep = ""`
+    * over char arrays — `removeDupSpansChars`): drop every unit whose
     * position is in the doc's `_drop` set, reassemble in order.
     * `covered` is (id, _drop: array<int>); docs absent from it pass
     * through untouched. The drop-set table is tiny relative to the
@@ -500,7 +570,8 @@ object Dedup {
     * join and the token arrays never shuffle. */
   private def rebuildDroppingPositions(tokenized: DataFrame,
                                        covered: DataFrame,
-                                       idCol: String): DataFrame = {
+                                       idCol: String,
+                                       sep: String = " "): DataFrame = {
     // kept indices via array_except (hash-set membership, left order
     // preserved): O(n_toks + n_dropped) per doc — a per-token
     // array_contains scan over the drop set would be O(n_toks ×
@@ -513,7 +584,7 @@ object Dedup {
       .select(col("id").as(idCol),
         size(col("toks")).cast("long").as("n_toks"),
         size(kept).cast("long").as("n_kept"),
-        concat_ws(" ", kept).as("clean_text"))
+        concat_ws(sep, kept).as("clean_text"))
   }
 
   /** Span-level decontamination TRANSFORM — the removal counterpart of

@@ -171,6 +171,18 @@ object Documents {
     Dedup.removeDupSpans(Tables.documents(s, d), "doc_id", "text", n = 5)
       .orderBy("doc_id")
 
+  /** D18 — CHAR-level exact-substring dedup rewrite (Lee et al.'s
+    * actual char-granular formulation; d13 is the word-level twin):
+    * every character position covered by a duplicated 20-char window
+    * is dropped under the global keep-first rule, docs reassembled
+    * from kept characters. Full value compare — the oracle recomputes
+    * windows, first occurrences, covered unions, and the character
+    * reassembly from scratch. */
+  def d18CharDedupRewrite(s: SparkSession, d: String): DataFrame =
+    Dedup.removeDupSpansChars(Tables.documents(s, d), "doc_id", "text",
+        n = 20)
+      .orderBy("doc_id")
+
   /** R6 — epoch-based source mixing: src0 makes 3 epochs, src1/src2
     * make 2, the long tail makes 1 — each repetition an independent
     * row tagged with its epoch index (map-side generate, zero shuffle). */

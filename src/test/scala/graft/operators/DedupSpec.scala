@@ -566,6 +566,34 @@ class DedupSpec extends SparkSpec {
     assert(cross < 8L)
   }
 
+  test("removeDupSpansChars: char-granular keep-first catches off-boundary duplication") {
+    val docs = Seq(
+      (0L, "abcdefghijklmnopqrstuvwxyz"),
+      // chars 2–23 duplicate doc 0's 0–21 — shifted TWO chars, so no
+      // word boundary aligns (the whole doc is one whitespace token)
+      (1L, "XXabcdefghijklmnopqrstuvXX"),
+      (2L, "Z" * 45),
+      (3L, "tiny")).toDF("doc_id", "text")
+    val out = Dedup.removeDupSpansChars(docs, "doc_id", "text", n = 20)
+      .select("doc_id", "n_chars", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0) == ((0L, 26L, 26L, "abcdefghijklmnopqrstuvwxyz")),
+      "global first occurrences survive whole")
+    // doc 1's windows p∈{2,3,4} match doc 0's {0,1,2}; covered union =
+    // chars 2..23 → exactly the XX…XX shell survives
+    assert(out(1) == ((1L, 26L, 4L, "XXXX")),
+      "duplication shifted off token boundaries must be caught")
+    // within-doc: 26 identical windows, keep-first leaves one char
+    assert(out(2) == ((2L, 45L, 1L, "Z")))
+    assert(out(3) == ((3L, 4L, 4L, "tiny")), "short docs pass through")
+    // contrast pin: the WORD-level twin sees doc 1 as one unseen token
+    // and keeps it verbatim — the miss d18 exists to close
+    val word = Dedup.removeDupSpans(docs, "doc_id", "text", n = 5)
+      .filter($"doc_id" === 1L).select("clean_text").as[String].head()
+    assert(word == "XXabcdefghijklmnopqrstuvXX",
+      "word-level rewrite is blind to sub-token duplication")
+  }
+
   test("decontaminateRewrite removes eval-overlapping spans, keeps the rest") {
     val corpus = Seq(
       (10L, "the quick brown fox jumps over the lazy dog"),
