@@ -35,14 +35,22 @@ object Tables {
     * instant-preserving). Route by the loaded type, not by assumption. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(s, d, "events")
+    normalizeTs(load(s, d, "events"))
+  }
+
+  /** The ts-routing half of [[events]], shared with the STREAMING twin
+    * (EventStreamSpec reads the same file through readStream, where the
+    * schema is declared up front but the loaded frame still reports its
+    * ts type) — one routing rule, so the batch and stream sides can
+    * never silently disagree on what `ts` means. Works on batch and
+    * streaming frames alike. */
+  def normalizeTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case _ =>
         raw.withColumn("ts", col("ts").cast("timestamp"))
     }
-  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

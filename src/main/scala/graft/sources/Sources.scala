@@ -564,6 +564,40 @@ object Sources {
     commitManifest(spark, dir, Seq(newId))
     (newId, n)
   }
+
+  /** GC the orphans a manifested table accumulates — crash residue from
+    * torn publishes and the pre-rewrite batch dirs [[compactPublished]]
+    * / [[zorderPublished]] leave behind: delete every `batch=<id>` dir
+    * under `$dir/data` that neither the CURRENT manifest nor the
+    * retained N-1 grace manifest references. Honoring the grace copy is
+    * load-bearing, not politeness: a reader that resolved version N-1
+    * just before a commit is still scanning those batch dirs — deleting
+    * them would fail a read the manifest protocol promised could
+    * succeed. (The same reader-vs-GC window the manifest's own
+    * retention rule exists for; see [[publishedBatches]].) Dirs outside
+    * the `batch=<long>` shape are left alone — they are not the
+    * table's to delete. Same single-writer coordination as every
+    * manifest operation. Returns the deleted batch ids. */
+  def vacuumPublished(spark: SparkSession, dir: String): Seq[Long] = {
+    val versions = manifestVersions(spark, dir)
+    require(versions.nonEmpty,
+      s"vacuumPublished: $dir has no manifest — not a published table")
+    val d = new Path(dir)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val referenced = versions.takeRight(2).flatMap { case (_, p) =>
+      val s = readJsonSidecarFs(spark, p.toString)("batches")
+      if (s.isEmpty) Seq.empty else s.split(",").map(_.toLong).toSeq
+    }.toSet
+    val data = new Path(s"$dir/data")
+    val m = "batch=(\\d+)".r
+    val landed =
+      if (!fs.exists(data)) Seq.empty[Long]
+      else fs.listStatus(data).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName).collect { case m(id) => id.toLong }
+    val orphans = landed.filterNot(referenced).sorted
+    orphans.foreach(b => fs.delete(new Path(s"$dir/data/batch=$b"), true))
+    orphans
+  }
 }
 
 /** S7/S8 — metrics store behind a trait: parquet implementation for

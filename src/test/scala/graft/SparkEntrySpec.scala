@@ -23,12 +23,12 @@ class SparkEntrySpec extends SparkSpec {
   // scan), ann2/ann3/ann5 (the same exact baseline feeds their recall
   // gate, plus the 1-row invariant-flag broadcast), t9 (1-row smoothing
   // denominator crossed in), t12 (1-row percentile threshold crossed
-  // in), d3 (1-row invariant-flag broadcast), dq_skew (1-row top-k sum
-  // crossed into the 1-row stats aggregate)
+  // in), d3 (1-row invariant-flag broadcast), dq_skew / ann7 (skewStats'
+  // 1-row top-k sum crossed into the 1-row stats aggregate)
   private val intendedNestedLoop =
     Set("ann1_brute_force", "ann2_lsh", "ann3_ivf", "ann4_ivf_store",
       "ann5_ivf_append", "ann6_hybrid_rerank", "t9_lm_score",
-      "t12_quality_cut", "d3_simhash", "dq_skew_stats")
+      "t12_quality_cut", "d3_simhash", "dq_skew_stats", "ann7_cell_stats")
 
   test("no query plans an unintended nested-loop or cartesian join") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -296,6 +296,13 @@ class SourcesSpec extends SparkSpec {
       "compaction must be content-identical")
     // old batch dirs survive on disk as INVISIBLE orphans (GC'able)
     assert(Seq(1L, 2L, 3L).map(filesUnder).sum == 48)
+    // vacuum honors the N-1 grace manifest: right after the compaction
+    // commit, {1,2,3} are still referenced by the retained previous
+    // version (a reader may be mid-scan on them) — only the
+    // never-referenced crash residue 99 is deletable
+    assert(Sources.vacuumPublished(spark, dir) == Seq(99L))
+    assert(Seq(1L, 2L, 3L).map(filesUnder).sum == 48,
+      "grace-referenced batches must survive vacuum")
     // z-order republish: same one-commit flip, content untouched
     val (zId, _) = Sources.zorderPublished(spark, dir,
       Seq("doc_id", "n_chars"), nFiles = 4)
@@ -304,5 +311,11 @@ class SourcesSpec extends SparkSpec {
     val zBack = Sources.readPublished(spark, dir)
     assert(zBack.except(docs).count() == 0 && docs.except(zBack).count() == 0,
       "z-order republish must be content-identical")
+    // the z-order commit aged {1,2,3} out of the last two manifests —
+    // NOW vacuum reclaims them, and the live table is untouched
+    assert(Sources.vacuumPublished(spark, dir) == Seq(1L, 2L, 3L))
+    assert(Seq(1L, 2L, 3L).map(filesUnder).sum == 0, "orphans reclaimed")
+    assert(Sources.readPublished(spark, dir).count() == docs.count(),
+      "vacuum must never touch live data")
   }
 }

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.SparkSpec
+import graft.core.Tables
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
@@ -78,22 +79,20 @@ class EventStreamSpec extends SparkSpec {
 
   test("streaming window agg over the real events table equals its batch twin") {
     import org.apache.spark.sql.streaming.Trigger
-    import org.apache.spark.sql.types._
-    // events.parquet carries TIMESTAMP(NANOS): stream it as long + rebuild,
-    // the same treatment Tables.events applies on the batch side
+    // the stream schema comes from a batch read of the SAME file, and
+    // the ts normalization is Tables.normalizeTs — the one routing rule
+    // both sides share, so a testdata regeneration (nanos-as-long vs
+    // plain micros, which DID flip between rounds) can't desync the
+    // streaming twin from the batch query it is compared against
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
     // the file stream source requires a DIRECTORY; stage the single file
     val stageDir = java.nio.file.Files.createTempDirectory("events_stage")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       stageDir.resolve("events.parquet"))
-    val stream = spark.readStream.schema(schema)
-      .parquet(stageDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(stageDir.toString))
     val ckpt = java.nio.file.Files.createTempDirectory("ckpt_eq").toString
     val q = EventStream.tumblingCounts(stream, "7 days", "7 days")
       .writeStream.format("memory").queryName("stream_eq")
