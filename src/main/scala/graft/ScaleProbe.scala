@@ -79,11 +79,24 @@ object ScaleProbe {
       // occurrence join and the per-doc rewrite — the extra cost over
       // d9 should stay a constant factor, not a new curve shape. The
       // 1-row aggregate over clean_text defeats count()'s column
-      // pruning (a bare count would skip the rewrite expressions and
-      // time only the join skeleton)
+      // pruning, and the value-dependent filter defeats count()'s
+      // CONSTANT-FOLD over an ungrouped aggregate (Spark knows such an
+      // agg is exactly one row and would answer 1 without running the
+      // rewrite at all — measured: 13.8 s of real work "completing" in
+      // 0.2 s before the filter was added)
       "d13_dedup_rewrite" -> (d => Dedup.removeDupSpans(d, "doc_id", "text",
         n = 5).agg(sum(length(col("clean_text"))).as("chars_kept"),
-          sum(col("n_kept")).as("toks_kept"))),
+          sum(col("n_kept")).as("toks_kept"))
+        .filter(col("chars_kept") >= 0)),
+      // the CHAR-granular twin: ~wordLen× more gram rows than d13 by
+      // design — the probe pins that the premium is a constant factor
+      // (linear in corpus chars), not a new curve shape; same
+      // anti-pruning aggregate + anti-fold filter
+      "d18_char_rewrite" -> (d => Dedup.removeDupSpansChars(d, "doc_id",
+        "text", n = 20)
+        .agg(sum(length(col("clean_text"))).as("chars_kept"),
+          sum(col("n_kept")).as("chars_kept_n"))
+        .filter(col("chars_kept") >= 0)),
       // batch-vs-corpus near-dup: the batch (1/5 of docs) rides LSH
       // buckets against the corpus — cost should track corpus size
       // linearly (bucket join), never corpus²
@@ -98,7 +111,8 @@ object ScaleProbe {
       "t15_decontam_rewrite" -> (d => Dedup.decontaminateRewrite(
         d, evalMix(d), "doc_id", "text", n = 5)
         .agg(sum(length(col("clean_text"))).as("chars_kept"),
-          sum(col("n_kept")).as("toks_kept"))),
+          sum(col("n_kept")).as("toks_kept"))
+        .filter(col("chars_kept") >= 0)),
       // the size-routed rewrite FORCED onto its Bloom route, against
       // t15's broadcast row above on the same corpus: the premium for
       // flag-first (Bloom build + verify + a second corpus pass for
@@ -108,7 +122,8 @@ object ScaleProbe {
       "t19_decontam_auto_bloom" -> (d => Dedup.decontaminateRewriteAuto(
         d, evalMix(d), "doc_id", "text", n = 5, maxBroadcastGrams = 0L)
         .agg(sum(length(col("clean_text"))).as("chars_kept"),
-          sum(col("n_kept")).as("toks_kept"))),
+          sum(col("n_kept")).as("toks_kept"))
+        .filter(col("chars_kept") >= 0)),
       // canonical dedup rides the same (id, fp) exchanges as d1 — the
       // canonicalization is map-side regex work, so the curve should
       // sit a hair above d1_exact and bend nowhere

@@ -1028,7 +1028,7 @@ object SparkEntry {
     // position union, character-level anti join, ordered reassembly
     // (d13's SQL with substr windows replacing word grams)
     "d18_char_dedup_rewrite" ->
-      """WITH t AS (SELECT doc_id, text FROM documents),
+      """WITH t AS (SELECT doc_id, text FROM documents WHERE doc_id < 1500),
         |g AS (SELECT doc_id, u.p AS p, u.s AS s FROM (
         |  SELECT doc_id, unnest(list_transform(range(1, length(text) - 18),
         |    i -> {'p': i, 's': substr(text, i, 20)})) AS u

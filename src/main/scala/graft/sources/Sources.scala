@@ -488,14 +488,27 @@ object Sources {
     spark.read.parquet(paths: _*)
   }
 
-  /** First batch id above every id that has EVER landed under
-    * `$dir/data` — live, orphaned, or crash residue alike. Scanning the
-    * directory (not just the manifest) matters: a crashed-but-
-    * replayable publish leaves an unlisted dir whose id its writer WILL
-    * commit later; electing that id for a maintenance rewrite would let
-    * the replay overwrite the rewritten data and then commit a manifest
-    * pointing at it — silent data loss. Dir names outside the
-    * `batch=<long>` shape are ignored (they are not part of the table). */
+  /** Floor of the MAINTENANCE id range. Ingest writers key batches by
+    * their own counter (a stream's checkpointed batchId + 1), so a
+    * maintenance rewrite must never elect an id that counter will
+    * reach: `max(landed) + 1` is EXACTLY the stream's next id, and the
+    * very next micro-batch would overwrite the compacted dir and
+    * commit a manifest pointing at it — the whole corpus silently
+    * replaced by one batch. Maintenance ids therefore live in their
+    * own range, 10^12 up (a per-millisecond stream needs ~31 years to
+    * reach it); the batch-id namespace contract gains one rule: ingest
+    * lineages stay below it. */
+  private[sources] val maintenanceIdBase = 1000000000000L
+
+  /** First free MAINTENANCE id: above [[maintenanceIdBase]] and above
+    * every id that has EVER landed under `$dir/data` — live, orphaned,
+    * or crash residue alike. Scanning the directory (not just the
+    * manifest) matters: a crashed-but-replayable publish leaves an
+    * unlisted dir whose id its writer WILL commit later; electing that
+    * id would let the replay overwrite the rewritten data and then
+    * commit a manifest pointing at it — silent data loss. Dir names
+    * outside the `batch=<long>` shape are ignored (they are not the
+    * table's). */
   private def nextBatchId(fs: FileSystem, dir: String): Long = {
     val data = new Path(s"$dir/data")
     val m = "batch=(\\d+)".r
@@ -503,7 +516,7 @@ object Sources {
       if (!fs.exists(data)) Seq.empty[Long]
       else fs.listStatus(data).toSeq.filter(_.isDirectory)
         .map(_.getPath.getName).collect { case m(id) => id.toLong }
-    seen.foldLeft(0L)(math.max) + 1
+    math.max(seen.foldLeft(0L)(math.max) + 1, maintenanceIdBase)
   }
 
   /** Maintenance under the manifest — small-file compaction of a

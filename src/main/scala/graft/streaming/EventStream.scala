@@ -229,10 +229,24 @@ object EventStream {
     * is MANIFEST-COMMITTED (`Sources.publishBatch`, keyed by the stable
     * batchId) — a replayed batch overwrites its own data dir and
     * re-commits the same manifest entry, so the cleaned corpus is
-    * delivered exactly-once; read it with `Sources.readPublished`. */
+    * delivered exactly-once; read it with `Sources.readPublished`.
+    *
+    * `compactEvery` > 0 turns on IN-LOOP maintenance: every that-many
+    * batches, the published corpus is compacted
+    * (`Sources.compactPublished` — one new batch in the maintenance id
+    * range, one manifest flip) and orphans GC'd
+    * (`Sources.vacuumPublished`). The foreachBatch body is the ONE
+    * place this is always safe: the stream is the table's single
+    * writer, so maintenance-between-batches needs no external
+    * coordination — exactly the small-file answer a micro-batch sink
+    * otherwise punts to an external OPTIMIZE job. A replayed batch may
+    * re-run the compaction; reruns converge (one more manifest
+    * version, old dirs age out). */
   def streamingExactDedupIngest(docs: DataFrame, storeDir: String,
                                 keptDir: String, idCol: String,
-                                textCol: String)
+                                textCol: String,
+                                compactEvery: Int = 0,
+                                targetFileBytes: Long = 128L << 20)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import graft.operators.Dedup
     docs.writeStream.outputMode("append").foreachBatch {
@@ -254,6 +268,11 @@ object EventStream {
           Dedup.appendToFpStore(
             survivors.select("fp").distinct(), storeDir)
           kept.unpersist()
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+            graft.sources.Sources.compactPublished(spark, keptDir,
+              targetFileBytes)
+            graft.sources.Sources.vacuumPublished(spark, keptDir)
+          }
           // release only what THIS batch created (localCheckpoint blocks
           // from the store path included) — a long-running stream must
           // not accumulate one block set per micro-batch

@@ -286,11 +286,14 @@ class SourcesSpec extends SparkSpec {
     assert(Seq(1L, 2L, 3L).map(filesUnder).sum == 48)
     val (newId, nOut) = Sources.compactPublished(spark, dir,
       targetFileBytes = 1L << 30)
-    // the new id clears EVERY dir that ever landed, orphans included —
-    // a replayed batch=99 must not be able to overwrite compacted data
-    assert(newId == 100L, s"expected id above the 99 orphan, got $newId")
+    // maintenance ids live in their own range: above every dir that
+    // ever landed (orphans included — a replayed batch=99 must not
+    // overwrite compacted data) AND above any ingest counter's reach —
+    // a streaming publisher's next batchId+1 would otherwise collide
+    assert(newId == Sources.maintenanceIdBase,
+      s"expected the maintenance-range floor, got $newId")
     assert(nOut == 1, s"1 GiB target must compact to one file, got $nOut")
-    assert(Sources.publishedBatches(spark, dir) == Seq(100L))
+    assert(Sources.publishedBatches(spark, dir) == Seq(newId))
     val after = Sources.readPublished(spark, dir)
     assert(after.except(docs).count() == 0 && docs.except(after).count() == 0,
       "compaction must be content-identical")
@@ -306,8 +309,8 @@ class SourcesSpec extends SparkSpec {
     // z-order republish: same one-commit flip, content untouched
     val (zId, _) = Sources.zorderPublished(spark, dir,
       Seq("doc_id", "n_chars"), nFiles = 4)
-    assert(zId == 101L)
-    assert(Sources.publishedBatches(spark, dir) == Seq(101L))
+    assert(zId == Sources.maintenanceIdBase + 1)
+    assert(Sources.publishedBatches(spark, dir) == Seq(zId))
     val zBack = Sources.readPublished(spark, dir)
     assert(zBack.except(docs).count() == 0 && docs.except(zBack).count() == 0,
       "z-order republish must be content-identical")

@@ -310,6 +310,41 @@ class EventStreamSpec extends SparkSpec {
       "micro-batch caches must not accumulate")
   }
 
+  test("streamingExactDedupIngest with in-loop compaction keeps the corpus intact") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("fpcompact").toString
+    val (storeDir, keptDir) = (s"$tmp/store", s"$tmp/kept")
+    graft.operators.Dedup.writeFpStore(
+      Seq((100L, "landed doc")).toDF("doc_id", "text"),
+      "doc_id", "text", storeDir, expectedTotalFps = 10000L)
+    val mem = MemoryStream[(Long, String)]
+    // compact every 2 batches: after batch 2 the two published batches
+    // fold into ONE maintenance-range batch + vacuum GC
+    val q = streamingExactDedupIngest(
+        mem.toDF().toDF("doc_id", "text"), storeDir, keptDir, "doc_id",
+        "text", compactEvery = 2, targetFileBytes = 1L << 30)
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    mem.addData((1L, "alpha"), (2L, "beta"))
+    q.processAllAvailable()
+    mem.addData((3L, "gamma"), (4L, "alpha")) // 4 dups 1 via the store
+    q.processAllAvailable()
+    // compaction ran at batch 2: live = one maintenance-range batch
+    val live1 = graft.sources.Sources.publishedBatches(spark, keptDir)
+    assert(live1.length == 1 && live1.head >= 1000000000000L,
+      s"expected one maintenance-range batch, got $live1")
+    mem.addData((5L, "delta"))
+    q.processAllAvailable()
+    q.stop()
+    // stream continued publishing AFTER the flip: compacted + batch 3,
+    // and the ingest counter can never collide with the maintenance id
+    val live2 = graft.sources.Sources.publishedBatches(spark, keptDir)
+    assert(live2.length == 2, s"compacted + post-flip batch, got $live2")
+    val kept = graft.sources.Sources.readPublished(spark, keptDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 5L),
+      s"content must survive the in-loop flip intact, got $kept")
+  }
+
   test("streamingIvfIngest grows the at-rest index batch by batch") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("ivfstream").toString
