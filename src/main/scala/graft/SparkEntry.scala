@@ -150,6 +150,7 @@ object SparkEntry {
     "t19_decontam_auto" -> (Documents.t19DecontamAuto _),
     "ann7_cell_stats" -> (Documents.ann7CellStats _),
     "d18_char_dedup_rewrite" -> (Documents.d18CharDedupRewrite _),
+    "s_publish_zorder" -> (Documents.sPublishZorder _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1263,6 +1264,12 @@ object SparkEntry {
     // file-layout flip — the oracle is the clean table, so a leaked
     // orphan, lost batch, or double-counted row across the flip fails
     "s_publish_compact" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // S-PUBLISH-ZORDER: clustering is a layout flip only — same clean-
+    // table oracle as the publish/compact family
+    "s_publish_zorder" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,

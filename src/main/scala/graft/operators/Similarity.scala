@@ -272,6 +272,29 @@ object Similarity {
                        maxSkewRatio: Double = 4.0): Boolean =
     skewRatio > maxSkewRatio || nonEmptyCells < nCells
 
+  /** The rebuild ACTION — the last arc of the drift loop
+    * (`ivfCellStats` measures, [[shouldRebuildIvf]] decides, this
+    * acts): every vector across every landed batch of the old index is
+    * re-clustered from scratch into a fresh index at `dstPath`
+    * (quantizer fitted on the FULL current population, so appended
+    * mass gets its fair share of centroids — the thing
+    * nearest-existing-centroid appends structurally cannot give it).
+    * Writes to a NEW path, the [[graft.sources.Sources.compactParquet]]
+    * convention: swapping the serving index is the caller's commit
+    * protocol (a symlink flip, a config push — serving-stack policy,
+    * not engine policy), and the old index keeps serving until then —
+    * rebuilds are rare, planned events, not hot-path work. Returns the
+    * new centroids. */
+  def rebuildIvfIndex(spark: SparkSession, path: String, dstPath: String,
+                      nCells: Int = 16, seed: Long = 42L,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding")
+      : Seq[(Int, Array[Float])] = {
+    val all = spark.read.parquet(s"$path/cells")
+      .select(col("n_id").as(idCol), col("n_vec").as(vecCol))
+    writeIvfIndex(all, dstPath, nCells, seed, idCol, vecCol)
+  }
+
   /** Top-k against an at-rest IVF index: the scan is filtered to the
     * union of all queries' probed cells, which Spark turns into
     * PARTITION PRUNING — the cluster reads ≤ queries×nProbe cell

@@ -449,6 +449,35 @@ object Documents {
       .orderBy("lang")
   }
 
+  /** S-PUBLISH-ZORDER — the clustering half of manifest maintenance
+    * (`zorderPublished`): fragmented publishes plus crash residue, then
+    * one z-order rewrite committed as one manifest version, vacuum
+    * reclaiming exactly the residue, and a read that must still match
+    * the clean table — layout changed, content bit-identical. */
+  def sPublishZorder(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.Sources
+    val docs = Tables.documents(s, d)
+    val dir = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/published_zorder"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    Sources.publishBatch(docs.filter(col("doc_id") % 2 === 0).repartition(8), dir, 1L)
+    Sources.publishBatch(docs.filter(col("doc_id") % 2 =!= 0).repartition(8), dir, 2L)
+    docs.limit(50).write.mode("overwrite").parquet(s"$dir/data/batch=99")
+    val (_, nOut) = Sources.zorderPublished(s, dir,
+      Seq("doc_id", "n_chars"), nFiles = 4)
+    // ≤: a range partition can land empty at tiny SFs; the layout
+    // geometry itself is ZorderSpec's job, the gate here is content
+    require(nOut >= 1 && nOut <= 4, s"z-order layout out of range: $nOut")
+    val vacuumed = Sources.vacuumPublished(s, dir)
+    require(vacuumed == Seq(99L),
+      s"vacuum must reclaim exactly the crash residue, got $vacuumed")
+    Sources.readPublished(s, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+  }
+
   /** T17 — per-language top-10 token vocabulary: the census a
     * tokenizer-training or corpus-mix report runs; window over the
     * vocab-sized counts table, never the corpus. */

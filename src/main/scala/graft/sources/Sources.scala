@@ -488,6 +488,29 @@ object Sources {
     spark.read.parquet(paths: _*)
   }
 
+  /** Shallow time travel: read the table as a SPECIFIC manifest version
+    * saw it. Retention bounds the window — the writer keeps only the
+    * current version and its N-1 grace copy, so this reaches exactly
+    * one commit back (enough for the use it exists for: diffing a
+    * maintenance flip or a suspect publish against the state just
+    * before it, while both are still on disk). A version older than
+    * the retention window fails loudly with what IS available; vacuum
+    * respects the same two manifests, so a readable version's batch
+    * dirs are still present ([[vacuumPublished]]). */
+  def readPublishedVersion(spark: SparkSession, dir: String,
+                           version: Int): DataFrame = {
+    val versions = manifestVersions(spark, dir)
+    require(versions.nonEmpty, s"$dir has no manifest — not a published table")
+    val p = versions.collectFirst { case (v, p) if v == version => p }
+      .getOrElse(throw new IllegalArgumentException(
+        s"$dir: manifest v$version is outside the retention window " +
+          s"(available: ${versions.map(_._1).mkString(", ")})"))
+    val s = readJsonSidecarFs(spark, p.toString)("batches")
+    val batches = if (s.isEmpty) Seq.empty[Long] else s.split(",").map(_.toLong).toSeq
+    require(batches.nonEmpty, s"$dir manifest v$version lists no batches")
+    spark.read.parquet(batches.map(b => s"$dir/data/batch=$b"): _*)
+  }
+
   /** Floor of the MAINTENANCE id range. Ingest writers key batches by
     * their own counter (a stream's checkpointed batchId + 1), so a
     * maintenance rewrite must never elect an id that counter will

@@ -97,6 +97,11 @@ class IvfReconcileSpec extends SparkSpec {
     assert(cells0 == 8L, "k-means on this corpus populates every cell")
     assert(!Similarity.shouldRebuildIvf(8, cells0, skew0, maxSkewRatio = 4.0),
       s"fresh index must not flag a rebuild (skew $skew0)")
+    // a pathological append: a tight BLOB around one base vector —
+    // nearest-existing-centroid assignment piles it all into one cell,
+    // exactly the drift the policy watches (spread inside the blob so
+    // a REBUILD's fresh k-means can split it, which the append rule
+    // structurally cannot)
     // a pathological append: the SAME vector replicated — every copy
     // lands in one nearest cell, exactly the drift the policy watches
     val one = e.limit(1).select($"embedding").as[Array[Float]].head()
@@ -111,6 +116,48 @@ class IvfReconcileSpec extends SparkSpec {
     // the dead-cell arm: fewer non-empty cells than the quantizer has
     assert(Similarity.shouldRebuildIvf(8, 7L, 1.0))
     assert(!Similarity.shouldRebuildIvf(8, 8L, 1.0))
+  }
+
+  test("rebuildIvfIndex re-balances what append-assignment cannot") {
+    // 8 tight, well-separated clusters on axes (50·e_d, jitter ±0.1).
+    // The base install quantizes on clusters 0–1 only; clusters 2–7
+    // then APPEND — nearest-existing-centroid assignment has only the
+    // old centroids to offer, so the appended mass piles into few hot
+    // cells. A rebuild re-fits the quantizer on the full population
+    // and recovers the textbook one-centroid-per-cluster layout.
+    val rnd = new scala.util.Random(7)
+    def cluster(d: Int, base: Long) = (0 until 250).map { i =>
+      val v = Array.fill(16)((rnd.nextFloat() - 0.5f) * 0.2f)
+      v(d) += 50f
+      (base + i, v)
+    }
+    val baseDf = (0 until 2).flatMap(d => cluster(d, d * 1000L))
+      .toDF("vec_id", "embedding")
+    val appendDf = (2 until 8).flatMap(d => cluster(d, d * 1000L))
+      .toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivfr").toString + "/index"
+    Similarity.writeIvfIndex(baseDf, path, nCells = 8)
+    Similarity.appendToIvfIndex(appendDf, path, batchId = 1L)
+    def skewOf(p: String) = {
+      val r = Similarity.ivfCellStats(spark, p).first()
+      (r.getAs[Long]("n_keys"), r.getAs[Long]("n_rows"),
+        r.getAs[Double]("skew_ratio"))
+    }
+    val (cells1, rows1, skew1) = skewOf(path)
+    assert(rows1 == 2000L)
+    // threshold is POLICY: at a 2x straggler SLO the drifted index
+    // (measured skew 2.47 — appended clusters concentrate on the few
+    // old centroids nearest them) trips the rule
+    assert(Similarity.shouldRebuildIvf(8, cells1, skew1, maxSkewRatio = 2.0),
+      s"appended 6 unseen clusters must trip the monitor (skew $skew1, cells $cells1)")
+    val dst = path + "_rebuilt"
+    Similarity.rebuildIvfIndex(spark, path, dst, nCells = 8)
+    val (cellsR, rowsR, skewR) = skewOf(dst)
+    assert(rowsR == rows1, "rebuild must carry every landed vector")
+    assert(skewR < skew1,
+      s"rebuild must improve balance (was $skew1, now $skewR)")
+    assert(!Similarity.shouldRebuildIvf(8, cellsR, skewR, maxSkewRatio = 2.0),
+      s"rebuilt index must read healthy at the same SLO (skew $skewR, cells $cellsR)")
   }
 
   test("reconcileFeatures injects missing features as 0, drops extras, orders") {

@@ -299,6 +299,14 @@ class SourcesSpec extends SparkSpec {
       "compaction must be content-identical")
     // old batch dirs survive on disk as INVISIBLE orphans (GC'able)
     assert(Seq(1L, 2L, 3L).map(filesUnder).sum == 48)
+    // shallow time travel: the retained N-1 manifest (v3, the
+    // pre-compaction state) is still readable AND content-equal to the
+    // current version — the flip changed layout, never rows
+    val before = Sources.readPublishedVersion(spark, dir, 3)
+    assert(before.except(after).count() == 0 && after.except(before).count() == 0,
+      "version N-1 must read the same rows through the old layout")
+    intercept[IllegalArgumentException](
+      Sources.readPublishedVersion(spark, dir, 1)) // aged out
     // vacuum honors the N-1 grace manifest: right after the compaction
     // commit, {1,2,3} are still referenced by the retained previous
     // version (a reader may be mid-scan on them) — only the
