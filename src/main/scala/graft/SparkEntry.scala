@@ -151,6 +151,8 @@ object SparkEntry {
     "ann7_cell_stats" -> (Documents.ann7CellStats _),
     "d18_char_dedup_rewrite" -> (Documents.d18CharDedupRewrite _),
     "s_publish_zorder" -> (Documents.sPublishZorder _),
+    "d19_boilerplate" -> (Documents.d19Boilerplate _),
+    "m13_quality_filter" -> (Documents.m13QualityFilter _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1048,6 +1050,40 @@ object SparkEntry {
         |  coalesce(clean_text, '') AS clean_text
         |FROM t LEFT JOIN outp ON t.doc_id = outp.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    // D19: per-source boilerplate election (≥ 3 distinct docs of the
+    // same source share the 5-gram) recomputed from scratch; removal
+    // has NO keep-first exception — every occurrence drops
+    "d19_boilerplate" ->
+      """WITH t AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |g AS (SELECT doc_id, source, u.p AS p, u.s AS s FROM (
+        |  SELECT doc_id, source, unnest(list_transform(range(1, len(ws) - 3),
+        |    i -> {'p': i, 's': ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]})) AS u
+        |  FROM t WHERE len(ws) >= 5)),
+        |boiler AS (SELECT source, s FROM g GROUP BY source, s
+        |  HAVING count(DISTINCT doc_id) >= 3),
+        |cov AS (SELECT DISTINCT doc_id, unnest(range(p, p + 5)) AS i
+        |  FROM g SEMI JOIN boiler ON g.source = boiler.source AND g.s = boiler.s),
+        |tok AS (SELECT doc_id, u.i AS i, u.w AS w FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1), i -> {'i': i, 'w': ws[i]})) AS u FROM t)),
+        |kept AS (SELECT tok.doc_id, tok.i, tok.w FROM tok ANTI JOIN cov
+        |  ON tok.doc_id = cov.doc_id AND tok.i = cov.i),
+        |outp AS (SELECT doc_id, count(*) AS n_kept,
+        |  string_agg(w, ' ' ORDER BY i) AS clean_text FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(ws) AS BIGINT) AS n_toks,
+        |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(clean_text, '') AS clean_text
+        |FROM t LEFT JOIN outp ON t.doc_id = outp.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    // M13: the classifier gate's pinned held-out grid — ids and labels
+    // are pure id arithmetic, flags must all be 1 (r1_sample pattern)
+    "m13_quality_filter" ->
+      """WITH h AS (
+        |  SELECT doc_id, 1 AS label FROM documents WHERE doc_id % 2 <> 0
+        |  UNION ALL
+        |  SELECT 1000000 + i AS doc_id, 0 AS label FROM range(0, 100) r(i)
+        |  WHERE (1000000 + i) % 2 <> 0)
+        |SELECT doc_id, label, 1 AS p_ok, 1 AS sep_ok FROM h
+        |ORDER BY doc_id""".stripMargin,
     "a_unpivot" ->
       """WITH a AS (SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty,
         |    round(sum(l_extendedprice), 4) AS sum_price,

@@ -491,6 +491,47 @@ object Dedup {
     rebuildDroppingPositions(tokenized, covered, idCol)
   }
 
+  /** Per-source BOILERPLATE removal — the crawl-cleaning stage that
+    * strips what repeats across a source's pages (nav menus, footers,
+    * cookie banners, license blurbs): every token position covered by
+    * a word-n-gram occurring in ≥ `minDocs` DISTINCT documents of the
+    * SAME source is dropped — from every document, no keep-first
+    * exception. The rule difference from `removeDupSpans` is the
+    * point: a duplicated SPAN deserves one surviving copy (it is
+    * content), boilerplate deserves none (it is chrome) — and grouping
+    * by source keeps a phrase that is boilerplate on one site from
+    * burning innocent uses elsewhere. `dupSpanCoverage`/`removeDupSpans`
+    * are the cross-corpus analysis/dedup pair; this is the
+    * within-source cleanup a C4/CCNet-style pipeline runs first.
+    *
+    * Scale shape: identical to the family — (group, id, pos, 128-bit
+    * gram) rows map-side, the boilerplate-gram election is one
+    * map-side-combinable distinct-doc count per (source, gram) pruned
+    * by `minDocs` BEFORE the join back, covered positions exchange as
+    * (id, int) for affected docs only, rebuild joins an AQE-broadcast
+    * drop set. Text never shuffles. Source-keyed grouping also bounds
+    * skew: a gram's group is one source's documents, not the corpus.
+    * 128-bit keys — destructive (see the birthday note below).
+    * Output: (idCol, n_toks, n_kept, clean_text), every input doc. */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                        groupCol: String, n: Int = 5,
+                        minDocs: Int = 3): DataFrame = {
+    val tokenized = df.select(col(idCol).as("id"),
+      split(trim(col(textCol)), "\\s+").as("toks"))
+    val pos = df.select(col(idCol).as("id"), col(groupCol).as("_g"),
+        posexplode(positionalGrams128(
+          split(trim(col(textCol)), "\\s+"), n)).as(Seq("p", "hg")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val boiler = pos.select(col("_g"), col("hg"), col("id")).distinct()
+      .groupBy("_g", "hg").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDocs)
+      .select("_g", "hg")
+    val covered = pos.join(boiler, Seq("_g", "hg"), "left_semi")
+      .select(col("id"), explode(sequence(col("p"), col("p") + (n - 1))).as("i"))
+      .groupBy("id").agg(collect_set(col("i")).as("_drop"))
+    rebuildDroppingPositions(tokenized, covered, idCol)
+  }
+
   /** CHARACTER-level exact-substring dedup — Lee et al. 2021 §4's
     * actual formulation: their suffix-array pass is char-granular, so
     * duplication that does not align to token boundaries (shifted

@@ -478,6 +478,59 @@ object Documents {
       .orderBy("lang")
   }
 
+  /** D19 — per-source boilerplate removal: word-5-grams occurring in
+    * ≥ 3 distinct docs of the SAME source are stripped from every doc
+    * (no keep-first — chrome, not content); the same phrase in a
+    * source where it repeats less survives. Full value compare. */
+  def d19Boilerplate(s: SparkSession, d: String): DataFrame =
+    Dedup.removeBoilerplate(Tables.documents(s, d), "doc_id", "text",
+        "source", n = 5, minDocs = 3)
+      .orderBy("doc_id")
+
+  /** Deterministic junk docs for the classifier gate — tokens from a
+    * vocabulary disjoint with the corpus, seeded per id so the driver
+    * and spec see identical rows. */
+  private[queries] def junkDocs(s: SparkSession, n: Int, idBase: Long): DataFrame = {
+    import s.implicits._
+    val vocab = Vector("zzq", "xxv", "qqw", "vvb", "kkp",
+      "jjt", "wwm", "yyr", "hhn", "ggd")
+    (0 until n).map { i =>
+      val rnd = new scala.util.Random(1000 + i)
+      (idBase + i,
+        (0 until 60).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  /** M13 — the model-based quality filter driver-gated (r1_sample
+    * pattern: scores are L-BFGS-fit weights over hashed features — not
+    * SQL-recomputable — so the registered query reduces them to what
+    * the oracle CAN pin): train on the even-id half of corpus ∪
+    * synthetic junk, score the odd-id half, emit the pinned held-out
+    * id/label grid with two structural flags — `p_ok` (every score in
+    * [0, 1]) per row, and a 1-row-broadcast `sep_ok` (held-out clean
+    * mean exceeds junk mean by ≥ 0.6; measured ≥ 0.97 − 0.03 across
+    * SFs — junk shares zero vocabulary with the corpus, so separation
+    * failing means the plumbing broke, not the corpus drifted). */
+  def m13QualityFilter(s: SparkSession, d: String): DataFrame = {
+    val clean = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .withColumn("label", lit(1.0))
+    val junk = junkDocs(s, 100, 1000000L).withColumn("label", lit(0.0))
+    val all = clean.unionByName(junk)
+    val model = graft.ml.QualityClassifier.train(
+      all.filter(col("doc_id") % 2 === 0), "label", "text")
+    val scored = graft.ml.QualityClassifier.score(
+        model, all.filter(col("doc_id") % 2 =!= 0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sep = broadcast(scored.agg(
+      when(avg(when(col("label") === 1.0, col("quality_p")))
+        - avg(when(col("label") === 0.0, col("quality_p"))) >= 0.6, 1)
+        .otherwise(0).as("sep_ok")))
+    scored.select(col("doc_id"), col("label").cast("int").as("label"),
+        when(col("quality_p").between(0.0, 1.0), 1).otherwise(0).as("p_ok"))
+      .crossJoin(sep)
+      .orderBy("doc_id")
+  }
+
   /** T17 — per-language top-10 token vocabulary: the census a
     * tokenizer-training or corpus-mix report runs; window over the
     * vocab-sized counts table, never the corpus. */

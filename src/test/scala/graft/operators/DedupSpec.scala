@@ -566,6 +566,34 @@ class DedupSpec extends SparkSpec {
     assert(cross < 8L)
   }
 
+  test("removeBoilerplate strips per-source chrome everywhere, spares other sources") {
+    val docs = Seq(
+      (1L, "siteA", "cookie banner click accept now article one text"),
+      (2L, "siteA", "cookie banner click accept now another story here"),
+      (3L, "siteA", "cookie banner click accept now third piece content"),
+      // same phrase on siteB, but below minDocs THERE — content, kept
+      (4L, "siteB", "cookie banner click accept now but only here"),
+      (5L, "siteB", "unrelated b text entirely different words")
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.removeBoilerplate(docs, "doc_id", "text", "source",
+        n = 5, minDocs = 3)
+      .select("doc_id", "n_toks", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    // only the window at p0 repeats in ≥3 siteA docs; its 5 positions
+    // drop from EVERY siteA doc — no keep-first copy survives
+    assert(out(0) == ((1L, 8L, 3L, "article one text")))
+    assert(out(1) == ((2L, 8L, 3L, "another story here")))
+    assert(out(2) == ((3L, 8L, 3L, "third piece content")))
+    assert(out(3) == ((4L, 8L, 8L, "cookie banner click accept now but only here")),
+      "a phrase below the threshold WITHIN its source is content")
+    assert(out(4)._3 == 6L, "untouched docs pass through whole")
+    // contrast pin: the cross-corpus keep-first rewrite would spare
+    // doc 1's copy — boilerplate removal must not
+    val keepFirst = Dedup.removeDupSpans(docs, "doc_id", "text", n = 5)
+      .filter($"doc_id" === 1L).select("n_kept").as[Long].head()
+    assert(keepFirst == 8L, "keep-first spares the first copy; boilerplate doesn't")
+  }
+
   test("removeDupSpansChars: char-granular keep-first catches off-boundary duplication") {
     val docs = Seq(
       (0L, "abcdefghijklmnopqrstuvwxyz"),
