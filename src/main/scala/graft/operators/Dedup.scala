@@ -504,32 +504,52 @@ object Dedup {
     * are the cross-corpus analysis/dedup pair; this is the
     * within-source cleanup a C4/CCNet-style pipeline runs first.
     *
-    * Scale shape: identical to the family — (group, id, pos, 128-bit
-    * gram) rows map-side, the boilerplate-gram election is one
-    * map-side-combinable distinct-doc count per (source, gram) pruned
-    * by `minDocs` BEFORE the join back, covered positions exchange as
-    * (id, int) for affected docs only, rebuild joins an AQE-broadcast
-    * drop set. Text never shuffles. Source-keyed grouping also bounds
-    * skew: a gram's group is one source's documents, not the corpus.
-    * 128-bit keys — destructive (see the birthday note below).
-    * Output: (idCol, n_toks, n_kept, clean_text), every input doc. */
+    * Scale shape: the distinct-doc count per (source, gram) needs NO
+    * per-id exchange at all — "distinct per doc" is doc-LOCAL, so
+    * `array_distinct` on the gram array BEFORE the explode (the
+    * `shingles` trick) makes each doc contribute each (source, gram)
+    * once, and a plain map-side-combinable count IS the doc frequency.
+    * (Both a raw `.distinct()` and `count_distinct` instead plan a
+    * full-width exchange of the gram table keyed (g, hg, id) —
+    * measured 15 s vs 3.8 s on the sf0.1 battery for the same answer.)
+    * The elected boilerplate set is tiny, so the positional semi-join
+    * is AQE-broadcast and the gram table never shuffles; covered
+    * positions exchange as (id, int) for affected docs only; rebuild
+    * joins an AQE-broadcast drop set. Text never shuffles anywhere.
+    * Source-keyed grouping also bounds skew: a gram's group is one
+    * source's documents, not the corpus. Three map-side gram passes
+    * over the source scan (election, coverage, rebuild) — the family
+    * convention: repeated cheap scans beat caching corpus-sized
+    * intermediates. 128-bit keys — destructive (see the birthday note
+    * below). Output: (idCol, n_toks, n_kept, clean_text), every input
+    * doc. */
   def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
                         groupCol: String, n: Int = 5,
                         minDocs: Int = 3): DataFrame = {
-    val tokenized = df.select(col(idCol).as("id"),
+    // PROJECT the token array before any gram lambda touches it — the
+    // shingles gotcha: a raw split(...) expression inside the transform
+    // lambda re-runs the regex per gram element (measured 17 s → 2 s
+    // there; reproduced at 26 s → ~3 s here before this projection)
+    val tokenized = df.select(col(idCol).as("id"), col(groupCol).as("_g"),
       split(trim(col(textCol)), "\\s+").as("toks"))
-    val pos = df.select(col(idCol).as("id"), col(groupCol).as("_g"),
-        posexplode(positionalGrams128(
-          split(trim(col(textCol)), "\\s+"), n)).as(Seq("p", "hg")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val boiler = pos.select(col("_g"), col("hg"), col("id")).distinct()
+    // array_distinct on the STRING grams, hashed after: ArrayDistinct
+    // only has a hash-set fast path for types with proper equals
+    // (primitives, strings); over the 128-bit key STRUCTS it degrades
+    // to O(n²) pairwise scans per doc
+    val boiler = tokenized.select(col("_g"),
+        explode(array_distinct(
+          positionalGrams(col("toks"), n, hashed = false))).as("_s"))
+      .select(col("_g"), struct(xxhash64(col("_s")).as("h1"),
+        xxhash64(col("_s"), lit(1)).as("h2")).as("hg"))
       .groupBy("_g", "hg").agg(count(lit(1)).as("_df"))
       .filter(col("_df") >= minDocs)
       .select("_g", "hg")
+    val pos = tokenized.select(col("id"), col("_g"),
+      posexplode(positionalGrams128(col("toks"), n)).as(Seq("p", "hg")))
     val covered = pos.join(boiler, Seq("_g", "hg"), "left_semi")
       .select(col("id"), explode(sequence(col("p"), col("p") + (n - 1))).as("i"))
       .groupBy("id").agg(collect_set(col("i")).as("_drop"))
-    rebuildDroppingPositions(tokenized, covered, idCol)
+    rebuildDroppingPositions(tokenized.drop("_g"), covered, idCol)
   }
 
   /** CHARACTER-level exact-substring dedup — Lee et al. 2021 §4's
@@ -674,9 +694,11 @@ object Dedup {
       split(trim(col(textCol)), "\\s+").as("toks"))
     val pos = tokenized.select(col("id"),
       posexplode(positionalGrams128(col("toks"), n)).as(Seq("p", "hg")))
+    // projection before the gram lambda (the shingles gotcha — a raw
+    // split expression re-runs per gram element inside transform)
     val evalGrams = evalSet
-      .select(explode(positionalGrams128(
-        split(trim(col(textCol)), "\\s+"), n)).as("hg"))
+      .select(split(trim(col(textCol)), "\\s+").as("_et"))
+      .select(explode(positionalGrams128(col("_et"), n)).as("hg"))
       .distinct()
     // past the broadcast bound the semi join falls back to a key
     // shuffle — both sides are 16-byte gram keys (positions ride only
