@@ -97,6 +97,15 @@ object ScaleProbe {
         .agg(sum(length(col("clean_text"))).as("chars_kept"),
           sum(col("n_kept")).as("chars_kept_n"))
         .filter(col("chars_kept") >= 0)),
+      // per-source boilerplate: one map-side-combinable (source, gram)
+      // count + a broadcast semi-join — replicas salt their text per
+      // replica, so each replica block is its own boilerplate regime
+      // and the curve should track corpus size like d13's
+      "d19_boilerplate" -> (d => Dedup.removeBoilerplate(d, "doc_id",
+        "text", "source", n = 5, minDocs = 3)
+        .agg(sum(length(col("clean_text"))).as("chars_kept"),
+          sum(col("n_kept")).as("toks_kept"))
+        .filter(col("chars_kept") >= 0)),
       // batch-vs-corpus near-dup: the batch (1/5 of docs) rides LSH
       // buckets against the corpus — cost should track corpus size
       // linearly (bucket join), never corpus²

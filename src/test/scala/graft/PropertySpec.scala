@@ -213,6 +213,81 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("decontaminateRewriteAuto's Bloom route equals the direct rewrite") {
+    import graft.operators.Dedup
+    val n = 3
+    val word = Gen.oneOf("a", "b", "c", "d", "e")
+    val doc = Gen.chooseNum(1, 10)
+      .flatMap(len => Gen.listOfN(len, word)).map(_.mkString(" "))
+    val gen = for {
+      corpus <- Gen.listOfN(6, doc)
+      eval <- Gen.listOfN(2, doc)
+    } yield (corpus, eval)
+    samples(gen).foreach { case (corpusTexts, evalTexts) =>
+      val corpus = corpusTexts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val eval = evalTexts.zipWithIndex
+        .map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id", "n_toks", "n_kept", "clean_text")
+          .as[(Long, Long, Long, String)].collect().toSet
+      val direct = rows(
+        Dedup.decontaminateRewrite(corpus, eval, "doc_id", "text", n))
+      // maxBroadcastGrams = 0 forces flag-then-rewrite; bit-identical
+      // output is the routing contract (t19's gate), here fuzzed over
+      // dense-overlap corpora where flagging mistakes would surface
+      val routed = rows(Dedup.decontaminateRewriteAuto(
+        corpus, eval, "doc_id", "text", n, maxBroadcastGrams = 0L))
+      assert(routed == direct,
+        s"routes diverged:\n direct=$direct\n routed=$routed")
+    }
+  }
+
+  test("removeBoilerplate agrees with a naive reimplementation") {
+    import graft.operators.Dedup
+    val n = 2 // word-2-grams keep the naive side dense on a tiny vocab
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val doc = for {
+      len <- Gen.chooseNum(1, 8)
+      toks <- Gen.listOfN(len, word)
+      src <- Gen.oneOf("s1", "s2")
+    } yield (toks.mkString(" "), src)
+    val gen = Gen.listOfN(8, doc)
+    samples(gen).foreach { docs =>
+      val df = docs.zipWithIndex
+        .map { case ((t, s), i) => (i.toLong, s, t) }
+        .toDF("doc_id", "source", "text")
+      val out = Dedup.removeBoilerplate(df, "doc_id", "text", "source",
+          n, minDocs = 2)
+        .select("doc_id", "n_toks", "n_kept", "clean_text")
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> r).toMap
+      // naive twin: per source, grams present in >= 2 DISTINCT docs;
+      // every occurrence's positions drop (no keep-first)
+      val boiler: Map[String, Set[String]] = docs.zipWithIndex
+        .groupBy(_._1._2)
+        .map { case (src, ds) =>
+          src -> ds
+            .flatMap { case ((t, _), i) =>
+              t.trim.split("\\s+").toSeq.sliding(n).filter(_.size == n)
+                .map(_.mkString(" ")).toSet.toSeq.map((g: String) => (g, i))
+            }
+            .groupBy(_._1).filter(_._2.size >= 2).keySet
+        }
+      docs.zipWithIndex.foreach { case ((t, src), i) =>
+        val toks = t.trim.split("\\s+").toSeq
+        val bg = boiler.getOrElse(src, Set.empty)
+        val covered = toks.sliding(n).zipWithIndex
+          .filter { case (g, _) => g.size == n && bg(g.mkString(" ")) }
+          .flatMap { case (_, p) => p until p + n }.toSet
+        val kept = toks.zipWithIndex.filterNot(x => covered(x._2)).map(_._1)
+        val (id, nT, nK, clean) = out(i.toLong)
+        assert(nT == toks.size && nK == kept.size && clean == kept.mkString(" "),
+          s"doc $id src $src: expected '${kept.mkString(" ")}', got '$clean'")
+      }
+    }
+  }
+
   test("topTokensPerGroup and skewStats agree with naive twins") {
     import graft.operators.TextAnalysis
     import graft.ops.Skew
