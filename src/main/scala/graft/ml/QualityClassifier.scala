@@ -51,11 +51,21 @@ object QualityClassifier {
 
   /** Score a corpus: input columns plus `quality_p` = P(label = 1).
     * Map-side — broadcast coefficients, one pass, intermediate feature
-    * columns dropped so the output schema is the input's + one. */
+    * columns dropped so the output schema is the input's + one.
+    * `quality_p` is rounded to 6 decimals for stable display/oracle
+    * comparison; [[filterByQuality]] gates on the UNROUNDED
+    * probability (see there). */
   def score(model: PipelineModel, corpus: DataFrame): DataFrame =
+    scoreRaw(model, corpus).drop("_quality_p_raw")
+
+  /** Shared scoring tail: emits both the unrounded probability
+    * (`_quality_p_raw`, the filter's gate column) and the 6-decimal
+    * `quality_p` (the emitted/displayed column). */
+  private def scoreRaw(model: PipelineModel, corpus: DataFrame): DataFrame =
     model.transform(corpus)
-      .withColumn("quality_p",
-        round(element_at(vector_to_array(col("probability")), 2), 6))
+      .withColumn("_quality_p_raw",
+        element_at(vector_to_array(col("probability")), 2))
+      .withColumn("quality_p", round(col("_quality_p_raw"), 6))
       .drop("_qc_toks", "_qc_tf", "rawPrediction", "probability",
         "prediction")
 
@@ -63,8 +73,12 @@ object QualityClassifier {
     * hard cut — GPT-3's Pareto-sampled acceptance trades determinism
     * for a smoother quality gradient, and this engine's convention is
     * deterministic gates (RNG-free, replay-identical); calibrate the
-    * threshold on a held-out slice instead. */
+    * threshold on a held-out slice instead. The gate compares the
+    * UNROUNDED P(label = 1) to the threshold — rounding first would
+    * admit docs with true probability up to 5e-7 below it — and only
+    * the emitted `quality_p` column is rounded. */
   def filterByQuality(model: PipelineModel, corpus: DataFrame,
                       threshold: Double): DataFrame =
-    score(model, corpus).filter(col("quality_p") >= threshold)
+    scoreRaw(model, corpus).filter(col("_quality_p_raw") >= threshold)
+      .drop("_quality_p_raw")
 }

@@ -83,7 +83,16 @@ object Sources {
     * bytes mid-read. With the rename, a concurrent reader sees the old
     * sidecar or the new one — never a torn one. Concurrent WRITERS of
     * the same sidecar still race on the shared tmp name; stores keep
-    * their single-writer contract. */
+    * their single-writer contract.
+    *
+    * Schemes WITHOUT an AbstractFileSystem binding (e.g. s3a unless
+    * `fs.AbstractFileSystem.s3a.impl` is configured) have no
+    * FileContext — there the write falls back to delete-then-rename
+    * through the plain FileSystem API. That fallback is NOT atomic
+    * (and object-store rename is a copy anyway): a reader racing the
+    * overwrite can see the sidecar briefly absent, never torn bytes.
+    * Atomic overwrite is an HDFS/local guarantee; elsewhere the store's
+    * single-writer contract is what keeps the window harmless. */
   def writeBinarySidecarFs(spark: SparkSession, path: String,
                            bytes: Array[Byte]): Unit = {
     val p = new Path(path)
@@ -91,10 +100,18 @@ object Sources {
     val tmp = new Path(path + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
-    val fc = FileContext.getFileContext(fs.getUri,
-      spark.sparkContext.hadoopConfiguration)
-    fc.rename(fs.makeQualified(tmp), fs.makeQualified(p),
-      Options.Rename.OVERWRITE)
+    try {
+      val fc = FileContext.getFileContext(fs.getUri,
+        spark.sparkContext.hadoopConfiguration)
+      fc.rename(fs.makeQualified(tmp), fs.makeQualified(p),
+        Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        if (fs.exists(p)) fs.delete(p, false)
+        require(fs.rename(tmp, p),
+          s"sidecar overwrite: rename $tmp -> $p failed on " +
+            s"${fs.getUri.getScheme} (non-FileContext fallback)")
+    }
   }
 
   /** FS-routed binary sidecar read — see `writeBinarySidecarFs`.
@@ -486,6 +503,20 @@ object Sources {
     val paths = batches.map(b => s"$dir/data/batch=$b")
     require(paths.nonEmpty, s"$dir manifest lists no batches")
     spark.read.parquet(paths: _*)
+  }
+
+  /** Read ONE published batch's rows. Exists for replay paths that must
+    * recover a batch's exact as-published content (e.g. a streaming
+    * ingest loop re-deriving store rows for a batch whose publish
+    * committed but whose checkpoint didn't): recomputing the batch from
+    * its inputs is wrong there — the stores the computation reads have
+    * already absorbed the batch. Fails loudly if the manifest no longer
+    * lists the batch (compacted away / never published). */
+  def readPublishedBatch(spark: SparkSession, dir: String,
+                         batchId: Long): DataFrame = {
+    require(publishedBatches(spark, dir).contains(batchId),
+      s"$dir: batch $batchId is not in the live manifest")
+    spark.read.parquet(s"$dir/data/batch=$batchId")
   }
 
   /** Shallow time travel: read the table as a SPECIFIC manifest version

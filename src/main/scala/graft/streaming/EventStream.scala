@@ -182,23 +182,41 @@ object EventStream {
             spark, s"$storeDir/_meta.json")
           val shingleSize = meta("shingleSize").toInt
           val numHashes = meta("numHashes").toInt
-          // vs the landed corpus
-          val vsStore = Dedup.incrementalNearDupFromStore(
-            batch, storeDir, idCol, textCol, threshold = threshold)
-          // within-batch: keep the smallest id of each near-dup pair
-          val selfPairs = Dedup.nearDupPairs(batch, idCol, textCol,
-            shingleSize = shingleSize, threshold = threshold,
-            numHashes = numHashes)
-          val dropIds = vsStore.select(col("id_a").as(idCol))
-            .unionByName(selfPairs.select(col("id_b").as(idCol)))
-            .distinct()
-          val kept = batch.join(dropIds, Seq(idCol), "left_anti")
-            .persist() // feeds the corpus sink AND the store append
+          // replay guard — a manifest entry for this batch means a prior
+          // attempt fully published it. Recomputing `kept` on that replay
+          // path is WRONG, not just wasteful: the store may already hold
+          // the batch's own shingles (crash between the store append and
+          // the checkpoint commit), so every batch doc near-dups ITSELF
+          // and the recomputed kept set is empty — publishing it would
+          // erase the batch's published rows, and the batch-keyed store
+          // overwrite would erase its fingerprints. The as-published
+          // batch IS the correct kept set; re-derive store rows from it.
+          val alreadyPublished = graft.sources.Sources
+            .publishedBatches(spark, keptDir).contains(batchId + 1)
+          val kept =
+            if (alreadyPublished)
+              graft.sources.Sources.readPublishedBatch(spark, keptDir,
+                batchId + 1)
+            else {
+              // vs the landed corpus
+              val vsStore = Dedup.incrementalNearDupFromStore(
+                batch, storeDir, idCol, textCol, threshold = threshold)
+              // within-batch: keep the smallest id of each near-dup pair
+              val selfPairs = Dedup.nearDupPairs(batch, idCol, textCol,
+                shingleSize = shingleSize, threshold = threshold,
+                numHashes = numHashes)
+              val dropIds = vsStore.select(col("id_a").as(idCol))
+                .unionByName(selfPairs.select(col("id_b").as(idCol)))
+                .distinct()
+              batch.join(dropIds, Seq(idCol), "left_anti")
+                .persist() // feeds the corpus sink AND the store append
+            }
           // manifest-committed: a replayed batch overwrites its own data
           // dir and re-commits the same manifest entry, so the cleaned
           // corpus is delivered exactly-once (Sources.publishBatch),
           // not at-least-once appended
-          graft.sources.Sources.publishBatch(kept, keptDir, batchId + 1)
+          if (!alreadyPublished)
+            graft.sources.Sources.publishBatch(kept, keptDir, batchId + 1)
           // batchId + 1: the stream's ids start at 0, the store reserves
           // batch=0 for the base install; the offset keeps replays keyed
           // to the same store directory deterministically
@@ -239,9 +257,22 @@ object EventStream {
     * place this is always safe: the stream is the table's single
     * writer, so maintenance-between-batches needs no external
     * coordination — exactly the small-file answer a micro-batch sink
-    * otherwise punts to an external OPTIMIZE job. A replayed batch may
-    * re-run the compaction; reruns converge (one more manifest
-    * version, old dirs age out). */
+    * otherwise punts to an external OPTIMIZE job. A maintenance
+    * failure is logged and SWALLOWED (retried at the next qualifying
+    * trigger): maintenance is a multi-job, fallible rewrite sitting
+    * after the fp append, and letting it fail the trigger would force
+    * a replay of a batch whose fps are already in the store.
+    *
+    * Replay guard: a replayed batch whose manifest entry ALREADY
+    * exists skips the publish. Without the guard, a replay after the
+    * fp append (crash before the checkpoint commit) would recompute
+    * survivors as EMPTY — the fps are in the store — and overwrite the
+    * published batch dir with an empty frame while the manifest still
+    * lists it, silently losing the batch's rows. With it, every crash
+    * point converges: before the publish → clean republish; between
+    * publish and fp append → publish skipped (data identical), fps
+    * re-derived and appended; after the fp append → publish skipped,
+    * fp re-append is a no-op (survivors empty). */
   def streamingExactDedupIngest(docs: DataFrame, storeDir: String,
                                 keptDir: String, idCol: String,
                                 textCol: String,
@@ -261,18 +292,39 @@ object EventStream {
           // appending to it
           val survivors = Dedup.incrementalExactDedupFromFpStore(
             batch, storeDir, idCol, textCol).localCheckpoint()
-          val kept = batch.join(
-              survivors.select(col("id").as(idCol)), Seq(idCol), "left_semi")
-            .persist() // feeds the corpus sink AND the store append
-          graft.sources.Sources.publishBatch(kept, keptDir, batchId + 1)
+          // replay guard — a manifest entry for this batch means a prior
+          // attempt fully published it (publish commits the manifest
+          // LAST); republishing from recomputed survivors would be wrong
+          // on the post-fp-append replay path (survivors = empty)
+          val alreadyPublished = graft.sources.Sources
+            .publishedBatches(spark, keptDir).contains(batchId + 1)
+          if (!alreadyPublished) {
+            val kept = batch.join(
+                survivors.select(col("id").as(idCol)), Seq(idCol), "left_semi")
+              .persist() // feeds the corpus sink AND the store append
+            graft.sources.Sources.publishBatch(kept, keptDir, batchId + 1)
+            kept.unpersist()
+          }
           Dedup.appendToFpStore(
             survivors.select("fp").distinct(), storeDir)
-          kept.unpersist()
-          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-            graft.sources.Sources.compactPublished(spark, keptDir,
-              targetFileBytes)
-            graft.sources.Sources.vacuumPublished(spark, keptDir)
-          }
+          // maintenance LAST and best-effort: a throw here (transient FS
+          // error, compactPublished's own require) is logged and
+          // swallowed — the batch's fps are already in the store, so
+          // failing the trigger would replay a batch the store has
+          // absorbed (the guard above makes even that safe, but a stream
+          // stuck re-failing on maintenance serves no one; the next
+          // qualifying trigger retries it)
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+            try {
+              graft.sources.Sources.compactPublished(spark, keptDir,
+                targetFileBytes)
+              graft.sources.Sources.vacuumPublished(spark, keptDir)
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                System.err.println(
+                  s"[graft] in-loop maintenance of $keptDir failed " +
+                    s"(batch $batchId, retried next trigger): ${e.getMessage}")
+            }
           // release only what THIS batch created (localCheckpoint blocks
           // from the store path included) — a long-running stream must
           // not accumulate one block set per micro-batch

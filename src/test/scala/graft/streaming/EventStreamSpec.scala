@@ -271,6 +271,72 @@ class EventStreamSpec extends SparkSpec {
     assert(storeIds == Set(100L, 2L, 3L, 6L))
   }
 
+  test("replayed batch does not erase its published rows or store rows") {
+    // Simulates the crash-after-side-effects-before-checkpoint-commit
+    // window: run a batch to completion, then replay the SAME data as
+    // the SAME batchId (fresh checkpoint, same dirs). On the replay,
+    // the stores already hold the batch's fingerprints, so the
+    // recomputed kept set is empty — without the manifest replay guard
+    // the loop would overwrite the published batch (and, in the
+    // near-dup loop, its batch-keyed store dirs) with empty frames.
+    implicit val sqlCtx = spark.sqlContext
+    // exact loop
+    locally {
+      val tmp = java.nio.file.Files.createTempDirectory("fpreplay").toString
+      val (storeDir, keptDir) = (s"$tmp/store", s"$tmp/kept")
+      graft.operators.Dedup.writeFpStore(
+        Seq((100L, "landed doc")).toDF("doc_id", "text"),
+        "doc_id", "text", storeDir, expectedTotalFps = 10000L)
+      def runOnce(ckpt: String): Unit = {
+        val mem = MemoryStream[(Long, String)]
+        val q = streamingExactDedupIngest(
+            mem.toDF().toDF("doc_id", "text"), storeDir, keptDir,
+            "doc_id", "text")
+          .option("checkpointLocation", ckpt).start()
+        mem.addData((1L, "alpha"), (2L, "beta"))
+        q.processAllAvailable()
+        q.stop()
+      }
+      runOnce(s"$tmp/ckpt1")
+      runOnce(s"$tmp/ckpt2") // the replay
+      val kept = graft.sources.Sources.readPublished(spark, keptDir)
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 2L),
+        s"replay must not erase published rows, got $kept")
+      assert(spark.read.parquet(s"$storeDir/fps").distinct().count() == 3,
+        "fp store must hold landed + both survivors after the replay")
+    }
+    // near-dup loop: the store append is batch-keyed OVERWRITE, so an
+    // unguarded replay would also blank the batch's shingles/signatures
+    locally {
+      val tmp = java.nio.file.Files.createTempDirectory("ndreplay").toString
+      val (storeDir, keptDir) = (s"$tmp/store", s"$tmp/kept")
+      val baseA = (1 to 20).map(i => s"a$i").mkString(" ")
+      val baseB = (1 to 20).map(i => s"b$i").mkString(" ")
+      graft.operators.Dedup.writeNearDupStore(
+        Seq((100L, baseA)).toDF("doc_id", "text"), "doc_id", "text", storeDir)
+      def runOnce(ckpt: String): Unit = {
+        val mem = MemoryStream[(Long, String)]
+        val q = streamingNearDupIngest(
+            mem.toDF().toDF("doc_id", "text"), storeDir, keptDir,
+            "doc_id", "text")
+          .option("checkpointLocation", ckpt).start()
+        mem.addData((2L, baseB))
+        q.processAllAvailable()
+        q.stop()
+      }
+      runOnce(s"$tmp/ckpt1")
+      runOnce(s"$tmp/ckpt2") // the replay
+      val kept = graft.sources.Sources.readPublished(spark, keptDir)
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(2L), s"replay must not erase published rows, got $kept")
+      val storeIds = spark.read.parquet(s"$storeDir/signatures")
+        .select("id").distinct().as[Long].collect().toSet
+      assert(storeIds == Set(100L, 2L),
+        s"replay must not blank the batch's store rows, got $storeIds")
+    }
+  }
+
   test("streamingExactDedupIngest drops exact dups against the growing fp store") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("fpstream").toString
