@@ -157,44 +157,90 @@ object Dedup {
   }
 
   /** At-rest exact-dedup fingerprint store: distinct md5 fps as parquet
-    * plus a Bloom filter sidecar over their xxhash64 keys. The filter is
-    * sized ONCE for the store's target capacity (`expectedTotalFps` —
-    * corpus plus all future batches) so per-batch filters built with the
-    * same parameters stay bit-compatible for merging; capacity and fpp
-    * travel in `_meta.json`, and everything lives on the store dir's own
-    * filesystem. The filter is the store's hot half: ~1.8 bytes/fp at
-    * fpp 1e-3 where the parquet side is 16 bytes. Capacity CEILING:
-    * one filter serializes through a JVM byte array, so the sidecar
-    * format tops out around 1e9 fps (~1.8 GB) at fpp 1e-3 — checked
-    * here with a loud error rather than an overflow deep inside the
-    * sketch. Past that, shard the store (and its sidecar) by an fp
-    * hash range; the probe path composes unchanged per shard. */
+    * plus Bloom filter sidecar(s) over their xxhash64 keys. The filter
+    * is sized ONCE for the store's target capacity (`expectedTotalFps`
+    * — corpus plus all future batches) so per-batch filters built with
+    * the same parameters stay bit-compatible for merging; capacity,
+    * fpp, and shard count travel in `_meta.json`, and everything lives
+    * on the store dir's own filesystem. The filter is the store's hot
+    * half: ~1.8 bytes/fp at fpp 1e-3 where the parquet side is 16
+    * bytes.
+    *
+    * SHARDING: one filter serializes through a JVM byte array, so a
+    * single sidecar tops out around 1e9 fps (~1.8 GB) at fpp 1e-3.
+    * `shards = k` splits the store by fp hash range — fps land under
+    * `fps/shard=<i>` (i = xxhash64(fp) mod k) with one
+    * `_bloom.s<i>.bin` sidecar each, sized for 1/k of the capacity, so
+    * k shards carry k× the single-sidecar ceiling and the probe/append
+    * paths compose per shard ([[incrementalExactDedupFromFpStore]] /
+    * [[appendToFpStore]] read the shard count from the meta — callers
+    * never pass it again). `shards = 1` (default) keeps the flat
+    * single-sidecar layout; the capacity ceiling is checked PER SHARD,
+    * loudly, either way. */
   def writeFpStore(corpus: DataFrame, idCol: String, textCol: String,
                    dir: String, expectedTotalFps: Long,
-                   fpp: Double = 0.001): Unit = {
+                   fpp: Double = 0.001, shards: Int = 1): Unit = {
+    require(shards >= 1, s"shards must be >= 1: $shards")
+    val perShard = fpShardCapacity(expectedTotalFps, shards)
     // optimal bits ≈ -n·ln(p)/ln²2; 8·Int.MaxValue is the serializable
     // ceiling (byte-array length), reached near 1.19e9 keys at 1e-3
     val bits = math.ceil(
-      -expectedTotalFps * math.log(fpp) / (math.log(2) * math.log(2)))
+      -perShard * math.log(fpp) / (math.log(2) * math.log(2)))
     require(bits <= 8.0 * Int.MaxValue,
-      s"writeFpStore: expectedTotalFps=$expectedTotalFps at fpp=$fpp needs " +
+      s"writeFpStore: $perShard fps/shard at fpp=$fpp needs " +
         f"${bits / 8 / 1e9}%.1f GB of filter — past the single-sidecar " +
-        "ceiling (~1e9 fps at 1e-3); shard the store by fp hash range")
+        s"ceiling (~1e9 fps at 1e-3); raise `shards` (currently $shards)")
     val spark = corpus.sparkSession
     val fps = corpus
       .select(TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    fps.write.mode("overwrite").parquet(s"$dir/fps")
-    val filter = fps.select(xxhash64(col("fp")).as("k"))
-      .stat.bloomFilter("k", expectedTotalFps, fpp)
-    graft.sources.Sources.writeBinarySidecarFs(spark, s"$dir/_bloom.bin",
-      graft.functions.BloomMightContain.toBytes(filter))
+    if (shards == 1) {
+      fps.write.mode("overwrite").parquet(s"$dir/fps")
+      val filter = fps.select(xxhash64(col("fp")).as("k"))
+        .stat.bloomFilter("k", expectedTotalFps, fpp)
+      graft.sources.Sources.writeBinarySidecarFs(spark, s"$dir/_bloom.bin",
+        graft.functions.BloomMightContain.toBytes(filter))
+    } else {
+      fps.withColumn("shard", fpShardId(col("fp"), shards))
+        .write.partitionBy("shard").mode("overwrite").parquet(s"$dir/fps")
+      (0 until shards).foreach { i =>
+        val keys = fps.filter(fpShardId(col("fp"), shards) === i)
+          .select(xxhash64(col("fp")).as("k"))
+        writeShardBloom(spark, dir, i, keys, perShard, fpp)
+      }
+    }
     graft.sources.Sources.writeJsonSidecarFs(spark, s"$dir/_meta.json",
       Map("expectedTotalFps" -> expectedTotalFps.toString,
         "fpp" -> fpp.toString,
+        "shards" -> shards.toString,
         "formatVersion" -> "1"))
     fps.unpersist(blocking = false)
+  }
+
+  /** Shard routing for the fp store: xxhash64(fp) mod k, non-negative.
+    * The SAME xxhash64 key feeds the Bloom probes — harmless, because a
+    * shard's filter only ever answers for keys in its own residue
+    * class, and within it the full 64-bit key still spreads. */
+  private def fpShardId(fp: Column, shards: Int): Column =
+    pmod(xxhash64(fp), lit(shards.toLong)).cast("int")
+
+  private def fpShardCapacity(expectedTotalFps: Long, shards: Int): Long =
+    math.max(1L, (expectedTotalFps + shards - 1) / shards)
+
+  /** One shard's Bloom sidecar from its key frame; an EMPTY shard gets
+    * an explicit empty filter (stat.bloomFilter over zero rows yields a
+    * null sketch buffer). */
+  private def writeShardBloom(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, shard: Int, keys: DataFrame,
+                              capacity: Long, fpp: Double): Unit = {
+    val filter =
+      if (keys.isEmpty)
+        org.apache.spark.util.sketch.BloomFilter.create(capacity, fpp)
+      else keys.stat.bloomFilter("k", capacity, fpp)
+    graft.sources.Sources.writeBinarySidecarFs(spark,
+      s"$dir/_bloom.s$shard.bin",
+      graft.functions.BloomMightContain.toBytes(filter))
   }
 
   /** `incrementalExactDedup` against the at-rest store, Bloom-routed:
@@ -210,8 +256,30 @@ object Dedup {
                                        dir: String, idCol: String,
                                        textCol: String): DataFrame = {
     val spark = batch.sparkSession
-    val bloomBytes =
-      graft.sources.Sources.readBinarySidecarFs(spark, s"$dir/_bloom.bin")
+    val meta = graft.sources.Sources.readJsonSidecarFs(spark, s"$dir/_meta.json")
+    // stores written before sharding existed carry no "shards" key = 1
+    val shards = meta.getOrElse("shards", "1").toInt
+    // sharded probe: route each fp to its shard's filter with a
+    // when-chain keyed on the shard id. NOTE the plan carries ALL shard
+    // filters (they are expression literals) — sharding raises the
+    // 2 GB-per-JVM-byte-array SERIALIZATION ceiling, not the executor
+    // memory bill, which is the total filter size either way.
+    val maybe: Column =
+      if (shards == 1)
+        graft.plans.GraftFunctions.bloomMightContain(spark,
+          xxhash64(col("fp")),
+          graft.sources.Sources.readBinarySidecarFs(spark, s"$dir/_bloom.bin"))
+      else {
+        val sid = fpShardId(col("fp"), shards)
+        (0 until shards).map { i =>
+          (i, graft.plans.GraftFunctions.bloomMightContain(spark,
+            xxhash64(col("fp")),
+            graft.sources.Sources.readBinarySidecarFs(spark,
+              s"$dir/_bloom.s$i.bin")))
+        }.foldRight(lit(false): Column) { case ((i, probe), acc) =>
+          when(sid === i, probe).otherwise(acc)
+        }
+      }
     // one row per distinct batch fp, smallest id wins (within-batch
     // dedup) — tiny, and consumed by BOTH probe branches. Eager
     // localCheckpoint (not persist): the frame is materialized once
@@ -222,13 +290,14 @@ object Dedup {
       .select(col(idCol).as("id"),
         TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .groupBy("fp").agg(min("id").as("id"))
-      .withColumn("_maybe", graft.plans.GraftFunctions.bloomMightContain(
-        spark, xxhash64(col("fp")), bloomBytes))
+      .withColumn("_maybe", maybe)
       .localCheckpoint()
     val fresh = batchFp.filter(!col("_maybe")).select("id", "fp")
     val suspects = batchFp.filter(col("_maybe")).select("id", "fp")
+    // the verify join keys on fp alone — the sharded layout's partition
+    // column is irrelevant to it, so one scan serves both layouts
     val verified = suspects.join(
-      spark.read.parquet(s"$dir/fps"), Seq("fp"), "left_anti")
+      spark.read.parquet(s"$dir/fps").select("fp"), Seq("fp"), "left_anti")
     fresh.unionByName(verified)
   }
 
@@ -247,18 +316,50 @@ object Dedup {
     * is built with the STORE's recorded capacity/fpp so `mergeInPlace`
     * sees bit-compatible layouts. */
   def appendToFpStore(newFps: DataFrame, dir: String): Unit = {
+    // zero-row append is a no-op — reached on replay paths where every
+    // fp is already in the store. Guarded explicitly because
+    // stat.bloomFilter over zero rows yields a null sketch buffer
+    // (NPE), and a zero-row parquet append would only add an empty file
+    if (newFps.isEmpty) return
     val spark = newFps.sparkSession
     val meta = graft.sources.Sources.readJsonSidecarFs(spark, s"$dir/_meta.json")
     val expected = meta("expectedTotalFps").toLong
     val fpp = meta("fpp").toDouble
-    val store = org.apache.spark.util.sketch.BloomFilter.readFrom(
-      graft.sources.Sources.readBinarySidecarFs(spark, s"$dir/_bloom.bin"))
-    val batchFilter = newFps.select(xxhash64(col("fp")).as("k"))
-      .stat.bloomFilter("k", expected, fpp)
-    store.mergeInPlace(batchFilter)
-    graft.sources.Sources.writeBinarySidecarFs(spark, s"$dir/_bloom.bin",
-      graft.functions.BloomMightContain.toBytes(store))
-    newFps.select("fp").write.mode("append").parquet(s"$dir/fps")
+    val shards = meta.getOrElse("shards", "1").toInt
+    if (shards == 1) {
+      val store = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        graft.sources.Sources.readBinarySidecarFs(spark, s"$dir/_bloom.bin"))
+      val batchFilter = newFps.select(xxhash64(col("fp")).as("k"))
+        .stat.bloomFilter("k", expected, fpp)
+      store.mergeInPlace(batchFilter)
+      graft.sources.Sources.writeBinarySidecarFs(spark, s"$dir/_bloom.bin",
+        graft.functions.BloomMightContain.toBytes(store))
+      newFps.select("fp").write.mode("append").parquet(s"$dir/fps")
+    } else {
+      // per shard: slice the batch by the routing hash, fold the
+      // slice's keys into that shard's sidecar (same bloom-first
+      // ordering — bloom ⊇ fps must hold per shard), land the slice
+      // under its partition dir. The batch is localCheckpoint'd by
+      // every ingest caller, so the k slice passes re-read a frozen
+      // frame, not the store. Empty slices are skipped whole.
+      val perShard = fpShardCapacity(expected, shards)
+      (0 until shards).foreach { i =>
+        val slice = newFps.filter(fpShardId(col("fp"), shards) === i)
+          .select("fp")
+        if (!slice.isEmpty) {
+          val store = org.apache.spark.util.sketch.BloomFilter.readFrom(
+            graft.sources.Sources.readBinarySidecarFs(spark,
+              s"$dir/_bloom.s$i.bin"))
+          val batchFilter = slice.select(xxhash64(col("fp")).as("k"))
+            .stat.bloomFilter("k", perShard, fpp)
+          store.mergeInPlace(batchFilter)
+          graft.sources.Sources.writeBinarySidecarFs(spark,
+            s"$dir/_bloom.s$i.bin",
+            graft.functions.BloomMightContain.toBytes(store))
+          slice.write.mode("append").parquet(s"$dir/fps/shard=$i")
+        }
+      }
+    }
     // same-session cached plans over the store keep serving the
     // pre-append file list otherwise (CacheManager keys on root path) —
     // the writer invalidates so readers stay oblivious
@@ -451,9 +552,11 @@ object Dedup {
     * map-side-combinable min(struct(id, pos)) aggregate, pruned to
     * grams with ≥ 2 occurrences BEFORE the join back (unique grams —
     * the overwhelming majority of a real corpus — never ride the
-    * second exchange); covered positions aggregate to a per-doc drop
-    * set that joins back to the id-keyed doc table, so the rewrite
-    * itself is map-side (a higher-order filter over the token array).
+    * second exchange); duplicated occurrences sweep into per-doc
+    * MERGED drop intervals ([[mergedDropIntervals]] — one (id, int)
+    * row per occurrence, buffers bounded by merged-span count) that
+    * join back to the id-keyed doc table, so the rewrite itself is
+    * map-side (bulk gap slices over the token array).
     * Per the family cache policy the PERSISTED block is the 24-byte
     * positional-gram projection (it feeds both the first-occurrence
     * aggregate and the covered join); the token arrays are re-derived
@@ -484,11 +587,11 @@ object Dedup {
       .agg(min(struct(col("id"), col("p"))).as("f"), count(lit(1)).as("_occ"))
       .filter(col("_occ") > 1)
       .select(col("hg"), col("f.id").as("f_id"), col("f.p").as("f_p"))
-    val covered = pos.join(firstOcc, Seq("hg"))
-      .filter(!(col("id") === col("f_id") && col("p") === col("f_p")))
-      .select(col("id"), explode(sequence(col("p"), col("p") + (n - 1))).as("i"))
-      .groupBy("id").agg(collect_set(col("i")).as("_drop"))
-    rebuildDroppingPositions(tokenized, covered, idCol)
+    val covered = mergedDropIntervals(
+      pos.join(firstOcc, Seq("hg"))
+        .filter(!(col("id") === col("f_id") && col("p") === col("f_p")))
+        .select(col("id"), col("p")), n)
+    rebuildDroppingIntervals(tokenized, covered, idCol)
   }
 
   /** Per-source BOILERPLATE removal — the crawl-cleaning stage that
@@ -513,9 +616,10 @@ object Dedup {
     * full-width exchange of the gram table keyed (g, hg, id) —
     * measured 15 s vs 3.8 s on the sf0.1 battery for the same answer.)
     * The elected boilerplate set is tiny, so the positional semi-join
-    * is AQE-broadcast and the gram table never shuffles; covered
-    * positions exchange as (id, int) for affected docs only; rebuild
-    * joins an AQE-broadcast drop set. Text never shuffles anywhere.
+    * is AQE-broadcast and the gram table never shuffles; boilerplate
+    * occurrences exchange as (id, int) for affected docs only and
+    * sweep into merged intervals ([[mergedDropIntervals]]); rebuild
+    * joins an AQE-broadcast interval set. Text never shuffles anywhere.
     * Source-keyed grouping also bounds skew: a gram's group is one
     * source's documents, not the corpus. Three map-side gram passes
     * over the source scan (election, coverage, rebuild) — the family
@@ -546,10 +650,10 @@ object Dedup {
       .select("_g", "hg")
     val pos = tokenized.select(col("id"), col("_g"),
       posexplode(positionalGrams128(col("toks"), n)).as(Seq("p", "hg")))
-    val covered = pos.join(boiler, Seq("_g", "hg"), "left_semi")
-      .select(col("id"), explode(sequence(col("p"), col("p") + (n - 1))).as("i"))
-      .groupBy("id").agg(collect_set(col("i")).as("_drop"))
-    rebuildDroppingPositions(tokenized.drop("_g"), covered, idCol)
+    val covered = mergedDropIntervals(
+      pos.join(boiler, Seq("_g", "hg"), "left_semi")
+        .select(col("id"), col("p")), n)
+    rebuildDroppingIntervals(tokenized.drop("_g"), covered, idCol)
   }
 
   /** CHARACTER-level exact-substring dedup — Lee et al. 2021 §4's
@@ -569,8 +673,11 @@ object Dedup {
     * char granularity, same exchanges otherwise): positional grams
     * hash to 128-bit keys map-side via substring windows (the text
     * never explodes into a char-array for hashing), unique grams are
-    * pruned before the join back, and the rebuild joins an
-    * AQE-broadcast drop-set. 128-bit keys for the same destructive-
+    * pruned before the join back, duplicated occurrences sweep into
+    * merged drop intervals ([[mergedDropIntervals]] — the interval
+    * form matters most HERE, where the covered-position alternative
+    * would amplify rows ×n = ×20), and the rebuild joins an
+    * AQE-broadcast interval set. 128-bit keys for the same destructive-
     * confidence reason (see the birthday note above).
     *
     * Output: (idCol, n_chars, n_kept, clean_text) — docs shorter than
@@ -594,11 +701,11 @@ object Dedup {
       .agg(min(struct(col("id"), col("p"))).as("f"), count(lit(1)).as("_occ"))
       .filter(col("_occ") > 1)
       .select(col("hg"), col("f.id").as("f_id"), col("f.p").as("f_p"))
-    val covered = pos.join(firstOcc, Seq("hg"))
-      .filter(!(col("id") === col("f_id") && col("p") === col("f_p")))
-      .select(col("id"), explode(sequence(col("p"), col("p") + (n - 1))).as("i"))
-      .groupBy("id").agg(collect_set(col("i")).as("_drop"))
-    rebuildDroppingPositions(chars, covered, idCol, sep = "")
+    val covered = mergedDropIntervals(
+      pos.join(firstOcc, Seq("hg"))
+        .filter(!(col("id") === col("f_id") && col("p") === col("f_p")))
+        .select(col("id"), col("p")), n)
+    rebuildDroppingIntervals(chars, covered, idCol, sep = "")
       .withColumnRenamed("n_toks", "n_chars")
   }
 
@@ -621,29 +728,78 @@ object Dedup {
       .otherwise(array().cast("array<struct<h1:bigint,h2:bigint>>"))
   }
 
+  /** Per-doc merged drop INTERVALS from duplicated-gram occurrences —
+    * the shared aggregation stage of the destructive span operators.
+    * Input: one row per occurrence to remove, (id, p), each covering
+    * unit positions [p, p + n). Output: (id, _ivs) where _ivs is the
+    * sorted, non-overlapping merge of those spans as
+    * array<struct<s:int, e:int>> (half-open [s, e)).
+    *
+    * This replaces an earlier explode(sequence(p, p+n−1)) +
+    * collect_set(position) pipeline: that shape exchanged one (id, int)
+    * row per covered POSITION — an ×n row amplifier (×20 for the
+    * char-level rewrite) — and its per-doc aggregation buffer held
+    * O(covered positions) ints, concentrating O(doc length) of memory
+    * on one hash-aggregate entry for a heavily-duplicated long doc.
+    * Intervals exchange one row per OCCURRENCE and buffer one 8-byte
+    * struct per MERGED interval.
+    *
+    * The merge is the classic SQL interval sweep, linear per doc: sort
+    * occurrences by start within each doc (one window exchange of
+    * (id, int) rows), mark group starts, number groups with a running
+    * sum, aggregate each group to its envelope. Spans here all have
+    * length n, so the running max-end of the sweep is lag(p) + n and
+    * "starts a new merged group" reduces to p − lag(p) > n (adjacent
+    * spans — gap zero — merge too, which is coverage-equivalent and
+    * strictly fewer intervals). Both window expressions share one
+    * window spec, so the plan pays a single sort. */
+  private def mergedDropIntervals(occ: DataFrame, n: Int): DataFrame = {
+    val byDoc = Window.partitionBy("id").orderBy("p")
+    val prev = lag(col("p"), 1).over(byDoc)
+    occ
+      .withColumn("_new",
+        when(prev.isNull || col("p") - prev > n, 1).otherwise(0))
+      .withColumn("_grp", sum(col("_new")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("id", "_grp")
+      .agg(min("p").as("s"), (max("p") + n).as("e"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("_ivs"))
+  }
+
   /** Shared rewrite tail for the destructive span operators
-    * (`removeDupSpans`, `decontaminateRewrite`, and — with `sep = ""`
-    * over char arrays — `removeDupSpansChars`): drop every unit whose
-    * position is in the doc's `_drop` set, reassemble in order.
-    * `covered` is (id, _drop: array<int>); docs absent from it pass
-    * through untouched. The drop-set table is tiny relative to the
-    * corpus (ids + ints, only affected docs), so AQE broadcasts the
-    * join and the token arrays never shuffle. */
-  private def rebuildDroppingPositions(tokenized: DataFrame,
+    * (`removeDupSpans`, `removeBoilerplate`, `removeSelfRepetition`,
+    * `decontaminateRewrite`, and — with `sep = ""` over char arrays —
+    * `removeDupSpansChars`): drop every unit covered by the doc's
+    * merged drop intervals, reassemble in order. `covered` is
+    * [[mergedDropIntervals]]' (id, _ivs) output; docs absent from it
+    * pass through untouched. The interval table is tiny relative to
+    * the corpus (ids + merged spans, only affected docs), so AQE
+    * broadcasts the join and the token arrays never shuffle.
+    *
+    * The kept units are the GAPS between the merged intervals (before
+    * the first, between consecutive, after the last), each taken as
+    * one bulk array slice — O(n_toks + n_intervals) per doc, no
+    * per-unit membership probe, no index materialization. */
+  private def rebuildDroppingIntervals(tokenized: DataFrame,
                                        covered: DataFrame,
                                        idCol: String,
                                        sep: String = " "): DataFrame = {
-    // kept indices via array_except (hash-set membership, left order
-    // preserved): O(n_toks + n_dropped) per doc — a per-token
-    // array_contains scan over the drop set would be O(n_toks ×
-    // n_dropped), quadratic for a long fully-boilerplate doc
-    val kept = when(col("_drop").isNull, col("toks"))
-      .otherwise(transform(
-        array_except(sequence(lit(0), size(col("toks")) - 1), col("_drop")),
-        i => element_at(col("toks"), i + 1)))
+    val m = col("_ivs")
+    val toks = col("toks")
+    // gap i (0-based, size(m)+1 of them): [m(i).e | 0, m(i+1).s | end)
+    val gaps = transform(
+      sequence(lit(0), size(m)),
+      i => struct(
+        when(i === 0, lit(0)).otherwise(element_at(m, i)("e")).as("s"),
+        when(i === size(m), size(toks))
+          .otherwise(element_at(m, i + 1)("s")).as("e")))
+    val kept = when(m.isNull, toks)
+      .otherwise(flatten(transform(gaps,
+        g => slice(toks, g("s") + 1, greatest(g("e") - g("s"), lit(0))))))
     tokenized.join(covered, Seq("id"), "left")
       .select(col("id").as(idCol),
-        size(col("toks")).cast("long").as("n_toks"),
+        size(toks).cast("long").as("n_toks"),
         size(kept).cast("long").as("n_kept"),
         concat_ws(sep, kept).as("clean_text"))
   }
@@ -665,8 +821,9 @@ object Dedup {
     * first and rewrite only flagged docs). The corpus side is one
     * map-side semi-join over its positional grams — the corpus never
     * shuffles text at any stage: the only exchanges carry (id, int)
-    * covered positions for CONTAMINATED docs only, and the final join
-    * back is AQE-broadcast for the same reason. 128-bit keys, not 64:
+    * contaminated-occurrence rows for CONTAMINATED docs only (swept
+    * into merged intervals — [[mergedDropIntervals]]), and the final
+    * join back is AQE-broadcast for the same reason. 128-bit keys, not 64:
     * like `removeDupSpans` this DELETES text, and a collision burns an
     * innocent span (see the birthday-math note there).
     *
@@ -704,10 +861,10 @@ object Dedup {
     // shuffle — both sides are 16-byte gram keys (positions ride only
     // the corpus side), so even then no text moves
     val evalSide = if (broadcastEval) broadcast(evalGrams) else evalGrams
-    val covered = pos.join(evalSide, Seq("hg"), "left_semi")
-      .select(col("id"), explode(sequence(col("p"), col("p") + (n - 1))).as("i"))
-      .groupBy("id").agg(collect_set(col("i")).as("_drop"))
-    rebuildDroppingPositions(tokenized, covered, idCol)
+    val covered = mergedDropIntervals(
+      pos.join(evalSide, Seq("hg"), "left_semi")
+        .select(col("id"), col("p")), n)
+    rebuildDroppingIntervals(tokenized, covered, idCol)
   }
 
   /** Size-routed span decontamination REWRITE — `decontaminate`'s
@@ -735,16 +892,31 @@ object Dedup {
     *    two routes agree byte for byte).
     *
     * The routing count over the eval side doubles as the Bloom
-    * filter's capacity, exactly like `decontaminate`. */
+    * filter's capacity, exactly like `decontaminate`.
+    *
+    * Eval-side schema contract matches [[decontaminateRewrite]]'s: the
+    * eval frame needs only `textCol` (eval suites often have no id
+    * column shared with the corpus). The routing count runs over a
+    * text-only gram projection, and the Bloom flagging stage — whose
+    * pair output groups by an eval id this caller immediately discards
+    * — gets a synthesized one. */
   def decontaminateRewriteAuto(corpus: DataFrame, evalSet: DataFrame,
                                idCol: String, textCol: String, n: Int = 5,
                                maxBroadcastGrams: Long = 50000000L,
                                fpp: Double = 0.001): DataFrame = {
-    val evalGrams = shingles(evalSet, idCol, textCol, n).count()
+    // same per-doc-distinct gram semantics as `shingles` (array_distinct
+    // before the explode), without requiring idCol on the eval side
+    val evalGrams = evalSet
+      .select(split(trim(col(textCol)), "\\s+").as("_et"))
+      .select(explode(array_distinct(
+        positionalGrams(col("_et"), n, hashed = false))).as("_g"))
+      .count()
     if (evalGrams <= maxBroadcastGrams)
       decontaminateRewrite(corpus, evalSet, idCol, textCol, n)
     else {
-      val flagged = bloomContaminationPairs(corpus, evalSet, idCol, textCol,
+      val evalWithId = evalSet.select(col(textCol))
+        .withColumn(idCol, monotonically_increasing_id())
+      val flagged = bloomContaminationPairs(corpus, evalWithId, idCol, textCol,
           n, fpp, expectedEvalGrams = Some(evalGrams))
         .select(col("id").as(idCol)).distinct()
       val hit = corpus.join(flagged, Seq(idCol), "left_semi")
@@ -786,11 +958,11 @@ object Dedup {
       .agg(min(col("p")).as("f_p"), count(lit(1)).as("_occ"))
       .filter(col("_occ") > 1)
       .select(col("id"), col("hg"), col("f_p"))
-    val covered = pos.join(firstOcc, Seq("id", "hg"))
-      .filter(col("p") =!= col("f_p"))
-      .select(col("id"), explode(sequence(col("p"), col("p") + (n - 1))).as("i"))
-      .groupBy("id").agg(collect_set(col("i")).as("_drop"))
-    rebuildDroppingPositions(tokenized, covered, idCol)
+    val covered = mergedDropIntervals(
+      pos.join(firstOcc, Seq("id", "hg"))
+        .filter(col("p") =!= col("f_p"))
+        .select(col("id"), col("p")), n)
+    rebuildDroppingIntervals(tokenized, covered, idCol)
   }
 
   /** Guarded positional word-n-gram array over a token-array column —

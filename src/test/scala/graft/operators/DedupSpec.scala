@@ -273,6 +273,52 @@ class DedupSpec extends SparkSpec {
     assert(viaStore.toSeq == Seq(11L, 13L))
   }
 
+  test("fp store sharded: 2-shard layout equals live path, grows, bloom ⊇ fps per shard") {
+    val dir = java.nio.file.Files.createTempDirectory("fpshard").toString
+    val docs = graft.core.Tables.documents(spark, sf)
+    val corpus = docs.filter($"doc_id" % 5 =!= 0)
+    val batch1 = docs.filter($"doc_id" % 5 === 0 && $"doc_id" % 2 === 0)
+    val batch2 = docs.filter($"doc_id" % 5 === 0 && $"doc_id" % 2 =!= 0)
+    Dedup.writeFpStore(corpus, "doc_id", "text", dir,
+      expectedTotalFps = 100000L, shards = 2)
+    // layout: two bloom sidecars, hash-partitioned fps dirs
+    assert(new java.io.File(s"$dir/_bloom.s0.bin").exists() &&
+      new java.io.File(s"$dir/_bloom.s1.bin").exists())
+    assert(new java.io.File(s"$dir/fps/shard=0").exists() &&
+      new java.io.File(s"$dir/fps/shard=1").exists())
+    // shard routing is layout-only: same answer as the live path
+    val live1 = Dedup.incrementalExactDedup(batch1, corpus, "doc_id", "text")
+      .select("fp", "id").as[(String, Long)].collect().toSet
+    val store1raw = Dedup.incrementalExactDedupFromFpStore(
+      batch1, dir, "doc_id", "text")
+    val store1 = store1raw.select("fp", "id").as[(String, Long)].collect().toSet
+    assert(store1 == live1 && store1.nonEmpty)
+    // grow: the append must slice by the SAME routing hash
+    Dedup.appendToFpStore(store1raw.select("fp"), dir)
+    val corpus2 = corpus.unionByName(
+      batch1.join(store1raw.select($"id".as("doc_id")), Seq("doc_id"), "left_semi"))
+    val live2 = Dedup.incrementalExactDedup(batch2, corpus2, "doc_id", "text")
+      .select("fp", "id").as[(String, Long)].collect().toSet
+    val store2 = Dedup.incrementalExactDedupFromFpStore(
+        batch2, dir, "doc_id", "text")
+      .select("fp", "id").as[(String, Long)].collect().toSet
+    assert(store2 == live2)
+    // per-shard invariant after the grow: every landed fp probes
+    // POSITIVE in ITS OWN shard's filter (bloom ⊇ fps, shard-wise) —
+    // and the shard dirs really partition by the routing hash
+    (0 to 1).foreach { i =>
+      val bloom = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        graft.sources.Sources.readBinarySidecarFs(spark, s"$dir/_bloom.s$i.bin"))
+      val landed = spark.read.parquet(s"$dir/fps")
+        .filter($"shard" === i).select(xxhash64($"fp")).as[Long].collect()
+      assert(landed.nonEmpty, s"shard $i must hold fps")
+      assert(landed.forall(k => ((k % 2) + 2) % 2 == i),
+        s"shard $i dir must hold only its residue class")
+      assert(landed.forall(bloom.mightContainLong),
+        s"bloom ⊇ fps must hold for shard $i after append")
+    }
+  }
+
   test("fp store: Bloom-routed path equals live, grows, keeps bloom ⊇ fps") {
     val dir = java.nio.file.Files.createTempDirectory("fpstore").toString
     val docs = graft.core.Tables.documents(spark, sf)
@@ -481,6 +527,32 @@ class DedupSpec extends SparkSpec {
     assert(out(4) == ((4L, 2L, 2L, "tiny doc")), "short docs keep everything")
   }
 
+  test("span rewrites survive a pathological fully-covered 1e5-token doc") {
+    // the buffer-concentration fixture from the interval-merge rewrite:
+    // one doc of 10^5 tokens, every position covered. The old
+    // covered-position pipeline built a collect_set of 10^5 ints in one
+    // aggregation buffer (and exchanged ×n that many rows); the
+    // interval sweep must reduce it to O(merged spans) — here ONE
+    // interval — and still produce exact results.
+    val big = (1 to 100000).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, big), (2L, big)).toDF("doc_id", "text")
+    val out = Dedup.removeDupSpans(docs, "doc_id", "text", n = 5)
+      .select("doc_id", "n_toks", "n_kept")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 100000L, 100000L)), "first copy keeps everything")
+    assert(out(1) == ((2L, 100000L, 0L)), "second copy is fully covered")
+    // self-repetition flavor: 10^5 copies of one token → 10^5 − n + 1
+    // overlapping duplicate occurrences merging to a single interval
+    // [1, 10^5) — only the first gram's own start survives
+    val stutter = Seq((1L, Seq.fill(100000)("x").mkString(" ")))
+      .toDF("doc_id", "text")
+    val self = Dedup.removeSelfRepetition(stutter, "doc_id", "text", n = 5)
+      .select("n_toks", "n_kept", "clean_text")
+      .as[(Long, Long, String)].head()
+    assert(self == ((100000L, 1L, "x")),
+      s"stutter doc must keep exactly its first token, got $self")
+  }
+
   test("removeDupSpans agrees with dupSpanCoverage on untouched docs") {
     val docs = Tables.documents(spark, sf)
     val rewritten = Dedup.removeDupSpans(docs, "doc_id", "text")
@@ -667,6 +739,19 @@ class DedupSpec extends SparkSpec {
     // the high default routes to the broadcast path — also identical
     val viaDefault = Dedup.decontaminateRewriteAuto(corpus, eval, "doc_id", "text", n = 5)
     assert(direct.except(viaDefault).count() == 0 && viaDefault.except(direct).count() == 0)
+    // schema contract: like decontaminateRewrite, the auto entry point
+    // accepts a TEXT-ONLY eval frame (suites rarely share the corpus id
+    // column) — on both routes
+    val evalTextOnly = eval.select("text")
+    val textOnlyBloom = Dedup.decontaminateRewriteAuto(corpus, evalTextOnly,
+      "doc_id", "text", n = 5, maxBroadcastGrams = 0L)
+    assert(direct.except(textOnlyBloom).count() == 0 &&
+      textOnlyBloom.except(direct).count() == 0,
+      "text-only eval must work on the Bloom route")
+    val textOnlyBcast = Dedup.decontaminateRewriteAuto(corpus, evalTextOnly,
+      "doc_id", "text", n = 5)
+    assert(direct.except(textOnlyBcast).count() == 0 &&
+      textOnlyBcast.except(direct).count() == 0)
   }
 
   test("clusterKeepers elects the quality argmax, ties to smallest id") {
