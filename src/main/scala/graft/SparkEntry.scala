@@ -932,21 +932,27 @@ object SparkEntry {
         |  round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k,
         |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // audio payloads are REAL synthesized WAV containers (44-byte
+    // canonical header + one 16-bit sample per utf-8 text byte —
+    // Multimodal.fromDocuments), so their size is SQL-recomputable
     "mm1_media_meta" ->
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |    ELSE 'video' END AS modality,
-        |  octet_length(encode(text)) AS n_bytes
+        |  CASE WHEN doc_id % 3 = 1 THEN 44 + 2 * octet_length(encode(text))
+        |    ELSE octet_length(encode(text)) END AS n_bytes
         |FROM documents ORDER BY media_id""".stripMargin,
-    // MM2's rolling-hash feature values are JVM-side, but the stub's
-    // algebra pins hard invariants the oracle CAN recompute: 16 slots,
-    // each byte contributing [0, 1) to one of them (see
-    // Documents.mm2MediaFeatures).
+    // MM2's feature values are JVM-side (rolling hash for the stub
+    // routes, Goertzel band energies for the real WAV route), but both
+    // routes' algebra pins hard invariants the oracle CAN recompute:
+    // 16 slots; stub bytes each contribute [0, 1) to one slot, WAV
+    // band energies each lie in [0, 1] (see Documents.mm2MediaFeatures).
     "mm2_media_features" ->
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |    ELSE 'video' END AS modality,
-        |  octet_length(encode(text)) AS n_bytes,
+        |  CASE WHEN doc_id % 3 = 1 THEN 44 + 2 * octet_length(encode(text))
+        |    ELSE octet_length(encode(text)) END AS n_bytes,
         |  16 AS feat_dim, 1 AS feat_ok
         |FROM documents ORDER BY media_id""".stripMargin,
     "pipeline_e2e" -> pipelineE2ESql,

@@ -137,13 +137,17 @@ object Documents {
     * store from the corpus slice, run the batch against it. Same oracle
     * as d7 — the Bloom route is exact (negative probes are definitely
     * new; suspects are exact-verified against the parquet fps), so
-    * store-vs-live can never diverge without breaking this gate. */
+    * store-vs-live can never diverge without breaking this gate.
+    * Written SHARDED (shards = 2) so the oracle also gates the
+    * hash-range-sharded layout — the path past the single-sidecar
+    * 1e9-fp ceiling; shard routing is layout-only, the probe answer
+    * is identical by construction. */
   def d15FpStore(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val dir = sys.props("java.io.tmpdir") +
       s"/graft_${ProcessHandle.current.pid}/fp_store"
     Dedup.writeFpStore(docs.filter(col("doc_id") % 5 =!= 0),
-      "doc_id", "text", dir, expectedTotalFps = 1000000L)
+      "doc_id", "text", dir, expectedTotalFps = 1000000L, shards = 2)
     Dedup.incrementalExactDedupFromFpStore(
         docs.filter(col("doc_id") % 5 === 0), dir, "doc_id", "text")
       .select(col("id").as("doc_id"), col("fp"))
@@ -942,15 +946,17 @@ object Documents {
         length(col("bytes")).as("n_bytes"))
       .orderBy("media_id")
 
-  /** MM2 — stubbed decode + batch feature extraction, hard-gated by the
-    * stub's algebraic invariants. The rolling-hash values themselves are
-    * not SQL-expressible, but every byte contributes [0, 1) to exactly
-    * one of the 16 slots, so a healthy extractor always satisfies
-    * feat_dim = 16 and 0 ≤ Σ features ≤ n_bytes — the oracle recomputes
-    * the ids, modalities, byte lengths, and pins those flags. A broken
-    * decode (wrong dim, NaN features, dropped bytes → the plumbing
-    * failures a swapped-in real codec could introduce) flips a flag →
-    * hash mismatch. Exact feature VALUES stay pinned in MultimodalSpec. */
+  /** MM2 — modality-routed decode + batch feature extraction,
+    * hard-gated by each route's algebraic invariants. Feature values
+    * are not SQL-expressible (rolling hash for the stub routes,
+    * Goertzel band energies for the REAL WAV decode audio rows take —
+    * Multimodal.Wav), but both routes pin flags the oracle CAN
+    * recompute: feat_dim = 16 always; audio band energies each lie in
+    * [0, 1] (normalized PCM → power/n² ≤ 1) and stub features satisfy
+    * 0 ≤ Σ ≤ n_bytes (each byte contributes [0, 1) to one slot). A
+    * broken decode — wrong dim, NaN features, unnormalized samples,
+    * dropped bytes — flips a flag → hash mismatch. Exact WAV
+    * round-trip and feature values stay pinned in MultimodalSpec. */
   def mm2MediaFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val featSum = aggregate(col("features"),
@@ -960,8 +966,12 @@ object Documents {
       .toDF()
       .select(col("media_id"), col("modality"), col("n_bytes"),
         size(col("features")).as("feat_dim"),
-        when(featSum >= 0.0 && featSum <= col("n_bytes"), 1)
-          .otherwise(0).as("feat_ok"))
+        when(col("modality") === "audio",
+            when(forall(col("features"),
+              v => v >= 0.0f && v <= 1.0f), 1).otherwise(0))
+          .otherwise(
+            when(featSum >= 0.0 && featSum <= col("n_bytes"), 1)
+              .otherwise(0)).as("feat_ok"))
       .orderBy("media_id")
   }
 }

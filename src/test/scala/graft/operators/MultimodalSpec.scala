@@ -32,6 +32,69 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.head.n_bytes == n)
   }
 
+  test("Wav: encode→decode round-trips 16-bit PCM exactly") {
+    val samples = Array.tabulate(480)(i => ((i * 131) % 65536 - 32768).toShort)
+    val bytes = Wav.encode(samples, 16000)
+    assert(bytes.length == 44 + samples.length * 2)
+    val pcm = Wav.decode(bytes).getOrElse(fail("decode returned None"))
+    assert(pcm.sampleRate == 16000 && pcm.channels == 1)
+    assert(pcm.samples.length == samples.length)
+    // exact: each decoded float is sample/32768
+    samples.indices.foreach { i =>
+      assert(pcm.samples(i) == samples(i).toFloat / 32768.0f,
+        s"sample $i: ${pcm.samples(i)} vs ${samples(i)}")
+    }
+  }
+
+  test("Wav: malformed and non-PCM payloads decode to None, never throw") {
+    assert(Wav.decode(Array[Byte]()).isEmpty)
+    assert(Wav.decode("not a wav at all, just text bytes".getBytes).isEmpty)
+    // valid header, truncated data chunk length
+    val truncated = Wav.encode(Array.tabulate(100)(_.toShort), 8000).take(80)
+    assert(Wav.decode(truncated).isEmpty)
+  }
+
+  test("Wav.bandEnergies: zero signal is all-zero; a pure tone peaks in its own band") {
+    val dim = 16
+    assert(Wav.bandEnergies(Array.fill(1000)(0.0f), dim).forall(_ == 0.0f))
+    // cosine exactly at band k's normalized frequency (k+1)/(2(dim+1))
+    val k = 5
+    val f = (k + 1).toDouble / (2.0 * (dim + 1))
+    val tone = Array.tabulate(2000)(j => math.cos(2 * math.Pi * f * j).toFloat)
+    val bands = Wav.bandEnergies(tone, dim)
+    assert(bands.forall(b => b >= 0.0f && b <= 1.0f), "energies must be in [0,1]")
+    assert(bands.indexOf(bands.max) == k,
+      s"tone at band $k must peak there, got ${bands.toSeq}")
+    assert(bands(k) > 0.2f, s"aligned tone energy should be large: ${bands(k)}")
+  }
+
+  test("decode seam routes audio through the real WAV decoder, others through the stub") {
+    val wav = Wav.encode(Array.tabulate(200)(i => (i * 300).toShort), 16000)
+    val audio = MediaRow(1L, wav, MediaMeta("audio", 0, 0, 16000, 12L))
+    val image = MediaRow(2L, wav, MediaMeta("image", 64, 64, 0, 0L))
+    val real = Multimodal.decodeFeatures(audio, 16)
+    val stub = Multimodal.decodeFeatures(image, 16)
+    val expected = Wav.bandEnergies(Wav.decode(wav).get.samples, 16)
+    assert(real.sameElements(expected), "audio must take the WAV route")
+    assert(stub.sameElements(Multimodal.stubDecode(wav, 16)),
+      "non-audio must keep the stub route")
+    assert(!real.sameElements(stub), "the two routes genuinely differ")
+    // audio bytes that are NOT a WAV container fall back to the stub
+    val junk = MediaRow(3L, "junk".getBytes, MediaMeta("audio", 0, 0, 0, 0L))
+    assert(Multimodal.decodeFeatures(junk, 16)
+      .sameElements(Multimodal.stubDecode("junk".getBytes, 16)))
+  }
+
+  test("fromDocuments audio rows carry decodable WAV payloads sized 44 + 2·text bytes") {
+    val audios = media.filter(_.meta.modality == "audio").collect()
+    assert(audios.nonEmpty)
+    audios.foreach { r =>
+      val pcm = Wav.decode(r.bytes).getOrElse(fail(s"row ${r.media_id} not WAV"))
+      assert(r.bytes.length == 44 + 2 * pcm.samples.length)
+      assert(pcm.sampleRate == 16000)
+    }
+  }
+
   test("resizeMeta rewrites metadata only") {
     val r = resizeMeta(media, 224, 224).collect()
     assert(r.forall(x => x.meta.width == 224 && x.meta.height == 224))
