@@ -118,6 +118,61 @@ object Training {
   def selectBest(runs: Seq[(String, Double)]): (String, Double) =
     runs.maxBy { case (name, f1) => (f1, name) }
 
+  /** Deterministic hyperparameter search — the engine's counterpart of
+    * the reference's hyperopt-TPE retrain variant
+    * (utils/model_operations.py:87–159: 20 TPE evals over learning
+    * rate / depth / leaves, best refit and registered). TPE's adaptive
+    * proposals are RNG-driven and order-dependent; the engine's
+    * convention is replay-identical runs, so the search is an EXPLICIT
+    * candidate list evaluated in its given order — a grid
+    * ([[gbtGrid]]/[[rfGrid]], composable with `++`) or any
+    * caller-fixed sequence — under the same `selectBest` contract
+    * (argmax score, name tie-break) and the same registry wiring
+    * downstream ([[Lifecycle]] unchanged: register the winner, promote
+    * on improvement).
+    *
+    * Each candidate is a full distributed fit; `score` maps its test
+    * predictions to the selection metric (macro-F1 in the reference's
+    * contract — pass
+    * `Classification.summarize(confusion(...), classes).macroF1`).
+    * Returns (winner, every run's (name, score)) so callers can log
+    * the whole search the way the reference logs each TPE trial.
+    * Candidates run sequentially: each fit is itself cluster-parallel,
+    * and MLlib estimators fitting concurrently on one session contend
+    * for the scheduler with no wall-clock win at this layer. */
+  def searchBest(candidates: Seq[(String, Backend)],
+                 train: DataFrame, test: DataFrame,
+                 score: DataFrame => Double)
+      : ((String, Double), Seq[(String, Double)]) = {
+    require(candidates.nonEmpty, "searchBest needs at least one candidate")
+    require(candidates.map(_._1).distinct.size == candidates.size,
+      "candidate names must be unique (they key the search log and registry)")
+    val runs = candidates.map { case (name, backend) =>
+      (name, score(backend.fitPredict(train, test)))
+    }
+    (selectBest(runs), runs)
+  }
+
+  /** GBT candidate grid over the reference's TPE dimensions (lr ×
+    * depth; MLlib GBT has no leaf-count knob — maxIter stands in for
+    * the compute axis). Names encode the config so a registry entry is
+    * self-describing. */
+  def gbtGrid(maxIters: Seq[Int] = Seq(150),
+              maxDepths: Seq[Int] = Seq(3, 4, 6),
+              stepSizes: Seq[Double] = Seq(0.05, 0.1),
+              seed: Long = 42L,
+              validationFraction: Double = 0.2): Seq[(String, Backend)] =
+    for { i <- maxIters; d <- maxDepths; s <- stepSizes }
+      yield (f"gbt_i${i}_d${d}_lr$s%.3f",
+        new GradientBoostedBackend(i, d, s, seed, validationFraction))
+
+  /** RandomForest candidate grid (trees × depth). */
+  def rfGrid(numTrees: Seq[Int] = Seq(50, 100),
+             maxDepths: Seq[Int] = Seq(6, 10),
+             seed: Long = 42L): Seq[(String, Backend)] =
+    for { t <- numTrees; d <- maxDepths }
+      yield (s"rf_t${t}_d${d}", new RandomForestBackend(t, d, seed))
+
   /** M1–M4 reference-compat mode: per-batch StringIndexer(keep) +
     * OneHotEncoder(dropLast=false) + vector_to_array flattening —
     * bit-compatible with gold_feature_store.py:114–123 for oracle

@@ -57,6 +57,41 @@ class TrainingSpec extends SparkSpec {
     assert(gbtF1Again == gbtF1)
   }
 
+  test("searchBest: deterministic grid search beats-or-ties both fixed backends, replays identically") {
+    val assembled = Training.assemble(
+      data.withColumnRenamed("label_raw", "y"), Seq("x1", "x2", "x3"), "y")
+      .withColumn("id", monotonically_increasing_id())
+    val (train, test) = Sampling.hashSplit(assembled, "id", testPct = 25)
+    val (tr, te) = (train.drop("id").cache(), test.drop("id").cache())
+    def f1(pred: org.apache.spark.sql.DataFrame): Double =
+      Classification.summarize(
+        Classification.confusion(
+          pred.select(col("label").cast("string").as("l"),
+            col("prediction").cast("string").as("p")), "l", "p"),
+        Seq("0.0", "1.0", "2.0")).macroF1
+    // 6 candidates spanning both families; includes both fixed-default
+    // shapes used elsewhere in this suite, so the winner can't lose to
+    // them — the verdict contract for replacing a fixed-param retrain
+    val grid = Training.gbtGrid(Seq(20), Seq(3, 5), Seq(0.1, 0.3)) ++
+      Training.rfGrid(Seq(20), Seq(5)) ++ Training.rfGrid(Seq(10), Seq(3))
+    assert(grid.size >= 6, s"grid must span >= 6 configs, got ${grid.size}")
+    val ((bestName, bestF1), runs) = Training.searchBest(grid, tr, te, f1)
+    assert(runs.size == grid.size, "every candidate must be evaluated")
+    val fixedGbt = f1(new Training.GradientBoostedBackend(
+      maxIter = 20, maxDepth = 5).fitPredict(tr, te))
+    val fixedRf = f1(new Training.RandomForestBackend(20, 5).fitPredict(tr, te))
+    assert(bestF1 >= fixedGbt, s"search $bestName=$bestF1 lost to fixed GBT $fixedGbt")
+    assert(bestF1 >= fixedRf, s"search $bestName=$bestF1 lost to fixed RF $fixedRf")
+    // replay-identical: same candidates, same split, same scores/winner
+    val ((bestName2, bestF12), runs2) = Training.searchBest(grid, tr, te, f1)
+    assert((bestName2, bestF12) == ((bestName, bestF1)) && runs2 == runs,
+      "the search must be replay-identical")
+    // the winner flows into the registry exactly like a fixed backend's
+    // run — selectBest is the shared contract
+    assert(Training.selectBest(runs) == ((bestName, bestF1)))
+    tr.unpersist(); te.unpersist()
+  }
+
   test("GBT early stopping halts before maxIter on a converged task without losing F1") {
     import org.apache.spark.ml.classification.GBTClassificationModel
     val assembled = Training.assemble(
