@@ -75,6 +75,52 @@ object PipelineE2E {
   def oracleDumpDir: String = sys.props("java.io.tmpdir") +
     s"/graft_${ProcessHandle.current.pid}/pipeline_e2e"
 
+  /** Model-quality parity fixture (NOTES "Model-quality parity"): the
+    * e2e silver→gold store assembly at arbitrary scale with a
+    * LEARNABLE grade. The e2e generator's grade is a pure row-id
+    * residue — right for plumbing oracles (deterministic, simple),
+    * wrong for a quality measurement: no feature determines it, so any
+    * trained model scores chance and the macro-F1 would measure
+    * nothing. Here grade is re-derived from the loan's own numeric
+    * features (an additive int_rate/installment/loan_amnt score cut
+    * into 7 equal bands) with a deterministic ~10%-of-rows off-by-one
+    * band shift as label noise — credit-shaped, RNG-free, and
+    * Bayes-bounded below 1.0, so a trainer must actually learn
+    * additive thresholds the way the reference's LightGBM learns real
+    * credit grades. The noise rows are elected by xxhash64 of the loan
+    * id, NOT a row-id residue: every generated feature is a mod-300
+    * residue of the row id, so any modular rule (an earlier draft used
+    * rid % 10 — and 10 divides 300) is fully recoverable from the
+    * features and the "noise" learns away to a measured macro-F1 of
+    * exactly 1.0; the hash is independent of every feature, making the
+    * corruption irreducible. Returns featureStore ⋈ labelStore on the
+    * loan id: all-numeric features + id + the grade letter. */
+  def parityFrame(s: SparkSession, nLoans: Int, nDims: Int = 300): DataFrame = {
+    val rawLoan = gen(s, Schemas.loanTermsRaw, nLoans)
+    // score range ≈ [0, 45.7] given gen's float residues; 6.6-wide bands
+    // spread all 7 grades
+    val score = coalesce(col("int_rate"), lit(0.0f)) +
+      coalesce(col("installment"), lit(0.0f)) / 20.0f +
+      coalesce(col("loan_amnt"), lit(0.0f)) / 50.0f
+    val band = least(lit(6), floor(score / 6.6).cast("int"))
+    val noisy = when(pmod(xxhash64(col("id")), lit(10L)) === 0L,
+      (band + 1) % 7).otherwise(band)
+    val learnable = rawLoan.withColumn("grade",
+      element_at(array("ABCDEFG".map(c => lit(c.toString)): _*), noisy + 1))
+    val loanSilver = Silver.loanTerms(learnable)
+    val gl = Gold.loanTerms(loanSilver,
+      Seq("car", "house", "debt", "other"),
+      Seq("Current", "Fully Paid", "Charged Off"))
+    val gd = Gold.demographic(
+      Silver.demographic(gen(s, Schemas.demographicRaw, nDims)),
+      Seq("CA", "NY", "TX", "WA"))
+    val gf = Gold.financial(Silver.financial(gen(s, Schemas.financialRaw, nDims)))
+    val gc = Gold.creditHistory(
+      Silver.creditHistory(gen(s, Schemas.creditHistoryRaw, nDims)))
+    Gold.featureStore(gl, gd, gf, gc)
+      .join(Gold.labelStore(loanSilver).select("id", "grade"), Seq("id"))
+  }
+
   /** Full bronze→silver→gold→stores run over synthesized sources. */
   def featureStoreStats(s: SparkSession, d: String): DataFrame = {
     // dims: exactly one row per (member_id, snapshot_date) = 75 x 4;
