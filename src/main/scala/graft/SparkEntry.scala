@@ -153,7 +153,34 @@ object SparkEntry {
     "s_publish_zorder" -> (Documents.sPublishZorder _),
     "d19_boilerplate" -> (Documents.d19Boilerplate _),
     "m13_quality_filter" -> (Documents.m13QualityFilter _),
+    "d20_boilerplate_store" -> (Documents.d20BoilerplateStore _),
   )
+
+  /** Shared by d19 (batch operator) and d20 (at-rest store path) —
+    * per-source boilerplate election (≥ 3 distinct docs of one source
+    * share the 5-gram) recomputed from scratch; removal has NO
+    * keep-first exception. */
+  private val boilerplateSql: String =
+    """WITH t AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      |g AS (SELECT doc_id, source, u.p AS p, u.s AS s FROM (
+      |  SELECT doc_id, source, unnest(list_transform(range(1, len(ws) - 3),
+      |    i -> {'p': i, 's': ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]})) AS u
+      |  FROM t WHERE len(ws) >= 5)),
+      |boiler AS (SELECT source, s FROM g GROUP BY source, s
+      |  HAVING count(DISTINCT doc_id) >= 3),
+      |cov AS (SELECT DISTINCT doc_id, unnest(range(p, p + 5)) AS i
+      |  FROM g SEMI JOIN boiler ON g.source = boiler.source AND g.s = boiler.s),
+      |tok AS (SELECT doc_id, u.i AS i, u.w AS w FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1), i -> {'i': i, 'w': ws[i]})) AS u FROM t)),
+      |kept AS (SELECT tok.doc_id, tok.i, tok.w FROM tok ANTI JOIN cov
+      |  ON tok.doc_id = cov.doc_id AND tok.i = cov.i),
+      |outp AS (SELECT doc_id, count(*) AS n_kept,
+      |  string_agg(w, ' ' ORDER BY i) AS clean_text FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(ws) AS BIGINT) AS n_toks,
+      |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+      |  coalesce(clean_text, '') AS clean_text
+      |FROM t LEFT JOIN outp ON t.doc_id = outp.doc_id
+      |ORDER BY t.doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -1058,28 +1085,13 @@ object SparkEntry {
         |ORDER BY t.doc_id""".stripMargin,
     // D19: per-source boilerplate election (≥ 3 distinct docs of the
     // same source share the 5-gram) recomputed from scratch; removal
-    // has NO keep-first exception — every occurrence drops
-    "d19_boilerplate" ->
-      """WITH t AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
-        |g AS (SELECT doc_id, source, u.p AS p, u.s AS s FROM (
-        |  SELECT doc_id, source, unnest(list_transform(range(1, len(ws) - 3),
-        |    i -> {'p': i, 's': ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]})) AS u
-        |  FROM t WHERE len(ws) >= 5)),
-        |boiler AS (SELECT source, s FROM g GROUP BY source, s
-        |  HAVING count(DISTINCT doc_id) >= 3),
-        |cov AS (SELECT DISTINCT doc_id, unnest(range(p, p + 5)) AS i
-        |  FROM g SEMI JOIN boiler ON g.source = boiler.source AND g.s = boiler.s),
-        |tok AS (SELECT doc_id, u.i AS i, u.w AS w FROM (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1), i -> {'i': i, 'w': ws[i]})) AS u FROM t)),
-        |kept AS (SELECT tok.doc_id, tok.i, tok.w FROM tok ANTI JOIN cov
-        |  ON tok.doc_id = cov.doc_id AND tok.i = cov.i),
-        |outp AS (SELECT doc_id, count(*) AS n_kept,
-        |  string_agg(w, ' ' ORDER BY i) AS clean_text FROM kept GROUP BY doc_id)
-        |SELECT t.doc_id, CAST(len(ws) AS BIGINT) AS n_toks,
-        |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
-        |  coalesce(clean_text, '') AS clean_text
-        |FROM t LEFT JOIN outp ON t.doc_id = outp.doc_id
-        |ORDER BY t.doc_id""".stripMargin,
+    // has NO keep-first exception — every occurrence drops.
+    // D20 shares this oracle verbatim: the at-rest store path over a
+    // fresh base install IS the batch operator (summed per-batch
+    // distinct-doc counts with one batch = the batch's counts), so the
+    // two entries can only stay green together.
+    "d19_boilerplate" -> boilerplateSql,
+    "d20_boilerplate_store" -> boilerplateSql,
     // M13: the classifier gate's pinned held-out grid — ids and labels
     // are pure id arithmetic, flags must all be 1 (r1_sample pattern)
     "m13_quality_filter" ->

@@ -630,30 +630,112 @@ object Dedup {
   def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
                         groupCol: String, n: Int = 5,
                         minDocs: Int = 3): DataFrame = {
-    // PROJECT the token array before any gram lambda touches it — the
-    // shingles gotcha: a raw split(...) expression inside the transform
-    // lambda re-runs the regex per gram element (measured 17 s → 2 s
-    // there; reproduced at 26 s → ~3 s here before this projection)
-    val tokenized = df.select(col(idCol).as("id"), col(groupCol).as("_g"),
+    val tokenized = tokenizedWithGroup(df, idCol, textCol, groupCol)
+    val boiler = boilerplateGramCounts(tokenized, n)
+      .filter(col("_df") >= minDocs)
+      .select("_g", "hg")
+    removeBoilerplateWith(tokenized, boiler, idCol, n)
+  }
+
+  /** (id, source, token-array) projection shared by the boilerplate
+    * family. PROJECT the token array before any gram lambda touches it
+    * — the shingles gotcha: a raw split(...) expression inside the
+    * transform lambda re-runs the regex per gram element (measured
+    * 17 s → 2 s there; reproduced at 26 s → ~3 s here before this
+    * projection). */
+  private def tokenizedWithGroup(df: DataFrame, idCol: String,
+                                 textCol: String, groupCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(groupCol).as("_g"),
       split(trim(col(textCol)), "\\s+").as("toks"))
-    // array_distinct on the STRING grams, hashed after: ArrayDistinct
-    // only has a hash-set fast path for types with proper equals
-    // (primitives, strings); over the 128-bit key STRUCTS it degrades
-    // to O(n²) pairwise scans per doc
-    val boiler = tokenized.select(col("_g"),
+
+  /** Per-(source, gram) DOCUMENT frequencies: (_g, hg, _df), one row
+    * per gram a source's docs carry, counted once per doc. array_distinct
+    * on the STRING grams, hashed after: ArrayDistinct only has a
+    * hash-set fast path for types with proper equals (primitives,
+    * strings); over the 128-bit key STRUCTS it degrades to O(n²)
+    * pairwise scans per doc. Doc-local distinct → a plain map-side-
+    * combinable count IS the doc frequency (no per-id exchange). */
+  private def boilerplateGramCounts(tokenized: DataFrame, n: Int): DataFrame =
+    tokenized.select(col("_g"),
         explode(array_distinct(
           positionalGrams(col("toks"), n, hashed = false))).as("_s"))
       .select(col("_g"), struct(xxhash64(col("_s")).as("h1"),
         xxhash64(col("_s"), lit(1)).as("h2")).as("hg"))
       .groupBy("_g", "hg").agg(count(lit(1)).as("_df"))
-      .filter(col("_df") >= minDocs)
-      .select("_g", "hg")
+
+  /** Shared rewrite stage of the boilerplate family: strip every
+    * position covered by a gram in the elected `boiler` set
+    * ((_g, hg) rows — from this corpus' own counts in
+    * [[removeBoilerplate]], from accumulated store counts in
+    * [[removeBoilerplateFromStore]]). */
+  private def removeBoilerplateWith(tokenized: DataFrame, boiler: DataFrame,
+                                    idCol: String, n: Int): DataFrame = {
     val pos = tokenized.select(col("id"), col("_g"),
       posexplode(positionalGrams128(col("toks"), n)).as(Seq("p", "hg")))
     val covered = mergedDropIntervals(
       pos.join(boiler, Seq("_g", "hg"), "left_semi")
         .select(col("id"), col("p")), n)
     rebuildDroppingIntervals(tokenized.drop("_g"), covered, idCol)
+  }
+
+  /** At-rest per-source boilerplate store — the streaming/incremental
+    * twin of [[removeBoilerplate]]'s election state: per-(source, gram)
+    * document frequencies as batch-keyed parquet under `dir/counts/
+    * batch=<id>`, with the gram size pinned in `_meta.json` (a
+    * mismatched reader would count disjoint gram spaces and elect
+    * nothing). Unique doc ids across batches are the caller's contract
+    * (same as every ingest lineage here), so summing per-batch
+    * distinct-doc counts IS the cumulative document frequency.
+    * Batch-keyed OVERWRITE appends (the near-dup store pattern):
+    * replays rewrite the same subdir and converge; growth is O(batch)
+    * — the store is never rewritten. */
+  def writeBoilerplateStore(corpus: DataFrame, idCol: String, textCol: String,
+                            groupCol: String, dir: String, n: Int = 5): Unit = {
+    val counts = boilerplateGramCounts(
+      tokenizedWithGroup(corpus, idCol, textCol, groupCol), n)
+    counts.write.mode("overwrite").parquet(s"$dir/counts/batch=0")
+    graft.sources.Sources.writeJsonSidecarFs(corpus.sparkSession,
+      s"$dir/_meta.json",
+      Map("n" -> n.toString, "formatVersion" -> "1"))
+  }
+
+  /** Grow the boilerplate store with one batch's counts — idempotent
+    * per batch by overwrite, O(batch). */
+  def appendToBoilerplateStore(batch: DataFrame, dir: String, idCol: String,
+                               textCol: String, groupCol: String,
+                               batchId: Long): Unit = {
+    require(batchId > 0, "batchId 0 is the base install (writeBoilerplateStore)")
+    val spark = batch.sparkSession
+    val n = graft.sources.Sources.readJsonSidecarFs(spark, s"$dir/_meta.json")("n").toInt
+    boilerplateGramCounts(
+        tokenizedWithGroup(batch, idCol, textCol, groupCol), n)
+      .write.mode("overwrite").parquet(s"$dir/counts/batch=$batchId")
+    // cached plans over the store would keep serving the pre-append
+    // file list (CacheManager keys on root path)
+    spark.catalog.refreshByPath(dir)
+  }
+
+  /** Boilerplate removal against the ACCUMULATED store: a gram is
+    * chrome once its cumulative distinct-doc count within its source —
+    * across every landed batch — reaches `minDocs`, so repeated chrome
+    * is caught even when no single batch carries it `minDocs` times
+    * (the thing the batch operator structurally cannot do). `minDocs`
+    * stays a query-time knob like the near-dup store's threshold.
+    * Election reads only (source, gram, df) rows — text never rides
+    * the store. Single-pass semantics: docs published before a gram
+    * crossed the threshold keep it; run the batch operator over the
+    * published corpus for retroactive cleanup. */
+  def removeBoilerplateFromStore(batch: DataFrame, dir: String, idCol: String,
+                                 textCol: String, groupCol: String,
+                                 minDocs: Int = 3): DataFrame = {
+    val spark = batch.sparkSession
+    val n = graft.sources.Sources.readJsonSidecarFs(spark, s"$dir/_meta.json")("n").toInt
+    val boiler = spark.read.parquet(s"$dir/counts")
+      .groupBy("_g", "hg").agg(sum("_df").as("_df"))
+      .filter(col("_df") >= minDocs)
+      .select("_g", "hg")
+    removeBoilerplateWith(
+      tokenizedWithGroup(batch, idCol, textCol, groupCol), boiler, idCol, n)
   }
 
   /** CHARACTER-level exact-substring dedup — Lee et al. 2021 §4's

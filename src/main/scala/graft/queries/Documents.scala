@@ -491,6 +491,24 @@ object Documents {
         "source", n = 5, minDocs = 3)
       .orderBy("doc_id")
 
+  /** D20 — d19 through the at-rest per-source boilerplate store (the
+    * streaming ingest loop's election state): install the store from
+    * the corpus, rewrite the corpus against it. Shares d19's oracle —
+    * a fresh base install's accumulated counts ARE the corpus' counts,
+    * so store and batch paths can only stay green together (the d15/d7
+    * pattern applied to the boilerplate family). Cross-batch
+    * accumulation and the foreachBatch loop stay spec-verified
+    * (DedupSpec / EventStreamSpec). */
+  def d20BoilerplateStore(s: SparkSession, d: String): DataFrame = {
+    val dir = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/boilerplate_store"
+    val docs = Tables.documents(s, d)
+    Dedup.writeBoilerplateStore(docs, "doc_id", "text", "source", dir, n = 5)
+    Dedup.removeBoilerplateFromStore(docs, dir, "doc_id", "text", "source",
+        minDocs = 3)
+      .orderBy("doc_id")
+  }
+
   /** Deterministic junk docs for the classifier gate — tokens from a
     * vocabulary disjoint with the corpus, seeded per id so the driver
     * and spec see identical rows. */

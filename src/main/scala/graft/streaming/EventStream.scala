@@ -335,6 +335,45 @@ object EventStream {
     }
   }
 
+  /** Streaming per-source boilerplate removal — the d19 operator's
+    * ingest twin, closing the last batch-only member of the rewrite
+    * family: per micro-batch, (1) fold the batch's per-(source, gram)
+    * document frequencies into the at-rest boilerplate store
+    * (`Dedup.appendToBoilerplateStore`, batch-keyed overwrite), then
+    * (2) rewrite the batch against the ACCUMULATED counts
+    * (`removeBoilerplateFromStore` — so chrome repeated across batches
+    * is caught even when no single batch carries it `minDocs` times)
+    * and (3) publish the cleaned docs manifest-committed.
+    *
+    * Append-before-rewrite makes the batch's own docs count toward the
+    * election, matching the batch operator's semantics batch-locally; a
+    * fresh store + one batch is bit-identical to `removeBoilerplate`.
+    * Replay posture is the simplest of the ingest loops — fully
+    * idempotent with NO guard needed: nothing here depends on
+    * store-minus-this-batch (the dedup loops' hazard), so a replayed
+    * batch overwrites its own counts subdir, re-derives the same
+    * election, and republishes the same rows. Single-pass semantics:
+    * already-published docs keep grams that cross the threshold later
+    * (retroactive cleanup = the batch operator over the published
+    * corpus). */
+  def streamingBoilerplateIngest(docs: DataFrame, storeDir: String,
+                                 keptDir: String, idCol: String,
+                                 textCol: String, groupCol: String,
+                                 minDocs: Int = 3)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.Dedup
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          Dedup.appendToBoilerplateStore(batch, storeDir, idCol, textCol,
+            groupCol, batchId + 1)
+          val cleaned = Dedup.removeBoilerplateFromStore(batch, storeDir,
+            idCol, textCol, groupCol, minDocs)
+          graft.sources.Sources.publishBatch(cleaned, keptDir, batchId + 1)
+        }
+    }
+  }
+
   /** Streaming ANN-index ingest: each micro-batch of embedding rows is
     * assigned to its nearest existing centroid and landed in the
     * at-rest IVF index (`Similarity.appendToIvfIndex`). The index never

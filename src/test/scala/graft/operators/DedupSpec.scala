@@ -666,6 +666,48 @@ class DedupSpec extends SparkSpec {
     assert(keepFirst == 8L, "keep-first spares the first copy; boilerplate doesn't")
   }
 
+  test("boilerplate store: batch parity on a fresh store, cross-batch accumulation") {
+    val docs = Seq(
+      (1L, "siteA", "cookie banner click accept now article one text"),
+      (2L, "siteA", "cookie banner click accept now another story here"),
+      (3L, "siteA", "cookie banner click accept now third piece content"),
+      (4L, "siteB", "cookie banner click accept now but only here"),
+      (5L, "siteB", "unrelated b text entirely different words")
+    ).toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("boilstore").toString
+    // fresh store + one batch = the batch operator, bit for bit
+    Dedup.writeBoilerplateStore(docs, "doc_id", "text", "source", dir, n = 5)
+    val fromStore = Dedup.removeBoilerplateFromStore(docs, dir,
+      "doc_id", "text", "source", minDocs = 3)
+    val direct = Dedup.removeBoilerplate(docs, "doc_id", "text", "source",
+      n = 5, minDocs = 3)
+    assert(direct.except(fromStore).count() == 0 &&
+      fromStore.except(direct).count() == 0,
+      "fresh store + one batch must equal the batch operator")
+    // accumulation: a LATER siteB doc with the phrase pushes siteB's
+    // cumulative df to 3 — the new batch is stripped even though no
+    // single batch carried the phrase 3 times there
+    val batch2 = Seq(
+      (6L, "siteB", "cookie banner click accept now late arrival text"),
+      (7L, "siteB", "cookie banner click accept now yet more chrome")
+    ).toDF("doc_id", "source", "text")
+    Dedup.appendToBoilerplateStore(batch2, dir, "doc_id", "text", "source", 1L)
+    val out2 = Dedup.removeBoilerplateFromStore(batch2, dir,
+        "doc_id", "text", "source", minDocs = 3)
+      .select("doc_id", "n_kept", "clean_text")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(out2(0) == ((6L, 3L, "late arrival text")),
+      s"cumulative siteB df (1+2) must elect the phrase, got ${out2(0)}")
+    assert(out2(1) == ((7L, 3L, "yet more chrome")))
+    // replay: re-appending the same batch id overwrites, never doubles
+    val dfBefore = spark.read.parquet(s"$dir/counts")
+      .groupBy().sum("_df").as[Long].head()
+    Dedup.appendToBoilerplateStore(batch2, dir, "doc_id", "text", "source", 1L)
+    val dfAfter = spark.read.parquet(s"$dir/counts")
+      .groupBy().sum("_df").as[Long].head()
+    assert(dfBefore == dfAfter, "batch-keyed overwrite must be idempotent")
+  }
+
   test("removeDupSpansChars: char-granular keep-first catches off-boundary duplication") {
     val docs = Seq(
       (0L, "abcdefghijklmnopqrstuvwxyz"),

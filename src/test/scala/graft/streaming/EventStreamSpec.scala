@@ -411,6 +411,42 @@ class EventStreamSpec extends SparkSpec {
       s"content must survive the in-loop flip intact, got $kept")
   }
 
+  test("streamingBoilerplateIngest strips chrome once cumulative counts elect it") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("boilstream").toString
+    val (storeDir, keptDir) = (s"$tmp/store", s"$tmp/kept")
+    // base install from an empty corpus: the stream owns all counts
+    graft.operators.Dedup.writeBoilerplateStore(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text"),
+      "doc_id", "text", "source", storeDir, n = 5)
+    val mem = MemoryStream[(Long, String, String)]
+    val q = streamingBoilerplateIngest(
+        mem.toDF().toDF("doc_id", "source", "text"), storeDir, keptDir,
+        "doc_id", "text", "source", minDocs = 3)
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    // batch 1: the phrase appears in TWO siteA docs — below minDocs,
+    // published untouched
+    mem.addData(
+      (1L, "siteA", "cookie banner click accept now article one text"),
+      (2L, "siteA", "cookie banner click accept now another story here"))
+    q.processAllAvailable()
+    // batch 2: a third siteA doc pushes the cumulative df to 3 — THIS
+    // batch is stripped; batch 1 stays as published (single-pass)
+    mem.addData(
+      (3L, "siteA", "cookie banner click accept now third piece content"),
+      (4L, "siteB", "cookie banner click accept now stays content here"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = graft.sources.Sources.readPublished(spark, keptDir)
+      .select("doc_id", "n_kept", "clean_text")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(kept(0)._2 == 8L && kept(1)._2 == 8L,
+      s"batch-1 docs pre-threshold stay whole, got ${kept.toSeq}")
+    assert(kept(2) == ((3L, 3L, "third piece content")),
+      s"cumulative election must strip the batch-2 siteA doc, got ${kept(2)}")
+    assert(kept(3)._2 == 8L, "siteB df=1 stays content")
+  }
+
   test("streamingIvfIngest grows the at-rest index batch by batch") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("ivfstream").toString
