@@ -1900,12 +1900,19 @@ object Dedup {
     val exploded = sigP.select(col("id"), col("simhash"),
         explode(array(chunks: _*)).as("cc"))
       .select(col("id"), col("simhash"), col("cc.chunk").as("chunk"), col("cc.ch").as("ch"))
+    // distinct BEFORE computing hamming: a pair colliding in k chunks
+    // surfaces k times (up to 8×) from the band join, and each copy
+    // would otherwise pay the xor+bit_count. Dedup on the 16-byte
+    // id/simhash tuple first, then score each surviving pair once —
+    // simhashes ride along so the distinct needs no join-back.
     exploded.as("x").join(exploded.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.ch") === col("y.ch") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
       .distinct()
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(sh_a ^ sh_b)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 }

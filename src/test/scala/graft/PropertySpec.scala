@@ -162,6 +162,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("removeSelfRepetition matches the brute-force position-set model") {
+    // random dup-dense docs (3-token vocabulary) vs a pure-Scala model
+    // of the covered-position semantics — the ground truth the interval
+    // sweep (mergedDropIntervals + gap-slice rebuild) must preserve
+    // exactly. Exercises adjacency merges, overlap unions, full
+    // coverage, and sub-n docs across 80 random documents.
+    import graft.operators.Dedup
+    val n = 3
+    // len >= 1: a fully-empty text hits the JVM "".split artifact
+    // (one empty token) — an edge the real corpus never carries and
+    // the oracle queries already pin
+    val gen = for {
+      len <- Gen.chooseNum(1, 30)
+      ws <- Gen.listOfN(len, Gen.oneOf("a", "b", "c"))
+    } yield ws.mkString(" ")
+    val docs = samples(gen, 80).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val out = Dedup.removeSelfRepetition(docs.toDF("doc_id", "text"),
+        "doc_id", "text", n)
+      .select("doc_id", "n_toks", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    docs.foreach { case (id, text) =>
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      val covered = scala.collection.mutable.Set[Int]()
+      if (toks.length >= n) {
+        val firstPos = scala.collection.mutable.Map[String, Int]()
+        (0 to toks.length - n).foreach { p =>
+          val g = toks.slice(p, p + n).mkString(" ")
+          if (firstPos.contains(g)) covered ++= (p until p + n)
+          else firstPos(g) = p
+        }
+      }
+      val kept = toks.indices.filterNot(covered).map(toks)
+      val expected = (toks.length.toLong, kept.length.toLong, kept.mkString(" "))
+      assert(out(id) == expected,
+        s"doc $id ('$text'): got ${out(id)}, model says $expected")
+    }
+  }
+
   test("grade labelMap is a bijection A-G <-> 0-6 and null off-domain") {
     import graft.pipeline.Schemas
     val gen = Gen.nonEmptyListOf(
