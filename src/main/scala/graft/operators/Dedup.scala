@@ -768,14 +768,9 @@ object Dedup {
   def removeDupSpansChars(df: DataFrame, idCol: String, textCol: String,
                           n: Int = 20): DataFrame = {
     val t = col(textCol)
-    // char array for the REBUILD only, via substr windows: split(text,
-    // "") keeps a trailing "" (Java split limit -1), which would
-    // inflate n_chars by one and misalign nothing visibly — off-by-one
-    // contracts are exactly how destructive ops rot
-    val chars = df.select(col(idCol).as("id"),
-      when(length(t) >= 1,
-          transform(sequence(lit(1), length(t)), i => t.substr(i, lit(1))))
-        .otherwise(array().cast("array<string>")).as("toks"))
+    // null text behaves like empty (the historical contract: 0 chars,
+    // clean_text "")
+    val docs = df.select(col(idCol).as("id"), coalesce(t, lit("")).as("t"))
     val pos = df.select(col(idCol).as("id"),
         posexplode(positionalCharGrams128(t, n)).as(Seq("p", "hg")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -787,8 +782,38 @@ object Dedup {
       pos.join(firstOcc, Seq("hg"))
         .filter(!(col("id") === col("f_id") && col("p") === col("f_p")))
         .select(col("id"), col("p")), n)
-    rebuildDroppingIntervals(chars, covered, idCol, sep = "")
-      .withColumnRenamed("n_toks", "n_chars")
+    rebuildDroppingCharIntervals(docs, covered, idCol)
+  }
+
+  /** Char-unit rebuild DIRECTLY on the text: kept text is the
+    * concatenation of the gap SUBSTRINGS between the merged drop
+    * intervals — no per-character string array is ever built. (An
+    * earlier version materialized each doc as an array of 1-char
+    * strings and rode the token-array rebuild; that is O(doc length)
+    * string objects + an element-indirected reassembly per doc, where
+    * a handful of `substr` slices is O(gaps) bulk byte copies. substr
+    * and length are both code-point addressed, consistent with
+    * [[positionalCharGrams128]]'s windows and the DuckDB oracle.)
+    * Output: (idCol, n_chars, n_kept, clean_text). */
+  private def rebuildDroppingCharIntervals(docs: DataFrame,
+                                           covered: DataFrame,
+                                           idCol: String): DataFrame = {
+    val m = col("_ivs")
+    val t = col("t")
+    val gaps = transform(
+      sequence(lit(0), size(m)),
+      i => struct(
+        when(i === 0, lit(0)).otherwise(element_at(m, i)("e")).as("s"),
+        when(i === size(m), length(t))
+          .otherwise(element_at(m, i + 1)("s")).as("e")))
+    val kept = when(m.isNull, t)
+      .otherwise(concat_ws("", transform(gaps,
+        g => t.substr(g("s") + 1, greatest(g("e") - g("s"), lit(0))))))
+    docs.join(covered, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        length(t).cast("long").as("n_chars"),
+        length(kept).cast("long").as("n_kept"),
+        kept.as("clean_text"))
   }
 
   /** 128-bit positional char-n-gram keys over raw text: the substring
