@@ -771,8 +771,12 @@ object Dedup {
     // null text behaves like empty (the historical contract: 0 chars,
     // clean_text "")
     val docs = df.select(col(idCol).as("id"), coalesce(t, lit("")).as("t"))
+    // NATIVE gram kernel ([[graft.functions.CharGramHashes]]): bit-equal
+    // keys to the composed positionalCharGrams128 twin (spec-pinned)
+    // with no per-window string allocation — the measured hot path here
     val pos = df.select(col(idCol).as("id"),
-        posexplode(positionalCharGrams128(t, n)).as(Seq("p", "hg")))
+        posexplode(graft.plans.GraftFunctions.charGramHashes(
+          df.sparkSession, t, n)).as(Seq("p", "hg")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val firstOcc = pos.groupBy("hg")
       .agg(min(struct(col("id"), col("p"))).as("f"), count(lit(1)).as("_occ"))
@@ -816,16 +820,19 @@ object Dedup {
         kept.as("clean_text"))
   }
 
-  /** 128-bit positional char-n-gram keys over raw text: the substring
-    * window array is built once (two-step transform — lambda bodies are
-    * not CSE'd, hashing inline would cut every window twice), then each
-    * window hashes through the two xxhash64 lanes like
-    * [[positionalGrams128]]. Docs shorter than n yield an EMPTY array
-    * (the sequence guard is load-bearing: sequence(0, negative) counts
-    * DOWN). Substring windows are code-point-addressed on both engines
-    * (Spark UTF8String and DuckDB substr), so the oracle recomputation
-    * agrees beyond ASCII. */
-  private def positionalCharGrams128(t: Column, n: Int): Column = {
+  /** COMPOSED 128-bit positional char-n-gram keys over raw text — the
+    * built-ins-only twin of the native kernel
+    * ([[graft.functions.CharGramHashes]], which `removeDupSpansChars`
+    * runs) and the reference implementation its bit-equality spec pins
+    * against: the substring window array is built once (two-step
+    * transform — lambda bodies are not CSE'd, hashing inline would cut
+    * every window twice), then each window hashes through the two
+    * xxhash64 lanes like [[positionalGrams128]]. Docs shorter than n
+    * yield an EMPTY array (the sequence guard is load-bearing:
+    * sequence(0, negative) counts DOWN). Substring windows are
+    * code-point-addressed on both engines (Spark UTF8String and DuckDB
+    * substr), so the oracle recomputation agrees beyond ASCII. */
+  private[operators] def positionalCharGrams128(t: Column, n: Int): Column = {
     val windows = transform(
       sequence(lit(0), length(t) - n),
       i => t.substr(i + lit(1), lit(n)))

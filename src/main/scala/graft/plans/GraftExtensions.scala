@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{BloomMightContain, CosineSimilarity, RangeBucket}
+import graft.functions.{BloomMightContain, CharGramHashes, CosineSimilarity, RangeBucket}
 
 /** Engine extensions: registers graft's native expressions so they are
   * callable from SQL. Activate with
@@ -31,7 +31,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => BloomMightContain(args(0), args(1))),
     (FunctionIdentifier("range_bucket"),
       new ExpressionInfo(classOf[RangeBucket].getName, "range_bucket"),
-      (args: Seq[Expression]) => RangeBucket(args(0), args(1))))
+      (args: Seq[Expression]) => RangeBucket(args(0), args(1))),
+    (FunctionIdentifier("char_gram_hashes"),
+      new ExpressionInfo(classOf[CharGramHashes].getName, "char_gram_hashes"),
+      (args: Seq[Expression]) => CharGramHashes(args(0), args(1))))
 
   /** Register into a live session (tests, notebooks). */
   def register(spark: SparkSession): Unit =
@@ -66,5 +69,13 @@ object GraftFunctions {
     register(spark)
     call_function("range_bucket", value,
       org.apache.spark.sql.functions.lit(bounds))
+  }
+
+  /** Column-API handle for the positional char-n-gram key kernel
+    * (`n` embedded as a foldable literal). Registers on demand. */
+  def charGramHashes(spark: SparkSession, text: Column, n: Int): Column = {
+    register(spark)
+    call_function("char_gram_hashes", text,
+      org.apache.spark.sql.functions.lit(n))
   }
 }
