@@ -201,6 +201,75 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("removeDupSpans matches the brute-force global keep-first model") {
+    // cross-doc twin of the self-repetition property: the global
+    // first-occurrence rule (min (doc, pos) lexicographic) over random
+    // dup-dense docs, vs a pure-Scala sweep
+    import graft.operators.Dedup
+    val n = 3
+    val gen = for {
+      len <- Gen.chooseNum(1, 25)
+      ws <- Gen.listOfN(len, Gen.oneOf("a", "b", "c"))
+    } yield ws.mkString(" ")
+    val docs = samples(gen, 40).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val out = Dedup.removeDupSpans(docs.toDF("doc_id", "text"),
+        "doc_id", "text", n)
+      .select("doc_id", "n_toks", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // model: global first occurrence per gram across ALL docs in
+    // (doc, pos) lexicographic order; every other occurrence covers
+    val tokd = docs.map { case (id, t) =>
+      id -> t.trim.split("\\s+").filter(_.nonEmpty) }
+    val first = scala.collection.mutable.Map[String, (Long, Int)]()
+    tokd.sortBy(_._1).foreach { case (id, toks) =>
+      (0 to toks.length - n).foreach { p =>
+        val g = toks.slice(p, p + n).mkString(" ")
+        if (!first.contains(g)) first(g) = (id, p)
+      }
+    }
+    tokd.foreach { case (id, toks) =>
+      val covered = scala.collection.mutable.Set[Int]()
+      (0 to toks.length - n).foreach { p =>
+        val g = toks.slice(p, p + n).mkString(" ")
+        if (first(g) != ((id, p))) covered ++= (p until p + n)
+      }
+      val kept = toks.indices.filterNot(covered).map(toks)
+      val expected = (toks.length.toLong, kept.length.toLong, kept.mkString(" "))
+      assert(out(id) == expected,
+        s"doc $id: got ${out(id)}, model says $expected")
+    }
+  }
+
+  test("boilerplate store path equals the batch operator over the union") {
+    // cross-batch correctness: electing from ACCUMULATED store counts
+    // and rewriting batch 2 must equal running the batch operator over
+    // batch1 ∪ batch2 and keeping batch 2's rows — the store IS the
+    // union's election state
+    import graft.operators.Dedup
+    val n = 3
+    val gen = for {
+      len <- Gen.chooseNum(3, 15)
+      ws <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d"))
+      src <- Gen.oneOf("s1", "s2")
+    } yield (src, ws.mkString(" "))
+    val rows = samples(gen, 60).zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }
+    val (rows1, rows2) = rows.partition(_._1 % 2 == 0)
+    val b1 = rows1.toDF("doc_id", "source", "text")
+    val b2 = rows2.toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("boilprop").toString
+    Dedup.writeBoilerplateStore(b1, "doc_id", "text", "source", dir, n)
+    Dedup.appendToBoilerplateStore(b2, dir, "doc_id", "text", "source", 1L)
+    val store2 = Dedup.removeBoilerplateFromStore(b2, dir,
+      "doc_id", "text", "source", minDocs = 3)
+    val unionOp = Dedup.removeBoilerplate(b1.unionByName(b2),
+        "doc_id", "text", "source", n, minDocs = 3)
+      .join(b2.select("doc_id"), Seq("doc_id"), "left_semi")
+    assert(store2.except(unionOp).count() == 0 &&
+      unionOp.except(store2).count() == 0,
+      "store election must equal the union operator's on batch-2 rows")
+  }
+
   test("grade labelMap is a bijection A-G <-> 0-6 and null off-domain") {
     import graft.pipeline.Schemas
     val gen = Gen.nonEmptyListOf(
