@@ -154,7 +154,65 @@ object SparkEntry {
     "d19_boilerplate" -> (Documents.d19Boilerplate _),
     "m13_quality_filter" -> (Documents.m13QualityFilter _),
     "d20_boilerplate_store" -> (Documents.d20BoilerplateStore _),
+    "t20_gopher_rules" -> (Documents.t20GopherRules _),
+    "ann8_pq_adc" -> (Documents.ann8PqAdc _),
   )
+
+  /** T20's oracle: every Gopher rule statistic recomputed on RAW gram
+    * strings (the engine's doc-local sorted-run scan must agree with a
+    * plain per-(doc, gram) GROUP BY). Char-mass convention: count ×
+    * charLen per gram, raw text length as the denominator — see
+    * TextAnalysis.gramCoverage. */
+  private val gopherSql: String = {
+    val topNs = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+    val dupNs = Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12,
+      9 -> 0.11, 10 -> 0.10)
+    val gramCtes = (topNs ++ dupNs).map(_._1).map { n =>
+      s"""g$n AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - $n + 2),
+         |    i -> array_to_string(list_slice(ws, i, i + $n - 1), ' '))) AS s
+         |  FROM t WHERE len(ws) >= $n),
+         |c$n AS (SELECT doc_id, s, count(*) AS c FROM g$n GROUP BY doc_id, s),
+         |m$n AS (SELECT doc_id, max(c * length(s)) AS maxp,
+         |  sum(CASE WHEN c >= 2 THEN c * length(s) ELSE 0 END) AS dups
+         |  FROM c$n GROUP BY doc_id)""".stripMargin
+    }.mkString(",\n")
+    val fracCols = (topNs.map { case (n, _) =>
+      s"round(coalesce(m$n.maxp, 0) * 1.0 / n_chars, 6) AS top${n}_frac"
+    } ++ dupNs.map { case (n, _) =>
+      s"round(coalesce(m$n.dups, 0) * 1.0 / n_chars, 6) AS dup${n}_frac"
+    }).mkString(",\n  ")
+    val joins = (topNs ++ dupNs).map(_._1)
+      .map(n => s"LEFT JOIN m$n ON b.doc_id = m$n.doc_id").mkString(" ")
+    val keepRules = (Seq(
+      "n_words BETWEEN 50 AND 100000",
+      "mean_word_len BETWEEN 3 AND 10",
+      "symbol_ratio <= 0.1",
+      "alpha_word_frac >= 0.8",
+      "stop_hits >= 2") ++
+      topNs.map { case (n, thr) => s"top${n}_frac <= $thr" } ++
+      dupNs.map { case (n, thr) => s"dup${n}_frac <= $thr" })
+      .mkString(" AND ")
+    s"""WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+       |base AS (SELECT doc_id, text, ws,
+       |  CAST(len(ws) AS BIGINT) AS n_words,
+       |  round(list_sum(list_transform(ws, w -> length(w))) * 1.0 / greatest(len(ws), 1), 6) AS mean_word_len,
+       |  round(((length(text) - length(replace(text, '#', ''))) +
+       |    (length(text) - length(replace(text, '...', ''))) / 3) * 1.0
+       |    / greatest(len(ws), 1), 6) AS symbol_ratio,
+       |  round(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0
+       |    / greatest(len(ws), 1), 6) AS alpha_word_frac,
+       |  CAST((CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0 END)
+       |    + (CASE WHEN list_contains(ws, 'a') THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits,
+       |  greatest(length(text), 1) AS n_chars
+       |  FROM t),
+       |$gramCtes,
+       |f AS (SELECT b.doc_id, n_words, mean_word_len, symbol_ratio,
+       |  alpha_word_frac, stop_hits,
+       |  $fracCols
+       |  FROM base b $joins)
+       |SELECT *, CAST(CASE WHEN $keepRules THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
 
   /** Shared by d19 (batch operator) and d20 (at-rest store path) —
     * per-source boilerplate election (≥ 3 distinct docs of one source
@@ -882,6 +940,7 @@ object SparkEntry {
     "ann4_ivf_store" -> annGateSql,
     // ann5: the grow path emits the same pinned (query × rank) grid
     "ann5_ivf_append" -> annGateSql,
+    "ann8_pq_adc" -> annGateSql,
     // ann6: fully value-compared — the candidate stage is the exact
     // baseline (ann1's oracle) and the re-rank is deterministic
     // arithmetic over rounded inputs
@@ -1092,6 +1151,7 @@ object SparkEntry {
     // two entries can only stay green together.
     "d19_boilerplate" -> boilerplateSql,
     "d20_boilerplate_store" -> boilerplateSql,
+    "t20_gopher_rules" -> gopherSql,
     // M13: the classifier gate's pinned held-out grid — ids and labels
     // are pure id arithmetic, flags must all be 1 (r1_sample pattern)
     "m13_quality_filter" ->

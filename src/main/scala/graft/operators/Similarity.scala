@@ -358,4 +358,157 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 6).as("cos_sim"))
   }
+
+  // ---------------------------------------------------------------------
+  // Product quantization (Jégou, Douze, Schmid 2011, "Product
+  // quantization for nearest neighbor search"): each vector is split
+  // into `m` subvectors, each quantized against a per-subspace codebook
+  // of `k` centroids; a vector becomes m small codes (m bytes at
+  // k ≤ 256) — here 64 floats (256 B) → 8 ints, a ~32× payload
+  // compression. Search is ADC (asymmetric distance computation): the
+  // QUERY stays exact, each query precomputes an m×k lookup table of
+  // subspace dot products once, and scoring a corpus code is m table
+  // lookups instead of a dim-length float loop. At 100 TB this is the
+  // memory story: the scored corpus carries codes, never raw vectors.
+  // ---------------------------------------------------------------------
+
+  /** Trained PQ codebooks: centroids(j)(c) is centroid `c` of subspace
+    * `j` (subDim floats each) and norm2(j)(c) its squared L2 norm —
+    * m·k·subDim floats in total, a literal-sized object that travels in
+    * the PLAN, not a table. */
+  case class PqCodebooks(m: Int, k: Int, subDim: Int,
+                         centroids: Array[Array[Array[Float]]],
+                         norm2: Array[Array[Double]])
+
+  /** Train per-subspace codebooks with seeded k-means over a BOUNDED
+    * sample (`sampleCap` rows) — codebook quality needs a representative
+    * sample, not the corpus, so training cost is corpus-size-independent
+    * (the IVF `quantize` argument, per subspace). One KMeans fit per
+    * subspace over the persisted sample projection. */
+  def trainPq(corpus: DataFrame, dim: Int, m: Int = 8, k: Int = 16,
+              seed: Long = 42L, sampleCap: Int = 100000,
+              vecCol: String = "embedding"): PqCodebooks = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val subDim = dim / m
+    val sample = corpus.select(col(vecCol).as("_vec")).limit(sampleCap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val centroids = Array.tabulate(m) { j =>
+        val sub = sample.select(array_to_vector(
+          slice(col("_vec"), j * subDim + 1, subDim).cast("array<double>"))
+          .as("_v"))
+        // seed + j: subspaces must not share init — identical seeds on
+        // near-identical marginals would correlate codebook errors
+        val model = new KMeans().setK(k).setSeed(seed + j).setMaxIter(10)
+          .setFeaturesCol("_v").setPredictionCol("_c").fit(sub)
+        model.clusterCenters.map(_.toArray.map(_.toFloat))
+      }
+      val norm2 = centroids.map(_.map(c =>
+        c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
+      PqCodebooks(m, k, subDim, centroids, norm2)
+    } finally sample.unpersist()
+  }
+
+  /** Encode a corpus against trained codebooks: (n_id, code, recon_norm)
+    * where code(j) = nearest centroid of subspace j (squared-euclidean,
+    * the k-means rule) and recon_norm = |reconstruction|² (precomputed
+    * here so ADC scoring never touches centroid arrays per pair). Pure
+    * map-side Catalyst expressions over broadcast-literal codebooks —
+    * no shuffle, no UDF; the output is the ~32×-smaller at-rest scoring
+    * payload. */
+  def pqEncode(corpus: DataFrame, cb: PqCodebooks,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // subvectors projected as real columns first: a slice() inside the
+    // distance lambdas would re-run per centroid (NOTES gotcha #4)
+    val subCols = (0 until cb.m).map(j =>
+      slice(col(vecCol), j * cb.subDim + 1, cb.subDim).as(s"_s$j"))
+    val sliced = corpus.select(col(idCol).as("n_id") +: subCols: _*)
+    val distCols = (0 until cb.m).map { j =>
+      val cents = typedLit(cb.centroids(j).map(_.toSeq).toSeq)
+      transform(cents, c =>
+        aggregate(zip_with(col(s"_s$j"), c, (x, y) =>
+          (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (a, v) => a + v)).as(s"_d$j")
+    }
+    val withDists = sliced.select(col("n_id") +: distCols: _*)
+    val codeCols = (0 until cb.m).map(j =>
+      (array_position(col(s"_d$j"), array_min(col(s"_d$j"))) - 1)
+        .cast("int").as(s"_c$j"))
+    val norms = typedLit(cb.norm2.map(_.toSeq).toSeq)
+    withDists.select(col("n_id") +: codeCols: _*)
+      .select(col("n_id"),
+        array((0 until cb.m).map(j => col(s"_c$j")): _*).as("code"),
+        aggregate(
+          zip_with(norms, array((0 until cb.m).map(j => col(s"_c$j")): _*),
+            (nj, c) => element_at(nj, c + 1)),
+          lit(0.0), (a, v) => a + v).as("recon_norm"))
+  }
+
+  /** ADC approximate top-k over a PQ-encoded corpus. Each query builds
+    * its m×k dot-product lookup table ONCE (m·k·subDim work, map-side on
+    * the tiny query frame); scoring a corpus code is then m lookups + m
+    * adds — per-pair cost O(m), not O(dim), and the corpus side carries
+    * only (id, code, recon_norm). cos_sim is the exact cosine between
+    * the query and the RECONSTRUCTED corpus vector, so it lies in
+    * [−1, 1] and ranks identically to ADC inner-product score. Queries
+    * broadcast (the ann1 contract: queries ≪ corpus). */
+  def pqTopK(encoded: DataFrame, cb: PqCodebooks, queries: DataFrame, k: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qSubCols = (0 until cb.m).map(j =>
+      slice(col(vecCol), j * cb.subDim + 1, cb.subDim).as(s"_q$j"))
+    val qSliced = queries.select(col(idCol).as("q_id") +: qSubCols: _*)
+    val lutCols = (0 until cb.m).map { j =>
+      val cents = typedLit(cb.centroids(j).map(_.toSeq).toSeq)
+      transform(cents, c =>
+        aggregate(zip_with(col(s"_q$j"), c, (x, y) => x.cast("double") * y),
+          lit(0.0), (a, v) => a + v)).as(s"_lut$j")
+    }
+    val qLuts = qSliced
+      .select(col("q_id") +: lutCols: _*)
+      .join(queries.select(col(idCol).as("q_id"),
+        sqrt(aggregate(col(vecCol), lit(0.0),
+          (a, v) => a + v.cast("double") * v.cast("double"))).as("q_norm")),
+        "q_id")
+    val luts = array((0 until cb.m).map(j => col(s"_lut$j")): _*)
+    val dot = aggregate(
+      zip_with(luts, col("code"), (l, c) => element_at(l, c + 1)),
+      lit(0.0), (a, v) => a + v)
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+    broadcast(qLuts).crossJoin(encoded)
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos",
+        dot / greatest(col("q_norm") * sqrt(col("recon_norm")), lit(1e-12)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** ADC retrieve + exact re-rank (the production IVF-PQ serving shape,
+    * FAISS's refine step): PQ-ADC ranks a candidate pool of `depth` per
+    * query over the compressed corpus, then ONLY those q×depth rows
+    * fetch their raw vectors (id join against the corpus — at rest this
+    * is an id-pruned point lookup, never a full-vector scan) and re-rank
+    * by exact cosine. Recall is governed by depth; the expensive exact
+    * math touches depth/|corpus| of the data. */
+  def pqTopKReranked(encoded: DataFrame, cb: PqCodebooks, queries: DataFrame,
+                     corpus: DataFrame, k: Int, depth: Int = 0,
+                     idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val d = if (depth > 0) depth else 4 * k
+    val qv = broadcast(
+      queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
+    val cands = pqTopK(encoded, cb, queries, d, idCol, vecCol)
+      .select("q_id", "n_id")
+      .join(corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec")), "n_id")
+      .join(qv, "q_id")
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+    cands.withColumn("cos", nativeCosine(corpus)(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
 }

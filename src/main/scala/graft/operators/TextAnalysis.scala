@@ -335,4 +335,122 @@ object TextAnalysis {
       .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
       .select("id", "token", "tf", "df", "tfidf")
   }
+
+  /** Positional word n-grams of a PROJECTED token-array column, joined
+    * with single spaces (empty array below n tokens). `ws` must be a
+    * plain column reference — a raw `split(...)` expression here would
+    * re-run the regex per element (NOTES gotcha #4). */
+  private def wordGrams(ws: Column, n: Int): Column =
+    when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Character-coverage stats of a gram multiset, doc-locally: one pass
+    * over the SORTED grams with a (prev, run, maxp, dups) accumulator
+    * (the `maxTokenRatio` shape, extended to runs of equal grams).
+    * Returns struct(maxp, dups) where
+    *   maxp = max over distinct grams of count × charLen(gram) — the
+    *          char mass of the most-covering gram;
+    *   dups = Σ over grams with count ≥ 2 of count × charLen(gram).
+    * Both count every occurrence's characters (overlapping occurrences
+    * double-count — deterministic and cheap, where the paper's
+    * non-overlapping char coverage needs positional bookkeeping). */
+  private def gramCoverage(grams: Column): Column = {
+    def flushMax(a: Column): Column =
+      greatest(a.getField("maxp"),
+        a.getField("run") * length(a.getField("prev")))
+    def flushDups(a: Column): Column =
+      a.getField("dups") + when(a.getField("run") >= 2,
+        a.getField("run") * length(a.getField("prev"))).otherwise(lit(0L))
+    aggregate(
+      array_sort(grams),
+      struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("maxp"), lit(0L).as("dups")),
+      (a, g) => {
+        val same = g === a.getField("prev")
+        struct(g.as("prev"),
+          when(same, a.getField("run") + 1L).otherwise(lit(1L)).as("run"),
+          when(same, a.getField("maxp")).otherwise(flushMax(a)).as("maxp"),
+          when(same, a.getField("dups")).otherwise(flushDups(a)).as("dups"))
+      },
+      a => struct(flushMax(a).as("maxp"), flushDups(a).as("dups")))
+  }
+
+  /** Gopher repetition/quality rules (Rae et al. 2021, arXiv:2112.11446
+    * Table A1 — the standard pretraining-corpus document filter;
+    * reference counterpart: the quality gates of
+    * utils/bronze_to_silver.py-style row filtering, generalized to the
+    * LLM-corpus rule set). Per document:
+    *   - word count in [minWords, maxWords];
+    *   - mean word length in [3, 10];
+    *   - symbol-to-word ratio ('#' chars + '...' occurrences) ≤ 0.1;
+    *   - ≥ 80% of words contain an alphabetic character;
+    *   - ≥ 2 of the required stopwords present;
+    *   - fraction of characters in the most-covering {2,3,4}-gram
+    *     ≤ {0.20, 0.18, 0.16};
+    *   - fraction of characters in duplicated {5..10}-grams
+    *     ≤ {0.15, 0.14, 0.13, 0.12, 0.11, 0.10}.
+    * Char fractions use the count × charLen product over the raw text
+    * length (see `gramCoverage` for the overlap convention; "most
+    * common n-gram" is resolved as max char MASS, which needs no
+    * cross-engine tie rule). All stats are doc-local Catalyst
+    * expressions — ZERO exchange, no UDFs; at 100 TB this is a pure
+    * map pass whose parallelism is the scan's. Output: one row per doc
+    * with every rule value (6 dp) and the conjunction `keep`. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  requiredStopwords: Seq[String] =
+                    Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val topNgrams = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+    val dupNgrams = Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12,
+      9 -> 0.11, 10 -> 0.10)
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("_text"),
+      tokens(col(textCol)).as("_ws"))
+    val ws = col("_ws")
+    val text = col("_text")
+    val nWords = size(ws).cast("double")
+    val nChars = greatest(length(text), lit(1)).cast("double")
+    val statCols: Seq[Column] = Seq(col("doc_id"), text, ws,
+      size(ws).cast("long").as("n_words"),
+      round(aggregate(transform(ws, w => length(w).cast("double")),
+        lit(0.0), (acc, v) => acc + v) / greatest(nWords, lit(1.0)), 6)
+        .as("mean_word_len"),
+      round(((length(text) - length(replace(text, lit("#"), lit("")))) +
+        (length(text) - length(replace(text, lit("..."), lit("")))) / 3)
+        .cast("double") / greatest(nWords, lit(1.0)), 6)
+        .as("symbol_ratio"),
+      round(size(filter(ws, w => w.rlike("[A-Za-z]"))) /
+        greatest(nWords, lit(1.0)), 6).as("alpha_word_frac"),
+      requiredStopwords.map(sw =>
+        when(array_contains(ws, sw), 1).otherwise(0)).reduce(_ + _)
+        .cast("long").as("stop_hits"))
+    val covCols: Seq[Column] =
+      (topNgrams.map(_._1) ++ dupNgrams.map(_._1)).map(n =>
+        gramCoverage(wordGrams(ws, n)).as(s"_cov$n"))
+    val covered = base.select(statCols ++ covCols: _*)
+    val fracCols: Seq[Column] =
+      topNgrams.map { case (n, _) =>
+        round(col(s"_cov$n").getField("maxp") / nChars, 6)
+          .as(s"top${n}_frac")
+      } ++
+      dupNgrams.map { case (n, _) =>
+        round(col(s"_cov$n").getField("dups") / nChars, 6)
+          .as(s"dup${n}_frac")
+      }
+    val withFracs = covered.select(
+      Seq(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("symbol_ratio"), col("alpha_word_frac"), col("stop_hits")) ++
+        fracCols: _*)
+    val keep = Seq(
+      col("n_words").between(minWords, maxWords),
+      col("mean_word_len").between(3.0, 10.0),
+      col("symbol_ratio") <= 0.1,
+      col("alpha_word_frac") >= 0.8,
+      col("stop_hits") >= 2) ++
+      topNgrams.map { case (n, t) => col(s"top${n}_frac") <= t } ++
+      dupNgrams.map { case (n, t) => col(s"dup${n}_frac") <= t }
+    withFracs.withColumn("keep",
+      when(keep.reduce(_ && _), 1).otherwise(0).cast("long"))
+  }
 }

@@ -509,6 +509,17 @@ object Documents {
       .orderBy("doc_id")
   }
 
+  /** T20 — Gopher repetition/quality rules (arXiv:2112.11446 Table A1),
+    * full-value oracle: every rule statistic recomputed by DuckDB on
+    * raw gram strings. The required-stopword list is fitted to the
+    * corpus vocabulary ("the"/"a" are the only Gopher-class stopwords
+    * it contains) so stop_hits actually varies; the operator default
+    * stays the paper's 8-word list. */
+  def t20GopherRules(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.gopherRules(Tables.documents(s, d), "doc_id", "text",
+        requiredStopwords = Seq("the", "a"))
+      .orderBy("doc_id")
+
   /** Deterministic junk docs for the classifier gate — tokens from a
     * vocabulary disjoint with the corpus, seeded per id so the driver
     * and spec see identical rows. */
@@ -901,6 +912,24 @@ object Documents {
     * baseline so the whole chain is value-oracle-able; at corpus scale
     * the ANN generators feed the identical re-rank (generator-agnostic
     * input shape). */
+  /** ANN8 — product-quantization top-5 in the production serving shape:
+    * ADC retrieval over the compressed codes (8 subspaces × 16
+    * centroids — 64 floats → 8 codes, ~32× scoring payload compression)
+    * pools 50 candidates per query, exact cosine re-ranks only that
+    * sliver. Invariant-gated like ann2/ann3; floor 6 of 25, MEASURED
+    * {19, 21, 13} across sf0.001/0.01/0.1 (ADC alone measures
+    * {6, 10, 4} on this no-angular-gap corpus — the re-rank step is
+    * what makes PQ serve, same story as ann3's nProbe). */
+  def ann8PqAdc(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 5)
+    val cb = Similarity.trainPq(e, dim = 64, m = 8, k = 16)
+    annInvariantGate(
+      Similarity.pqTopKReranked(Similarity.pqEncode(e, cb), cb, q, e, 5,
+        depth = 50),
+      Similarity.bruteForceTopK(e, q, 5), recallFloor = 6)
+  }
+
   def ann6HybridRerank(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     val q = e.filter(col("vec_id") < 5)

@@ -61,4 +61,70 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("rank").select("n_id").as[Long].collect().toSeq
     assert(pure == Seq(1L, 2L, 3L))
   }
+
+  test("pqEncode: one row per vector, codes in range, deterministic") {
+    val e = Tables.embeddings(spark, sf)
+    val cb = Similarity.trainPq(e, dim = 64, m = 8, k = 16)
+    assert(cb.centroids.length == 8 &&
+      cb.centroids.forall(_.length == 16) &&
+      cb.centroids.forall(_.forall(_.length == 8)))
+    val enc = Similarity.pqEncode(e, cb)
+    val rows = enc.collect()
+    assert(rows.length == e.count())
+    rows.foreach { r =>
+      val code = r.getAs[scala.collection.Seq[Int]]("code")
+      assert(code.length == 8 && code.forall(c => c >= 0 && c < 16))
+      assert(r.getAs[Double]("recon_norm") >= 0.0)
+    }
+    // same codebooks → byte-identical encoding (seeded k-means, argmin
+    // with a first-match tie rule)
+    val again = Similarity.pqEncode(e, cb).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("pq on an exactly-quantizable fixture reproduces brute force") {
+    // every subvector is one of 4 patterns, k = 4 ⇒ k-means recovers the
+    // patterns exactly, reconstruction is lossless, and ADC cosine IS
+    // exact cosine — pqTopK must equal bruteForceTopK row for row
+    val patterns = Seq(
+      Array(1.0f, 0.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f, 0.0f),
+      Array(0.0f, 0.0f, 1.0f, 0.0f), Array(0.0f, 0.0f, 0.0f, 1.0f))
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, (patterns(i % 4) ++ patterns((i / 4) % 4)).toArray)
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 3)
+    val cb = Similarity.trainPq(vecs, dim = 8, m = 2, k = 4)
+    val pq = Similarity.pqTopK(Similarity.pqEncode(vecs, cb), cb, q, 5)
+      .collect().map(_.toString).sorted.toSeq
+    val bf = Similarity.bruteForceTopK(vecs, q, 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(pq == bf)
+  }
+
+  test("pqTopKReranked: exact re-rank recovers recall ADC alone loses") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter($"vec_id" < 10)
+    val cb = Similarity.trainPq(e, dim = 64, m = 8, k = 16)
+    val enc = Similarity.pqEncode(e, cb)
+    val exact = Similarity.bruteForceTopK(e, q, 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("q_id", "n_id").as[(Long, Long)].collect().toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    val adc = recall(Similarity.pqTopK(enc, cb, q, 5))
+    val rr = recall(Similarity.pqTopKReranked(enc, cb, q, e, 5, depth = 50))
+    assert(rr >= adc, s"re-rank recall $rr below raw ADC $adc")
+    assert(rr >= 0.4, s"re-rank recall $rr below floor")
+    // re-ranked cos_sim is EXACT cosine: every (q, n, sim) row must
+    // agree with the brute-force similarity for the same pair
+    val bfSim = Similarity.bruteForceTopK(e, q, 50)
+      .select("q_id", "n_id", "cos_sim").as[(Long, Long, Double)]
+      .collect().map { case (a, b, s) => (a, b) -> s }.toMap
+    Similarity.pqTopKReranked(enc, cb, q, e, 5, depth = 50)
+      .select("q_id", "n_id", "cos_sim").as[(Long, Long, Double)]
+      .collect().foreach { case (a, b, s) =>
+        bfSim.get((a, b)).foreach(exp => assert(math.abs(exp - s) < 1e-9))
+      }
+  }
 }

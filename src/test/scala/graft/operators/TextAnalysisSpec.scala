@@ -169,4 +169,65 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out((2L, "gamma"))._2 == 1L)
     assert(out.size == 6)
   }
+
+  test("gopherRules: hand-checkable fixture values") {
+    val df = Seq(
+      // "a a a b": top 2-gram "a a" occurs 2× (3 chars) → 6/7; words too
+      // short (mean 1.0) and too few → keep = 0
+      (1L, "a a a b"),
+      // clean doc: 60 distinct-ish words incl. both stopwords, mean len
+      // in [3,10], no repeated n-gram mass above thresholds → keep = 1
+      (2L, ("the a " + (1 to 58).map(i => s"word$i").mkString(" "))))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(df, "doc_id", "text",
+        requiredStopwords = Seq("the", "a"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val d1 = out(1L)
+    assert(d1.getAs[Long]("n_words") == 4)
+    assert(d1.getAs[Double]("mean_word_len") == 1.0)
+    assert(d1.getAs[Double]("top2_frac") ==
+      math.rint(6.0 / 7.0 * 1e6) / 1e6)
+    assert(d1.getAs[Long]("stop_hits") == 1) // "a" present, "the" absent
+    assert(d1.getAs[Double]("dup5_frac") == 0.0)
+    assert(d1.getAs[Long]("keep") == 0)
+    val d2 = out(2L)
+    assert(d2.getAs[Long]("n_words") == 60)
+    assert(d2.getAs[Long]("stop_hits") == 2)
+    assert(d2.getAs[Long]("keep") == 1)
+  }
+
+  test("gopherRules: sorted-run coverage agrees with a naive groupBy twin") {
+    val docs = graft.core.Tables.documents(spark, sf).limit(200)
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .select("doc_id", "top3_frac", "dup5_frac")
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // naive twin: explode positional 3-/5-grams, GROUP BY (doc, gram)
+    def naive(n: Int): Map[Long, (Long, Long)] = {
+      val ws = docs.select($"doc_id", split(trim($"text"), "\\s+").as("ws"),
+        greatest(length($"text"), lit(1)).as("nc"))
+      ws.filter(size($"ws") >= n)
+        .select($"doc_id", $"nc", explode(
+          transform(sequence(lit(0), size($"ws") - n),
+            i => concat_ws(" ", slice($"ws", i + 1, lit(n))))).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"), first("nc").as("nc"))
+        .groupBy("doc_id")
+        .agg(max($"c" * length($"g")).as("maxp"),
+          sum(when($"c" >= 2, $"c" * length($"g")).otherwise(0L)).as("dups"))
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    }
+    val n3 = naive(3); val n5 = naive(5)
+    val nChars = docs.select($"doc_id", greatest(length($"text"), lit(1)))
+      .as[(Long, Int)].collect().toMap
+    // 5.1e-7 tolerance: the operator HALF_UP-rounds to 6 dp, the twin
+    // keeps the raw ratio — they may differ by exactly 5e-7 at a
+    // half-way point (math.rint here would banker's-round and disagree)
+    out.foreach { case (id, (top3, dup5)) =>
+      val expTop3 = n3.get(id).map(_._1.toDouble / nChars(id)).getOrElse(0.0)
+      val expDup5 = n5.get(id).map(_._2.toDouble / nChars(id)).getOrElse(0.0)
+      assert(math.abs(top3 - expTop3) < 5.1e-7,
+        s"doc $id top3 $top3 vs $expTop3")
+      assert(math.abs(dup5 - expDup5) < 5.1e-7,
+        s"doc $id dup5 $dup5 vs $expDup5")
+    }
+  }
 }
