@@ -156,6 +156,7 @@ object SparkEntry {
     "d20_boilerplate_store" -> (Documents.d20BoilerplateStore _),
     "t20_gopher_rules" -> (Documents.t20GopherRules _),
     "ann8_pq_adc" -> (Documents.ann8PqAdc _),
+    "ann9_pq_store" -> (Documents.ann9PqStore _),
   )
 
   /** T20's oracle: every Gopher rule statistic recomputed on RAW gram
@@ -941,6 +942,7 @@ object SparkEntry {
     // ann5: the grow path emits the same pinned (query × rank) grid
     "ann5_ivf_append" -> annGateSql,
     "ann8_pq_adc" -> annGateSql,
+    "ann9_pq_store" -> annGateSql,
     // ann6: fully value-compared — the candidate stage is the exact
     // baseline (ann1's oracle) and the re-rank is deterministic
     // arithmetic over rounded inputs
@@ -1019,25 +1021,33 @@ object SparkEntry {
         |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // audio payloads are REAL synthesized WAV containers (44-byte
-    // canonical header + one 16-bit sample per utf-8 text byte —
-    // Multimodal.fromDocuments), so their size is SQL-recomputable
+    // canonical header + one 16-bit sample per utf-8 text byte) and
+    // image payloads REAL binary PPMs ("P6\nL 1\n255\n" header + 3
+    // RGB bytes per text byte — Multimodal.fromDocuments), so both
+    // container sizes are SQL-recomputable
     "mm1_media_meta" ->
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |    ELSE 'video' END AS modality,
         |  CASE WHEN doc_id % 3 = 1 THEN 44 + 2 * octet_length(encode(text))
+        |    WHEN doc_id % 3 = 0 THEN 10 + length(CAST(octet_length(encode(text)) AS VARCHAR))
+        |      + 3 * octet_length(encode(text))
         |    ELSE octet_length(encode(text)) END AS n_bytes
         |FROM documents ORDER BY media_id""".stripMargin,
     // MM2's feature values are JVM-side (rolling hash for the stub
-    // routes, Goertzel band energies for the real WAV route), but both
-    // routes' algebra pins hard invariants the oracle CAN recompute:
-    // 16 slots; stub bytes each contribute [0, 1) to one slot, WAV
-    // band energies each lie in [0, 1] (see Documents.mm2MediaFeatures).
+    // route, Goertzel band energies for the real WAV route, luminance
+    // histogram for the real PPM route), but every route's algebra pins
+    // hard invariants the oracle CAN recompute: 16 slots; stub bytes
+    // each contribute [0, 1) to one slot, WAV band energies lie in
+    // [0, 1], PPM histogram fractions sum to 1 (see
+    // Documents.mm2MediaFeatures).
     "mm2_media_features" ->
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |    ELSE 'video' END AS modality,
         |  CASE WHEN doc_id % 3 = 1 THEN 44 + 2 * octet_length(encode(text))
+        |    WHEN doc_id % 3 = 0 THEN 10 + length(CAST(octet_length(encode(text)) AS VARCHAR))
+        |      + 3 * octet_length(encode(text))
         |    ELSE octet_length(encode(text)) END AS n_bytes,
         |  16 AS feat_dim, 1 AS feat_ok
         |FROM documents ORDER BY media_id""".stripMargin,

@@ -44,20 +44,30 @@ object Multimodal {
   }
 
   /** The modality-routed decode seam: audio payloads that parse as
-    * RIFF/WAVE PCM get the REAL decoder (samples → per-band energies,
-    * each in [0, 1] — see [[Wav.bandEnergies]]); everything else — and
-    * audio bytes that are not a WAV container — falls back to the
-    * deterministic stub, whose per-byte contributions are also bounded
-    * by 1. Both routes therefore satisfy the mm2 oracle's invariant
-    * (0 ≤ Σ features ≤ n_bytes), so swapping routes can never be
-    * silently wrong-dim or unbounded. */
+    * RIFF/WAVE PCM get the REAL audio decoder (samples → per-band
+    * energies, each in [0, 1] — see [[Wav.bandEnergies]]); image
+    * payloads that parse as binary PPM (P6) get the REAL image decoder
+    * (pixels → luminance histogram fractions, summing to 1 — see
+    * [[Ppm.luminanceHistogram]]); everything else — video, and
+    * audio/image bytes that are not their container format — falls back
+    * to the deterministic stub, whose per-byte contributions are also
+    * bounded by 1. All routes therefore satisfy the mm2 oracle's
+    * invariant (0 ≤ Σ features ≤ n_bytes), so swapping routes can
+    * never be silently wrong-dim or unbounded. */
   private[operators] def decodeFeatures(row: MediaRow, dim: Int): Array[Float] =
-    if (row.meta.modality == "audio")
-      Wav.decode(row.bytes) match {
-        case Some(pcm) => Wav.bandEnergies(pcm.samples, dim)
-        case None => stubDecode(row.bytes, dim)
-      }
-    else stubDecode(row.bytes, dim)
+    row.meta.modality match {
+      case "audio" =>
+        Wav.decode(row.bytes) match {
+          case Some(pcm) => Wav.bandEnergies(pcm.samples, dim)
+          case None => stubDecode(row.bytes, dim)
+        }
+      case "image" =>
+        Ppm.decode(row.bytes) match {
+          case Some(img) => Ppm.luminanceHistogram(img, dim)
+          case None => stubDecode(row.bytes, dim)
+        }
+      case _ => stubDecode(row.bytes, dim)
+    }
 
   /** Batch feature extraction: one partition = one batch, mirroring the
     * mapInPandas/Arrow-batch shape. The iterator is processed lazily —
@@ -93,13 +103,15 @@ object Multimodal {
       .withColumn("frame_idx", (col("offset_ms") / everyMs).cast("long"))
 
   /** Wrap a text corpus as media rows — the test/demo entry path.
-    * Image/video payloads are the raw utf-8 bytes (deterministic
-    * opaque blobs for the stub); AUDIO rows carry a REAL synthesized
-    * WAV container — 16-bit PCM mono at 16 kHz, one sample per text
-    * byte (sample = (byte − 128) << 8, content-derived and RNG-free) —
-    * so the audio route exercises the actual [[Wav]] decoder
-    * end-to-end, and the payload size stays SQL-recomputable for the
-    * mm1/mm2 oracles: 44 header bytes + 2 per text byte. */
+    * Video payloads are the raw utf-8 bytes (deterministic opaque blobs
+    * for the stub); AUDIO rows carry a REAL synthesized WAV container —
+    * 16-bit PCM mono at 16 kHz, one sample per text byte (sample =
+    * (byte − 128) << 8, content-derived and RNG-free); IMAGE rows carry
+    * a REAL binary-PPM container — a textBytes×1 grayscale strip with
+    * r = g = b = byte — so both real decoders run end-to-end. Payload
+    * sizes stay SQL-recomputable for the mm1/mm2 oracles: audio =
+    * 44 + 2·L; image = 10 + digits(L) + 3·L (header "P6\nL 1\n255\n");
+    * video = L, where L = utf-8 byte length. */
   def fromDocuments(docs: DataFrame, spark: SparkSession): Dataset[MediaRow] = {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
@@ -108,15 +120,98 @@ object Multimodal {
         val modality = id % 3 match {
           case 0 => "image"; case 1 => "audio"; case _ => "video"
         }
-        val bytes =
-          if (modality == "audio")
+        val bytes = modality match {
+          case "audio" =>
             Wav.encode(raw.map(b => (((b & 0xFF) - 128) << 8).toShort), 16000)
-          else raw
+          case "image" =>
+            Ppm.encode(raw.length, 1, raw.flatMap(b => Array(b, b, b)))
+          case _ => raw
+        }
         val durMs =
           if (modality == "audio") raw.length.toLong * 1000L / 16000L
           else raw.length.toLong * 10
-        MediaRow(id, bytes, MediaMeta(modality, 64, 64, 16000, durMs))
+        val (w, h) =
+          if (modality == "image") (raw.length, 1) else (64, 64)
+        MediaRow(id, bytes, MediaMeta(modality, w, h, 16000, durMs))
     }
+  }
+}
+
+/** Minimal pure-JVM binary-PPM (P6, Netpbm) codec — the image half of
+  * the real-decoder pair ([[Wav]] is the audio half). Parses the
+  * text header per the Netpbm spec: "P6", then width / height / maxval
+  * tokens separated by whitespace runs, '#' comments swallowed to end
+  * of line, exactly ONE whitespace byte after maxval, then 3·w·h raw
+  * RGB bytes (maxval ≤ 255 — the 2-byte-per-sample variant is out of
+  * scope). Decode is total: malformed input yields None, never a
+  * throw — the router falls back to the stub.
+  */
+object Ppm {
+
+  case class Rgb(width: Int, height: Int, pixels: Array[Byte])
+
+  def decode(bytes: Array[Byte]): Option[Rgb] = {
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
+    var o = 2
+    // read the next header int, skipping whitespace and # comments
+    def nextInt(): Option[Int] = {
+      var skipping = true
+      while (skipping && o < bytes.length) {
+        val c = bytes(o)
+        if (c == '#') { while (o < bytes.length && bytes(o) != '\n') o += 1 }
+        else if (c == ' ' || c == '\t' || c == '\r' || c == '\n') o += 1
+        else skipping = false
+      }
+      val start = o
+      var v = 0L
+      while (o < bytes.length && bytes(o) >= '0' && bytes(o) <= '9') {
+        v = v * 10 + (bytes(o) - '0')
+        if (v > Int.MaxValue) return None
+        o += 1
+      }
+      if (o == start) None else Some(v.toInt)
+    }
+    for {
+      w <- nextInt()
+      h <- nextInt()
+      maxval <- nextInt()
+      if w > 0 && h > 0 && maxval > 0 && maxval <= 255
+      // exactly one whitespace byte separates maxval from the raster
+      if o < bytes.length && (bytes(o) == ' ' || bytes(o) == '\t' ||
+        bytes(o) == '\r' || bytes(o) == '\n')
+      n = 3L * w * h
+      if o + 1 + n <= bytes.length && n <= Int.MaxValue
+    } yield Rgb(w, h, java.util.Arrays.copyOfRange(bytes, o + 1, o + 1 + n.toInt))
+  }
+
+  /** Canonical "P6\n<w> <h>\n255\n" writer — the synthesis half
+    * ([[Multimodal.fromDocuments]]) and decode's round-trip oracle. */
+  def encode(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == 3 * width * height,
+      s"need ${3 * width * height} RGB bytes, got ${pixels.length}")
+    val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + pixels.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(pixels, 0, out, header.length, pixels.length)
+    out
+  }
+
+  /** `dim`-bin luminance histogram as fractions-of-pixels: luma =
+    * (r + g + b) / 3 (integer mean — deterministic, no Rec.709 float
+    * weights), bin = luma · dim / 256. Fractions sum to 1 (± float
+    * accumulation), each in [0, 1] — the bounds the mm2 gate pins.
+    * Deterministic; the canonical cheap image feature. */
+  def luminanceHistogram(img: Rgb, dim: Int): Array[Float] = {
+    val counts = new Array[Long](dim)
+    val n = img.pixels.length / 3
+    var i = 0
+    while (i < n) {
+      val luma = ((img.pixels(3 * i) & 0xFF) + (img.pixels(3 * i + 1) & 0xFF) +
+        (img.pixels(3 * i + 2) & 0xFF)) / 3
+      counts(luma * dim / 256) += 1
+      i += 1
+    }
+    counts.map(c => if (n == 0) 0.0f else (c.toDouble / n).toFloat)
   }
 }
 

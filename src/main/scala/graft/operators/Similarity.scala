@@ -486,6 +486,88 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** PQ index at rest: encoded codes under `$path/codes/batch=0`, the
+    * codebooks persisted at `$path/codebooks` (m·k tiny rows) with an
+    * `_meta.json` (m, k, subDim, pqSeed, formatVersion) — self-contained
+    * like the IVF layout (`writeIvfIndex`), so encoder and searcher can
+    * be different sessions. The at-rest payload is the ~32×-compressed
+    * (id, code, recon_norm) frame — raw vectors deliberately do NOT
+    * land here; exact re-rank reads them from the source corpus table
+    * by id. Growth lands as idempotent per-batch overwrites
+    * ([[appendToPqIndex]]). Returns the codebooks for immediate use. */
+  def writePqIndex(corpus: DataFrame, path: String, dim: Int,
+                   m: Int = 8, k: Int = 16, seed: Long = 42L,
+                   sampleCap: Int = 100000,
+                   idCol: String = "vec_id", vecCol: String = "embedding")
+      : PqCodebooks = {
+    val cb = trainPq(corpus, dim, m, k, seed, sampleCap, vecCol)
+    pqEncode(corpus, cb, idCol, vecCol)
+      .write.mode("overwrite").parquet(s"$path/codes/batch=0")
+    val spark = corpus.sparkSession
+    val rows = for { j <- 0 until m; c <- 0 until k }
+      yield (j, c, cb.centroids(j)(c).toSeq, cb.norm2(j)(c))
+    spark.createDataFrame(rows).toDF("j", "c", "centroid", "norm2")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    graft.sources.Sources.writeJsonSidecarFs(spark, s"$path/_meta.json",
+      Map("m" -> m.toString, "k" -> k.toString,
+        "subDim" -> cb.subDim.toString, "pqSeed" -> seed.toString,
+        "formatVersion" -> "1"))
+    cb
+  }
+
+  /** Codebooks of an at-rest PQ index — m·k tiny rows plus the meta
+    * sidecar (parameters travel WITH the store: a reader guessing m/k
+    * would silently mis-decode, the near-dup store's `_meta` lesson). */
+  def loadPqCodebooks(spark: SparkSession, path: String): PqCodebooks = {
+    val meta = graft.sources.Sources.readJsonSidecarFs(spark, s"$path/_meta.json")
+    val m = meta("m").toInt; val k = meta("k").toInt
+    val subDim = meta("subDim").toInt
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .select("j", "c", "centroid", "norm2").collect()
+    val cents = Array.fill(m, k)(Array.empty[Float])
+    val n2 = Array.fill(m, k)(0.0)
+    rows.foreach { r =>
+      cents(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray
+      n2(r.getInt(0))(r.getInt(1)) = r.getDouble(3)
+    }
+    PqCodebooks(m, k, subDim, cents, n2)
+  }
+
+  /** Grow an at-rest PQ index: encode the batch against the STORED
+    * codebooks and land it under `$path/codes/batch=<id>` — idempotent
+    * per batch by overwrite (the IVF/near-dup store convention; batchId
+    * namespace is the caller's contract). Codes never drift — the same
+    * vector always encodes the same way against a fixed codebook — but
+    * codebook FIT drifts as the distribution shifts, the same monitored
+    * trade as `appendToIvfIndex`'s centroids: quantization error grows
+    * gradually, and a rebuild (fresh `writePqIndex` at a new path) is
+    * the planned remedy. */
+  def appendToPqIndex(batch: DataFrame, path: String, batchId: Long,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Unit = {
+    require(batchId > 0, "batchId 0 is the base install (writePqIndex)")
+    val cb = loadPqCodebooks(batch.sparkSession, path)
+    pqEncode(batch, cb, idCol, vecCol)
+      .write.mode("overwrite").parquet(s"$path/codes/batch=$batchId")
+  }
+
+  /** Top-k against an at-rest PQ index: ADC over every landed batch's
+    * codes (explicit projection — `batch` is a discovered partition
+    * column and must not ride into scoring), then exact re-rank of the
+    * depth-sliver against the raw `corpus` table (the vectors the index
+    * deliberately does not carry). Same answers as the live
+    * `pqTopKReranked` with the same seed. */
+  def pqTopKFromIndex(path: String, queries: DataFrame, corpus: DataFrame,
+                      k: Int, depth: Int = 0,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val cb = loadPqCodebooks(spark, path)
+    val encoded = spark.read.parquet(s"$path/codes")
+      .select("n_id", "code", "recon_norm")
+    pqTopKReranked(encoded, cb, queries, corpus, k, depth, idCol, vecCol)
+  }
+
   /** ADC retrieve + exact re-rank (the production IVF-PQ serving shape,
     * FAISS's refine step): PQ-ADC ranks a candidate pool of `depth` per
     * query over the compressed corpus, then ONLY those q×depth rows

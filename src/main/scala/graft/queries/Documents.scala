@@ -930,6 +930,23 @@ object Documents {
       Similarity.bruteForceTopK(e, q, 5), recallFloor = 6)
   }
 
+  /** ANN9 — ann8 through the at-rest PQ index (codes + codebooks +
+    * meta landed, searched from disk): a fresh base install encodes
+    * exactly what the live path encodes (seeded codebooks), so this
+    * shares ann8's invariant gate and floor verbatim — the ann4/ann3
+    * store-vs-live pattern applied to the PQ family. Append/grow and
+    * layout round-trip stay spec-verified (SimilaritySpec). */
+  def ann9PqStore(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 5)
+    val path = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/pq_index"
+    Similarity.writePqIndex(e, path, dim = 64, m = 8, k = 16)
+    annInvariantGate(
+      Similarity.pqTopKFromIndex(path, q, e, 5, depth = 50),
+      Similarity.bruteForceTopK(e, q, 5), recallFloor = 6)
+  }
+
   def ann6HybridRerank(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     val q = e.filter(col("vec_id") < 5)
@@ -1016,6 +1033,11 @@ object Documents {
         when(col("modality") === "audio",
             when(forall(col("features"),
               v => v >= 0.0f && v <= 1.0f), 1).otherwise(0))
+          .when(col("modality") === "image",
+            // real PPM route: histogram FRACTIONS — each in [0, 1] and
+            // summing to 1 (± float accumulation)
+            when(forall(col("features"), v => v >= 0.0f && v <= 1.0f) &&
+              featSum.between(1.0 - 1e-5, 1.0 + 1e-5), 1).otherwise(0))
           .otherwise(
             when(featSum >= 0.0 && featSum <= col("n_bytes"), 1)
               .otherwise(0)).as("feat_ok"))

@@ -95,6 +95,57 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("Ppm: encode→decode round-trips pixels exactly; header variants parse") {
+    val px = Array.tabulate(3 * 5 * 2)(i => ((i * 37) % 256).toByte)
+    val bytes = Ppm.encode(5, 2, px)
+    val img = Ppm.decode(bytes).getOrElse(fail("decode returned None"))
+    assert(img.width == 5 && img.height == 2)
+    assert(img.pixels.sameElements(px))
+    // whitespace runs + comments are legal header separators
+    val weird = ("P6 # a comment\n # more\n 5\t2 \n255\n".getBytes("US-ASCII") ++ px)
+    val img2 = Ppm.decode(weird).getOrElse(fail("comment header must parse"))
+    assert(img2.pixels.sameElements(px))
+  }
+
+  test("Ppm: malformed payloads decode to None, never throw") {
+    assert(Ppm.decode(Array[Byte]()).isEmpty)
+    assert(Ppm.decode("P3\n1 1\n255\n  0 0 0".getBytes).isEmpty) // ascii PPM ≠ P6
+    assert(Ppm.decode("not an image".getBytes).isEmpty)
+    val truncated = Ppm.encode(4, 4, new Array[Byte](48)).dropRight(5)
+    assert(Ppm.decode(truncated).isEmpty)
+    // 2-byte-per-sample maxval is out of scope
+    assert(Ppm.decode(("P6\n1 1\n65535\n" + "ab").getBytes).isEmpty)
+  }
+
+  test("Ppm.luminanceHistogram: exact bin placement, fractions sum to 1") {
+    // 4 pixels with luma 0, 64, 128, 255 → bins 0, 4, 8, 15 at dim 16
+    val px = Array[Int](0, 0, 0, 64, 64, 64, 128, 128, 128, 255, 255, 255)
+      .map(_.toByte)
+    val h = Ppm.luminanceHistogram(Ppm.Rgb(4, 1, px), 16)
+    assert(h.length == 16)
+    assert(h(0) == 0.25f && h(4) == 0.25f && h(8) == 0.25f && h(15) == 0.25f)
+    assert(math.abs(h.map(_.toDouble).sum - 1.0) < 1e-9)
+  }
+
+  test("image rows route through the real PPM decoder") {
+    val images = media.filter(_.meta.modality == "image").collect()
+    assert(images.nonEmpty)
+    images.foreach { r =>
+      val img = Ppm.decode(r.bytes).getOrElse(fail(s"row ${r.media_id} not PPM"))
+      assert(img.height == 1 && img.width == r.meta.width)
+      // grayscale strip synthesized from the text bytes: r = g = b
+      assert(img.pixels.grouped(3).forall(p => p(0) == p(1) && p(1) == p(2)))
+      val feats = Multimodal.decodeFeatures(r, 16)
+      assert(feats.sameElements(Ppm.luminanceHistogram(img, 16)),
+        "image must take the PPM route")
+      assert(math.abs(feats.map(_.toDouble).sum - 1.0) < 1e-5)
+    }
+    // image bytes that are NOT a PPM container fall back to the stub
+    val junk = MediaRow(4L, "junk".getBytes, MediaMeta("image", 1, 1, 0, 0L))
+    assert(Multimodal.decodeFeatures(junk, 16)
+      .sameElements(Multimodal.stubDecode("junk".getBytes, 16)))
+  }
+
   test("resizeMeta rewrites metadata only") {
     val r = resizeMeta(media, 224, 224).collect()
     assert(r.forall(x => x.meta.width == 224 && x.meta.height == 224))

@@ -101,6 +101,37 @@ class SimilaritySpec extends SparkSpec {
     assert(pq == bf)
   }
 
+  test("pq store: layout round-trips, store path ≡ live path, appends grow idempotently") {
+    val dir = java.nio.file.Files.createTempDirectory("pq_store").toString
+    val e = Tables.embeddings(spark, sf)
+    val base = e.filter($"vec_id" % 5 =!= 0)   // 80% install
+    val extra = e.filter($"vec_id" % 5 === 0)  // 20% appended
+    val q = e.filter($"vec_id" < 5)
+    val cb = Similarity.writePqIndex(base, dir, dim = 64, m = 8, k = 16)
+    // codebooks round-trip bit-exactly through parquet + meta sidecar
+    val loaded = Similarity.loadPqCodebooks(spark, dir)
+    assert(loaded.m == cb.m && loaded.k == cb.k && loaded.subDim == cb.subDim)
+    (0 until cb.m).foreach { j => (0 until cb.k).foreach { c =>
+      assert(loaded.centroids(j)(c).sameElements(cb.centroids(j)(c)))
+      assert(loaded.norm2(j)(c) == cb.norm2(j)(c))
+    }}
+    // store path answers ≡ live path answers over the same population
+    val live = Similarity.pqTopKReranked(
+        Similarity.pqEncode(base, cb), cb, q, base, 5, depth = 30)
+      .collect().map(_.toString).sorted.toSeq
+    val stored = Similarity.pqTopKFromIndex(dir, q, base, 5, depth = 30)
+      .collect().map(_.toString).sorted.toSeq
+    assert(live == stored)
+    // grow: appended codes land keyed by batch, replay converges
+    Similarity.appendToPqIndex(extra, dir, batchId = 1L)
+    Similarity.appendToPqIndex(extra, dir, batchId = 1L) // replay
+    val n = spark.read.parquet(s"$dir/codes").count()
+    assert(n == e.count(), s"store rows $n after replayed append")
+    // grown store scores the appended vectors too
+    val grown = Similarity.pqTopKFromIndex(dir, q, e, 5, depth = 30)
+    assert(grown.count() == 25)
+  }
+
   test("pqTopKReranked: exact re-rank recovers recall ADC alone loses") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter($"vec_id" < 10)
