@@ -157,6 +157,7 @@ object SparkEntry {
     "t20_gopher_rules" -> (Documents.t20GopherRules _),
     "ann8_pq_adc" -> (Documents.ann8PqAdc _),
     "ann9_pq_store" -> (Documents.ann9PqStore _),
+    "r8_dsir_select" -> (Documents.r8DsirSelect _),
   )
 
   /** T20's oracle: every Gopher rule statistic recomputed on RAW gram
@@ -1162,6 +1163,32 @@ object SparkEntry {
     "d19_boilerplate" -> boilerplateSql,
     "d20_boilerplate_store" -> boilerplateSql,
     "t20_gopher_rules" -> gopherSql,
+    // R8: DSIR selection — bucket = first two md5 hex digits (strpos
+    // arithmetic here, conv() engine-side); ranking on the 6-dp-rounded
+    // weight so ulp-order summation differences can't move the cut
+    "r8_dsir_select" ->
+      """WITH t AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |g AS (SELECT doc_id, source, unnest(ws) AS g FROM t
+        |  UNION ALL
+        |  SELECT doc_id, source, unnest(list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i+1])) AS g
+        |  FROM t WHERE len(ws) >= 2),
+        |b AS (SELECT doc_id, source,
+        |  (strpos('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 16 +
+        |  (strpos('0123456789abcdef', substr(md5(g), 2, 1)) - 1) AS bk FROM g),
+        |tc AS (SELECT bk, count(*) AS c FROM b WHERE source = 'src0' GROUP BY bk),
+        |rc AS (SELECT bk, count(*) AS c FROM b GROUP BY bk),
+        |tt AS (SELECT sum(c) AS tot FROM tc),
+        |rt AS (SELECT sum(c) AS tot FROM rc),
+        |ratio AS (SELECT r.bk,
+        |  ln((coalesce(t.c, 0) + 1.0) / (tt.tot + 256)) -
+        |  ln((r.c + 1.0) / (rt.tot + 256)) AS lr
+        |  FROM rc r LEFT JOIN tc t USING (bk), tt, rt),
+        |w AS (SELECT doc_id, round(sum(lr), 6) AS log_w
+        |  FROM b JOIN ratio ON b.bk = ratio.bk GROUP BY doc_id)
+        |SELECT doc_id AS id, log_w,
+        |  CAST(row_number() OVER (ORDER BY log_w DESC, doc_id) AS BIGINT) AS rank
+        |FROM w ORDER BY log_w DESC, doc_id LIMIT 100""".stripMargin,
     // M13: the classifier gate's pinned held-out grid — ids and labels
     // are pure id arithmetic, flags must all be 1 (r1_sample pattern)
     "m13_quality_filter" ->

@@ -189,4 +189,76 @@ object Sampling {
       .filter(col("_qrk") <= col("_quota"))
       .drop("_qrk", "_quota")
   }
+
+  /** Hashed-n-gram bucket of a gram string: the first two md5 hex
+    * digits as an int in [0, 256) — `conv` here, plain strpos
+    * arithmetic in any engine without a hex-to-int builtin (the
+    * `shuffleShard` portability rule). */
+  private def gramBucket(g: Column): Column =
+    conv(substring(md5(g), 1, 2), 16, 10).cast("int")
+
+  /** R8 — DSIR data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how much more likely its hashed-n-gram features are
+    * under the TARGET corpus' bag-of-buckets distribution than under
+    * the raw corpus' own, and keep the top `n`. Features are word
+    * unigrams + bigrams hashed into 256 buckets; per-doc weight is
+    *   log w(x) = Σ_grams [ ln p̂_target(b(g)) − ln p̂_raw(b(g)) ]
+    * with add-one smoothing over the bucket vocabulary. The paper
+    * resamples with Gumbel noise; the engine convention is RNG-free
+    * gates (the m13 precedent), so selection is the deterministic
+    * top-n by (rounded log-weight, id) — the same ranking the noisy
+    * draw concentrates on.
+    *
+    * Scale shape: both bucket distributions are ≤ 256-row aggregates
+    * collapsed to ONE broadcast row carrying a 256-slot log-ratio
+    * array; the raw corpus then scores itself map-side — per doc, one
+    * pass over its gram array with element_at lookups, ZERO exchange
+    * of text — and the top-n is a distributed TakeOrdered, never a
+    * single-partition sort. Output: (id, log_w, rank), rank 1 = most
+    * target-like. */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+                 textCol: String, n: Int, buckets: Int = 256): DataFrame = {
+    require(buckets == 256,
+      "bucket count is fixed at 256 (two md5 hex digits) for engine portability")
+    // project the token array FIRST (NOTES gotcha #4), then grams =
+    // unigrams ++ bigrams, then buckets — all map-side; `keep` columns
+    // are aliased in the first select and referenced by NAME after
+    def withBuckets(df: DataFrame, keep: Seq[(Column, String)]): DataFrame = {
+      val ws = split(trim(col(textCol)), "\\s+")
+      val tok = df.select(keep.map { case (c, a) => c.as(a) } :+ ws.as("_ws"): _*)
+      val names = keep.map { case (_, a) => col(a) }
+      val bigrams = when(size(col("_ws")) >= 2,
+        transform(sequence(lit(0), size(col("_ws")) - 2),
+          i => concat_ws(" ", slice(col("_ws"), i + 1, lit(2)))))
+        .otherwise(array().cast("array<string>"))
+      tok.select(names :+ concat(col("_ws"), bigrams).as("_grams"): _*)
+        .select(names :+ transform(col("_grams"), g => gramBucket(g)).as("_buckets"): _*)
+    }
+    def bucketDist(df: DataFrame): DataFrame =
+      withBuckets(df, Nil)
+        .select(explode(col("_buckets")).as("_b"))
+        .groupBy("_b").agg(count(lit(1)).as("_c"))
+        .agg(map_from_entries(collect_list(struct(col("_b"), col("_c"))))
+          .as("_m"), sum("_c").as("_tot"))
+    val ratioRow = bucketDist(target).toDF("_tm", "_ttot")
+      .crossJoin(bucketDist(raw).toDF("_rm", "_rtot"))
+      .select(transform(sequence(lit(0), lit(buckets - 1)), b =>
+        log((coalesce(element_at(col("_tm"), b), lit(0L)) + 1.0) /
+          (col("_ttot") + buckets)) -
+        log((coalesce(element_at(col("_rm"), b), lit(0L)) + 1.0) /
+          (col("_rtot") + buckets))).as("_ratio"))
+    val scored = withBuckets(raw, Seq(col(idCol) -> "id"))
+      .crossJoin(broadcast(ratioRow))
+      .select(col("id"),
+        round(aggregate(
+          transform(col("_buckets"), b => element_at(col("_ratio"), b + 1)),
+          lit(0.0), (a, v) => a + v), 6).as("log_w"))
+    // rank on the ROUNDED weight: near-equal raw sums may differ across
+    // engines in the last ulps, and the selection boundary must not
+    val picked = scored.orderBy(desc("log_w"), asc("id")).limit(n)
+    picked.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(desc("log_w"), asc("id"))).cast("long"))
+  }
 }

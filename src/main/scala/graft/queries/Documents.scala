@@ -520,6 +520,18 @@ object Documents {
         requiredStopwords = Seq("the", "a"))
       .orderBy("doc_id")
 
+  /** R8 — DSIR importance-weighted data selection: the curated TARGET
+    * is the src0 slice, the raw pool is the whole corpus, keep the 100
+    * most target-like docs. Full-value oracle: DuckDB recomputes the
+    * hashed-bucket distributions, smoothed log-ratios, per-doc sums,
+    * and the ranked cut. */
+  def r8DsirSelect(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.ops.Sampling.dsirSelect(docs,
+        docs.filter(col("source") === "src0"), "doc_id", "text", n = 100)
+      .orderBy("rank")
+  }
+
   /** Deterministic junk docs for the classifier gate — tokens from a
     * vocabulary disjoint with the corpus, seeded per id so the driver
     * and spec see identical rows. */

@@ -29,7 +29,9 @@ class SparkEntrySpec extends SparkSpec {
     Set("ann1_brute_force", "ann2_lsh", "ann3_ivf", "ann4_ivf_store",
       "ann5_ivf_append", "ann6_hybrid_rerank", "t9_lm_score",
       "t12_quality_cut", "d3_simhash", "dq_skew_stats", "ann7_cell_stats",
-      "m13_quality_filter") // 1-row separation-flag broadcast
+      "m13_quality_filter", // 1-row separation-flag broadcast
+      "ann8_pq_adc", "ann9_pq_store", // broadcast query-LUT × encoded corpus + 1-row flag
+      "r8_dsir_select") // 1-row log-ratio-array broadcast crossed into the corpus
 
   test("no query plans an unintended nested-loop or cartesian join") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

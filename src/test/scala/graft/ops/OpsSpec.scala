@@ -119,6 +119,27 @@ class OpsSpec extends SparkSpec {
     assert(small.count() == 5)
   }
 
+  test("dsirSelect picks target-like docs, deterministically, ranks contiguous") {
+    // target vocabulary {aa..ad}, off-target {zz..zc}: docs sharing the
+    // target's buckets must outrank the disjoint-vocabulary docs
+    val target = (1L to 20L).map(i => (1000L + i, "aa ab ac ad aa ab"))
+      .toDF("doc_id", "text")
+    val raw = ((1L to 30L).map(i => (i, "aa ab ac ad aa ac")) ++
+      (31L to 60L).map(i => (i, "zz zy zx zw zv zu")))
+      .toDF("doc_id", "text")
+    val out = Sampling.dsirSelect(raw, target, "doc_id", "text", n = 30)
+      .as[(Long, Double, Long)].collect().sortBy(_._3)
+    assert(out.length == 30)
+    assert(out.map(_._3).toSeq == (1L to 30L), "ranks must be contiguous")
+    // every selected doc is from the target-like half
+    assert(out.forall(_._1 <= 30L),
+      s"off-target doc selected: ${out.filter(_._1 > 30L).toSeq}")
+    // selection is layout-invariant
+    val again = Sampling.dsirSelect(raw.repartition(7), target, "doc_id",
+      "text", n = 30).as[(Long, Double, Long)].collect().sortBy(_._3)
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("temperatureMix flattens head-group dominance as alpha drops") {
     // en 10× de: natural share 10:1; alpha=0.5 should pull toward √10:1
     val df = (1L to 1100L).map(i => (if (i <= 1000) "en" else "de", i))
