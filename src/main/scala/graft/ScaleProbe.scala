@@ -164,7 +164,18 @@ object ScaleProbe {
       // probe times sketch + exact hot-list join as registered)
       "a11_heavy_hitters" -> (d => graft.queries.Relational.heavyHitters(
         d.select(explode(split(trim(col("text")), "\\s+")).as("tok")),
-        "tok", 0.01)))
+        "tok", 0.01)),
+      // doc-local sorted-run n-gram coverage over 9 gram sizes — pure
+      // map pass, ZERO exchange; must track corpus size exactly (the
+      // anti-fold filter defeats count()'s constant-fold, gotcha 24)
+      "t20_gopher" -> (d => TextAnalysis.gopherRules(d, "doc_id", "text")
+        .agg(sum(col("n_words")).as("w"), sum(col("keep")).as("k"))
+        .filter(col("w") >= 0)),
+      // DSIR: two ≤256-row distribution aggregates + one map-side
+      // scoring pass + distributed TakeOrdered — the curve must track
+      // corpus size with no bend from the top-n
+      "r8_dsir" -> (d => graft.ops.Sampling.dsirSelect(
+        d, d.filter(col("source") === "src0"), "doc_id", "text", n = 100)))
 
     // SPARK_GRAFT_PROBE_OPS: comma-separated op-name filter, so a
     // targeted re-probe needn't pay the whole battery (the capped exact

@@ -158,6 +158,7 @@ object SparkEntry {
     "ann8_pq_adc" -> (Documents.ann8PqAdc _),
     "ann9_pq_store" -> (Documents.ann9PqStore _),
     "r8_dsir_select" -> (Documents.r8DsirSelect _),
+    "llm_select_pipeline" -> (Documents.llmSelectPipeline _),
   )
 
   /** T20's oracle: every Gopher rule statistic recomputed on RAW gram
@@ -165,10 +166,28 @@ object SparkEntry {
     * plain per-(doc, gram) GROUP BY). Char-mass convention: count ×
     * charLen per gram, raw text length as the denominator — see
     * TextAnalysis.gramCoverage. */
-  private val gopherSql: String = {
-    val topNs = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
-    val dupNs = Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12,
-      9 -> 0.11, 10 -> 0.10)
+  private val gopherTopNs = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+  private val gopherDupNs = Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12,
+    9 -> 0.11, 10 -> 0.10)
+
+  /** The conjunction the `keep` flag pins — shared by t20's oracle and
+    * the llm_select_pipeline composite's kept-docs stage. */
+  private val gopherKeepRules: String = (Seq(
+    "n_words BETWEEN 50 AND 100000",
+    "mean_word_len BETWEEN 3 AND 10",
+    "symbol_ratio <= 0.1",
+    "alpha_word_frac >= 0.8",
+    "stop_hits >= 2") ++
+    gopherTopNs.map { case (n, thr) => s"top${n}_frac <= $thr" } ++
+    gopherDupNs.map { case (n, thr) => s"dup${n}_frac <= $thr" })
+    .mkString(" AND ")
+
+  /** The gopher-rule CTE chain through `f` (one row per doc with every
+    * rule value), over relation `rel` — reused by t20's oracle and the
+    * llm_select_pipeline composite. */
+  private def gopherCtes(rel: String): String = {
+    val topNs = gopherTopNs
+    val dupNs = gopherDupNs
     val gramCtes = (topNs ++ dupNs).map(_._1).map { n =>
       s"""g$n AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - $n + 2),
          |    i -> array_to_string(list_slice(ws, i, i + $n - 1), ' '))) AS s
@@ -185,16 +204,7 @@ object SparkEntry {
     }).mkString(",\n  ")
     val joins = (topNs ++ dupNs).map(_._1)
       .map(n => s"LEFT JOIN m$n ON b.doc_id = m$n.doc_id").mkString(" ")
-    val keepRules = (Seq(
-      "n_words BETWEEN 50 AND 100000",
-      "mean_word_len BETWEEN 3 AND 10",
-      "symbol_ratio <= 0.1",
-      "alpha_word_frac >= 0.8",
-      "stop_hits >= 2") ++
-      topNs.map { case (n, thr) => s"top${n}_frac <= $thr" } ++
-      dupNs.map { case (n, thr) => s"dup${n}_frac <= $thr" })
-      .mkString(" AND ")
-    s"""WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+    s"""t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS ws FROM $rel),
        |base AS (SELECT doc_id, text, ws,
        |  CAST(len(ws) AS BIGINT) AS n_words,
        |  round(list_sum(list_transform(ws, w -> length(w))) * 1.0 / greatest(len(ws), 1), 6) AS mean_word_len,
@@ -211,10 +221,44 @@ object SparkEntry {
        |f AS (SELECT b.doc_id, n_words, mean_word_len, symbol_ratio,
        |  alpha_word_frac, stop_hits,
        |  $fracCols
-       |  FROM base b $joins)
-       |SELECT *, CAST(CASE WHEN $keepRules THEN 1 ELSE 0 END AS BIGINT) AS keep
-       |FROM f ORDER BY doc_id""".stripMargin
+       |  FROM base b $joins)""".stripMargin
   }
+
+  private val gopherSql: String =
+    s"""WITH ${gopherCtes("documents")}
+       |SELECT *, CAST(CASE WHEN $gopherKeepRules THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+
+  /** The DSIR CTE chain (distinct `d`-prefixed names so it composes
+    * with other chains in one WITH): target = src0 slice of `rel`, raw
+    * pool = all of `rel`; ends at `dw` (doc_id, log_w). Shared by r8's
+    * oracle and the llm_select_pipeline composite. */
+  private def dsirCtes(rel: String): String =
+    s"""dt AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS ws FROM $rel),
+       |dg AS (SELECT doc_id, source, unnest(ws) AS g FROM dt
+       |  UNION ALL
+       |  SELECT doc_id, source, unnest(list_transform(range(1, len(ws)),
+       |    i -> ws[i] || ' ' || ws[i+1])) AS g
+       |  FROM dt WHERE len(ws) >= 2),
+       |db AS (SELECT doc_id, source,
+       |  (strpos('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 16 +
+       |  (strpos('0123456789abcdef', substr(md5(g), 2, 1)) - 1) AS bk FROM dg),
+       |dtc AS (SELECT bk, count(*) AS c FROM db WHERE source = 'src0' GROUP BY bk),
+       |drc AS (SELECT bk, count(*) AS c FROM db GROUP BY bk),
+       |dtt AS (SELECT sum(c) AS tot FROM dtc),
+       |drt AS (SELECT sum(c) AS tot FROM drc),
+       |dratio AS (SELECT r.bk,
+       |  ln((coalesce(t.c, 0) + 1.0) / (dtt.tot + 256)) -
+       |  ln((r.c + 1.0) / (drt.tot + 256)) AS lr
+       |  FROM drc r LEFT JOIN dtc t USING (bk), dtt, drt),
+       |dw AS (SELECT doc_id, round(sum(lr), 6) AS log_w
+       |  FROM db JOIN dratio ON db.bk = dratio.bk GROUP BY doc_id)""".stripMargin
+
+  /** The ranked-selection tail over `dw` (no LIMIT — callers append). */
+  private val dsirSelect: String =
+    """SELECT doc_id AS id, log_w,
+      |  CAST(row_number() OVER (ORDER BY log_w DESC, doc_id) AS BIGINT) AS rank
+      |FROM dw ORDER BY log_w DESC, doc_id""".stripMargin
 
   /** Shared by d19 (batch operator) and d20 (at-rest store path) —
     * per-source boilerplate election (≥ 3 distinct docs of one source
@@ -1167,28 +1211,18 @@ object SparkEntry {
     // arithmetic here, conv() engine-side); ranking on the 6-dp-rounded
     // weight so ulp-order summation differences can't move the cut
     "r8_dsir_select" ->
-      """WITH t AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
-        |g AS (SELECT doc_id, source, unnest(ws) AS g FROM t
-        |  UNION ALL
-        |  SELECT doc_id, source, unnest(list_transform(range(1, len(ws)),
-        |    i -> ws[i] || ' ' || ws[i+1])) AS g
-        |  FROM t WHERE len(ws) >= 2),
-        |b AS (SELECT doc_id, source,
-        |  (strpos('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 16 +
-        |  (strpos('0123456789abcdef', substr(md5(g), 2, 1)) - 1) AS bk FROM g),
-        |tc AS (SELECT bk, count(*) AS c FROM b WHERE source = 'src0' GROUP BY bk),
-        |rc AS (SELECT bk, count(*) AS c FROM b GROUP BY bk),
-        |tt AS (SELECT sum(c) AS tot FROM tc),
-        |rt AS (SELECT sum(c) AS tot FROM rc),
-        |ratio AS (SELECT r.bk,
-        |  ln((coalesce(t.c, 0) + 1.0) / (tt.tot + 256)) -
-        |  ln((r.c + 1.0) / (rt.tot + 256)) AS lr
-        |  FROM rc r LEFT JOIN tc t USING (bk), tt, rt),
-        |w AS (SELECT doc_id, round(sum(lr), 6) AS log_w
-        |  FROM b JOIN ratio ON b.bk = ratio.bk GROUP BY doc_id)
-        |SELECT doc_id AS id, log_w,
-        |  CAST(row_number() OVER (ORDER BY log_w DESC, doc_id) AS BIGINT) AS rank
-        |FROM w ORDER BY log_w DESC, doc_id LIMIT 100""".stripMargin,
+      s"""WITH ${dsirCtes("documents")}
+        |$dsirSelect
+        |LIMIT 100""".stripMargin,
+    // the gopher→DSIR composite: both chains' CTEs in one WITH, the
+    // DSIR pool being the gopher-kept docs (filter before selection)
+    "llm_select_pipeline" ->
+      s"""WITH ${gopherCtes("documents")},
+        |kept AS (SELECT d.* FROM documents d
+        |  JOIN (SELECT doc_id FROM f WHERE $gopherKeepRules) k USING (doc_id)),
+        |${dsirCtes("kept")}
+        |$dsirSelect
+        |LIMIT 50""".stripMargin,
     // M13: the classifier gate's pinned held-out grid — ids and labels
     // are pure id arithmetic, flags must all be 1 (r1_sample pattern)
     "m13_quality_filter" ->

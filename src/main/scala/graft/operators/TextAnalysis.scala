@@ -336,47 +336,6 @@ object TextAnalysis {
       .select("id", "token", "tf", "df", "tfidf")
   }
 
-  /** Positional word n-grams of a PROJECTED token-array column, joined
-    * with single spaces (empty array below n tokens). `ws` must be a
-    * plain column reference — a raw `split(...)` expression here would
-    * re-run the regex per element (NOTES gotcha #4). */
-  private def wordGrams(ws: Column, n: Int): Column =
-    when(size(ws) >= n,
-      transform(sequence(lit(0), size(ws) - n),
-        i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-
-  /** Character-coverage stats of a gram multiset, doc-locally: one pass
-    * over the SORTED grams with a (prev, run, maxp, dups) accumulator
-    * (the `maxTokenRatio` shape, extended to runs of equal grams).
-    * Returns struct(maxp, dups) where
-    *   maxp = max over distinct grams of count × charLen(gram) — the
-    *          char mass of the most-covering gram;
-    *   dups = Σ over grams with count ≥ 2 of count × charLen(gram).
-    * Both count every occurrence's characters (overlapping occurrences
-    * double-count — deterministic and cheap, where the paper's
-    * non-overlapping char coverage needs positional bookkeeping). */
-  private def gramCoverage(grams: Column): Column = {
-    def flushMax(a: Column): Column =
-      greatest(a.getField("maxp"),
-        a.getField("run") * length(a.getField("prev")))
-    def flushDups(a: Column): Column =
-      a.getField("dups") + when(a.getField("run") >= 2,
-        a.getField("run") * length(a.getField("prev"))).otherwise(lit(0L))
-    aggregate(
-      array_sort(grams),
-      struct(lit("").as("prev"), lit(0L).as("run"),
-        lit(0L).as("maxp"), lit(0L).as("dups")),
-      (a, g) => {
-        val same = g === a.getField("prev")
-        struct(g.as("prev"),
-          when(same, a.getField("run") + 1L).otherwise(lit(1L)).as("run"),
-          when(same, a.getField("maxp")).otherwise(flushMax(a)).as("maxp"),
-          when(same, a.getField("dups")).otherwise(flushDups(a)).as("dups"))
-      },
-      a => struct(flushMax(a).as("maxp"), flushDups(a).as("dups")))
-  }
-
   /** Gopher repetition/quality rules (Rae et al. 2021, arXiv:2112.11446
     * Table A1 — the standard pretraining-corpus document filter;
     * reference counterpart: the quality gates of
@@ -392,12 +351,15 @@ object TextAnalysis {
     *   - fraction of characters in duplicated {5..10}-grams
     *     ≤ {0.15, 0.14, 0.13, 0.12, 0.11, 0.10}.
     * Char fractions use the count × charLen product over the raw text
-    * length (see `gramCoverage` for the overlap convention; "most
-    * common n-gram" is resolved as max char MASS, which needs no
-    * cross-engine tie rule). All stats are doc-local Catalyst
-    * expressions — ZERO exchange, no UDFs; at 100 TB this is a pure
-    * map pass whose parallelism is the scan's. Output: one row per doc
-    * with every rule value (6 dp) and the conjunction `keep`. */
+    * length (see [[graft.functions.WordGramCoverage]] for the overlap
+    * and hashing conventions; "most common n-gram" is resolved as max
+    * char MASS, which needs no cross-engine tie rule). All stats are
+    * doc-local — the word stats are Catalyst expressions, the n-gram
+    * coverage is ONE native codegen'd kernel pass over the token array
+    * (nine interpreted HOF aggregates measured 13× slower) — ZERO
+    * exchange, no UDFs; at 100 TB this is a pure map pass whose
+    * parallelism is the scan's. Output: one row per doc with every
+    * rule value (6 dp) and the conjunction `keep`. */
   def gopherRules(df: DataFrame, idCol: String, textCol: String,
                   requiredStopwords: Seq[String] =
                     Seq("the", "be", "to", "of", "and", "that", "have", "with"),
@@ -425,17 +387,16 @@ object TextAnalysis {
       requiredStopwords.map(sw =>
         when(array_contains(ws, sw), 1).otherwise(0)).reduce(_ + _)
         .cast("long").as("stop_hits"))
-    val covCols: Seq[Column] =
-      (topNgrams.map(_._1) ++ dupNgrams.map(_._1)).map(n =>
-        gramCoverage(wordGrams(ws, n)).as(s"_cov$n"))
-    val covered = base.select(statCols ++ covCols: _*)
+    val covered = base.select(statCols :+
+      graft.plans.GraftFunctions.wordGramCoverage(
+        df.sparkSession, ws, 2, 10).as("_cov"): _*)
     val fracCols: Seq[Column] =
       topNgrams.map { case (n, _) =>
-        round(col(s"_cov$n").getField("maxp") / nChars, 6)
+        round(col("_cov").getItem(n - 2).getField("maxp") / nChars, 6)
           .as(s"top${n}_frac")
       } ++
       dupNgrams.map { case (n, _) =>
-        round(col(s"_cov$n").getField("dups") / nChars, 6)
+        round(col("_cov").getItem(n - 2).getField("dups") / nChars, 6)
           .as(s"dup${n}_frac")
       }
     val withFracs = covered.select(

@@ -235,20 +235,25 @@ object Sampling {
       tok.select(names :+ concat(col("_ws"), bigrams).as("_grams"): _*)
         .select(names :+ transform(col("_grams"), g => gramBucket(g)).as("_buckets"): _*)
     }
-    def bucketDist(df: DataFrame): DataFrame =
-      withBuckets(df, Nil)
+    def dist(bucketed: DataFrame): DataFrame =
+      bucketed
         .select(explode(col("_buckets")).as("_b"))
         .groupBy("_b").agg(count(lit(1)).as("_c"))
         .agg(map_from_entries(collect_list(struct(col("_b"), col("_c"))))
           .as("_m"), sum("_c").as("_tot"))
-    val ratioRow = bucketDist(target).toDF("_tm", "_ttot")
-      .crossJoin(bucketDist(raw).toDF("_rm", "_rtot"))
+    // the raw side is tokenized + hashed ONCE: the persisted bucketed
+    // frame feeds both its own distribution aggregate and the scoring
+    // pass (unpersisted, the gram pipeline re-ran per consumer)
+    val rawB = withBuckets(raw, Seq(col(idCol) -> "id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ratioRow = dist(withBuckets(target, Nil)).toDF("_tm", "_ttot")
+      .crossJoin(dist(rawB).toDF("_rm", "_rtot"))
       .select(transform(sequence(lit(0), lit(buckets - 1)), b =>
         log((coalesce(element_at(col("_tm"), b), lit(0L)) + 1.0) /
           (col("_ttot") + buckets)) -
         log((coalesce(element_at(col("_rm"), b), lit(0L)) + 1.0) /
           (col("_rtot") + buckets))).as("_ratio"))
-    val scored = withBuckets(raw, Seq(col(idCol) -> "id"))
+    val scored = rawB
       .crossJoin(broadcast(ratioRow))
       .select(col("id"),
         round(aggregate(

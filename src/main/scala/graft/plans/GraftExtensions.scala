@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{BloomMightContain, CharGramHashes, CosineSimilarity, RangeBucket}
+import graft.functions.{BloomMightContain, CharGramHashes, CosineSimilarity, RangeBucket, WordGramCoverage}
 
 /** Engine extensions: registers graft's native expressions so they are
   * callable from SQL. Activate with
@@ -34,7 +34,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => RangeBucket(args(0), args(1))),
     (FunctionIdentifier("char_gram_hashes"),
       new ExpressionInfo(classOf[CharGramHashes].getName, "char_gram_hashes"),
-      (args: Seq[Expression]) => CharGramHashes(args(0), args(1))))
+      (args: Seq[Expression]) => CharGramHashes(args(0), args(1))),
+    (FunctionIdentifier("word_gram_coverage"),
+      new ExpressionInfo(classOf[WordGramCoverage].getName, "word_gram_coverage"),
+      (args: Seq[Expression]) => WordGramCoverage(args(0), args(1), args(2))))
 
   /** Register into a live session (tests, notebooks). */
   def register(spark: SparkSession): Unit =
@@ -77,5 +80,16 @@ object GraftFunctions {
     register(spark)
     call_function("char_gram_hashes", text,
       org.apache.spark.sql.functions.lit(n))
+  }
+
+  /** Column-API handle for the word-n-gram char-coverage kernel:
+    * array of struct(maxp, dups), one per n in [minN, maxN].
+    * Registers on demand. */
+  def wordGramCoverage(spark: SparkSession, tokens: Column,
+                       minN: Int, maxN: Int): Column = {
+    register(spark)
+    call_function("word_gram_coverage", tokens,
+      org.apache.spark.sql.functions.lit(minN),
+      org.apache.spark.sql.functions.lit(maxN))
   }
 }

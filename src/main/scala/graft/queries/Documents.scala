@@ -532,6 +532,27 @@ object Documents {
       .orderBy("rank")
   }
 
+  /** LLM SELECT pipeline — the curation-then-selection composite as ONE
+    * oracle-checked query: Gopher rule filtering (t20) keeps the
+    * documents worth considering, DSIR importance weighting (r8) ranks
+    * the survivors against the src0 target distribution, top 50
+    * selected. Both the bucket distributions AND the target slice are
+    * computed over the FILTERED pool (selection after cleaning — the
+    * order real pipelines run, because junk docs skew the raw
+    * distribution DSIR divides by). DuckDB recomputes the whole chain. */
+  def llmSelectPipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val kept = TextAnalysis.gopherRules(docs, "doc_id", "text",
+        requiredStopwords = Seq("the", "a"))
+      .filter(col("keep") === 1).select("doc_id")
+    // id-keyed semi-join shape: the kept set is ids only, text joins
+    // back by key (AQE broadcasts the smaller side)
+    val clean = docs.join(kept, "doc_id")
+    graft.ops.Sampling.dsirSelect(clean,
+        clean.filter(col("source") === "src0"), "doc_id", "text", n = 50)
+      .orderBy("rank")
+  }
+
   /** Deterministic junk docs for the classifier gate — tokens from a
     * vocabulary disjoint with the corpus, seeded per id so the driver
     * and spec see identical rows. */
@@ -929,13 +950,16 @@ object Documents {
     * centroids — 64 floats → 8 codes, ~32× scoring payload compression)
     * pools 50 candidates per query, exact cosine re-ranks only that
     * sliver. Invariant-gated like ann2/ann3; floor 6 of 25, MEASURED
-    * {19, 21, 13} across sf0.001/0.01/0.1 (ADC alone measures
-    * {6, 10, 4} on this no-angular-gap corpus — the re-rank step is
-    * what makes PQ serve, same story as ann3's nProbe). */
+    * {17, 21, 15} across sf0.001/0.01/0.1 at the registered settings
+    * (ADC alone measures {6, 10, 4} on this no-angular-gap corpus —
+    * the re-rank step is what makes PQ serve, same story as ann3's
+    * nProbe; codebooks train on a ≤ 20 k bounded sample, 5 Lloyd
+    * iterations — both knobs measured recall-neutral ± 2). */
   def ann8PqAdc(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     val q = e.filter(col("vec_id") < 5)
-    val cb = Similarity.trainPq(e, dim = 64, m = 8, k = 16)
+    val cb = Similarity.trainPq(e, dim = 64, m = 8, k = 16,
+      sampleCap = 20000)
     annInvariantGate(
       Similarity.pqTopKReranked(Similarity.pqEncode(e, cb), cb, q, e, 5,
         depth = 50),
@@ -953,7 +977,8 @@ object Documents {
     val q = e.filter(col("vec_id") < 5)
     val path = sys.props("java.io.tmpdir") +
       s"/graft_${ProcessHandle.current.pid}/pq_index"
-    Similarity.writePqIndex(e, path, dim = 64, m = 8, k = 16)
+    Similarity.writePqIndex(e, path, dim = 64, m = 8, k = 16,
+      sampleCap = 20000)
     annInvariantGate(
       Similarity.pqTopKFromIndex(path, q, e, 5, depth = 50),
       Similarity.bruteForceTopK(e, q, 5), recallFloor = 6)

@@ -31,7 +31,8 @@ class SparkEntrySpec extends SparkSpec {
       "t12_quality_cut", "d3_simhash", "dq_skew_stats", "ann7_cell_stats",
       "m13_quality_filter", // 1-row separation-flag broadcast
       "ann8_pq_adc", "ann9_pq_store", // broadcast query-LUT × encoded corpus + 1-row flag
-      "r8_dsir_select") // 1-row log-ratio-array broadcast crossed into the corpus
+      "r8_dsir_select", // 1-row log-ratio-array broadcast crossed into the corpus
+      "llm_select_pipeline") // same DSIR 1-row broadcast, over the gopher-kept pool
 
   test("no query plans an unintended nested-loop or cartesian join") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
