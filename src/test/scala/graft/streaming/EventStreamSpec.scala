@@ -193,6 +193,30 @@ class EventStreamSpec extends SparkSpec {
     assert(!spark.table("streamd1").columns.contains("_fp"))
   }
 
+  test("gopherRules gates a live stream (native kernel inside a streaming plan)") {
+    // gopherRules is a pure per-row projection, so it composes into any
+    // readStream pipeline unchanged; this pins that the native
+    // WordGramCoverage expression evaluates inside a streaming plan and
+    // that the keep flag filters micro-batch rows like its batch twin
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val gated = graft.operators.TextAnalysis.gopherRules(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        requiredStopwords = Seq("the", "a"))
+      .filter($"keep" === 1).select("doc_id")
+    val q = gated.writeStream.format("memory").queryName("streamt20")
+      .outputMode(OutputMode.Append).start()
+    val clean = "the a " + (1 to 58).map(i => s"word$i").mkString(" ")
+    mem.addData(
+      (1L, clean),           // passes every rule
+      (2L, "a a a b"),       // too short, degenerate words
+      (3L, ("the a " + Seq.fill(60)("spam").mkString(" ")))) // top-gram mass
+    q.processAllAvailable()
+    val kept = spark.table("streamt20").as[Long].collect().sorted
+    q.stop()
+    assert(kept.toSeq == Seq(1L), s"kept $kept")
+  }
+
   test("checkpointed restart resumes exactly-once: old files are not reprocessed") {
     // the real incremental contract: a stopped pipeline restarted from
     // its checkpoint picks up ONLY newly-landed files — reprocessing
