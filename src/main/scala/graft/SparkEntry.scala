@@ -159,6 +159,7 @@ object SparkEntry {
     "ann9_pq_store" -> (Documents.ann9PqStore _),
     "r8_dsir_select" -> (Documents.r8DsirSelect _),
     "llm_select_pipeline" -> (Documents.llmSelectPipeline _),
+    "ann10_ivf_pq" -> (Documents.ann10IvfPq _),
   )
 
   /** T20's oracle: every Gopher rule statistic recomputed on RAW gram
@@ -988,6 +989,7 @@ object SparkEntry {
     "ann5_ivf_append" -> annGateSql,
     "ann8_pq_adc" -> annGateSql,
     "ann9_pq_store" -> annGateSql,
+    "ann10_ivf_pq" -> annGateSql,
     // ann6: fully value-compared — the candidate stage is the exact
     // baseline (ann1's oracle) and the re-rank is deterministic
     // arithmetic over rounded inputs

@@ -415,7 +415,11 @@ object Similarity {
         // of 25, in neither direction consistently)
         val model = new KMeans().setK(k).setSeed(seed + j).setMaxIter(maxIter)
           .setFeaturesCol("_v").setPredictionCol("_c").fit(sub)
-        model.clusterCenters.map(_.toArray.map(_.toFloat))
+        val cs = model.clusterCenters.map(_.toArray.map(_.toFloat))
+        // fewer DISTINCT points than k ⇒ KMeans returns fewer centers;
+        // pad by repeating the last so codebooks stay rectangular
+        // (duplicate centroids are harmless: argmin takes the first)
+        if (cs.length < k) cs ++ Array.fill(k - cs.length)(cs.last) else cs
       }.toArray
       val norm2 = centroids.map(_.map(c =>
         c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
@@ -431,12 +435,14 @@ object Similarity {
     * no shuffle, no UDF; the output is the ~32×-smaller at-rest scoring
     * payload. */
   def pqEncode(corpus: DataFrame, cb: PqCodebooks,
-               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               carry: Seq[String] = Nil): DataFrame = {
+    val carried = carry.map(col)
     // subvectors projected as real columns first: a slice() inside the
     // distance lambdas would re-run per centroid (NOTES gotcha #4)
     val subCols = (0 until cb.m).map(j =>
       slice(col(vecCol), j * cb.subDim + 1, cb.subDim).as(s"_s$j"))
-    val sliced = corpus.select(col(idCol).as("n_id") +: subCols: _*)
+    val sliced = corpus.select(col(idCol).as("n_id") +: (carried ++ subCols): _*)
     val distCols = (0 until cb.m).map { j =>
       val cents = typedLit(cb.centroids(j).map(_.toSeq).toSeq)
       transform(cents, c =>
@@ -444,18 +450,18 @@ object Similarity {
           (x.cast("double") - y) * (x.cast("double") - y)),
           lit(0.0), (a, v) => a + v)).as(s"_d$j")
     }
-    val withDists = sliced.select(col("n_id") +: distCols: _*)
+    val withDists = sliced.select(col("n_id") +: (carried ++ distCols): _*)
     val codeCols = (0 until cb.m).map(j =>
       (array_position(col(s"_d$j"), array_min(col(s"_d$j"))) - 1)
         .cast("int").as(s"_c$j"))
     val norms = typedLit(cb.norm2.map(_.toSeq).toSeq)
-    withDists.select(col("n_id") +: codeCols: _*)
-      .select(col("n_id"),
+    withDists.select(col("n_id") +: (carried ++ codeCols): _*)
+      .select(col("n_id") +: (carried ++ Seq(
         array((0 until cb.m).map(j => col(s"_c$j")): _*).as("code"),
         aggregate(
           zip_with(norms, array((0 until cb.m).map(j => col(s"_c$j")): _*),
             (nj, c) => element_at(nj, c + 1)),
-          lit(0.0), (a, v) => a + v).as("recon_norm"))
+          lit(0.0), (a, v) => a + v).as("recon_norm"))): _*)
   }
 
   /** ADC approximate top-k over a PQ-encoded corpus. Each query builds
@@ -578,6 +584,112 @@ object Similarity {
     val encoded = spark.read.parquet(s"$path/codes")
       .select("n_id", "code", "recon_norm")
     pqTopKReranked(encoded, cb, queries, corpus, k, depth, idCol, vecCol)
+  }
+
+  /** IVF-PQ with RESIDUAL encoding — the canonical FAISS IVFPQ
+    * structure, composed from this file's own parts: a coarse k-means
+    * quantizer routes every vector to a cell ([[quantize]]), PQ
+    * codebooks train on the RESIDUALS vec − centroid(cell)
+    * ([[trainPq]] — residuals are centered, so the same code budget
+    * spends on local detail instead of re-describing cell position),
+    * and search probes nProbe cells, ADC-scores only their codes, and
+    * exact-re-ranks the depth sliver.
+    *
+    * Cosine over reconstructions decomposes per subspace:
+    *   dot(q, ĉ) = Σⱼ dot(qⱼ, c_cell,ⱼ) + Σⱼ dot(qⱼ, cbⱼ[codeⱼ])
+    *   |ĉ|²      = Σⱼ |c_cell,ⱼ + cbⱼ[codeⱼ]|²
+    * so scoring a code is m lookups into the query's residual LUT plus
+    * one per-probe dot(q, centroid), and |ĉ|² comes from a
+    * cell-independent-of-query nCells×m×k literal table — per-pair
+    * work O(m), no vector reads outside the probed cells, and the
+    * probe-side join is bounded by cell (corpus/nCells × nProbe per
+    * query), never the corpus.
+    *
+    * At 100 TB: the scored payload is (cell, m codes) per vector and
+    * the scan prunes to probed cells (the ann4 partition layout
+    * applies unchanged); the exact re-rank touches q × depth raw
+    * vectors by id. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nCells: Int = 8, nProbe: Int = 4, m: Int = 8,
+                kCodes: Int = 16, depth: Int = 50, seed: Long = 42L,
+                sampleCap: Int = 20000,
+                idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val (cells, centroids) = quantize(corpus, nCells, seed, idCol, vecCol)
+    val centLit = typedLit(centroids.sortBy(_._1).map(_._2.toSeq))
+    val resid = cells.select(col("n_id"), col("cell"),
+      zip_with(col("n_vec"), element_at(centLit, col("cell") + 1),
+        (x, y) => x - y).as("_resid"))
+    val dim = centroids.head._2.length
+    val cb = trainPq(resid, dim, m, kCodes, seed, sampleCap,
+      vecCol = "_resid")
+    // |c_cell,j + cb_j[code]|² as a literal: nCells × m × kCodes doubles
+    val normLut = typedLit(centroids.sortBy(_._1).map { case (_, c) =>
+      (0 until m).map { j =>
+        (0 until kCodes).map { code =>
+          var s = 0.0
+          var t = 0
+          while (t < cb.subDim) {
+            val v = c(j * cb.subDim + t).toDouble +
+              cb.centroids(j)(code)(t).toDouble
+            s += v * v
+            t += 1
+          }
+          s
+        }
+      }
+    })
+    val encoded = pqEncode(resid, cb, idCol = "n_id", vecCol = "_resid",
+      carry = Seq("cell"))
+      .select(col("n_id"), col("cell"), col("code"),
+        aggregate(
+          zip_with(element_at(normLut, col("cell") + 1), col("code"),
+            (nj, c) => element_at(nj, c + 1)),
+          lit(0.0), (a, v) => a + v).as("_n2"))
+    // query side: probed cells, per-probe dot(q, centroid), per-query
+    // residual LUT and norm — all on the tiny q × nProbe frame
+    val qp = probes(queries, centroids, nProbe, idCol, vecCol)
+    val qSubCols = (0 until m).map(j =>
+      slice(col("q_vec"), j * cb.subDim + 1, cb.subDim).as(s"_q$j"))
+    val lutCols = (0 until m).map { j =>
+      val cents = typedLit(cb.centroids(j).map(_.toSeq).toSeq)
+      transform(cents, c =>
+        aggregate(zip_with(col(s"_q$j"), c, (x, y) => x.cast("double") * y),
+          lit(0.0), (a, v) => a + v)).as(s"_lut$j")
+    }
+    val qScored = qp
+      .select(Seq(col("q_id"), col("cell"), col("q_vec"),
+        aggregate(zip_with(col("q_vec"), element_at(centLit, col("cell") + 1),
+          (x, y) => x.cast("double") * y), lit(0.0), (a, v) => a + v)
+          .as("_dqc"),
+        sqrt(aggregate(col("q_vec"), lit(0.0),
+          (a, v) => a + v.cast("double") * v.cast("double"))).as("_qn")) ++
+        qSubCols: _*)
+      .select(Seq(col("q_id"), col("cell"), col("_dqc"), col("_qn")) ++
+        lutCols: _*)
+    val luts = array((0 until m).map(j => col(s"_lut$j")): _*)
+    val dot = col("_dqc") + aggregate(
+      zip_with(luts, col("code"), (l, c) => element_at(l, c + 1)),
+      lit(0.0), (a, v) => a + v)
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+    val cands = broadcast(qScored).join(encoded, "cell")
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", dot / greatest(col("_qn") * sqrt(col("_n2")), lit(1e-12)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= depth)
+      .select("q_id", "n_id")
+    // exact re-rank of the depth sliver (the pqTopKReranked tail)
+    val qv = broadcast(
+      queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
+    val w2 = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+    cands
+      .join(corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec")), "n_id")
+      .join(qv, "q_id")
+      .withColumn("cos", nativeCosine(corpus)(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("cos"), 6).as("cos_sim"))
   }
 
   /** ADC retrieve + exact re-rank (the production IVF-PQ serving shape,

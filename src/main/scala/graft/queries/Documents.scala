@@ -984,6 +984,20 @@ object Documents {
       Similarity.bruteForceTopK(e, q, 5), recallFloor = 6)
   }
 
+  /** ANN10 — IVF-PQ with residual encoding (the canonical FAISS IVFPQ:
+    * coarse cells route, PQ codes the residuals, probes ADC-score only
+    * their cells' codes, exact re-rank of the depth sliver).
+    * Invariant-gated; floor 5 of 25, MEASURED {17, 15, 10} across
+    * sf0.001/0.01/0.1 — nProbe 4 of 8 cells bounds recall the same way
+    * ann3's probe budget does. */
+  def ann10IvfPq(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 5)
+    annInvariantGate(
+      Similarity.ivfPqTopK(e, q, 5),
+      Similarity.bruteForceTopK(e, q, 5), recallFloor = 5)
+  }
+
   def ann6HybridRerank(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     val q = e.filter(col("vec_id") < 5)

@@ -31,6 +31,7 @@ class SparkEntrySpec extends SparkSpec {
       "t12_quality_cut", "d3_simhash", "dq_skew_stats", "ann7_cell_stats",
       "m13_quality_filter", // 1-row separation-flag broadcast
       "ann8_pq_adc", "ann9_pq_store", // broadcast query-LUT × encoded corpus + 1-row flag
+      "ann10_ivf_pq", // same exact-baseline + 1-row flag broadcasts
       "r8_dsir_select", // 1-row log-ratio-array broadcast crossed into the corpus
       "llm_select_pipeline") // same DSIR 1-row broadcast, over the gopher-kept pool
 

@@ -132,6 +132,45 @@ class SimilaritySpec extends SparkSpec {
     assert(grown.count() == 25)
   }
 
+  test("ivfPqTopK: lossless fixture with all cells probed reproduces brute force") {
+    // 8 distinct vectors (4 subvector patterns per subspace × 2 cells'
+    // residual offsets ⇒ ≤ 8 distinct residuals per subspace); with
+    // kCodes = 8 the codebooks recover them exactly, reconstruction is
+    // lossless, and probing BOTH cells leaves no routing loss — the
+    // ADC ranking (then exact re-rank) must reproduce brute force
+    val patterns = Seq(
+      Array(1.0f, 0.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f, 0.0f),
+      Array(0.0f, 0.0f, 1.0f, 0.0f), Array(0.0f, 0.0f, 0.0f, 1.0f))
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, (patterns(i % 4) ++ patterns((i / 4) % 4)).toArray)
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 3)
+    val got = Similarity.ivfPqTopK(vecs, q, 5, nCells = 2, nProbe = 2,
+        m = 2, kCodes = 8, depth = 40)
+      .collect().map(_.toString).sorted.toSeq
+    val bf = Similarity.bruteForceTopK(vecs, q, 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == bf)
+  }
+
+  test("ivfPqTopK: probed-cell search clears the recall floor, replays identically") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(e, q, 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val a = Similarity.ivfPqTopK(e, q, 5)
+    val rows = a.collect().map(_.toString).sorted.toSeq
+    val got = a.select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"ivfpq recall $recall below floor")
+    // seeded quantizer + codebooks over the SAME input frame ⇒
+    // replay-identical (k-means|| init samples per partition, so
+    // LAYOUT invariance is not promised — same contract as ann3)
+    val again = Similarity.ivfPqTopK(e, q, 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows == again)
+  }
+
   test("pqTopKReranked: exact re-rank recovers recall ADC alone loses") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter($"vec_id" < 10)
