@@ -160,6 +160,7 @@ object SparkEntry {
     "r8_dsir_select" -> (Documents.r8DsirSelect _),
     "llm_select_pipeline" -> (Documents.llmSelectPipeline _),
     "ann10_ivf_pq" -> (Documents.ann10IvfPq _),
+    "t21_bpe_encode" -> (Documents.t21BpeEncode _),
   )
 
   /** T20's oracle: every Gopher rule statistic recomputed on RAW gram
@@ -1216,6 +1217,13 @@ object SparkEntry {
       s"""WITH ${dsirCtes("documents")}
         |$dsirSelect
         |LIMIT 100""".stripMargin,
+    // T21: the merge list is corpus-derived (no SQL twin) — the oracle
+    // pins ids, word counts, and the detok/bounds invariants at 1
+    "t21_bpe_encode" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+        |  CAST(1 AS BIGINT) AS detok_ok, CAST(1 AS BIGINT) AS bounds_ok
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
     // the gopher→DSIR composite: both chains' CTEs in one WITH, the
     // DSIR pool being the gopher-kept docs (filter before selection)
     "llm_select_pipeline" ->

@@ -103,7 +103,8 @@ object Similarity {
     * nProbe, not centroid polish. Returns the quantized corpus
     * (n_id, n_vec, cell) and the centroid table. */
   private[operators] def quantize(corpus: DataFrame, nCells: Int, seed: Long,
-                                  idCol: String, vecCol: String)
+                                  idCol: String, vecCol: String,
+                                  fitCap: Int = 0)
       : (DataFrame, Seq[(Int, Array[Float])]) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -111,7 +112,11 @@ object Similarity {
       array_to_vector(col(vecCol).cast("array<double>")).as("_v"))
     val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("_v").setPredictionCol("cell")
-    val model = km.fit(corpusV)
+    // fitCap > 0: fit the quantizer on a bounded sample (centroid
+    // quality needs a representative sample, not the corpus); the
+    // ASSIGNMENT below is model.transform — map-side over everything
+    // either way
+    val model = km.fit(if (fitCap > 0) corpusV.limit(fitCap) else corpusV)
     val cells = model.transform(corpusV)
       .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"), col("cell"))
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
@@ -437,31 +442,17 @@ object Similarity {
   def pqEncode(corpus: DataFrame, cb: PqCodebooks,
                idCol: String = "vec_id", vecCol: String = "embedding",
                carry: Seq[String] = Nil): DataFrame = {
-    val carried = carry.map(col)
-    // subvectors projected as real columns first: a slice() inside the
-    // distance lambdas would re-run per centroid (NOTES gotcha #4)
-    val subCols = (0 until cb.m).map(j =>
-      slice(col(vecCol), j * cb.subDim + 1, cb.subDim).as(s"_s$j"))
-    val sliced = corpus.select(col(idCol).as("n_id") +: (carried ++ subCols): _*)
-    val distCols = (0 until cb.m).map { j =>
-      val cents = typedLit(cb.centroids(j).map(_.toSeq).toSeq)
-      transform(cents, c =>
-        aggregate(zip_with(col(s"_s$j"), c, (x, y) =>
-          (x.cast("double") - y) * (x.cast("double") - y)),
-          lit(0.0), (a, v) => a + v)).as(s"_d$j")
-    }
-    val withDists = sliced.select(col("n_id") +: (carried ++ distCols): _*)
-    val codeCols = (0 until cb.m).map(j =>
-      (array_position(col(s"_d$j"), array_min(col(s"_d$j"))) - 1)
-        .cast("int").as(s"_c$j"))
-    val norms = typedLit(cb.norm2.map(_.toSeq).toSeq)
-    withDists.select(col("n_id") +: (carried ++ codeCols): _*)
-      .select(col("n_id") +: (carried ++ Seq(
-        array((0 until cb.m).map(j => col(s"_c$j")): _*).as("code"),
-        aggregate(
-          zip_with(norms, array((0 until cb.m).map(j => col(s"_c$j")): _*),
-            (nj, c) => element_at(nj, c + 1)),
-          lit(0.0), (a, v) => a + v).as("recon_norm"))): _*)
+    // ONE native kernel call per row (graft.functions.PqAssign) — the
+    // composed m×k aggregate(zip_with) distance folds evaluated
+    // interpreted (NOTES gotcha 26) and encode is the PQ family's bulk
+    // map pass
+    val enc = graft.plans.GraftFunctions.pqAssign(corpus.sparkSession,
+      col(vecCol), cb.centroids.map(_.map(_.toSeq).toSeq).toSeq)
+    corpus
+      .select(col(idCol).as("n_id") +: (carry.map(col) :+ enc.as("_enc")): _*)
+      .select(col("n_id") +: (carry.map(col) ++ Seq(
+        col("_enc.code").as("code"),
+        col("_enc.recon_norm").as("recon_norm"))): _*)
   }
 
   /** ADC approximate top-k over a PQ-encoded corpus. Each query builds
@@ -615,7 +606,8 @@ object Similarity {
                 sampleCap: Int = 20000,
                 idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
-    val (cells, centroids) = quantize(corpus, nCells, seed, idCol, vecCol)
+    val (cells, centroids) =
+      quantize(corpus, nCells, seed, idCol, vecCol, fitCap = sampleCap)
     val centLit = typedLit(centroids.sortBy(_._1).map(_._2.toSeq))
     val resid = cells.select(col("n_id"), col("cell"),
       zip_with(col("n_vec"), element_at(centLit, col("cell") + 1),

@@ -336,6 +336,31 @@ object TextAnalysis {
       .select("id", "token", "tf", "df", "tfidf")
   }
 
+  /** Train a BPE subword vocabulary on a corpus (Sennrich et al. 2016):
+    * the distributed half is ONE map-side-combinable word-count
+    * aggregation capped to the `maxVocabWords` most frequent words
+    * (vocab ≪ corpus by Heaps' law; the rare tail BPE segments to
+    * characters anyway, so capping the TRAINING dictionary is the
+    * standard large-corpus practice); the merge loop then runs
+    * driver-side over that bounded dictionary — never over the corpus.
+    * Deterministic: ties break lexicographically, no RNG. Returns the
+    * merge list in training order ("left right" per entry) — feed it
+    * to [[graft.plans.GraftFunctions.bpeEncode]], which applies it
+    * map-side with a per-distinct-word memo. */
+  def trainBpe(df: DataFrame, textCol: String, numMerges: Int,
+               maxVocabWords: Int = 50000): Seq[String] = {
+    val counts = df
+      .select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("w"))
+      .limit(maxVocabWords)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+    graft.functions.BpeTrainer.train(counts, numMerges)
+  }
+
   /** Gopher repetition/quality rules (Rae et al. 2021, arXiv:2112.11446
     * Table A1 — the standard pretraining-corpus document filter;
     * reference counterpart: the quality gates of

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{BloomMightContain, CharGramHashes, CosineSimilarity, RangeBucket, WordGramCoverage}
+import graft.functions.{BloomMightContain, BpeEncode, CharGramHashes, CosineSimilarity, PqAssign, RangeBucket, WordGramCoverage}
 
 /** Engine extensions: registers graft's native expressions so they are
   * callable from SQL. Activate with
@@ -37,7 +37,13 @@ object GraftFunctions {
       (args: Seq[Expression]) => CharGramHashes(args(0), args(1))),
     (FunctionIdentifier("word_gram_coverage"),
       new ExpressionInfo(classOf[WordGramCoverage].getName, "word_gram_coverage"),
-      (args: Seq[Expression]) => WordGramCoverage(args(0), args(1), args(2))))
+      (args: Seq[Expression]) => WordGramCoverage(args(0), args(1), args(2))),
+    (FunctionIdentifier("bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
+      (args: Seq[Expression]) => BpeEncode(args(0), args(1))),
+    (FunctionIdentifier("pq_assign"),
+      new ExpressionInfo(classOf[PqAssign].getName, "pq_assign"),
+      (args: Seq[Expression]) => PqAssign(args(0), args(1))))
 
   /** Register into a live session (tests, notebooks). */
   def register(spark: SparkSession): Unit =
@@ -91,5 +97,25 @@ object GraftFunctions {
     call_function("word_gram_coverage", tokens,
       org.apache.spark.sql.functions.lit(minN),
       org.apache.spark.sql.functions.lit(maxN))
+  }
+
+  /** Column-API handle for the PQ assignment kernel: `codebooks` are
+    * the trained [subspace][centroid][dim] centroids embedded as a
+    * plan literal. Registers on demand. */
+  def pqAssign(spark: SparkSession, vec: Column,
+               codebooks: Seq[Seq[Seq[Float]]]): Column = {
+    register(spark)
+    call_function("pq_assign", vec,
+      org.apache.spark.sql.functions.typedLit(codebooks))
+  }
+
+  /** Column-API handle for the BPE subword encoder: `merges` is the
+    * trained "left right" list embedded as a plan literal (training
+    * order = merge rank). Registers on demand. */
+  def bpeEncode(spark: SparkSession, text: Column,
+                merges: Seq[String]): Column = {
+    register(spark)
+    call_function("bpe_encode", text,
+      org.apache.spark.sql.functions.typedLit(merges))
   }
 }

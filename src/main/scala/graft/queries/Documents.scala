@@ -553,6 +553,35 @@ object Documents {
       .orderBy("rank")
   }
 
+  /** T21 — BPE tokenizer train + encode, invariant-gated (r1 pattern:
+    * the merge list is corpus-derived so piece identities have no SQL
+    * twin, but the encoding's ALGEBRA does): per pinned doc,
+    *   detok_ok  — concat(pieces) with "</w>" → space reproduces the
+    *               whitespace-normalized text exactly (a dropped or
+    *               reordered piece flips it);
+    *   bounds_ok — n_pieces ∈ [n_words, n_chars] (segmentation can
+    *               never emit fewer pieces than words or more than
+    *               characters).
+    * The oracle pins ids, n_words, and both flags at 1. Merge-list
+    * values and classic-fixture behavior stay spec-pinned. */
+  def t21BpeEncode(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val merges = TextAnalysis.trainBpe(docs, "text", numMerges = 200)
+    val pieces = graft.plans.GraftFunctions.bpeEncode(s, col("text"), merges)
+    val ws = split(trim(col("text")), "\\s+")
+    docs.filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"), ws.as("_ws"), pieces.as("_p"))
+      .select(col("doc_id"),
+        size(col("_ws")).cast("long").as("n_words"),
+        when(trim(regexp_replace(concat_ws("", col("_p")), "</w>", " ")) ===
+          regexp_replace(trim(col("text")), "\\s+", " "), 1L).otherwise(0L)
+          .as("detok_ok"),
+        when(size(col("_p")).between(size(col("_ws")),
+          length(regexp_replace(col("text"), "\\s+", ""))), 1L).otherwise(0L)
+          .as("bounds_ok"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic junk docs for the classifier gate — tokens from a
     * vocabulary disjoint with the corpus, seeded per id so the driver
     * and spec see identical rows. */

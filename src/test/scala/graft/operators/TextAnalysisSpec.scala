@@ -170,6 +170,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.size == 6)
   }
 
+  test("trainBpe learns the classic merge order; bpeEncode round-trips") {
+    // the Sennrich toy corpus shape: counts low×5 lower×2 newest×6
+    // widest×3 ⇒ pair (e,s) and (s,t</w>) tie at 9, lexicographic tie
+    // break picks "e s" first, then the merged pair "es t</w>" at 9
+    val docs = Seq((1L, Seq.fill(5)("low").mkString(" ")),
+      (2L, "lower lower"),
+      (3L, Seq.fill(6)("newest").mkString(" ")),
+      (4L, "widest widest widest")).toDF("doc_id", "text")
+    val merges = TextAnalysis.trainBpe(docs, "text", numMerges = 10)
+    assert(merges.take(2) == Seq("e s", "es t</w>"),
+      s"unexpected merge order: ${merges.take(4)}")
+    // encode an UNSEEN word with the trained merges: "lowest" shares
+    // the est</w> suffix machinery with newest/widest
+    val enc = Seq((1L, "lowest newest low")).toDF("doc_id", "text")
+      .select(graft.plans.GraftFunctions.bpeEncode(spark, $"text", merges)
+        .as("p"))
+      .as[Seq[String]].head()
+    // detokenization identity
+    assert(enc.mkString("").replace("</w>", " ").trim == "lowest newest low")
+    // pieces never split across words: word count preserved
+    assert(enc.count(_.endsWith("</w>")) == 3)
+    // training is deterministic across replays
+    assert(TextAnalysis.trainBpe(docs, "text", numMerges = 10) == merges)
+  }
+
   test("gopherRules: hand-checkable fixture values") {
     val df = Seq(
       // "a a a b": top 2-gram "a a" occurs 2× (3 chars) → 6/7; words too
