@@ -398,6 +398,28 @@ object EventStream {
     }
   }
 
+  /** Streaming PQ-index ingest — the fourth ingest loop, the IVF
+    * loop's convention applied to the compressed-codes store: each
+    * micro-batch encodes against the index's STORED codebooks
+    * (parameters travel with the store, never the caller) and lands
+    * under `codes/batch=<id>` as a batch-keyed idempotent overwrite
+    * (batchId + 1; batch=0 is the base `writePqIndex` install), so
+    * at-least-once replays converge bit-for-bit. Codes never drift
+    * against fixed codebooks; codebook FIT drift under sustained
+    * growth is the documented rebuild trigger (see appendToPqIndex). */
+  def streamingPqIngest(vectors: DataFrame, indexDir: String,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.Similarity
+    vectors.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          Similarity.appendToPqIndex(batch, indexDir, batchId + 1,
+            idCol, vecCol)
+    }
+  }
+
   /** Ordered weekly incremental driver (T2): the batch twin of the
     * stream — processes week partitions strictly in order, exactly once,
     * recording progress in a ledger the way the reference's

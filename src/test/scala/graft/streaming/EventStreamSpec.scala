@@ -498,6 +498,40 @@ class EventStreamSpec extends SparkSpec {
     assert(batches == Set("batch=0", "batch=1", "batch=2"))
   }
 
+  test("streamingPqIngest encodes micro-batches against the stored codebooks") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("pqstream").toString
+    val idx = s"$tmp/index"
+    val e = graft.core.Tables.embeddings(spark, sf)
+    val base = e.filter($"vec_id" < 40)
+    val cb = graft.operators.Similarity.writePqIndex(base, idx, dim = 64,
+      m = 8, k = 8)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = streamingPqIngest(
+        mem.toDF().toDF("vec_id", "embedding"), idx)
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    def rows(lo: Long, hi: Long) = e.filter($"vec_id" >= lo && $"vec_id" < hi)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toSeq
+    mem.addData(rows(40, 45): _*)
+    q.processAllAvailable()
+    mem.addData(rows(45, 48): _*)
+    q.processAllAvailable()
+    q.stop()
+    val codes = spark.read.parquet(s"$idx/codes")
+    assert(codes.select("n_id").as[Long].collect().toSet == (0L until 48L).toSet)
+    val batches = new java.io.File(s"$idx/codes").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(batches == Set("batch=0", "batch=1", "batch=2"))
+    // streamed codes are bit-identical to a batch encode against the
+    // SAME stored codebooks (codes never drift under fixed codebooks)
+    val streamed = codes.filter($"n_id" >= 40)
+      .select("n_id", "code").collect().map(_.toString).sorted.toSeq
+    val direct = graft.operators.Similarity.pqEncode(
+        e.filter($"vec_id" >= 40 && $"vec_id" < 48), cb)
+      .select("n_id", "code").collect().map(_.toString).sorted.toSeq
+    assert(streamed == direct)
+  }
+
   test("streamingCorpusIngest dedups, filters junk, and windows per language") {
     implicit val sqlCtx = spark.sqlContext
     val stop = Seq("the", "a", "of", "and", "is", "to", "in")
