@@ -161,6 +161,7 @@ object SparkEntry {
     "llm_select_pipeline" -> (Documents.llmSelectPipeline _),
     "ann10_ivf_pq" -> (Documents.ann10IvfPq _),
     "t21_bpe_encode" -> (Documents.t21BpeEncode _),
+    "t22_corpus_card" -> (Documents.t22CorpusCard _),
   )
 
   /** T20's oracle: every Gopher rule statistic recomputed on RAW gram
@@ -1224,6 +1225,29 @@ object SparkEntry {
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
         |  CAST(1 AS BIGINT) AS detok_ok, CAST(1 AS BIGINT) AS bounds_ok
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+    // T22: the per-(source, lang) corpus datasheet — quality uses the
+    // t12-proven formula + interpolation pair, dup flags the shared
+    // fingerprint rule; integer sums CAST (gotcha 19)
+    "t22_corpus_card" ->
+      """WITH t AS (SELECT doc_id, source, lang, text,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS ntok,
+        |  regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |q AS (SELECT doc_id, source, lang, fp, ntok,
+        |  round(least(len(ws) / 50.0, 1.0) * 0.5
+        |    + least(len(list_filter(ws, w -> w IN ('the','a','of','and','is','to','in')))
+        |        / greatest(len(ws) * 0.05, 1.0), 1.0) * 0.5
+        |    - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) * 1.0
+        |        / greatest(length(text), 1), 6) AS q
+        |  FROM t),
+        |d AS (SELECT *, CASE WHEN count(*) OVER (PARTITION BY fp) > 1
+        |  THEN 1 ELSE 0 END AS dup FROM q)
+        |SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS tok_total,
+        |  CAST(sum(CAST(q AS DECIMAL(16,6))) AS DOUBLE) AS q_sum,
+        |  min(q) AS q_min, max(q) AS q_max,
+        |  CAST(sum(dup) AS BIGINT) AS dup_docs
+        |FROM d GROUP BY source, lang ORDER BY source, lang""".stripMargin,
     // the gopher→DSIR composite: both chains' CTEs in one WITH, the
     // DSIR pool being the gopher-kept docs (filter before selection)
     "llm_select_pipeline" ->

@@ -336,6 +336,45 @@ object TextAnalysis {
       .select("id", "token", "tf", "df", "tfidf")
   }
 
+  /** Corpus card: the per-(source, lang) datasheet every corpus release
+    * ships (Gebru et al. 2021, "Datasheets for Datasets") — document and
+    * token counts, quality-score mean and median, and the exact-dup
+    * rate, in ONE grouped pass. The dup flag is a window count over the
+    * content fingerprint (docs sharing a fingerprint are exact dups —
+    * each one counts, including the keeper, since the card reports
+    * duplication PRESENT, not removal savings). Scale shape: one
+    * (fp)-keyed window + one (source, lang) aggregation, both over
+    * skinny projections; quality/tokens are map-side; the card itself
+    * is groups-sized. */
+  def corpusCard(df: DataFrame, idCol: String, textCol: String,
+                 srcCol: String, langCol: String,
+                 stopwords: Seq[String]): DataFrame = {
+    val w = Window.partitionBy("_fp")
+    df.select(col(idCol).as("id"), col(srcCol).as("source"),
+        col(langCol).as("lang"),
+        fingerprint(col(textCol)).as("_fp"),
+        tokenCount(col(textCol)).cast("long").as("_ntok"),
+        qualityScore(col(textCol), stopwords).as("_q"))
+      .withColumn("_dup", when(count(lit(1)).over(w) > 1, 1L).otherwise(0L))
+      .groupBy("source", "lang")
+      // q_sum in DECIMAL: a double avg/sum rounded at N dp can land
+      // EXACTLY on a half-way point (NOTES gotcha 14 — this bit the
+      // first draft's q_mean at sf0.001, and an interpolated q_median
+      // midpoint of two 6-dp values at sf0.01, each off by 1e-6 vs the
+      // oracle); summing exact 6-dp decimals keeps HALF_UP
+      // bit-identical across engines, and q_min/q_max are DATA POINTS
+      // (no derived arithmetic to round). Mean and dup rate are one
+      // division away for the consumer — ratios of arbitrary group
+      // sizes re-introduce the half-way hazard, so the card ships the
+      // exact numerators.
+      .agg(count(lit(1)).as("n_docs"),
+        sum("_ntok").as("tok_total"),
+        sum(col("_q").cast("decimal(16,6)")).cast("double").as("q_sum"),
+        min("_q").as("q_min"),
+        max("_q").as("q_max"),
+        sum("_dup").as("dup_docs"))
+  }
+
   /** Train a BPE subword vocabulary on a corpus (Sennrich et al. 2016):
     * the distributed half is ONE map-side-combinable word-count
     * aggregation capped to the `maxVocabWords` most frequent words

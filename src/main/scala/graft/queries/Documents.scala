@@ -582,6 +582,15 @@ object Documents {
       .orderBy("doc_id")
   }
 
+  /** T22 — corpus card: the per-(source, lang) release datasheet, fully
+    * value-oracled (counts, token totals, decimal-exact quality sums
+    * with min/max data points, exact-dup counts on the shared
+    * fingerprint rule). */
+  def t22CorpusCard(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.corpusCard(Tables.documents(s, d), "doc_id", "text",
+        "source", "lang", stopwords)
+      .orderBy("source", "lang")
+
   /** Deterministic junk docs for the classifier gate — tokens from a
     * vocabulary disjoint with the corpus, seeded per id so the driver
     * and spec see identical rows. */
