@@ -162,6 +162,7 @@ object SparkEntry {
     "ann10_ivf_pq" -> (Documents.ann10IvfPq _),
     "t21_bpe_encode" -> (Documents.t21BpeEncode _),
     "t22_corpus_card" -> (Documents.t22CorpusCard _),
+    "m14_text_drift" -> (Documents.m14TextDrift _),
   )
 
   /** T20's oracle: every Gopher rule statistic recomputed on RAW gram
@@ -1225,6 +1226,36 @@ object SparkEntry {
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
         |  CAST(1 AS BIGINT) AS detok_ok, CAST(1 AS BIGINT) AS bounds_ok
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+    // M14: m8's PSI recompute over text-quality scores of two corpus
+    // slices (same quality formula as t12's oracle)
+    "m14_text_drift" ->
+      """WITH scored AS (SELECT doc_id,
+        |  round(least(len(ws) / 50.0, 1.0) * 0.5
+        |    + least(len(list_filter(ws, w -> w IN ('the','a','of','and','is','to','in')))
+        |        / greatest(len(ws) * 0.05, 1.0), 1.0) * 0.5
+        |    - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) * 1.0
+        |        / greatest(length(text), 1), 6) AS v
+        |  FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents)),
+        |expected AS (SELECT v FROM scored WHERE doc_id % 3 <> 0),
+        |actual AS (SELECT v FROM scored WHERE doc_id % 3 = 0),
+        |b AS (SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs FROM expected),
+        |ebuck AS (SELECT CASE WHEN v <= bs[1] THEN 0 WHEN v <= bs[2] THEN 1
+        |  WHEN v <= bs[3] THEN 2 WHEN v <= bs[4] THEN 3 WHEN v <= bs[5] THEN 4
+        |  WHEN v <= bs[6] THEN 5 WHEN v <= bs[7] THEN 6 WHEN v <= bs[8] THEN 7
+        |  WHEN v <= bs[9] THEN 8 ELSE 9 END AS bucket FROM expected, b),
+        |abuck AS (SELECT CASE WHEN v <= bs[1] THEN 0 WHEN v <= bs[2] THEN 1
+        |  WHEN v <= bs[3] THEN 2 WHEN v <= bs[4] THEN 3 WHEN v <= bs[5] THEN 4
+        |  WHEN v <= bs[6] THEN 5 WHEN v <= bs[7] THEN 6 WHEN v <= bs[8] THEN 7
+        |  WHEN v <= bs[9] THEN 8 ELSE 9 END AS bucket FROM actual, b),
+        |buckets AS (SELECT range AS bucket FROM range(10)),
+        |ep AS (SELECT bucket, count(*) / (SELECT count(*) FROM expected) AS p FROM ebuck GROUP BY bucket),
+        |ap AS (SELECT bucket, count(*) / (SELECT count(*) FROM actual) AS p FROM abuck GROUP BY bucket),
+        |j AS (SELECT buckets.bucket, coalesce(ep.p, 0) AS e, coalesce(ap.p, 0) AS a
+        |  FROM buckets LEFT JOIN ep ON buckets.bucket = ep.bucket
+        |  LEFT JOIN ap ON buckets.bucket = ap.bucket),
+        |c AS (SELECT CASE WHEN e = 0 THEN 0.0001 ELSE e END AS e,
+        |             CASE WHEN a = 0 THEN 0.0001 ELSE a END AS a FROM j)
+        |SELECT round(sum((a - e) * ln(a / e)), 6) AS psi FROM c""".stripMargin,
     // T22: the per-(source, lang) corpus datasheet — quality uses the
     // t12-proven formula + interpolation pair, dup flags the shared
     // fingerprint rule; integer sums CAST (gotcha 19)

@@ -591,6 +591,21 @@ object Documents {
         "source", "lang", stopwords)
       .orderBy("source", "lang")
 
+  /** M14 — text-quality drift between corpus snapshots: PSI over the
+    * expected slice's quality-score deciles (the m8 machinery pointed
+    * at the text pipeline — the monitor a crawl-over-crawl ingest runs
+    * before deciding the new snapshot is trainable). Slices here are
+    * id-residue halves of one corpus, so the pinned PSI is near zero;
+    * the oracle recomputes breaks, buckets, clamps, and the sum —
+    * a wrong bucket rule or clamp shows up at the 6th decimal. */
+  def m14TextDrift(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.documents(s, d).select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text"), stopwords).as("q"))
+    graft.metrics.Psi.psi(
+      scored.filter(col("doc_id") % 3 =!= 0),
+      scored.filter(col("doc_id") % 3 === 0), "q")
+  }
+
   /** Deterministic junk docs for the classifier gate — tokens from a
     * vocabulary disjoint with the corpus, seeded per id so the driver
     * and spec see identical rows. */

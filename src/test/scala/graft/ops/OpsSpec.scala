@@ -119,6 +119,31 @@ class OpsSpec extends SparkSpec {
     assert(small.count() == 5)
   }
 
+  test("text-quality PSI: parity slices read stable, a junk-polluted snapshot flags") {
+    import graft.metrics.Psi
+    import graft.operators.TextAnalysis
+    val stop = Seq("the", "a", "of", "and", "is", "to", "in")
+    val docs = graft.core.Tables.documents(spark, sf)
+    val scored = docs.select($"doc_id",
+      TextAnalysis.qualityScore($"text", stop).as("q"))
+    val stable = Psi.psi(scored.filter($"doc_id" % 3 =!= 0),
+        scored.filter($"doc_id" % 3 === 0), "q")
+      .as[Double].head()
+    // < 0.1 is the standard "no action" PSI band; 500-doc slices carry
+    // real sampling noise (measured 0.076 at sf0.001), so the tight
+    // 0.05 band is for bigger snapshots
+    assert(stable < 0.1, s"same-distribution slices must read stable: $stable")
+    // pollute the snapshot with degenerate one-token docs: quality
+    // collapses and the monitor must flag
+    val junk = (0 until 300).map(i => (100000L + i, "zzz"))
+      .toDF("doc_id", "text")
+    val polluted = scored.unionByName(junk.select($"doc_id",
+      TextAnalysis.qualityScore($"text", stop).as("q")))
+    val drifted = Psi.psi(scored, polluted, "q").as[Double].head()
+    assert(drifted > 0.25 && drifted > stable * 3,
+      s"polluted snapshot must flag: $drifted vs stable $stable")
+  }
+
   test("dsirSelect picks target-like docs, deterministically, ranks contiguous") {
     // target vocabulary {aa..ad}, off-target {zz..zc}: docs sharing the
     // target's buckets must outrank the disjoint-vocabulary docs
