@@ -163,6 +163,8 @@ object SparkEntry {
     "t21_bpe_encode" -> (Documents.t21BpeEncode _),
     "t22_corpus_card" -> (Documents.t22CorpusCard _),
     "m14_text_drift" -> (Documents.m14TextDrift _),
+    "t23_decontam_store" -> (Documents.t23DecontamStore _),
+    "m15_release_gate" -> (Documents.m15ReleaseGate _),
   )
 
   /** T20's oracle: every Gopher rule statistic recomputed on RAW gram
@@ -1070,37 +1072,42 @@ object SparkEntry {
         |  round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k,
         |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    // audio payloads are REAL synthesized WAV containers (44-byte
-    // canonical header + one 16-bit sample per utf-8 text byte) and
-    // image payloads REAL binary PPMs ("P6\nL 1\n255\n" header + 3
-    // RGB bytes per text byte — Multimodal.fromDocuments), so both
-    // container sizes are SQL-recomputable
+    // all three payloads are REAL synthesized containers with
+    // SQL-recomputable sizes (Multimodal.fromDocuments): audio = WAV
+    // (44-byte canonical header + one 16-bit sample per utf-8 text
+    // byte), image = binary PPM ("P6\nL 1\n255\n" header + 3 RGB
+    // bytes per text byte), video = Y4M ("YUV4MPEG2 W<L> H1 F25:1 Ip
+    // A1:1 Cmono\n" = 35 + digits(L) header, + 4 frames of "FRAME\n"
+    // + L luminance bytes). L = max(text bytes, 1) — the empty-text
+    // guard pads a single space byte so every container stays valid.
     "mm1_media_meta" ->
-      """SELECT doc_id AS media_id,
+      """WITH t AS (SELECT doc_id, greatest(octet_length(encode(text)), 1) AS L
+        |  FROM documents)
+        |SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |    ELSE 'video' END AS modality,
-        |  CASE WHEN doc_id % 3 = 1 THEN 44 + 2 * octet_length(encode(text))
-        |    WHEN doc_id % 3 = 0 THEN 10 + length(CAST(octet_length(encode(text)) AS VARCHAR))
-        |      + 3 * octet_length(encode(text))
-        |    ELSE octet_length(encode(text)) END AS n_bytes
-        |FROM documents ORDER BY media_id""".stripMargin,
-    // MM2's feature values are JVM-side (rolling hash for the stub
-    // route, Goertzel band energies for the real WAV route, luminance
-    // histogram for the real PPM route), but every route's algebra pins
-    // hard invariants the oracle CAN recompute: 16 slots; stub bytes
-    // each contribute [0, 1) to one slot, WAV band energies lie in
-    // [0, 1], PPM histogram fractions sum to 1 (see
+        |  CASE WHEN doc_id % 3 = 1 THEN 44 + 2 * L
+        |    WHEN doc_id % 3 = 0 THEN 10 + length(CAST(L AS VARCHAR)) + 3 * L
+        |    ELSE 59 + length(CAST(L AS VARCHAR)) + 4 * L END AS n_bytes
+        |FROM t ORDER BY media_id""".stripMargin,
+    // MM2's feature values are JVM-side (Goertzel band energies for
+    // the WAV route, luminance histogram for the PPM route, temporal
+    // luminance means for the Y4M route), but every route's algebra
+    // pins hard invariants the oracle CAN recompute: 16 slots; WAV
+    // band energies lie in [0, 1], PPM histogram fractions sum to 1,
+    // Y4M per-bin means lie in [0, 1] with a positive sum (see
     // Documents.mm2MediaFeatures).
     "mm2_media_features" ->
-      """SELECT doc_id AS media_id,
+      """WITH t AS (SELECT doc_id, greatest(octet_length(encode(text)), 1) AS L
+        |  FROM documents)
+        |SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |    ELSE 'video' END AS modality,
-        |  CASE WHEN doc_id % 3 = 1 THEN 44 + 2 * octet_length(encode(text))
-        |    WHEN doc_id % 3 = 0 THEN 10 + length(CAST(octet_length(encode(text)) AS VARCHAR))
-        |      + 3 * octet_length(encode(text))
-        |    ELSE octet_length(encode(text)) END AS n_bytes,
+        |  CASE WHEN doc_id % 3 = 1 THEN 44 + 2 * L
+        |    WHEN doc_id % 3 = 0 THEN 10 + length(CAST(L AS VARCHAR)) + 3 * L
+        |    ELSE 59 + length(CAST(L AS VARCHAR)) + 4 * L END AS n_bytes,
         |  16 AS feat_dim, 1 AS feat_ok
-        |FROM documents ORDER BY media_id""".stripMargin,
+        |FROM t ORDER BY media_id""".stripMargin,
     "pipeline_e2e" -> pipelineE2ESql,
     // D9's engine path hashes grams to 8 bytes before exchanging; the
     // oracle recomputes the document frequencies on the raw gram
@@ -1256,6 +1263,73 @@ object SparkEntry {
         |c AS (SELECT CASE WHEN e = 0 THEN 0.0001 ELSE e END AS e,
         |             CASE WHEN a = 0 THEN 0.0001 ELSE a END AS a FROM j)
         |SELECT round(sum((a - e) * ln(a / e)), 6) AS psi FROM c""".stripMargin,
+    // M15: the release gate — t22's card per snapshot side + m14's PSI
+    // chain + the FULL decision rule (hard: vanished group / share
+    // collapse past 50% / dup-rate jump past 0.10 / psi ≥ 0.25; soft
+    // evidence — appeared group or share moved past 25% — escalates
+    // the psi watch band [0.1, 0.25)) recomputed in one WITH. Divides
+    // guard with greatest(·, 1) exactly where the engine branches on
+    // zero counts, so the arithmetic is identical on both sides.
+    "m15_release_gate" ->
+      """WITH t AS (SELECT doc_id, source, lang, text,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'a' ELSE 'e' END AS side,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |  regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |q AS (SELECT doc_id, source, lang, side, fp,
+        |  round(least(len(ws) / 50.0, 1.0) * 0.5
+        |    + least(len(list_filter(ws, w -> w IN ('the','a','of','and','is','to','in')))
+        |        / greatest(len(ws) * 0.05, 1.0), 1.0) * 0.5
+        |    - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) * 1.0
+        |        / greatest(length(text), 1), 6) AS v
+        |  FROM t),
+        |d AS (SELECT *, CASE WHEN count(*) OVER (PARTITION BY side, fp) > 1
+        |  THEN 1 ELSE 0 END AS dup FROM q),
+        |card AS (SELECT source, lang,
+        |  CAST(sum(CASE WHEN side = 'e' THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_e,
+        |  CAST(sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_a,
+        |  CAST(sum(CASE WHEN side = 'e' THEN dup ELSE 0 END) AS BIGINT) AS dup_docs_e,
+        |  CAST(sum(CASE WHEN side = 'a' THEN dup ELSE 0 END) AS BIGINT) AS dup_docs_a
+        |  FROM d GROUP BY source, lang),
+        |expected AS (SELECT v FROM q WHERE side = 'e'),
+        |actual AS (SELECT v FROM q WHERE side = 'a'),
+        |b AS (SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs FROM expected),
+        |ebuck AS (SELECT CASE WHEN v <= bs[1] THEN 0 WHEN v <= bs[2] THEN 1
+        |  WHEN v <= bs[3] THEN 2 WHEN v <= bs[4] THEN 3 WHEN v <= bs[5] THEN 4
+        |  WHEN v <= bs[6] THEN 5 WHEN v <= bs[7] THEN 6 WHEN v <= bs[8] THEN 7
+        |  WHEN v <= bs[9] THEN 8 ELSE 9 END AS bucket FROM expected, b),
+        |abuck AS (SELECT CASE WHEN v <= bs[1] THEN 0 WHEN v <= bs[2] THEN 1
+        |  WHEN v <= bs[3] THEN 2 WHEN v <= bs[4] THEN 3 WHEN v <= bs[5] THEN 4
+        |  WHEN v <= bs[6] THEN 5 WHEN v <= bs[7] THEN 6 WHEN v <= bs[8] THEN 7
+        |  WHEN v <= bs[9] THEN 8 ELSE 9 END AS bucket FROM actual, b),
+        |buckets AS (SELECT range AS bucket FROM range(10)),
+        |ep AS (SELECT bucket, count(*) / (SELECT count(*) FROM expected) AS p FROM ebuck GROUP BY bucket),
+        |ap AS (SELECT bucket, count(*) / (SELECT count(*) FROM actual) AS p FROM abuck GROUP BY bucket),
+        |j AS (SELECT buckets.bucket, coalesce(ep.p, 0) AS e, coalesce(ap.p, 0) AS a
+        |  FROM buckets LEFT JOIN ep ON buckets.bucket = ep.bucket
+        |  LEFT JOIN ap ON buckets.bucket = ap.bucket),
+        |c AS (SELECT CASE WHEN e = 0 THEN 0.0001 ELSE e END AS e,
+        |             CASE WHEN a = 0 THEN 0.0001 ELSE a END AS a FROM j),
+        |psiv AS (SELECT round(sum((a - e) * ln(a / e)), 6) AS psi FROM c),
+        |tot AS (SELECT greatest(sum(n_docs_e), 1) AS te,
+        |  greatest(sum(n_docs_a), 1) AS ta FROM card),
+        |flags AS (SELECT
+        |  max(CASE WHEN n_docs_e > 0 AND n_docs_a = 0 THEN 1
+        |    WHEN n_docs_e > 0 AND n_docs_a * 1.0 / ta < n_docs_e * 1.0 / te * 0.5 THEN 1
+        |    WHEN n_docs_e > 0 AND dup_docs_a * 1.0 / greatest(n_docs_a, 1)
+        |      - dup_docs_e * 1.0 / greatest(n_docs_e, 1) > 0.10 THEN 1
+        |    ELSE 0 END) AS hard,
+        |  max(CASE WHEN n_docs_e = 0 AND n_docs_a > 0 THEN 1
+        |    WHEN n_docs_e > 0 AND abs(n_docs_a * 1.0 / ta - n_docs_e * 1.0 / te)
+        |      > 0.25 * (n_docs_e * 1.0 / te) THEN 1
+        |    ELSE 0 END) AS soft
+        |  FROM card, tot),
+        |verdict AS (SELECT psi,
+        |  CAST(CASE WHEN psi >= 0.25 OR hard = 1 THEN 0
+        |    WHEN psi >= 0.1 AND soft = 1 THEN 0 ELSE 1 END AS BIGINT) AS accept
+        |  FROM flags, psiv)
+        |SELECT source, lang, n_docs_e, n_docs_a, dup_docs_e, dup_docs_a,
+        |  psi, accept
+        |FROM card, verdict ORDER BY source, lang""".stripMargin,
     // T22: the per-(source, lang) corpus datasheet — quality uses the
     // t12-proven formula + interpolation pair, dup flags the shared
     // fingerprint rule; integer sums CAST (gotcha 19)
@@ -1423,6 +1497,10 @@ object SparkEntry {
     // positions, token anti join, ordered reassembly (d13's pattern
     // with the eval set replacing the first-occurrence rule)
     "t15_decontam_rewrite" -> decontamRewriteSql,
+    // t23 is the SAME semantics through the at-rest eval-gram store
+    // (Bloom sidecar + exact verify) — store-equals-live is the
+    // contract the shared oracle enforces, like d11/d20
+    "t23_decontam_store" -> decontamRewriteSql,
     // T19: the size-ROUTED rewrite (Bloom-flag docs, rewrite only the
     // flagged sliver) is bit-identical to t15 BY CONTRACT — sharing
     // t15's oracle verbatim IS the gate on that contract

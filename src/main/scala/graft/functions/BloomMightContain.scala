@@ -34,7 +34,7 @@ case class BloomMightContain(left: Expression, right: Expression)
 
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_might_contain"
-  override def nullable: Boolean = left.nullable
+  override def nullable: Boolean = left.nullable || right.nullable
 
   // The filter bytes must be plan-constant: a non-foldable right child
   // would force a per-row deserialization, which is never what a caller

@@ -31,7 +31,11 @@ case class BpeEncode(left: Expression, right: Expression)
   override def dataType: DataType =
     ArrayType(StringType, containsNull = false)
 
-  override def nullable: Boolean = left.nullable
+  // BinaryExpression.eval also yields null when the merges argument is
+  // null (e.g. bpe_encode(text, NULL) via the SQL registry), so the
+  // declaration must cover BOTH children or the expression could
+  // produce null while claiming non-nullable
+  override def nullable: Boolean = left.nullable || right.nullable
 
   private lazy val ranks: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer]()
@@ -72,8 +76,9 @@ case class BpeEncode(left: Expression, right: Expression)
 }
 
 /** The per-expression-instance encoder: merge ranks + a per-word memo
-  * (bounded — cleared past `memoCap` distinct words to stay
-  * executor-memory-safe on adversarial vocabularies). */
+  * (bounded — INSERTION STOPS once `memoCap` distinct words are cached,
+  * so adversarial vocabularies pay the merge loop past the cap instead
+  * of growing executor memory; nothing is evicted). */
 class BpeKernel(ranks: java.util.HashMap[String, Integer])
     extends Serializable {
 

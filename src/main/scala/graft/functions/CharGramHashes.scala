@@ -41,7 +41,7 @@ case class CharGramHashes(left: Expression, right: Expression)
       StructField("h2", LongType, nullable = false))),
     containsNull = false)
 
-  override def nullable: Boolean = left.nullable
+  override def nullable: Boolean = left.nullable || right.nullable
 
   private lazy val n: Int = right.eval() match {
     case i: Int => i

@@ -35,7 +35,8 @@ case class PqAssign(left: Expression, right: Expression)
       nullable = false),
     StructField("recon_norm", DoubleType, nullable = false)))
 
-  override def nullable: Boolean = left.nullable
+  // both children: a null codebook literal nulls the result too
+  override def nullable: Boolean = left.nullable || right.nullable
 
   // [subspace][centroid][dim] floats + per-(subspace, centroid) |c|²
   @transient private lazy val (cents, norm2): (Array[Array[Array[Float]]], Array[Array[Double]]) = {

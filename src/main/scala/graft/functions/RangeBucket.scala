@@ -26,7 +26,7 @@ case class RangeBucket(left: Expression, right: Expression)
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "range_bucket"
-  override def nullable: Boolean = left.nullable
+  override def nullable: Boolean = left.nullable || right.nullable
 
   require(right.foldable, "range_bucket requires literal cut points")
 

@@ -43,7 +43,9 @@ case class WordGramCoverage(first: Expression, second: Expression,
       StructField("dups", LongType, nullable = false))),
     containsNull = false)
 
-  override def nullable: Boolean = first.nullable
+  // all three children: TernaryExpression.eval nulls out if ANY is null
+  override def nullable: Boolean =
+    first.nullable || second.nullable || third.nullable
 
   private lazy val minN: Int = second.eval() match {
     case i: Int => i

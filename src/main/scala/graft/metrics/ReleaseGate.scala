@@ -1,0 +1,136 @@
+package graft.metrics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-snapshot RELEASE GATE — the measure→decide→act closure for
+  * the text pipeline (the IVF rebuild policy's pattern,
+  * [[graft.operators.Similarity.shouldRebuildIvf]], applied to corpus
+  * publishing): before a crawl-over-crawl snapshot is declared
+  * trainable, compare its corpus card (per-(source, lang) datasheet —
+  * Gebru et al. 2021) and its quality-score distribution (PSI over the
+  * previous snapshot's deciles, the m14 monitor) against the accepted
+  * snapshot, and produce ONE accept/reject decision.
+  *
+  * PSI bands follow the standard credit-scoring interpretation the m8
+  * operator already uses: < 0.1 no shift, 0.1–0.25 watch (accept only
+  * when the card corroborates stability), ≥ 0.25 act (reject).
+  * Card rules: a (source, lang) group VANISHING is a hard reject (a
+  * whole slice of the mix fell out of the crawl); a group's share of
+  * the snapshot collapsing past `maxShareDropFrac` is a hard reject
+  * (shares, not absolute counts — snapshots legitimately differ in
+  * size, it is the MIX that must hold); the exact-dup rate jumping by
+  * more than `maxDupRateIncrease` is a hard reject (the crawler
+  * started re-fetching); a group appearing or moving by more than
+  * `softShareChangeFrac` is the soft evidence that escalates the PSI
+  * watch band into a reject.
+  *
+  * Scale shape: the two cards are groups-sized aggregates
+  * ([[graft.operators.TextAnalysis.corpusCard]] — skew-immune count +
+  * join-back), PSI is one break aggregate + one bucket-count pass
+  * ([[Psi.psi]]); the decision itself runs over the collected card
+  * diff — a bounded driver fetch by construction (groups, not docs),
+  * the modes/confusion-matrix convention.
+  */
+object ReleaseGate {
+
+  /** One (source, lang) group's card delta between snapshots; absent
+    * groups carry zero counts on their absent side. */
+  case class GroupDelta(source: String, lang: String,
+                        nDocsE: Long, nDocsA: Long,
+                        dupDocsE: Long, dupDocsA: Long)
+
+  case class Tolerances(maxShareDropFrac: Double = 0.5,
+                        maxDupRateIncrease: Double = 0.10,
+                        softShareChangeFrac: Double = 0.25)
+
+  case class Verdict(accept: Boolean, band: String, reasons: Seq[String])
+
+  /** The decision rule as a pure, spec-pinnable function (the
+    * shouldRebuildIvf pattern). Reject iff: PSI ≥ `psiAct`; OR any
+    * hard card failure (group vanished / share collapsed / dup-rate
+    * jump); OR PSI in the watch band [`psiWatch`, `psiAct`) WITH soft
+    * card evidence (group appeared or share moved past the soft
+    * tolerance). Accept otherwise. */
+  def shouldAcceptSnapshot(psi: Double, deltas: Seq[GroupDelta],
+                           tol: Tolerances = Tolerances(),
+                           psiWatch: Double = 0.1,
+                           psiAct: Double = 0.25): Verdict = {
+    val totE = deltas.map(_.nDocsE).sum.toDouble
+    val totA = deltas.map(_.nDocsA).sum.toDouble
+    def shareE(d: GroupDelta) = if (totE == 0) 0.0 else d.nDocsE / totE
+    def shareA(d: GroupDelta) = if (totA == 0) 0.0 else d.nDocsA / totA
+    val hard = Seq.newBuilder[String]
+    val soft = Seq.newBuilder[String]
+    if (psi >= psiAct) hard += f"psi $psi%.6f >= $psiAct (act band)"
+    deltas.foreach { d =>
+      val key = s"${d.source}/${d.lang}"
+      if (d.nDocsE > 0 && d.nDocsA == 0)
+        hard += s"group $key vanished"
+      else if (d.nDocsE > 0 &&
+        shareA(d) < shareE(d) * (1 - tol.maxShareDropFrac))
+        hard += s"group $key share collapsed (${d.nDocsE} -> ${d.nDocsA})"
+      val dupRateE = if (d.nDocsE == 0) 0.0 else d.dupDocsE.toDouble / d.nDocsE
+      val dupRateA = if (d.nDocsA == 0) 0.0 else d.dupDocsA.toDouble / d.nDocsA
+      if (d.nDocsE > 0 && dupRateA - dupRateE > tol.maxDupRateIncrease)
+        hard += f"group $key dup rate jumped ($dupRateE%.4f -> $dupRateA%.4f)"
+      if (d.nDocsE == 0 && d.nDocsA > 0)
+        soft += s"group $key appeared"
+      else if (d.nDocsE > 0 &&
+        math.abs(shareA(d) - shareE(d)) > tol.softShareChangeFrac * shareE(d))
+        soft += s"group $key share moved past soft tolerance"
+    }
+    val hardR = hard.result(); val softR = soft.result()
+    val band =
+      if (psi >= psiAct) "act"
+      else if (psi >= psiWatch) "watch" else "stable"
+    val accept = hardR.isEmpty && !(band == "watch" && softR.nonEmpty)
+    val reasons =
+      if (accept) Seq(s"psi band $band, card within tolerance")
+      else hardR ++ (if (band == "watch") softR else Nil)
+    Verdict(accept, band, reasons)
+  }
+
+  /** End-to-end gate over two document snapshots: computes both corpus
+    * cards, the quality-PSI between the snapshots, runs
+    * [[shouldAcceptSnapshot]], and emits the oracle-able evidence
+    * frame — one row per (source, lang) with both snapshots' doc/dup
+    * counts, plus the psi and the verdict as constant columns. The
+    * card diff is localCheckpoint'd: it feeds the bounded driver
+    * collect (the decision) AND the emitted frame, and must not
+    * recompute both cards per consumer. */
+  def snapshotGate(expected: DataFrame, actual: DataFrame,
+                   idCol: String, textCol: String,
+                   srcCol: String, langCol: String,
+                   stopwords: Seq[String],
+                   tol: Tolerances = Tolerances()): DataFrame = {
+    import graft.operators.TextAnalysis
+    def card(df: DataFrame, suffix: String): DataFrame =
+      TextAnalysis.corpusCard(df, idCol, textCol, srcCol, langCol, stopwords)
+        .select(col("source"), col("lang"),
+          col("n_docs").as(s"n_docs_$suffix"),
+          col("dup_docs").as(s"dup_docs_$suffix"))
+    val diff = card(expected, "e")
+      .join(card(actual, "a"), Seq("source", "lang"), "full_outer")
+      .select(col("source"), col("lang"),
+        coalesce(col("n_docs_e"), lit(0L)).as("n_docs_e"),
+        coalesce(col("n_docs_a"), lit(0L)).as("n_docs_a"),
+        coalesce(col("dup_docs_e"), lit(0L)).as("dup_docs_e"),
+        coalesce(col("dup_docs_a"), lit(0L)).as("dup_docs_a"))
+      .localCheckpoint()
+    val deltas = diff.collect().map(r => GroupDelta(
+      r.getString(0), r.getString(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val qE = expected.select(
+      TextAnalysis.qualityScore(col(textCol), stopwords).as("q"))
+    val qA = actual.select(
+      TextAnalysis.qualityScore(col(textCol), stopwords).as("q"))
+    // one row; the same 6-dp-rounded PSI the m14 gate pins
+    val psiVal = Psi.psi(qE, qA, "q").first().getDouble(0)
+    val verdict = shouldAcceptSnapshot(psiVal, deltas, tol)
+    diff
+      .withColumn("psi", lit(psiVal))
+      .withColumn("accept", lit(if (verdict.accept) 1L else 0L))
+      .orderBy("source", "lang")
+  }
+}

@@ -1046,6 +1046,115 @@ object Dedup {
     }
   }
 
+  /** At-rest EVAL-GRAM store — the published decontamination state a
+    * streaming crawl ingest probes every micro-batch
+    * ([[graft.streaming.EventStream.streamingDecontamIngest]]): the
+    * eval suite's distinct 128-bit positional word-n-gram keys as
+    * parquet plus a Bloom sidecar over the h1 lane (the d15 fp-store
+    * layout applied to the decontamination family). The suite is
+    * published ONCE when benchmarks are frozen; batches then pay a
+    * map-side Bloom probe + an exact verify join against the parquet
+    * keys — the eval texts themselves never travel again. 128-bit
+    * keys because the consumer DELETES text (the removeDupSpans
+    * birthday argument); the Bloom probes one 64-bit lane (capacity
+    * math only needs uniformity), the verify join restores the full
+    * 128-bit exactness. `_meta.json` pins n/fpp/capacity so callers
+    * never re-pass geometry. */
+  def writeEvalGramStore(evalSet: DataFrame, textCol: String, dir: String,
+                         n: Int = 5, expectedTotalGrams: Long = 0L,
+                         fpp: Double = 0.001): Unit = {
+    val spark = evalSet.sparkSession
+    // eager: the gram projection feeds the capacity count, the parquet
+    // write, and the filter build (the bloomContaminationPairs pattern)
+    val grams = evalSet
+      .select(split(trim(col(textCol)), "\\s+").as("_et"))
+      .select(explode(positionalGrams128(col("_et"), n)).as("hg"))
+      .select(col("hg.h1").as("h1"), col("hg.h2").as("h2"))
+      .distinct()
+      .localCheckpoint()
+    val capacity =
+      if (expectedTotalGrams > 0) expectedTotalGrams
+      else math.max(grams.count(), 1L)
+    grams.write.mode("overwrite").parquet(s"$dir/grams")
+    val filter =
+      if (grams.isEmpty)
+        org.apache.spark.util.sketch.BloomFilter.create(capacity, fpp)
+      else grams.select(col("h1").as("k")).stat.bloomFilter("k", capacity, fpp)
+    graft.sources.Sources.writeBinarySidecarFs(spark, s"$dir/_bloom.bin",
+      graft.functions.BloomMightContain.toBytes(filter))
+    graft.sources.Sources.writeJsonSidecarFs(spark, s"$dir/_meta.json",
+      Map("n" -> n.toString, "fpp" -> fpp.toString,
+        "expectedTotalGrams" -> capacity.toString,
+        "formatVersion" -> "1"))
+  }
+
+  /** Grow the eval-gram store when new benchmarks are published: fold
+    * the new suite's gram keys into the sidecar and land them in the
+    * parquet half. Bloom-first write ordering — bloom ⊇ grams must
+    * hold at all times (a parquet gram missing from the filter would
+    * let a contaminated doc probe negative and skip its verify —
+    * silent contamination; the reverse only costs one extra verify
+    * probe) — the appendToFpStore invariant. Duplicate gram ROWS from
+    * a replay are harmless: the consumer is a left-semi join. */
+  def appendToEvalGramStore(evalSet: DataFrame, textCol: String,
+                            dir: String): Unit = {
+    val spark = evalSet.sparkSession
+    val meta = graft.sources.Sources.readJsonSidecarFs(spark, s"$dir/_meta.json")
+    val n = meta("n").toInt
+    val capacity = meta("expectedTotalGrams").toLong
+    val fpp = meta("fpp").toDouble
+    val grams = evalSet
+      .select(split(trim(col(textCol)), "\\s+").as("_et"))
+      .select(explode(positionalGrams128(col("_et"), n)).as("hg"))
+      .select(col("hg.h1").as("h1"), col("hg.h2").as("h2"))
+      .distinct()
+      .localCheckpoint()
+    if (grams.isEmpty) return
+    val store = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      graft.sources.Sources.readBinarySidecarFs(spark, s"$dir/_bloom.bin"))
+    val batchFilter = grams.select(col("h1").as("k"))
+      .stat.bloomFilter("k", capacity, fpp)
+    store.mergeInPlace(batchFilter)
+    graft.sources.Sources.writeBinarySidecarFs(spark, s"$dir/_bloom.bin",
+      graft.functions.BloomMightContain.toBytes(store))
+    grams.write.mode("append").parquet(s"$dir/grams")
+    spark.catalog.refreshByPath(dir)
+  }
+
+  /** [[decontaminateRewrite]] against the at-rest eval-gram store —
+    * BIT-IDENTICAL output to the live operator over the suite the
+    * store was built from (the d15/d20 store-equals-live contract,
+    * shared t15 oracle): corpus positional grams are prefiltered
+    * MAP-SIDE by the sidecar's codegen'd Bloom probe on the h1 lane —
+    * clean docs, the overwhelming majority, never touch the store
+    * table — and only the surviving sliver pays the exact left-semi
+    * verify against the parquet keys on BOTH 128-bit lanes (no false
+    * negatives, so nothing is missed; false positives die in the
+    * verify, so nothing extra is deleted). Covered positions then run
+    * the same merged-interval rewrite as every destructive twin. */
+  def decontaminateRewriteFromStore(corpus: DataFrame, dir: String,
+                                    idCol: String, textCol: String): DataFrame = {
+    val spark = corpus.sparkSession
+    val meta = graft.sources.Sources.readJsonSidecarFs(spark, s"$dir/_meta.json")
+    val n = meta("n").toInt
+    val probeBytes =
+      graft.sources.Sources.readBinarySidecarFs(spark, s"$dir/_bloom.bin")
+    val tokenized = corpus.select(col(idCol).as("id"),
+      split(trim(col(textCol)), "\\s+").as("toks"))
+    val pos = tokenized.select(col("id"),
+      posexplode(positionalGrams128(col("toks"), n)).as(Seq("p", "hg")))
+    val survivors = pos
+      .filter(graft.plans.GraftFunctions.bloomMightContain(spark,
+        col("hg.h1"), probeBytes))
+      .select(col("id"), col("p"),
+        col("hg.h1").as("h1"), col("hg.h2").as("h2"))
+    val evalGrams = spark.read.parquet(s"$dir/grams")
+    val covered = mergedDropIntervals(
+      survivors.join(evalGrams, Seq("h1", "h2"), "left_semi")
+        .select(col("id"), col("p")), n)
+    rebuildDroppingIntervals(tokenized, covered, idCol)
+  }
+
   /** WITHIN-document self-repetition removal: every token position
     * covered by a word-n-gram occurrence that is not that gram's FIRST
     * occurrence in the SAME document is dropped — the cleanup for

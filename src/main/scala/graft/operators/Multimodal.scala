@@ -7,16 +7,20 @@ import org.apache.spark.sql.functions._
   * columns + typed metadata, with decode / feature-extraction /
   * resize / frame-sampling plumbing.
   *
-  * Decode is MODALITY-ROUTED: audio payloads carrying a RIFF/WAVE PCM
-  * container go through a REAL pure-JVM decoder ([[Wav]] — header
-  * parse + PCM samples → fixed-dim band-energy features); image/video
-  * (no codec libraries in this environment) and non-WAV audio keep the
-  * clearly-marked deterministic STUB. Everything around the seam —
+  * Decode is MODALITY-ROUTED through REAL pure-JVM decoders for all
+  * three modalities: audio = RIFF/WAVE PCM ([[Wav]] — header parse +
+  * PCM samples → fixed-dim band-energy features), image = binary PPM
+  * ([[Ppm]] — pixels → luminance histogram fractions), video =
+  * uncompressed Y4M ([[Y4m]] — stream-header walk + per-frame Y
+  * planes → fixed-dim temporal luminance features). A payload that is
+  * not its modality's container decodes to the ALL-ZERO feature
+  * vector — the explicit "undecodable" marker (total, deterministic,
+  * inside every route's feature bounds). Everything around the seam —
   * schema, batch-per-partition processing shape, partitioning, output
-  * contract — is identical for both routes, so swapping the remaining
-  * stub for an actual image codec call is a one-line change per
-  * modality: decode cost amortizes per partition, feature vectors stay
-  * distributed, nothing collects to the driver.
+  * contract — is identical across routes, so swapping a decoder for a
+  * compressed-codec call is a one-line change per modality: decode
+  * cost amortizes per partition, feature vectors stay distributed,
+  * nothing collects to the driver.
   */
 object Multimodal {
 
@@ -26,47 +30,34 @@ object Multimodal {
   case class MediaFeatures(media_id: Long, modality: String, n_bytes: Int,
                            features: Array[Float])
 
-  /** STUB decode: a real implementation would hand `bytes` to an image/
-    * video codec here. This deterministic fake derives a fixed-length
-    * feature vector from a rolling hash of the payload so tests can pin
-    * exact outputs. Audio no longer routes here when the payload is a
-    * valid WAV — see [[Wav]]. */
-  private[operators] def stubDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
-    val out = new Array[Float](dim)
-    var h = 1125899906842597L // deterministic seed
-    var i = 0
-    while (i < bytes.length) {
-      h = 31 * h + bytes(i)
-      out(math.floorMod(i, dim).toInt) += (math.floorMod(h, 1000L) / 1000.0f)
-      i += 1
-    }
-    out
-  }
-
   /** The modality-routed decode seam: audio payloads that parse as
-    * RIFF/WAVE PCM get the REAL audio decoder (samples → per-band
-    * energies, each in [0, 1] — see [[Wav.bandEnergies]]); image
-    * payloads that parse as binary PPM (P6) get the REAL image decoder
-    * (pixels → luminance histogram fractions, summing to 1 — see
-    * [[Ppm.luminanceHistogram]]); everything else — video, and
-    * audio/image bytes that are not their container format — falls back
-    * to the deterministic stub, whose per-byte contributions are also
-    * bounded by 1. All routes therefore satisfy the mm2 oracle's
-    * invariant (0 ≤ Σ features ≤ n_bytes), so swapping routes can
-    * never be silently wrong-dim or unbounded. */
+    * RIFF/WAVE PCM get [[Wav.bandEnergies]] (each in [0, 1]); image
+    * payloads that parse as binary PPM (P6) get
+    * [[Ppm.luminanceHistogram]] (fractions summing to 1); video
+    * payloads that parse as Y4M get [[Y4m.temporalLuminance]] (per-
+    * time-bin mean luma, each in [0, 1]). Bytes that are NOT their
+    * modality's container decode to the all-zero vector — the
+    * explicit undecodable marker, which still satisfies every route's
+    * bound invariants, so a misrouted payload can never be silently
+    * wrong-dim or unbounded (it shows up as zeros, and in the mm2
+    * gate as a flipped sum-≈-1 flag on the image route). */
   private[operators] def decodeFeatures(row: MediaRow, dim: Int): Array[Float] =
     row.meta.modality match {
       case "audio" =>
         Wav.decode(row.bytes) match {
           case Some(pcm) => Wav.bandEnergies(pcm.samples, dim)
-          case None => stubDecode(row.bytes, dim)
+          case None => new Array[Float](dim)
         }
       case "image" =>
         Ppm.decode(row.bytes) match {
           case Some(img) => Ppm.luminanceHistogram(img, dim)
-          case None => stubDecode(row.bytes, dim)
+          case None => new Array[Float](dim)
         }
-      case _ => stubDecode(row.bytes, dim)
+      case _ =>
+        Y4m.decode(row.bytes) match {
+          case Some(vid) => Y4m.temporalLuminance(vid, dim)
+          case None => new Array[Float](dim)
+        }
     }
 
   /** Batch feature extraction: one partition = one batch, mirroring the
@@ -103,35 +94,52 @@ object Multimodal {
       .withColumn("frame_idx", (col("offset_ms") / everyMs).cast("long"))
 
   /** Wrap a text corpus as media rows — the test/demo entry path.
-    * Video payloads are the raw utf-8 bytes (deterministic opaque blobs
-    * for the stub); AUDIO rows carry a REAL synthesized WAV container —
-    * 16-bit PCM mono at 16 kHz, one sample per text byte (sample =
+    * AUDIO rows carry a REAL synthesized WAV container — 16-bit PCM
+    * mono at 16 kHz, one sample per text byte (sample =
     * (byte − 128) << 8, content-derived and RNG-free); IMAGE rows carry
     * a REAL binary-PPM container — a textBytes×1 grayscale strip with
-    * r = g = b = byte — so both real decoders run end-to-end. Payload
-    * sizes stay SQL-recomputable for the mm1/mm2 oracles: audio =
-    * 44 + 2·L; image = 10 + digits(L) + 3·L (header "P6\nL 1\n255\n");
-    * video = L, where L = utf-8 byte length. */
+    * r = g = b = byte; VIDEO rows carry a REAL Y4M container — 4
+    * mono frames of an L×1 strip, frame f pixel i = byte (i+f) mod L
+    * (a deterministic rotation, so the temporal features genuinely
+    * vary across frames) — so all three real decoders run end-to-end.
+    * Payload sizes stay SQL-recomputable for the mm1/mm2 oracles:
+    * audio = 44 + 2·L; image = 10 + digits(L) + 3·L (header
+    * "P6\nL 1\n255\n"); video = 59 + digits(L) + 4·L (header
+    * "YUV4MPEG2 W<L> H1 F25:1 Ip A1:1 Cmono\n" = 35 + digits(L), plus
+    * 4 × ("FRAME\n" + L)), where L = max(utf-8 byte length, 1). */
   def fromDocuments(docs: DataFrame, spark: SparkSession): Dataset[MediaRow] = {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
       case (id, text) =>
-        val raw = text.getBytes("UTF-8")
+        // empty-text guard: a 0-byte payload would synthesize a
+        // width-0 PPM / 0-sample WAV / 0-frame video that the decoders
+        // reject, silently re-routing the row to the fallback and
+        // breaking the mm2 per-modality invariants. One space byte
+        // keeps every container well-formed; the mm1/mm2 oracles use
+        // greatest(octet_length, 1) to mirror it.
+        val raw0 = text.getBytes("UTF-8")
+        val raw = if (raw0.isEmpty) Array(' '.toByte) else raw0
         val modality = id % 3 match {
           case 0 => "image"; case 1 => "audio"; case _ => "video"
         }
+        val nFrames = 4
         val bytes = modality match {
           case "audio" =>
             Wav.encode(raw.map(b => (((b & 0xFF) - 128) << 8).toShort), 16000)
           case "image" =>
             Ppm.encode(raw.length, 1, raw.flatMap(b => Array(b, b, b)))
-          case _ => raw
+          case _ =>
+            Y4m.encode(raw.length, 1, 25,
+              Array.tabulate(nFrames)(f =>
+                Array.tabulate(raw.length)(i => raw((i + f) % raw.length))))
         }
-        val durMs =
-          if (modality == "audio") raw.length.toLong * 1000L / 16000L
-          else raw.length.toLong * 10
+        val durMs = modality match {
+          case "audio" => raw.length.toLong * 1000L / 16000L
+          case "video" => nFrames * 40L // 4 frames at 25 fps
+          case _ => raw.length.toLong * 10
+        }
         val (w, h) =
-          if (modality == "image") (raw.length, 1) else (64, 64)
+          if (modality == "audio") (64, 64) else (raw.length, 1)
         MediaRow(id, bytes, MediaMeta(modality, w, h, 16000, durMs))
     }
   }
@@ -144,7 +152,7 @@ object Multimodal {
   * of line, exactly ONE whitespace byte after maxval, then 3·w·h raw
   * RGB bytes (maxval ≤ 255 — the 2-byte-per-sample variant is out of
   * scope). Decode is total: malformed input yields None, never a
-  * throw — the router falls back to the stub.
+  * throw — the router marks the row undecodable (all-zero features).
   */
 object Ppm {
 
@@ -221,7 +229,7 @@ object Ppm {
   * down to mono), walking the chunk list for `fmt ` and `data` (extra
   * chunks like LIST/fact are skipped, as the spec requires). Decode is
   * total: malformed or non-PCM input yields None, never a throw — the
-  * router falls back to the stub.
+  * router marks the row undecodable (all-zero features).
   */
 object Wav {
 
@@ -319,6 +327,129 @@ object Wav {
       }
       val power = s1 * s1 + s2 * s2 - coeff * s1 * s2
       out(k) = (power / (n.toDouble * n.toDouble)).toFloat
+      k += 1
+    }
+    out
+  }
+}
+
+/** Minimal pure-JVM Y4M (YUV4MPEG2) codec — the video half of the
+  * real-decoder trio ([[Wav]] audio, [[Ppm]] image). Y4M is the
+  * uncompressed-video interchange container (the mjpegtools/ffmpeg
+  * `yuv4mpegpipe` format): one ASCII stream header
+  * "YUV4MPEG2 W<w> H<h> F<num>:<den> [I?] [A?:?] [C<cs>]\n", then per
+  * frame an ASCII "FRAME[ params]\n" marker followed by raw planar
+  * data. Plane geometry follows the colorspace tag: Cmono = w·h (Y
+  * only), C444 = 3·w·h, C422 = 2·w·h, C420 family = w·h·3/2; the tag
+  * defaults to C420 when absent, as the format specifies. Only the Y
+  * (luminance) plane is retained — it is what the luminance features
+  * read — but every frame advances by its full plane size, so chroma
+  * variants walk correctly. Decode is total: malformed input (bad
+  * magic, unparsable geometry, a truncated frame) yields None, never
+  * a throw — the router marks the row undecodable (all-zero features).
+  */
+object Y4m {
+
+  /** Decoded video: per-frame Y (luminance) planes of w·h bytes. */
+  case class Video(width: Int, height: Int, fps: Int,
+                   frames: Array[Array[Byte]])
+
+  def decode(bytes: Array[Byte]): Option[Video] = {
+    val magic = "YUV4MPEG2"
+    if (bytes.length < magic.length + 1) return None
+    val hdrEnd = bytes.indexOf('\n'.toByte)
+    if (hdrEnd < 0) return None
+    val header = new String(bytes, 0, hdrEnd, "US-ASCII")
+    val parts = header.split(" ")
+    if (parts.isEmpty || parts(0) != magic) return None
+    var w = -1; var h = -1; var fps = 25; var cs = "420"
+    parts.drop(1).foreach { p =>
+      if (p.nonEmpty) p.charAt(0) match {
+        case 'W' => w = p.drop(1).toIntOption.getOrElse(-1)
+        case 'H' => h = p.drop(1).toIntOption.getOrElse(-1)
+        case 'F' =>
+          val nd = p.drop(1).split(":")
+          if (nd.length == 2)
+            fps = (for { n <- nd(0).toIntOption; d <- nd(1).toIntOption
+                         if d > 0 } yield n / d).getOrElse(25)
+        case 'C' => cs = p.drop(1)
+        case _ => () // I (interlacing), A (aspect), X (extensions): ignored
+      }
+    }
+    if (w <= 0 || h <= 0) return None
+    val ySize = w.toLong * h
+    val frameSize: Long = cs match {
+      case "mono" => ySize
+      case "444" => 3 * ySize
+      case "422" => 2 * ySize
+      case c if c.startsWith("420") => ySize * 3 / 2
+      case _ => return None
+    }
+    if (frameSize > Int.MaxValue) return None
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    var o = hdrEnd + 1
+    while (o < bytes.length) {
+      // "FRAME" + optional space-prefixed params, terminated by '\n'
+      if (o + 5 > bytes.length ||
+        new String(bytes, o, 5, "US-ASCII") != "FRAME") return None
+      var e = o + 5
+      while (e < bytes.length && bytes(e) != '\n') e += 1
+      if (e >= bytes.length) return None
+      val dataStart = e + 1
+      if (dataStart + frameSize > bytes.length) return None
+      frames += java.util.Arrays.copyOfRange(
+        bytes, dataStart, dataStart + ySize.toInt)
+      o = dataStart + frameSize.toInt
+    }
+    Some(Video(w, h, fps, frames.toArray))
+  }
+
+  /** Canonical Cmono writer — the synthesis half
+    * ([[Multimodal.fromDocuments]]) and decode's round-trip oracle.
+    * Header "YUV4MPEG2 W<w> H<h> F<fps>:1 Ip A1:1 Cmono\n", each frame
+    * "FRAME\n" + w·h luminance bytes. */
+  def encode(width: Int, height: Int, fps: Int,
+             frames: Array[Array[Byte]]): Array[Byte] = {
+    require(frames.forall(_.length == width * height),
+      s"each frame needs ${width * height} Y bytes")
+    val header =
+      s"YUV4MPEG2 W$width H$height F$fps:1 Ip A1:1 Cmono\n"
+        .getBytes("US-ASCII")
+    val marker = "FRAME\n".getBytes("US-ASCII")
+    val out = java.nio.ByteBuffer.allocate(
+      header.length + frames.map(f => marker.length + f.length).sum)
+    out.put(header)
+    frames.foreach { f => out.put(marker); out.put(f) }
+    out.array()
+  }
+
+  /** Fixed-dim TEMPORAL luminance features: frame f lands in time bin
+    * ⌊f·dim/nFrames⌋ and feature k is the mean luminance (byte/255,
+    * so each lies in [0, 1]) over all pixels of all frames in bin k —
+    * the cheap motion/brightness-profile signal (a per-frame [[Ppm]]-
+    * style histogram would lose the time axis this keeps). Bins with
+    * no frames (nFrames < dim) stay 0. Deterministic; an empty video
+    * yields all zeros. */
+  def temporalLuminance(vid: Video, dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    val nf = vid.frames.length
+    if (nf == 0) return out
+    val sums = new Array[Double](dim)
+    val counts = new Array[Long](dim)
+    var f = 0
+    while (f < nf) {
+      val bin = (f.toLong * dim / nf).toInt
+      val plane = vid.frames(f)
+      var i = 0
+      var s = 0.0
+      while (i < plane.length) { s += (plane(i) & 0xFF); i += 1 }
+      sums(bin) += s
+      counts(bin) += plane.length
+      f += 1
+    }
+    var k = 0
+    while (k < dim) {
+      if (counts(k) > 0) out(k) = (sums(k) / counts(k) / 255.0).toFloat
       k += 1
     }
     out

@@ -115,8 +115,15 @@ object Similarity {
     // fitCap > 0: fit the quantizer on a bounded sample (centroid
     // quality needs a representative sample, not the corpus); the
     // ASSIGNMENT below is model.transform — map-side over everything
-    // either way
-    val model = km.fit(if (fitCap > 0) corpusV.limit(fitCap) else corpusV)
+    // either way. The sample is a seeded xxhash64-rank draw, not a bare
+    // limit — limit takes the first-scanned partitions, a skewed
+    // marginal in any time-/source-ordered corpus (trainPq's argument);
+    // TakeOrdered keeps it a per-partition heap, never a global sort.
+    val model = km.fit(
+      if (fitCap > 0)
+        corpusV.orderBy(xxhash64(col(vecCol), lit(seed)),
+          xxhash64(col(vecCol), lit(seed + 1))).limit(fitCap)
+      else corpusV)
     val cells = model.transform(corpusV)
       .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"), col("cell"))
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
@@ -397,10 +404,22 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val subDim = dim / m
-    val sample = corpus.select(col(vecCol).as("_vec")).limit(sampleCap)
+    // seeded HASH draw, not limit(): limit takes whatever rows Spark
+    // scans first, which in a time- or source-ordered corpus is a
+    // skewed marginal — codebooks trained on the first partitions
+    // silently cost recall at 100×. The xxhash64 rank is the engine's
+    // deterministic-draw convention (ops/Sampling.hashBucket's fast
+    // in-engine primitive); orderBy+limit plans as TakeOrdered — a
+    // per-partition top-`sampleCap` heap + merge, never a global sort.
+    val sample = corpus.select(col(vecCol).as("_vec"))
+      .orderBy(xxhash64(col("_vec"), lit(seed)),
+        xxhash64(col("_vec"), lit(seed + 1)))
+      .limit(sampleCap)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      sample.count() // materialize once before the concurrent fits
+      val n = sample.count() // materialize once before the concurrent fits
+      require(n > 0,
+        "trainPq: the training corpus is empty — codebooks need at least one vector")
       // the m fits are INDEPENDENT seeded jobs — run them concurrently
       // from driver threads (Spark schedules jobs from separate threads
       // in parallel; results are the same seeded models regardless of

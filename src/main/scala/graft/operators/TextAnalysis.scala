@@ -339,23 +339,30 @@ object TextAnalysis {
   /** Corpus card: the per-(source, lang) datasheet every corpus release
     * ships (Gebru et al. 2021, "Datasheets for Datasets") — document and
     * token counts, quality-score mean and median, and the exact-dup
-    * rate, in ONE grouped pass. The dup flag is a window count over the
-    * content fingerprint (docs sharing a fingerprint are exact dups —
-    * each one counts, including the keeper, since the card reports
-    * duplication PRESENT, not removal savings). Scale shape: one
-    * (fp)-keyed window + one (source, lang) aggregation, both over
-    * skinny projections; quality/tokens are map-side; the card itself
-    * is groups-sized. */
+    * rate, in ONE grouped pass. The dup flag marks docs whose content
+    * fingerprint appears more than once anywhere in the corpus (docs
+    * sharing a fingerprint are exact dups — each one counts, including
+    * the keeper, since the card reports duplication PRESENT, not
+    * removal savings). Scale shape: fingerprint multiplicities are a
+    * map-side-combinable groupBy+count joined back on the fp key (the
+    * d19 pattern) — SKEW-IMMUNE where a window over _fp was not: a
+    * pathological corpus with one document duplicated millions of
+    * times partial-aggregates to one (fp, count) row instead of
+    * landing every copy in a single window partition, and the join
+    * back is AQE-skew-splittable; then one (source, lang) aggregation
+    * over skinny projections; quality/tokens are map-side; the card
+    * itself is groups-sized. */
   def corpusCard(df: DataFrame, idCol: String, textCol: String,
                  srcCol: String, langCol: String,
                  stopwords: Seq[String]): DataFrame = {
-    val w = Window.partitionBy("_fp")
-    df.select(col(idCol).as("id"), col(srcCol).as("source"),
-        col(langCol).as("lang"),
-        fingerprint(col(textCol)).as("_fp"),
-        tokenCount(col(textCol)).cast("long").as("_ntok"),
-        qualityScore(col(textCol), stopwords).as("_q"))
-      .withColumn("_dup", when(count(lit(1)).over(w) > 1, 1L).otherwise(0L))
+    val base = df.select(col(idCol).as("id"), col(srcCol).as("source"),
+      col(langCol).as("lang"),
+      fingerprint(col(textCol)).as("_fp"),
+      tokenCount(col(textCol)).cast("long").as("_ntok"),
+      qualityScore(col(textCol), stopwords).as("_q"))
+    val fpCounts = base.groupBy("_fp").agg(count(lit(1)).as("_fpc"))
+    base.join(fpCounts, Seq("_fp"))
+      .withColumn("_dup", when(col("_fpc") > 1, 1L).otherwise(0L))
       .groupBy("source", "lang")
       // q_sum in DECIMAL: a double avg/sum rounded at N dp can land
       // EXACTLY on a half-way point (NOTES gotcha 14 — this bit the
@@ -427,12 +434,27 @@ object TextAnalysis {
   def gopherRules(df: DataFrame, idCol: String, textCol: String,
                   requiredStopwords: Seq[String] =
                     Seq("the", "be", "to", "of", "and", "that", "have", "with"),
-                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame =
+    gopherRulesTokenized(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+        tokens(col(textCol)).as("toks")),
+      requiredStopwords, minWords, maxWords)
+
+  /** [[gopherRules]] over a PRE-TOKENIZED corpus — the tokenize-once
+    * contract for composite pipelines: `pre` must carry (doc_id, text,
+    * toks) where toks is the already-split token array (the same
+    * [[tokens]] projection a DSIR stage downstream also consumes), so
+    * a filter-then-select composite splits the corpus text exactly
+    * once. Semantics and output are identical to [[gopherRules]]. */
+  def gopherRulesTokenized(pre: DataFrame,
+                           requiredStopwords: Seq[String] =
+                             Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+                           minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
     val topNgrams = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
     val dupNgrams = Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12,
       9 -> 0.11, 10 -> 0.10)
-    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("_text"),
-      tokens(col(textCol)).as("_ws"))
+    val base = pre.select(col("doc_id"), col("text").as("_text"),
+      col("toks").as("_ws"))
     val ws = col("_ws")
     val text = col("_text")
     val nWords = size(ws).cast("double")
@@ -453,7 +475,7 @@ object TextAnalysis {
         .cast("long").as("stop_hits"))
     val covered = base.select(statCols :+
       graft.plans.GraftFunctions.wordGramCoverage(
-        df.sparkSession, ws, 2, 10).as("_cov"): _*)
+        pre.sparkSession, ws, 2, 10).as("_cov"): _*)
     val fracCols: Seq[Column] =
       topNgrams.map { case (n, _) =>
         round(col("_cov").getItem(n - 2).getField("maxp") / nChars, 6)

@@ -219,34 +219,59 @@ object Sampling {
     * target-like. */
   def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
                  textCol: String, n: Int, buckets: Int = 256): DataFrame = {
+    val rawTok = raw.select(col(idCol).as("id"),
+      split(trim(col(textCol)), "\\s+").as("toks"))
+    val targetTok = target.select(
+      split(trim(col(textCol)), "\\s+").as("toks"))
+    dsirSelectTokenized(rawTok, targetTok, n, buckets)
+  }
+
+  /** Hashed unigram+bigram buckets from a pre-split token column —
+    * grams = unigrams ++ bigrams, then 256-way md5 buckets, all
+    * map-side. The token array must already be a PROJECTED column
+    * (NOTES gotcha #4: a raw split expression inside the gram lambdas
+    * would re-tokenize per element); `keep` columns are aliased in the
+    * first select and referenced by NAME after. */
+  private def withBuckets(df: DataFrame, keep: Seq[(Column, String)],
+                          toksCol: Column): DataFrame = {
+    val tok = df.select(keep.map { case (c, a) => c.as(a) } :+ toksCol.as("_ws"): _*)
+    val names = keep.map { case (_, a) => col(a) }
+    val bigrams = when(size(col("_ws")) >= 2,
+      transform(sequence(lit(0), size(col("_ws")) - 2),
+        i => concat_ws(" ", slice(col("_ws"), i + 1, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    tok.select(names :+ concat(col("_ws"), bigrams).as("_grams"): _*)
+      .select(names :+ transform(col("_grams"), g => gramBucket(g)).as("_buckets"): _*)
+  }
+
+  /** R8 over a PRE-TOKENIZED corpus — the tokenize-once contract for
+    * composite pipelines: `rawTok` is (id, toks) and `targetTok` is
+    * (toks, …), both carrying an already-split token array (e.g. the
+    * shared projection [[graft.operators.TextAnalysis.tokens]] a
+    * Gopher stage upstream also consumed), so the composite splits
+    * the corpus text exactly once. [[dsirSelect]] is the from-raw-text
+    * convenience wrapper; semantics and output are identical. */
+  def dsirSelectTokenized(rawTok: DataFrame, targetTok: DataFrame,
+                          n: Int, buckets: Int = 256): DataFrame = {
     require(buckets == 256,
       "bucket count is fixed at 256 (two md5 hex digits) for engine portability")
-    // project the token array FIRST (NOTES gotcha #4), then grams =
-    // unigrams ++ bigrams, then buckets — all map-side; `keep` columns
-    // are aliased in the first select and referenced by NAME after
-    def withBuckets(df: DataFrame, keep: Seq[(Column, String)]): DataFrame = {
-      val ws = split(trim(col(textCol)), "\\s+")
-      val tok = df.select(keep.map { case (c, a) => c.as(a) } :+ ws.as("_ws"): _*)
-      val names = keep.map { case (_, a) => col(a) }
-      val bigrams = when(size(col("_ws")) >= 2,
-        transform(sequence(lit(0), size(col("_ws")) - 2),
-          i => concat_ws(" ", slice(col("_ws"), i + 1, lit(2)))))
-        .otherwise(array().cast("array<string>"))
-      tok.select(names :+ concat(col("_ws"), bigrams).as("_grams"): _*)
-        .select(names :+ transform(col("_grams"), g => gramBucket(g)).as("_buckets"): _*)
-    }
     def dist(bucketed: DataFrame): DataFrame =
       bucketed
         .select(explode(col("_buckets")).as("_b"))
         .groupBy("_b").agg(count(lit(1)).as("_c"))
         .agg(map_from_entries(collect_list(struct(col("_b"), col("_c"))))
           .as("_m"), sum("_c").as("_tot"))
-    // the raw side is tokenized + hashed ONCE: the persisted bucketed
-    // frame feeds both its own distribution aggregate and the scoring
-    // pass (unpersisted, the gram pipeline re-ran per consumer)
-    val rawB = withBuckets(raw, Seq(col(idCol) -> "id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ratioRow = dist(withBuckets(target, Nil)).toDF("_tm", "_ttot")
+    // the raw side is hashed ONCE: the bucketed frame feeds both its
+    // own distribution aggregate and the scoring pass. localCheckpoint,
+    // not persist — eager, both consumers read the materialized blocks,
+    // and the blocks are released by the ContextCleaner when the frame
+    // goes out of scope (a persist here had no unpersist point — the
+    // returned DataFrame still depends on the frame — so every call
+    // leaked a CacheManager entry for the session lifetime)
+    val rawB = withBuckets(rawTok, Seq(col("id") -> "id"), col("toks"))
+      .localCheckpoint()
+    val ratioRow = dist(withBuckets(targetTok, Nil, col("toks")))
+      .toDF("_tm", "_ttot")
       .crossJoin(dist(rawB).toDF("_rm", "_rtot"))
       .select(transform(sequence(lit(0), lit(buckets - 1)), b =>
         log((coalesce(element_at(col("_tm"), b), lit(0L)) + 1.0) /

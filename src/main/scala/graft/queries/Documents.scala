@@ -348,6 +348,26 @@ object Documents {
       .orderBy("doc_id")
   }
 
+  /** T23 — the decontamination rewrite through the AT-REST eval-gram
+    * store (the streaming ingest loop's read path): publish the eval
+    * slice's gram keys + Bloom sidecar once, rewrite the corpus
+    * against the STORE. Shares t15's oracle — store-equals-live is the
+    * contract (the d15/d20 pattern applied to the decontamination
+    * family): a sidecar false NEGATIVE (impossible by Bloom algebra), a
+    * dropped gram key, or a verify-join divergence all hash-fail. The
+    * streaming foreachBatch twin and the append/grow path stay
+    * spec-verified (EventStreamSpec / DedupSpec). */
+  def t23DecontamStore(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val dir = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/evalgram_store"
+    Dedup.writeEvalGramStore(docs.filter(col("doc_id") % 97 === 0),
+      "text", dir, n = 5)
+    Dedup.decontaminateRewriteFromStore(
+        docs.filter(col("doc_id") % 97 =!= 0), dir, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** D16 — quality-argmax keeper per near-dup cluster: d6's component
     * labeling with the keeper elected by composite quality score
     * (ties → smallest id) instead of min id — "keep the BEST copy",
@@ -542,14 +562,27 @@ object Documents {
     * distribution DSIR divides by). DuckDB recomputes the whole chain. */
   def llmSelectPipeline(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val kept = TextAnalysis.gopherRules(docs, "doc_id", "text",
+    // tokenize ONCE: the shared (doc_id, source, text, toks) projection
+    // feeds BOTH the Gopher rule stage and DSIR's gram pipeline through
+    // their *Tokenized entry points — at 100 TB tokenization is the
+    // dominant map cost of the composite and must be paid once, not per
+    // stage. localCheckpoint materializes the split eagerly; both
+    // stages read the blocks (auto-released by the ContextCleaner), and
+    // the downstream plan carries ZERO split() calls — the property
+    // DocumentsSpec pins by counting `split` in the optimized plan.
+    val tok = docs.select(col("doc_id"), col("source"), col("text"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+      .localCheckpoint()
+    val kept = TextAnalysis.gopherRulesTokenized(
+        tok.select("doc_id", "text", "toks"),
         requiredStopwords = Seq("the", "a"))
       .filter(col("keep") === 1).select("doc_id")
-    // id-keyed semi-join shape: the kept set is ids only, text joins
+    // id-keyed semi-join shape: the kept set is ids only, tokens join
     // back by key (AQE broadcasts the smaller side)
-    val clean = docs.join(kept, "doc_id")
-    graft.ops.Sampling.dsirSelect(clean,
-        clean.filter(col("source") === "src0"), "doc_id", "text", n = 50)
+    val clean = tok.join(kept, "doc_id")
+    graft.ops.Sampling.dsirSelectTokenized(
+        clean.select(col("doc_id").as("id"), col("toks")),
+        clean.filter(col("source") === "src0").select("toks"), n = 50)
       .orderBy("rank")
   }
 
@@ -576,7 +609,14 @@ object Documents {
         when(trim(regexp_replace(concat_ws("", col("_p")), "</w>", " ")) ===
           regexp_replace(trim(col("text")), "\\s+", " "), 1L).otherwise(0L)
           .as("detok_ok"),
-        when(size(col("_p")).between(size(col("_ws")),
+        // bounds against the NON-EMPTY word count: split(trim('')) is
+        // [""] (1 element) while BPE emits 0 pieces for an empty doc,
+        // so the raw size() would flip bounds_ok on a corpus that ever
+        // contains an empty/whitespace-only text — filtering empty
+        // tokens makes the invariant total (normal texts are unchanged:
+        // splitting a trimmed non-empty string yields no empty tokens)
+        when(size(col("_p")).between(
+          size(filter(col("_ws"), w => length(w) > 0)),
           length(regexp_replace(col("text"), "\\s+", ""))), 1L).otherwise(0L)
           .as("bounds_ok"))
       .orderBy("doc_id")
@@ -598,6 +638,24 @@ object Documents {
     * id-residue halves of one corpus, so the pinned PSI is near zero;
     * the oracle recomputes breaks, buckets, clamps, and the sum —
     * a wrong bucket rule or clamp shows up at the 6th decimal. */
+  /** M15 — the corpus-snapshot RELEASE GATE: m14's drift PSI and t22's
+    * corpus card composed into ONE accept/reject decision
+    * ([[graft.metrics.ReleaseGate.snapshotGate]] — the
+    * measure→decide→act closure the IVF rebuild policy set as
+    * precedent, applied to corpus publishing). Same doc_id % 3 split
+    * as m14, so the psi column is pinned to m14's exact value; the
+    * oracle recomputes both cards, the PSI chain, and the whole
+    * decision rule (hard: vanished group / share collapse / dup-rate
+    * jump / psi ≥ 0.25; watch-band escalation on soft card evidence)
+    * from scratch in one WITH. */
+  def m15ReleaseGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.metrics.ReleaseGate.snapshotGate(
+      docs.filter(col("doc_id") % 3 =!= 0),
+      docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", "source", "lang", stopwords)
+  }
+
   def m14TextDrift(s: SparkSession, d: String): DataFrame = {
     val scored = Tables.documents(s, d).select(col("doc_id"),
       TextAnalysis.qualityScore(col("text"), stopwords).as("q"))
@@ -1116,15 +1174,18 @@ object Documents {
 
   /** MM2 — modality-routed decode + batch feature extraction,
     * hard-gated by each route's algebraic invariants. Feature values
-    * are not SQL-expressible (rolling hash for the stub routes,
-    * Goertzel band energies for the REAL WAV decode audio rows take —
-    * Multimodal.Wav), but both routes pin flags the oracle CAN
-    * recompute: feat_dim = 16 always; audio band energies each lie in
-    * [0, 1] (normalized PCM → power/n² ≤ 1) and stub features satisfy
-    * 0 ≤ Σ ≤ n_bytes (each byte contributes [0, 1) to one slot). A
-    * broken decode — wrong dim, NaN features, unnormalized samples,
-    * dropped bytes — flips a flag → hash mismatch. Exact WAV
-    * round-trip and feature values stay pinned in MultimodalSpec. */
+    * are not SQL-expressible (Goertzel band energies / luminance
+    * histograms / temporal luminance means — all JVM float work), but
+    * every route pins flags the oracle CAN recompute: feat_dim = 16
+    * always; audio band energies each lie in [0, 1] (normalized PCM →
+    * power/n² ≤ 1); image histogram FRACTIONS each lie in [0, 1] and
+    * sum to 1; video temporal luminance means each lie in [0, 1] AND
+    * sum > 0 (every synthesized frame has at least one nonzero text
+    * byte — a video row that silently fell to the all-zero
+    * undecodable marker flips the flag). A broken decode — wrong dim,
+    * NaN features, unnormalized samples, dropped bytes — flips a flag
+    * → hash mismatch. Exact WAV/PPM/Y4M round-trips and feature
+    * values stay pinned in MultimodalSpec. */
   def mm2MediaFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val featSum = aggregate(col("features"),
@@ -1143,8 +1204,12 @@ object Documents {
             when(forall(col("features"), v => v >= 0.0f && v <= 1.0f) &&
               featSum.between(1.0 - 1e-5, 1.0 + 1e-5), 1).otherwise(0))
           .otherwise(
-            when(featSum >= 0.0 && featSum <= col("n_bytes"), 1)
-              .otherwise(0)).as("feat_ok"))
+            // real Y4M route: per-time-bin mean luminance — each in
+            // [0, 1], and strictly positive in total (text bytes are
+            // never all-NUL), so the undecodable zero vector cannot
+            // masquerade as a decoded video
+            when(forall(col("features"), v => v >= 0.0f && v <= 1.0f) &&
+              featSum > 0.0, 1).otherwise(0)).as("feat_ok"))
       .orderBy("media_id")
   }
 }

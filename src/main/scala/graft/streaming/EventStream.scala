@@ -374,6 +374,48 @@ object EventStream {
     }
   }
 
+  /** Streaming DECONTAMINATION ingest — the sixth ingest loop, and the
+    * one a real pretraining crawl runs FIRST: every micro-batch is
+    * flagged against the published eval-gram Bloom store
+    * ([[graft.operators.Dedup.writeEvalGramStore]] — the frozen
+    * benchmark suite as ~1.8 bytes/gram of sidecar bits plus exact
+    * parquet keys), every token span matching an eval n-gram is
+    * REWRITTEN OUT ([[graft.operators.Dedup.decontaminateRewriteFromStore]]
+    * — map-side Bloom probe, exact verify join for the suspect sliver,
+    * merged-interval removal), and the cleaned docs land
+    * manifest-committed under `keptDir`. `minKeptFrac` > 0 adds the
+    * DROP arm: docs left with fewer than that fraction of their tokens
+    * are eval material wearing a thin wrapper and are dropped whole
+    * rather than published as stubs.
+    *
+    * Replay posture is the simplest of the six loops — fully
+    * idempotent with NO guard needed: the eval store is READ-ONLY to
+    * this loop (decontamination state is the eval suite, which a crawl
+    * never grows), so a replayed batch recomputes exactly the same
+    * cleaned rows and `Sources.publishBatch` (batch-keyed data-dir
+    * overwrite + same manifest entry) re-delivers them exactly-once.
+    * Streamed ≡ batch is EventStreamSpec's pinned contract: a two-batch
+    * replayed run must equal `decontaminateRewrite` over the union. */
+  def streamingDecontamIngest(docs: DataFrame, evalStoreDir: String,
+                              keptDir: String, idCol: String,
+                              textCol: String,
+                              minKeptFrac: Double = 0.0)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.Dedup
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val cleaned = Dedup.decontaminateRewriteFromStore(
+            batch, evalStoreDir, idCol, textCol)
+          val kept =
+            if (minKeptFrac <= 0.0) cleaned
+            else cleaned.filter(
+              col("n_kept") >= col("n_toks") * minKeptFrac)
+          graft.sources.Sources.publishBatch(kept, keptDir, batchId + 1)
+        }
+    }
+  }
+
   /** Streaming ANN-index ingest: each micro-batch of embedding rows is
     * assigned to its nearest existing centroid and landed in the
     * at-rest IVF index (`Similarity.appendToIvfIndex`). The index never

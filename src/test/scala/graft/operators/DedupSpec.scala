@@ -810,6 +810,46 @@ class DedupSpec extends SparkSpec {
     assert(out(3) == ((7L, 7L, 7L, 1L, 1)), "singleton keeps itself")
   }
 
+  test("eval-gram store: store path ≡ live rewrite; append folds a new suite in") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "clean document with no leaked content at all"),
+      (12L, "alpha beta gamma delta epsilon zeta"),
+      (13L, "tiny doc")).toDF("doc_id", "text")
+    val suiteA = Seq((100L, "x quick brown fox jumps over y")).toDF("doc_id", "text")
+    val suiteB = Seq((101L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("evalgram").toString
+    Dedup.writeEvalGramStore(suiteA, "text", tmp, n = 5)
+    // store-equals-live over the suite the store was built from
+    val live = Dedup.decontaminateRewrite(corpus, suiteA, "doc_id", "text", n = 5)
+    val store = Dedup.decontaminateRewriteFromStore(corpus, tmp, "doc_id", "text")
+    assert(live.except(store).count() == 0 && store.except(live).count() == 0,
+      "store path must be bit-identical to the live rewrite")
+    // publish suite B: store now ≡ live over the UNION of suites
+    Dedup.appendToEvalGramStore(suiteB, "text", tmp)
+    val liveBoth = Dedup.decontaminateRewrite(
+      corpus, suiteA.union(suiteB), "doc_id", "text", n = 5)
+    val storeBoth = Dedup.decontaminateRewriteFromStore(corpus, tmp, "doc_id", "text")
+    assert(liveBoth.except(storeBoth).count() == 0 &&
+      storeBoth.except(liveBoth).count() == 0,
+      "grown store must equal the live rewrite over both suites")
+    // bloom ⊇ grams: every parquet gram key probes positive on the h1
+    // lane — the invariant that makes a false NEGATIVE (silent
+    // contamination) impossible
+    val bloom = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      graft.sources.Sources.readBinarySidecarFs(spark, s"$tmp/_bloom.bin"))
+    val h1s = spark.read.parquet(s"$tmp/grams").select("h1").as[Long].collect()
+    assert(h1s.nonEmpty && h1s.forall(bloom.mightContainLong),
+      "bloom sidecar must cover every stored gram key")
+    // replaying an append is harmless: duplicate gram ROWS land but the
+    // consumer is a left-semi join — output unchanged
+    Dedup.appendToEvalGramStore(suiteB, "text", tmp)
+    val replayed = Dedup.decontaminateRewriteFromStore(corpus, tmp, "doc_id", "text")
+    assert(liveBoth.except(replayed).count() == 0 &&
+      replayed.except(liveBoth).count() == 0,
+      "a replayed append must not change the rewrite")
+  }
+
   test("canonicalExactDedup collapses reformatting variants exactDedup keeps") {
     val docs = Seq(
       (1L, "Hello, World!"),

@@ -68,21 +68,21 @@ class MultimodalSpec extends SparkSpec {
     assert(bands(k) > 0.2f, s"aligned tone energy should be large: ${bands(k)}")
   }
 
-  test("decode seam routes audio through the real WAV decoder, others through the stub") {
+  test("decode seam routes by modality; misrouted payloads are the zero marker") {
     val wav = Wav.encode(Array.tabulate(200)(i => (i * 300).toShort), 16000)
     val audio = MediaRow(1L, wav, MediaMeta("audio", 0, 0, 16000, 12L))
+    // WAV bytes declared as an image are NOT a PPM container →
+    // undecodable → the explicit all-zero marker
     val image = MediaRow(2L, wav, MediaMeta("image", 64, 64, 0, 0L))
     val real = Multimodal.decodeFeatures(audio, 16)
-    val stub = Multimodal.decodeFeatures(image, 16)
+    val zero = Multimodal.decodeFeatures(image, 16)
     val expected = Wav.bandEnergies(Wav.decode(wav).get.samples, 16)
     assert(real.sameElements(expected), "audio must take the WAV route")
-    assert(stub.sameElements(Multimodal.stubDecode(wav, 16)),
-      "non-audio must keep the stub route")
-    assert(!real.sameElements(stub), "the two routes genuinely differ")
-    // audio bytes that are NOT a WAV container fall back to the stub
+    assert(zero.forall(_ == 0.0f),
+      "a misrouted payload must decode to the all-zero marker")
+    // audio bytes that are NOT a WAV container are likewise zeros
     val junk = MediaRow(3L, "junk".getBytes, MediaMeta("audio", 0, 0, 0, 0L))
-    assert(Multimodal.decodeFeatures(junk, 16)
-      .sameElements(Multimodal.stubDecode("junk".getBytes, 16)))
+    assert(Multimodal.decodeFeatures(junk, 16).forall(_ == 0.0f))
   }
 
   test("fromDocuments audio rows carry decodable WAV payloads sized 44 + 2·text bytes") {
@@ -140,10 +140,85 @@ class MultimodalSpec extends SparkSpec {
         "image must take the PPM route")
       assert(math.abs(feats.map(_.toDouble).sum - 1.0) < 1e-5)
     }
-    // image bytes that are NOT a PPM container fall back to the stub
+    // image bytes that are NOT a PPM container are the zero marker
     val junk = MediaRow(4L, "junk".getBytes, MediaMeta("image", 1, 1, 0, 0L))
-    assert(Multimodal.decodeFeatures(junk, 16)
-      .sameElements(Multimodal.stubDecode("junk".getBytes, 16)))
+    assert(Multimodal.decodeFeatures(junk, 16).forall(_ == 0.0f))
+  }
+
+  test("Y4m: encode→decode round-trips frames exactly; chroma variants walk") {
+    val frames = Array.tabulate(4)(f =>
+      Array.tabulate(12)(i => ((i * 17 + f * 31) % 256).toByte))
+    val bytes = Y4m.encode(12, 1, 25, frames)
+    val vid = Y4m.decode(bytes).getOrElse(fail("decode returned None"))
+    assert(vid.width == 12 && vid.height == 1 && vid.fps == 25)
+    assert(vid.frames.length == 4)
+    vid.frames.zip(frames).foreach { case (a, b) => assert(a.sameElements(b)) }
+    // a C444 stream: Y plane kept, full chroma stride walked
+    val y = Array.tabulate(4)(i => (i * 9).toByte)
+    val c444 = "YUV4MPEG2 W2 H2 F30:1 C444\n".getBytes("US-ASCII") ++
+      "FRAME\n".getBytes ++ y ++ new Array[Byte](8) ++
+      "FRAME\n".getBytes ++ y.map(b => (b + 1).toByte) ++ new Array[Byte](8)
+    val v2 = Y4m.decode(c444).getOrElse(fail("C444 must parse"))
+    assert(v2.frames.length == 2 && v2.frames(0).sameElements(y))
+    // default colorspace (no C tag) is 420: frame = w·h·3/2 bytes
+    val c420 = "YUV4MPEG2 W2 H2 F25:1\n".getBytes("US-ASCII") ++
+      "FRAME\n".getBytes ++ y ++ new Array[Byte](2)
+    val v3 = Y4m.decode(c420).getOrElse(fail("default C420 must parse"))
+    assert(v3.frames.length == 1 && v3.frames(0).sameElements(y))
+  }
+
+  test("Y4m: malformed payloads decode to None, never throw") {
+    assert(Y4m.decode(Array[Byte]()).isEmpty)
+    assert(Y4m.decode("not a video".getBytes).isEmpty)
+    assert(Y4m.decode("YUV4MPEG2 W0 H1 F25:1 Cmono\n".getBytes).isEmpty)
+    // truncated last frame
+    val ok = Y4m.encode(8, 1, 25, Array.fill(2)(new Array[Byte](8)))
+    assert(Y4m.decode(ok.dropRight(3)).isEmpty)
+    // garbage between frames
+    val bad = Y4m.encode(4, 1, 25, Array(new Array[Byte](4))) ++
+      "JUNK\n....".getBytes
+    assert(Y4m.decode(bad).isEmpty)
+  }
+
+  test("Y4m.temporalLuminance: exact per-bin means, bounded in [0,1]") {
+    // 4 frames of constant luma 0 / 51 / 102 / 255 into 4 bins
+    val vid = Y4m.Video(2, 1, 25,
+      Array(0, 51, 102, 255).map(v => Array.fill(2)(v.toByte)))
+    val f = Y4m.temporalLuminance(vid, 4)
+    assert(f.length == 4)
+    assert(f(0) == 0.0f)
+    assert(math.abs(f(1) - 51f / 255f) < 1e-6)
+    assert(math.abs(f(2) - 102f / 255f) < 1e-6)
+    assert(f(3) == 1.0f)
+    // more bins than frames: empty bins stay 0; all bounded
+    val g = Y4m.temporalLuminance(vid, 16)
+    assert(g.count(_ > 0.0f) == 3 && g.forall(v => v >= 0.0f && v <= 1.0f))
+    assert(Y4m.temporalLuminance(Y4m.Video(1, 1, 25, Array.empty), 8)
+      .forall(_ == 0.0f))
+  }
+
+  test("video rows route through the real Y4M decoder with rotated frames") {
+    val vids = media.filter(_.meta.modality == "video").collect()
+    assert(vids.nonEmpty)
+    vids.foreach { r =>
+      val vid = Y4m.decode(r.bytes).getOrElse(fail(s"row ${r.media_id} not Y4M"))
+      assert(vid.frames.length == 4 && vid.height == 1)
+      assert(vid.width == r.meta.width)
+      // frame f is the text bytes rotated by f — frames genuinely vary
+      val base = vid.frames(0)
+      (1 until 4).foreach { f =>
+        base.indices.foreach { i =>
+          assert(vid.frames(f)(i) == base((i + f) % base.length),
+            s"frame $f must be the base rotated by $f")
+        }
+      }
+      val feats = Multimodal.decodeFeatures(r, 16)
+      assert(feats.sameElements(Y4m.temporalLuminance(vid, 16)),
+        "video must take the Y4M route")
+      assert(feats.forall(v => v >= 0.0f && v <= 1.0f))
+      assert(feats.map(_.toDouble).sum > 0.0,
+        "text bytes are never all-NUL, so decoded luma must be positive")
+    }
   }
 
   test("resizeMeta rewrites metadata only") {

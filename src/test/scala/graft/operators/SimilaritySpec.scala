@@ -197,4 +197,27 @@ class SimilaritySpec extends SparkSpec {
         bfSim.get((a, b)).foreach(exp => assert(math.abs(exp - s) < 1e-9))
       }
   }
+
+  test("trainPq sample is a seeded hash draw: row-order independent, deterministic") {
+    val e = Tables.embeddings(spark, sf)
+    // sampleCap below the corpus size so the draw actually selects —
+    // a bare limit() here would change codebooks under reordering
+    val cap = (e.count() / 2).toInt.max(8)
+    def cents(c: org.apache.spark.sql.DataFrame): Seq[Seq[Seq[Float]]] =
+      Similarity.trainPq(c, dim = 64, m = 4, k = 4, sampleCap = cap)
+        .centroids.toSeq.map(_.toSeq.map(_.toSeq))
+    val a = cents(e)
+    assert(a == cents(e), "same corpus must train identical codebooks")
+    // reverse the scan order: a hash-rank draw picks the same VALUE
+    // set, so the codebooks are identical; limit() would not survive
+    assert(a == cents(e.orderBy(desc("vec_id"))),
+      "codebooks must not depend on row order (head-of-scan bias)")
+    assert(a == cents(e.repartition(7)),
+      "codebooks must not depend on partitioning")
+    // degenerate input fails loudly, not with NoSuchElementException
+    val err = intercept[IllegalArgumentException] {
+      Similarity.trainPq(e.filter(lit(false)), dim = 64, m = 4, k = 4)
+    }
+    assert(err.getMessage.contains("empty"))
+  }
 }

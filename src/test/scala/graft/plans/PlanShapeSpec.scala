@@ -24,6 +24,20 @@ class PlanShapeSpec extends SparkSpec {
       s"expected l_shipdate in PushedFilters:\n$plan")
   }
 
+  test("llmSelectPipeline tokenizes the corpus exactly once (tokenize-once contract)") {
+    // the composite splits the text into the shared (id, toks)
+    // projection ONCE (an eager localCheckpoint); both the Gopher stage
+    // and DSIR's gram pipeline consume the materialized token arrays,
+    // so the downstream optimized plan must carry ZERO split() calls —
+    // re-tokenizing per stage is the dominant map cost at 100 TB
+    val out = graft.queries.Documents.llmSelectPipeline(spark, sf)
+    val optimized = out.queryExecution.optimizedPlan.toString
+    val splits = "split\\(".r.findAllIn(optimized).length
+    assert(splits == 0,
+      s"expected no split() downstream of the shared projection, found $splits:\n$optimized")
+    assert(out.count() > 0, "the composite still selects documents")
+  }
+
   test("runtime bloom filter guards a selective fact-to-fact join") {
     // a selective filter on one join side → Spark injects a bloom filter
     // on the other side's key so most rows die before the shuffle. The

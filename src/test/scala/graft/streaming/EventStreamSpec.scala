@@ -471,6 +471,70 @@ class EventStreamSpec extends SparkSpec {
     assert(kept(3)._2 == 8L, "siteB df=1 stays content")
   }
 
+  test("streamingDecontamIngest: streamed ≡ batch rewrite, replay is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("decontamstream").toString
+    val (storeDir, keptDir) = (s"$tmp/store", s"$tmp/kept")
+    // the frozen benchmark suite, published once
+    val evalSet = Seq(
+      (100L, "x quick brown fox jumps over y"),
+      (101L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    graft.operators.Dedup.writeEvalGramStore(evalSet, "text", storeDir, n = 5)
+    val b1 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "clean document with no leaked content at all"))
+    val b2 = Seq(
+      (12L, "alpha beta gamma delta epsilon zeta"),
+      (13L, "tiny doc"))
+    def runOnce(ckpt: String): Unit = {
+      val mem = MemoryStream[(Long, String)]
+      val q = streamingDecontamIngest(
+          mem.toDF().toDF("doc_id", "text"), storeDir, keptDir,
+          "doc_id", "text")
+        .option("checkpointLocation", ckpt).start()
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      q.stop()
+    }
+    runOnce(s"$tmp/ckpt1")
+    // streamed ≡ the direct batch rewrite over the union — the pinned
+    // store-equals-live contract, through the streaming loop
+    val direct = graft.operators.Dedup.decontaminateRewrite(
+      (b1 ++ b2).toDF("doc_id", "text"), evalSet, "doc_id", "text", n = 5)
+    val streamed = graft.sources.Sources.readPublished(spark, keptDir)
+      .select("doc_id", "n_toks", "n_kept", "clean_text")
+    assert(direct.except(streamed).count() == 0 &&
+      streamed.except(direct).count() == 0,
+      "two-batch streamed output must equal the batch rewrite")
+    // full replay (fresh checkpoint, same dirs): the eval store is
+    // read-only to this loop, so the recomputation is identical and the
+    // batch-keyed publish re-delivers exactly-once — nothing doubles
+    runOnce(s"$tmp/ckpt2")
+    val replayed = graft.sources.Sources.readPublished(spark, keptDir)
+      .select("doc_id", "n_toks", "n_kept", "clean_text")
+    assert(direct.except(replayed).count() == 0 &&
+      replayed.except(direct).count() == 0,
+      "replay must be idempotent — same rows, no duplicates")
+    // the drop arm: doc 12 is wholly eval material (n_kept = 0) and
+    // doc 10 keeps 4/9 < 0.5 — both dropped whole instead of published
+    // as stubs
+    val keptDir2 = s"$tmp/kept2"
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = streamingDecontamIngest(
+        mem2.toDF().toDF("doc_id", "text"), storeDir, keptDir2,
+        "doc_id", "text", minKeptFrac = 0.5)
+      .option("checkpointLocation", s"$tmp/ckpt3").start()
+    mem2.addData((b1 ++ b2): _*)
+    q2.processAllAvailable()
+    q2.stop()
+    val thin = graft.sources.Sources.readPublished(spark, keptDir2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(thin == Set(11L, 13L),
+      s"minKeptFrac must drop eval-wrapper docs whole, got $thin")
+  }
+
   test("streamingIvfIngest grows the at-rest index batch by batch") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("ivfstream").toString
