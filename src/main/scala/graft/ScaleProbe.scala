@@ -175,7 +175,48 @@ object ScaleProbe {
       // scoring pass + distributed TakeOrdered — the curve must track
       // corpus size with no bend from the top-n
       "r8_dsir" -> (d => graft.ops.Sampling.dsirSelect(
-        d, d.filter(col("source") === "src0"), "doc_id", "text", n = 100)))
+        d, d.filter(col("source") === "src0"), "doc_id", "text", n = 100)),
+      // BPE train + encode: training is ONE capped word-count aggregate
+      // (Heaps bounds the dictionary) + a driver merge loop over ≤50 k
+      // entries — corpus-size-independent past the count; encode is the
+      // native kernel whose per-distinct-word memo makes Zipf pay per
+      // TYPE. The curve must track token count linearly with no bend
+      // from vocabulary growth. Same anti-fold aggregate as d13.
+      "t21_bpe_train_encode" -> { d =>
+        val merges = TextAnalysis.trainBpe(d, "text", numMerges = 200)
+        d.select(graft.plans.GraftFunctions.bpeEncode(
+            d.sparkSession, col("text"), merges).as("_p"))
+          .agg(sum(size(col("_p"))).as("pieces"))
+          .filter(col("pieces") >= 0)
+      },
+      // corpus card AFTER the skew-immune dup count (groupBy+join-back
+      // replacing the _fp window): one map pass + a map-side-combinable
+      // fp count + the groups-sized card aggregate. The aggregate over
+      // card columns defeats group-key-only pruning (a bare count()
+      // would let Catalyst skip the quality/token math).
+      "t22_corpus_card" -> (d => TextAnalysis.corpusCard(d, "doc_id",
+        "text", "source", "lang",
+        Seq("the", "a", "of", "and", "is", "to", "in"))
+        .agg(sum(col("n_docs")).as("docs"), sum(col("dup_docs")).as("dups"))
+        .filter(col("docs") >= 0)),
+      // the PATHOLOGICAL card: one text duplicated 100 000× on top of
+      // the corpus. Under the old _fp window every copy landed in ONE
+      // window partition (single-task straggler growing with the dup
+      // block); the count+join-back partial-aggregates the block to one
+      // (fp, count) row, so this row must sit a near-constant premium
+      // over t22_corpus_card with no straggler bend.
+      "t22_card_pathological" -> { d =>
+        val path = d.sparkSession.range(100000).select(
+          (col("id") + 900000000L).as("doc_id"),
+          lit("the same boilerplate page fetched over and over again").as("text"),
+          lit("xx").as("lang"), lit("src_path").as("source"),
+          lit(52L).as("n_chars"))
+        TextAnalysis.corpusCard(d.unionByName(path), "doc_id",
+          "text", "source", "lang",
+          Seq("the", "a", "of", "and", "is", "to", "in"))
+          .agg(sum(col("n_docs")).as("docs"), sum(col("dup_docs")).as("dups"))
+          .filter(col("docs") >= 0)
+      })
 
     // SPARK_GRAFT_PROBE_OPS: comma-separated op-name filter, so a
     // targeted re-probe needn't pay the whole battery (the capped exact
@@ -222,6 +263,66 @@ object ScaleProbe {
         corpus.persist().count()
         ev.unpersist()
         println(f"""{"evalFactor":$k,"evalDocs":$evDocs,"pairs":$rE,"exact_sec":$tE%.2f,"bloom_sec":$tB%.2f}""")
+      }
+      spark.stop()
+      return
+    }
+
+    // SPARK_GRAFT_PROBE_MODE=pq: the ANN/PQ family over the embeddings
+    // table replicated N× (ids offset into disjoint ranges, every
+    // replica's vectors shifted by a small per-replica epsilon so
+    // replicas are distinct points — the dedup regime's text salt,
+    // for vectors). Times the three gate shapes end to end:
+    // train+encode+ADC+re-rank (ann8), store write+append+search from
+    // disk (ann9), IVF-PQ residual search (ann10). Codebook/coarse
+    // fits are sampleCap-bounded (and, round 12, hash-drawn), so the
+    // fit cost must stay FLAT while encode/scan track corpus size.
+    if (sys.env.get("SPARK_GRAFT_PROBE_MODE").contains("pq")) {
+      import graft.operators.Similarity
+      val eBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      def replicatedE(n: Int): DataFrame =
+        if (n == 1) eBase
+        else (0 until n).map { r =>
+          eBase.select((col("vec_id") + lit(r.toLong * 10000000L)).as("vec_id"),
+            transform(col("embedding"),
+              x => x + lit(r * 1e-3f)).as("embedding"),
+            col("label"))
+        }.reduce(_ unionByName _)
+      factors.foreach { n =>
+        val corpus = replicatedE(n).repartition(cpus.toInt).persist()
+        val vecs = corpus.count()
+        val q = eBase.filter(col("vec_id") < 5)
+        def timed(name: String)(f: => Long): String = {
+          val t0 = System.nanoTime()
+          val rows = f
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          corpus.persist().count()
+          f""""$name":[$dt%.2f,$rows]"""
+        }
+        val tmp = java.nio.file.Files
+          .createTempDirectory(s"pqprobe$n").toString
+        val rows = Seq(
+          timed("ann8_encode_adc") {
+            val cb = Similarity.trainPq(corpus, dim = 64, m = 8, k = 16,
+              sampleCap = 20000)
+            Similarity.pqTopKReranked(Similarity.pqEncode(corpus, cb),
+              cb, q, corpus, 5, depth = 50).count()
+          },
+          timed("ann9_store_write_append_search") {
+            Similarity.writePqIndex(
+              corpus.filter(col("vec_id") % 5 =!= 0), s"$tmp/pq",
+              dim = 64, m = 8, k = 16, sampleCap = 20000)
+            Similarity.appendToPqIndex(
+              corpus.filter(col("vec_id") % 5 === 0), s"$tmp/pq", 1L)
+            Similarity.pqTopKFromIndex(s"$tmp/pq", q, corpus, 5,
+              depth = 50).count()
+          },
+          timed("ann10_ivf_pq") {
+            Similarity.ivfPqTopK(corpus, q, 5).count()
+          })
+        corpus.unpersist()
+        println(s"""{"n":$n,"vecs":$vecs,"queries":${rows.mkString("{", ",", "}")}}""")
       }
       spark.stop()
       return
