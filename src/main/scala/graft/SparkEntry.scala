@@ -165,6 +165,10 @@ object SparkEntry {
     "m14_text_drift" -> (Documents.m14TextDrift _),
     "t23_decontam_store" -> (Documents.t23DecontamStore _),
     "m15_release_gate" -> (Documents.m15ReleaseGate _),
+    "t24_bigram_lm" -> (Documents.t24BigramLm _),
+    "t25_ccnet_buckets" -> (Documents.t25CcnetBuckets _),
+    "r9_leakage_split" -> (Documents.r9LeakageSplit _),
+    "mm3_frame_sample" -> (Documents.mm3FrameSample _),
   )
 
   /** T20's oracle: every Gopher rule statistic recomputed on RAW gram
@@ -187,6 +191,34 @@ object SparkEntry {
     gopherTopNs.map { case (n, thr) => s"top${n}_frac <= $thr" } ++
     gopherDupNs.map { case (n, thr) => s"dup${n}_frac <= $thr" })
     .mkString(" AND ")
+
+  /** T24's oracle chain through `scored` (one row per ≥2-token doc
+    * with its bigram count and interpolated LM score) — shared by the
+    * t24 gate and t25's bucket census. Caps tie-break on md5 hex (the
+    * engine's collation-proof rule); the interpolation writes
+    * `(1 - 0.7)` as a subtraction so both engines evaluate the
+    * identical double. */
+  private val bigramLmCtes: String =
+    """WITH tok AS (SELECT doc_id AS id,
+      |  regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      |uniall AS (SELECT w, count(*) AS uc
+      |  FROM (SELECT unnest(ws) AS w FROM tok) GROUP BY w),
+      |dn AS (SELECT CAST(sum(uc) AS BIGINT) + count(*) AS denom FROM uniall),
+      |uni AS (SELECT w, uc FROM uniall ORDER BY uc DESC, md5(w) LIMIT 100000),
+      |db AS (SELECT id, unnest(list_transform(range(1, len(ws)),
+      |    i -> {'p': ws[i], 'c': ws[i + 1]})) AS bg
+      |  FROM tok WHERE len(ws) >= 2),
+      |db2 AS (SELECT id, bg.p AS p, bg.c AS c FROM db),
+      |bc AS (SELECT p, c, count(*) AS bc FROM db2 GROUP BY p, c
+      |  ORDER BY bc DESC, md5(p || ' ' || c) LIMIT 200000),
+      |scored AS (SELECT db2.id, count(*) AS n_bigrams,
+      |  round(avg(ln(0.7 * (CASE WHEN coalesce(pu.uc, 0) > 0
+      |      THEN coalesce(bc.bc, 0) * 1.0 / pu.uc ELSE 0 END)
+      |    + (1 - 0.7) * (coalesce(cu.uc, 0) + 1) * 1.0 / denom)), 6) AS avg_logp
+      |  FROM db2 LEFT JOIN bc ON db2.p = bc.p AND db2.c = bc.c
+      |  LEFT JOIN uni pu ON db2.p = pu.w
+      |  LEFT JOIN uni cu ON db2.c = cu.w, dn
+      |  GROUP BY db2.id)""".stripMargin
 
   /** The gopher-rule CTE chain through `f` (one row per doc with every
     * rule value), over relation `rel` — reused by t20's oracle and the
@@ -1263,6 +1295,61 @@ object SparkEntry {
         |c AS (SELECT CASE WHEN e = 0 THEN 0.0001 ELSE e END AS e,
         |             CASE WHEN a = 0 THEN 0.0001 ELSE a END AS a FROM j)
         |SELECT round(sum((a - e) * ln(a / e)), 6) AS psi FROM c""".stripMargin,
+    // T24: the CCNet-style interpolated bigram LM — counts, the
+    // md5-tiebroken caps, and the per-position interpolation
+    // recomputed from scratch. `(1 - 0.7)` is written as the
+    // SUBTRACTION, not 0.3: the engine evaluates the double
+    // 1 - 0.7 = 0.30000000000000004, and the oracle must evaluate the
+    // identical bits or every 6-dp score is one ULP of drift away
+    // from a hash miss.
+    "t24_bigram_lm" -> (bigramLmCtes +
+      """
+        |SELECT t.id, CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  sc.avg_logp
+        |FROM tok t LEFT JOIN scored sc ON t.id = sc.id
+        |ORDER BY t.id""".stripMargin),
+    // T25: head/middle/tail per language over the t24 score; thirds by
+    // exact integer arithmetic so the boundary cannot drift
+    "t25_ccnet_buckets" -> (bigramLmCtes +
+      """,
+        |bk AS (SELECT sc.id, d.lang, sc.avg_logp,
+        |  row_number() OVER (PARTITION BY d.lang
+        |    ORDER BY sc.avg_logp DESC, sc.id) AS rk,
+        |  count(*) OVER (PARTITION BY d.lang) AS n
+        |  FROM scored sc JOIN documents d ON sc.id = d.doc_id)
+        |SELECT lang,
+        |  CASE WHEN (rk - 1) * 3 < n - 1 THEN 'head'
+        |    WHEN (rk - 1) * 3 < (n - 1) * 2 THEN 'middle'
+        |    ELSE 'tail' END AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(sum(avg_logp), 4) AS logp_sum
+        |FROM bk GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin),
+    // R9: the fingerprint-keyed md5-threshold split — 25% test =
+    // threshold '4000…' (the r2 convention); distinct-fingerprint
+    // counts pin the group-keyed-ness
+    "r9_leakage_split" ->
+      """WITH b AS (SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |s AS (SELECT doc_id, fp,
+        |  CASE WHEN md5(fp || 'split')
+        |    < '40000000000000000000000000000000' THEN 'test'
+        |    ELSE 'train' END AS split FROM b)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT fp) AS BIGINT) AS n_groups
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
+    // MM3: every video row is a 4-frame 25-fps Y4M (160 ms), sampled
+    // at one frame per 80 ms → offsets {0, 80}, frame_idx {0, 1}; the
+    // decoded frame count is pinned 4 — a truncated frame walk or a
+    // row falling to the undecodable marker breaks the value
+    "mm3_frame_sample" ->
+      """WITH v AS (SELECT doc_id AS media_id FROM documents
+        |  WHERE doc_id % 3 = 2),
+        |off AS (SELECT unnest([0, 80]) AS offset_ms)
+        |SELECT media_id, CAST(offset_ms AS BIGINT) AS offset_ms,
+        |  CAST(offset_ms // 80 AS BIGINT) AS frame_idx,
+        |  4 AS n_frames_decoded
+        |FROM v, off ORDER BY media_id, frame_idx""".stripMargin,
     // M15: the release gate — t22's card per snapshot side + m14's PSI
     // chain + the FULL decision rule (hard: vanished group / share
     // collapse past 50% / dup-rate jump past 0.10 / psi ≥ 0.25; soft

@@ -500,4 +500,102 @@ object TextAnalysis {
     withFracs.withColumn("keep",
       when(keep.reduce(_ && _), 1).otherwise(0).cast("long"))
   }
+
+  /** CCNet-style INTERPOLATED BIGRAM language-model score (Wenzek et
+    * al. 2019, arXiv:1911.00359 — CCNet filters CommonCrawl by LM
+    * perplexity; reference counterpart: the quality-scored row
+    * filtering family). Per document, the mean over bigram positions
+    * (w_{i-1}, w_i) of
+    *   ln( λ · bc(p,c)/uc(p)  +  (1−λ) · (uc(c)+1)/(T+V) )
+    * — an MLE bigram term interpolated with [[unigramLogProb]]'s
+    * add-one unigram (the t9 convention), so the score is finite for
+    * every position including unseen bigrams/words.
+    *
+    * Scale shape: counting is two map-side-combinable aggregates over
+    * exploded grams (never text); the MODEL is capped — top
+    * `maxBigrams` bigrams and top `maxVocab` unigrams by (count desc,
+    * md5 asc) — so the tables the scoring pass joins against are
+    * broadcast-sized no matter the corpus (pruned-KenLM's role; T and
+    * V stay FULL-vocabulary via a 1-row aggregate). Ties break on the
+    * md5 hex of the gram, NOT the raw string — md5 hex is ASCII, so
+    * the cap is collation-proof across engines (Java UTF-16 vs DuckDB
+    * UTF-8 byte order diverge on non-ASCII tokens). A bigram or
+    * unigram outside the capped model scores as unseen — identical
+    * rule both sides. The doc-side gram frame is localCheckpoint'd:
+    * it feeds the bigram count AND the scoring pass, so the corpus is
+    * split exactly once (the tokenize-once contract).
+    *
+    * Output: (id, n_bigrams, avg_logp), one row per input doc;
+    * docs with < 2 tokens carry n_bigrams = 0 and a NULL score. */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
+                    lambda: Double = 0.7, maxBigrams: Int = 200000,
+                    maxVocab: Int = 100000): DataFrame = {
+    val tok = df.select(col(idCol).as("id"), tokens(col(textCol)).as("_ws"))
+    val uniAll = tok.select(explode(col("_ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("uc"))
+    // add-one denominator over the FULL vocabulary (1-row broadcast,
+    // the unigramLogProb idiom) — capping must not move the floor
+    val denom = broadcast(uniAll.agg(
+      (sum("uc") + count(lit(1))).cast("double").as("_denom")))
+    val uni = uniAll.orderBy(desc("uc"), md5(col("w")).asc)
+      .limit(maxVocab)
+    val bigs = when(size(col("_ws")) >= 2,
+      transform(sequence(lit(0), size(col("_ws")) - 2),
+        i => struct(element_at(col("_ws"), i + 1).as("p"),
+          element_at(col("_ws"), i + 2).as("c"))))
+      .otherwise(array().cast("array<struct<p:string,c:string>>"))
+    // one doc-side gram materialization feeds both the count and the
+    // scoring pass (eager; blocks released by the ContextCleaner)
+    val docBig = tok.select(col("id"), explode(bigs).as("_bg"))
+      .select(col("id"), col("_bg.p").as("p"), col("_bg.c").as("c"))
+      .localCheckpoint()
+    val bc = docBig.groupBy("p", "c").agg(count(lit(1)).as("bc"))
+      .orderBy(desc("bc"), md5(concat_ws(" ", col("p"), col("c"))).asc)
+      .limit(maxBigrams)
+    val pUni = (coalesce(col("_cuc"), lit(0L)) + 1).cast("double") / col("_denom")
+    val pBig = when(coalesce(col("_puc"), lit(0L)) > 0,
+      coalesce(col("bc"), lit(0L)).cast("double") / col("_puc"))
+      .otherwise(lit(0.0))
+    val scored = docBig
+      .join(broadcast(bc), Seq("p", "c"), "left")
+      .join(broadcast(uni.select(col("w").as("p"), col("uc").as("_puc"))),
+        Seq("p"), "left")
+      .join(broadcast(uni.select(col("w").as("c"), col("uc").as("_cuc"))),
+        Seq("c"), "left")
+      .crossJoin(denom)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(pBig * lambda + pUni * (1 - lambda))), 6)
+          .as("avg_logp"))
+    // docs with < 2 tokens have no bigram rows — restore them with a
+    // 0/NULL row so the output is one row per input doc
+    tok.select(col("id")).join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_logp"))
+  }
+
+  /** CCNet's HEAD/MIDDLE/TAIL partition over the bigram-LM score: per
+    * language, documents ranked by score (best first, id tie-break)
+    * split into thirds by EXACT INTEGER arithmetic —
+    * (rk−1)·3 < (n−1) → head, < 2(n−1) → middle, else tail — so the
+    * boundary is bit-identical in any engine (a percent_rank float
+    * compare is not). Docs with no bigrams (< 2 tokens) are excluded:
+    * they have no LM evidence to rank on. Scale: the window runs over
+    * SKINNY (id, lang, score) rows — text never enters; per-language
+    * partitions are the natural CCNet shard unit. */
+  def ccnetBuckets(scored: DataFrame, langCol: String, scoreCol: String,
+                   idCol: String): DataFrame = {
+    val w = Window.partitionBy(langCol)
+      .orderBy(desc(scoreCol), col(idCol))
+    val n = Window.partitionBy(langCol)
+    scored.filter(col(scoreCol).isNotNull)
+      .select(col(idCol), col(langCol).as("lang"), col(scoreCol),
+        row_number().over(w).as("_rk"),
+        count(lit(1)).over(n).as("_n"))
+      .withColumn("bucket",
+        when((col("_rk") - 1) * 3 < col("_n") - 1, "head")
+          .when((col("_rk") - 1) * 3 < (col("_n") - 1) * 2, "middle")
+          .otherwise("tail"))
+  }
 }

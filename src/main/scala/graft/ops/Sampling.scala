@@ -71,6 +71,25 @@ object Sampling {
     (df.filter(!t), df.filter(t))
   }
 
+  /** LEAKAGE-FREE train/test split: the hash-split rule keyed on the
+    * document's canonical content FINGERPRINT instead of its id, so
+    * every exact-duplicate group lands WHOLE on one side — an id-keyed
+    * split scatters copies of the same text across train and test,
+    * and the model is then evaluated on its own training data (the
+    * contamination Lee et al. 2021, arXiv:2107.06499 measure;
+    * fuzzy-dup leakage is the decontamination family's job — this op
+    * closes the exact-dup channel at split time). Same
+    * [[portableTestMember]] md5-threshold rule as [[hashSplit]], so
+    * the member set is recomputable by any SQL engine. Pure map-side:
+    * the fingerprint and the hash are per-row expressions; no
+    * shuffle, no state. Output: the input plus a `split` column. */
+  def leakageFreeSplit(df: DataFrame, textCol: String, testPct: Int,
+                       salt: String = "split"): DataFrame =
+    df.withColumn("split",
+      when(portableTestMember(
+        graft.operators.TextAnalysis.fingerprint(col(textCol)),
+        testPct, salt), "test").otherwise("train"))
+
   /** Per-group quota sample: keep `quota` rows per group, selected by a
     * deterministic pseudo-random rank — md5 of the key's string form, so
     * the selection is reproducible across runs, partitionings, AND

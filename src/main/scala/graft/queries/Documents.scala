@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis, Y4m}
 
 /** Training-data-pipeline operators over the documents/embeddings tables:
   * dedup family, text analysis, similarity search.
@@ -774,6 +774,45 @@ object Documents {
     TextAnalysis.unigramLogProb(Tables.documents(s, d), "doc_id", "text")
       .orderBy("id")
 
+  /** T24 — the CCNet-style interpolated bigram LM score: per-doc mean
+    * ln(λ·P_bigram + (1−λ)·P_add-one-unigram), model capped by
+    * (count desc, md5 asc) so the cap is collation-proof. The oracle
+    * recomputes the counts, the caps, the interpolation — with the
+    * SQL written `(1 - 0.7)`, not `0.3`, so both engines evaluate the
+    * IDENTICAL double — and the per-doc average. */
+  def t24BigramLm(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bigramLogProb(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("id")
+
+  /** T25 — CCNet's head/middle/tail partition per language over the
+    * t24 score, with EXACT-INTEGER third boundaries ((rk−1)·3 vs n−1)
+    * so the bucket edge cannot drift between engines, censused per
+    * (lang, bucket). */
+  def t25CcnetBuckets(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val scored = TextAnalysis.bigramLogProb(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id").as("id"), col("lang")), "id")
+    TextAnalysis.ccnetBuckets(scored, "lang", "avg_logp", "id")
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum("avg_logp"), 4).as("logp_sum"))
+      .orderBy("lang", "bucket")
+  }
+
+  /** R9 — leakage-free split census: the md5-threshold split keyed on
+    * the canonical content fingerprint, so exact-dup groups land whole
+    * on one side (Lee et al. 2021's train/test contamination channel
+    * closed at split time). The census pins both the member RULE
+    * (doc counts per side) and the GROUP-keyed-ness (distinct
+    * fingerprints per side); whole-group integrity itself is
+    * spec-pinned (OpsSpec — zero straddling groups). */
+  def r9LeakageSplit(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.leakageFreeSplit(Tables.documents(s, d), "text", 25)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(TextAnalysis.fingerprint(col("text"))).as("n_groups"))
+      .orderBy("split")
+
   /** R4 — per-language quota sample: cap each language at 30 docs chosen
     * by the cross-engine-reproducible md5 rank (corpus balancing). */
   def r4QuotaSample(s: SparkSession, d: String): DataFrame =
@@ -1186,6 +1225,30 @@ object Documents {
     * NaN features, unnormalized samples, dropped bytes — flips a flag
     * → hash mismatch. Exact WAV/PPM/Y4M round-trips and feature
     * values stay pinned in MultimodalSpec. */
+  /** MM3 — video FRAME-SAMPLING plumbing over REAL decoded containers:
+    * every video row's Y4M payload (4 frames, 25 fps → 160 ms) is
+    * sampled at one frame per 80 ms (offsets 0 and 80, frame_idx
+    * 0 and 1 — SQL-recomputable), joined with the frame count the
+    * real [[graft.operators.Y4m]] decoder walks out of the container
+    * (pinned 4 by the oracle — a truncated frame walk, a header
+    * mis-parse, or a row silently falling to the undecodable marker
+    * breaks the join value). Scale: sampling is a per-row sequence
+    * explode; decode amortizes per partition; the join is id-keyed
+    * skinny rows. */
+  def mm3FrameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.fromDocuments(Tables.documents(s, d), s)
+    val decoded = media.filter(_.meta.modality == "video")
+      .map(r => (r.media_id,
+        Y4m.decode(r.bytes).map(_.frames.length).getOrElse(-1)))
+      .toDF("media_id", "n_frames_decoded")
+    Multimodal.sampleFrames(media.toDF(), everyMs = 80L)
+      .join(decoded, "media_id")
+      .select(col("media_id"), col("offset_ms"), col("frame_idx"),
+        col("n_frames_decoded"))
+      .orderBy("media_id", "frame_idx")
+  }
+
   def mm2MediaFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val featSum = aggregate(col("features"),

@@ -255,4 +255,40 @@ class TextAnalysisSpec extends SparkSpec {
         s"doc $id dup5 $dup5 vs $expDup5")
     }
   }
+
+  test("bigramLogProb: hand-checkable interpolated terms; short docs keep a 0/NULL row") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    // uni: a=3, b=3, c=1; T=7, V=3, denom=10; bc: (a,b)=3, (b,a)=1
+    val lam = 0.7
+    def pUni(uc: Long) = (uc + 1).toDouble / 10.0
+    val tAb = math.log(1.0 * lam + pUni(3) * (1 - lam))         // bc/uc(a)=3/3
+    val tBa = math.log((1.0 / 3.0) * lam + pUni(3) * (1 - lam)) // bc/uc(b)=1/3
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._1 == 3L)
+    assert(math.abs(out(1L)._2.get - r6((tAb + tBa + tAb) / 3)) < 1e-9)
+    assert(out(2L) == ((1L, Some(r6(tAb)))))
+    assert(out(3L) == ((0L, None)), "a 1-token doc has no LM evidence")
+  }
+
+  test("ccnetBuckets: exact-integer thirds, best scores first") {
+    val scored = (1 to 7).map(i => (i.toLong, "en", -i.toDouble))
+      .toDF("id", "lang", "s")
+    val buckets = TextAnalysis.ccnetBuckets(scored, "lang", "s", "id")
+      .select("id", "bucket").as[(Long, String)].collect().toMap
+    // 7 docs: (rk-1)*3 < 6 → head {1,2}; < 12 → middle {3,4}; tail rest
+    assert(Seq(1L, 2L).forall(buckets(_) == "head"))
+    assert(Seq(3L, 4L).forall(buckets(_) == "middle"))
+    assert(Seq(5L, 6L, 7L).forall(buckets(_) == "tail"))
+    // null scores (no bigram evidence) are excluded, not bucketed
+    val withNull = scored.unionByName(
+      Seq((9L, "en", Option.empty[Double])).toDF("id", "lang", "s"))
+    assert(TextAnalysis.ccnetBuckets(withNull, "lang", "s", "id")
+      .filter($"id" === 9L).count() == 0)
+  }
 }

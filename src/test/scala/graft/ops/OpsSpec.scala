@@ -263,6 +263,33 @@ class OpsSpec extends SparkSpec {
       test.select("id").as[Long].collect().sorted.toSeq)
   }
 
+  test("leakageFreeSplit: exact-dup groups never straddle the split") {
+    // 200 distinct texts, each in 1-3 reformatting copies (canonical
+    // fingerprint collapses case/whitespace) under distinct ids — an
+    // id-keyed split WOULD scatter these across sides
+    val docs = (1 to 200).flatMap { g =>
+      val base = s"document about topic $g with shared phrasing"
+      Seq((g * 10L, base)) ++
+        (if (g % 2 == 0) Seq((g * 10L + 1, base.toUpperCase)) else Nil) ++
+        (if (g % 3 == 0) Seq((g * 10L + 2, s"  ${base.replace(" ", "  ")} ")) else Nil)
+    }.toDF("doc_id", "text")
+    val out = Sampling.leakageFreeSplit(docs, "text", testPct = 25)
+    assert(out.count() == docs.count(), "split adds a column, drops nothing")
+    val straddle = out
+      .groupBy(graft.operators.TextAnalysis.fingerprint($"text").as("fp"))
+      .agg(countDistinct($"split").as("sides"))
+      .filter($"sides" > 1).count()
+    assert(straddle == 0, s"$straddle fingerprint groups straddle the split")
+    // both sides populated, and the copies follow their group's side
+    val sides = out.select("split").distinct().as[String].collect().toSet
+    assert(sides == Set("train", "test"))
+    // repartition-stable (pure per-row expressions)
+    val again = Sampling.leakageFreeSplit(docs.repartition(7), "text", 25)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    out.select("doc_id", "split").as[(Long, String)].collect()
+      .foreach { case (id, sp) => assert(again(id) == sp) }
+  }
+
   test("scd2History: intervals, change suppression, null-safe tracking") {
     val snaps = Seq(
       // key 1: value changes every version → 3 intervals
