@@ -168,6 +168,7 @@ object SparkEntry {
     "t24_bigram_lm" -> (Documents.t24BigramLm _),
     "t25_ccnet_buckets" -> (Documents.t25CcnetBuckets _),
     "r9_leakage_split" -> (Documents.r9LeakageSplit _),
+    "r10_unimax" -> (Documents.r10Unimax _),
     "mm3_frame_sample" -> (Documents.mm3FrameSample _),
   )
 
@@ -1338,6 +1339,47 @@ object SparkEntry {
         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(count(DISTINCT fp) AS BIGINT) AS n_groups
         |FROM s GROUP BY split ORDER BY split""".stripMargin,
+    // R10: UniMax water filling replayed as a recursive CTE (languages
+    // in ascending-capacity order, alloc = min(cap, remaining //
+    // left)), doc census as full epochs + an md5-rank window-cumsum
+    // prefix — every step integer, so the replay is bit-for-bit
+    "r10_unimax" ->
+      """WITH RECURSIVE t AS (SELECT doc_id AS id, lang,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ntok
+        |  FROM documents),
+        |lt AS (SELECT lang, CAST(sum(ntok) AS BIGINT) AS tot,
+        |  CAST(count(*) AS BIGINT) AS nd FROM t GROUP BY lang),
+        |caps AS (SELECT lang, tot, nd, 2 * tot AS cap,
+        |  CAST(row_number() OVER (ORDER BY 2 * tot, lang) AS BIGINT) AS rk,
+        |  CAST(count(*) OVER () AS BIGINT) AS nl FROM lt),
+        |rec AS (
+        |  SELECT CAST(0 AS BIGINT) AS rk, CAST(100000 AS BIGINT) AS remaining,
+        |    CAST(NULL AS VARCHAR) AS lang, CAST(0 AS BIGINT) AS cap,
+        |    CAST(0 AS BIGINT) AS alloc
+        |  UNION ALL
+        |  SELECT c.rk,
+        |    r.remaining - least(c.cap, r.remaining // (c.nl - c.rk + 1)),
+        |    c.lang, c.cap, least(c.cap, r.remaining // (c.nl - c.rk + 1))
+        |  FROM rec r JOIN caps c ON c.rk = r.rk + 1),
+        |q AS (SELECT rec.lang, rec.cap, rec.alloc, lt.tot, lt.nd,
+        |  rec.alloc // lt.tot AS ep, rec.alloc % lt.tot AS rem
+        |  FROM rec JOIN lt ON rec.lang = lt.lang WHERE rec.rk > 0),
+        |ranked AS (SELECT lang, doc_id AS id, ntok,
+        |  sum(ntok) OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || 'unimax'), doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM (SELECT doc_id, lang,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ntok
+        |    FROM documents)),
+        |part AS (SELECT r.lang, CAST(count(*) AS BIGINT) AS pn,
+        |  CAST(sum(r.ntok) AS BIGINT) AS ptok
+        |  FROM ranked r JOIN q ON r.lang = q.lang WHERE r.cum <= q.rem
+        |  GROUP BY r.lang)
+        |SELECT q.lang, q.cap AS cap_toks, q.alloc AS alloc_toks,
+        |  CAST(q.ep * q.nd + coalesce(p.pn, 0) AS BIGINT) AS n_docs_sel,
+        |  CAST(q.ep * q.tot + coalesce(p.ptok, 0) AS BIGINT) AS tok_sel
+        |FROM q LEFT JOIN part p ON q.lang = p.lang
+        |ORDER BY q.lang""".stripMargin,
     // MM3: every video row is a 4-frame 25-fps Y4M (160 ms), sampled
     // at one frame per 80 ms → offsets {0, 80}, frame_idx {0, 1}; the
     // decoded frame count is pinned 4 — a truncated frame walk or a

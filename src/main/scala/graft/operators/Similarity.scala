@@ -119,11 +119,17 @@ object Similarity {
     // limit — limit takes the first-scanned partitions, a skewed
     // marginal in any time-/source-ordered corpus (trainPq's argument);
     // TakeOrdered keeps it a per-partition heap, never a global sort.
-    val model = km.fit(
-      if (fitCap > 0)
-        corpusV.orderBy(xxhash64(col(vecCol), lit(seed)),
-          xxhash64(col(vecCol), lit(seed + 1))).limit(fitCap)
-      else corpusV)
+    // The sampled frame is persisted for the fit: k-means iterates, and
+    // an unpersisted TakeOrdered input would re-run the draw per
+    // iteration (measured ~+1 s on ann10 at sf0.1).
+    val model =
+      if (fitCap > 0) {
+        val fitInput = corpusV
+          .orderBy(xxhash64(col(vecCol), lit(seed)),
+            xxhash64(col(vecCol), lit(seed + 1))).limit(fitCap)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try km.fit(fitInput) finally fitInput.unpersist()
+      } else km.fit(corpusV)
     val cells = model.transform(corpusV)
       .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"), col("cell"))
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>

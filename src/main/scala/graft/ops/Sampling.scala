@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Sampling / splitting operators (SURVEY §2.9 R1–R2).
   *
@@ -89,6 +90,76 @@ object Sampling {
       when(portableTestMember(
         graft.operators.TextAnalysis.fingerprint(col(textCol)),
         testPct, salt), "test").otherwise("train"))
+
+  /** UniMax language-budget allocation + selection census (Chung et
+    * al. 2023, arXiv:2304.09151 — the standard multilingual
+    * pretraining sampler: give every language an EQUAL share of the
+    * token budget except where a language's corpus would repeat past
+    * `maxEpochs`, and redistribute what the capped languages cannot
+    * absorb). The allocation is the paper's water-filling recurrence
+    * over languages in ascending-capacity order:
+    *   alloc_i = min(cap_i, remaining ÷ languagesLeft)   (integer ÷)
+    * run DRIVER-SIDE over the ≤#languages (lang, total-tokens) rows —
+    * a bounded collect by construction (the modes convention). Doc
+    * selection inside a language is `alloc` tokens' worth: full
+    * epochs (alloc ÷ total) of every doc plus the md5-rank-ordered
+    * greedy prefix of the remainder (the quotaSample draw convention
+    * — deterministic, engine-portable, no RNG). ALL arithmetic is
+    * integer, so any SQL engine recomputes the allocation and the
+    * census bit-for-bit (a float water-level would drift at the
+    * boundary).
+    *
+    * Scale shape: token counting is map-side; the per-lang totals are
+    * a groups-sized aggregate; the prefix scan is a window over
+    * SKINNY (id, lang, ntok) rows — per-language partitions are the
+    * natural shard unit and text never enters. Output: one census row
+    * per language — (lang, cap_toks, alloc_toks, n_docs_sel,
+    * tok_sel). */
+  def unimaxCensus(df: DataFrame, idCol: String, langCol: String,
+                   textCol: String, budgetTokens: Long,
+                   maxEpochs: Int): DataFrame = {
+    require(budgetTokens >= 0 && maxEpochs >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    // one skinny materialization feeds the totals AND the prefix scan
+    val t = df.select(col(idCol).as("id"), col(langCol).as("lang"),
+      graft.operators.TextAnalysis.tokenCount(col(textCol))
+        .cast("long").as("ntok"))
+      .localCheckpoint()
+    val perLang = t.groupBy("lang")
+      .agg(sum("ntok").as("tot"), count(lit(1)).as("nd"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // ascending-capacity water filling, ties broken on lang for a
+    // total order both engines share
+    val caps = perLang.map { case (l, tot, nd) =>
+      (l, tot * maxEpochs, tot, nd)
+    }.sortBy { case (l, cap, _, _) => (cap, l) }
+    var remaining = budgetTokens
+    var left = caps.length
+    val quotas = caps.map { case (l, cap, tot, nd) =>
+      val alloc = math.min(cap, remaining / left)
+      remaining -= alloc
+      left -= 1
+      (l, cap, alloc, alloc / tot, alloc % tot, tot, nd)
+    }.toSeq
+    val qdf = quotas.toDF("lang", "cap", "alloc", "ep", "rem", "tot", "nd")
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(concat(col("id").cast("string"), lit("unimax"))),
+        col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val part = t.withColumn("cum", sum("ntok").over(w))
+      .join(broadcast(qdf.select("lang", "rem")), Seq("lang"))
+      .filter(col("cum") <= col("rem"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("pn"), sum("ntok").as("ptok"))
+    qdf.join(part, Seq("lang"), "left")
+      .select(col("lang"), col("cap").as("cap_toks"),
+        col("alloc").as("alloc_toks"),
+        (col("ep") * col("nd") + coalesce(col("pn"), lit(0L)))
+          .as("n_docs_sel"),
+        (col("ep") * col("tot") + coalesce(col("ptok"), lit(0L)))
+          .as("tok_sel"))
+  }
 
   /** Per-group quota sample: keep `quota` rows per group, selected by a
     * deterministic pseudo-random rank — md5 of the key's string form, so

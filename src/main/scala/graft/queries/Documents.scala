@@ -813,6 +813,19 @@ object Documents {
         countDistinct(TextAnalysis.fingerprint(col("text"))).as("n_groups"))
       .orderBy("split")
 
+  /** R10 — UniMax language-budget census: the water-filling allocation
+    * over per-language token capacities (cap = 2 epochs) against a
+    * 100 k-token budget, plus each language's selected-doc census
+    * (full epochs + md5-rank greedy prefix). ALL integer arithmetic —
+    * the oracle replays the recurrence as a recursive CTE and the
+    * prefix as a window cumsum, bit-for-bit. The budget spans both
+    * regimes across SFs: at sf≤0.01 every language caps out (epoch
+    * limit binds), at sf0.1 the equal-share water level binds. */
+  def r10Unimax(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.unimaxCensus(Tables.documents(s, d), "doc_id",
+        "lang", "text", budgetTokens = 100000L, maxEpochs = 2)
+      .orderBy("lang")
+
   /** R4 — per-language quota sample: cap each language at 30 docs chosen
     * by the cross-engine-reproducible md5 rank (corpus balancing). */
   def r4QuotaSample(s: SparkSession, d: String): DataFrame =

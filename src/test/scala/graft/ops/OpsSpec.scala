@@ -290,6 +290,41 @@ class OpsSpec extends SparkSpec {
       .foreach { case (id, sp) => assert(again(id) == sp) }
   }
 
+  test("unimaxCensus: capped languages redistribute, equal share binds the rest") {
+    // three languages: tiny (10 docs x 4 toks = 40), mid (100 x 4 =
+    // 400), big (1000 x 4 = 4000); maxEpochs 2 -> caps 80/800/8000
+    def docs(lang: String, n: Int, off: Long) =
+      (1 to n).map(i => (off + i, lang, "just four short tokens"))
+    val df = (docs("aa", 10, 0L) ++ docs("bb", 100, 1000L) ++
+      docs("cc", 1000, 10000L)).toDF("doc_id", "lang", "text")
+    val out = Sampling.unimaxCensus(df, "doc_id", "lang", "text",
+        budgetTokens = 2000L, maxEpochs = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // water filling ascending: aa share 2000/3=666 -> capped at 80;
+    // bb share (2000-80)/2=960 -> capped at 800; cc gets the rest 1120
+    assert(out("aa") == ((80L, 80L, 20L, 80L)),
+      s"tiny lang caps at 2 epochs, got ${out("aa")}")
+    assert(out("bb") == ((800L, 800L, 200L, 800L)))
+    assert(out("cc")._2 == 1120L, s"residual flows to the big lang: ${out("cc")}")
+    // cc selection: 1120/4000 = 0 full epochs, prefix 1120/4 = 280 docs
+    assert(out("cc")._3 == 280L && out("cc")._4 == 1120L)
+    // budget exhausted exactly (nothing capped it short)
+    assert(out.values.map(_._2).sum == 2000L)
+    // ample budget: every language caps out at exactly maxEpochs
+    val ample = Sampling.unimaxCensus(df, "doc_id", "lang", "text",
+        budgetTokens = 100000L, maxEpochs = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(4)))
+    ample.foreach { case (cap, alloc, tok) =>
+      assert(alloc == cap && tok == cap, "epoch limit binds under ample budget")
+    }
+    // deterministic under repartitioning (md5 rank, integer math)
+    val again = Sampling.unimaxCensus(df.repartition(7), "doc_id", "lang",
+      "text", budgetTokens = 2000L, maxEpochs = 2)
+    assert(again.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+      .forall { case (l, n) => out(l)._3 == n })
+  }
+
   test("scd2History: intervals, change suppression, null-safe tracking") {
     val snaps = Seq(
       // key 1: value changes every version → 3 intervals
