@@ -33,7 +33,9 @@ class SparkEntrySpec extends SparkSpec {
       "ann8_pq_adc", "ann9_pq_store", // broadcast query-LUT × encoded corpus + 1-row flag
       "ann10_ivf_pq", // same exact-baseline + 1-row flag broadcasts
       "r8_dsir_select", // 1-row log-ratio-array broadcast crossed into the corpus
-      "llm_select_pipeline") // same DSIR 1-row broadcast, over the gopher-kept pool
+      "llm_select_pipeline", // same DSIR 1-row broadcast, over the gopher-kept pool
+      "t24_bigram_lm", // t9's 1-row add-one-denominator broadcast cross join
+      "t25_ccnet_buckets") // embeds t24's scoring chain
 
   test("no query plans an unintended nested-loop or cartesian join") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
