@@ -206,11 +206,12 @@ object ScaleProbe {
       // (fp, count) row, so this row must sit a near-constant premium
       // over t22_corpus_card with no straggler bend.
       "t22_card_pathological" -> { d =>
+        val pathText = "the same boilerplate page fetched over and over again"
         val path = d.sparkSession.range(100000).select(
           (col("id") + 900000000L).as("doc_id"),
-          lit("the same boilerplate page fetched over and over again").as("text"),
+          lit(pathText).as("text"),
           lit("xx").as("lang"), lit("src_path").as("source"),
-          lit(52L).as("n_chars"))
+          lit(pathText.length.toLong).as("n_chars"))
         TextAnalysis.corpusCard(d.unionByName(path), "doc_id",
           "text", "source", "lang",
           Seq("the", "a", "of", "and", "is", "to", "in"))

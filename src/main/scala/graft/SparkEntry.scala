@@ -213,9 +213,9 @@ object SparkEntry {
       |bc AS (SELECT p, c, count(*) AS bc FROM db2 GROUP BY p, c
       |  ORDER BY bc DESC, md5(p || ' ' || c) LIMIT 200000),
       |scored AS (SELECT db2.id, count(*) AS n_bigrams,
-      |  round(avg(ln(0.7 * (CASE WHEN coalesce(pu.uc, 0) > 0
-      |      THEN coalesce(bc.bc, 0) * 1.0 / pu.uc ELSE 0 END)
-      |    + (1 - 0.7) * (coalesce(cu.uc, 0) + 1) * 1.0 / denom)), 6) AS avg_logp
+      |  round(avg(ln((CASE WHEN coalesce(pu.uc, 0) > 0
+      |      THEN coalesce(bc.bc, 0) * 1.0 / pu.uc ELSE 0 END) * 0.7
+      |    + ((coalesce(cu.uc, 0) + 1) * 1.0 / denom) * (1 - 0.7))), 6) AS avg_logp
       |  FROM db2 LEFT JOIN bc ON db2.p = bc.p AND db2.c = bc.c
       |  LEFT JOIN uni pu ON db2.p = pu.w
       |  LEFT JOIN uni cu ON db2.c = cu.w, dn
@@ -1323,7 +1323,7 @@ object SparkEntry {
         |    WHEN (rk - 1) * 3 < (n - 1) * 2 THEN 'middle'
         |    ELSE 'tail' END AS bucket,
         |  CAST(count(*) AS BIGINT) AS n_docs,
-        |  round(sum(avg_logp), 4) AS logp_sum
+        |  CAST(sum(CAST(avg_logp AS DECIMAL(20,6))) AS DOUBLE) AS logp_sum
         |FROM bk GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin),
     // R9: the fingerprint-keyed md5-threshold split — 25% test =
     // threshold '4000…' (the r2 convention); distinct-fingerprint

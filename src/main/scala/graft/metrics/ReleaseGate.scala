@@ -91,27 +91,45 @@ object ReleaseGate {
     Verdict(accept, band, reasons)
   }
 
-  /** End-to-end gate over two document snapshots: computes both corpus
-    * cards, the quality-PSI between the snapshots, runs
+  /** End-to-end gate over two document snapshots: computes both sides'
+    * card counts, the quality-PSI between the snapshots, runs
     * [[shouldAcceptSnapshot]], and emits the oracle-able evidence
     * frame — one row per (source, lang) with both snapshots' doc/dup
-    * counts, plus the psi and the verdict as constant columns. The
-    * card diff is localCheckpoint'd: it feeds the bounded driver
-    * collect (the decision) AND the emitted frame, and must not
-    * recompute both cards per consumer. */
+    * counts, plus the psi and the verdict as constant columns.
+    *
+    * Each snapshot's text is scanned ONCE: a skinny (source, lang,
+    * fingerprint, quality) projection is materialized eagerly and
+    * feeds the card aggregate AND the PSI pass — tokenize+quality is
+    * the dominant map cost at scale and must not be paid per
+    * consumer. The card diff is likewise localCheckpoint'd: it feeds
+    * the bounded driver collect (the decision) and the emitted
+    * frame. */
   def snapshotGate(expected: DataFrame, actual: DataFrame,
                    idCol: String, textCol: String,
                    srcCol: String, langCol: String,
                    stopwords: Seq[String],
                    tol: Tolerances = Tolerances()): DataFrame = {
     import graft.operators.TextAnalysis
-    def card(df: DataFrame, suffix: String): DataFrame =
-      TextAnalysis.corpusCard(df, idCol, textCol, srcCol, langCol, stopwords)
-        .select(col("source"), col("lang"),
-          col("n_docs").as(s"n_docs_$suffix"),
-          col("dup_docs").as(s"dup_docs_$suffix"))
-    val diff = card(expected, "e")
-      .join(card(actual, "a"), Seq("source", "lang"), "full_outer")
+    def sideBase(df: DataFrame): DataFrame =
+      df.select(col(srcCol).as("source"), col(langCol).as("lang"),
+        TextAnalysis.fingerprint(col(textCol)).as("_fp"),
+        TextAnalysis.qualityScore(col(textCol), stopwords).as("q"))
+        .localCheckpoint()
+    val baseE = sideBase(expected)
+    val baseA = sideBase(actual)
+    // the card counts the gate consumes, from the shared projection —
+    // the corpusCard dup rule (fp multiplicity per side, NULL-safe)
+    def card(base: DataFrame, suffix: String): DataFrame = {
+      val fpc = base.groupBy("_fp").agg(count(lit(1)).as("_fpc"))
+        .withColumnRenamed("_fp", "_fpk")
+      base.join(fpc, col("_fp") <=> col("_fpk"), "left")
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as(s"n_docs_$suffix"),
+          sum(when(col("_fpc") > 1, 1L).otherwise(0L))
+            .as(s"dup_docs_$suffix"))
+    }
+    val diff = card(baseE, "e")
+      .join(card(baseA, "a"), Seq("source", "lang"), "full_outer")
       .select(col("source"), col("lang"),
         coalesce(col("n_docs_e"), lit(0L)).as("n_docs_e"),
         coalesce(col("n_docs_a"), lit(0L)).as("n_docs_a"),
@@ -121,12 +139,10 @@ object ReleaseGate {
     val deltas = diff.collect().map(r => GroupDelta(
       r.getString(0), r.getString(1),
       r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
-    val qE = expected.select(
-      TextAnalysis.qualityScore(col(textCol), stopwords).as("q"))
-    val qA = actual.select(
-      TextAnalysis.qualityScore(col(textCol), stopwords).as("q"))
-    // one row; the same 6-dp-rounded PSI the m14 gate pins
-    val psiVal = Psi.psi(qE, qA, "q").first().getDouble(0)
+    // one row; the same 6-dp-rounded PSI the m14 gate pins — over the
+    // SAME materialized quality column the cards read
+    val psiVal = Psi.psi(baseE.select("q"), baseA.select("q"), "q")
+      .first().getDouble(0)
     val verdict = shouldAcceptSnapshot(psiVal, deltas, tol)
     diff
       .withColumn("psi", lit(psiVal))

@@ -1136,9 +1136,22 @@ object Dedup {
                                     idCol: String, textCol: String): DataFrame = {
     val spark = corpus.sparkSession
     val meta = graft.sources.Sources.readJsonSidecarFs(spark, s"$dir/_meta.json")
-    val n = meta("n").toInt
-    val probeBytes =
-      graft.sources.Sources.readBinarySidecarFs(spark, s"$dir/_bloom.bin")
+    decontaminateRewriteLoaded(corpus, dir, meta("n").toInt,
+      graft.sources.Sources.readBinarySidecarFs(spark, s"$dir/_bloom.bin"),
+      idCol, textCol)
+  }
+
+  /** [[decontaminateRewriteFromStore]] with the store's geometry and
+    * Bloom bytes already in hand — the repeated-consumer entry point:
+    * a streaming loop probing the SAME read-only store every
+    * micro-batch ([[graft.streaming.EventStream.streamingDecontamIngest]])
+    * loads the sidecar ONCE and closes over it, instead of paying a
+    * driver read + executor re-broadcast of the filter bytes
+    * (~1.8 bytes/gram — tens of MB for a real eval suite) per batch. */
+  def decontaminateRewriteLoaded(corpus: DataFrame, dir: String, n: Int,
+                                 probeBytes: Array[Byte],
+                                 idCol: String, textCol: String): DataFrame = {
+    val spark = corpus.sparkSession
     val tokenized = corpus.select(col(idCol).as("id"),
       split(trim(col(textCol)), "\\s+").as("toks"))
     val pos = tokenized.select(col("id"),

@@ -99,9 +99,12 @@ object Multimodal {
     * (byte − 128) << 8, content-derived and RNG-free); IMAGE rows carry
     * a REAL binary-PPM container — a textBytes×1 grayscale strip with
     * r = g = b = byte; VIDEO rows carry a REAL Y4M container — 4
-    * mono frames of an L×1 strip, frame f pixel i = byte (i+f) mod L
-    * (a deterministic rotation, so the temporal features genuinely
-    * vary across frames) — so all three real decoders run end-to-end.
+    * mono frames of an L×1 strip, frame f pixel i = (byte_i + f)
+    * mod 256 (a per-frame BRIGHTNESS shift: a rotation would preserve
+    * each frame's byte multiset and so its mean — the shift makes the
+    * temporal luminance means genuinely differ across frames, so a
+    * decoder that duplicated one frame into every slot flattens them
+    * detectably) — so all three real decoders run end-to-end.
     * Payload sizes stay SQL-recomputable for the mm1/mm2 oracles:
     * audio = 44 + 2·L; image = 10 + digits(L) + 3·L (header
     * "P6\nL 1\n255\n"); video = 59 + digits(L) + 4·L (header
@@ -131,7 +134,7 @@ object Multimodal {
           case _ =>
             Y4m.encode(raw.length, 1, 25,
               Array.tabulate(nFrames)(f =>
-                Array.tabulate(raw.length)(i => raw((i + f) % raw.length))))
+                Array.tabulate(raw.length)(i => ((raw(i) + f) & 0xFF).toByte)))
         }
         val durMs = modality match {
           case "audio" => raw.length.toLong * 1000L / 16000L

@@ -360,8 +360,14 @@ object TextAnalysis {
       fingerprint(col(textCol)).as("_fp"),
       tokenCount(col(textCol)).cast("long").as("_ntok"),
       qualityScore(col(textCol), stopwords).as("_q"))
-    val fpCounts = base.groupBy("_fp").agg(count(lit(1)).as("_fpc"))
-    base.join(fpCounts, Seq("_fp"))
+    val fpCounts = base.groupBy("_fp")
+      .agg(count(lit(1)).as("_fpc"))
+      .withColumnRenamed("_fp", "_fpk")
+    // NULL-SAFE join key: a null textCol fingerprints to NULL, which a
+    // plain equality join silently DROPS from the card (the window
+    // this replaced grouped NULLs together) — <=> keeps those rows and
+    // counts null-text docs as mutual dups, exactly as the window did
+    base.join(fpCounts, col("_fp") <=> col("_fpk"), "left")
       .withColumn("_dup", when(col("_fpc") > 1, 1L).otherwise(0L))
       .groupBy("source", "lang")
       // q_sum in DECIMAL: a double avg/sum rounded at N dp can land

@@ -794,8 +794,13 @@ object Documents {
       .join(docs.select(col("doc_id").as("id"), col("lang")), "id")
     TextAnalysis.ccnetBuckets(scored, "lang", "avg_logp", "id")
       .groupBy("lang", "bucket")
+      // DECIMAL sum, not a rounded double sum: the scores are
+      // 6-dp-rounded (exact in DECIMAL), and a double sum's
+      // partition-order error near a rounding half-way point is the
+      // exact hazard t22's q_sum moved to DECIMAL for (gotcha 14)
       .agg(count(lit(1)).as("n_docs"),
-        round(sum("avg_logp"), 4).as("logp_sum"))
+        sum(col("avg_logp").cast("decimal(20,6)")).cast("double")
+          .as("logp_sum"))
       .orderBy("lang", "bucket")
   }
 

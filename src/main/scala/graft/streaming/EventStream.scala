@@ -402,11 +402,20 @@ object EventStream {
                               minKeptFrac: Double = 0.0)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import graft.operators.Dedup
+    // the store is READ-ONLY to this loop: load its geometry and Bloom
+    // sidecar ONCE here and close over them — per-batch reloads would
+    // pay a driver read + executor re-broadcast of the filter bytes on
+    // every micro-batch for bits that never change
+    val spark = docs.sparkSession
+    val n = graft.sources.Sources
+      .readJsonSidecarFs(spark, s"$evalStoreDir/_meta.json")("n").toInt
+    val probeBytes = graft.sources.Sources
+      .readBinarySidecarFs(spark, s"$evalStoreDir/_bloom.bin")
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val cleaned = Dedup.decontaminateRewriteFromStore(
-            batch, evalStoreDir, idCol, textCol)
+          val cleaned = Dedup.decontaminateRewriteLoaded(
+            batch, evalStoreDir, n, probeBytes, idCol, textCol)
           val kept =
             if (minKeptFrac <= 0.0) cleaned
             else cleaned.filter(

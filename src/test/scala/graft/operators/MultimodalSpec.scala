@@ -197,19 +197,23 @@ class MultimodalSpec extends SparkSpec {
       .forall(_ == 0.0f))
   }
 
-  test("video rows route through the real Y4M decoder with rotated frames") {
+  test("video rows route through the real Y4M decoder with shifted frames") {
     val vids = media.filter(_.meta.modality == "video").collect()
     assert(vids.nonEmpty)
     vids.foreach { r =>
       val vid = Y4m.decode(r.bytes).getOrElse(fail(s"row ${r.media_id} not Y4M"))
       assert(vid.frames.length == 4 && vid.height == 1)
       assert(vid.width == r.meta.width)
-      // frame f is the text bytes rotated by f — frames genuinely vary
+      // frame f is the base shifted by +f mod 256 — unlike a rotation
+      // (which preserves each frame's byte multiset and so its mean),
+      // the shift makes the per-frame MEANS genuinely differ, so a
+      // frame-walk bug that duplicated one frame flattens the
+      // temporal bins detectably
       val base = vid.frames(0)
       (1 until 4).foreach { f =>
         base.indices.foreach { i =>
-          assert(vid.frames(f)(i) == base((i + f) % base.length),
-            s"frame $f must be the base rotated by $f")
+          assert(vid.frames(f)(i) == (((base(i) & 0xFF) + f) & 0xFF).toByte,
+            s"frame $f must be the base shifted by +$f")
         }
       }
       val feats = Multimodal.decodeFeatures(r, 16)
@@ -218,6 +222,12 @@ class MultimodalSpec extends SparkSpec {
       assert(feats.forall(v => v >= 0.0f && v <= 1.0f))
       assert(feats.map(_.toDouble).sum > 0.0,
         "text bytes are never all-NUL, so decoded luma must be positive")
+      // the shift is visible in the features: unless every byte wrapped,
+      // consecutive frame means strictly increase
+      val perFrame = vid.frames.map(fr =>
+        fr.map(b => (b & 0xFF).toDouble).sum / fr.length)
+      assert(perFrame.distinct.length > 1,
+        "per-frame means must differ — a duplicated frame would hide here")
     }
   }
 

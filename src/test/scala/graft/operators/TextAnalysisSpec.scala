@@ -256,6 +256,22 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("corpusCard: null-text docs stay in the card and count as mutual dups") {
+    val df = Seq(
+      (1L, Some("one real document with text"), "s0", "en"),
+      (2L, Option.empty[String], "s0", "en"),
+      (3L, Option.empty[String], "s0", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    val card = TextAnalysis.corpusCard(df, "doc_id", "text",
+        "source", "lang", Seq("the", "a"))
+      .select("n_docs", "dup_docs").as[(Long, Long)].collect()
+    // a plain equality join on the fingerprint would DROP the two
+    // null-text rows (NULL keys never match) — the null-safe join
+    // keeps them, grouped together as mutual dups like the window did
+    assert(card.toSeq == Seq((3L, 2L)),
+      s"null-text docs must stay counted, got ${card.toSeq}")
+  }
+
   test("bigramLogProb: hand-checkable interpolated terms; short docs keep a 0/NULL row") {
     val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c"))
       .toDF("doc_id", "text")
