@@ -169,6 +169,7 @@ object SparkEntry {
     "t25_ccnet_buckets" -> (Documents.t25CcnetBuckets _),
     "r9_leakage_split" -> (Documents.r9LeakageSplit _),
     "r10_unimax" -> (Documents.r10Unimax _),
+    "llm_ccnet_pipeline" -> (Documents.llmCcnetPipeline _),
     "mm3_frame_sample" -> (Documents.mm3FrameSample _),
   )
 
@@ -1339,6 +1340,52 @@ object SparkEntry {
         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(count(DISTINCT fp) AS BIGINT) AS n_groups
         |FROM s GROUP BY split ORDER BY split""".stripMargin,
+    // LLM_CCNET: the target-trained variant of the t24 chain — model
+    // CTEs read the src0 slice, scoring reads the whole corpus, then
+    // t25's integer thirds + the head/middle keep. Same FP-order and
+    // DECIMAL-sum conventions as t24/t25.
+    "llm_ccnet_pipeline" ->
+      """WITH tok AS (SELECT doc_id AS id, lang,
+        |  regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |ttok AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents WHERE source = 'src0'),
+        |uniall AS (SELECT w, count(*) AS uc
+        |  FROM (SELECT unnest(ws) AS w FROM ttok) GROUP BY w),
+        |dn AS (SELECT CAST(sum(uc) AS BIGINT) + count(*) AS denom FROM uniall),
+        |uni AS (SELECT w, uc FROM uniall ORDER BY uc DESC, md5(w) LIMIT 100000),
+        |tb AS (SELECT unnest(list_transform(range(1, len(ws)),
+        |    i -> {'p': ws[i], 'c': ws[i + 1]})) AS bg
+        |  FROM ttok WHERE len(ws) >= 2),
+        |tb2 AS (SELECT bg.p AS p, bg.c AS c FROM tb),
+        |bc AS (SELECT p, c, count(*) AS bc FROM tb2 GROUP BY p, c
+        |  ORDER BY bc DESC, md5(p || ' ' || c) LIMIT 200000),
+        |db AS (SELECT id, unnest(list_transform(range(1, len(ws)),
+        |    i -> {'p': ws[i], 'c': ws[i + 1]})) AS bg
+        |  FROM tok WHERE len(ws) >= 2),
+        |db2 AS (SELECT id, bg.p AS p, bg.c AS c FROM db),
+        |scored AS (SELECT db2.id, count(*) AS n_bigrams,
+        |  round(avg(ln((CASE WHEN coalesce(pu.uc, 0) > 0
+        |      THEN coalesce(bc.bc, 0) * 1.0 / pu.uc ELSE 0 END) * 0.7
+        |    + ((coalesce(cu.uc, 0) + 1) * 1.0 / denom) * (1 - 0.7))), 6) AS avg_logp
+        |  FROM db2 LEFT JOIN bc ON db2.p = bc.p AND db2.c = bc.c
+        |  LEFT JOIN uni pu ON db2.p = pu.w
+        |  LEFT JOIN uni cu ON db2.c = cu.w, dn
+        |  GROUP BY db2.id),
+        |bk AS (SELECT sc.id, t.lang, sc.avg_logp,
+        |  row_number() OVER (PARTITION BY t.lang
+        |    ORDER BY sc.avg_logp DESC, sc.id) AS rk,
+        |  count(*) OVER (PARTITION BY t.lang) AS n
+        |  FROM scored sc JOIN tok t ON sc.id = t.id)
+        |SELECT lang,
+        |  CASE WHEN (rk - 1) * 3 < n - 1 THEN 'head'
+        |    WHEN (rk - 1) * 3 < (n - 1) * 2 THEN 'middle'
+        |    ELSE 'tail' END AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CAST(avg_logp AS DECIMAL(20,6))) AS DOUBLE) AS logp_sum,
+        |  CAST(CASE WHEN (CASE WHEN (rk - 1) * 3 < n - 1 THEN 'head'
+        |    WHEN (rk - 1) * 3 < (n - 1) * 2 THEN 'middle'
+        |    ELSE 'tail' END) <> 'tail' THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM bk GROUP BY lang, bucket, kept ORDER BY lang, bucket""".stripMargin,
     // R10: UniMax water filling replayed as a recursive CTE (languages
     // in ascending-capacity order, alloc = min(cap, remaining //
     // left)), doc census as full epochs + an md5-rank window-cumsum

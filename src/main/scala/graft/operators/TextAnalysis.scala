@@ -535,27 +535,55 @@ object TextAnalysis {
     * docs with < 2 tokens carry n_bigrams = 0 and a NULL score. */
   def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
                     lambda: Double = 0.7, maxBigrams: Int = 200000,
-                    maxVocab: Int = 100000): DataFrame = {
-    val tok = df.select(col(idCol).as("id"), tokens(col(textCol)).as("_ws"))
-    val uniAll = tok.select(explode(col("_ws")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("uc"))
-    // add-one denominator over the FULL vocabulary (1-row broadcast,
-    // the unigramLogProb idiom) — capping must not move the floor
-    val denom = broadcast(uniAll.agg(
-      (sum("uc") + count(lit(1))).cast("double").as("_denom")))
-    val uni = uniAll.orderBy(desc("uc"), md5(col("w")).asc)
-      .limit(maxVocab)
+                    maxVocab: Int = 100000): DataFrame =
+    bigramLogProbAgainst(df, df, idCol, textCol, lambda, maxBigrams,
+      maxVocab)
+
+  /** [[bigramLogProb]] with the model trained on a SEPARATE corpus —
+    * the actual CCNet shape: the LM is fitted on the TARGET domain
+    * (CCNet uses Wikipedia) and the crawl is scored under it, so a
+    * low score means "unlike the target", not "rare in the crawl".
+    * `train` and `score` may be the same frame ([[bigramLogProb]] is
+    * exactly that); when they differ, the model-side aggregates run
+    * over `train` only and the scoring pass never touches it again.
+    * The add-one denominator (T + V) is the TRAIN corpus's — the
+    * scored corpus cannot move the model's floor. */
+  def bigramLogProbAgainst(train: DataFrame, score: DataFrame,
+                           idCol: String, textCol: String,
+                           lambda: Double = 0.7, maxBigrams: Int = 200000,
+                           maxVocab: Int = 100000): DataFrame = {
+    val sameCorpus = train eq score
+    val tok = score.select(col(idCol).as("id"), tokens(col(textCol)).as("_ws"))
     val bigs = when(size(col("_ws")) >= 2,
       transform(sequence(lit(0), size(col("_ws")) - 2),
         i => struct(element_at(col("_ws"), i + 1).as("p"),
           element_at(col("_ws"), i + 2).as("c"))))
       .otherwise(array().cast("array<struct<p:string,c:string>>"))
-    // one doc-side gram materialization feeds both the count and the
-    // scoring pass (eager; blocks released by the ContextCleaner)
+    // one doc-side gram materialization; when train == score it also
+    // feeds the model counts (eager; blocks released by the
+    // ContextCleaner), so the corpus is split exactly once
     val docBig = tok.select(col("id"), explode(bigs).as("_bg"))
       .select(col("id"), col("_bg.p").as("p"), col("_bg.c").as("c"))
       .localCheckpoint()
-    val bc = docBig.groupBy("p", "c").agg(count(lit(1)).as("bc"))
+    val trainTok =
+      if (sameCorpus) null
+      else train.select(tokens(col(textCol)).as("_ws")).localCheckpoint()
+    val uniAll =
+      (if (sameCorpus) tok.select(explode(col("_ws")).as("w"))
+       else trainTok.select(explode(col("_ws")).as("w")))
+        .groupBy("w").agg(count(lit(1)).as("uc"))
+    // add-one denominator over the FULL train vocabulary (1-row
+    // broadcast, the unigramLogProb idiom) — capping must not move
+    // the floor
+    val denom = broadcast(uniAll.agg(
+      (sum("uc") + count(lit(1))).cast("double").as("_denom")))
+    val uni = uniAll.orderBy(desc("uc"), md5(col("w")).asc)
+      .limit(maxVocab)
+    val trainBig =
+      if (sameCorpus) docBig.select("p", "c")
+      else trainTok.select(explode(bigs).as("_bg"))
+        .select(col("_bg.p").as("p"), col("_bg.c").as("c"))
+    val bc = trainBig.groupBy("p", "c").agg(count(lit(1)).as("bc"))
       .orderBy(desc("bc"), md5(concat_ws(" ", col("p"), col("c"))).asc)
       .limit(maxBigrams)
     val pUni = (coalesce(col("_cuc"), lit(0L)) + 1).cast("double") / col("_denom")

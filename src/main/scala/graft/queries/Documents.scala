@@ -804,6 +804,29 @@ object Documents {
       .orderBy("lang", "bucket")
   }
 
+  /** LLM_CCNET — the full CCNet selection composite (Wenzek et al.
+    * 2019): the bigram LM is trained on the TARGET domain (source =
+    * src0, the DSIR target convention — CCNet's Wikipedia role), the
+    * whole corpus is scored under it, per-language head/middle/tail
+    * thirds are cut, and head+middle are kept (CCNet's standard cut:
+    * the tail is "unlike the target"). Census per (lang, bucket) with
+    * the kept flag; DECIMAL logp sums. The oracle recomputes the
+    * target-trained model, the cross-corpus scoring, the integer
+    * thirds, and the census in one WITH. */
+  def llmCcnetPipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val scored = TextAnalysis.bigramLogProbAgainst(
+        docs.filter(col("source") === "src0"), docs, "doc_id", "text")
+      .join(docs.select(col("doc_id").as("id"), col("lang")), "id")
+    TextAnalysis.ccnetBuckets(scored, "lang", "avg_logp", "id")
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("avg_logp").cast("decimal(20,6)")).cast("double")
+          .as("logp_sum"))
+      .withColumn("kept", when(col("bucket") =!= "tail", 1L).otherwise(0L))
+      .orderBy("lang", "bucket")
+  }
+
   /** R9 — leakage-free split census: the md5-threshold split keyed on
     * the canonical content fingerprint, so exact-dup groups land whole
     * on one side (Lee et al. 2021's train/test contamination channel

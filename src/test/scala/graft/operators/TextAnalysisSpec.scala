@@ -292,6 +292,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == ((0L, None)), "a 1-token doc has no LM evidence")
   }
 
+  test("bigramLogProbAgainst: target-trained model ranks target-like docs higher") {
+    val target = Seq((100L, "the cat sat on the mat"),
+      (101L, "the cat ran to the mat")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "the cat sat on the mat"),
+      (2L, "zq xw vv kk pp qq")).toDF("doc_id", "text")
+    val scored = TextAnalysis.bigramLogProbAgainst(target, corpus,
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scored(1L) > scored(2L),
+      s"target-like doc must outscore junk: $scored")
+    // the two-corpus path with identical content reproduces the
+    // single-corpus path exactly (the branch is plumbing, not math)
+    val one = TextAnalysis.bigramLogProb(corpus, "doc_id", "text")
+    val two = TextAnalysis.bigramLogProbAgainst(
+      corpus.select("doc_id", "text"), corpus, "doc_id", "text")
+    assert(one.collect().toSet == two.collect().toSet)
+  }
+
   test("ccnetBuckets: exact-integer thirds, best scores first") {
     val scored = (1 to 7).map(i => (i.toLong, "en", -i.toDouble))
       .toDF("id", "lang", "s")
