@@ -35,7 +35,8 @@ class SparkEntrySpec extends SparkSpec {
       "r8_dsir_select", // 1-row log-ratio-array broadcast crossed into the corpus
       "llm_select_pipeline", // same DSIR 1-row broadcast, over the gopher-kept pool
       "t24_bigram_lm", // t9's 1-row add-one-denominator broadcast cross join
-      "t25_ccnet_buckets") // embeds t24's scoring chain
+      "t25_ccnet_buckets", // embeds t24's scoring chain
+      "llm_ccnet_pipeline") // same chain, target-trained
 
   test("no query plans an unintended nested-loop or cartesian join") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
