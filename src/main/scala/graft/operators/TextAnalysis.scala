@@ -554,11 +554,7 @@ object TextAnalysis {
                            maxVocab: Int = 100000): DataFrame = {
     val sameCorpus = train eq score
     val tok = score.select(col(idCol).as("id"), tokens(col(textCol)).as("_ws"))
-    val bigs = when(size(col("_ws")) >= 2,
-      transform(sequence(lit(0), size(col("_ws")) - 2),
-        i => struct(element_at(col("_ws"), i + 1).as("p"),
-          element_at(col("_ws"), i + 2).as("c"))))
-      .otherwise(array().cast("array<struct<p:string,c:string>>"))
+    val bigs = docBigrams
     // one doc-side gram materialization; when train == score it also
     // feeds the model counts (eager; blocks released by the
     // ContextCleaner), so the corpus is split exactly once
@@ -586,17 +582,38 @@ object TextAnalysis {
     val bc = trainBig.groupBy("p", "c").agg(count(lit(1)).as("bc"))
       .orderBy(desc("bc"), md5(concat_ws(" ", col("p"), col("c"))).asc)
       .limit(maxBigrams)
+    scoreAgainstLm(tok, docBig, uni, bc, _.crossJoin(denom), lambda)
+  }
+
+  /** The doc-side positional-bigram struct array over a `_ws` token
+    * column — shared by the live trainer and the store paths. */
+  private def docBigrams: Column =
+    when(size(col("_ws")) >= 2,
+      transform(sequence(lit(0), size(col("_ws")) - 2),
+        i => struct(element_at(col("_ws"), i + 1).as("p"),
+          element_at(col("_ws"), i + 2).as("c"))))
+      .otherwise(array().cast("array<struct<p:string,c:string>>"))
+
+  /** The shared scoring tail: doc bigrams joined against the model's
+    * broadcast-sized capped tables, interpolated, averaged per doc,
+    * 0/NULL rows restored for < 2-token docs. `attachDenom` supplies
+    * the add-one denominator column `_denom` — a 1-row cross join on
+    * the live path, a literal on the store path; the VALUE is the
+    * same double, so the two paths score bit-identically. */
+  private def scoreAgainstLm(tok: DataFrame, docBig: DataFrame,
+                             uni: DataFrame, bc: DataFrame,
+                             attachDenom: DataFrame => DataFrame,
+                             lambda: Double): DataFrame = {
     val pUni = (coalesce(col("_cuc"), lit(0L)) + 1).cast("double") / col("_denom")
     val pBig = when(coalesce(col("_puc"), lit(0L)) > 0,
       coalesce(col("bc"), lit(0L)).cast("double") / col("_puc"))
       .otherwise(lit(0.0))
-    val scored = docBig
-      .join(broadcast(bc), Seq("p", "c"), "left")
-      .join(broadcast(uni.select(col("w").as("p"), col("uc").as("_puc"))),
-        Seq("p"), "left")
-      .join(broadcast(uni.select(col("w").as("c"), col("uc").as("_cuc"))),
-        Seq("c"), "left")
-      .crossJoin(denom)
+    val scored = attachDenom(docBig
+        .join(broadcast(bc), Seq("p", "c"), "left")
+        .join(broadcast(uni.select(col("w").as("p"), col("uc").as("_puc"))),
+          Seq("p"), "left")
+        .join(broadcast(uni.select(col("w").as("c"), col("uc").as("_cuc"))),
+          Seq("c"), "left"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(log(pBig * lambda + pUni * (1 - lambda))), 6)
@@ -607,6 +624,76 @@ object TextAnalysis {
       .select(col("id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("avg_logp"))
+  }
+
+  /** The bigram LM AT REST — the engine's store pattern (fp store,
+    * near-dup store, IVF/PQ index, eval-gram store) applied to the
+    * CCNet model: the capped unigram and bigram count tables as
+    * parquet plus `_meta.json` carrying the add-one denominator and
+    * the cap geometry. The model is frozen when the TARGET corpus is
+    * (CCNet's Wikipedia role); crawl batches then score against the
+    * store without ever touching the target again —
+    * [[bigramLogProbFromStore]] and the streaming twin
+    * ([[graft.streaming.EventStream.streamingLmScoreIngest]]). The
+    * denominator is stored as `Double.toString` (round-trips
+    * exactly), so store ≡ live to the bit. */
+  def writeBigramLmStore(train: DataFrame, textCol: String, dir: String,
+                         maxBigrams: Int = 200000,
+                         maxVocab: Int = 100000): Unit = {
+    val spark = train.sparkSession
+    val tok = train.select(tokens(col(textCol)).as("_ws")).localCheckpoint()
+    val uniAll = tok.select(explode(col("_ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("uc"))
+      .localCheckpoint() // feeds the denominator AND the capped table
+    val denom = uniAll.agg((sum("uc") + count(lit(1))).cast("double"))
+      .head().getDouble(0) // bounded 1-row fetch
+    uniAll.orderBy(desc("uc"), md5(col("w")).asc).limit(maxVocab)
+      .write.mode("overwrite").parquet(s"$dir/uni")
+    tok.select(explode(docBigrams).as("_bg"))
+      .select(col("_bg.p").as("p"), col("_bg.c").as("c"))
+      .groupBy("p", "c").agg(count(lit(1)).as("bc"))
+      .orderBy(desc("bc"), md5(concat_ws(" ", col("p"), col("c"))).asc)
+      .limit(maxBigrams)
+      .write.mode("overwrite").parquet(s"$dir/bigrams")
+    graft.sources.Sources.writeJsonSidecarFs(spark, s"$dir/_meta.json",
+      Map("denom" -> denom.toString,
+        "maxBigrams" -> maxBigrams.toString,
+        "maxVocab" -> maxVocab.toString,
+        "formatVersion" -> "1"))
+  }
+
+  /** [[bigramLogProbAgainst]] read from the at-rest model — BIT-
+    * IDENTICAL scores to the live path over the train corpus the
+    * store was written from (shared scoring tail, stored exact
+    * denominator). The model tables are broadcast-sized by the cap
+    * contract, so scoring is map-side over the crawl no matter its
+    * size. */
+  def bigramLogProbFromStore(score: DataFrame, dir: String,
+                             idCol: String, textCol: String,
+                             lambda: Double = 0.7): DataFrame = {
+    val spark = score.sparkSession
+    val denom = graft.sources.Sources
+      .readJsonSidecarFs(spark, s"$dir/_meta.json")("denom").toDouble
+    scoreBatchAgainstLm(score,
+      spark.read.parquet(s"$dir/uni"),
+      spark.read.parquet(s"$dir/bigrams"),
+      denom, idCol, textCol, lambda)
+  }
+
+  /** Score a frame against ALREADY-LOADED model tables — the
+    * repeated-consumer entry point (the decontaminateRewriteLoaded
+    * convention): a streaming loop scoring micro-batches against the
+    * same frozen store loads and persists the tables once and passes
+    * them here per batch. */
+  def scoreBatchAgainstLm(score: DataFrame, uni: DataFrame,
+                          bc: DataFrame, denom: Double,
+                          idCol: String, textCol: String,
+                          lambda: Double = 0.7): DataFrame = {
+    val tok = score.select(col(idCol).as("id"), tokens(col(textCol)).as("_ws"))
+    val docBig = tok.select(col("id"), explode(docBigrams).as("_bg"))
+      .select(col("id"), col("_bg.p").as("p"), col("_bg.c").as("c"))
+    scoreAgainstLm(tok, docBig, uni, bc,
+      _.withColumn("_denom", lit(denom)), lambda)
   }
 
   /** CCNet's HEAD/MIDDLE/TAIL partition over the bigram-LM score: per

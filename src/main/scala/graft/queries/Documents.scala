@@ -827,6 +827,25 @@ object Documents {
       .orderBy("lang", "bucket")
   }
 
+  /** T26 — the bigram LM through the AT-REST model store: the target
+    * slice's capped count tables + exact denominator are published
+    * once ([[TextAnalysis.writeBigramLmStore]]), then the whole
+    * corpus scores against the STORE. Store ≡ live is the contract
+    * (shared scoring tail, Double.toString round-trip denominator),
+    * so this full-value oracle recomputes the target-trained chain
+    * exactly as llm_ccnet's does — a dropped count row, a cap-order
+    * drift, or a denominator precision loss all hash-fail. The
+    * streaming twin stays spec-verified (EventStreamSpec). */
+  def t26BigramLmStore(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val dir = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/bigram_lm_store"
+    TextAnalysis.writeBigramLmStore(
+      docs.filter(col("source") === "src0"), "text", dir)
+    TextAnalysis.bigramLogProbFromStore(docs, dir, "doc_id", "text")
+      .orderBy("id")
+  }
+
   /** R9 — leakage-free split census: the md5-threshold split keyed on
     * the canonical content fingerprint, so exact-dup groups land whole
     * on one side (Lee et al. 2021's train/test contamination channel

@@ -425,6 +425,52 @@ object EventStream {
     }
   }
 
+  /** Streaming LM-SCORE ingest — the seventh loop, CCNet as a stream:
+    * every micro-batch of crawl docs is scored under the FROZEN
+    * target-domain bigram LM at rest
+    * ([[graft.operators.TextAnalysis.writeBigramLmStore]] — capped
+    * count tables + exact stored denominator), docs below
+    * `minAvgLogProb` are dropped ("unlike the target"), and the
+    * scored survivors land manifest-committed. Per-batch absolute
+    * thresholding is the streaming-sane policy — the batch cannot see
+    * the global score distribution the t25 thirds cut (pick the
+    * threshold from a profiled reference slice).
+    *
+    * The model tables are loaded ONCE outside the loop and persisted
+    * (broadcast-sized by the cap contract) — the
+    * streamingDecontamIngest convention: read-only state is hoisted,
+    * never re-read per batch. Replay posture: the store is read-only
+    * to this loop and scoring is per-doc pure, so a replayed batch
+    * recomputes identical rows and the batch-keyed publish
+    * re-delivers exactly-once — fully idempotent, no guard. */
+  def streamingLmScoreIngest(docs: DataFrame, lmStoreDir: String,
+                             outDir: String, idCol: String,
+                             textCol: String,
+                             minAvgLogProb: Double = Double.NegativeInfinity)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.TextAnalysis
+    val spark = docs.sparkSession
+    val denom = graft.sources.Sources
+      .readJsonSidecarFs(spark, s"$lmStoreDir/_meta.json")("denom").toDouble
+    val uni = spark.read.parquet(s"$lmStoreDir/uni")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bc = spark.read.parquet(s"$lmStoreDir/bigrams")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    uni.count(); bc.count() // materialize once, before the first batch
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val scored = TextAnalysis.scoreBatchAgainstLm(
+            batch, uni, bc, denom, idCol, textCol)
+          val kept =
+            if (minAvgLogProb == Double.NegativeInfinity) scored
+            else scored.filter(col("avg_logp").isNotNull &&
+              col("avg_logp") >= minAvgLogProb)
+          graft.sources.Sources.publishBatch(kept, outDir, batchId + 1)
+        }
+    }
+  }
+
   /** Streaming ANN-index ingest: each micro-batch of embedding rows is
     * assigned to its nearest existing centroid and landed in the
     * at-rest IVF index (`Similarity.appendToIvfIndex`). The index never

@@ -535,6 +535,51 @@ class EventStreamSpec extends SparkSpec {
       s"minKeptFrac must drop eval-wrapper docs whole, got $thin")
   }
 
+  test("streamingLmScoreIngest: streamed scores ≡ batch store scores; threshold drops") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("lmstream").toString
+    val (storeDir, outDir) = (s"$tmp/lm", s"$tmp/out")
+    // frozen target-domain model (the CCNet Wikipedia role)
+    val target = Seq((100L, "the cat sat on the mat"),
+      (101L, "the cat ran to the mat")).toDF("doc_id", "text")
+    graft.operators.TextAnalysis.writeBigramLmStore(target, "text", storeDir)
+    val b1 = Seq((1L, "the cat sat on the mat"), (2L, "zq xw vv kk pp qq"))
+    val b2 = Seq((3L, "the cat ran to the mat"), (4L, "short"))
+    val mem = MemoryStream[(Long, String)]
+    val q = streamingLmScoreIngest(
+        mem.toDF().toDF("doc_id", "text"), storeDir, outDir, "doc_id", "text")
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val direct = graft.operators.TextAnalysis.bigramLogProbFromStore(
+      (b1 ++ b2).toDF("doc_id", "text"), storeDir, "doc_id", "text")
+    val streamed = graft.sources.Sources.readPublished(spark, outDir)
+      .select("id", "n_bigrams", "avg_logp")
+    assert(direct.except(streamed).count() == 0 &&
+      streamed.except(direct).count() == 0,
+      "streamed scoring must equal the batch store path")
+    // the drop arm: junk (doc 2) scores far below target-like docs and
+    // the bigram-less doc 4 has no LM evidence — both dropped
+    val cut = direct.filter($"id" === 1L).select("avg_logp")
+      .as[Double].collect().head - 1e-6
+    val out2 = s"$tmp/out2"
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = streamingLmScoreIngest(
+        mem2.toDF().toDF("doc_id", "text"), storeDir, out2, "doc_id", "text",
+        minAvgLogProb = cut)
+      .option("checkpointLocation", s"$tmp/ckpt2").start()
+    mem2.addData((b1 ++ b2): _*)
+    q2.processAllAvailable()
+    q2.stop()
+    val kept = graft.sources.Sources.readPublished(spark, out2)
+      .select("id").as[Long].collect().toSet
+    assert(kept.contains(1L) && !kept.contains(2L) && !kept.contains(4L),
+      s"threshold must keep target-like docs only, got $kept")
+  }
+
   test("streamingIvfIngest grows the at-rest index batch by batch") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("ivfstream").toString
