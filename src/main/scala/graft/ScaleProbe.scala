@@ -199,6 +199,46 @@ object ScaleProbe {
         Seq("the", "a", "of", "and", "is", "to", "in"))
         .agg(sum(col("n_docs")).as("docs"), sum(col("dup_docs")).as("dups"))
         .filter(col("docs") >= 0)),
+      // CCNet bigram LM, single-corpus: two capped count aggregates
+      // over exploded grams + a broadcast-join scoring pass — the
+      // gram explode is the heaviest new map cost of round 12 and
+      // must track token count linearly (model tables are capped, so
+      // their broadcast cost is flat)
+      "t24_bigram_lm" -> (d => TextAnalysis.bigramLogProb(
+        d, "doc_id", "text")
+        .agg(sum("n_bigrams").as("bg"), sum("avg_logp").as("s"))
+        .filter(col("bg") >= 0)),
+      // the full CCNet composite: target-trained model (src0 slice) +
+      // cross-corpus scoring + per-lang integer thirds — adds one
+      // skinny window over (id, lang, score) to t24's shape
+      "llm_ccnet" -> (d => TextAnalysis.ccnetBuckets(
+        TextAnalysis.bigramLogProbAgainst(
+          d.filter(col("source") === "src0"), d, "doc_id", "text")
+          .join(d.select(col("doc_id").as("id"), col("lang")), "id"),
+        "lang", "avg_logp", "id")
+        .groupBy("lang", "bucket").agg(count(lit(1)).as("n"))
+        .agg(sum("n").as("docs")).filter(col("docs") >= 0)),
+      // store-backed decontamination: eval-gram store write + Bloom
+      // probe + exact verify + interval rewrite — the probe prunes
+      // clean docs map-side, so the curve must track t15's, store
+      // write included
+      "t23_store_decontam" -> { d =>
+        val dir = java.nio.file.Files
+          .createTempDirectory("probeevalgram").toString
+        Dedup.writeEvalGramStore(evalMix(d), "text", dir, n = 5)
+        Dedup.decontaminateRewriteFromStore(d, dir, "doc_id", "text")
+          .agg(sum(length(col("clean_text"))).as("chars_kept"),
+            sum(col("n_kept")).as("toks_kept"))
+          .filter(col("chars_kept") >= 0)
+      },
+      // release gate: two one-scan card+quality projections, two
+      // groups-sized aggregates, one PSI — flat beyond the scans
+      "m15_release_gate" -> (d => graft.metrics.ReleaseGate.snapshotGate(
+        d.filter(col("doc_id") % 3 =!= 0), d.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", "source", "lang",
+        Seq("the", "a", "of", "and", "is", "to", "in"))
+        .agg(sum("n_docs_e").as("ne"), sum("accept").as("acc"))
+        .filter(col("ne") >= 0)),
       // the PATHOLOGICAL card: one text duplicated 100 000× on top of
       // the corpus. Under the old _fp window every copy landed in ONE
       // window partition (single-task straggler growing with the dup

@@ -506,4 +506,93 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("bigramLogProb agrees with a naive in-memory model") {
+    import graft.operators.TextAnalysis
+    val word = Gen.oneOf("a", "b", "cc", "dd", "e")
+    val doc = Gen.chooseNum(0, 6).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val gen = Gen.chooseNum(3, 10).flatMap(n => Gen.listOfN(n, doc))
+    samples(gen, 6).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val out = TextAnalysis.bigramLogProb(docs.toDF("doc_id", "text"),
+          "doc_id", "text")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+        .toMap
+      // naive model: same tokenization (split of "" is [""], matching
+      // Spark's split(trim(text), "\\s+")), MLE bigram + add-one
+      // unigram, caps never bind at this size
+      def toks(t: String) = t.trim.split("\\s+").toSeq
+      val all = docs.flatMap(d => toks(d._2))
+      val uc = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val denom = (all.size + uc.size).toDouble
+      def bigs(t: String) = {
+        val w = toks(t)
+        if (w.size < 2) Seq.empty
+        else w.sliding(2).map(p => (p.head, p(1))).toSeq
+      }
+      val bcnt = docs.flatMap(d => bigs(d._2)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      docs.foreach { case (id, t) =>
+        val bg = bigs(t)
+        val (n, s) = out(id)
+        assert(n == bg.size.toLong, s"doc $id bigram count")
+        if (bg.isEmpty) assert(s.isEmpty, s"doc $id must have a NULL score")
+        else {
+          val terms = bg.map { case (p, c) =>
+            val pb = bcnt.getOrElse((p, c), 0L).toDouble / uc(p)
+            math.log(pb * 0.7 +
+              ((uc.getOrElse(c, 0L) + 1).toDouble / denom) * (1 - 0.7))
+          }
+          val expect = terms.sum / terms.size
+          assert(math.abs(s.get - expect) < 1.1e-6,
+            s"doc $id score ${s.get} vs naive $expect")
+        }
+      }
+    }
+  }
+
+  test("unimaxCensus invariants hold on random language mixes") {
+    import graft.ops.Sampling
+    val gen = for {
+      nLangs <- Gen.chooseNum(1, 5)
+      sizes <- Gen.listOfN(nLangs, Gen.chooseNum(1, 40))
+      budget <- Gen.chooseNum(0L, 2000L)
+      epochs <- Gen.chooseNum(1, 3)
+    } yield (sizes, budget, epochs)
+    samples(gen, 6).foreach { case (sizes, budget, epochs) =>
+      val docs = sizes.zipWithIndex.flatMap { case (n, li) =>
+        (1 to n).map(i =>
+          (li * 1000L + i, s"l$li", "five short tokens in here"))
+      }
+      val df = docs.toDF("doc_id", "lang", "text")
+      val out = Sampling.unimaxCensus(df, "doc_id", "lang", "text",
+          budget, epochs)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      val perLangToks = docs.groupBy(_._2).view
+        .mapValues(_.size.toLong * 5).toMap // 5 tokens per doc
+      out.foreach { case (lang, cap, alloc, nSel, tokSel) =>
+        assert(cap == perLangToks(lang) * epochs, s"$lang cap")
+        assert(alloc >= 0 && alloc <= cap, s"$lang alloc in [0, cap]")
+        // greedy prefix: selected tokens never exceed the allocation
+        // and undershoot by less than one doc's tokens
+        assert(tokSel <= alloc && alloc - tokSel < 5, s"$lang census")
+        assert(tokSel == nSel * 5, s"$lang doc/token consistency")
+      }
+      val totalAlloc = out.map(_._3).sum
+      val totalCap = out.map(_._2).sum
+      assert(totalAlloc == math.min(budget, totalCap),
+        s"budget fully spent or every language capped: $totalAlloc")
+      // water filling: processed in ascending cap order, allocations
+      // are non-decreasing (equal shares except where the cap binds)
+      val byCap = out.sortBy(r => (r._2, r._1)).map(_._3)
+      byCap.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a <= b, s"allocs must be monotone: ${byCap.toSeq}")
+        case _ => ()
+      }
+    }
+  }
 }
