@@ -112,6 +112,7 @@ object SparkEntry {
     "r6_epoch_mix"    -> (Documents.r6EpochMix _),
     "t12_quality_cut" -> (Documents.t12QualityCut _),
     "a10_approx_distinct" -> (Relational.a10ApproxDistinct _),
+    "a12_approx_quantiles" -> (Relational.a12ApproxQuantiles _),
     "a11_heavy_hitters" -> (Relational.a11HeavyHitters _),
     "d10_incremental_neardup" -> (Documents.d10IncrementalNearDup _),
     "j7_salted_join"  -> (Relational.j7SaltedJoin _),
@@ -1185,6 +1186,12 @@ object SparkEntry {
     "a10_approx_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact, 1 AS approx_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the GK sketch's rank-error contract pinned: every flag 1, n_rows
+    // data-dependent — a sketch past its ±n/acc bound flips a flag
+    "a12_approx_quantiles" ->
+      """SELECT q, (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+        |  1 AS rank_ok
+        |FROM (SELECT unnest([0.25, 0.5, 0.75]) AS q) ORDER BY q""".stripMargin,
     // exact hot set recomputed; in_sketch pinned to 1 — freqItems'
     // contract is superset-above-support, so any 0 is a sketch bug
     "a11_heavy_hitters" ->

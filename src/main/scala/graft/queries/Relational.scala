@@ -750,6 +750,45 @@ object Relational {
       .orderBy("col_name")
   }
 
+  /** A12 — approximate quantiles under their RANK-ERROR contract:
+    * `percentile_approx(acc)` (Spark's Greenwald–Khanna variant)
+    * guarantees the returned value's rank lies within ±n/acc of the
+    * target rank — the one-pass, mergeable, bounded-state answer to
+    * "what's the p50/p99" over 10¹² rows, where an exact percentile
+    * needs a sort or a full value histogram. The gate checks the
+    * CONTRACT, not the value (the value is sketch-internal): for each
+    * q, count(v ≤ approx) must reach ⌊(q − ε)·n⌋ and count(v < approx)
+    * must not pass ⌈(q + ε)·n⌉ — the ≤/< pair makes the check
+    * tie-robust. The oracle pins every flag 1 (plus n_rows, so the
+    * gate is data-dependent): a sketch whose error exceeds its bound
+    * flips a flag → hash mismatch. Two passes: sketch+count, then one
+    * flag aggregation against the 1-row broadcast. */
+  def a12ApproxQuantiles(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_totalprice").as("v"))
+    val qs = Seq(0.25, 0.5, 0.75)
+    val acc = 10000
+    val eps = 1.0 / acc
+    val one = o.agg(
+      percentile_approx(col("v"), array(qs.map(lit): _*), lit(acc)).as("_aq"),
+      count(lit(1)).as("_n"))
+    val aggs = qs.indices.flatMap { i =>
+      Seq(sum(when(col("v") <= col("_aq").getItem(i), 1L).otherwise(0L))
+          .as(s"_le$i"),
+        sum(when(col("v") < col("_aq").getItem(i), 1L).otherwise(0L))
+          .as(s"_lt$i"))
+    } :+ first(col("_n")).as("_n")
+    val counted = o.crossJoin(broadcast(one))
+      .agg(aggs.head, aggs.tail: _*)
+    val rows = qs.zipWithIndex.map { case (q, i) =>
+      struct(lit(q).as("q"), col("_n").as("n_rows"),
+        when(col(s"_le$i") >= floor((lit(q) - eps) * col("_n")) &&
+          col(s"_lt$i") <= ceil((lit(q) + eps) * col("_n")), 1)
+          .otherwise(0).as("rank_ok"))
+    }
+    counted.select(explode(array(rows: _*)).as("p")).select("p.*")
+      .orderBy("q")
+  }
+
   /** J8 — full outer join: customers (slice ≤ 1000) against per-customer
     * order counts; rows classify as both / customer_only / order_only —
     * the reconciliation shape (which side is missing what). Same

@@ -36,7 +36,8 @@ class SparkEntrySpec extends SparkSpec {
       "llm_select_pipeline", // same DSIR 1-row broadcast, over the gopher-kept pool
       "t24_bigram_lm", // t9's 1-row add-one-denominator broadcast cross join
       "t25_ccnet_buckets", // embeds t24's scoring chain
-      "llm_ccnet_pipeline") // same chain, target-trained
+      "llm_ccnet_pipeline", // same chain, target-trained
+      "a12_approx_quantiles") // 1-row sketch+count broadcast cross join
 
   test("no query plans an unintended nested-loop or cartesian join") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
