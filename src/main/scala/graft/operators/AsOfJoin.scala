@@ -38,7 +38,7 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
            tsCol: String, payloadCols: Seq[String],
            prefix: String = "asof_"): DataFrame = {
-    val lRow = struct(left.columns.map(col): _*)
+    val lRow = struct(left.columns.toIndexedSeq.map(col): _*)
     val rPay = struct(payloadCols.map(col): _*)
     val lTagged = left.select(
       keyCols.map(col) ++

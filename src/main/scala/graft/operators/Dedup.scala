@@ -1433,7 +1433,7 @@ object Dedup {
     val minCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h31") * a + b, lit(p))).as(s"mh_$i")
     }
-    hashed.groupBy("id").agg(minCols.head, minCols.tail: _*)
+    hashed.groupBy("id").agg(minCols.head, minCols.tail.toIndexedSeq: _*)
   }
 
   /** (id, band, bandHash) bucket rows for a signature table — the LSH

@@ -331,7 +331,7 @@ object Similarity {
     val probedCells = qProbes.select("cell").distinct()
       .collect().map(_.getInt(0)).sorted
     val cells = spark.read.parquet(s"$path/cells")
-      .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+      .filter(col("cell").isin(probedCells.toIndexedSeq.map(Integer.valueOf): _*))
       .select("n_id", "n_vec", "cell")
     scoreProbed(cells, qProbes, k)
   }

@@ -31,7 +31,7 @@ object Skew {
       s"saltedJoin does not preserve row identity for joinType=$joinType")
     val saltCol = "__salt"
     val bigSalted = big.withColumn(saltCol,
-      pmod(hash(big.columns.map(col): _*), lit(saltFactor)))
+      pmod(hash(big.columns.toIndexedSeq.map(col): _*), lit(saltFactor)))
     val smallReplicated = small.withColumn(saltCol,
       explode(array((0 until saltFactor).map(lit): _*)))
     bigSalted.join(smallReplicated, keys :+ saltCol, joinType).drop(saltCol)

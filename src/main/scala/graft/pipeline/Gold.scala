@@ -82,7 +82,7 @@ object Gold {
     * (gold_financial.py:9–11). */
   def financial(silver: DataFrame): DataFrame = {
     val keys = Set("member_id", "snapshot_date")
-    silver.select(silver.columns.map { c =>
+    silver.select(silver.columns.toIndexedSeq.map { c =>
       if (keys(c)) col(c) else col(c).cast("double").as(c) }: _*)
   }
 

@@ -54,7 +54,7 @@ object PipelineE2E {
     // downstream jobs at 4 tasks instead of 32 (pure scheduler overhead
     // at this size; real sources size their own partitions)
     val base = spark.range(0L, n.toLong, 1L, 4).toDF("row_id")
-    base.select(schema.fields.zipWithIndex.map { case (f, i) =>
+    base.select(schema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
       special.get(f.name).map(_.cast(f.dataType).as(f.name)).getOrElse {
         val v: Column = f.dataType match {
           case IntegerType => ((col("row_id") * 7 + i) % 20).cast("int")
