@@ -224,6 +224,40 @@ object SparkEntry {
       |  LEFT JOIN uni cu ON db2.c = cu.w, dn
       |  GROUP BY db2.id)""".stripMargin
 
+  /** The TARGET-TRAINED variant of [[bigramLmCtes]] — model CTEs read
+    * the src0 slice, scoring reads the whole corpus (tok carries lang
+    * for consumers that bucket) — shared by the llm_ccnet_pipeline and
+    * t26_bigram_lm_store oracles so the two store-equals-live gates
+    * can never drift apart on the chain itself. Same FP-order and
+    * md5-tie-break conventions as the single-corpus chain. */
+  private val targetBigramLmCtes: String =
+    """WITH tok AS (SELECT doc_id AS id, lang,
+      |  regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      |ttok AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ws
+      |  FROM documents WHERE source = 'src0'),
+      |uniall AS (SELECT w, count(*) AS uc
+      |  FROM (SELECT unnest(ws) AS w FROM ttok) GROUP BY w),
+      |dn AS (SELECT CAST(sum(uc) AS BIGINT) + count(*) AS denom FROM uniall),
+      |uni AS (SELECT w, uc FROM uniall ORDER BY uc DESC, md5(w) LIMIT 100000),
+      |tb AS (SELECT unnest(list_transform(range(1, len(ws)),
+      |    i -> {'p': ws[i], 'c': ws[i + 1]})) AS bg
+      |  FROM ttok WHERE len(ws) >= 2),
+      |tb2 AS (SELECT bg.p AS p, bg.c AS c FROM tb),
+      |bc AS (SELECT p, c, count(*) AS bc FROM tb2 GROUP BY p, c
+      |  ORDER BY bc DESC, md5(p || ' ' || c) LIMIT 200000),
+      |db AS (SELECT id, unnest(list_transform(range(1, len(ws)),
+      |    i -> {'p': ws[i], 'c': ws[i + 1]})) AS bg
+      |  FROM tok WHERE len(ws) >= 2),
+      |db2 AS (SELECT id, bg.p AS p, bg.c AS c FROM db),
+      |scored AS (SELECT db2.id, count(*) AS n_bigrams,
+      |  round(avg(ln((CASE WHEN coalesce(pu.uc, 0) > 0
+      |      THEN coalesce(bc.bc, 0) * 1.0 / pu.uc ELSE 0 END) * 0.7
+      |    + ((coalesce(cu.uc, 0) + 1) * 1.0 / denom) * (1 - 0.7))), 6) AS avg_logp
+      |  FROM db2 LEFT JOIN bc ON db2.p = bc.p AND db2.c = bc.c
+      |  LEFT JOIN uni pu ON db2.p = pu.w
+      |  LEFT JOIN uni cu ON db2.c = cu.w, dn
+      |  GROUP BY db2.id)""".stripMargin
+
   /** The gopher-rule CTE chain through `f` (one row per doc with every
     * rule value), over relation `rel` — reused by t20's oracle and the
     * llm_select_pipeline composite. */
@@ -1352,38 +1386,14 @@ object SparkEntry {
     // CTEs read the src0 slice, scoring reads the whole corpus, then
     // t25's integer thirds + the head/middle keep. Same FP-order and
     // DECIMAL-sum conventions as t24/t25.
-    "llm_ccnet_pipeline" ->
-      """WITH tok AS (SELECT doc_id AS id, lang,
-        |  regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
-        |ttok AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ws
-        |  FROM documents WHERE source = 'src0'),
-        |uniall AS (SELECT w, count(*) AS uc
-        |  FROM (SELECT unnest(ws) AS w FROM ttok) GROUP BY w),
-        |dn AS (SELECT CAST(sum(uc) AS BIGINT) + count(*) AS denom FROM uniall),
-        |uni AS (SELECT w, uc FROM uniall ORDER BY uc DESC, md5(w) LIMIT 100000),
-        |tb AS (SELECT unnest(list_transform(range(1, len(ws)),
-        |    i -> {'p': ws[i], 'c': ws[i + 1]})) AS bg
-        |  FROM ttok WHERE len(ws) >= 2),
-        |tb2 AS (SELECT bg.p AS p, bg.c AS c FROM tb),
-        |bc AS (SELECT p, c, count(*) AS bc FROM tb2 GROUP BY p, c
-        |  ORDER BY bc DESC, md5(p || ' ' || c) LIMIT 200000),
-        |db AS (SELECT id, unnest(list_transform(range(1, len(ws)),
-        |    i -> {'p': ws[i], 'c': ws[i + 1]})) AS bg
-        |  FROM tok WHERE len(ws) >= 2),
-        |db2 AS (SELECT id, bg.p AS p, bg.c AS c FROM db),
-        |scored AS (SELECT db2.id, count(*) AS n_bigrams,
-        |  round(avg(ln((CASE WHEN coalesce(pu.uc, 0) > 0
-        |      THEN coalesce(bc.bc, 0) * 1.0 / pu.uc ELSE 0 END) * 0.7
-        |    + ((coalesce(cu.uc, 0) + 1) * 1.0 / denom) * (1 - 0.7))), 6) AS avg_logp
-        |  FROM db2 LEFT JOIN bc ON db2.p = bc.p AND db2.c = bc.c
-        |  LEFT JOIN uni pu ON db2.p = pu.w
-        |  LEFT JOIN uni cu ON db2.c = cu.w, dn
-        |  GROUP BY db2.id),
+    "llm_ccnet_pipeline" -> (targetBigramLmCtes +
+      """,
         |bk AS (SELECT sc.id, t.lang, sc.avg_logp,
         |  row_number() OVER (PARTITION BY t.lang
         |    ORDER BY sc.avg_logp DESC, sc.id) AS rk,
         |  count(*) OVER (PARTITION BY t.lang) AS n
-        |  FROM scored sc JOIN tok t ON sc.id = t.id)
+        |  FROM scored sc JOIN tok t ON sc.id = t.id
+        |  WHERE sc.avg_logp IS NOT NULL)
         |SELECT lang,
         |  CASE WHEN (rk - 1) * 3 < n - 1 THEN 'head'
         |    WHEN (rk - 1) * 3 < (n - 1) * 2 THEN 'middle'
@@ -1393,41 +1403,16 @@ object SparkEntry {
         |  CAST(CASE WHEN (CASE WHEN (rk - 1) * 3 < n - 1 THEN 'head'
         |    WHEN (rk - 1) * 3 < (n - 1) * 2 THEN 'middle'
         |    ELSE 'tail' END) <> 'tail' THEN 1 ELSE 0 END AS BIGINT) AS kept
-        |FROM bk GROUP BY lang, bucket, kept ORDER BY lang, bucket""".stripMargin,
+        |FROM bk GROUP BY lang, bucket, kept ORDER BY lang, bucket""".stripMargin),
     // T26: the SAME target-trained scoring through the at-rest model
     // store — store ≡ live is the contract, so the oracle recomputes
     // the llm_ccnet chain's per-doc scores in full
-    "t26_bigram_lm_store" ->
-      """WITH tok AS (SELECT doc_id AS id,
-        |  regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
-        |ttok AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ws
-        |  FROM documents WHERE source = 'src0'),
-        |uniall AS (SELECT w, count(*) AS uc
-        |  FROM (SELECT unnest(ws) AS w FROM ttok) GROUP BY w),
-        |dn AS (SELECT CAST(sum(uc) AS BIGINT) + count(*) AS denom FROM uniall),
-        |uni AS (SELECT w, uc FROM uniall ORDER BY uc DESC, md5(w) LIMIT 100000),
-        |tb AS (SELECT unnest(list_transform(range(1, len(ws)),
-        |    i -> {'p': ws[i], 'c': ws[i + 1]})) AS bg
-        |  FROM ttok WHERE len(ws) >= 2),
-        |tb2 AS (SELECT bg.p AS p, bg.c AS c FROM tb),
-        |bc AS (SELECT p, c, count(*) AS bc FROM tb2 GROUP BY p, c
-        |  ORDER BY bc DESC, md5(p || ' ' || c) LIMIT 200000),
-        |db AS (SELECT id, unnest(list_transform(range(1, len(ws)),
-        |    i -> {'p': ws[i], 'c': ws[i + 1]})) AS bg
-        |  FROM tok WHERE len(ws) >= 2),
-        |db2 AS (SELECT id, bg.p AS p, bg.c AS c FROM db),
-        |scored AS (SELECT db2.id, count(*) AS n_bigrams,
-        |  round(avg(ln((CASE WHEN coalesce(pu.uc, 0) > 0
-        |      THEN coalesce(bc.bc, 0) * 1.0 / pu.uc ELSE 0 END) * 0.7
-        |    + ((coalesce(cu.uc, 0) + 1) * 1.0 / denom) * (1 - 0.7))), 6) AS avg_logp
-        |  FROM db2 LEFT JOIN bc ON db2.p = bc.p AND db2.c = bc.c
-        |  LEFT JOIN uni pu ON db2.p = pu.w
-        |  LEFT JOIN uni cu ON db2.c = cu.w, dn
-        |  GROUP BY db2.id)
+    "t26_bigram_lm_store" -> (targetBigramLmCtes +
+      """
         |SELECT t.id, CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
         |  sc.avg_logp
         |FROM tok t LEFT JOIN scored sc ON t.id = sc.id
-        |ORDER BY t.id""".stripMargin,
+        |ORDER BY t.id""".stripMargin),
     // R10: UniMax water filling replayed as a recursive CTE (languages
     // in ascending-capacity order, alloc = min(cap, remaining //
     // left)), doc census as full epochs + an md5-rank window-cumsum

@@ -555,19 +555,27 @@ object TextAnalysis {
     val sameCorpus = train eq score
     val tok = score.select(col(idCol).as("id"), tokens(col(textCol)).as("_ws"))
     val bigs = docBigrams
-    // one doc-side gram materialization; when train == score it also
-    // feeds the model counts (eager; blocks released by the
-    // ContextCleaner), so the corpus is split exactly once
-    val docBig = tok.select(col("id"), explode(bigs).as("_bg"))
+    // when train == score the doc-side gram frame also feeds the model
+    // counts — materialize it once (eager; blocks released by the
+    // ContextCleaner) so the corpus is split exactly once. In the
+    // TWO-corpus case docBig has a single consumer (the scoring join),
+    // so a checkpoint would only double its I/O — the heaviest map
+    // stage of the operator written to block storage for one read.
+    val docBigBase = tok.select(col("id"), explode(bigs).as("_bg"))
       .select(col("id"), col("_bg.p").as("p"), col("_bg.c").as("c"))
-      .localCheckpoint()
+    val docBig = if (sameCorpus) docBigBase.localCheckpoint() else docBigBase
     val trainTok =
       if (sameCorpus) null
       else train.select(tokens(col(textCol)).as("_ws")).localCheckpoint()
+    // vocabulary-sized with TWO consumers (the denominator aggregate
+    // and the capped table) — materialize so the train-side
+    // explode+shuffle runs once, not per consumer (the
+    // writeBigramLmStore idiom)
     val uniAll =
       (if (sameCorpus) tok.select(explode(col("_ws")).as("w"))
        else trainTok.select(explode(col("_ws")).as("w")))
         .groupBy("w").agg(count(lit(1)).as("uc"))
+        .localCheckpoint()
     // add-one denominator over the FULL train vocabulary (1-row
     // broadcast, the unigramLogProb idiom) — capping must not move
     // the floor
@@ -645,8 +653,15 @@ object TextAnalysis {
     val uniAll = tok.select(explode(col("_ws")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("uc"))
       .localCheckpoint() // feeds the denominator AND the capped table
-    val denom = uniAll.agg((sum("uc") + count(lit(1))).cast("double"))
-      .head().getDouble(0) // bounded 1-row fetch
+    val denomRow = uniAll.agg((sum("uc") + count(lit(1))).cast("double"))
+      .head() // bounded 1-row fetch
+    // loud empty-corpus failure (the trainPq convention): an empty
+    // train frame would otherwise surface as an opaque NPE here while
+    // the live path degrades to NULL scores — store ≡ live demands
+    // neither silently diverges
+    require(!denomRow.isNullAt(0),
+      "writeBigramLmStore: the train corpus is empty — the model needs at least one token")
+    val denom = denomRow.getDouble(0)
     uniAll.orderBy(desc("uc"), md5(col("w")).asc).limit(maxVocab)
       .write.mode("overwrite").parquet(s"$dir/uni")
     tok.select(explode(docBigrams).as("_bg"))

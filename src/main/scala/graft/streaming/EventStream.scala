@@ -452,11 +452,14 @@ object EventStream {
     val spark = docs.sparkSession
     val denom = graft.sources.Sources
       .readJsonSidecarFs(spark, s"$lmStoreDir/_meta.json")("denom").toDouble
-    val uni = spark.read.parquet(s"$lmStoreDir/uni")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bc = spark.read.parquet(s"$lmStoreDir/bigrams")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    uni.count(); bc.count() // materialize once, before the first batch
+    // localCheckpoint, not persist: eager (materialized before the
+    // first batch), and the blocks are released by the ContextCleaner
+    // once the writer/query is dropped — a persist here had no
+    // unpersist point, so every started-then-stopped stream would pin
+    // two cached tables for the session lifetime (the dsirSelect
+    // lesson, applied to streaming closures)
+    val uni = spark.read.parquet(s"$lmStoreDir/uni").localCheckpoint()
+    val bc = spark.read.parquet(s"$lmStoreDir/bigrams").localCheckpoint()
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {

@@ -310,6 +310,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one.collect().toSet == two.collect().toSet)
   }
 
+  test("writeBigramLmStore fails loudly on an empty train corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("emptylm").toString
+    val err = intercept[IllegalArgumentException] {
+      TextAnalysis.writeBigramLmStore(
+        Seq.empty[(Long, String)].toDF("doc_id", "text"), "text", dir)
+    }
+    assert(err.getMessage.contains("empty"))
+  }
+
   test("ccnetBuckets: exact-integer thirds, best scores first") {
     val scored = (1 to 7).map(i => (i.toLong, "en", -i.toDouble))
       .toDF("id", "lang", "s")
