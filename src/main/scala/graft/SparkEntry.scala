@@ -172,6 +172,7 @@ object SparkEntry {
     "r10_unimax" -> (Documents.r10Unimax _),
     "llm_ccnet_pipeline" -> (Documents.llmCcnetPipeline _),
     "t26_bigram_lm_store" -> (Documents.t26BigramLmStore _),
+    "t27_snapshot_diff" -> (Documents.t27SnapshotDiff _),
     "mm3_frame_sample" -> (Documents.mm3FrameSample _),
   )
 
@@ -1413,6 +1414,25 @@ object SparkEntry {
         |  sc.avg_logp
         |FROM tok t LEFT JOIN scored sc ON t.id = sc.id
         |ORDER BY t.id""".stripMargin),
+    // T27: the doc-level crawl diff — fingerprint classification over
+    // the full-outer id join, recomputed from scratch (the canonical
+    // form is the dedup family's)
+    "t27_snapshot_diff" ->
+      """WITH e AS (SELECT doc_id AS id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |a AS (SELECT doc_id AS id,
+        |  md5(trim(regexp_replace(lower(
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' edited' ELSE text END),
+        |    '\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |j AS (SELECT coalesce(e.id, a.id) AS id,
+        |  CASE WHEN e.fp IS NULL THEN 'added'
+        |    WHEN a.fp IS NULL THEN 'removed'
+        |    WHEN e.fp = a.fp THEN 'same' ELSE 'changed' END AS status
+        |  FROM e FULL OUTER JOIN a ON e.id = a.id)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM j GROUP BY status ORDER BY status""".stripMargin,
     // R10: UniMax water filling replayed as a recursive CTE (languages
     // in ascending-capacity order, alloc = min(cap, remaining //
     // left)), doc census as full epochs + an md5-rank window-cumsum

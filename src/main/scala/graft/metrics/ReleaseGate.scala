@@ -46,6 +46,32 @@ object ReleaseGate {
 
   case class Verdict(accept: Boolean, band: String, reasons: Seq[String])
 
+  /** Doc-level SNAPSHOT DIFF — what changed between two crawls: a
+    * full-outer join of the two snapshots' (id, content-fingerprint)
+    * projections classifies every doc as added / removed / changed /
+    * same. The per-doc companion to [[snapshotGate]]'s aggregate
+    * verdict: the gate says whether to accept, the diff says WHAT
+    * moved (feed `changed` + `added` downstream as the incremental
+    * processing set — only those docs need re-cleaning/re-embedding).
+    * Scale shape: one id-keyed shuffle of skinny (id, fp) rows — the
+    * text never moves; the fingerprint is the same canonical form the
+    * dedup family keys on, so a reformatting-only edit counts as
+    * `same`, exactly like the dedup keeper rule would. */
+  def snapshotDiff(expected: DataFrame, actual: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val e = expected.select(col(idCol).as("id"),
+      TextAnalysis.fingerprint(col(textCol)).as("_fp_e"))
+    val a = actual.select(col(idCol).as("id"),
+      TextAnalysis.fingerprint(col(textCol)).as("_fp_a"))
+    e.join(a, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("_fp_e").isNull, "added")
+          .when(col("_fp_a").isNull, "removed")
+          .when(col("_fp_e") === col("_fp_a"), "same")
+          .otherwise("changed").as("status"))
+  }
+
   /** The decision rule as a pure, spec-pinnable function (the
     * shouldRebuildIvf pattern). Reject iff: PSI ≥ `psiAct`; OR any
     * hard card failure (group vanished / share collapsed / dup-rate

@@ -638,6 +638,22 @@ object Documents {
     * id-residue halves of one corpus, so the pinned PSI is near zero;
     * the oracle recomputes breaks, buckets, clamps, and the sum —
     * a wrong bucket rule or clamp shows up at the 6th decimal. */
+  /** T27 — crawl-over-crawl doc diff: old = doc_id % 7 ≠ 0, new =
+    * doc_id % 5 ≠ 0 (overlapping slices ⇒ real adds AND removes), and
+    * every new-side doc_id % 11 = 0 edited ⇒ real `changed` rows. The
+    * census pins all four statuses with data-dependent counts; the
+    * oracle recomputes the fingerprint classification from scratch. */
+  def t27SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+    val newSnap = docs.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("text", when(col("doc_id") % 11 === 0,
+        concat(col("text"), lit(" edited"))).otherwise(col("text")))
+    graft.metrics.ReleaseGate.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .groupBy("status").agg(count(lit(1)).as("n_docs"))
+      .orderBy("status")
+  }
+
   /** M15 — the corpus-snapshot RELEASE GATE: m14's drift PSI and t22's
     * corpus card composed into ONE accept/reject decision
     * ([[graft.metrics.ReleaseGate.snapshotGate]] — the
