@@ -60,6 +60,20 @@ class ReleaseGateSpec extends SparkSpec {
     assert(stable.accept)
   }
 
+  test("snapshotDiff classifies added/removed/changed/same per doc") {
+    val oldSnap = Seq(
+      (1L, "kept exactly"), (2L, "will change"), (3L, "will be removed"),
+      (4L, "Reformat  ONLY")).toDF("doc_id", "text")
+    val newSnap = Seq(
+      (1L, "kept exactly"), (2L, "has changed"), (5L, "brand new"),
+      (4L, "reformat only")).toDF("doc_id", "text")
+    val out = ReleaseGate.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "same", 2L -> "changed", 3L -> "removed",
+      5L -> "added", 4L -> "same"),
+      s"reformatting-only edits must classify same (canonical fp): $out")
+  }
+
   test("snapshotGate end-to-end: stable snapshot accepts, polluted rejects") {
     val stop = Seq("the", "a", "of")
     def mkDocs(ids: Range, dupEvery: Int): org.apache.spark.sql.DataFrame =
