@@ -173,6 +173,7 @@ object SparkEntry {
     "llm_ccnet_pipeline" -> (Documents.llmCcnetPipeline _),
     "t26_bigram_lm_store" -> (Documents.t26BigramLmStore _),
     "t27_snapshot_diff" -> (Documents.t27SnapshotDiff _),
+    "t28_ngram_novelty" -> (Documents.t28NgramNovelty _),
     "mm3_frame_sample" -> (Documents.mm3FrameSample _),
   )
 
@@ -1414,6 +1415,32 @@ object SparkEntry {
         |  sc.avg_logp
         |FROM tok t LEFT JOIN scored sc ON t.id = sc.id
         |ORDER BY t.id""".stripMargin),
+    // T28: per-doc distinct-gram overlap vs the src0 reference,
+    // recomputed on RAW gram strings (the d9 convention against the
+    // engine's 128-bit hashes); division order mirrored exactly
+    "t28_ngram_novelty" ->
+      """WITH c AS (SELECT doc_id AS id,
+        |  regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+        |  WHERE source <> 'src0'),
+        |r AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents WHERE source = 'src0'),
+        |dg AS (SELECT DISTINCT id, unnest(list_transform(range(1, len(ws) - 3),
+        |    i -> array_to_string(list_slice(ws, i, i + 4), ' '))) AS g
+        |  FROM c WHERE len(ws) >= 5),
+        |rg AS (SELECT DISTINCT unnest(list_transform(range(1, len(ws) - 3),
+        |    i -> array_to_string(list_slice(ws, i, i + 4), ' '))) AS g
+        |  FROM r WHERE len(ws) >= 5),
+        |tot AS (SELECT id, count(*) AS n_grams FROM dg GROUP BY id),
+        |mat AS (SELECT id, count(*) AS n_matched FROM dg SEMI JOIN rg
+        |  ON dg.g = rg.g GROUP BY id)
+        |SELECT c.id, CAST(coalesce(t.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+        |  CASE WHEN coalesce(t.n_grams, 0) > 0
+        |    THEN round(1.0 - coalesce(m.n_matched, 0) / t.n_grams, 6)
+        |    ELSE NULL END AS novelty
+        |FROM c LEFT JOIN tot t ON c.id = t.id
+        |LEFT JOIN mat m ON c.id = m.id
+        |ORDER BY c.id""".stripMargin,
     // T27: the doc-level crawl diff — fingerprint classification over
     // the full-outer id join, recomputed from scratch (the canonical
     // form is the dedup family's)

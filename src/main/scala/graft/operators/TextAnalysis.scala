@@ -711,6 +711,43 @@ object TextAnalysis {
       _.withColumn("_denom", lit(denom)), lambda)
   }
 
+  /** N-GRAM NOVELTY against a reference corpus: per document, the
+    * fraction of its DISTINCT word n-grams that do NOT occur anywhere
+    * in the reference — the memorization/duplication-risk signal data
+    * curation ranks by (a doc whose grams are all already in the
+    * reference adds nothing but repetition risk; cf. the novelty
+    * analyses of Lee et al. 2021 / the Pile's dedup reports). Shares
+    * the decontamination family's gram machinery
+    * ([[Dedup.shingles]] — distinct grams per doc, token array
+    * projected before the gram lambda).
+    *
+    * Scale shape: both sides are skinny (id, gram) projections — the
+    * semi join is gram-keyed and AQE picks broadcast when the
+    * reference fits (the common case: a curated reference ≪ the
+    * crawl); past broadcast it is a key shuffle of gram strings only,
+    * and the at-rest variant of this check is exactly the t23
+    * eval-gram store (Bloom-prefiltered probe). Output: (id, n_grams,
+    * n_matched, novelty) — docs with < n tokens carry 0/0/NULL. */
+  def ngramNovelty(corpus: DataFrame, reference: DataFrame,
+                   idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    val doc = Dedup.shingles(corpus, idCol, textCol, n)
+    val ref = Dedup.shingles(reference, idCol, textCol, n)
+      .select("shingle").distinct()
+    val totals = doc.groupBy("id").agg(count(lit(1)).as("n_grams"))
+    val matched = doc.join(ref, Seq("shingle"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_matched"))
+    corpus.select(col(idCol).as("id"))
+      .join(totals, Seq("id"), "left")
+      .join(matched, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          round(lit(1.0) -
+            coalesce(col("n_matched"), lit(0L)) / col("n_grams"), 6))
+          .as("novelty"))
+  }
+
   /** CCNet's HEAD/MIDDLE/TAIL partition over the bigram-LM score: per
     * language, documents ranked by score (best first, id tie-break)
     * split into thirds by EXACT INTEGER arithmetic —

@@ -638,6 +638,18 @@ object Documents {
     * id-residue halves of one corpus, so the pinned PSI is near zero;
     * the oracle recomputes breaks, buckets, clamps, and the sum —
     * a wrong bucket rule or clamp shows up at the 6th decimal. */
+  /** T28 — n-gram novelty of the crawl against the src0 reference
+    * slice: per-doc distinct-5-gram overlap fractions, full-value
+    * oracle on raw gram strings (the d9 convention — the engine's
+    * 128-bit gram hashes against raw-string GROUP BYs). */
+  def t28NgramNovelty(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    TextAnalysis.ngramNovelty(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), "doc_id", "text", n = 5)
+      .orderBy("id")
+  }
+
   /** T27 — crawl-over-crawl doc diff: old = doc_id % 7 ≠ 0, new =
     * doc_id % 5 ≠ 0 (overlapping slices ⇒ real adds AND removes), and
     * every new-side doc_id % 11 = 0 edited ⇒ real `changed` rows. The
