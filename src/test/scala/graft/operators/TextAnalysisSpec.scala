@@ -310,6 +310,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one.collect().toSet == two.collect().toSet)
   }
 
+  test("ngramNovelty: exact overlap fractions; short docs carry NULL") {
+    // corpus doc 1: 6 tokens -> 4 distinct 3-grams, 2 of which ("b c d",
+    // "c d e") occur in the reference -> novelty 0.5; doc 2: all-novel;
+    // doc 3: too short for a 3-gram
+    val corpus = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y z w"),
+      (3L, "a b")).toDF("doc_id", "text")
+    val ref = Seq((100L, "q b c d e q")).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(corpus, ref, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(1L) == ((4L, 2L, Some(0.5))), s"doc 1: ${out(1L)}")
+    assert(out(2L) == ((2L, 0L, Some(1.0))), s"doc 2 is all-novel: ${out(2L)}")
+    assert(out(3L) == ((0L, 0L, None)), "a 2-token doc has no 3-grams")
+  }
+
   test("writeBigramLmStore fails loudly on an empty train corpus") {
     val dir = java.nio.file.Files.createTempDirectory("emptylm").toString
     val err = intercept[IllegalArgumentException] {
