@@ -174,6 +174,7 @@ object SparkEntry {
     "t26_bigram_lm_store" -> (Documents.t26BigramLmStore _),
     "t27_snapshot_diff" -> (Documents.t27SnapshotDiff _),
     "t28_ngram_novelty" -> (Documents.t28NgramNovelty _),
+    "r11_cluster_split" -> (Documents.r11ClusterSplit _),
     "mm3_frame_sample" -> (Documents.mm3FrameSample _),
   )
 
@@ -804,6 +805,7 @@ object SparkEntry {
     "d2_minhash_lsh" -> ngramJaccardSql,
     "d4_ngram_jaccard" -> ngramJaccardSql,
     "d6_dedup_clusters" -> dedupClustersSql,
+    "r11_cluster_split" -> clusterSplitSql,
     "t5_tfidf" ->
       """WITH toks AS (SELECT doc_id,
         |  unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents),
@@ -2060,6 +2062,29 @@ object SparkEntry {
       |SELECT dd.doc_id, coalesce(c.cluster_id, dd.doc_id) AS cluster_id
       |FROM documents dd LEFT JOIN comp c ON dd.doc_id = c.doc_id
       |ORDER BY dd.doc_id""".stripMargin
+
+  /** r11 oracle: d6's recursive component closure feeding the
+    * md5-threshold split keyed on the cluster label (25% → the r2/r9
+    * '4000…' threshold), censused per side. */
+  private val clusterSplitSql: String =
+    s"""WITH RECURSIVE $ngramPairCtes,
+      |jp AS (SELECT id_a, id_b
+      |  FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      |  WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.8),
+      |edges AS (SELECT id_a AS s, id_b AS d FROM jp
+      |  UNION SELECT id_b, id_a FROM jp),
+      |walk(s, r) AS (SELECT s, s FROM (SELECT DISTINCT s FROM edges) nodes
+      |  UNION SELECT e.s, w.r FROM edges e JOIN walk w ON e.d = w.s),
+      |comp AS (SELECT s AS doc_id, min(r) AS cluster_id FROM walk GROUP BY s),
+      |lab AS (SELECT dd.doc_id, coalesce(c.cluster_id, dd.doc_id) AS cl
+      |  FROM documents dd LEFT JOIN comp c ON dd.doc_id = c.doc_id),
+      |sp AS (SELECT doc_id, cl,
+      |  CASE WHEN md5(CAST(cl AS VARCHAR) || 'split')
+      |    < '40000000000000000000000000000000' THEN 'test'
+      |    ELSE 'train' END AS split FROM lab)
+      |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT cl) AS BIGINT) AS n_clusters
+      |FROM sp GROUP BY split ORDER BY split""".stripMargin
 
   /** d16 oracle: d6's recursive component closure, every doc scored with
     * t2's composite quality expression (rounded 6 dp on BOTH sides so

@@ -161,6 +161,30 @@ object Sampling {
           .as("tok_sel"))
   }
 
+  /** [[leakageFreeSplit]] for NEAR-duplicates — the complete leakage
+    * channel: an exact-fingerprint split still lets a train doc that
+    * is a fuzzy near-dup of a test doc leak (Lee et al. 2021 measure
+    * exactly this residual). Near-dup CLUSTERS (connected components
+    * over the candidate pair graph — the d6 machinery) are the split
+    * unit: the md5-threshold rule keys on the cluster label, so every
+    * mutually-similar group lands whole on one side; singletons key
+    * on their own id, which IS their component label, keeping the
+    * rule uniform. Scale: components are (node, label)-only shuffles;
+    * the label join is id-keyed skinny rows; the membership test is
+    * per-row. Output: the input plus `cluster_id` and `split`. */
+  def leakageFreeSplitNearDup(df: DataFrame, pairs: DataFrame,
+                              idCol: String, testPct: Int,
+                              salt: String = "split"): DataFrame = {
+    val comp = graft.operators.Dedup
+      .connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", idCol)
+    df.join(comp, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("split",
+        when(portableTestMember(col("cluster_id"), testPct, salt), "test")
+          .otherwise("train"))
+  }
+
   /** Per-group quota sample: keep `quota` rows per group, selected by a
     * deterministic pseudo-random rank — md5 of the key's string form, so
     * the selection is reproducible across runs, partitionings, AND

@@ -638,6 +638,24 @@ object Documents {
     * id-residue halves of one corpus, so the pinned PSI is near zero;
     * the oracle recomputes breaks, buckets, clamps, and the sum —
     * a wrong bucket rule or clamp shows up at the 6th decimal. */
+  /** R11 — near-dup leakage-free split census: d6's component pipeline
+    * feeding the md5-threshold split keyed on the CLUSTER label, so
+    * fuzzy-duplicate groups land whole on one side (r9's exact-dup
+    * hygiene extended to the near-dup channel). Census pins the
+    * member rule and group-keyed-ness; whole-cluster integrity is
+    * spec-pinned (OpsSpec). */
+  def r11ClusterSplit(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
+      shingleSize = 3, threshold = 0.8, maxDocFreq = Some(100))
+    graft.ops.Sampling.leakageFreeSplitNearDup(
+        docs.select("doc_id"), pairs, "doc_id", 25)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+      .orderBy("split")
+  }
+
   /** T28 — n-gram novelty of the crawl against the src0 reference
     * slice: per-doc distinct-5-gram overlap fractions, full-value
     * oracle on raw gram strings (the d9 convention — the engine's

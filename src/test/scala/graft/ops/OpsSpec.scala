@@ -290,6 +290,27 @@ class OpsSpec extends SparkSpec {
       .foreach { case (id, sp) => assert(again(id) == sp) }
   }
 
+  test("leakageFreeSplitNearDup: whole clusters land on one side") {
+    // pair graph: {1,2,3} chained, {10,11} paired, 20/21 singletons
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Sampling.leakageFreeSplitNearDup(docs, pairs, "doc_id", 50)
+      .select("doc_id", "cluster_id", "split")
+      .as[(Long, Long, String)].collect()
+    val byCluster = out.groupBy(_._2)
+    // every cluster is wholly train or wholly test — the near-dup
+    // leakage channel an id-keyed (or exact-fp) split leaves open
+    byCluster.foreach { case (cl, rows) =>
+      assert(rows.map(_._3).distinct.length == 1,
+        s"cluster $cl straddles the split: ${rows.toSeq}")
+    }
+    assert(byCluster(1L).map(_._1).toSet == Set(1L, 2L, 3L))
+    assert(byCluster(10L).map(_._1).toSet == Set(10L, 11L))
+    // singletons key on their own id (their component label)
+    assert(byCluster(20L).map(_._1).toSeq == Seq(20L))
+    assert(out.length == 7, "split adds columns, drops nothing")
+  }
+
   test("unimaxCensus: capped languages redistribute, equal share binds the rest") {
     // three languages: tiny (10 docs x 4 toks = 40), mid (100 x 4 =
     // 400), big (1000 x 4 = 4000); maxEpochs 2 -> caps 80/800/8000
