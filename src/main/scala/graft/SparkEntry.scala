@@ -1456,9 +1456,10 @@ object SparkEntry {
         |    '\s+', ' ', 'g'))) AS fp
         |  FROM documents WHERE doc_id % 5 <> 0),
         |j AS (SELECT coalesce(e.id, a.id) AS id,
-        |  CASE WHEN e.fp IS NULL THEN 'added'
-        |    WHEN a.fp IS NULL THEN 'removed'
-        |    WHEN e.fp = a.fp THEN 'same' ELSE 'changed' END AS status
+        |  CASE WHEN e.id IS NULL THEN 'added'
+        |    WHEN a.id IS NULL THEN 'removed'
+        |    WHEN e.fp IS NOT DISTINCT FROM a.fp THEN 'same'
+        |    ELSE 'changed' END AS status
         |  FROM e FULL OUTER JOIN a ON e.id = a.id)
         |SELECT status, CAST(count(*) AS BIGINT) AS n_docs
         |FROM j GROUP BY status ORDER BY status""".stripMargin,
@@ -2049,16 +2050,23 @@ object SparkEntry {
   /** d6 oracle: transitive closure of the ground-truth pair graph via a
     * recursive CTE, each doc labeled with the min reachable id;
     * singletons label themselves. */
-  private val dedupClustersSql: String =
-    s"""WITH RECURSIVE $ngramPairCtes,
-      |jp AS (SELECT id_a, id_b
+  /** The exact-pair component closure (jp -> edges -> walk -> comp)
+    * shared by the d6/d16/r11 oracles — one constant so an edit to
+    * the closure (threshold, walk rule) cannot silently desynchronize
+    * the three gates that depend on identical clustering. */
+  private val componentClosureCtes: String =
+    """jp AS (SELECT id_a, id_b
       |  FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
       |  WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.8),
       |edges AS (SELECT id_a AS s, id_b AS d FROM jp
       |  UNION SELECT id_b, id_a FROM jp),
       |walk(s, r) AS (SELECT s, s FROM (SELECT DISTINCT s FROM edges) nodes
       |  UNION SELECT e.s, w.r FROM edges e JOIN walk w ON e.d = w.s),
-      |comp AS (SELECT s AS doc_id, min(r) AS cluster_id FROM walk GROUP BY s)
+      |comp AS (SELECT s AS doc_id, min(r) AS cluster_id FROM walk GROUP BY s)""".stripMargin
+
+  private val dedupClustersSql: String =
+    s"""WITH RECURSIVE $ngramPairCtes,
+      |$componentClosureCtes
       |SELECT dd.doc_id, coalesce(c.cluster_id, dd.doc_id) AS cluster_id
       |FROM documents dd LEFT JOIN comp c ON dd.doc_id = c.doc_id
       |ORDER BY dd.doc_id""".stripMargin
@@ -2068,14 +2076,7 @@ object SparkEntry {
     * '4000…' threshold), censused per side. */
   private val clusterSplitSql: String =
     s"""WITH RECURSIVE $ngramPairCtes,
-      |jp AS (SELECT id_a, id_b
-      |  FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
-      |  WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.8),
-      |edges AS (SELECT id_a AS s, id_b AS d FROM jp
-      |  UNION SELECT id_b, id_a FROM jp),
-      |walk(s, r) AS (SELECT s, s FROM (SELECT DISTINCT s FROM edges) nodes
-      |  UNION SELECT e.s, w.r FROM edges e JOIN walk w ON e.d = w.s),
-      |comp AS (SELECT s AS doc_id, min(r) AS cluster_id FROM walk GROUP BY s),
+      |$componentClosureCtes,
       |lab AS (SELECT dd.doc_id, coalesce(c.cluster_id, dd.doc_id) AS cl
       |  FROM documents dd LEFT JOIN comp c ON dd.doc_id = c.doc_id),
       |sp AS (SELECT doc_id, cl,
@@ -2092,14 +2093,7 @@ object SparkEntry {
     * cluster ordered (q DESC, doc_id). */
   private val clusterBestSql: String =
     s"""WITH RECURSIVE $ngramPairCtes,
-      |jp AS (SELECT id_a, id_b
-      |  FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
-      |  WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.8),
-      |edges AS (SELECT id_a AS s, id_b AS d FROM jp
-      |  UNION SELECT id_b, id_a FROM jp),
-      |walk(s, r) AS (SELECT s, s FROM (SELECT DISTINCT s FROM edges) nodes
-      |  UNION SELECT e.s, w.r FROM edges e JOIN walk w ON e.d = w.s),
-      |comp AS (SELECT s AS doc_id, min(r) AS cluster_id FROM walk GROUP BY s),
+      |$componentClosureCtes,
       |lab AS (SELECT d2.doc_id, coalesce(c.cluster_id, d2.doc_id) AS cluster_id,
       |  round(least(len(ws) / 50.0, 1.0) * 0.5
       |    + least(len(list_filter(ws, w -> w IN ('the','a','of','and','is','to','in')))

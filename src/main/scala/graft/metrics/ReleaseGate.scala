@@ -60,15 +60,21 @@ object ReleaseGate {
   def snapshotDiff(expected: DataFrame, actual: DataFrame,
                    idCol: String, textCol: String): DataFrame = {
     import graft.operators.TextAnalysis
+    // presence is tested with explicit markers, NOT fingerprint
+    // nullability: a doc with NULL text fingerprints to NULL, and
+    // using that as the absence signal would misclassify null-text
+    // docs as added/removed while they are present on both sides
     val e = expected.select(col(idCol).as("id"),
-      TextAnalysis.fingerprint(col(textCol)).as("_fp_e"))
+      TextAnalysis.fingerprint(col(textCol)).as("_fp_e"),
+      lit(true).as("_in_e"))
     val a = actual.select(col(idCol).as("id"),
-      TextAnalysis.fingerprint(col(textCol)).as("_fp_a"))
+      TextAnalysis.fingerprint(col(textCol)).as("_fp_a"),
+      lit(true).as("_in_a"))
     e.join(a, Seq("id"), "full_outer")
       .select(col("id"),
-        when(col("_fp_e").isNull, "added")
-          .when(col("_fp_a").isNull, "removed")
-          .when(col("_fp_e") === col("_fp_a"), "same")
+        when(col("_in_e").isNull, "added")
+          .when(col("_in_a").isNull, "removed")
+          .when(col("_fp_e") <=> col("_fp_a"), "same")
           .otherwise("changed").as("status"))
   }
 

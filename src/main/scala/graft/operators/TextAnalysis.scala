@@ -721,24 +721,30 @@ object TextAnalysis {
     * ([[Dedup.shingles]] — distinct grams per doc, token array
     * projected before the gram lambda).
     *
-    * Scale shape: both sides are skinny (id, gram) projections — the
-    * semi join is gram-keyed and AQE picks broadcast when the
-    * reference fits (the common case: a curated reference ≪ the
-    * crawl); past broadcast it is a key shuffle of gram strings only,
-    * and the at-rest variant of this check is exactly the t23
-    * eval-gram store (Bloom-prefiltered probe). Output: (id, n_grams,
-    * n_matched, novelty) — docs with < n tokens carry 0/0/NULL. */
+    * Scale shape: the corpus-side shingle pipeline runs ONCE — a
+    * single left join against the reference set with a hit marker
+    * feeds one (n_grams, n_matched) aggregation (two independent
+    * consumers of the unmaterialized shingle plan would run the
+    * tokenize+gram explode twice). The join keys on the 64-bit gram
+    * HASH, the d2/d4 family convention — half the shuffle bytes of
+    * raw 5-word strings, ~1e-7 collision risk accepted exactly as the
+    * Jaccard family accepts it; AQE broadcasts the reference when it
+    * fits (the common case: a curated reference ≪ the crawl), and the
+    * at-rest variant of this check is the t23 eval-gram store
+    * (Bloom-prefiltered probe). Output: (id, n_grams, n_matched,
+    * novelty) — docs with < n tokens carry 0/0/NULL. */
   def ngramNovelty(corpus: DataFrame, reference: DataFrame,
                    idCol: String, textCol: String, n: Int = 5): DataFrame = {
     val doc = Dedup.shingles(corpus, idCol, textCol, n)
+      .select(col("id"), xxhash64(col("shingle")).as("_h"))
     val ref = Dedup.shingles(reference, idCol, textCol, n)
-      .select("shingle").distinct()
-    val totals = doc.groupBy("id").agg(count(lit(1)).as("n_grams"))
-    val matched = doc.join(ref, Seq("shingle"), "left_semi")
-      .groupBy("id").agg(count(lit(1)).as("n_matched"))
+      .select(xxhash64(col("shingle")).as("_h")).distinct()
+      .withColumn("_hit", lit(1))
+    val agg = doc.join(ref, Seq("_h"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"), count(col("_hit")).as("n_matched"))
     corpus.select(col(idCol).as("id"))
-      .join(totals, Seq("id"), "left")
-      .join(matched, Seq("id"), "left")
+      .join(agg, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_matched"), lit(0L)).as("n_matched"),

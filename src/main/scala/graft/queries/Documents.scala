@@ -631,13 +631,6 @@ object Documents {
         "source", "lang", stopwords)
       .orderBy("source", "lang")
 
-  /** M14 — text-quality drift between corpus snapshots: PSI over the
-    * expected slice's quality-score deciles (the m8 machinery pointed
-    * at the text pipeline — the monitor a crawl-over-crawl ingest runs
-    * before deciding the new snapshot is trainable). Slices here are
-    * id-residue halves of one corpus, so the pinned PSI is near zero;
-    * the oracle recomputes breaks, buckets, clamps, and the sum —
-    * a wrong bucket rule or clamp shows up at the 6th decimal. */
   /** R11 — near-dup leakage-free split census: d6's component pipeline
     * feeding the md5-threshold split keyed on the CLUSTER label, so
     * fuzzy-duplicate groups land whole on one side (r9's exact-dup
@@ -646,8 +639,15 @@ object Documents {
     * spec-pinned (OpsSpec). */
   def r11ClusterSplit(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
-      shingleSize = 3, threshold = 0.8, maxDocFreq = Some(100))
+    // EXACT pairs, not the size-routed generator: a single LSH-missed
+    // pair would split a component in two and flip whole groups'
+    // train/test sides (d6 tolerates a missed pair as one relabel;
+    // a split gate cannot) — and the oracle's recursive closure is
+    // exact-pair by construction. At gate scale exact is affordable;
+    // past it, split assignment is a batch job where the exact pair
+    // pass is the price of leakage-free hygiene.
+    val pairs = Dedup.jaccardPairs(
+      Dedup.shingles(docs, "doc_id", "text", 3), 0.8, maxDocFreq = Some(100))
     graft.ops.Sampling.leakageFreeSplitNearDup(
         docs.select("doc_id"), pairs, "doc_id", 25)
       .groupBy("split")
@@ -658,8 +658,9 @@ object Documents {
 
   /** T28 — n-gram novelty of the crawl against the src0 reference
     * slice: per-doc distinct-5-gram overlap fractions, full-value
-    * oracle on raw gram strings (the d9 convention — the engine's
-    * 128-bit gram hashes against raw-string GROUP BYs). */
+    * oracle on raw gram strings (the d9 convention — the engine joins
+    * on the 64-bit gram hash, the oracle GROUP BYs raw strings; the
+    * ~1e-7 collision risk is the Jaccard family's accepted bound). */
   def t28NgramNovelty(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     TextAnalysis.ngramNovelty(
@@ -702,6 +703,13 @@ object Documents {
       "doc_id", "text", "source", "lang", stopwords)
   }
 
+  /** M14 — text-quality drift between corpus snapshots: PSI over the
+    * expected slice's quality-score deciles (the m8 machinery pointed
+    * at the text pipeline — the monitor a crawl-over-crawl ingest runs
+    * before deciding the new snapshot is trainable). Slices here are
+    * id-residue halves of one corpus, so the pinned PSI is near zero;
+    * the oracle recomputes breaks, buckets, clamps, and the sum —
+    * a wrong bucket rule or clamp shows up at the 6th decimal. */
   def m14TextDrift(s: SparkSession, d: String): DataFrame = {
     val scored = Tables.documents(s, d).select(col("doc_id"),
       TextAnalysis.qualityScore(col("text"), stopwords).as("q"))

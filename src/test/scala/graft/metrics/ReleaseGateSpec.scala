@@ -62,16 +62,19 @@ class ReleaseGateSpec extends SparkSpec {
 
   test("snapshotDiff classifies added/removed/changed/same per doc") {
     val oldSnap = Seq(
-      (1L, "kept exactly"), (2L, "will change"), (3L, "will be removed"),
-      (4L, "Reformat  ONLY")).toDF("doc_id", "text")
+      (1L, Some("kept exactly")), (2L, Some("will change")),
+      (3L, Some("will be removed")), (4L, Some("Reformat  ONLY")),
+      (6L, Option.empty[String])).toDF("doc_id", "text")
     val newSnap = Seq(
-      (1L, "kept exactly"), (2L, "has changed"), (5L, "brand new"),
-      (4L, "reformat only")).toDF("doc_id", "text")
+      (1L, Some("kept exactly")), (2L, Some("has changed")),
+      (5L, Some("brand new")), (4L, Some("reformat only")),
+      (6L, Option.empty[String])).toDF("doc_id", "text")
     val out = ReleaseGate.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
       .as[(Long, String)].collect().toMap
     assert(out == Map(1L -> "same", 2L -> "changed", 3L -> "removed",
-      5L -> "added", 4L -> "same"),
-      s"reformatting-only edits must classify same (canonical fp): $out")
+      5L -> "added", 4L -> "same", 6L -> "same"),
+      s"canonical-fp reformat rule + null-text docs present on both sides " +
+        s"must classify same, not added/removed: $out")
   }
 
   test("snapshotGate end-to-end: stable snapshot accepts, polluted rejects") {
