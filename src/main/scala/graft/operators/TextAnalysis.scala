@@ -760,18 +760,19 @@ object TextAnalysis {
     * (rk−1)·3 < (n−1) → head, < 2(n−1) → middle, else tail — so the
     * boundary is bit-identical in any engine (a percent_rank float
     * compare is not). Docs with no bigrams (< 2 tokens) are excluded:
-    * they have no LM evidence to rank on. Scale: the window runs over
-    * SKINNY (id, lang, score) rows — text never enters; per-language
-    * partitions are the natural CCNet shard unit. */
+    * they have no LM evidence to rank on. Scale: the rank runs over
+    * SKINNY (id, lang, score) rows — text never enters — through the
+    * DISTRIBUTED rank primitive ([[graft.ops.DistributedRank]]), not
+    * a `Window.partitionBy(lang)` sort: a real crawl is ~45% one
+    * language, and the plain window funnels that whole language into
+    * ONE task's sort. Range partitions bound every sort by corpus
+    * size / parallelism instead, and the rank value is identical. */
   def ccnetBuckets(scored: DataFrame, langCol: String, scoreCol: String,
                    idCol: String): DataFrame = {
-    val w = Window.partitionBy(langCol)
-      .orderBy(desc(scoreCol), col(idCol))
-    val n = Window.partitionBy(langCol)
-    scored.filter(col(scoreCol).isNotNull)
-      .select(col(idCol), col(langCol).as("lang"), col(scoreCol),
-        row_number().over(w).as("_rk"),
-        count(lit(1)).over(n).as("_n"))
+    val skinny = scored.filter(col(scoreCol).isNotNull)
+      .select(col(idCol), col(langCol).as("lang"), col(scoreCol))
+    graft.ops.DistributedRank.withRankAndCumsum(skinny, "lang",
+        Seq(desc(scoreCol), col(idCol)))
       .withColumn("bucket",
         when((col("_rk") - 1) * 3 < col("_n") - 1, "head")
           .when((col("_rk") - 1) * 3 < (col("_n") - 1) * 2, "middle")

@@ -133,7 +133,12 @@ object Sampling {
     // total order both engines share
     val caps = perLang.map { case (l, tot, nd) =>
       (l, tot * maxEpochs, tot, nd)
-    }.sortBy { case (l, cap, _, _) => (cap, l) }
+    }.sortBy { case (l, cap, _, _) =>
+      // null langs sort AFTER every real code at equal cap (the flag),
+      // never NPE the driver on dirty data (a null String key throws
+      // inside the implicit String ordering)
+      (cap, l == null, Option(l).getOrElse(""))
+    }
     var remaining = budgetTokens
     var left = caps.length
     val quotas = caps.map { case (l, cap, tot, nd) =>
@@ -143,16 +148,22 @@ object Sampling {
       (l, cap, alloc, alloc / tot, alloc % tot, tot, nd)
     }.toSeq
     val qdf = quotas.toDF("lang", "cap", "alloc", "ep", "rem", "tot", "nd")
-    val w = Window.partitionBy("lang")
-      .orderBy(md5(concat(col("id").cast("string"), lit("unimax"))),
-        col("id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val part = t.withColumn("cum", sum("ntok").over(w))
-      .join(broadcast(qdf.select("lang", "rem")), Seq("lang"))
-      .filter(col("cum") <= col("rem"))
+    // distributed prefix sum — NOT a Window.partitionBy(lang) cumsum:
+    // the dominant language would ride one task's sort at crawl scale
+    // (the ccnetBuckets rationale; shared primitive)
+    val ordered = t.withColumn("_ord",
+      md5(concat(col("id").cast("string"), lit("unimax"))))
+    // null-safe lang joins: a dirty null-language slice still gets a
+    // census row instead of silently vanishing from the prefix scan
+    val part = graft.ops.DistributedRank.withRankAndCumsum(ordered,
+        "lang", Seq(col("_ord"), col("id")), Some("ntok"))
+      .join(broadcast(qdf.select(col("lang").as("_ql"), col("rem"))),
+        col("lang") <=> col("_ql"))
+      .filter(col("_cum") <= col("rem"))
       .groupBy("lang")
       .agg(count(lit(1)).as("pn"), sum("ntok").as("ptok"))
-    qdf.join(part, Seq("lang"), "left")
+      .withColumnRenamed("lang", "_pl")
+    qdf.join(part, col("lang") <=> col("_pl"), "left")
       .select(col("lang"), col("cap").as("cap_toks"),
         col("alloc").as("alloc_toks"),
         (col("ep") * col("nd") + coalesce(col("pn"), lit(0L)))

@@ -368,6 +368,48 @@ object Documents {
       .orderBy("doc_id")
   }
 
+  /** T29 — the streaming decontamination ingest ON THE HARD SIGNAL:
+    * the eval-gram store is published once, the corpus lands as two
+    * parquet fixture batches behind an AvailableNow file source
+    * (maxFilesPerTrigger caps each micro-batch, so the run provably
+    * spans ≥ 2 batches), the sixth loop
+    * ([[graft.streaming.EventStream.streamingDecontamIngest]]) cleans
+    * and manifest-publishes every micro-batch, and the PUBLISHED table
+    * is what the gate hashes. Shares t15's oracle: streamed ≡ direct
+    * was previously only the EventStreamSpec contract — this row makes
+    * a flagging miss, a dropped batch, a double publish, or a manifest
+    * divergence hash-fail against DuckDB. Reference counterpart: the
+    * weekly incremental bronze loop (process_bronze_tables.py:50–69,
+    * dag.py:63). The dir is wiped first — a stale checkpoint from an
+    * earlier bench repeat would replay instead of re-measure. */
+  def t29DecontamStream(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val base = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/t29_stream"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val (storeDir, inDir) = (s"$base/evalstore", s"$base/in")
+    val (keptDir, ckpt) = (s"$base/kept", s"$base/ckpt")
+    Dedup.writeEvalGramStore(docs.filter(col("doc_id") % 97 === 0),
+      "text", storeDir, n = 5)
+    // two fixture batch files: the even and odd halves of the corpus
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    corpus.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    corpus.filter(col("doc_id") % 2 =!= 0).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    val stream = s.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = graft.streaming.EventStream.streamingDecontamIngest(
+        stream, storeDir, keptDir, "doc_id", "text")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt).start()
+    q.awaitTermination()
+    graft.sources.Sources.readPublished(s, keptDir)
+      .select("doc_id", "n_toks", "n_kept", "clean_text")
+      .orderBy("doc_id")
+  }
+
   /** D16 — quality-argmax keeper per near-dup cluster: d6's component
     * labeling with the keeper elected by composite quality score
     * (ties → smallest id) instead of min id — "keep the BEST copy",

@@ -1,0 +1,131 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** The distributed rank primitive must equal the plain
+  * `Window.partitionBy(g).orderBy(o)` rank/cumsum to the bit (the
+  * oracle-gate contract) while never sorting a whole group in one
+  * task (the 100 TB contract — a crawl is ~45% one language).
+  */
+class DistributedRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  // plan.collect stops at QueryStageExec leaves under AQE — walk
+  // through adaptive wrappers explicitly to reach every WindowExec
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        Seq(r.child)
+      case other => other.children
+    }
+    p +: kids.flatMap(allNodes)
+  }
+
+  private def windowExecs(plan: SparkPlan): Seq[WindowExec] =
+    allNodes(plan).collect { case w: WindowExec => w }
+
+  test("rank and cumsum equal the plain window, including a NULL group") {
+    val df = Seq(
+      ("en", 1L, 10L), ("en", 2L, 20L), ("en", 3L, 5L), ("en", 4L, 7L),
+      ("fr", 5L, 1L), ("fr", 6L, 2L),
+      (null.asInstanceOf[String], 7L, 3L),
+      (null.asInstanceOf[String], 8L, 4L))
+      .toDF("lang", "id", "v").repartition(5)
+
+    val got = DistributedRank.withRankAndCumsum(
+        df, "lang", Seq(desc("v"), col("id")), Some("v"))
+      .select("lang", "id", "_rk", "_cum", "_n")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+
+    val w = Window.partitionBy("lang").orderBy(desc("v"), col("id"))
+    val want = df.select(col("lang"), col("id"),
+        row_number().over(w).cast("long").as("rk"),
+        sum("v").over(w.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)).as("cum"),
+        count(lit(1)).over(Window.partitionBy("lang")).as("n"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+
+    assert(got == want)
+  }
+
+  test("dominant-group skew: 90% one language, rank still exact") {
+    // the pathological shard: one language holds 90% of the corpus
+    // (the shape that single-tasks a plain partitionBy window)
+    val df = spark.range(2000)
+      .select(when(col("id") % 10 < 9, "en").otherwise(
+          concat(lit("l"), (col("id") % 7).cast("string"))).as("lang"),
+        col("id"),
+        (xxhash64(col("id")) % 100 + 100).as("v"))
+    val got = DistributedRank.withRankAndCumsum(
+        df, "lang", Seq(desc("v"), col("id")), Some("v"))
+    val w = Window.partitionBy("lang").orderBy(desc("v"), col("id"))
+    val want = df.select(col("lang"), col("id"),
+      row_number().over(w).cast("long").as("_rk"),
+      sum("v").over(w.rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)).as("_cum"))
+    val mismatches = got.select("lang", "id", "_rk", "_cum")
+      .except(want.select("lang", "id", "_rk", "_cum")).count()
+    assert(mismatches == 0)
+    // every group total is the group's row count
+    val ns = got.groupBy("lang").agg(first("_n").as("n"),
+        count(lit(1)).as("c"))
+      .filter(col("n") =!= col("c")).count()
+    assert(ns == 0)
+  }
+
+  test("no single-group window sort remains in the physical plan") {
+    // every WindowExec must partition by (_pid, group) — ≥2 exprs —
+    // so no window group can exceed a range partition's row count
+    val df = spark.range(500)
+      .select(lit("en").as("lang"), col("id"), lit(1L).as("v"))
+    val out = DistributedRank.withRankAndCumsum(
+      df, "lang", Seq(col("id")), Some("v"))
+    out.collect()
+    val ws = windowExecs(out.queryExecution.executedPlan)
+    assert(ws.nonEmpty, "expected the local window in the plan")
+    ws.foreach { w =>
+      assert(w.partitionSpec.length >= 2,
+        s"single-column window partition spec (a whole-group sort): $w")
+    }
+  }
+
+  test("ccnetBuckets and unimaxCensus ride the distributed rank") {
+    // the two former scale-killer call sites: plan carries no window
+    // partitioned by the bare language column
+    val docs = Seq((1L, "en", "alpha beta alpha"), (2L, "en", "beta"),
+      (3L, "fr", "gamma delta"), (4L, "en", "alpha"))
+      .toDF("doc_id", "lang", "text")
+    val b = graft.operators.TextAnalysis.ccnetBuckets(
+      docs.select(col("doc_id").as("id"), col("lang"),
+        length(col("text")).cast("double").as("s")), "lang", "s", "id")
+    b.collect()
+    windowExecs(b.queryExecution.executedPlan).foreach { w =>
+      assert(w.partitionSpec.length >= 2, s"bare-group window: $w")
+    }
+    val u = Sampling.unimaxCensus(docs, "doc_id", "lang", "text",
+      budgetTokens = 5L, maxEpochs = 2)
+    u.collect()
+    windowExecs(u.queryExecution.executedPlan).foreach { w =>
+      assert(w.partitionSpec.length >= 2, s"bare-group window: $w")
+    }
+  }
+
+  test("unimaxCensus survives a NULL language row (driver sort guard)") {
+    val docs = Seq((1L, "en", "a b c"), (2L, null.asInstanceOf[String],
+      "d e"), (3L, "fr", "f")).toDF("doc_id", "lang", "text")
+    // must not NPE; null-lang rows are censused under the null key
+    val out = Sampling.unimaxCensus(docs, "doc_id", "lang", "text",
+      budgetTokens = 100L, maxEpochs = 1)
+    assert(out.count() == 3)
+  }
+}
