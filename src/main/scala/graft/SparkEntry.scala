@@ -165,6 +165,7 @@ object SparkEntry {
     "t22_corpus_card" -> (Documents.t22CorpusCard _),
     "m14_text_drift" -> (Documents.m14TextDrift _),
     "t23_decontam_store" -> (Documents.t23DecontamStore _),
+    "t29_decontam_stream" -> (Documents.t29DecontamStream _),
     "m15_release_gate" -> (Documents.m15ReleaseGate _),
     "t24_bigram_lm" -> (Documents.t24BigramLm _),
     "t25_ccnet_buckets" -> (Documents.t25CcnetBuckets _),
@@ -1754,6 +1755,9 @@ object SparkEntry {
     // (Bloom sidecar + exact verify) — store-equals-live is the
     // contract the shared oracle enforces, like d11/d20
     "t23_decontam_store" -> decontamRewriteSql,
+    // the streaming ingest loop publishes what the direct rewrite
+    // computes (streamed ≡ direct, now on the hard signal)
+    "t29_decontam_stream" -> decontamRewriteSql,
     // T19: the size-ROUTED rewrite (Bloom-flag docs, rewrite only the
     // flagged sliver) is bit-identical to t15 BY CONTRACT — sharing
     // t15's oracle verbatim IS the gate on that contract
