@@ -257,7 +257,32 @@ object ScaleProbe {
           Seq("the", "a", "of", "and", "is", "to", "in"))
           .agg(sum(col("n_docs")).as("docs"), sum(col("dup_docs")).as("dups"))
           .filter(col("docs") >= 0)
-      })
+      },
+      // the distributed per-language rank under pathological language
+      // skew: 90% of docs forced into ONE language. The old
+      // partitionBy(lang) window single-tasked the dominant slice (a
+      // straggler growing with the corpus); the range-partitioned rank
+      // bounds every sort by corpus-size/parallelism, so this row must
+      // track corpus size with no skew bend. Score is a cheap hash
+      // value — the probe measures the RANK shape, not LM scoring.
+      "ccnet_rank_skew" -> (d => TextAnalysis.ccnetBuckets(
+        d.select(col("doc_id").as("id"),
+          when(col("doc_id") % 10 < 9, "en").otherwise(col("lang")).as("lang"),
+          pmod(xxhash64(col("doc_id")), lit(100000)).cast("double").as("s")),
+        "lang", "s", "id")
+        .groupBy("lang", "bucket").agg(count(lit(1)).as("n"))
+        .agg(sum("n").as("docs")).filter(col("docs") >= 0)),
+      // the split-hygiene pair generator on its SCALE route: multi-seed
+      // over-banded LSH (analytic miss ≤ 1e-7) + component labeling +
+      // the per-row cluster-keyed split — must stay flat-to-linear
+      // where the exact pair pass (d4_jaccard_capped row) bends
+      "r11_split_lsh" -> (d => graft.ops.Sampling.leakageFreeSplitNearDup(
+        d.select("doc_id"),
+        Dedup.lshPairsMultiSeed(d, "doc_id", "text", shingleSize = 3,
+          threshold = 0.8, missBound = 1e-7),
+        "doc_id", 25)
+        .groupBy("split").agg(count(lit(1)).as("n"))
+        .agg(sum("n").as("docs")).filter(col("docs") >= 0)))
 
     // SPARK_GRAFT_PROBE_OPS: comma-separated op-name filter, so a
     // targeted re-probe needn't pay the whole battery (the capped exact

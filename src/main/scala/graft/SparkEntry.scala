@@ -1506,17 +1506,20 @@ object SparkEntry {
         |FROM q LEFT JOIN part p ON q.lang = p.lang
         |ORDER BY q.lang""".stripMargin,
     // MM3: every video row is a 4-frame 25-fps Y4M (160 ms), sampled
-    // at one frame per 80 ms → offsets {0, 80}, frame_idx {0, 1}; the
-    // decoded frame count is pinned 4 — a truncated frame walk or a
-    // row falling to the undecodable marker breaks the value
+    // at one frame per 80 ms → offsets {0, 80}, sample_idx {0, 1},
+    // src_frame_idx {0, 2} (offset·fps/1000 — the SOURCE frame at the
+    // timestamp, distinct from the sample ordinal); the decoded frame
+    // count is pinned 4 — a truncated frame walk or a row falling to
+    // the undecodable marker breaks the value
     "mm3_frame_sample" ->
       """WITH v AS (SELECT doc_id AS media_id FROM documents
         |  WHERE doc_id % 3 = 2),
         |off AS (SELECT unnest([0, 80]) AS offset_ms)
         |SELECT media_id, CAST(offset_ms AS BIGINT) AS offset_ms,
-        |  CAST(offset_ms // 80 AS BIGINT) AS frame_idx,
+        |  CAST(offset_ms // 80 AS BIGINT) AS sample_idx,
+        |  CAST(offset_ms * 25 // 1000 AS BIGINT) AS src_frame_idx,
         |  4 AS n_frames_decoded
-        |FROM v, off ORDER BY media_id, frame_idx""".stripMargin,
+        |FROM v, off ORDER BY media_id, sample_idx""".stripMargin,
     // M15: the release gate — t22's card per snapshot side + m14's PSI
     // chain + the FULL decision rule (hard: vanished group / share
     // collapse past 50% / dup-rate jump past 0.10 / psi ≥ 0.25; soft

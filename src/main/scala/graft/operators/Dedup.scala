@@ -1085,6 +1085,7 @@ object Dedup {
     graft.sources.Sources.writeJsonSidecarFs(spark, s"$dir/_meta.json",
       Map("n" -> n.toString, "fpp" -> fpp.toString,
         "expectedTotalGrams" -> capacity.toString,
+        "totalGrams" -> grams.count().toString,
         "formatVersion" -> "1"))
   }
 
@@ -1095,7 +1096,17 @@ object Dedup {
     * let a contaminated doc probe negative and skip its verify —
     * silent contamination; the reverse only costs one extra verify
     * probe) — the appendToFpStore invariant. Duplicate gram ROWS from
-    * a replay are harmless: the consumer is a left-semi join. */
+    * a replay are harmless: the consumer is a left-semi join.
+    *
+    * The cumulative gram count is tracked in `_meta.json`
+    * (`totalGrams`): the sidecar was SIZED for `expectedTotalGrams`,
+    * and merged filters share that bit array — appends growing the
+    * store past its sizing capacity saturate it, raising the
+    * effective fpp (never false negatives — only extra verify work).
+    * Past 2× capacity this warns loudly: the operator keeps working,
+    * but the owner should rebuild the store
+    * ([[writeEvalGramStore]] over the full suite) with honest
+    * capacity. */
   def appendToEvalGramStore(evalSet: DataFrame, textCol: String,
                             dir: String): Unit = {
     val spark = evalSet.sparkSession
@@ -1119,6 +1130,18 @@ object Dedup {
       graft.functions.BloomMightContain.toBytes(store))
     grams.write.mode("append").parquet(s"$dir/grams")
     spark.catalog.refreshByPath(dir)
+    // upper-bound accounting (batch grams may overlap the store's —
+    // counting the true union would re-scan the whole parquet half
+    // per append): good enough to catch runaway growth
+    val total = meta.get("totalGrams").map(_.toLong)
+      .getOrElse(capacity) + grams.count()
+    graft.sources.Sources.writeJsonSidecarFs(spark, s"$dir/_meta.json",
+      meta + ("totalGrams" -> total.toString))
+    if (total > 2L * capacity)
+      System.err.println(
+        s"[graft] eval-gram store $dir holds ~$total grams against a " +
+        s"sidecar sized for $capacity — effective fpp is degrading; " +
+        "rebuild with writeEvalGramStore over the full suite")
   }
 
   /** [[decontaminateRewrite]] against the at-rest eval-gram store —
@@ -1705,6 +1728,61 @@ object Dedup {
       jaccardPairs(shingles(df, idCol, textCol, shingleSize), threshold, maxDocFreq)
     else
       minHashLshDedup(df, idCol, textCol, shingleSize, numHashes, bands, threshold)
+
+  /** Smallest number of INDEPENDENT MinHash seeds that drives the
+    * per-pair LSH miss probability at similarity ≥ `threshold` under
+    * `missBound`: one (b bands × r rows) run misses a j-similar pair
+    * with probability (1 − j^r)^b, and independent seeds multiply.
+    * With 64 hashes / 16 bands at j = 0.8: one seed ≤ 2.2e-4, two
+    * seeds ≤ 4.9e-8 — already under the 1e-7 default. */
+  def seedsForMissBound(threshold: Double, numHashes: Int, bands: Int,
+                        missBound: Double = 1e-7): Int = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val p1 = math.pow(1.0 - math.pow(threshold, r), bands)
+    var s = 1
+    var p = p1
+    while (p > missBound && s < 16) { s += 1; p *= p1 }
+    require(p <= missBound,
+      f"$s%d seeds of $bands%d×$r%d LSH cannot reach miss ≤ $missBound%g at j ≥ $threshold%.2f")
+    s
+  }
+
+  /** Multi-seed over-banded LSH near-dup pairs for SPLIT hygiene —
+    * the 100 TB generator behind [[graft.ops.Sampling.leakageFreeSplitNearDup]].
+    *
+    * A split gate cannot absorb a missed pair the way dedup can: d6
+    * tolerates an LSH miss as one relabel, but a miss here splits a
+    * connected component in two and can flip whole groups' train/test
+    * sides. Instead of falling back to the exact quadratic pair pass
+    * (the small-corpus ORACLE — its ScaleProbe curve bends hard by
+    * 50 k docs), the band-bucket candidate generator runs under
+    * [[seedsForMissBound]] independent MinHash seeds and the union is
+    * exact-Jaccard-verified, driving the per-pair miss probability at
+    * j ≥ `threshold` below `missBound` — default 1e-7, the same order
+    * as the xxhash64 gram-collision risk the whole Jaccard family
+    * already accepts. Precision is exact (every candidate verified);
+    * recall is bounded analytically, not hoped for.
+    *
+    * Scale shape: ONE persisted 16-byte hashed-shingle projection
+    * feeds every per-seed signature aggregation and the final verify
+    * join; candidates stay banded (each seed is linear in corpus
+    * size), so the whole generator is seeds × the d2 plan — flat
+    * where the exact pass explodes. */
+  def lshPairsMultiSeed(df: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int = 3, threshold: Double = 0.8,
+                        missBound: Double = 1e-7, numHashes: Int = 64,
+                        bands: Int = 16): DataFrame = {
+    val nSeeds = seedsForMissBound(threshold, numHashes, bands, missBound)
+    val h = hashedShingles(shingles(df, idCol, textCol, shingleSize))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cands = (0 until nSeeds).map { i =>
+        lshCandidates(
+          minHashSignaturesHashed(h, numHashes, 42L + 1000L * i),
+          numHashes, bands)
+      }.reduce(_ unionByName _).distinct()
+    jaccardForHashed(h, cands, threshold)
+  }
 
   /** Embedding-cosine near-duplicate pairs, brute force: all (id_a < id_b)
     * pairs with cosine ≥ threshold, scored by the native codegen'd kernel.

@@ -81,17 +81,29 @@ object Multimodal {
   }
 
   /** Frame sampling for video-shaped rows: every `everyMs` milliseconds
-    * of duration yields one (media_id, frame_idx, offset_ms) row —
-    * a generator (explode) over the metadata, no decode needed to plan. */
-  def sampleFrames(media: DataFrame, everyMs: Long): DataFrame =
-    media
+    * of duration yields one (media_id, sample_idx, offset_ms) row —
+    * a generator (explode) over the metadata, no decode needed to plan.
+    * `sample_idx` is the SAMPLE ordinal (offset_ms ÷ everyMs), NOT a
+    * source frame number. When the container frame rate is known, pass
+    * `fps` to also emit `src_frame_idx` = ⌊offset_ms · fps / 1000⌋ —
+    * the frame a decoder should fetch at that timestamp (offset 80 ms
+    * of a 25 fps stream is source frame 2, not sample 1; a consumer
+    * grabbing decoded frames by the sample ordinal would fetch the
+    * wrong frame). */
+  def sampleFrames(media: DataFrame, everyMs: Long,
+                   fps: Option[Double] = None): DataFrame = {
+    val base = media
       // zero-duration media yields no frames; sequence(0, -1, step) would
       // throw on descending bounds (same guard as Dedup.shingles)
       .filter(col("meta.modality") === "video" && col("meta.durationMs") > 0)
       .select(col("media_id"),
         explode(sequence(lit(0L), col("meta.durationMs") - 1, lit(everyMs)))
           .as("offset_ms"))
-      .withColumn("frame_idx", (col("offset_ms") / everyMs).cast("long"))
+      .withColumn("sample_idx", (col("offset_ms") / everyMs).cast("long"))
+    fps.map(f => base.withColumn("src_frame_idx",
+        floor(col("offset_ms") * f / 1000.0).cast("long")))
+      .getOrElse(base)
+  }
 
   /** Wrap a text corpus as media rows — the test/demo entry path.
     * AUDIO rows carry a REAL synthesized WAV container — 16-bit PCM

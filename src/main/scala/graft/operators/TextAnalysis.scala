@@ -547,7 +547,15 @@ object TextAnalysis {
     * exactly that); when they differ, the model-side aggregates run
     * over `train` only and the scoring pass never touches it again.
     * The add-one denominator (T + V) is the TRAIN corpus's — the
-    * scored corpus cannot move the model's floor. */
+    * scored corpus cannot move the model's floor.
+    *
+    * CONTRACT: the single-corpus tokenize-once path is keyed on
+    * REFERENCE identity (`train eq score`), not plan equality —
+    * passing two equal-but-distinct DataFrame objects is CORRECT but
+    * tokenizes twice (call [[bigramLogProb]], or pass the same object,
+    * to get the shared-checkpoint path). Reference identity is the
+    * only safe key: plan equality is undecidable in general and a
+    * false positive would silently score against the wrong corpus. */
   def bigramLogProbAgainst(train: DataFrame, score: DataFrame,
                            idCol: String, textCol: String,
                            lambda: Double = 0.7, maxBigrams: Int = 200000,
@@ -564,16 +572,17 @@ object TextAnalysis {
     val docBigBase = tok.select(col("id"), explode(bigs).as("_bg"))
       .select(col("id"), col("_bg.p").as("p"), col("_bg.c").as("c"))
     val docBig = if (sameCorpus) docBigBase.localCheckpoint() else docBigBase
-    val trainTok =
-      if (sameCorpus) null
-      else train.select(tokens(col(textCol)).as("_ws")).localCheckpoint()
+    // Option, not null: the sameCorpus branches below must be able to
+    // evolve without a latent NPE on an accidental dereference
+    val trainTok: Option[DataFrame] =
+      if (sameCorpus) None
+      else Some(train.select(tokens(col(textCol)).as("_ws")).localCheckpoint())
     // vocabulary-sized with TWO consumers (the denominator aggregate
     // and the capped table) — materialize so the train-side
     // explode+shuffle runs once, not per consumer (the
     // writeBigramLmStore idiom)
     val uniAll =
-      (if (sameCorpus) tok.select(explode(col("_ws")).as("w"))
-       else trainTok.select(explode(col("_ws")).as("w")))
+      trainTok.getOrElse(tok).select(explode(col("_ws")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("uc"))
         .localCheckpoint()
     // add-one denominator over the FULL train vocabulary (1-row
@@ -583,10 +592,11 @@ object TextAnalysis {
       (sum("uc") + count(lit(1))).cast("double").as("_denom")))
     val uni = uniAll.orderBy(desc("uc"), md5(col("w")).asc)
       .limit(maxVocab)
-    val trainBig =
-      if (sameCorpus) docBig.select("p", "c")
-      else trainTok.select(explode(bigs).as("_bg"))
+    val trainBig = trainTok match {
+      case None => docBig.select("p", "c")
+      case Some(tt) => tt.select(explode(bigs).as("_bg"))
         .select(col("_bg.p").as("p"), col("_bg.c").as("c"))
+    }
     val bc = trainBig.groupBy("p", "c").agg(count(lit(1)).as("bc"))
       .orderBy(desc("bc"), md5(concat_ws(" ", col("p"), col("c"))).asc)
       .limit(maxBigrams)

@@ -681,13 +681,18 @@ object Documents {
     * spec-pinned (OpsSpec). */
   def r11ClusterSplit(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    // EXACT pairs, not the size-routed generator: a single LSH-missed
-    // pair would split a component in two and flip whole groups'
-    // train/test sides (d6 tolerates a missed pair as one relabel;
-    // a split gate cannot) — and the oracle's recursive closure is
-    // exact-pair by construction. At gate scale exact is affordable;
-    // past it, split assignment is a batch job where the exact pair
-    // pass is the price of leakage-free hygiene.
+    // EXACT pairs here because the oracle's recursive closure is
+    // exact-pair by construction and exact is affordable at gate
+    // scale. The 100 TB route is [[Dedup.lshPairsMultiSeed]]: a split
+    // gate cannot absorb an LSH miss (one missed pair splits a
+    // component and flips whole groups' sides — d6 tolerates the same
+    // miss as one relabel), so the scale generator runs enough
+    // INDEPENDENT MinHash seeds to drive the analytic per-pair miss
+    // below 1e-7 (two seeds at j ≥ 0.8 under 16×4 banding) — the
+    // family's accepted gram-collision order. DedupSpec proves
+    // LSH-components ≡ exact-components on all three SFs; the
+    // r11_split_lsh ScaleProbe row pins the flat curve where the
+    // exact pass bends.
     val pairs = Dedup.jaccardPairs(
       Dedup.shingles(docs, "doc_id", "text", 3), 0.8, maxDocFreq = Some(100))
     graft.ops.Sampling.leakageFreeSplitNearDup(
@@ -1383,8 +1388,11 @@ object Documents {
     * values stay pinned in MultimodalSpec. */
   /** MM3 — video FRAME-SAMPLING plumbing over REAL decoded containers:
     * every video row's Y4M payload (4 frames, 25 fps → 160 ms) is
-    * sampled at one frame per 80 ms (offsets 0 and 80, frame_idx
-    * 0 and 1 — SQL-recomputable), joined with the frame count the
+    * sampled at one frame per 80 ms (offsets 0 and 80 → sample_idx
+    * 0 and 1, src_frame_idx 0 and 2 at 25 fps — SQL-recomputable,
+    * and the sample-vs-source distinction is itself gated: a
+    * generator that conflated the two would emit src_frame_idx 1 at
+    * offset 80 and hash-fail), joined with the frame count the
     * real [[graft.operators.Y4m]] decoder walks out of the container
     * (pinned 4 by the oracle — a truncated frame walk, a header
     * mis-parse, or a row silently falling to the undecodable marker
@@ -1398,11 +1406,11 @@ object Documents {
       .map(r => (r.media_id,
         Y4m.decode(r.bytes).map(_.frames.length).getOrElse(-1)))
       .toDF("media_id", "n_frames_decoded")
-    Multimodal.sampleFrames(media.toDF(), everyMs = 80L)
+    Multimodal.sampleFrames(media.toDF(), everyMs = 80L, fps = Some(25.0))
       .join(decoded, "media_id")
-      .select(col("media_id"), col("offset_ms"), col("frame_idx"),
-        col("n_frames_decoded"))
-      .orderBy("media_id", "frame_idx")
+      .select(col("media_id"), col("offset_ms"), col("sample_idx"),
+        col("src_frame_idx"), col("n_frames_decoded"))
+      .orderBy("media_id", "sample_idx")
   }
 
   def mm2MediaFeatures(s: SparkSession, d: String): DataFrame = {

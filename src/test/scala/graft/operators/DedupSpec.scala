@@ -850,6 +850,33 @@ class DedupSpec extends SparkSpec {
       "a replayed append must not change the rewrite")
   }
 
+  test("multi-seed LSH pairs: analytic seed count, components ≡ exact on all SFs") {
+    // the seed count is the analytic miss-bound solve, not a guess:
+    // at j ≥ 0.8 with 16×4 banding one seed misses ≤ 2.2e-4, so two
+    // independent seeds reach the 1e-7 family bound
+    assert(Dedup.seedsForMissBound(0.8, 64, 16, 1e-7) == 2)
+    assert(Dedup.seedsForMissBound(0.8, 64, 16, 1e-3) == 1)
+    assert(Dedup.seedsForMissBound(0.9, 64, 16, 1e-7) == 1)
+    // the split-hygiene contract on REAL data, all three SFs: the
+    // connected components over multi-seed LSH pairs must equal the
+    // components over the exact quadratic pair pass — same labels,
+    // same membership — because a single missed pair would flip whole
+    // groups' train/test sides
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                    "/root/testdata/sf0.1")) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val exact = Dedup.jaccardPairs(
+        Dedup.shingles(docs, "doc_id", "text", 3), 0.8,
+        maxDocFreq = Some(100))
+      val lsh = Dedup.lshPairsMultiSeed(docs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.8, missBound = 1e-7)
+      val ce = Dedup.connectedComponents(exact, "id_a", "id_b")
+      val cl = Dedup.connectedComponents(lsh, "id_a", "id_b")
+      assert(ce.except(cl).count() == 0 && cl.except(ce).count() == 0,
+        s"$dir: LSH components must equal exact components")
+    }
+  }
+
   test("canonicalExactDedup collapses reformatting variants exactDedup keeps") {
     val docs = Seq(
       (1L, "Hello, World!"),
