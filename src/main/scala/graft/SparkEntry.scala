@@ -167,6 +167,7 @@ object SparkEntry {
     "t23_decontam_store" -> (Documents.t23DecontamStore _),
     "t29_decontam_stream" -> (Documents.t29DecontamStream _),
     "m15_release_gate" -> (Documents.m15ReleaseGate _),
+    "m16_incremental_reproc" -> (Documents.m16IncrementalReproc _),
     "t24_bigram_lm" -> (Documents.t24BigramLm _),
     "t25_ccnet_buckets" -> (Documents.t25CcnetBuckets _),
     "r9_leakage_split" -> (Documents.r9LeakageSplit _),
@@ -1464,6 +1465,18 @@ object SparkEntry {
         |  FROM e FULL OUTER JOIN a ON e.id = a.id)
         |SELECT status, CAST(count(*) AS BIGINT) AS n_docs
         |FROM j GROUP BY status ORDER BY status""".stripMargin,
+    // M16: incremental ≡ full — the oracle recomputes t20's Gopher
+    // rules over the FULL edited new snapshot; the engine only
+    // reprocessed the changed+added sliver and carried `same` rows
+    // forward, so a stale carry, a double-processed doc, or a missed
+    // moved doc all hash-fail
+    "m16_incremental_reproc" ->
+      s"""WITH newsnap AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 11 = 0 THEN text || ' edited' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 5 <> 0),
+         |${gopherCtes("newsnap")}
+         |SELECT *, CAST(CASE WHEN $gopherKeepRules THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM f ORDER BY doc_id""".stripMargin,
     // R10: UniMax water filling replayed as a recursive CTE (languages
     // in ascending-capacity order, alloc = min(cap, remaining //
     // left)), doc census as full epochs + an md5-rank window-cumsum

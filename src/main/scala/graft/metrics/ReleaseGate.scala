@@ -78,6 +78,43 @@ object ReleaseGate {
           .otherwise("changed").as("status"))
   }
 
+  /** INCREMENTAL REPROCESSING driven by [[snapshotDiff]] — the
+    * engine's answer to a weekly crawl catchup: instead of re-running
+    * a per-doc pipeline over the whole new snapshot, carry forward
+    * the already-computed outputs for `same` docs, run `process` on
+    * ONLY the changed+added docs, and drop removed docs' outputs.
+    *
+    * Contract: `process` must be PER-DOC pure (output row i depends
+    * only on input row i — cleaning, scoring, feature extraction;
+    * NOT corpus-relative ops like DSIR or the CCNet thirds), and its
+    * output must carry `idCol`. Under that contract incremental ≡
+    * full recompute EXACTLY — the m16 oracle pins it. Note the
+    * `same` classification keys on the CANONICAL content fingerprint
+    * (the dedup keeper rule): a formatting-only edit carries its OLD
+    * output forward. A `process` whose values are sensitive to
+    * formatting below the canonical form should treat that as
+    * approximation or diff on a byte-exact fingerprint instead.
+    *
+    * Scale shape: the diff is one id-keyed shuffle of skinny
+    * (id, fp) rows; carried outputs ride a left-semi join on ids;
+    * `process` touches only the moved sliver — the whole point at
+    * 100 TB, where week-over-week movement is a few percent of the
+    * corpus. */
+  def incrementalReprocess(oldSnap: DataFrame, newSnap: DataFrame,
+                           oldOutput: DataFrame, idCol: String,
+                           textCol: String)
+                          (process: DataFrame => DataFrame): DataFrame = {
+    val diff = snapshotDiff(oldSnap, newSnap, idCol, textCol)
+      .localCheckpoint() // two consumers of one skinny (id, status) frame
+    val moved = diff.filter(col("status").isin("added", "changed"))
+      .select(col("id").as(idCol))
+    val same = diff.filter(col("status") === "same")
+      .select(col("id").as(idCol))
+    val carried = oldOutput.join(same, Seq(idCol), "left_semi")
+    val recomputed = process(newSnap.join(moved, Seq(idCol), "left_semi"))
+    carried.unionByName(recomputed)
+  }
+
   /** The decision rule as a pure, spec-pinnable function (the
     * shouldRebuildIvf pattern). Reject iff: PSI ≥ `psiAct`; OR any
     * hard card failure (group vanished / share collapsed / dup-rate

@@ -732,6 +732,30 @@ object Documents {
       .orderBy("status")
   }
 
+  /** M16 — INCREMENTAL reprocessing ≡ FULL recompute: t27's snapshot
+    * fixture (old = %7≠0, new = %5≠0 with %11 docs edited), the
+    * per-doc pipeline = t20's Gopher rules. The old snapshot's rule
+    * table is computed once; the composite carries `same` docs'
+    * rows forward, re-runs the rules on ONLY changed+added docs, and
+    * drops removed docs — and the oracle recomputes the rules over
+    * the FULL new snapshot, so a carried-forward stale row, a doc
+    * processed twice (union dup), or a missed moved doc all
+    * hash-fail. The reference counterpart is the weekly incremental
+    * bronze catchup (process_bronze_tables.py:50–69, dag.py:63). */
+  def m16IncrementalReproc(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+    val newSnap = docs.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("text", when(col("doc_id") % 11 === 0,
+        concat(col("text"), lit(" edited"))).otherwise(col("text")))
+    def rules(df: DataFrame): DataFrame =
+      TextAnalysis.gopherRules(df, "doc_id", "text",
+        requiredStopwords = Seq("the", "a"))
+    graft.metrics.ReleaseGate.incrementalReprocess(
+        oldSnap, newSnap, rules(oldSnap), "doc_id", "text")(rules)
+      .orderBy("doc_id")
+  }
+
   /** M15 — the corpus-snapshot RELEASE GATE: m14's drift PSI and t22's
     * corpus card composed into ONE accept/reject decision
     * ([[graft.metrics.ReleaseGate.snapshotGate]] — the

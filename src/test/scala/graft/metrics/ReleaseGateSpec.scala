@@ -77,6 +77,38 @@ class ReleaseGateSpec extends SparkSpec {
         s"must classify same, not added/removed: $out")
   }
 
+  test("incrementalReprocess: process touches ONLY the moved sliver, result ≡ full") {
+    val oldSnap = Seq(
+      (1L, "kept exactly as it was"), (2L, "this doc will change"),
+      (3L, "this doc gets removed"), (4L, "another keeper doc here"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq(
+      (1L, "kept exactly as it was"), (2L, "this doc HAS changed"),
+      (4L, "another keeper doc here"), (5L, "a brand new arrival"))
+      .toDF("doc_id", "text")
+    // the per-doc pipeline, instrumented: count every row it is asked
+    // to process (per-doc pure — token count + a flag)
+    var processedIds: Set[Long] = Set.empty
+    def proc(df: org.apache.spark.sql.DataFrame) = {
+      processedIds = df.select("doc_id").as[Long].collect().toSet
+      df.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_toks"))
+    }
+    val baseOld = oldSnap.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_toks"))
+    val out = ReleaseGate.incrementalReprocess(
+        oldSnap, newSnap, baseOld, "doc_id", "text")(proc)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // only changed (2) and added (5) were reprocessed
+    assert(processedIds == Set(2L, 5L),
+      s"process must see only changed+added docs, saw $processedIds")
+    // the result equals the full recompute over the new snapshot
+    val full = newSnap.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_toks"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == full, s"incremental must equal full recompute: $out vs $full")
+  }
+
   test("snapshotGate end-to-end: stable snapshot accepts, polluted rejects") {
     val stop = Seq("the", "a", "of")
     def mkDocs(ids: Range, dupEvery: Int): org.apache.spark.sql.DataFrame =
