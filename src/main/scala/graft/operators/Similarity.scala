@@ -402,7 +402,16 @@ object Similarity {
     * sample (`sampleCap` rows) — codebook quality needs a representative
     * sample, not the corpus, so training cost is corpus-size-independent
     * (the IVF `quantize` argument, per subspace). One KMeans fit per
-    * subspace over the persisted sample projection. */
+    * subspace over the persisted sample projection.
+    *
+    * Choosing `m` (measured, RecallProbe / NOTES round 13): `m` — the
+    * subspace count — is the recall knob that matters at dim 64, not
+    * re-rank depth. subDim = dim/m of 8 (m = 8) left re-ranked recall
+    * at 0.48–0.72 across the testdata SFs even at depth 100, while
+    * m = 16 (subDim 4) reached 0.74–0.96 at depth 50 for ~1.5× ADC
+    * cost. Prefer subDim ≤ 4 on unstructured embeddings; the m = 8
+    * default matches the classic 8-byte-code layout for
+    * memory-constrained corpora. */
   def trainPq(corpus: DataFrame, dim: Int, m: Int = 8, k: Int = 16,
               seed: Long = 42L, sampleCap: Int = 100000,
               vecCol: String = "embedding", maxIter: Int = 5): PqCodebooks = {

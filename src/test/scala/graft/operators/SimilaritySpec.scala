@@ -220,4 +220,39 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(err.getMessage.contains("empty"))
   }
+
+  test("recall-vs-cost knob relations (RecallProbe table, NOTES round 13)") {
+    // the measured curve's load-bearing relations, pinned so a knob
+    // regression cannot hide: floors sit under the measured values
+    // (seeded + order-independent fits ⇒ reproducible) with slack
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(e, q, 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("q_id", "n_id").as[(Long, Long)].collect().toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    // IVF: doubling nProbe 2→8 roughly doubles recall at equal wall
+    // cost on unstructured embeddings (measured 0.38 → 0.76)
+    val p2 = recall(Similarity.ivfTopK(e, q, 5, nCells = 16, nProbe = 2))
+    val p8 = recall(Similarity.ivfTopK(e, q, 5, nCells = 16, nProbe = 8))
+    assert(p8 >= p2 && p8 >= 0.6, s"ivf nProbe=8 recall $p8 (nProbe=2: $p2)")
+    // PQ at dim 64: m = 8 (8 dims/subspace) is the recall limiter —
+    // m = 16 at the same re-rank depth jumped 0.72 → 0.90 measured;
+    // the m knob, not depth, is the cliff next to the default
+    val cb8 = Similarity.trainPq(e, dim = 64, m = 8, k = 16)
+    val enc8 = Similarity.pqEncode(e, cb8)
+    val cb16 = Similarity.trainPq(e, dim = 64, m = 16, k = 16)
+    val enc16 = Similarity.pqEncode(e, cb16)
+    val r8 = recall(Similarity.pqTopKReranked(enc8, cb8, q, e, 5, depth = 50))
+    val r16 = recall(Similarity.pqTopKReranked(enc16, cb16, q, e, 5, depth = 50))
+    assert(r16 >= r8 && r16 >= 0.8,
+      s"m16k16 re-rank recall $r16 must beat m8k16's $r8")
+    // depth recovers what ADC loses, monotonically at the ends
+    val d25 = recall(Similarity.pqTopKReranked(enc8, cb8, q, e, 5, depth = 25))
+    val d100 = recall(Similarity.pqTopKReranked(enc8, cb8, q, e, 5, depth = 100))
+    assert(d100 >= d25 && d100 >= 0.7,
+      s"depth=100 recall $d100 must beat depth=25's $d25")
+  }
 }
