@@ -113,18 +113,24 @@ object TextAnalysis {
     * vocabulary census a tokenizer-training or corpus-mix report runs.
     * Scale shape: the token explode is map-side generate; the
     * (group, token) count is one map-side-combinable aggregate; the
-    * top-k window runs over the COUNTS table (vocab-sized — millions of
-    * rows, not the corpus' billions of token occurrences), partitioned
-    * by group so no single-reducer global sort exists. Ties break by
-    * token for determinism. */
+    * top-k rank runs over the COUNTS table (vocab-sized — millions of
+    * rows, not the corpus' billions of token occurrences) through the
+    * DISTRIBUTED rank primitive ([[graft.ops.DistributedRank]]): a
+    * web crawl's per-language vocabulary (typos, URLs, junk tokens)
+    * grows with the corpus, so even the counts table can make the
+    * dominant language a single-task sort under a plain
+    * partitionBy(group) window. Ties break by token for
+    * determinism. */
   def topTokensPerGroup(df: DataFrame, groupCol: String, textCol: String,
                         k: Int): DataFrame = {
     val counts = df
       .select(col(groupCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(groupCol, "token").agg(count(lit(1)).as("n"))
-    counts.withColumn("rank", row_number().over(
-        Window.partitionBy(groupCol).orderBy(desc("n"), asc("token"))))
+    graft.ops.DistributedRank.withRankAndCumsum(counts, groupCol,
+        Seq(desc("n"), asc("token")))
+      .withColumn("rank", col("_rk").cast("int"))
       .filter(col("rank") <= k)
+      .drop("_rk", "_n")
   }
 
   /** Language profiles: characteristic function words per language.
