@@ -48,10 +48,14 @@ object DistributedRank {
   /** Attach `_rk` (1-based rank within `partCol` under `orderCols`),
     * `_n` (group row count), and — when `sumCol` is set — `_cum`
     * (running inclusive sum of the LongType column `sumCol`) to `df`.
-    * Also attaches the transient `_pid` (dropped here) used by the
-    * plan-shape spec. `orderCols` with the caller's unique-id
-    * tie-break must be a total order within each group.
-    */
+    * `orderCols` with the caller's unique-id tie-break must be a
+    * total order within each group.
+    *
+    * Contracts: `sumCol` values must be NON-NULL (a NULL inside a
+    * group that spans range partitions would make the local window
+    * sum NULL while the plain window skips it — guard with coalesce
+    * at the call site); column names `_pid`/`_opid`/`_okey`/`_rkoff`/
+    * `_cumoff`/`_rk`/`_cum`/`_n` are reserved by this primitive. */
   def withRankAndCumsum(df: DataFrame, partCol: String,
                         orderCols: Seq[Column],
                         sumCol: Option[String] = None): DataFrame = {

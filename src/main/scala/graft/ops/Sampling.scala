@@ -121,10 +121,12 @@ object Sampling {
     require(budgetTokens >= 0 && maxEpochs >= 1)
     val spark = df.sparkSession
     import spark.implicits._
-    // one skinny materialization feeds the totals AND the prefix scan
+    // one skinny materialization feeds the totals AND the prefix scan;
+    // ntok coalesced to 0 — a NULL-text doc counts as zero tokens, and
+    // the distributed prefix sum requires non-null values (its contract)
     val t = df.select(col(idCol).as("id"), col(langCol).as("lang"),
-      graft.operators.TextAnalysis.tokenCount(col(textCol))
-        .cast("long").as("ntok"))
+      coalesce(graft.operators.TextAnalysis.tokenCount(col(textCol))
+        .cast("long"), lit(0L)).as("ntok"))
       .localCheckpoint()
     val perLang = t.groupBy("lang")
       .agg(sum("ntok").as("tot"), count(lit(1)).as("nd"))
@@ -145,7 +147,11 @@ object Sampling {
       val alloc = math.min(cap, remaining / left)
       remaining -= alloc
       left -= 1
-      (l, cap, alloc, alloc / tot, alloc % tot, tot, nd)
+      // tot = 0 (a language of only empty/null texts) ⇒ cap = 0 ⇒
+      // alloc = 0: zero epochs, zero remainder — not a driver crash
+      // on integer division by zero
+      val (ep, rem) = if (tot == 0) (0L, 0L) else (alloc / tot, alloc % tot)
+      (l, cap, alloc, ep, rem, tot, nd)
     }.toSeq
     val qdf = quotas.toDF("lang", "cap", "alloc", "ep", "rem", "tot", "nd")
     // distributed prefix sum — NOT a Window.partitionBy(lang) cumsum:

@@ -128,4 +128,26 @@ class DistributedRankSpec extends SparkSpec {
       budgetTokens = 100L, maxEpochs = 1)
     assert(out.count() == 3)
   }
+
+  test("unimaxCensus survives null-text and all-empty languages") {
+    // a NULL text counts zero tokens (empty STRINGS count 1 — the
+    // split-of-trim convention); a language whose EVERY doc is null
+    // has tot = 0 and must alloc 0, not crash the driver on integer
+    // division by zero
+    val docs = Seq((1L, "en", "a b c"), (2L, "en", null.asInstanceOf[String]),
+      (3L, "zz", null.asInstanceOf[String]),
+      (4L, "zz", null.asInstanceOf[String])).toDF("doc_id", "lang", "text")
+    val out = Sampling.unimaxCensus(docs, "doc_id", "lang", "text",
+        budgetTokens = 10L, maxEpochs = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // zz: cap 0, alloc 0, zero tokens selected (empty docs may ride
+    // the zero-cost prefix — cum 0 ≤ rem 0 — but contribute nothing)
+    assert(out("zz")._1 == 0L && out("zz")._2 == 0L && out("zz")._4 == 0L,
+      s"empty lang census: $out")
+    // en: 3 real tokens (null text = 0), cap = 6; zz (cap 0) fills
+    // first, so en gets min(6, 10/1) = 6 — its full 2-epoch cap
+    assert(out("en")._1 == 6L && out("en")._2 == 6L && out("en")._4 == 6L,
+      s"en gets its full 2-epoch cap: $out")
+  }
 }
