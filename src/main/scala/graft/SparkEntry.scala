@@ -168,6 +168,7 @@ object SparkEntry {
     "t29_decontam_stream" -> (Documents.t29DecontamStream _),
     "m15_release_gate" -> (Documents.m15ReleaseGate _),
     "m16_incremental_reproc" -> (Documents.m16IncrementalReproc _),
+    "ann11_incremental_reembed" -> (Documents.ann11IncrementalReembed _),
     "t24_bigram_lm" -> (Documents.t24BigramLm _),
     "t25_ccnet_buckets" -> (Documents.t25CcnetBuckets _),
     "r9_leakage_split" -> (Documents.r9LeakageSplit _),
@@ -1477,6 +1478,20 @@ object SparkEntry {
          |${gopherCtes("newsnap")}
          |SELECT *, CAST(CASE WHEN $gopherKeepRules THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM f ORDER BY doc_id""".stripMargin,
+    // ANN11: the maintenance contract — after tombstone + re-embed the
+    // index's LIVE rows are exactly the new snapshot's vectors. Spark
+    // reads them back out of the index files; DuckDB recomputes the
+    // integer-grid embedding of the new snapshot directly (elements
+    // < 97 are float-exact, sums exact in double — no rounding needed)
+    "ann11_incremental_reembed" ->
+      """WITH new_snap AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 11 <> 0)
+        |SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(0,8),
+        |    i -> (length(text)*31 + doc_id*17 + i*7) % 97)) AS DOUBLE) AS vec_l1,
+        |  CAST((length(text)*31 + doc_id*17) % 97 AS DOUBLE) AS v0
+        |FROM new_snap ORDER BY doc_id""".stripMargin,
     // R10: UniMax water filling replayed as a recursive CTE (languages
     // in ascending-capacity order, alloc = min(cap, remaining //
     // left)), doc census as full epochs + an md5-rank window-cumsum

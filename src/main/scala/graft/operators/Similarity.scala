@@ -259,6 +259,106 @@ object Similarity {
       .parquet(s"$path/cells/batch=$batchId")
   }
 
+  /** Tombstone DELETES for an at-rest index — the removal half of
+    * incremental index maintenance (GDPR takedowns, de-published docs,
+    * content-changed re-embeds), ONE convention shared by the IVF and
+    * PQ stores (both carry (n_id, …, batch) rows; the tombstone dir is
+    * store-shape-agnostic). The ids land under
+    * `$path/tombstones/batch=<id>` (batch-keyed idempotent overwrite,
+    * the append convention — replays converge bit-for-bit); consumers
+    * apply the BATCH-SCOPED rule: a stored row in batch b is dead iff
+    * a tombstone for its id exists in a batch > b. Strictly-greater is
+    * what makes remove-then-append under ONE batchId the changed-doc
+    * idiom: the tombstone (batch N) kills the stale row (batch
+    * < N) while the re-embedded row landing in batch N survives.
+    * Deleted bytes still sit in old store files until a rebuild
+    * compacts them away ([[rebuildIvfIndex]] honors tombstones; the PQ
+    * store's rebuild is a fresh [[writePqIndex]] from the corpus — it
+    * never stored raw vectors to rebuild from); [[ivfCellStats]]
+    * deliberately counts them — probe cost follows bytes scanned, not
+    * liveness. */
+  private def writeTombstones(ids: DataFrame, path: String, batchId: Long,
+                              idCol: String): Unit = {
+    require(batchId > 0, "tombstone batches are writer-lineage-keyed like appends")
+    ids.select(col(idCol).as("n_id")).distinct()
+      .write.mode("overwrite").parquet(s"$path/tombstones/batch=$batchId")
+  }
+
+  /** IVF-store deletes — see [[writeTombstones]] for the rule. */
+  def removeFromIvfIndex(ids: DataFrame, path: String, batchId: Long,
+                         idCol: String = "vec_id"): Unit =
+    writeTombstones(ids, path, batchId, idCol)
+
+  /** PQ-store deletes — same tombstone convention ([[writeTombstones]]);
+    * [[pqTopKFromIndex]] ADC-scores only live codes. */
+  def removeFromPqIndex(ids: DataFrame, path: String, batchId: Long,
+                        idCol: String = "vec_id"): Unit =
+    writeTombstones(ids, path, batchId, idCol)
+
+  /** The tombstone table of an index, if any — (n_id, batch) rows. */
+  private def storeTombstones(spark: SparkSession, path: String)
+      : Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(s"$path/tombstones")
+      .select(col("n_id").as("_t_id"), col("batch").as("_t_batch")))
+    else None
+  }
+
+  /** Drop dead rows from a (n_id, …, batch) cell frame under the
+    * batch-scoped tombstone rule. */
+  private def liveRows(cells: DataFrame, tombs: Option[DataFrame])
+      : DataFrame = tombs match {
+    case None => cells
+    case Some(t) => cells.join(broadcast(t),
+      cells("n_id") === t("_t_id") && t("_t_batch") > cells("batch"),
+      "left_anti")
+  }
+
+  /** Every LIVE (n_id, n_vec) row of an at-rest IVF index under the
+    * batch-scoped tombstone rule — the serving-side contract surface
+    * ([[ivfTopKFromIndex]] probes exactly this set, cell-pruned). One
+    * scan of the cells plus a broadcast anti join against the (tiny)
+    * tombstone table; exposed so maintenance invariants ("the index
+    * serves exactly the current snapshot") are checkable without going
+    * through a top-k query. */
+  def liveIndexRows(spark: SparkSession, path: String): DataFrame =
+    liveRows(
+      spark.read.parquet(s"$path/cells")
+        .select("n_id", "n_vec", "cell", "batch"),
+      storeTombstones(spark, path))
+      .select("n_id", "n_vec", "cell")
+
+  /** Incremental RE-EMBED — [[graft.metrics.ReleaseGate.incrementalReprocess]]'s
+    * twin for the vector side, completing the snapshotDiff story
+    * ("only changed+added need re-cleaning/RE-EMBEDDING"): removed and
+    * changed docs' stale vectors are tombstoned, changed and added
+    * docs are embedded (`embed` must be per-doc pure, the m16
+    * contract) and appended under the SAME batchId — the
+    * strictly-greater tombstone rule keeps the fresh vectors alive.
+    * After the call, the index serves EXACTLY the new snapshot's
+    * vectors (spec-pinned); `same` docs' vectors are never recomputed
+    * or rewritten — at 100 TB the weekly moved sliver is a few
+    * percent of the corpus, and embedding is the expensive stage.
+    * Replay-idempotent: both halves are batch-keyed overwrites. */
+  def incrementalReembedIvf(oldSnap: DataFrame, newSnap: DataFrame,
+                            embed: DataFrame => DataFrame,
+                            path: String, batchId: Long,
+                            idCol: String, textCol: String,
+                            vecCol: String = "embedding"): Unit = {
+    val diff = graft.metrics.ReleaseGate
+      .snapshotDiff(oldSnap, newSnap, idCol, textCol)
+      .localCheckpoint() // two consumers of one skinny (id, status) frame
+    removeFromIvfIndex(
+      diff.filter(col("status").isin("removed", "changed"))
+        .select(col("id")), path, batchId, "id")
+    val moved = diff.filter(col("status").isin("added", "changed"))
+      .select(col("id").as(idCol))
+    appendToIvfIndex(
+      embed(newSnap.join(moved, Seq(idCol), "left_semi")),
+      path, batchId, idCol, vecCol)
+  }
+
   /** Per-cell occupancy distribution of an at-rest IVF index — the
     * MEASUREMENT behind `appendToIvfIndex`'s documented drift policy
     * ("monitor per-cell counts and rebuild when skew says so"), as one
@@ -308,7 +408,10 @@ object Similarity {
                       idCol: String = "vec_id",
                       vecCol: String = "embedding")
       : Seq[(Int, Array[Float])] = {
-    val all = spark.read.parquet(s"$path/cells")
+    // honor tombstones: a rebuild is exactly where deleted bytes are
+    // compacted away — the fresh index carries no tombstone dir
+    val all = liveRows(spark.read.parquet(s"$path/cells"),
+        storeTombstones(spark, path))
       .select(col("n_id").as(idCol), col("n_vec").as(vecCol))
     writeIvfIndex(all, dstPath, nCells, seed, idCol, vecCol)
   }
@@ -330,8 +433,11 @@ object Similarity {
     // tiny driver round-trip: ≤ queries × nProbe cell ids
     val probedCells = qProbes.select("cell").distinct()
       .collect().map(_.getInt(0)).sorted
-    val cells = spark.read.parquet(s"$path/cells")
-      .filter(col("cell").isin(probedCells.toIndexedSeq.map(Integer.valueOf): _*))
+    val cells = liveRows(
+        spark.read.parquet(s"$path/cells")
+          .filter(col("cell").isin(probedCells.toIndexedSeq.map(Integer.valueOf): _*))
+          .select("n_id", "n_vec", "cell", "batch"),
+        storeTombstones(spark, path))
       .select("n_id", "n_vec", "cell")
     scoreProbed(cells, qProbes, k)
   }
@@ -606,9 +712,41 @@ object Similarity {
                       vecCol: String = "embedding"): DataFrame = {
     val spark = queries.sparkSession
     val cb = loadPqCodebooks(spark, path)
-    val encoded = spark.read.parquet(s"$path/codes")
+    // honor tombstones ([[writeTombstones]]'s batch-scoped rule): dead
+    // codes must not compete in ADC — a deleted near-duplicate would
+    // otherwise crowd the depth sliver even though the re-rank could
+    // never return its raw vector honestly
+    val encoded = liveRows(
+        spark.read.parquet(s"$path/codes")
+          .select("n_id", "code", "recon_norm", "batch"),
+        storeTombstones(spark, path))
       .select("n_id", "code", "recon_norm")
     pqTopKReranked(encoded, cb, queries, corpus, k, depth, idCol, vecCol)
+  }
+
+  /** Incremental re-embed for the PQ store — [[incrementalReembedIvf]]'s
+    * twin (same snapshotDiff drive, same strictly-greater tombstone
+    * rule, same replay idempotence), encoding the moved docs against
+    * the STORED codebooks ([[appendToPqIndex]]'s rule). Codebook FIT
+    * drift under a shifting distribution is the monitored trade
+    * documented there; the remedy is a fresh [[writePqIndex]] rebuild
+    * from the corpus, which starts with no tombstone dir. */
+  def incrementalReembedPq(oldSnap: DataFrame, newSnap: DataFrame,
+                           embed: DataFrame => DataFrame,
+                           path: String, batchId: Long,
+                           idCol: String, textCol: String,
+                           vecCol: String = "embedding"): Unit = {
+    val diff = graft.metrics.ReleaseGate
+      .snapshotDiff(oldSnap, newSnap, idCol, textCol)
+      .localCheckpoint() // two consumers of one skinny (id, status) frame
+    removeFromPqIndex(
+      diff.filter(col("status").isin("removed", "changed"))
+        .select(col("id")), path, batchId, "id")
+    val moved = diff.filter(col("status").isin("added", "changed"))
+      .select(col("id").as(idCol))
+    appendToPqIndex(
+      embed(newSnap.join(moved, Seq(idCol), "left_semi")),
+      path, batchId, idCol, vecCol)
   }
 
   /** IVF-PQ with RESIDUAL encoding — the canonical FAISS IVFPQ

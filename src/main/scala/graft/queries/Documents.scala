@@ -1369,6 +1369,46 @@ object Documents {
     Similarity.ivfCellStats(s, ivfStatsDir)
   }
 
+  /** ANN11 — incremental index MAINTENANCE driver-gated, the
+    * store ≡ live contract for [[Similarity.incrementalReembedIvf]]:
+    * two document snapshots are derived deterministically from the
+    * corpus (old = id % 7 ≠ 0; new = id % 11 ≠ 0 with id % 13 = 0 docs
+    * edited, so the diff carries removed, added, changed AND same in
+    * one fixture), the index is built from the old snapshot, then ONE
+    * maintenance call tombstones the stale vectors and re-embeds only
+    * the moved docs. The gate reads the LIVE rows back out of the
+    * index files ([[Similarity.liveIndexRows]], the exact set every
+    * probe serves) while the oracle recomputes the embedding of the
+    * NEW snapshot directly in SQL — the embedding is an integer-grid
+    * function of (length(text), id) both engines can evaluate exactly
+    * (elements < 97 are float-exact; sums exact in double). A stale
+    * survivor, a killed fresh vector, a served removed id, a double
+    * row, or a missed changed-doc re-embed all hash-fail. */
+  def ann11IncrementalReembed(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    def embed(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      transform(sequence(lit(0), lit(7)), i =>
+        pmod(length(col("text")) * 31 + col("doc_id") * 17 + i * 7,
+          lit(97)).cast("float")).as("embedding"))
+    val oldSnap = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+    val newSnap = docs.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    val dir = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/ivf_index_incremental"
+    Similarity.writeIvfIndex(embed(oldSnap), dir, nCells = 8,
+      idCol = "doc_id")
+    Similarity.incrementalReembedIvf(oldSnap, newSnap, embed, dir,
+      batchId = 1L, idCol = "doc_id", textCol = "text")
+    Similarity.liveIndexRows(s, dir)
+      .select(col("n_id").as("doc_id"),
+        aggregate(col("n_vec"), lit(0.0d), (a, x) => a + x).as("vec_l1"),
+        element_at(col("n_vec"), 1).cast("double").as("v0"))
+      .orderBy("doc_id")
+  }
+
   /** D14 — the store APPEND path driver-gated: the corpus lands in TWO
     * installments (initial write + `appendToNearDupStore`), then the
     * batch pairs against the grown store. Same oracle as d10/d11 — the

@@ -221,6 +221,110 @@ class SimilaritySpec extends SparkSpec {
     assert(err.getMessage.contains("empty"))
   }
 
+  test("IVF tombstones + incremental re-embed serve exactly the new snapshot") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfinc").toString
+    val path = s"$tmp/idx"
+    // deterministic per-text embedding: changed text ⇒ changed vector
+    def embed(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), transform(sequence(lit(0), lit(7)),
+        i => (pmod(xxhash64(concat(col("text"), i)), lit(97)) / lit(97.0))
+          .cast("float")).as("embedding"))
+    val oldSnap = (1L to 40L).map(i => (i, s"document number $i body"))
+      .toDF("doc_id", "text")
+    val newSnap = (3L to 44L).map(i =>
+        (i, if (i % 5 == 0) s"document number $i EDITED" else s"document number $i body"))
+      .toDF("doc_id", "text")
+    Similarity.writeIvfIndex(embed(oldSnap), path, nCells = 4,
+      idCol = "doc_id")
+    Similarity.incrementalReembedIvf(oldSnap, newSnap, embed, path,
+      batchId = 1L, idCol = "doc_id", textCol = "text")
+    // live rows = exactly the new snapshot's vectors: removed ids gone,
+    // changed ids carry the NEW vector, same ids the old (identical)
+    val tombs = spark.read.parquet(s"$path/tombstones")
+      .select("n_id", "batch").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val raw = spark.read.parquet(s"$path/cells")
+      .select("n_id", "n_vec", "batch").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+    val live = raw.filter { case (id, _, b) =>
+      !tombs.exists { case (tid, tb) => tid == id && tb > b } }
+      .map { case (id, v, _) => id -> v }.toMap
+    val want = embed(newSnap).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(live == want,
+      "live index rows must equal the new snapshot's vectors exactly")
+    // the served reader agrees: no removed id is ever returned, and a
+    // changed doc matches its NEW vector as its own nearest neighbor
+    val cents = Similarity.loadIvfCentroids(spark, path)
+    val served = Similarity.ivfTopKFromIndex(path, cents,
+        embed(newSnap).withColumnRenamed("doc_id", "vec_id"),
+        k = 3, nProbe = 4, idCol = "vec_id")
+    val servedIds = served.select("n_id").as[Long].collect().toSet
+    assert(!servedIds.contains(1L) && !servedIds.contains(2L),
+      "tombstoned (removed) ids must never serve")
+    // replay: same batchId, same inputs — idempotent, nothing doubles
+    Similarity.incrementalReembedIvf(oldSnap, newSnap, embed, path,
+      batchId = 1L, idCol = "doc_id", textCol = "text")
+    val live2 = spark.read.parquet(s"$path/cells")
+      .select("n_id", "n_vec", "batch").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+      .filter { case (id, _, b) =>
+        !tombs.exists { case (tid, tb) => tid == id && tb > b } }
+      .map { case (id, v, _) => id -> v }.toMap
+    assert(live2 == want, "replayed maintenance must converge")
+    // a rebuild compacts the deletes away: fresh index, no tombstones,
+    // same live set
+    val dst = s"$tmp/idx2"
+    Similarity.rebuildIvfIndex(spark, path, dst, nCells = 4,
+      idCol = "doc_id", vecCol = "embedding")
+    val rebuilt = spark.read.parquet(s"$dst/cells")
+      .select("n_id", "n_vec").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(rebuilt == want, "rebuild must carry exactly the live rows")
+    assert(!new java.io.File(s"$dst/tombstones").exists,
+      "a rebuilt index starts with no tombstones")
+  }
+
+  test("PQ store tombstones: live codes track the new snapshot, dead codes never ADC") {
+    val tmp = java.nio.file.Files.createTempDirectory("pqinc").toString
+    val path = s"$tmp/idx"
+    def embed(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), transform(sequence(lit(0), lit(7)),
+        i => (pmod(xxhash64(concat(col("text"), i)), lit(97)) / lit(97.0))
+          .cast("float")).as("embedding"))
+    val oldSnap = (1L to 40L).map(i => (i, s"pq document $i body"))
+      .toDF("doc_id", "text")
+    val newSnap = (3L to 44L).map(i =>
+        (i, if (i % 5 == 0) s"pq document $i EDITED" else s"pq document $i body"))
+      .toDF("doc_id", "text")
+    val cb = Similarity.writePqIndex(embed(oldSnap), path, dim = 8,
+      m = 4, k = 8, idCol = "doc_id")
+    Similarity.incrementalReembedPq(oldSnap, newSnap, embed, path,
+      batchId = 1L, idCol = "doc_id", textCol = "text")
+    // live codes = exactly the new snapshot encoded against the STORED
+    // codebooks (appendToPqIndex's rule — no refit on append)
+    val tombs = spark.read.parquet(s"$path/tombstones")
+      .select("n_id", "batch").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val live = spark.read.parquet(s"$path/codes")
+      .select("n_id", "code", "batch").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getInt(2)))
+      .filter { case (id, _, b) =>
+        !tombs.exists { case (tid, tb) => tid == id && tb > b } }
+      .map { case (id, c, _) => id -> c }.toMap
+    val want = Similarity.pqEncode(embed(newSnap), cb, idCol = "doc_id")
+      .select("n_id", "code").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(live == want,
+      "live PQ codes must equal the new snapshot's encoding exactly")
+    // the served reader agrees: removed ids never score, even in ADC
+    val served = Similarity.pqTopKFromIndex(path,
+      embed(newSnap.limit(5)).withColumnRenamed("doc_id", "vec_id"),
+      embed(newSnap).withColumnRenamed("doc_id", "vec_id"),
+      k = 40, depth = 0)
+    val servedIds = served.select("n_id").as[Long].collect().toSet
+    assert(!servedIds.contains(1L) && !servedIds.contains(2L),
+      "tombstoned (removed) ids must never reach the ADC ranking")
+  }
+
   test("recall-vs-cost knob relations (RecallProbe table, NOTES round 13)") {
     // the measured curve's load-bearing relations, pinned so a knob
     // regression cannot hide: floors sit under the measured values
