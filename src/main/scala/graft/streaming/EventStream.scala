@@ -520,6 +520,48 @@ object EventStream {
     }
   }
 
+  /** Streaming index MAINTENANCE — the eighth loop: a CDC-shaped
+    * stream of document mutations keeps the at-rest IVF index serving
+    * exactly the current corpus, the streaming twin of
+    * [[graft.operators.Similarity.incrementalReembedIvf]] (which
+    * diffs two snapshots; this loop consumes the diff as it happens).
+    * Each micro-batch carries (id, text, op) rows, op ∈ {upsert,
+    * delete}. EVERY mutated id is tombstoned under the batch's id
+    * (against a brand-new id the tombstone anti-joins nothing —
+    * harmless, and it keeps the loop one-pass with no lookup of prior
+    * state), then upserts are embedded (`embed` must be per-doc pure,
+    * the m16 contract) and appended under the SAME batch id — the
+    * strictly-greater tombstone rule kills the stale vector while the
+    * fresh one survives, and a later delete kills an earlier upsert
+    * because its batch is greater. CONTRACT: at most one mutation per
+    * id per micro-batch (compact upstream) — two same-batch mutations
+    * of one id would race rows the tombstone rule cannot order.
+    * Replay posture: both halves are batch-keyed idempotent
+    * overwrites (batchId + 1; batch=0 is the base install), so
+    * at-least-once replays converge bit-for-bit — fully idempotent,
+    * no guard needed. */
+  def streamingIndexMaintenance(mutations: DataFrame, indexDir: String,
+                                embed: DataFrame => DataFrame,
+                                idCol: String, textCol: String,
+                                opCol: String = "op")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.Similarity
+    mutations.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          // two consumers of one small mutation batch
+          val b = batch.localCheckpoint()
+          Similarity.removeFromIvfIndex(
+            b.select(col(idCol)), indexDir, batchId + 1, idCol)
+          val ups = b.filter(col(opCol) === "upsert")
+            .select(idCol, textCol)
+          if (!ups.isEmpty)
+            Similarity.appendToIvfIndex(embed(ups), indexDir,
+              batchId + 1, idCol)
+        }
+    }
+  }
+
   /** Ordered weekly incremental driver (T2): the batch twin of the
     * stream — processes week partitions strictly in order, exactly once,
     * recording progress in a ledger the way the reference's

@@ -641,6 +641,55 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == direct)
   }
 
+  test("streamingIndexMaintenance: CDC stream keeps the index serving the current corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("idxmaint").toString
+    val idx = s"$tmp/index"
+    def embed(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), transform(sequence(lit(0), lit(7)),
+        i => (pmod(xxhash64(concat(col("text"), i)), lit(97)) / lit(97.0))
+          .cast("float")).as("embedding"))
+    def body(i: Long) = s"maintained document $i body"
+    val initial = (1L to 30L).map(i => (i, body(i))).toDF("doc_id", "text")
+    graft.operators.Similarity.writeIvfIndex(embed(initial), idx,
+      nCells = 4, idCol = "doc_id")
+    // batch 1: add 31–33, edit 5, drop 1–2; batch 2: drop the just-added
+    // 31, edit 5 AGAIN, add 34 — exercises add-then-delete and
+    // edit-then-edit across batch boundaries
+    val b1 = Seq((31L, body(31), "upsert"), (32L, body(32), "upsert"),
+      (33L, body(33), "upsert"), (5L, "edit one of doc 5", "upsert"),
+      (1L, "", "delete"), (2L, "", "delete"))
+    val b2 = Seq((31L, "", "delete"), (5L, "edit two of doc 5", "upsert"),
+      (34L, body(34), "upsert"))
+    def runOnce(ckpt: String): Unit = {
+      val mem = MemoryStream[(Long, String, String)]
+      val q = streamingIndexMaintenance(
+          mem.toDF().toDF("doc_id", "text", "op"), idx, embed,
+          "doc_id", "text")
+        .option("checkpointLocation", ckpt).start()
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      q.stop()
+    }
+    runOnce(s"$tmp/ckpt1")
+    val finalCorpus = ((3L to 30L).map(i =>
+        (i, if (i == 5) "edit two of doc 5" else body(i))) ++
+      Seq((32L, body(32)), (33L, body(33)), (34L, body(34))))
+      .toDF("doc_id", "text")
+    val want = embed(finalCorpus).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def live = graft.operators.Similarity.liveIndexRows(spark, idx)
+      .select("n_id", "n_vec").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(live == want,
+      "after the CDC stream the index must serve exactly the current corpus")
+    // full replay, fresh checkpoint: batch-keyed overwrites converge
+    runOnce(s"$tmp/ckpt2")
+    assert(live == want, "replay must be idempotent")
+  }
+
   test("streamingCorpusIngest dedups, filters junk, and windows per language") {
     implicit val sqlCtx = spark.sqlContext
     val stop = Seq("the", "a", "of", "and", "is", "to", "in")
