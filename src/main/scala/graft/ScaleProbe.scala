@@ -394,6 +394,70 @@ object ScaleProbe {
       return
     }
 
+    // SPARK_GRAFT_PROBE_MODE=maint: incremental index maintenance vs
+    // full rebuild as the corpus grows N× with the MOVED SLIVER held at
+    // a fixed absolute size (edits/deletes keyed off the base-replica id
+    // range only, a constant set of new adds). The 100 TB claim under
+    // test: a weekly catchup pays one skinny (id, fp) diff scan —
+    // cheap-linear — plus embedding ONLY the sliver, while a rebuild
+    // re-embeds (and re-clusters) everything. The incremental row must
+    // stay near-flat where the rebuild row tracks corpus size.
+    if (sys.env.get("SPARK_GRAFT_PROBE_MODE").contains("maint")) {
+      import graft.operators.Similarity
+      // deliberately NON-trivial embed (64 dims, each a fresh hash of
+      // the full text): a stand-in for real encoder cost, so the
+      // rebuild row carries a visible per-doc embedding price for the
+      // incremental row to dodge
+      def embed(df: DataFrame): DataFrame = df.select(col("doc_id"),
+        transform(sequence(lit(0), lit(63)), i =>
+          pmod(xxhash64(col("text"), i), lit(997)).cast("float"))
+          .as("embedding"))
+      factors.foreach { n =>
+        val oldSnap = replicated(n).select("doc_id", "text")
+          .repartition(cpus.toInt).persist()
+        val docs = oldSnap.count()
+        // fixed absolute sliver: base-replica ids only (replicas carry
+        // +r*1e7 offsets, so these predicates never grow with n)
+        val isBase = col("doc_id") < 10000000L
+        val newSnap = oldSnap
+          .filter(!(isBase && col("doc_id") % 1999 === 7)) // ~30 deletes
+          .select(col("doc_id"),
+            when(isBase && col("doc_id") % 1999 === 0,
+              concat(col("text"), lit(" rev2"))) // ~30 edits
+              .otherwise(col("text")).as("text"))
+          .unionByName(spark.range(50).select( // 50 adds
+            (col("id") + 800000000L).as("doc_id"),
+            concat(lit("freshly added maintained document "), col("id"))
+              .as("text")))
+          .repartition(cpus.toInt).persist()
+        newSnap.count()
+        val tmp = java.nio.file.Files
+          .createTempDirectory(s"maintprobe$n").toString
+        // base install (untimed — the steady state being maintained)
+        Similarity.writeIvfIndex(embed(oldSnap), s"$tmp/idx",
+          nCells = 16, idCol = "doc_id")
+        def timed(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        val tIncr = timed {
+          Similarity.incrementalReembedIvf(oldSnap, newSnap, embed,
+            s"$tmp/idx", batchId = 1L, idCol = "doc_id",
+            textCol = "text")
+        }
+        val tRebuild = timed {
+          Similarity.writeIvfIndex(embed(newSnap), s"$tmp/idx_full",
+            nCells = 16, idCol = "doc_id")
+        }
+        val live = Similarity.liveIndexRows(spark, s"$tmp/idx").count()
+        val expect = newSnap.count()
+        require(live == expect, s"maintained index live=$live want=$expect")
+        oldSnap.unpersist(); newSnap.unpersist()
+        println(f"""{"n":$n,"docs":$docs,"incremental_sec":$tIncr%.2f,"rebuild_sec":$tRebuild%.2f,"live":$live}""")
+      }
+      spark.stop()
+      return
+    }
+
     factors.foreach { n =>
       val corpus = replicated(n)
         .repartition(cpus.toInt).persist()
