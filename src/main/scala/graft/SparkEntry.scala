@@ -169,6 +169,7 @@ object SparkEntry {
     "m15_release_gate" -> (Documents.m15ReleaseGate _),
     "m16_incremental_reproc" -> (Documents.m16IncrementalReproc _),
     "ann11_incremental_reembed" -> (Documents.ann11IncrementalReembed _),
+    "r12_curriculum_order" -> (Documents.r12CurriculumOrder _),
     "t24_bigram_lm" -> (Documents.t24BigramLm _),
     "t25_ccnet_buckets" -> (Documents.t25CcnetBuckets _),
     "r9_leakage_split" -> (Documents.r9LeakageSplit _),
@@ -1492,6 +1493,14 @@ object SparkEntry {
         |    i -> (length(text)*31 + doc_id*17 + i*7) % 97)) AS DOUBLE) AS vec_l1,
         |  CAST((length(text)*31 + doc_id*17) % 97 AS DOUBLE) AS v0
         |FROM new_snap ORDER BY doc_id""".stripMargin,
+    // R12: the distributed global rank's degenerate one-group case vs
+    // DuckDB's plain row_number — any offset misalignment shifts every
+    // position
+    "r12_curriculum_order" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY length(text), doc_id) AS BIGINT)
+        |    AS position
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // R10: UniMax water filling replayed as a recursive CTE (languages
     // in ascending-capacity order, alloc = min(cap, remaining //
     // left)), doc census as full epochs + an md5-rank window-cumsum

@@ -276,7 +276,15 @@ object Similarity {
     * store's rebuild is a fresh [[writePqIndex]] from the corpus — it
     * never stored raw vectors to rebuild from); [[ivfCellStats]]
     * deliberately counts them — probe cost follows bytes scanned, not
-    * liveness. */
+    * liveness.
+    *
+    * CAPACITY POSTURE: readers broadcast the whole tombstone table
+    * ((id, batch) — 16 bytes/row), so sustained churn without a
+    * rebuild grows the anti-join's broadcast side; past ~1e8
+    * accumulated tombstones (≈1.6 GB) the rebuild is overdue — the
+    * same monitor-and-rebuild policy as centroid drift
+    * ([[shouldRebuildIvf]]), and [[rebuildIvfIndex]] resets the count
+    * to zero by construction. */
   private def writeTombstones(ids: DataFrame, path: String, batchId: Long,
                               idCol: String): Unit = {
     require(batchId > 0, "tombstone batches are writer-lineage-keyed like appends")

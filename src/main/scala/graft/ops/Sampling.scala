@@ -422,4 +422,28 @@ object Sampling {
       row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(desc("log_w"), asc("id"))).cast("long"))
   }
+
+  /** Curriculum order: a dense 1-based global POSITION for every doc
+    * under `orderCols` (easy→hard for curriculum learning — Bengio
+    * et al. 2009; in practice: by quality score, length, or LM
+    * perplexity), tie-broken on `idCol` so the order is total and
+    * engine-reproducible.
+    *
+    * A bare `row_number().over(Window.orderBy(…))` is the WORST
+    * single-partition sort — no partition key at all, the entire
+    * corpus through one task (Spark even warns). This rides
+    * [[graft.ops.DistributedRank.withRankAndCumsum]]'s degenerate
+    * one-group case instead: a constant group column makes range
+    * partitioning alone bound every sort by corpus/parallelism and
+    * the offsets collect is ≤ #partitions rows — the TeraSort shape,
+    * same bit-identical rank contract the per-language call sites
+    * pin. The ONE global pathology (every row one group) is exactly
+    * the 90%-skew fixture's limit case, probed flat in ScaleProbe. */
+  def curriculumOrder(df: DataFrame, idCol: String,
+                      orderCols: Seq[Column]): DataFrame =
+    graft.ops.DistributedRank.withRankAndCumsum(
+        df.withColumn("_cg", lit(0)), "_cg",
+        orderCols :+ col(idCol))
+      .withColumn("position", col("_rk"))
+      .drop("_cg", "_rk", "_n")
 }

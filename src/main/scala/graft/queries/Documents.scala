@@ -998,6 +998,22 @@ object Documents {
         "lang", "text", budgetTokens = 100000L, maxEpochs = 2)
       .orderBy("lang")
 
+  /** R12 — global curriculum order driver-gated: every document's
+    * dense 1-based training position under ascending length (a cheap
+    * SQL-recomputable difficulty proxy; production callers pass a
+    * quality or LM score), doc_id tie-break. This is
+    * [[graft.ops.DistributedRank]]'s DEGENERATE one-group case on the
+    * hard signal — the whole corpus is ONE rank group, the shape a
+    * bare `Window.orderBy` would single-task (Spark warns) — so a
+    * mis-aligned range-partition offset anywhere shifts every
+    * position and hash-fails against DuckDB's row_number. */
+  def r12CurriculumOrder(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.curriculumOrder(
+        Tables.documents(s, d).select("doc_id", "text"),
+        "doc_id", Seq(length(col("text"))))
+      .select(col("doc_id"), col("position"))
+      .orderBy("doc_id")
+
   /** R4 — per-language quota sample: cap each language at 30 docs chosen
     * by the cross-engine-reproducible md5 rank (corpus balancing). */
   def r4QuotaSample(s: SparkSession, d: String): DataFrame =

@@ -99,6 +99,30 @@ class DistributedRankSpec extends SparkSpec {
     }
   }
 
+  test("curriculumOrder: the ONE-group global order equals a plain global row_number") {
+    // the degenerate limit of the skew fixture: every row in a single
+    // rank group — the shape a bare Window.orderBy would single-task
+    val df = spark.range(3000)
+      .select(col("id"), (xxhash64(col("id")) % 1000).as("difficulty"))
+    val got = graft.ops.Sampling.curriculumOrder(
+      df, "id", Seq(col("difficulty")))
+    val want = df.select(col("id"),
+      row_number().over(Window.orderBy(col("difficulty"), col("id")))
+        .cast("long").as("position"))
+    assert(got.select("id", "position")
+      .except(want.select("id", "position")).count() == 0)
+    // positions are a dense 1..N permutation
+    val n = df.count()
+    assert(got.agg(min("position"), max("position"),
+      countDistinct("position")).collect()(0).toSeq == Seq(1L, n, n))
+    // and the plan never single-tasks: every window partitions ≥ 2 ways
+    got.collect()
+    windowExecs(got.queryExecution.executedPlan).foreach { w =>
+      assert(w.partitionSpec.length >= 2,
+        s"global-order window must ride (_pid, group): $w")
+    }
+  }
+
   test("ccnetBuckets and unimaxCensus ride the distributed rank") {
     // the two former scale-killer call sites: plan carries no window
     // partitioned by the bare language column
