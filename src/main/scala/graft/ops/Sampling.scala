@@ -438,7 +438,13 @@ object Sampling {
     * the offsets collect is ≤ #partitions rows — the TeraSort shape,
     * same bit-identical rank contract the per-language call sites
     * pin. The ONE global pathology (every row one group) is exactly
-    * the 90%-skew fixture's limit case, probed flat in ScaleProbe. */
+    * the 90%-skew fixture's limit case, probed flat in ScaleProbe.
+    *
+    * CONTRACT (the ccnetBuckets convention): pass a PRE-PROJECTED
+    * skinny frame — (id, difficulty…) only. The input rides the
+    * checkpoint AND the range exchange, so a payload column (text,
+    * embeddings) here pays both twice; rank the skinny frame and join
+    * `position` back by id downstream if the payload is needed. */
   def curriculumOrder(df: DataFrame, idCol: String,
                       orderCols: Seq[Column]): DataFrame =
     graft.ops.DistributedRank.withRankAndCumsum(

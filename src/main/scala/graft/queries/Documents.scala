@@ -1009,8 +1009,9 @@ object Documents {
     * position and hash-fails against DuckDB's row_number. */
   def r12CurriculumOrder(s: SparkSession, d: String): DataFrame =
     graft.ops.Sampling.curriculumOrder(
-        Tables.documents(s, d).select("doc_id", "text"),
-        "doc_id", Seq(length(col("text"))))
+        Tables.documents(s, d)
+          .select(col("doc_id"), length(col("text")).as("difficulty")),
+        "doc_id", Seq(col("difficulty")))
       .select(col("doc_id"), col("position"))
       .orderBy("doc_id")
 
