@@ -180,6 +180,8 @@ object SparkEntry {
     "t28_ngram_novelty" -> (Documents.t28NgramNovelty _),
     "r11_cluster_split" -> (Documents.r11ClusterSplit _),
     "mm3_frame_sample" -> (Documents.mm3FrameSample _),
+    "r13_doremi" -> (Documents.r13Doremi _),
+    "llm_doremi_mix" -> (Documents.llmDoremiMix _),
   )
 
   /** T20's oracle: every Gopher rule statistic recomputed on RAW gram
@@ -336,6 +338,36 @@ object SparkEntry {
        |  FROM drc r LEFT JOIN dtc t USING (bk), dtt, drt),
        |dw AS (SELECT doc_id, round(sum(lr), 6) AS log_w
        |  FROM db JOIN dratio ON db.bk = dratio.bk GROUP BY doc_id)""".stripMargin
+
+  /** R13's oracle CTEs — DoReMi excess loss and one-EG-step weights
+    * over the hashed-gram bucket distributions (dsirCtes' bucket rule,
+    * keyed by source). `mw` carries (source, n_grams, excess, weight);
+    * excess is rounded to 6 dp BEFORE the exponential on both engines
+    * (the r8 rule: bucket-sum order differs in the last ulps and the
+    * softmax must not see it). Constants pinned to the gate: eta 10,
+    * smoothing 0.1, 256 buckets. */
+  private val doremiCtes: String =
+    """mt AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      |mg AS (SELECT doc_id, source, unnest(ws) AS g FROM mt
+      |  UNION ALL
+      |  SELECT doc_id, source, unnest(list_transform(range(1, len(ws)),
+      |    i -> ws[i] || ' ' || ws[i+1])) AS g
+      |  FROM mt WHERE len(ws) >= 2),
+      |mb AS (SELECT source,
+      |  (strpos('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 16 +
+      |  (strpos('0123456789abcdef', substr(md5(g), 2, 1)) - 1) AS bk FROM mg),
+      |mc AS (SELECT source, bk, count(*) AS c FROM mb GROUP BY source, bk),
+      |ma AS (SELECT source, bk, c,
+      |  sum(c) OVER (PARTITION BY source) AS totd,
+      |  sum(c) OVER (PARTITION BY bk) AS cb,
+      |  sum(c) OVER () AS tot FROM mc),
+      |mx AS (SELECT source, CAST(max(totd) AS BIGINT) AS n_grams,
+      |  round(sum((c * 1.0 / totd) *
+      |    (ln((c + 1.0) / (totd + 256)) - ln((cb + 1.0) / (tot + 256)))), 6) AS excess
+      |  FROM ma GROUP BY source),
+      |mw AS (SELECT source, n_grams, excess,
+      |  round(0.9 * exp(excess * 10) / sum(exp(excess * 10)) OVER ()
+      |    + 0.1 / count(*) OVER (), 6) AS weight FROM mx)""".stripMargin
 
   /** The ranked-selection tail over `dw` (no LIMIT — callers append). */
   private val dsirSelect: String =
@@ -1557,6 +1589,24 @@ object SparkEntry {
         |  CAST(offset_ms * 25 // 1000 AS BIGINT) AS src_frame_idx,
         |  4 AS n_frames_decoded
         |FROM v, off ORDER BY media_id, sample_idx""".stripMargin,
+    // R13: DoReMi domain weights — bucket counts, the three windowed
+    // totals, the per-token KL excess (rounded BEFORE the exponential,
+    // the r8 ulp rule), and the smoothed one-EG-step softmax all
+    // replayed in one WITH-chain
+    "r13_doremi" ->
+      s"""WITH $doremiCtes
+        |SELECT source AS domain, n_grams, excess, weight FROM mw
+        |ORDER BY domain""".stripMargin,
+    // The weights APPLIED: floor(200·w) ≥ 1 quota per domain, rows
+    // picked by the engine-portable md5 rank (the r4 idiom)
+    "llm_doremi_mix" ->
+      s"""WITH $doremiCtes,
+        |mq AS (SELECT source, greatest(1, CAST(floor(200 * weight) AS BIGINT)) AS quota FROM mw),
+        |mr AS (SELECT dd.source, dd.doc_id, ROW_NUMBER() OVER (PARTITION BY dd.source
+        |    ORDER BY md5(CAST(dd.doc_id AS VARCHAR)), dd.doc_id) AS rk
+        |  FROM documents dd)
+        |SELECT mr.source, mr.doc_id FROM mr JOIN mq ON mr.source = mq.source
+        |WHERE rk <= quota ORDER BY mr.source, mr.doc_id""".stripMargin,
     // M15: the release gate — t22's card per snapshot side + m14's PSI
     // chain + the FULL decision rule (hard: vanished group / share
     // collapse past 50% / dup-rate jump past 0.10 / psi ≥ 0.25; soft

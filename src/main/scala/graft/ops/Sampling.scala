@@ -452,4 +452,102 @@ object Sampling {
         orderCols :+ col(idCol))
       .withColumn("position", col("_rk"))
       .drop("_cg", "_rk", "_n")
+
+  /** R13 — DoReMi domain reweighting (Xie et al. 2023,
+    * arXiv:2305.10429): mixture weights over data domains driven by
+    * each domain's EXCESS LOSS — how much worse a generalist model
+    * does on the domain than a domain-fit model, the "learnable
+    * headroom" Group DRO up-weights. The paper's loop retrains a
+    * proxy model between exponentiated-gradient steps; the engine
+    * convention is deterministic, model-free gates (the m13/r8
+    * precedent), so the loss stand-in is the hashed-n-gram bag
+    * distribution the DSIR operator already uses: a domain's excess
+    * loss is its docs' mean per-gram NLL under the CORPUS bucket
+    * distribution minus under the domain's OWN —
+    *
+    *   excess_d = Σ_b (c_db / tot_d) · (ln p̂_d(b) − ln p̂(b))
+    *
+    * with add-one smoothing over the 256-bucket vocabulary, i.e. the
+    * empirical per-token KL(domain ‖ corpus). One exponentiated-
+    * gradient step from uniform with step size `eta` then gives
+    *   w'_d = exp(eta · excess_d) / Σ_e exp(eta · excess_e)
+    * and the paper's uniform smoothing
+    *   w_d = (1 − smoothing) · w'_d + smoothing / K.
+    * (With static losses, T EG steps are the single step at T·eta —
+    * the closed form — so one step loses nothing a fixed proxy had.)
+    *
+    * Cross-engine parity: excess is rounded to 6 dp BEFORE the
+    * exponential (the r8 rule — bucket-sum order differs between
+    * engines in the last ulps and the softmax must not see that), and
+    * the output weight is rounded after.
+    *
+    * Scale shape: tokenize + bucket map-side (ONE pass over text,
+    * zero text on any exchange), one groupBy down to ≤ K·256 count
+    * rows, then every remaining step is windows over that tiny frame
+    * — corpus-size-independent past the first aggregate. NULL domains
+    * group like any other value (no join to lose them). Output:
+    * (domain, n_grams, excess, weight), one row per domain. */
+  def doremiWeights(df: DataFrame, domainCol: String, textCol: String,
+                    eta: Double = 10.0, smoothing: Double = 0.1)
+      : DataFrame = {
+    val buckets = 256
+    val tok = df.select(col(domainCol).as("domain"),
+      split(trim(col(textCol)), "\\s+").as("toks"))
+    val bucketed = withBuckets(tok, Seq(col("domain") -> "domain"),
+      col("toks"))
+    val cnt = bucketed
+      .select(col("domain"), explode(col("_buckets")).as("_b"))
+      .groupBy("domain", "_b").agg(count(lit(1)).as("_c"))
+    // everything below runs over ≤ K·256 rows
+    val wAll = Window.partitionBy()
+    val wDom = Window.partitionBy("domain")
+    val wBuck = Window.partitionBy("_b")
+    val perDomain = cnt
+      .withColumn("_totd", sum("_c").over(wDom))
+      .withColumn("_cb", sum("_c").over(wBuck))
+      .withColumn("_tot", sum("_c").over(wAll))
+      .withColumn("_term",
+        (col("_c") / col("_totd")) *
+          (log((col("_c") + 1.0) / (col("_totd") + buckets)) -
+           log((col("_cb") + 1.0) / (col("_tot") + buckets))))
+      .groupBy("domain")
+      .agg(first("_totd").as("n_grams"),
+        round(sum("_term"), 6).as("excess"))
+    perDomain
+      .withColumn("_k", count(lit(1)).over(wAll))
+      .withColumn("_e", exp(col("excess") * eta))
+      .withColumn("weight",
+        round((lit(1.0) - smoothing) * col("_e") / sum("_e").over(wAll)
+          + lit(smoothing) / col("_k"), 6))
+      .drop("_k", "_e")
+  }
+
+  /** The DoReMi weights APPLIED as a deterministic mixture draw: each
+    * domain's quota is its weight's share of `totalTarget` (floored,
+    * ≥ 1, capped at the domain's row count), rows picked by the
+    * engine-portable md5 rank (the r4 quotaSample idiom — no RNG, so
+    * resamples are stable across runs and engines). One extra shuffle
+    * on the domain column beyond [[doremiWeights]]'s aggregate; the
+    * per-domain pick rides the md5-ordered window, which is safe here
+    * because quota ≤ n_d per group and the window partitions on the
+    * DOMAIN (the dominant-domain caveat of ccnetBuckets applies at
+    * crawl scale — route through DistributedRank if one domain is the
+    * corpus). */
+  def doremiMix(df: DataFrame, domainCol: String, idCol: String,
+                textCol: String, totalTarget: Int,
+                eta: Double = 10.0, smoothing: Double = 0.1)
+      : DataFrame = {
+    val weights = doremiWeights(df, domainCol, textCol, eta, smoothing)
+      .select(col("domain"), col("weight"))
+    val quotas = weights.withColumn("_quota",
+      greatest(lit(1L),
+        floor(lit(totalTarget.toDouble) * col("weight")).cast("long")))
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+    df.join(broadcast(quotas),
+        df(domainCol) <=> quotas("domain"))
+      .withColumn("_qrk", row_number().over(w))
+      .filter(col("_qrk") <= col("_quota"))
+      .select(df(domainCol), col(idCol))
+  }
 }

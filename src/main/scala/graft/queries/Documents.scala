@@ -1520,4 +1520,26 @@ object Documents {
               featSum > 0.0, 1).otherwise(0)).as("feat_ok"))
       .orderBy("media_id")
   }
+
+  /** R13 — DoReMi domain reweighting over the `source` column: one
+    * exponentiated-gradient step from uniform on the hashed-n-gram
+    * excess-loss stand-in (per-token KL(domain ‖ corpus)), the paper's
+    * uniform smoothing applied. The oracle replays bucket counts,
+    * windows, and the softmax in one WITH-chain; excess is rounded
+    * BEFORE the exponential on both sides (the r8 ulp rule), so a
+    * drifted bucket count or smoothing constant hash-fails. */
+  def r13Doremi(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.doremiWeights(Tables.documents(s, d),
+        "source", "text", eta = 10.0, smoothing = 0.1)
+      .orderBy("domain")
+
+  /** The DoReMi weights APPLIED — deterministic md5-rank mixture draw
+    * at the per-domain quotas the weights imply (floor(N·w), ≥ 1,
+    * capped by the domain's census). Composite on the hard signal:
+    * weights AND selection must both replay. */
+  def llmDoremiMix(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.doremiMix(Tables.documents(s, d),
+        "source", "doc_id", "text", totalTarget = 200,
+        eta = 10.0, smoothing = 0.1)
+      .orderBy("source", "doc_id")
 }

@@ -165,6 +165,50 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("doremiWeights: divergent domain up-weighted, uniform corpus flat, mix obeys quotas") {
+    // two domains on one vocabulary, one on a disjoint vocabulary: the
+    // divergent domain has the most "learnable headroom" (its grams are
+    // rare under the corpus mix) and DoReMi must up-weight it
+    val df = ((1L to 40L).map(i => ("web", i, "aa ab ac ad aa ab")) ++
+      (41L to 80L).map(i => ("news", i, "aa ab ac ad aa ac")) ++
+      (81L to 120L).map(i => ("code", i, "zz zy zx zw zv zu")))
+      .toDF("source", "doc_id", "text")
+    val w = Sampling.doremiWeights(df, "source", "text")
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._3, r._4)).toMap
+    assert(w.size == 3)
+    assert(math.abs(w.values.map(_._2).sum - 1.0) < 1e-4,
+      s"weights must sum to 1: $w")
+    assert(w("code")._1 > w("web")._1 && w("code")._1 > w("news")._1,
+      s"divergent domain must carry the largest excess: $w")
+    assert(w("code")._2 > w("web")._2 && w("code")._2 > w("news")._2,
+      s"divergent domain must be up-weighted: $w")
+    // smoothing floor: no domain below smoothing/K
+    assert(w.values.forall(_._2 >= 0.1 / 3 - 1e-9))
+    // identical domains ⇒ uniform weights (excess ≈ equal ⇒ softmax flat)
+    val flat = Sampling.doremiWeights(
+      df.withColumn("text", lit("aa ab ac")), "source", "text")
+      .as[(String, Long, Double, Double)].collect()
+    assert(flat.forall(r => math.abs(r._4 - 1.0 / 3) < 1e-4), flat.toSeq.toString)
+    // layout invariance
+    val again = Sampling.doremiWeights(df.repartition(7), "source", "text")
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._3, r._4)).toMap
+    assert(w == again)
+    // the mix: per-domain picks = min(n_d, max(1, floor(N·w_d))), and
+    // the draw is the md5 rank — deterministic under repartition
+    val mixed = Sampling.doremiMix(df, "source", "doc_id", "text",
+      totalTarget = 60).as[(String, Long)].collect()
+    val perDom = mixed.groupBy(_._1).view.mapValues(_.length).toMap
+    perDom.foreach { case (dom, n) =>
+      val expect = math.min(40L, math.max(1L, math.floor(60.0 * w(dom)._2).toLong))
+      assert(n.toLong == expect, s"$dom quota: got $n want $expect")
+    }
+    val mixAgain = Sampling.doremiMix(df.repartition(5), "source", "doc_id",
+      "text", totalTarget = 60).as[(String, Long)].collect()
+    assert(mixed.toSet == mixAgain.toSet)
+  }
+
   test("temperatureMix flattens head-group dominance as alpha drops") {
     // en 10× de: natural share 10:1; alpha=0.5 should pull toward √10:1
     val df = (1L to 1100L).map(i => (if (i <= 1000) "en" else "de", i))
