@@ -182,6 +182,7 @@ object SparkEntry {
     "mm3_frame_sample" -> (Documents.mm3FrameSample _),
     "r13_doremi" -> (Documents.r13Doremi _),
     "llm_doremi_mix" -> (Documents.llmDoremiMix _),
+    "t30_char_entropy" -> (Documents.t30CharEntropy _),
   )
 
   /** T20's oracle: every Gopher rule statistic recomputed on RAW gram
@@ -1607,6 +1608,17 @@ object SparkEntry {
         |  FROM documents dd)
         |SELECT mr.source, mr.doc_id FROM mr JOIN mq ON mr.source = mq.source
         |WHERE rk <= quota ORDER BY mr.source, mr.doc_id""".stripMargin,
+    // T30: char entropy — the native kernel vs a per-char group-count
+    // replay; H = ln N − (Σ n·ln n)/N, rounded 6 dp on both sides
+    "t30_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+        |cc AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c),
+        |e AS (SELECT doc_id,
+        |  round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS char_entropy
+        |  FROM cc GROUP BY doc_id)
+        |SELECT doc_id, char_entropy,
+        |  CAST(char_entropy >= 2.85 AS INTEGER) AS keep
+        |FROM e ORDER BY doc_id""".stripMargin,
     // M15: the release gate — t22's card per snapshot side + m14's PSI
     // chain + the FULL decision rule (hard: vanished group / share
     // collapse past 50% / dup-rate jump past 0.10 / psi ≥ 0.25; soft

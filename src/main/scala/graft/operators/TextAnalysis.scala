@@ -217,6 +217,24 @@ object TextAnalysis {
     round(acc.getField("best") / greatest(size(toks), lit(1)).cast("double"), 6)
   }
 
+  /** T30 — character-entropy quality signal: Shannon entropy (nats)
+    * of each doc's character distribution, the cheapest degenerate-text
+    * detector in the cleaning family (all-one-char padding → 0, prose
+    * ~3; see [[graft.functions.CharEntropy]] for the kernel and the
+    * C4/Gopher positioning). `keep` = entropy ≥ `minEntropy` as an int
+    * flag so the cut composes with the other rule filters. Doc-local,
+    * zero exchange, one codegen'd kernel call per row; entropy rounded
+    * to 6 dp (the parity rule — summation order is engine-specific in
+    * the last ulps). */
+  def charEntropyScore(df: DataFrame, idCol: String, textCol: String,
+                       minEntropy: Double): DataFrame = {
+    val e = graft.plans.GraftFunctions
+      .charEntropy(df.sparkSession, col(textCol))
+    df.select(col(idCol), round(e, 6).as("char_entropy"))
+      .withColumn("keep",
+        (col("char_entropy") >= minEntropy).cast("int"))
+  }
+
   /** PII patterns (email / IPv4 / dashed-or-dotted phone). Deliberately
     * RE2-compatible (no backrefs/lookarounds) so the same pattern runs
     * identically under Java regex and DuckDB's RE2 — cross-engine

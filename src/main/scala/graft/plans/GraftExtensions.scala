@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{BloomMightContain, BpeEncode, CharGramHashes, CosineSimilarity, PqAssign, RangeBucket, WordGramCoverage}
+import graft.functions.{BloomMightContain, BpeEncode, CharEntropy, CharGramHashes, CosineSimilarity, PqAssign, RangeBucket, WordGramCoverage}
 
 /** Engine extensions: registers graft's native expressions so they are
   * callable from SQL. Activate with
@@ -43,7 +43,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => BpeEncode(args(0), args(1))),
     (FunctionIdentifier("pq_assign"),
       new ExpressionInfo(classOf[PqAssign].getName, "pq_assign"),
-      (args: Seq[Expression]) => PqAssign(args(0), args(1))))
+      (args: Seq[Expression]) => PqAssign(args(0), args(1))),
+    (FunctionIdentifier("char_entropy"),
+      new ExpressionInfo(classOf[CharEntropy].getName, "char_entropy"),
+      (args: Seq[Expression]) => CharEntropy(args(0))))
 
   /** Register into a live session (tests, notebooks). */
   def register(spark: SparkSession): Unit =
@@ -117,5 +120,12 @@ object GraftFunctions {
     register(spark)
     call_function("bpe_encode", text,
       org.apache.spark.sql.functions.typedLit(merges))
+  }
+
+  /** Column-API handle for the character-entropy kernel. Registers on
+    * demand. */
+  def charEntropy(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function("char_entropy", text)
   }
 }

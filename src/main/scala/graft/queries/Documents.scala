@@ -1521,6 +1521,15 @@ object Documents {
       .orderBy("media_id")
   }
 
+  /** T30 — character-entropy quality signal: the native kernel's
+    * per-doc Shannon entropy vs DuckDB's unnest-and-count replay, cut
+    * at 2.85 nats (the corpus median — both branches of the keep flag
+    * are exercised). */
+  def t30CharEntropy(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.charEntropyScore(Tables.documents(s, d),
+        "doc_id", "text", minEntropy = 2.85)
+      .orderBy("doc_id")
+
   /** R13 — DoReMi domain reweighting over the `source` column: one
     * exponentiated-gradient step from uniform on the hashed-n-gram
     * excess-loss stand-in (per-token KL(domain ‖ corpus)), the paper's
