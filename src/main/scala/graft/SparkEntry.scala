@@ -183,6 +183,7 @@ object SparkEntry {
     "r13_doremi" -> (Documents.r13Doremi _),
     "llm_doremi_mix" -> (Documents.llmDoremiMix _),
     "t30_char_entropy" -> (Documents.t30CharEntropy _),
+    "d21_prototypicality" -> (Documents.d21Prototypicality _),
   )
 
   /** T20's oracle: every Gopher rule statistic recomputed on RAW gram
@@ -1608,6 +1609,20 @@ object SparkEntry {
         |  FROM documents dd)
         |SELECT mr.source, mr.doc_id FROM mr JOIN mq ON mr.source = mq.source
         |WHERE rk <= quota ORDER BY mr.source, mr.doc_id""".stripMargin,
+    // D21: prototypicality, one-cell degenerate case — centroid = the
+    // per-dim mean embedding; cosine rounded 6 dp BEFORE ranking (the
+    // dsir rule), drop = the ceil(0.3·n) most prototypical
+    "d21_prototypicality" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cm AS (SELECT i, avg(v[i]) AS mv FROM e, (SELECT unnest(range(1, 65)) AS i) GROUP BY i),
+        |mv AS (SELECT list(mv ORDER BY i) AS m FROM cm),
+        |sc AS (SELECT vec_id, round(list_cosine_similarity(v, m), 6) AS proto_sim FROM e, mv),
+        |rk AS (SELECT vec_id, proto_sim,
+        |  row_number() OVER (ORDER BY proto_sim DESC, vec_id) AS rank,
+        |  count(*) OVER () AS n FROM sc)
+        |SELECT vec_id, proto_sim, CAST(rank AS BIGINT) AS rank,
+        |  CAST(rank > ceil(0.3 * n) AS INTEGER) AS kept
+        |FROM rk ORDER BY vec_id""".stripMargin,
     // T30: char entropy — the native kernel vs a per-char group-count
     // replay; H = ln N − (Σ n·ln n)/N, rounded 6 dp on both sides
     "t30_char_entropy" ->

@@ -889,4 +889,79 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"),
         round(col("cos"), 6).as("cos_sim"))
   }
+
+  /** D21 — prototypicality scoring + per-cluster diversification: the
+    * D4 recipe (Tirumala et al. 2023, arXiv:2308.12284; SSL prototypes
+    * per Sorscher et al. 2022, arXiv:2206.14486). Cluster the
+    * embedding space (the SemDeDup k-means this file already runs for
+    * IVF), score every doc by cosine to its OWN cluster's centroid —
+    * its prototypicality — and flag the most-prototypical `dropFrac`
+    * of each cluster for dropping: near-centroid docs are the
+    * semantically redundant template mass; the far tail carries the
+    * diversity a pretraining mix wants after dedup.
+    *
+    * Determinism/parity: proto_sim is rounded to 6 dp BEFORE ranking
+    * (the dsir rule) and ties break on id, so the drop boundary is
+    * engine-stable. `nCells = 1` is the degenerate SSL-prototypes
+    * case — the centroid is the corpus mean (k-means with one cluster
+    * converges to the arithmetic mean on its first step), which is
+    * what the d21 oracle replays in SQL; the multi-cell path is
+    * spec-pinned (exact per-cell drop counts, planted near-dup
+    * template mass dropped first).
+    *
+    * Scale shape: the k-means fit is capped-sample (`fitCap`, the
+    * trainPq rule); assignment and scoring are map-side against
+    * broadcast centroids; ranking rides [[graft.ops.DistributedRank]]
+    * on skinny (id, cell, score) rows — vectors never cross the rank
+    * exchange, and a dominant cluster (the crawl's one-big-topic
+    * pathology, same shape as CCNet's dominant language) cannot
+    * single-task the sort. Output: (idCol, cell, proto_sim, rank, n,
+    * kept) — rank 1 = most prototypical in its cluster. */
+  def prototypicality(corpus: DataFrame, idCol: String, vecCol: String,
+                      nCells: Int, seed: Long = 42L,
+                      fitCap: Int = 100000, dropFrac: Double = 0.3)
+      : DataFrame = {
+    require(dropFrac >= 0.0 && dropFrac < 1.0, "dropFrac in [0, 1)")
+    // nCells = 1: k-means degenerates to the corpus mean (and MLlib
+    // rejects k = 1 anyway) — compute the mean centroid directly, in
+    // DOUBLE end-to-end: a float-cast centroid would perturb cosines
+    // at ~1e-7, the same order as the 6-dp rounding boundary the
+    // oracle compares at. One distributed per-dim sum, no fit.
+    val scored =
+      if (nCells == 1) {
+        val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+        val sums = corpus.select(
+          (0 until dim).map(i =>
+            sum(element_at(col(vecCol), i + 1).cast("double")).as(s"_s$i"))
+            :+ count(lit(1)).as("_n"): _*).first()
+        val n = sums.getLong(dim)
+        val mean = (0 until dim).map(i => sums.getDouble(i) / n).toArray
+        corpus.select(col(idCol).as("n_id"), lit(0).as("cell"),
+          round(cosine(col(vecCol), lit(mean)), 6).as("proto_sim"))
+      } else {
+        val (cells, centroids) =
+          quantize(corpus, nCells, seed, idCol, vecCol, fitCap)
+        val centroidDf = broadcast(corpus.sparkSession
+          .createDataFrame(centroids).toDF("cell", "_cvec"))
+        cells.join(centroidDf, "cell")
+          .select(col("n_id"), col("cell"),
+            round(cosine(col("n_vec"), col("_cvec")), 6).as("proto_sim"))
+      }
+    graft.ops.DistributedRank.withRankAndCumsum(scored, "cell",
+        Seq(col("proto_sim").desc, col("n_id").asc))
+      .select(col("n_id").as(idCol), col("cell"), col("proto_sim"),
+        col("_rk").as("rank"), col("_n").as("n"))
+      .withColumn("kept",
+        (col("rank") > ceil(col("n") * dropFrac)).cast("int"))
+  }
+
+  /** The kept-side ids only — [[prototypicality]] applied as the D4
+    * diversification filter, for chaining after SemDeDup in a curation
+    * pipeline. */
+  def diversify(corpus: DataFrame, idCol: String, vecCol: String,
+                nCells: Int, seed: Long = 42L, fitCap: Int = 100000,
+                dropFrac: Double = 0.3): DataFrame =
+    prototypicality(corpus, idCol, vecCol, nCells, seed, fitCap, dropFrac)
+      .filter(col("kept") === 1)
+      .select(idCol)
 }

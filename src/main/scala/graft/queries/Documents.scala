@@ -1521,6 +1521,19 @@ object Documents {
       .orderBy("media_id")
   }
 
+  /** D21 — prototypicality + diversification, the degenerate one-cell
+    * case on the hard signal: with one cluster the centroid is the
+    * corpus MEAN embedding (k-means converges to it on step one), so
+    * DuckDB replays the whole chain — per-dim mean, 6-dp-rounded
+    * cosine, rank, and the 30% most-prototypical drop — exactly. The
+    * multi-cell path (real k-means cells) is SimilaritySpec-pinned:
+    * per-cell drop counts and planted template mass dropped first. */
+  def d21Prototypicality(s: SparkSession, d: String): DataFrame =
+    Similarity.prototypicality(Tables.embeddings(s, d),
+        "vec_id", "embedding", nCells = 1, dropFrac = 0.3)
+      .select("vec_id", "proto_sim", "rank", "kept")
+      .orderBy("vec_id")
+
   /** T30 — character-entropy quality signal: the native kernel's
     * per-doc Shannon entropy vs DuckDB's unnest-and-count replay, cut
     * at 2.85 nats (the corpus median — both branches of the keep flag

@@ -359,4 +359,71 @@ class SimilaritySpec extends SparkSpec {
     assert(d100 >= d25 && d100 >= 0.7,
       s"depth=100 recall $d100 must beat depth=25's $d25")
   }
+
+  test("prototypicality: per-cell drop counts exact; planted template mass drops first") {
+    import spark.implicits._
+    // two well-separated clusters on orthogonal axes: a TEMPLATE mass
+    // of 12 near-identical vectors + 8 scattered members per cluster —
+    // the D4 motivation is that the template mass hugs the centroid
+    // scattered offsets alternate sign so they CANCEL in the centroid
+    // (a one-sided spread would tilt the mean off the template axis
+    // and scattered members could out-prototype the templates)
+    def vec(axis: Int, i: Int, spread: Float): Array[Float] = {
+      val v = Array.fill(8)(0.0f)
+      v(axis) = 10.0f
+      val sign = if (i % 2 == 0) 1.0f else -1.0f
+      v((axis + 1 + i % 3) % 8) = sign * spread
+      v
+    }
+    val rows =
+      (0 until 12).map(i => (i.toLong, vec(0, i, 0.01f))) ++          // templates A
+      (12 until 20).map(i => (i.toLong, vec(0, i, 3.0f))) ++          // scattered A
+      (20 until 32).map(i => (100L + i, vec(4, i, 0.01f))) ++         // templates B
+      (32 until 40).map(i => (100L + i, vec(4, i, 3.0f)))             // scattered B
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.prototypicality(df, "vec_id", "embedding",
+      nCells = 2, dropFrac = 0.3)
+      .as[(Long, Int, Double, Long, Long, Int)].collect()
+    assert(out.length == 40)
+    // per-cell: exactly ceil(0.3·n) dropped, ranks contiguous from 1
+    out.groupBy(_._2).foreach { case (cell, members) =>
+      val n = members.length
+      val dropped = members.count(_._6 == 0)
+      assert(dropped == math.ceil(0.3 * n).toInt, s"cell $cell: $dropped")
+      assert(members.map(_._4).sorted.toSeq == (1L to n).toSeq)
+      assert(members.forall(_._5 == n))
+    }
+    // the dropped set is dominated by the template mass (ids with
+    // small scatter), which sits nearest its centroid
+    val droppedIds = out.filter(_._6 == 0).map(_._1).toSet
+    val templates = ((0 until 12).map(_.toLong) ++
+      (20 until 32).map(i => 100L + i)).toSet
+    assert(droppedIds.subsetOf(templates),
+      s"dropped non-template ids: ${droppedIds -- templates}")
+    // diversify = the kept ids
+    val kept = Similarity.diversify(df, "vec_id", "embedding",
+      nCells = 2, dropFrac = 0.3).as[Long].collect().toSet
+    assert(kept == out.filter(_._6 == 1).map(_._1).toSet)
+    // one-cell degenerate case: rank equals a plain-window replay over
+    // the mean-centroid cosine (the d21 oracle's shape)
+    val one = Similarity.prototypicality(df, "vec_id", "embedding",
+      nCells = 1, dropFrac = 0.3)
+      .select("vec_id", "rank").as[(Long, Long)].collect().toMap
+    val meanArr = {
+      val vs = rows.map(_._2)
+      (0 until 8).map(i => vs.map(_(i).toDouble).sum / vs.length).toArray
+    }
+    def cos(a: Array[Float], m: Array[Double]): Double = {
+      val dot = a.zip(m).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nm = math.sqrt(m.map(y => y * y).sum)
+      dot / (na * nm)
+    }
+    val naive = rows.map { case (id, v) =>
+      (id, BigDecimal(cos(v, meanArr)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    assert(one == naive)
+  }
 }
