@@ -184,6 +184,8 @@ object SparkEntry {
     "llm_doremi_mix" -> (Documents.llmDoremiMix _),
     "t30_char_entropy" -> (Documents.t30CharEntropy _),
     "d21_prototypicality" -> (Documents.d21Prototypicality _),
+    "llm_d4_pipeline" -> (Documents.llmD4Pipeline _),
+    "t31_c4_line_clean" -> (Documents.t31C4LineClean _),
   )
 
   /** T20's oracle: every Gopher rule statistic recomputed on RAW gram
@@ -1623,6 +1625,21 @@ object SparkEntry {
         |SELECT vec_id, proto_sim, CAST(rank AS BIGINT) AS rank,
         |  CAST(rank > ceil(0.3 * n) AS INTEGER) AS kept
         |FROM rk ORDER BY vec_id""".stripMargin,
+    // The D4 pipeline: d8's keeper closure chained into d21's
+    // mean-prototype rank — dedup survivors only, then the 30% drop
+    "llm_d4_pipeline" ->
+      s"""WITH RECURSIVE $semanticKeeperCtes,
+        |keep AS (SELECT ee.vec_id, ee.v FROM e ee LEFT JOIN comp c ON ee.vec_id = c.cid
+        |  WHERE c.cluster_id IS NULL OR c.cluster_id = ee.vec_id),
+        |cm AS (SELECT i, avg(v[i]) AS mv FROM keep, (SELECT unnest(range(1, 65)) AS i) GROUP BY i),
+        |mv AS (SELECT list(mv ORDER BY i) AS m FROM cm),
+        |sc AS (SELECT vec_id, round(list_cosine_similarity(v, m), 6) AS proto_sim FROM keep, mv),
+        |rk AS (SELECT vec_id, proto_sim,
+        |  row_number() OVER (ORDER BY proto_sim DESC, vec_id) AS rank,
+        |  count(*) OVER () AS n FROM sc)
+        |SELECT vec_id, proto_sim, CAST(rank AS BIGINT) AS rank,
+        |  CAST(rank > ceil(0.3 * n) AS INTEGER) AS kept
+        |FROM rk ORDER BY vec_id""".stripMargin,
     // T30: char entropy — the native kernel vs a per-char group-count
     // replay; H = ln N − (Σ n·ln n)/N, rounded 6 dp on both sides
     "t30_char_entropy" ->
@@ -1634,6 +1651,35 @@ object SparkEntry {
         |SELECT doc_id, char_entropy,
         |  CAST(char_entropy >= 2.85 AS INTEGER) AS keep
         |FROM e ORDER BY doc_id""".stripMargin,
+    // T31: C4 line cleaning — the gate's (doc_id, line_idx)-keyed
+    // multi-line construction replayed (5-word lines, %3 punct drop,
+    // %7 javascript tail, %13 lorem / %17 curly closing line), then
+    // every line and page rule recomputed on the synthesized text
+    "t31_c4_line_clean" ->
+      """WITH c4t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |c4l AS (SELECT doc_id, list_transform(
+        |    range(1, greatest(CAST(ceil(len(ws) / 5.0) AS BIGINT), 1) + 1),
+        |    i -> array_to_string(list_slice(ws, (i-1)*5 + 1, (i-1)*5 + 5), ' ')
+        |      || CASE WHEN (doc_id + i) % 7 = 0 THEN ' javascript break' ELSE '' END
+        |      || CASE WHEN (doc_id + i) % 3 < 2 THEN '.' ELSE '' END) AS lns
+        |  FROM c4t),
+        |c4b AS (SELECT doc_id, array_to_string(lns, chr(10)) AS b FROM c4l),
+        |c4m AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN b || chr(10) || 'lorem ipsum dolor sit amet.'
+        |         WHEN doc_id % 17 = 0 THEN b || chr(10) || 'const cfg = { a: 1 } now done.'
+        |         ELSE b END AS mt FROM c4b),
+        |c4s AS (SELECT doc_id, mt, string_split(mt, chr(10)) AS ls FROM c4m),
+        |c4k AS (SELECT doc_id, mt, ls,
+        |    list_filter(ls, l -> regexp_matches(trim(l), '[.!?"'']$')
+        |      AND len(regexp_split_to_array(trim(l), '\s+')) >= 5
+        |      AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM c4s)
+        |SELECT doc_id, CAST(len(ls) AS INTEGER) AS total_lines,
+        |  CAST(len(kept) AS INTEGER) AS kept_lines,
+        |  coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+        |  CAST(NOT contains(lower(mt), 'lorem ipsum') AND NOT contains(mt, '{')
+        |    AND NOT contains(mt, '}') AND len(kept) >= 3 AS INTEGER) AS keep
+        |FROM c4k ORDER BY doc_id""".stripMargin,
     // M15: the release gate — t22's card per snapshot side + m14's PSI
     // chain + the FULL decision rule (hard: vanished group / share
     // collapse past 50% / dup-rate jump past 0.10 / psi ≥ 0.25; soft

@@ -812,4 +812,44 @@ object TextAnalysis {
           .when((col("_rk") - 1) * 3 < (col("_n") - 1) * 2, "middle")
           .otherwise("tail"))
   }
+
+  /** C4 line-level cleaning (Raffel et al. 2020, arXiv:1910.10683
+    * §2.2 — the "Colossal Clean Crawled Corpus" heuristics), the
+    * line-granular sibling of the doc-level [[gopherRules]]. LINE
+    * rules: keep a line iff it ends in terminal punctuation
+    * (`. ! ? " '`), has at least `minLineWords` whitespace words, and
+    * does not contain "javascript" (case-insensitive substring — the
+    * paper's boilerplate-code tell). PAGE rules: drop the page iff
+    * the RAW text contains "lorem ipsum" (case-insensitive) or a
+    * curly brace, or fewer than `minKeptLines` lines survive — the
+    * kept-line count standing in for C4's ≥ 3-sentence floor (every
+    * kept line ends in terminal punctuation, the paper's own
+    * sentence proxy; C4's nltk splitter has no SQL twin).
+    *
+    * Output: (id, total_lines, kept_lines, clean_text, keep) with
+    * clean_text = the surviving lines rejoined by \n ('' when none
+    * survive) — dropped pages keep their cleaned text so a caller
+    * can audit what the page-level rule rejected.
+    *
+    * Scale: doc-local higher-order functions over the split line
+    * array — ZERO exchange, one whole-stage-codegen projection at
+    * any corpus size. The terminal-punct regex is RE2-compatible (no
+    * lookarounds), the [[piiPatterns]] convention, so the rule set
+    * replays identically under DuckDB/RE2 cross-engine. */
+  def c4LineClean(df: DataFrame, idCol: String, textCol: String,
+                  minLineWords: Int = 5,
+                  minKeptLines: Int = 3): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l =>
+      trim(l).rlike("[.!?\"']$") &&
+        size(split(trim(l), "\\s+")) >= minLineWords &&
+        !lower(l).contains("javascript"))
+    val pageBad = lower(col(textCol)).contains("lorem ipsum") ||
+      col(textCol).contains("{") || col(textCol).contains("}")
+    df.select(col(idCol),
+      size(lines).as("total_lines"),
+      size(kept).as("kept_lines"),
+      array_join(kept, "\n").as("clean_text"),
+      (!pageBad && size(kept) >= minKeptLines).cast("int").as("keep"))
+  }
 }

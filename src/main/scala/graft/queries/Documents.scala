@@ -1534,6 +1534,26 @@ object Documents {
       .select("vec_id", "proto_sim", "rank", "kept")
       .orderBy("vec_id")
 
+  /** The D4 paper's pipeline end-to-end on the hard signal: SemDeDup
+    * (d8's hyperplane/threshold semantic dedup, keepers only) THEN
+    * prototypicality diversification over the survivors — dedup first
+    * so the template mass that survives exact near-dup removal is
+    * still pruned by its centroid distance (Tirumala et al. 2023 run
+    * exactly this order). One-cell prototype (the oracle-replayable
+    * degenerate case); the oracle chains d8's recursive-CTE keeper
+    * closure into d21's mean/rank SQL, so BOTH stages must agree for
+    * the hash to land. */
+  def llmD4Pipeline(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val keepers = Dedup.semanticDedup(emb, "vec_id", "embedding", 0.45)
+      .select("vec_id")
+    val survivors = emb.join(keepers, Seq("vec_id"), "left_semi")
+    Similarity.prototypicality(survivors, "vec_id", "embedding",
+        nCells = 1, dropFrac = 0.3)
+      .select("vec_id", "proto_sim", "rank", "kept")
+      .orderBy("vec_id")
+  }
+
   /** T30 — character-entropy quality signal: the native kernel's
     * per-doc Shannon entropy vs DuckDB's unnest-and-count replay, cut
     * at 2.85 nats (the corpus median — both branches of the keep flag
@@ -1564,4 +1584,38 @@ object Documents {
         "source", "doc_id", "text", totalTarget = 200,
         eta = 10.0, smoothing = 0.1)
       .orderBy("source", "doc_id")
+
+  /** T31 — C4 line-level cleaning (Raffel et al. 2020 §2.2) on a
+    * deterministically synthesized multi-line corpus. The synthetic
+    * documents are single-line and punctuation-free — no line
+    * structure for the rules to bite on — so the gate re-chunks each
+    * doc's words into 5-word lines and injects exactly the dirt each
+    * rule exists to catch, all keyed on (doc_id, line_idx) integer
+    * arithmetic so DuckDB replays the CONSTRUCTION and the CLEANING
+    * bit-for-bit (the mm1 synthesize-in-the-gate pattern): every
+    * (doc_id + i) % 3 ≥ 2 line loses its terminal '.', every
+    * (doc_id + i) % 7 = 0 line grows a " javascript break" tail,
+    * every 13th doc gets a lorem-ipsum closing line, every 17th a
+    * curly-brace one — so line drops by all three line rules and
+    * page drops by all three page rules are live in the hash. */
+  def t31C4LineClean(s: SparkSession, d: String): DataFrame = {
+    val ws = split(trim(col("text")), "\\s+")
+    val nLines = greatest(ceil(size(ws) / lit(5.0)).cast("long"), lit(1L))
+    val lineArr = transform(sequence(lit(1L), nLines), i =>
+      concat(
+        concat_ws(" ", slice(ws, ((i - 1) * 5 + 1).cast("int"), lit(5))),
+        when((col("doc_id") + i) % 7 === 0, lit(" javascript break"))
+          .otherwise(lit("")),
+        when((col("doc_id") + i) % 3 < 2, lit(".")).otherwise(lit(""))))
+    val base = concat_ws("\n", lineArr)
+    val mtext = when(col("doc_id") % 13 === 0,
+        concat(base, lit("\nlorem ipsum dolor sit amet.")))
+      .when(col("doc_id") % 17 === 0,
+        concat(base, lit("\nconst cfg = { a: 1 } now done.")))
+      .otherwise(base)
+    val multiline = Tables.documents(s, d)
+      .select(col("doc_id"), mtext.as("mtext"))
+    TextAnalysis.c4LineClean(multiline, "doc_id", "mtext")
+      .orderBy("doc_id")
+  }
 }

@@ -351,4 +351,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.ccnetBuckets(withNull, "lang", "s", "id")
       .filter($"id" === 9L).count() == 0)
   }
+
+  test("c4LineClean: every line and page rule on a hand fixture") {
+    val good = "alpha beta gamma delta epsilon."   // kept
+    val docs = Seq(
+      // 0: clean page — three good lines survive, junk lines drop
+      (0L, Seq(good,
+        "short line.",                              // < 5 words
+        "no terminal punctuation on this line",     // no punct
+        "we include JavaScript runtime here today.",// javascript (any case)
+        "does it work? yes!",                       // <5 words (punct ok)
+        good, good).mkString("\n")),
+      // 1: lorem-ipsum page — lines clean, page dropped
+      (1L, Seq(good, good, good, "and Lorem Ipsum dolor.").mkString("\n")),
+      // 2: curly-brace page — dropped even though braces sit mid-line
+      (2L, Seq(good, good, "func f() { return 1 } end here now.")
+        .mkString("\n")),
+      // 3: only two survivors — page dropped by the sentence floor
+      (3L, Seq(good, good, "tiny.").mkString("\n")),
+      // 4: nothing survives — clean_text must be '' not null
+      (4L, "tiny."))
+      .toDF("id", "text")
+    val out = TextAnalysis.c4LineClean(docs, "id", "text")
+      .as[(Long, Int, Int, String, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(0L) == ((0L, 7, 3, Seq(good, good, good).mkString("\n"), 1)))
+    // the lorem line itself is also < 5 words → line-dropped; the PAGE
+    // drop still fires off the raw text
+    assert(out(1L) == ((1L, 4, 3, Seq(good, good, good).mkString("\n"), 0)))
+    // braces are a PAGE rule: the brace line itself passes the line
+    // rules (9 words, terminal '.') yet the page is rejected
+    assert(out(2L)._5 == 0 && out(2L)._3 == 3)
+    assert(out(3L) == ((3L, 3, 2, Seq(good, good).mkString("\n"), 0)))
+    assert(out(4L) == ((4L, 1, 0, "", 0)))
+    // doc-local projection: the whole rule set must plan with ZERO
+    // exchange — at 100 TB this operator is a pure map over the scan
+    val plan = TextAnalysis.c4LineClean(docs, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"c4LineClean must not shuffle:\n$plan")
+  }
 }
