@@ -186,6 +186,7 @@ object SparkEntry {
     "d21_prototypicality" -> (Documents.d21Prototypicality _),
     "llm_d4_pipeline" -> (Documents.llmD4Pipeline _),
     "t31_c4_line_clean" -> (Documents.t31C4LineClean _),
+    "llm_curriculum_pipeline" -> (Documents.llmCurriculumPipeline _),
   )
 
   /** T20's oracle: every Gopher rule statistic recomputed on RAW gram
@@ -1448,6 +1449,16 @@ object SparkEntry {
         |    WHEN (rk - 1) * 3 < (n - 1) * 2 THEN 'middle'
         |    ELSE 'tail' END) <> 'tail' THEN 1 ELSE 0 END AS BIGINT) AS kept
         |FROM bk GROUP BY lang, bucket, kept ORDER BY lang, bucket""".stripMargin),
+    // LLM_CURRICULUM: the target-trained LM chain feeding a global
+    // easy-first row_number — CCNet score as curriculum difficulty;
+    // any scoring drift or rank-offset misalignment shifts positions
+    "llm_curriculum_pipeline" -> (targetBigramLmCtes +
+      """,
+        |pos AS (SELECT id, avg_logp,
+        |  row_number() OVER (ORDER BY avg_logp DESC, id) AS position
+        |  FROM scored WHERE avg_logp IS NOT NULL)
+        |SELECT id AS doc_id, avg_logp, CAST(position AS BIGINT) AS position
+        |FROM pos ORDER BY doc_id""".stripMargin),
     // T26: the SAME target-trained scoring through the at-rest model
     // store — store ≡ live is the contract, so the oracle recomputes
     // the llm_ccnet chain's per-doc scores in full
@@ -1667,6 +1678,7 @@ object SparkEntry {
         |c4m AS (SELECT doc_id,
         |    CASE WHEN doc_id % 13 = 0 THEN b || chr(10) || 'lorem ipsum dolor sit amet.'
         |         WHEN doc_id % 17 = 0 THEN b || chr(10) || 'const cfg = { a: 1 } now done.'
+        |         WHEN doc_id % 19 = 0 THEN b || chr(10) || 'this page has badword content today.'
         |         ELSE b END AS mt FROM c4b),
         |c4s AS (SELECT doc_id, mt, string_split(mt, chr(10)) AS ls FROM c4m),
         |c4k AS (SELECT doc_id, mt, ls,
@@ -1678,7 +1690,8 @@ object SparkEntry {
         |  CAST(len(kept) AS INTEGER) AS kept_lines,
         |  coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
         |  CAST(NOT contains(lower(mt), 'lorem ipsum') AND NOT contains(mt, '{')
-        |    AND NOT contains(mt, '}') AND len(kept) >= 3 AS INTEGER) AS keep
+        |    AND NOT contains(mt, '}') AND NOT contains(lower(mt), 'badword')
+        |    AND len(kept) >= 3 AS INTEGER) AS keep
         |FROM c4k ORDER BY doc_id""".stripMargin,
     // M15: the release gate — t22's card per snapshot side + m14's PSI
     // chain + the FULL decision rule (hard: vanished group / share

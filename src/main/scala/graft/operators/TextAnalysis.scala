@@ -821,7 +821,10 @@ object TextAnalysis {
     * does not contain "javascript" (case-insensitive substring — the
     * paper's boilerplate-code tell). PAGE rules: drop the page iff
     * the RAW text contains "lorem ipsum" (case-insensitive) or a
-    * curly brace, or fewer than `minKeptLines` lines survive — the
+    * curly brace or any `blocklist` entry (case-insensitive
+    * substring — the paper's bad-words list, caller-supplied policy;
+    * substring not token match, so obfuscating punctuation can't
+    * dodge it), or fewer than `minKeptLines` lines survive — the
     * kept-line count standing in for C4's ≥ 3-sentence floor (every
     * kept line ends in terminal punctuation, the paper's own
     * sentence proxy; C4's nltk splitter has no SQL twin).
@@ -838,14 +841,18 @@ object TextAnalysis {
     * replays identically under DuckDB/RE2 cross-engine. */
   def c4LineClean(df: DataFrame, idCol: String, textCol: String,
                   minLineWords: Int = 5,
-                  minKeptLines: Int = 3): DataFrame = {
+                  minKeptLines: Int = 3,
+                  blocklist: Seq[String] = Nil): DataFrame = {
     val lines = split(col(textCol), "\n")
     val kept = filter(lines, l =>
       trim(l).rlike("[.!?\"']$") &&
         size(split(trim(l), "\\s+")) >= minLineWords &&
         !lower(l).contains("javascript"))
-    val pageBad = lower(col(textCol)).contains("lorem ipsum") ||
-      col(textCol).contains("{") || col(textCol).contains("}")
+    val pageBad = blocklist.foldLeft(
+      lower(col(textCol)).contains("lorem ipsum") ||
+        col(textCol).contains("{") || col(textCol).contains("}")) {
+      (acc, w) => acc || lower(col(textCol)).contains(w.toLowerCase)
+    }
     df.select(col(idCol),
       size(lines).as("total_lines"),
       size(kept).as("kept_lines"),

@@ -952,6 +952,30 @@ object Documents {
       .orderBy("lang", "bucket")
   }
 
+  /** LLM_CURRICULUM — score-driven training order end-to-end: the
+    * corpus scored under the src0-trained CCNet bigram LM
+    * (target-likeness as the difficulty signal), then every scored
+    * doc given its dense GLOBAL training position, most target-like
+    * first — curriculum learning's easy-first schedule (Bengio et
+    * al. 2009) with the CCNet score as difficulty. Docs without LM
+    * evidence (< 2 tokens) are excluded: nothing to order on. The
+    * rank is the distributed one-group range rank (r12's shape — a
+    * bare Window.orderBy would single-task the corpus); the oracle
+    * replays the target-trained LM chain AND the global row_number,
+    * so a scoring drift or a range-offset misalignment anywhere
+    * shifts positions and hash-fails. */
+  def llmCurriculumPipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val scored = TextAnalysis.bigramLogProbAgainst(
+        docs.filter(col("source") === "src0"), docs, "doc_id", "text")
+      .filter(col("avg_logp").isNotNull)
+      .select(col("id").as("doc_id"), col("avg_logp"))
+    graft.ops.Sampling.curriculumOrder(scored, "doc_id",
+        Seq(desc("avg_logp")))
+      .select(col("doc_id"), col("avg_logp"), col("position"))
+      .orderBy("doc_id")
+  }
+
   /** T26 — the bigram LM through the AT-REST model store: the target
     * slice's capped count tables + exact denominator are published
     * once ([[TextAnalysis.writeBigramLmStore]]), then the whole
@@ -1596,8 +1620,9 @@ object Documents {
     * (doc_id + i) % 3 ≥ 2 line loses its terminal '.', every
     * (doc_id + i) % 7 = 0 line grows a " javascript break" tail,
     * every 13th doc gets a lorem-ipsum closing line, every 17th a
-    * curly-brace one — so line drops by all three line rules and
-    * page drops by all three page rules are live in the hash. */
+    * curly-brace one, every 19th a blocklist-word one — so line
+    * drops by all three line rules and page drops by all four page
+    * rules are live in the hash. */
   def t31C4LineClean(s: SparkSession, d: String): DataFrame = {
     val ws = split(trim(col("text")), "\\s+")
     val nLines = greatest(ceil(size(ws) / lit(5.0)).cast("long"), lit(1L))
@@ -1612,10 +1637,13 @@ object Documents {
         concat(base, lit("\nlorem ipsum dolor sit amet.")))
       .when(col("doc_id") % 17 === 0,
         concat(base, lit("\nconst cfg = { a: 1 } now done.")))
+      .when(col("doc_id") % 19 === 0,
+        concat(base, lit("\nthis page has badword content today.")))
       .otherwise(base)
     val multiline = Tables.documents(s, d)
       .select(col("doc_id"), mtext.as("mtext"))
-    TextAnalysis.c4LineClean(multiline, "doc_id", "mtext")
+    TextAnalysis.c4LineClean(multiline, "doc_id", "mtext",
+        blocklist = Seq("badword"))
       .orderBy("doc_id")
   }
 }

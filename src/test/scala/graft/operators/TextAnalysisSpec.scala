@@ -370,9 +370,14 @@ class TextAnalysisSpec extends SparkSpec {
       // 3: only two survivors — page dropped by the sentence floor
       (3L, Seq(good, good, "tiny.").mkString("\n")),
       // 4: nothing survives — clean_text must be '' not null
-      (4L, "tiny."))
+      (4L, "tiny."),
+      // 5: blocklist page — a BadWord anywhere drops the page even
+      // though every line is clean (case-insensitive substring)
+      (5L, Seq(good, good, "this line mentions BadWord openly today.")
+        .mkString("\n")))
       .toDF("id", "text")
-    val out = TextAnalysis.c4LineClean(docs, "id", "text")
+    val out = TextAnalysis.c4LineClean(docs, "id", "text",
+        blocklist = Seq("badword"))
       .as[(Long, Int, Int, String, Int)].collect()
       .map(r => r._1 -> r).toMap
     assert(out(0L) == ((0L, 7, 3, Seq(good, good, good).mkString("\n"), 1)))
@@ -384,6 +389,7 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L)._5 == 0 && out(2L)._3 == 3)
     assert(out(3L) == ((3L, 3, 2, Seq(good, good).mkString("\n"), 0)))
     assert(out(4L) == ((4L, 1, 0, "", 0)))
+    assert(out(5L)._5 == 0 && out(5L)._3 == 3)
     // doc-local projection: the whole rule set must plan with ZERO
     // exchange — at 100 TB this operator is a pure map over the scan
     val plan = TextAnalysis.c4LineClean(docs, "id", "text")
