@@ -187,6 +187,8 @@ object SparkEntry {
     "llm_d4_pipeline" -> (Documents.llmD4Pipeline _),
     "t31_c4_line_clean" -> (Documents.t31C4LineClean _),
     "llm_curriculum_pipeline" -> (Documents.llmCurriculumPipeline _),
+    "t32_vocab_growth" -> (Documents.t32VocabGrowth _),
+    "t33_html_strip" -> (Documents.t33HtmlStrip _),
   )
 
   /** T20's oracle: every Gopher rule statistic recomputed on RAW gram
@@ -1693,6 +1695,51 @@ object SparkEntry {
         |    AND NOT contains(mt, '}') AND NOT contains(lower(mt), 'badword')
         |    AND len(kept) >= 3 AS INTEGER) AS keep
         |FROM c4k ORDER BY doc_id""".stripMargin,
+    // T32: Heaps'-law vocab growth — bucket = (rank−1)·10 div N + 1
+    // in doc_id order, cumulative distinct = tokens first seen in
+    // buckets 1..b; all-integer, no rounding
+    "t32_vocab_growth" ->
+      """WITH vgr AS (SELECT doc_id, text,
+        |    row_number() OVER (ORDER BY doc_id) AS rk,
+        |    count(*) OVER () AS n FROM documents),
+        |vgb AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> len(t) > 0) AS tks,
+        |    (rk - 1) * 10 // n + 1 AS bucket FROM vgr),
+        |vgt AS (SELECT bucket, unnest(tks) AS tok FROM vgb),
+        |vgp AS (SELECT bucket, count(*) AS docs, sum(len(tks)) AS toks
+        |  FROM vgb GROUP BY bucket),
+        |vgf AS (SELECT tok, min(bucket) AS bucket FROM vgt GROUP BY tok),
+        |vgn AS (SELECT bucket, count(*) AS new_tokens FROM vgf GROUP BY bucket)
+        |SELECT vgp.bucket,
+        |  CAST(sum(docs) OVER (ORDER BY vgp.bucket) AS BIGINT) AS docs_cum,
+        |  CAST(sum(toks) OVER (ORDER BY vgp.bucket) AS BIGINT) AS tokens_cum,
+        |  CAST(sum(coalesce(new_tokens, 0)) OVER (ORDER BY vgp.bucket) AS BIGINT) AS vocab_cum
+        |FROM vgp LEFT JOIN vgn ON vgp.bucket = vgn.bucket
+        |ORDER BY vgp.bucket""".stripMargin,
+    // T33: HTML extraction — the gate's synthesized page replayed,
+    // then the SAME chain: script/style/comment blocks out, tags →
+    // space, entities decoded with &amp; LAST, whitespace collapsed
+    "t33_html_strip" ->
+      """WITH hh AS (SELECT doc_id,
+        |  '<html><head><title>Doc ' || doc_id || '</title><script type="text/javascript">var x = 1; if (x < 2) { x = 2; }</script><style>.c { color: red; }</style></head><body><!-- note ' || doc_id || ' --><h1>Heading</h1><p>' || text || '</p>'
+        |  || CASE WHEN doc_id % 3 = 0 THEN '<p>See &lt;a&gt; &amp;amp; &quot;quotes&quot;&nbsp;here.</p>' ELSE '' END
+        |  || CASE WHEN doc_id % 4 = 0 THEN '<a href="http://ex.com/' || doc_id || '">link text</a>' ELSE '' END
+        |  || '</body></html>' AS h FROM documents),
+        |hst AS (SELECT doc_id, h, regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(h, '(?is)<head[^>]*>.*?</head>', ' ', 'g'),
+        |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |    '(?s)<!--.*?-->', ' ', 'g') AS s FROM hh),
+        |htg AS (SELECT doc_id, h, regexp_replace(s, '<[^>]+>', ' ', 'g') AS s FROM hst),
+        |hde AS (SELECT doc_id, h, replace(replace(replace(replace(replace(replace(s,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |    '&nbsp;', ' '), '&amp;', '&') AS s FROM htg)
+        |SELECT doc_id,
+        |  trim(regexp_extract(h, '(?is)<title[^>]*>(.*?)</title>', 1)) AS title,
+        |  CAST((length(h) - length(replace(h, '<a href', ''))) // 7 AS INTEGER) AS n_links,
+        |  trim(regexp_replace(s, '\s+', ' ', 'g')) AS text
+        |FROM hde ORDER BY doc_id""".stripMargin,
     // M15: the release gate — t22's card per snapshot side + m14's PSI
     // chain + the FULL decision rule (hard: vanished group / share
     // collapse past 50% / dup-rate jump past 0.10 / psi ≥ 0.25; soft

@@ -859,4 +859,137 @@ object TextAnalysis {
       array_join(kept, "\n").as("clean_text"),
       (!pageBad && size(kept) >= minKeptLines).cast("int").as("keep"))
   }
+
+  /** HTML → text extraction — the raw-crawl-to-text stage every web
+    * pipeline runs before any quality rule fires (C4 extracts from
+    * WET, FineWeb re-extracts from WARC with trafilatura precisely
+    * because extraction quality dominates downstream filters —
+    * Penedo et al. 2024, arXiv:2406.17557 §3.1). A full parser is a
+    * library; the pipeline-grade core is a deterministic regexp
+    * chain, and that chain IS expressible as codegen'd Catalyst
+    * `regexp_replace`s — doc-local, zero exchange, a pure map over
+    * the scan at any scale.
+    *
+    * Chain (order matters and is part of the contract):
+    *   1. drop the `<head>…</head>` block (title is metadata, not
+    *      prose — it is extracted separately from the RAW page), then
+    *      `<script>…</script>` / `<style>…</style>` blocks anywhere
+    *      in the body (their CONTENT is not text) and `<!-- … -->`
+    *      comments;
+    *   2. strip remaining tags `<[^>]+>` → ' ' (a tag is a word
+    *      boundary: `a<br>b` must not fuse);
+    *   3. decode the six core entities — `&lt; &gt; &quot; &#39;
+    *      &nbsp;` first, `&amp;` LAST so `&amp;lt;` decodes to the
+    *      literal text `&lt;`, not to `<`;
+    *   4. collapse whitespace runs, trim.
+    * Entity decode runs AFTER tag stripping, so entity-escaped
+    * markup in the source survives as literal text — the behavior
+    * that distinguishes extraction from naive tag removal.
+    *
+    * Patterns stay in the Java-regex ∩ RE2 common subset (inline
+    * `(?is)` flags, lazy quantifiers, no backreferences — the
+    * piiPatterns convention), so a DuckDB oracle replays the chain
+    * verbatim.
+    *
+    * Output: (id, title, n_links, text) — title from the first
+    * `<title>` element, n_links a cheap `<a href` occurrence count
+    * (substring arithmetic, no regex needed), text the extracted
+    * body prose.
+    */
+  def htmlToText(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val h = col(htmlCol)
+    val noHead = regexp_replace(h, "(?is)<head[^>]*>.*?</head>", " ")
+    val noBlocks = regexp_replace(regexp_replace(regexp_replace(noHead,
+      "(?is)<script[^>]*>.*?</script>", " "),
+      "(?is)<style[^>]*>.*?</style>", " "),
+      "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) =>
+        replace(c, lit(ent), lit(ch))
+      }
+    val text = trim(regexp_replace(decoded, "\\s+", " "))
+    val title = trim(regexp_extract(h, "(?is)<title[^>]*>(.*?)</title>", 1))
+    val nLinks = ((length(h) - length(replace(h, lit("<a href"), lit(""))))
+      / lit(7)).cast("int")
+    df.select(col(idCol), title.as("title"), nLinks.as("n_links"),
+      text.as("text"))
+  }
+
+  /** Vocabulary-growth (Heaps'-law) curve: how the distinct-token
+    * count grows as the corpus is consumed in `idCol` order, reported
+    * at `numBuckets` equal-document checkpoints. The canonical corpus
+    * diagnostic (Heaps 1978; WIMBD, arXiv:2310.20707 runs it at
+    * corpus scale): V(n) ≈ K·n^β with β < 1 for natural text, so a
+    * flattening curve is healthy and a LINEAR one screams synthetic
+    * or boilerplate-heavy data (every doc minting fresh tokens).
+    *
+    * Shape, chosen so nothing corpus-sized rides a window or a
+    * driver: the cumulative-distinct count at checkpoint b equals the
+    * number of tokens whose FIRST occurrence falls in buckets 1..b —
+    * so one explode → groupBy(token).min(bucket) (the only shuffle
+    * that matters, skinny (token, bucket) rows), a ≤ numBuckets-row
+    * new-token histogram, and a prefix sum over those numBuckets rows.
+    * Doc → bucket uses the distributed one-group rank (a bare
+    * Window.orderBy would single-task the corpus — the r12 lesson);
+    * bucket arithmetic is pure integer ((rank−1)·K div N + 1) so both
+    * engines agree to the bit.
+    *
+    * Output: one row per bucket — (bucket, docs_cum, tokens_cum,
+    * vocab_cum), cumulative docs / token instances / distinct tokens
+    * after consuming buckets 1..b.
+    */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+                  numBuckets: Int = 10): DataFrame = {
+    require(numBuckets >= 1, "numBuckets must be >= 1")
+    // Phase 1 — bucket BOUNDARIES from a skinny id-only rank: the
+    // distributed one-group rank over ids alone (text never enters),
+    // reduced to ≤ numBuckets (bucket, max id) cutoffs via integer
+    // arithmetic, then collected (bounded by numBuckets — the modes
+    // convention) and broadcast as literals. Every downstream bucket
+    // assignment is then a MAP-SIDE id comparison: no join, no text
+    // on any exchange, no corpus-sized window.
+    val ids = df.select(col(idCol)).withColumn("_vg", lit(0))
+    val ranked = graft.ops.DistributedRank.withRankAndCumsum(
+      ids, "_vg", Seq(col(idCol)))
+    val cuts = ranked
+      .withColumn("bucket",
+        ((col("_rk") - 1) * numBuckets).cast("long")
+          .divide(col("_n")).cast("long") + 1)
+      .groupBy("bucket").agg(max(col(idCol)).as("hi"))
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue()))
+      .sortBy(_._1)
+    require(cuts.nonEmpty, "vocabGrowth needs a non-empty corpus")
+    // map-side bucket: smallest bucket whose max-id cutoff covers id
+    val bucketOf: Column = cuts.init.foldRight(
+        lit(cuts.last._1): Column) { case ((b, hi), rest) =>
+      when(col(idCol) <= hi, lit(b)).otherwise(rest)
+    }
+
+    // Phase 2 — one pass over text. The only corpus-sized shuffle is
+    // the skinny (token, bucket) min-aggregate: the cumulative
+    // distinct count at checkpoint b is exactly the number of tokens
+    // FIRST seen in buckets 1..b.
+    val toked = df.select(bucketOf.as("bucket"),
+      filter(tokens(col(textCol)), t => length(t) > 0).as("toks"))
+    val perBucket = toked.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("docs"), sum(size(col("toks"))).as("tokens"))
+    val newPerBucket = toked
+      .select(col("bucket"), explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_tokens"))
+
+    // ≤ numBuckets rows from here down — the bare-orderBy window is
+    // bounded by construction, never by the corpus
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(newPerBucket, Seq("bucket"), "left")
+      .select(col("bucket"),
+        sum(col("docs")).over(w).as("docs_cum"),
+        sum(col("tokens")).over(w).as("tokens_cum"),
+        sum(coalesce(col("new_tokens"), lit(0L))).over(w).as("vocab_cum"))
+  }
 }

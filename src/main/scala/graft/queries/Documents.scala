@@ -1646,4 +1646,46 @@ object Documents {
         blocklist = Seq("badword"))
       .orderBy("doc_id")
   }
+
+  /** T32 — Heaps'-law vocabulary growth at 10 equal-document
+    * checkpoints in doc_id order. The oracle replays the integer
+    * bucket arithmetic ((rank−1)·10 div N + 1), the first-occurrence
+    * min-bucket per token, and all three prefix sums — so a bucket
+    * boundary off by one doc, a token double-counted across buckets,
+    * or a drifted cumulative shifts a row and hash-fails. Counts are
+    * exact integers: no rounding anywhere. */
+  def t32VocabGrowth(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.vocabGrowth(Tables.documents(s, d), "doc_id", "text",
+        numBuckets = 10)
+      .orderBy("bucket")
+
+  /** T33 — HTML → text extraction on deterministically synthesized
+    * pages (the t31/mm1 synthesize-in-the-gate pattern: the corpus
+    * has no markup, so the gate builds it from doc_id arithmetic and
+    * DuckDB replays CONSTRUCTION + EXTRACTION bit-for-bit). Each page
+    * carries every hazard the chain exists to handle: a script block
+    * whose BODY contains `<` and `{` (so a failed block-drop garbles
+    * tag stripping), a style block, a comment, heading/paragraph
+    * tags, entity-escaped markup (`&lt;a&gt;`), the double-escape
+    * `&amp;amp;` (decodes to literal `&amp;` ONLY if `&amp;` is
+    * decoded last), and a conditional `<a href>` for the link count.
+    */
+  def t33HtmlStrip(s: SparkSession, d: String): DataFrame = {
+    val idStr = col("doc_id").cast("string")
+    val html = concat(
+      lit("<html><head><title>Doc "), idStr,
+      lit("</title><script type=\"text/javascript\">var x = 1; " +
+        "if (x < 2) { x = 2; }</script><style>.c { color: red; }" +
+        "</style></head><body><!-- note "), idStr,
+      lit(" --><h1>Heading</h1><p>"), col("text"), lit("</p>"),
+      when(col("doc_id") % 3 === 0,
+        lit("<p>See &lt;a&gt; &amp;amp; &quot;quotes&quot;&nbsp;here.</p>"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("<a href=\"http://ex.com/"), idStr,
+          lit("\">link text</a>"))).otherwise(lit("")),
+      lit("</body></html>"))
+    val pages = Tables.documents(s, d).select(col("doc_id"), html.as("h"))
+    TextAnalysis.htmlToText(pages, "doc_id", "h").orderBy("doc_id")
+  }
 }

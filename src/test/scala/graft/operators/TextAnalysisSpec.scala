@@ -396,4 +396,77 @@ class TextAnalysisSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"c4LineClean must not shuffle:\n$plan")
   }
+
+  test("htmlToText: head/script/style/comment drops, tag word-bounds, entity order, links") {
+    import spark.implicits._
+    val pages = Seq(
+      // head block (incl. its script/style with < and { inside) is
+      // dropped wholesale; title still extracted from the RAW page;
+      // <br>/<i> are word boundaries, never fusers
+      (1L, "<html><head><title> My Page </title><script>if (a<b) { x(); }" +
+        "</script><style>p { color: blue }</style></head><body>" +
+        "<!-- <p>no</p> -->Hello<br>world <i>c</i>d</body></html>"),
+      // entity decode AFTER tag strip, &amp; LAST: &amp;lt; stays
+      // literal '&lt;', &amp;amp; stays '&amp;', &lt;x&gt; becomes
+      // literal '<x>'; both href quote styles count as links
+      (2L, "<p>&amp;lt; &amp;amp; &lt;x&gt; &quot;q&#39; m&nbsp;n</p>" +
+        "<a href=\"u\">L</a><a href='v'>M</a>"),
+      // markup-free input passes through (modulo whitespace collapse)
+      (3L, "plain text,  no markup"))
+      .toDF("id", "h")
+    val out = TextAnalysis.htmlToText(pages, "id", "h")
+      .as[(Long, String, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, "My Page", 0, "Hello world c d")))
+    assert(out(2L) == ((2L, "", 2, "&lt; &amp; <x> \"q' m n L M")))
+    assert(out(3L) == ((3L, "", 0, "plain text, no markup")))
+    // pure map over the scan: zero exchange at any scale
+    val plan = TextAnalysis.htmlToText(pages, "id", "h")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"htmlToText must not shuffle:\n$plan")
+  }
+
+  test("vocabGrowth: hand fixture — buckets, new-token attribution, prefix sums") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b"), (2L, "a c"),   // bucket 1 — new: a b c
+      (3L, "b c"), (4L, "d"),     // bucket 2 — new: d
+      (5L, "a d"), (6L, "e e e"), // bucket 3 — new: e (repeats count once)
+      (7L, "a"), (8L, "f g"),     // bucket 4 — new: f g
+      (9L, "g"), (10L, "h"))      // bucket 5 — new: h
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowth(docs, "doc_id", "text", numBuckets = 5)
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 2L, 4L, 3L),
+      (2L, 4L, 7L, 4L),
+      (3L, 6L, 12L, 5L),
+      (4L, 8L, 15L, 7L),
+      (5L, 10L, 17L, 8L)))
+  }
+
+  test("vocabGrowth: more buckets than docs — only occupied checkpoints emit") {
+    import spark.implicits._
+    val docs = Seq((1L, "x"), (2L, "x y"), (3L, "z")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowth(docs, "doc_id", "text", numBuckets = 10)
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Long)].collect()
+    // ranks 1,2,3 of N=3 at K=10 land in buckets 1, 4, 7
+    assert(out.toSeq == Seq((1L, 1L, 1L, 1L), (4L, 2L, 3L, 2L), (7L, 3L, 4L, 3L)))
+  }
+
+  test("vocabGrowth: corpus properties — monotone, ends at the true vocab") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = TextAnalysis.vocabGrowth(docs, "doc_id", "text")
+      .orderBy("bucket").collect()
+    assert(out.length == 10)
+    val vocab = out.map(_.getLong(3))
+    assert(vocab.zip(vocab.tail).forall { case (a, b) => a <= b })
+    val trueVocab = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+      .where(length(col("t")) > 0).distinct().count()
+    assert(vocab.last == trueVocab)
+    val docsCum = out.map(_.getLong(1))
+    assert(docsCum.last == docs.count())
+  }
 }
