@@ -189,6 +189,7 @@ object SparkEntry {
     "llm_curriculum_pipeline" -> (Documents.llmCurriculumPipeline _),
     "t32_vocab_growth" -> (Documents.t32VocabGrowth _),
     "t33_html_strip" -> (Documents.t33HtmlStrip _),
+    "d22_url_dedup" -> (Documents.d22UrlDedup _),
   )
 
   /** T20's oracle: every Gopher rule statistic recomputed on RAW gram
@@ -1740,6 +1741,31 @@ object SparkEntry {
         |  CAST((length(h) - length(replace(h, '<a href', ''))) // 7 AS INTEGER) AS n_links,
         |  trim(regexp_replace(s, '\s+', ' ', 'g')) AS text
         |FROM hde ORDER BY doc_id""".stripMargin,
+    // D22: URL canonicalization chain replayed step for step (RE2
+    // backrefs are \1 where Spark's are $1 — same semantics), then
+    // latest-crawl-wins: row_number over (canon, ts desc, id desc)
+    "d22_url_dedup" ->
+      """WITH uu AS (SELECT doc_id, doc_id % 97 AS fetch_ts,
+        |  'HTTPS://WWW.Site' || (doc_id % 7) || '.COM:443/Dir' || (doc_id % 50) || '/page'
+        |  || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+        |  || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&id=' || (doc_id % 5) ELSE '' END
+        |  || CASE WHEN doc_id % 5 = 0 THEN '#sec' || doc_id ELSE '' END AS url
+        |  FROM documents),
+        |uc1 AS (SELECT doc_id, fetch_ts,
+        |  regexp_replace(regexp_replace(url, '#.*$', ''), '(?i)^https?://', '') AS ns FROM uu),
+        |uc2 AS (SELECT doc_id, fetch_ts,
+        |  regexp_replace(regexp_replace(lower(regexp_extract(ns, '^([^/?#]+)', 1)),
+        |    '^www\.', ''), ':(80|443)$', '') AS host,
+        |  regexp_replace(ns, '^[^/?#]+', '') AS pathq FROM uc1),
+        |uc3 AS (SELECT doc_id, fetch_ts, host || regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(pathq, '(?i)[?&]utm_[^&#]*', '', 'g'),
+        |    '^([^?]*)&', '\1?'), '[?&]$', ''), '^([^?]*)/$', '\1') AS canon_url
+        |  FROM uc2),
+        |ucr AS (SELECT canon_url, doc_id, fetch_ts,
+        |  row_number() OVER (PARTITION BY canon_url ORDER BY fetch_ts DESC, doc_id DESC) AS rn,
+        |  count(*) OVER (PARTITION BY canon_url) AS n_crawls FROM uc3)
+        |SELECT canon_url, doc_id, fetch_ts, n_crawls
+        |FROM ucr WHERE rn = 1 ORDER BY canon_url""".stripMargin,
     // M15: the release gate — t22's card per snapshot side + m14's PSI
     // chain + the FULL decision rule (hard: vanished group / share
     // collapse past 50% / dup-rate jump past 0.10 / psi ≥ 0.25; soft

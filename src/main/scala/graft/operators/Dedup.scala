@@ -2147,4 +2147,60 @@ object Dedup {
         expr("bit_count(sh_a ^ sh_b)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** URL canonicalization for crawl dedup — the key under which
+    * re-crawls of one page collapse (CommonCrawl-lineage pipelines
+    * dedup by URL before any content pass; RefinedWeb runs exactly
+    * this normalize-then-keep-one step, Penedo et al. 2023
+    * arXiv:2306.01116 §3.2). Pure regexp chain in the Java ∩ RE2
+    * subset — codegen'd, map-side, zero exchange.
+    *
+    * Contract, in order (the canonical key is NOT a browsable URL —
+    * it only needs to be deterministic and collision-meaningful):
+    *   1. fragment dropped (`#…` never reaches the server);
+    *   2. scheme dropped, http ≡ https (re-crawls flip protocols);
+    *   3. host lowercased (DNS is case-insensitive — the PATH case
+    *      is preserved, paths are case-significant), leading `www.`
+    *      and explicit default ports `:80`/`:443` stripped;
+    *   4. `utm_*` tracking params removed wherever they sit; a query
+    *      left starting with `&` gets its first separator restored
+    *      to `?`; a dangling trailing `?`/`&` dropped;
+    *   5. one trailing `/` stripped — only when no query follows
+    *      (`/a/?x=1` keeps its slash: it's not terminal).
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val noScheme = regexp_replace(noFrag, "(?i)^https?://", "")
+    val host = regexp_replace(regexp_replace(
+      lower(regexp_extract(noScheme, "^([^/?#]+)", 1)),
+      "^www\\.", ""), ":(80|443)$", "")
+    val pathq = regexp_replace(noScheme, "^[^/?#]+", "")
+    val noUtm = regexp_replace(pathq, "(?i)[?&]utm_[^&#]*", "")
+    val fixedSep = regexp_replace(noUtm, "^([^?]*)&", "$1?")
+    val noDangle = regexp_replace(fixedSep, "[?&]$", "")
+    val noSlash = regexp_replace(noDangle, "^([^?]*)/$", "$1")
+    concat(host, noSlash)
+  }
+
+  /** Latest-crawl-wins URL dedup: canonicalize, keep the newest
+    * fetch per canonical URL (`tsCol` desc, `idCol` desc tie-break),
+    * report the re-crawl count. The per-key window is NOT the
+    * dominant-language shape the distributed rank exists for: a
+    * group is ONE page's re-crawl history — bounded by fetch
+    * frequency (tens), independent of corpus size — so the plain
+    * hash-partitioned window is the right plan at 100 TB. (A
+    * pathological constant URL is upstream garbage; the operator's
+    * contract is crawl data, where the key is ~unique per page.) */
+  def latestPerUrl(df: DataFrame, urlCol: String, tsCol: String,
+                   idCol: String): DataFrame = {
+    val canon = df.withColumn("canon_url", canonicalUrl(col(urlCol)))
+    val w = Window.partitionBy(col("canon_url"))
+      .orderBy(col(tsCol).desc, col(idCol).desc)
+    canon
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("n_crawls",
+        count(lit(1)).over(Window.partitionBy(col("canon_url"))))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
 }

@@ -1688,4 +1688,31 @@ object Documents {
     val pages = Tables.documents(s, d).select(col("doc_id"), html.as("h"))
     TextAnalysis.htmlToText(pages, "doc_id", "h").orderBy("doc_id")
   }
+
+  /** D22 — URL canonicalization + latest-crawl-wins dedup on
+    * synthesized crawl records (doc_id arithmetic → DuckDB replays
+    * construction + canonicalization + the keep-latest window).
+    * The construction trips every canonicalization rule: uppercase
+    * scheme/host/www, explicit :443, a %4 trailing slash, a %3
+    * utm-prefixed query (utm removal must restore the `?`), a %5
+    * fragment — and fetch_ts = doc_id % 97 manufactures ties so the
+    * id tie-break is live in the hash. */
+  def d22UrlDedup(s: SparkSession, d: String): DataFrame = {
+    val url = concat(
+      lit("HTTPS://WWW.Site"), (col("doc_id") % 7).cast("string"),
+      lit(".COM:443/Dir"), (col("doc_id") % 50).cast("string"),
+      lit("/page"),
+      when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("?utm_source=feed&id="),
+          (col("doc_id") % 5).cast("string"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit("#sec"), col("doc_id").cast("string")))
+        .otherwise(lit("")))
+    val crawls = Tables.documents(s, d).select(col("doc_id"),
+      url.as("url"), (col("doc_id") % 97).as("fetch_ts"))
+    Dedup.latestPerUrl(crawls, "url", "fetch_ts", "doc_id")
+      .select("canon_url", "doc_id", "fetch_ts", "n_crawls")
+      .orderBy("canon_url")
+  }
 }

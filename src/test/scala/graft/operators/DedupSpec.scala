@@ -892,4 +892,41 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(exact == Set(1L, 2L, 3L, 4L))
   }
+
+  test("canonicalUrl: every rule on hand fixtures; map-side plan") {
+    import spark.implicits._
+    val cases = Seq(
+      // scheme/host/www/port/utm/fragment all at once; path case kept;
+      // utm removal restores the '?'; non-terminal slash survives
+      ("https://WWW.Example.COM:443/a/B/?utm_source=x&q=1#frag",
+        "example.com/a/B/?q=1"),
+      ("http://example.com/a/", "example.com/a"),
+      ("https://example.com", "example.com"),
+      // utm-only query vanishes entirely, then the now-terminal slash
+      ("http://example.com/?utm_a=1", "example.com"),
+      // utm in the middle of a kept query
+      ("HTTP://A.com:80/P?x=1&utm_b=2&y=3", "a.com/P?x=1&y=3"),
+      // no scheme at all: host rules still apply
+      ("www.B.org:443/z", "b.org/z"))
+      .toDF("url", "want")
+    val got = cases.select(Dedup.canonicalUrl(col("url")).as("got"),
+      col("want")).as[(String, String)].collect()
+    got.foreach { case (g, w) => assert(g == w, s"got $g want $w") }
+    val plan = cases.select(Dedup.canonicalUrl(col("url")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"canonicalUrl must not shuffle:\n$plan")
+  }
+
+  test("latestPerUrl: newest fetch wins, id breaks ts ties, n_crawls counts the group") {
+    import spark.implicits._
+    val crawls = Seq(
+      (1L, "http://s.com/p", 10L), (2L, "https://WWW.S.com/p/", 20L),
+      (3L, "http://s.com/p#x", 20L), // ties ts=20 with id 2 → id 3 wins
+      (4L, "http://other.com/q", 5L))
+      .toDF("doc_id", "url", "ts")
+    val out = Dedup.latestPerUrl(crawls, "url", "ts", "doc_id")
+      .select("canon_url", "doc_id", "n_crawls")
+      .as[(String, Long, Long)].collect().toSet
+    assert(out == Set(("s.com/p", 3L, 3L), ("other.com/q", 4L, 1L)))
+  }
 }
