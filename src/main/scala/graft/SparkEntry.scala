@@ -190,6 +190,7 @@ object SparkEntry {
     "t32_vocab_growth" -> (Documents.t32VocabGrowth _),
     "t33_html_strip" -> (Documents.t33HtmlStrip _),
     "d22_url_dedup" -> (Documents.d22UrlDedup _),
+    "ann12_hard_negatives" -> (Documents.ann12HardNegatives _),
   )
 
   /** T20's oracle: every Gopher rule statistic recomputed on RAW gram
@@ -1766,6 +1767,18 @@ object SparkEntry {
         |  count(*) OVER (PARTITION BY canon_url) AS n_crawls FROM uc3)
         |SELECT canon_url, doc_id, fetch_ts, n_crawls
         |FROM ucr WHERE rn = 1 ORDER BY canon_url""".stripMargin,
+    // ANN12: hard negatives — ann1's brute-force chain with the
+    // cross-label predicate; the negative's label rides in the output
+    "ann12_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv, label AS ql FROM e WHERE vec_id % 37 = 0),
+        |scored AS (SELECT q_id, e.vec_id AS n_id, e.label AS n_label,
+        |  list_cosine_similarity(qv, e.v) AS cos
+        |  FROM q, e WHERE e.label <> ql),
+        |r AS (SELECT q_id, n_id, n_label, cos, ROW_NUMBER() OVER (
+        |  PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM scored)
+        |SELECT q_id, rank, n_id, n_label, round(cos, 6) AS cos_sim
+        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     // M15: the release gate — t22's card per snapshot side + m14's PSI
     // chain + the FULL decision rule (hard: vanished group / share
     // collapse past 50% / dup-rate jump past 0.10 / psi ≥ 0.25; soft

@@ -964,4 +964,67 @@ object Similarity {
     prototypicality(corpus, idCol, vecCol, nCells, seed, fitCap, dropFrac)
       .filter(col("kept") === 1)
       .select(idCol)
+
+  /** Hard-negative mining for contrastive training (the in-batch-
+    * negatives upgrade every dense retriever runs — DPR, Karpukhin
+    * et al. 2020 arXiv:2004.04906 §3.2; ANCE, Xiong et al. 2020
+    * arXiv:2007.00808): for each anchor, the k most-similar corpus
+    * vectors whose LABEL differs — near the decision boundary, so
+    * the gradient signal is maximal. An optional `simCeiling`
+    * excludes the pathological top slice (an almost-identical
+    * cross-label pair is usually a labeling error or a near-dup
+    * that slipped dedup — ANCE's "false negative" guard).
+    *
+    * Exact path: anchors are the TINY side (a training batch),
+    * broadcast against the corpus; per-anchor window over the scored
+    * corpus — the bruteForceTopK shape, the accepted exact baseline.
+    * At 100 TB the generator flips: feed ANN candidates (over-fetched
+    * ~4×k, since same-label rows fall out post-hoc) through
+    * `hardNegativesFromCandidates` below — same contract, the
+    * hybridRerank generator-agnostic convention. */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    labelCol: String = "label",
+                    simCeiling: Option[Double] = None): DataFrame = {
+    val a = broadcast(anchors.select(col(idCol).as("q_id"),
+      col(vecCol).as("q_vec"), col(labelCol).as("q_label")))
+    val scored = corpus
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+        col(labelCol).as("n_label"))
+      .join(a, col("q_label") =!= col("n_label"))
+      .withColumn("cos", nativeCosine(corpus)(col("q_vec"), col("n_vec")))
+    val ceiled = simCeiling.fold(scored)(c => scored.filter(col("cos") <= c))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+    ceiled.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("n_label"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Generator-agnostic twin: mine hard negatives out of ANY
+    * candidate frame (q_id, n_id, cos_sim) — bruteForceTopK, lshTopK,
+    * ivfTopKFromIndex — by joining labels and keeping the top k
+    * cross-label rows per anchor. The candidate frame is queries ×
+    * fetch-depth rows (tiny), so the label join broadcasts it and the
+    * re-rank window is bounded by fetch depth. Over-fetch upstream:
+    * same-label candidates drop out here, so a depth of ~4×k keeps k
+    * honest unless the corpus is single-label around the anchor. */
+  def hardNegativesFromCandidates(candidates: DataFrame,
+                                  labels: DataFrame,
+                                  k: Int, idCol: String,
+                                  labelCol: String): DataFrame = {
+    val nl = labels.select(col(idCol).as("n_id"),
+      col(labelCol).as("n_label"))
+    val ql = labels.select(col(idCol).as("q_id"),
+      col(labelCol).as("q_label"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("n_id"))
+    broadcast(candidates.select("q_id", "n_id", "cos_sim"))
+      .join(nl, "n_id").join(ql, "q_id")
+      .filter(col("q_label") =!= col("n_label"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("n_label"),
+        col("cos_sim"))
+  }
 }

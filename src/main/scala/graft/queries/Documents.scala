@@ -1715,4 +1715,17 @@ object Documents {
       .select("canon_url", "doc_id", "fetch_ts", "n_crawls")
       .orderBy("canon_url")
   }
+
+  /** ANN12 — hard-negative mining: every %37 vector anchors a
+    * top-5 most-similar CROSS-LABEL search (the contrastive-training
+    * negative set). Exact generator on the hard signal — the ann1
+    * brute-force shape plus the label-inequality join predicate and
+    * the negative's label in the output, so a same-label leak or a
+    * rank shift hash-fails. The ANN-fed twin
+    * (hardNegativesFromCandidates) is spec-verified. */
+  def ann12HardNegatives(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    Similarity.hardNegatives(e, e.filter(col("vec_id") % 37 === 0), k = 5)
+      .orderBy("q_id", "rank")
+  }
 }

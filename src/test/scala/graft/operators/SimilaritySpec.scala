@@ -426,4 +426,34 @@ class SimilaritySpec extends SparkSpec {
       .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
     assert(one == naive)
   }
+
+  test("hardNegatives: cross-label only, ceiling guards false negatives, ANN-fed twin agrees") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(1f, 0f), 0),        // the anchor
+      (2L, Seq(0.9f, 0.1f), 1),    // hard negative
+      (3L, Seq(1f, 0.001f), 1),    // near-identical cross-label (ceiling bait)
+      (4L, Seq(0f, 1f), 1),        // easy negative
+      (5L, Seq(0.95f, 0.05f), 0))  // same label: NEVER a negative
+      .toDF("vec_id", "embedding", "label")
+    val anchors = corpus.filter(col("vec_id") === 1)
+
+    val top = Similarity.hardNegatives(corpus, anchors, k = 2)
+      .select("rank", "n_id").as[(Int, Long)].collect().toSet
+    assert(top == Set((1, 3L), (2, 2L)), "nearest cross-label first")
+
+    val ceiled = Similarity.hardNegatives(corpus, anchors, k = 2,
+        simCeiling = Some(0.999))
+      .select("rank", "n_id").as[(Int, Long)].collect().toSet
+    assert(ceiled == Set((1, 2L), (2, 4L)),
+      "the almost-identical cross-label pair is excluded as a label error")
+
+    // generator-agnostic twin: over-fetched brute candidates + label
+    // join reproduce the exact miner (same-label rows fall out here)
+    val cands = Similarity.bruteForceTopK(corpus, anchors, k = 4)
+    val twin = Similarity.hardNegativesFromCandidates(cands, corpus,
+        k = 2, idCol = "vec_id", labelCol = "label")
+      .select("rank", "n_id").as[(Int, Long)].collect().toSet
+    assert(twin == top)
+  }
 }
