@@ -191,6 +191,7 @@ object SparkEntry {
     "t33_html_strip" -> (Documents.t33HtmlStrip _),
     "d22_url_dedup" -> (Documents.d22UrlDedup _),
     "ann12_hard_negatives" -> (Documents.ann12HardNegatives _),
+    "r14_length_buckets" -> (Documents.r14LengthBuckets _),
   )
 
   /** T20's oracle: every Gopher rule statistic recomputed on RAW gram
@@ -1779,6 +1780,19 @@ object SparkEntry {
         |  PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM scored)
         |SELECT q_id, rank, n_id, n_label, round(cos, 6) AS cos_sim
         |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // R14: length buckets — bit-length bucket, 2^bucket−1 pad
+    // ceiling, within-bucket rank div 20; all integer arithmetic
+    "r14_length_buckets" ->
+      """WITH lb AS (SELECT doc_id, greatest(len(list_filter(
+        |    regexp_split_to_array(trim(text), '\s+'), t -> len(t) > 0)), 1) AS n_tok
+        |  FROM documents),
+        |lk AS (SELECT doc_id, n_tok, CAST(length(bin(n_tok)) AS BIGINT) AS bucket FROM lb),
+        |lr AS (SELECT doc_id, n_tok, bucket,
+        |  row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rk FROM lk)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, bucket,
+        |  CAST(power(2, bucket) AS BIGINT) - 1 AS pad_to,
+        |  CAST((rk - 1) // 20 AS BIGINT) AS batch_idx
+        |FROM lr ORDER BY doc_id""".stripMargin,
     // M15: the release gate — t22's card per snapshot side + m14's PSI
     // chain + the FULL decision rule (hard: vanished group / share
     // collapse past 50% / dup-rate jump past 0.10 / psi ≥ 0.25; soft

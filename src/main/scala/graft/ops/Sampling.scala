@@ -550,4 +550,38 @@ object Sampling {
       .filter(col("_qrk") <= col("_quota"))
       .select(df(domainCol), col(idCol))
   }
+
+  /** Length-bucketed batch assignment — the padding-waste killer for
+    * training: batching sequences of wildly different lengths pads
+    * everything to the batch max, so throughput collapses (a 10-token
+    * doc in a 2048-token batch is 99.5% pad FLOPs). The standard
+    * remedy (T5's packing sibling; fairseq/HF `group_by_length`) is
+    * to bucket by length class and batch within the bucket.
+    *
+    * Deterministic integer contract (both engines replay it exactly):
+    *   n_tok   = non-empty whitespace tokens, floored at 1;
+    *   bucket  = bit length of n_tok (n_tok ∈ [2^(b−1), 2^b − 1]);
+    *   pad_to  = 2^bucket − 1, the bucket ceiling every sequence in
+    *             the bucket pads to;
+    *   batch_idx = (rank within bucket − 1) div batchSize, rank in
+    *             ascending `idCol` order.
+    * The within-bucket rank rides the DISTRIBUTED range rank: length
+    * classes are few and Zipf-heavy (most web docs share 2-3
+    * buckets), exactly the dominant-group shape a plain
+    * `Window.partitionBy(bucket)` would single-task at crawl scale.
+    */
+  def lengthBucketBatches(df: DataFrame, idCol: String, textCol: String,
+                          batchSize: Int): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val nTok = greatest(
+      size(filter(split(trim(col(textCol)), "\\s+"),
+        t => length(t) > 0)).cast("long"), lit(1L))
+    val base = df.select(col(idCol), nTok.as("n_tok"))
+      .withColumn("bucket", length(bin(col("n_tok"))).cast("long"))
+    graft.ops.DistributedRank.withRankAndCumsum(
+        base, "bucket", Seq(col(idCol)))
+      .select(col(idCol), col("n_tok"), col("bucket"),
+        (pow(lit(2.0), col("bucket")).cast("long") - 1).as("pad_to"),
+        expr(s"(_rk - 1) div ${batchSize}L").as("batch_idx"))
+  }
 }

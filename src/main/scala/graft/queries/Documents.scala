@@ -1728,4 +1728,14 @@ object Documents {
     Similarity.hardNegatives(e, e.filter(col("vec_id") % 37 === 0), k = 5)
       .orderBy("q_id", "rank")
   }
+
+  /** R14 — length-bucketed batch assignment (batchSize 20). All-
+    * integer contract (bit-length bucket, bucket-ceiling pad, rank
+    * div batchSize), so the oracle replays every column exactly; the
+    * within-bucket rank rides the distributed range rank and the
+    * plain-window oracle must agree rank for rank. */
+  def r14LengthBuckets(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.lengthBucketBatches(Tables.documents(s, d),
+        "doc_id", "text", batchSize = 20)
+      .orderBy("doc_id")
 }

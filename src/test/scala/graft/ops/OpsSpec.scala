@@ -409,4 +409,28 @@ class OpsSpec extends SparkSpec {
       (2L, 1, Some(3), 0), (2L, 3, None, 1),
       (3L, 1, Some(3), 0), (3L, 3, None, 1)))
   }
+
+  test("lengthBucketBatches: bit-length buckets, pad ceiling, rank div batch") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a"),                 // 1 tok  → bucket 1, pad 1
+      (2L, "a b"),               // 2      → bucket 2, pad 3
+      (3L, "a b c"),             // 3      → bucket 2
+      (4L, "a b c d"),           // 4      → bucket 3, pad 7
+      (5L, "a b c d e f g h"),   // 8      → bucket 4, pad 15
+      (6L, "x  y"),              // empty tokens filtered → 2 → bucket 2
+      (7L, "   "))               // 0 floored to 1 → bucket 1
+      .toDF("doc_id", "text")
+    val out = graft.ops.Sampling
+      .lengthBucketBatches(docs, "doc_id", "text", batchSize = 2)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 1L, 1L, 1L, 0L)))
+    assert(out(7L) == ((7L, 1L, 1L, 1L, 0L)))
+    assert(out(2L) == ((2L, 2L, 2L, 3L, 0L)))
+    assert(out(3L) == ((3L, 3L, 2L, 3L, 0L)))
+    assert(out(6L) == ((6L, 2L, 2L, 3L, 1L))) // 3rd in bucket 2 → batch 1
+    assert(out(4L) == ((4L, 4L, 3L, 7L, 0L)))
+    assert(out(5L) == ((5L, 8L, 4L, 15L, 0L)))
+  }
 }
