@@ -192,6 +192,7 @@ object SparkEntry {
     "d22_url_dedup" -> (Documents.d22UrlDedup _),
     "ann12_hard_negatives" -> (Documents.ann12HardNegatives _),
     "r14_length_buckets" -> (Documents.r14LengthBuckets _),
+    "llm_web_pipeline" -> (Documents.llmWebPipeline _),
   )
 
   /** T20's oracle: every Gopher rule statistic recomputed on RAW gram
@@ -1793,6 +1794,54 @@ object SparkEntry {
         |  CAST(power(2, bucket) AS BIGINT) - 1 AS pad_to,
         |  CAST((rk - 1) // 20 AS BIGINT) AS batch_idx
         |FROM lr ORDER BY doc_id""".stripMargin,
+    // Web-ingest composite: t33's extraction chain + d22's URL
+    // canonicalization + keep-latest window + t30's entropy replay,
+    // all on the one synthesized crawl frame
+    "llm_web_pipeline" ->
+      """WITH whh AS (SELECT doc_id, doc_id % 97 AS fetch_ts,
+        |  '<html><head><title>Doc ' || doc_id || '</title><script type="text/javascript">var x = 1; if (x < 2) { x = 2; }</script><style>.c { color: red; }</style></head><body><!-- note ' || doc_id || ' --><h1>Heading</h1><p>' || text || '</p>'
+        |  || CASE WHEN doc_id % 3 = 0 THEN '<p>See &lt;a&gt; &amp;amp; &quot;quotes&quot;&nbsp;here.</p>' ELSE '' END
+        |  || CASE WHEN doc_id % 4 = 0 THEN '<a href="http://ex.com/' || doc_id || '">link text</a>' ELSE '' END
+        |  || '</body></html>' AS h,
+        |  'HTTPS://WWW.Site' || (doc_id % 7) || '.COM:443/Dir' || (doc_id % 50) || '/page'
+        |  || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+        |  || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&id=' || (doc_id % 5) ELSE '' END
+        |  || CASE WHEN doc_id % 5 = 0 THEN '#sec' || doc_id ELSE '' END AS url
+        |  FROM documents),
+        |wex AS (SELECT doc_id, fetch_ts, url, trim(regexp_replace(
+        |  replace(replace(replace(replace(replace(replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(h, '(?is)<head[^>]*>.*?</head>', ' ', 'g'),
+        |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |      '(?s)<!--.*?-->', ' ', 'g'),
+        |      '<[^>]+>', ' ', 'g'),
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |    '&nbsp;', ' '), '&amp;', '&'),
+        |  '\s+', ' ', 'g')) AS xt FROM whh),
+        |wc1 AS (SELECT doc_id, fetch_ts, xt,
+        |  regexp_replace(regexp_replace(url, '#.*$', ''), '(?i)^https?://', '') AS ns FROM wex),
+        |wc2 AS (SELECT doc_id, fetch_ts, xt,
+        |  regexp_replace(regexp_replace(lower(regexp_extract(ns, '^([^/?#]+)', 1)),
+        |    '^www\.', ''), ':(80|443)$', '') AS host,
+        |  regexp_replace(ns, '^[^/?#]+', '') AS pathq FROM wc1),
+        |wc3 AS (SELECT doc_id, fetch_ts, xt, host || regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(pathq, '(?i)[?&]utm_[^&#]*', '', 'g'),
+        |    '^([^?]*)&', '\1?'), '[?&]$', ''), '^([^?]*)/$', '\1') AS canon_url
+        |  FROM wc2),
+        |wcr AS (SELECT doc_id, xt, canon_url,
+        |  row_number() OVER (PARTITION BY canon_url ORDER BY fetch_ts DESC, doc_id DESC) AS rn,
+        |  count(*) OVER (PARTITION BY canon_url) AS n_crawls FROM wc3),
+        |wsur AS (SELECT doc_id, canon_url, n_crawls, xt FROM wcr WHERE rn = 1),
+        |wch AS (SELECT doc_id, unnest(string_split(xt, '')) AS c FROM wsur),
+        |wcc AS (SELECT doc_id, c, count(*) AS n FROM wch GROUP BY doc_id, c),
+        |wen AS (SELECT doc_id,
+        |  round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS char_entropy
+        |  FROM wcc GROUP BY doc_id)
+        |SELECT w.doc_id, canon_url, n_crawls, char_entropy,
+        |  CAST(char_entropy >= 2.85 AS INTEGER) AS keep
+        |FROM wsur w JOIN wen ON w.doc_id = wen.doc_id
+        |ORDER BY w.doc_id""".stripMargin,
     // M15: the release gate — t22's card per snapshot side + m14's PSI
     // chain + the FULL decision rule (hard: vanished group / share
     // collapse past 50% / dup-rate jump past 0.10 / psi ≥ 0.25; soft

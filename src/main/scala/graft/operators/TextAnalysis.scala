@@ -891,10 +891,14 @@ object TextAnalysis {
     * piiPatterns convention), so a DuckDB oracle replays the chain
     * verbatim.
     *
-    * Output: (id, title, n_links, text) — title from the first
-    * `<title>` element, n_links a cheap `<a href` occurrence count
-    * (substring arithmetic, no regex needed), text the extracted
-    * body prose.
+    * Output: the input frame with `title` (first `<title>` element),
+    * `n_links` (a cheap `<a href` occurrence count — substring
+    * arithmetic, no regex), and `text` (the extracted prose) added
+    * and the HTML column dropped — pass-through columns (url, fetch
+    * timestamp, source) survive, so the extractor composes into a
+    * pipeline without a join-back. `title`/`n_links`/`text` are
+    * reserved output names: a pre-existing column with one of those
+    * names is overwritten.
     */
   def htmlToText(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
     val h = col(htmlCol)
@@ -914,8 +918,10 @@ object TextAnalysis {
     val title = trim(regexp_extract(h, "(?is)<title[^>]*>(.*?)</title>", 1))
     val nLinks = ((length(h) - length(replace(h, lit("<a href"), lit(""))))
       / lit(7)).cast("int")
-    df.select(col(idCol), title.as("title"), nLinks.as("n_links"),
-      text.as("text"))
+    val out = df.withColumn("title", title)
+      .withColumn("n_links", nLinks)
+      .withColumn("text", text)
+    if (htmlCol == "text") out else out.drop(htmlCol)
   }
 
   /** Vocabulary-growth (Heaps'-law) curve: how the distinct-token

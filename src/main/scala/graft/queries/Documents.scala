@@ -1670,9 +1670,12 @@ object Documents {
     * `&amp;amp;` (decodes to literal `&amp;` ONLY if `&amp;` is
     * decoded last), and a conditional `<a href>` for the link count.
     */
-  def t33HtmlStrip(s: SparkSession, d: String): DataFrame = {
+  /** The t33/llm_web synthesized page, keyed on doc_id arithmetic so
+    * DuckDB replays construction bit-for-bit (one definition feeds
+    * both gates — the oracle SQL mirrors THIS). */
+  private def syntheticHtml: org.apache.spark.sql.Column = {
     val idStr = col("doc_id").cast("string")
-    val html = concat(
+    concat(
       lit("<html><head><title>Doc "), idStr,
       lit("</title><script type=\"text/javascript\">var x = 1; " +
         "if (x < 2) { x = 2; }</script><style>.c { color: red; }" +
@@ -1685,7 +1688,26 @@ object Documents {
         concat(lit("<a href=\"http://ex.com/"), idStr,
           lit("\">link text</a>"))).otherwise(lit("")),
       lit("</body></html>"))
-    val pages = Tables.documents(s, d).select(col("doc_id"), html.as("h"))
+  }
+
+  /** The d22/llm_web synthesized crawl URL (same shared-definition
+    * rule as syntheticHtml). */
+  private def syntheticUrl: org.apache.spark.sql.Column =
+    concat(
+      lit("HTTPS://WWW.Site"), (col("doc_id") % 7).cast("string"),
+      lit(".COM:443/Dir"), (col("doc_id") % 50).cast("string"),
+      lit("/page"),
+      when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("?utm_source=feed&id="),
+          (col("doc_id") % 5).cast("string"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit("#sec"), col("doc_id").cast("string")))
+        .otherwise(lit("")))
+
+  def t33HtmlStrip(s: SparkSession, d: String): DataFrame = {
+    val pages = Tables.documents(s, d)
+      .select(col("doc_id"), syntheticHtml.as("h"))
     TextAnalysis.htmlToText(pages, "doc_id", "h").orderBy("doc_id")
   }
 
@@ -1698,19 +1720,8 @@ object Documents {
     * fragment — and fetch_ts = doc_id % 97 manufactures ties so the
     * id tie-break is live in the hash. */
   def d22UrlDedup(s: SparkSession, d: String): DataFrame = {
-    val url = concat(
-      lit("HTTPS://WWW.Site"), (col("doc_id") % 7).cast("string"),
-      lit(".COM:443/Dir"), (col("doc_id") % 50).cast("string"),
-      lit("/page"),
-      when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
-      when(col("doc_id") % 3 === 0,
-        concat(lit("?utm_source=feed&id="),
-          (col("doc_id") % 5).cast("string"))).otherwise(lit("")),
-      when(col("doc_id") % 5 === 0,
-        concat(lit("#sec"), col("doc_id").cast("string")))
-        .otherwise(lit("")))
     val crawls = Tables.documents(s, d).select(col("doc_id"),
-      url.as("url"), (col("doc_id") % 97).as("fetch_ts"))
+      syntheticUrl.as("url"), (col("doc_id") % 97).as("fetch_ts"))
     Dedup.latestPerUrl(crawls, "url", "fetch_ts", "doc_id")
       .select("canon_url", "doc_id", "fetch_ts", "n_crawls")
       .orderBy("canon_url")
@@ -1738,4 +1749,24 @@ object Documents {
     graft.ops.Sampling.lengthBucketBatches(Tables.documents(s, d),
         "doc_id", "text", batchSize = 20)
       .orderBy("doc_id")
+
+  /** The web-ingest composite on ONE hash: synthesized crawl records
+    * → HTML text extraction (t33's chain, pass-through columns carry
+    * url/ts THROUGH the extractor — no join-back) → canonical-URL
+    * latest-crawl dedup (d22's chain) → char-entropy quality cut on
+    * the EXTRACTED text (t30's kernel). The oracle replays all three
+    * stages in one WITH-chain, so an extraction drift, a lost
+    * re-crawl, or an entropy shift anywhere moves the hash. */
+  def llmWebPipeline(s: SparkSession, d: String): DataFrame = {
+    val pages = Tables.documents(s, d).select(col("doc_id"),
+      syntheticHtml.as("h"), syntheticUrl.as("url"),
+      (col("doc_id") % 97).as("fetch_ts"))
+    val extracted = TextAnalysis.htmlToText(pages, "doc_id", "h")
+    val latest = Dedup.latestPerUrl(extracted, "url", "fetch_ts", "doc_id")
+    val ent = graft.plans.GraftFunctions.charEntropy(s, col("text"))
+    latest.select(col("doc_id"), col("canon_url"), col("n_crawls"),
+        round(ent, 6).as("char_entropy"))
+      .withColumn("keep", (col("char_entropy") >= 2.85).cast("int"))
+      .orderBy("doc_id")
+  }
 }
