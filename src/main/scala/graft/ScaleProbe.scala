@@ -282,7 +282,44 @@ object ScaleProbe {
           threshold = 0.8, missBound = 1e-7),
         "doc_id", 25)
         .groupBy("split").agg(count(lit(1)).as("n"))
-        .agg(sum("n").as("docs")).filter(col("docs") >= 0)))
+        .agg(sum("n").as("docs")).filter(col("docs") >= 0)),
+      // Heaps curve: a skinny id-only rank + boundary collect, then
+      // ONE (token, bucket) min-aggregate — the curve must track
+      // token count; the boundary collect is ≤ numBuckets rows at
+      // any corpus size
+      "t32_vocab_growth" -> (d => TextAnalysis.vocabGrowth(
+        d, "doc_id", "text", numBuckets = 10)),
+      // HTML extraction is a pure map (regexp chain, zero exchange):
+      // the flattest possible row, priced per corpus char. Wrap the
+      // text in markup first so the chain has real work per doc.
+      "t33_html_strip" -> (d => TextAnalysis.htmlToText(
+        d.select(col("doc_id"), concat(
+          lit("<html><head><title>t</title><script>var x = 1 < 2;" +
+            "</script></head><body><p>"), col("text"),
+          lit("</p><!-- c --><a href=\"u\">l</a></body></html>"))
+          .as("h")), "doc_id", "h")
+        .agg(sum(length(col("text"))).as("chars"), sum("n_links").as("lk"))
+        .filter(col("chars") >= 0)),
+      // URL canonicalization (map-side regex) + keep-latest window:
+      // canonical keys are ~unique per page (groups = re-crawl
+      // counts, here ≤ ~n), so the window shuffle is skinny and the
+      // curve must track corpus size
+      "d22_url_dedup" -> (d => Dedup.latestPerUrl(
+        d.select(col("doc_id"),
+          concat(lit("https://www.s"), (col("doc_id") % 100000).cast("string"),
+            lit(".com/p"), (col("doc_id") % 977).cast("string"),
+            lit("?utm_x=1&v="), (col("doc_id") % 7).cast("string")).as("url"),
+          (col("doc_id") % 97).as("ts")),
+        "url", "ts", "doc_id")
+        .agg(sum("n_crawls").as("c")).filter(col("c") >= 0)),
+      // length-bucket batching: a map-side token count + the
+      // distributed multi-group rank over ~15 Zipf-heavy buckets —
+      // the dominant-bucket shape the range rank exists for; must
+      // track corpus size with no skew bend
+      "r14_length_buckets" -> (d => graft.ops.Sampling.lengthBucketBatches(
+        d, "doc_id", "text", batchSize = 1024)
+        .agg(sum("batch_idx").as("b"), sum("n_tok").as("t"))
+        .filter(col("t") >= 0)))
 
     // SPARK_GRAFT_PROBE_OPS: comma-separated op-name filter, so a
     // targeted re-probe needn't pay the whole battery (the capped exact
@@ -386,6 +423,13 @@ object ScaleProbe {
           },
           timed("ann10_ivf_pq") {
             Similarity.ivfPqTopK(corpus, q, 5).count()
+          },
+          // exact hard-negative miner with a FIXED anchor set: cost =
+          // anchors × corpus scan, so the row must track corpus size
+          // exactly (the ANN-fed twin dodges even that)
+          timed("ann12_hard_negatives") {
+            Similarity.hardNegatives(corpus,
+              eBase.filter(col("vec_id") < 10), 5).count()
           })
         corpus.unpersist()
         println(s"""{"n":$n,"vecs":$vecs,"queries":${rows.mkString("{", ",", "}")}}""")
