@@ -154,6 +154,11 @@ object Bench {
     val failures = results.collect { case (k, _, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    // sum of per-query MINIMA: the code-attributable number — the
+    // pass-interleaved median total moves with box contention on
+    // byte-identical code (r13 read +6% on nothing), the min-of-spread
+    // sum doesn't
+    val sumOfMin = results.map(_._3).sum
     val refined = tail.map { case (n, _) =>
       val all = times(n).map(_._1)
       "\"" + n + "\":{\"interleaved\":" +
@@ -162,7 +167,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val perPassLoads = passLoads.map(l => f"$l%.2f").mkString("[", ",", "]")
     val detail =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"refine_runs":$refineRuns,"loadavg":[$load0%.2f,$loadAvg%.2f],"load_gate":$loadGate%.2f,"contended":$contended,"pass_loadavg":$perPassLoads,"queries":$qs3,"spread":$spread,"tail_refined":$refined,"failures":$failures,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sum_of_min":$sumOfMin%.3f,"runs":$runs,"refine_runs":$refineRuns,"loadavg":[$load0%.2f,$loadAvg%.2f],"load_gate":$loadGate%.2f,"contended":$contended,"pass_loadavg":$perPassLoads,"queries":$qs3,"spread":$spread,"tail_refined":$refined,"failures":$failures,"sf":"$sfDir"}"""
     // Full medians+spread JSON: printed first and persisted to a file.
     // The consumer of this output keeps only the LAST ~2000 characters,
     // so the detail line (≈4.5 KB at 80 queries) can never be the final
@@ -191,7 +196,7 @@ object Bench {
     def compact(dp: Int): String = {
       val qs = results.map { case (k, med, _, _, _) => "\"" + k + "\":" + short(med, dp) }
         .mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs$failPart}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","sum_of_min":$sumOfMin%.2f,"queries":$qs$failPart}"""
     }
     // the battery has grown past the point where 2 dp always fits the
     // consumer's window — degrade per-query precision (never the total,
@@ -213,14 +218,14 @@ object Bench {
         .mkString("{", ",", "}")
       val restPart = if (rest.isEmpty) "" else
         s""","fastest_omitted":{"n":${rest.size},"sum_sec":${short(rest.map(_._2).sum, 2)},"max_sec":${short(rest.map(_._2).max, 2)}}"""
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs$restPart$failPart}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","sum_of_min":$sumOfMin%.2f,"queries":$qs$restPart$failPart}"""
     }
     // last-ditch floor: a mass-failure run can make the failures array
     // alone outgrow the window — collapse it to a count so SOME parseable
     // line always lands in the tail (the full list is in the detail line)
     val floorLine = {
       val nFail = results.count(!_._5)
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":{},"queries_omitted":${results.size},"failures_n":$nFail}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","sum_of_min":$sumOfMin%.2f,"queries":{},"queries_omitted":${results.size},"failures_n":$nFail}"""
     }
     val line = (2 to 1 by -1).map(compact).find(_.length <= 1900)
       .getOrElse((results.size to 0 by -1).view.map(bucketed)

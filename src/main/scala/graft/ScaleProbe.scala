@@ -319,7 +319,21 @@ object ScaleProbe {
       "r14_length_buckets" -> (d => graft.ops.Sampling.lengthBucketBatches(
         d, "doc_id", "text", batchSize = 1024)
         .agg(sum("batch_idx").as("b"), sum("n_tok").as("t"))
-        .filter(col("t") >= 0)))
+        .filter(col("t") >= 0)),
+      // the routed quota draw under pathological domain skew: 90% of
+      // rows forced into ONE source (the DoReMi CommonCrawl shape, the
+      // quota/temperature-mix language shape). The old per-group
+      // md5-rank window single-tasked the dominant domain — a straggler
+      // growing with the corpus; the round-14 DistributedRank routing
+      // bounds every sort by range-partition size, so this row must
+      // track corpus size with no skew bend. Skinny (source, id)
+      // projection — the draw ranks keys, text never enters.
+      "quota_draw_skew" -> (d => graft.ops.Sampling.quotaSample(
+        d.select(col("doc_id"),
+          when(col("doc_id") % 10 < 9, "cc")
+            .otherwise(col("source")).as("source")),
+        "source", "doc_id", 1000)
+        .agg(count(lit(1)).as("n")).filter(col("n") >= 0)))
 
     // SPARK_GRAFT_PROBE_OPS: comma-separated op-name filter, so a
     // targeted re-probe needn't pay the whole battery (the capped exact

@@ -182,6 +182,7 @@ object SparkEntry {
     "mm3_frame_sample" -> (Documents.mm3FrameSample _),
     "r13_doremi" -> (Documents.r13Doremi _),
     "llm_doremi_mix" -> (Documents.llmDoremiMix _),
+    "llm_doremi_pipeline" -> (Documents.llmDoremiPipeline _),
     "t30_char_entropy" -> (Documents.t30CharEntropy _),
     "d21_prototypicality" -> (Documents.d21Prototypicality _),
     "llm_d4_pipeline" -> (Documents.llmD4Pipeline _),
@@ -191,6 +192,9 @@ object SparkEntry {
     "t33_html_strip" -> (Documents.t33HtmlStrip _),
     "d22_url_dedup" -> (Documents.d22UrlDedup _),
     "ann12_hard_negatives" -> (Documents.ann12HardNegatives _),
+    "ann13_cdc_maintenance" -> (Documents.ann13CdcMaintenance _),
+    "d23_dedup_stream" -> (Documents.d23DedupStream _),
+    "ann14_hard_negatives_ann" -> (Documents.ann14HardNegativesAnn _),
     "r14_length_buckets" -> (Documents.r14LengthBuckets _),
     "llm_web_pipeline" -> (Documents.llmWebPipeline _),
   )
@@ -1628,6 +1632,22 @@ object SparkEntry {
         |  FROM documents dd)
         |SELECT mr.source, mr.doc_id FROM mr JOIN mq ON mr.source = mq.source
         |WHERE rk <= quota ORDER BY mr.source, mr.doc_id""".stripMargin,
+    // DoReMi tokenize-once composite: the mix chain plus a per-doc
+    // token census joined onto the selection (census convention:
+    // len(split(trim(text))) — the r10 rule)
+    "llm_doremi_pipeline" ->
+      s"""WITH $doremiCtes,
+        |mq AS (SELECT source, greatest(1, CAST(floor(200 * weight) AS BIGINT)) AS quota FROM mw),
+        |mr AS (SELECT dd.source, dd.doc_id, ROW_NUMBER() OVER (PARTITION BY dd.source
+        |    ORDER BY md5(CAST(dd.doc_id AS VARCHAR)), dd.doc_id) AS rk
+        |  FROM documents dd),
+        |cen AS (SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+        |  FROM documents)
+        |SELECT mr.source, mr.doc_id, cen.n_tok
+        |FROM mr JOIN mq ON mr.source = mq.source
+        |  JOIN cen ON mr.doc_id = cen.doc_id
+        |WHERE rk <= quota ORDER BY mr.source, mr.doc_id""".stripMargin,
     // D21: prototypicality, one-cell degenerate case — centroid = the
     // per-dim mean embedding; cosine rounded 6 dp BEFORE ranking (the
     // dsir rule), drop = the ceil(0.3·n) most prototypical
@@ -1781,6 +1801,61 @@ object SparkEntry {
         |  PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM scored)
         |SELECT q_id, rank, n_id, n_label, round(cos, 6) AS cos_sim
         |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // ANN13: CDC index maintenance — the oracle applies both mutation
+    // batches' CASE logic to the corpus and recomputes the integer-grid
+    // embedding of every LIVE doc (the ann11 embedding convention)
+    "ann13_cdc_maintenance" ->
+      """WITH fin AS (SELECT doc_id,
+        |  CASE
+        |    WHEN doc_id % 5 <> 0 AND doc_id % 13 = 0 AND doc_id % 3 = 0
+        |      THEN text || ' v3'
+        |    WHEN doc_id % 5 <> 0 AND doc_id % 13 = 0 THEN text || ' v2'
+        |    WHEN doc_id % 5 <> 0 AND doc_id % 13 <> 0 AND doc_id % 17 = 0
+        |      AND doc_id % 2 = 0 THEN text || ' back'
+        |    ELSE text END AS t,
+        |  CASE
+        |    WHEN doc_id % 5 <> 0 THEN
+        |      (doc_id % 13 = 0 OR doc_id % 17 <> 0 OR doc_id % 2 = 0)
+        |    ELSE (doc_id % 2 = 0 AND doc_id % 3 <> 0) END AS live
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(0,8),
+        |    i -> (length(t)*31 + doc_id*17 + i*7) % 97)) AS DOUBLE) AS vec_l1,
+        |  CAST((length(t)*31 + doc_id*17) % 97 AS DOUBLE) AS v0
+        |FROM fin WHERE live ORDER BY doc_id""".stripMargin,
+    // D23: streamed exact-dedup ingest — the keeper rule replayed over
+    // (batch index, doc_id) per normalized fingerprint, landed slice's
+    // fingerprints excluded (the store install)
+    "d23_dedup_stream" ->
+      """WITH b AS (SELECT doc_id, n_chars, doc_id % 2 AS bi,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id % 31 <> 0),
+        |landed AS (SELECT DISTINCT
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id % 31 = 0),
+        |r AS (SELECT doc_id, n_chars, fp, ROW_NUMBER() OVER (
+        |  PARTITION BY fp ORDER BY bi, doc_id) AS rn FROM b)
+        |SELECT doc_id, n_chars FROM r
+        |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM landed)
+        |ORDER BY doc_id""".stripMargin,
+    // ANN14: ANN-fed hard negatives — exact top-20 over-fetch replayed
+    // as a candidate-rank window (unrounded cos, the bruteForceTopK
+    // rule), then the label join + cross-label re-rank on the ROUNDED
+    // cos_sim (the hardNegativesFromCandidates rule)
+    "ann14_hard_negatives_ann" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv, label AS ql FROM e WHERE vec_id % 37 = 0),
+        |scored AS (SELECT q_id, ql, e.vec_id AS n_id, e.label AS n_label,
+        |  list_cosine_similarity(qv, e.v) AS cos
+        |  FROM q, e WHERE e.vec_id <> q_id),
+        |cand AS (SELECT q_id, ql, n_id, n_label, round(cos, 6) AS cos_sim,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS crk
+        |  FROM scored),
+        |neg AS (SELECT q_id, n_id, n_label, cos_sim,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS rank
+        |  FROM cand WHERE crk <= 20 AND n_label <> ql)
+        |SELECT q_id, rank, n_id, n_label, cos_sim
+        |FROM neg WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     // R14: length buckets — bit-length bucket, 2^bucket−1 pad
     // ceiling, within-bucket rank div 20; all integer arithmetic
     "r14_length_buckets" ->

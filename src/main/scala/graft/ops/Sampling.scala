@@ -207,17 +207,23 @@ object Sampling {
     * the selection is reproducible across runs, partitionings, AND
     * engines (md5 is cross-engine comparable where xxhash64 is not; the
     * key tiebreak covers md5 collisions). The standard corpus-balancing
-    * step: cap each language/source/domain at a fixed share. One shuffle
-    * on the group column; rank + filter is window-local. */
+    * step: cap each language/source/domain at a fixed share.
+    *
+    * The per-group rank rides [[graft.ops.DistributedRank]]: the group
+    * is typically a language/source and a real crawl is ~45% one
+    * language, so a plain `Window.partitionBy(group)` would sort the
+    * dominant group in ONE task at crawl scale. The distributed rank is
+    * bit-identical (md5+key is a total order within each group) and
+    * bounded by range-partition size instead of group size. Callers
+    * with a wide payload (raw text) should rank a skinny (group, key)
+    * projection and semi-join back — the frame passed here is
+    * checkpointed once to pin range boundaries. */
   def quotaSample(df: DataFrame, groupCol: String, keyCol: String,
-                  quota: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCol)
-      .orderBy(md5(col(keyCol).cast("string").cast("binary")), col(keyCol))
-    df.withColumn("_qrk", row_number().over(w))
-      .filter(col("_qrk") <= quota)
-      .drop("_qrk")
-  }
+                  quota: Int): DataFrame =
+    graft.ops.DistributedRank.withRankAndCumsum(df, groupCol,
+        Seq(md5(col(keyCol).cast("string").cast("binary")), col(keyCol)))
+      .filter(col("_rk") <= quota)
+      .drop("_rk", "_n")
 
   /** R6 — epoch-based source mixing (data-constrained pretraining:
     * scarce high-quality sources are repeated for several epochs while
@@ -298,8 +304,10 @@ object Sampling {
     *
     * Scale shape: group sizes are one map-side-combinable count
     * aggregate (|groups| rows to the driver-free quota computation — it
-    * stays distributed and broadcasts back), then one window shuffle on
-    * the group column — identical cost to `quotaSample`. */
+    * stays distributed and broadcasts back); the per-group draw rank
+    * rides [[graft.ops.DistributedRank]] (the quotaSample routing — a
+    * plain group-partitioned window would single-task the dominant
+    * language at crawl scale). */
   def temperatureMix(df: DataFrame, groupCol: String, keyCol: String,
                      alpha: Double, totalTarget: Int): DataFrame = {
     val counts = df.groupBy(groupCol).agg(count(lit(1)).as("_n"))
@@ -312,13 +320,12 @@ object Sampling {
           least(col("_n"), floor(lit(totalTarget.toDouble) * col("_w"))))
           .cast("long"))
       .select(col(groupCol), col("_quota"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCol)
-      .orderBy(md5(col(keyCol).cast("string").cast("binary")), col(keyCol))
-    df.join(broadcast(quotas), Seq(groupCol))
-      .withColumn("_qrk", row_number().over(w))
-      .filter(col("_qrk") <= col("_quota"))
-      .drop("_qrk", "_quota")
+    graft.ops.DistributedRank.withRankAndCumsum(df, groupCol,
+        Seq(md5(col(keyCol).cast("string").cast("binary")), col(keyCol)))
+      .drop("_n") // quota's least(n, ...) already carries the group size
+      .join(broadcast(quotas), Seq(groupCol))
+      .filter(col("_rk") <= col("_quota"))
+      .drop("_rk", "_quota")
   }
 
   /** Hashed-n-gram bucket of a gram string: the first two md5 hex
@@ -489,10 +496,18 @@ object Sampling {
     * (domain, n_grams, excess, weight), one row per domain. */
   def doremiWeights(df: DataFrame, domainCol: String, textCol: String,
                     eta: Double = 10.0, smoothing: Double = 0.1)
-      : DataFrame = {
+      : DataFrame =
+    doremiWeightsTokenized(df.select(col(domainCol).as("domain"),
+      split(trim(col(textCol)), "\\s+").as("toks")), eta, smoothing)
+
+  /** [[doremiWeights]] from a PRE-SPLIT (domain, toks) projection —
+    * the dsirSelectTokenized convention: composites that already hold
+    * the shared token frame (a Gopher stage, a census) feed it
+    * directly, so the corpus is tokenized exactly once end-to-end
+    * (re-tokenizing per stage is the dominant map cost at 100 TB). */
+  def doremiWeightsTokenized(tok: DataFrame, eta: Double = 10.0,
+                             smoothing: Double = 0.1): DataFrame = {
     val buckets = 256
-    val tok = df.select(col(domainCol).as("domain"),
-      split(trim(col(textCol)), "\\s+").as("toks"))
     val bucketed = withBuckets(tok, Seq(col("domain") -> "domain"),
       col("toks"))
     val cnt = bucketed
@@ -526,29 +541,44 @@ object Sampling {
     * domain's quota is its weight's share of `totalTarget` (floored,
     * ≥ 1, capped at the domain's row count), rows picked by the
     * engine-portable md5 rank (the r4 quotaSample idiom — no RNG, so
-    * resamples are stable across runs and engines). One extra shuffle
-    * on the domain column beyond [[doremiWeights]]'s aggregate; the
-    * per-domain pick rides the md5-ordered window, which is safe here
-    * because quota ≤ n_d per group and the window partitions on the
-    * DOMAIN (the dominant-domain caveat of ccnetBuckets applies at
-    * crawl scale — route through DistributedRank if one domain is the
-    * corpus). */
+    * resamples are stable across runs and engines). The per-domain
+    * pick rides [[graft.ops.DistributedRank]] over the SKINNY
+    * (domain, id) projection — in DoReMi the "domains" are data
+    * sources and CommonCrawl is typically 60–80% of the mix, exactly
+    * the dominant-group shape a plain domain-partitioned window would
+    * single-task at crawl scale; text never enters the rank. */
   def doremiMix(df: DataFrame, domainCol: String, idCol: String,
                 textCol: String, totalTarget: Int,
                 eta: Double = 10.0, smoothing: Double = 0.1)
+      : DataFrame =
+    doremiMixTokenized(
+        df.select(col(domainCol).as("domain"), col(idCol).as("id"),
+          split(trim(col(textCol)), "\\s+").as("toks")),
+        totalTarget, eta, smoothing)
+      .select(col("domain").as(domainCol), col("id").as(idCol))
+
+  /** [[doremiMix]] from a PRE-SPLIT (domain, id, toks) projection —
+    * the weights consume the token arrays, the draw rank consumes
+    * only the skinny (domain, id) slice (Catalyst prunes toks out of
+    * that branch), so a composite holding the shared token frame runs
+    * the whole weights+mix chain with zero re-tokenization. Output:
+    * (domain, id), the selected rows. */
+  def doremiMixTokenized(tok: DataFrame, totalTarget: Int,
+                         eta: Double = 10.0, smoothing: Double = 0.1)
       : DataFrame = {
-    val weights = doremiWeights(df, domainCol, textCol, eta, smoothing)
+    val weights = doremiWeightsTokenized(tok.select("domain", "toks"),
+        eta, smoothing)
       .select(col("domain"), col("weight"))
     val quotas = weights.withColumn("_quota",
       greatest(lit(1L),
         floor(lit(totalTarget.toDouble) * col("weight")).cast("long")))
-    val w = Window.partitionBy(col(domainCol))
-      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
-    df.join(broadcast(quotas),
-        df(domainCol) <=> quotas("domain"))
-      .withColumn("_qrk", row_number().over(w))
-      .filter(col("_qrk") <= col("_quota"))
-      .select(df(domainCol), col(idCol))
+    val ranked = graft.ops.DistributedRank.withRankAndCumsum(
+      tok.select(col("domain"), col("id")), "domain",
+      Seq(md5(col("id").cast("string").cast("binary")), col("id")))
+    ranked.join(broadcast(quotas),
+        ranked("domain") <=> quotas("domain"))
+      .filter(col("_rk") <= col("_quota"))
+      .select(ranked("domain"), col("id"))
   }
 
   /** Length-bucketed batch assignment — the padding-waste killer for

@@ -1609,6 +1609,29 @@ object Documents {
         eta = 10.0, smoothing = 0.1)
       .orderBy("source", "doc_id")
 
+  /** The DoReMi family on the TOKENIZE-ONCE contract (the llm_select
+    * pattern): ONE split() into a checkpointed (domain, id, toks)
+    * projection feeds the weights' gram hashing, the mix's skinny
+    * draw rank, AND a per-doc token census — the optimized plan
+    * downstream carries ZERO split() calls (pinned in PlanShapeSpec).
+    * Same weights+quota+rank semantics as llm_doremi_mix, with the
+    * census joined onto the selection so the shared projection is
+    * provably consumed by a third stage. */
+  def llmDoremiPipeline(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("source").as("domain"), col("doc_id").as("id"),
+        split(trim(col("text")), "\\s+").as("toks"))
+      .localCheckpoint()
+    val sel = graft.ops.Sampling.doremiMixTokenized(tok,
+      totalTarget = 200, eta = 10.0, smoothing = 0.1)
+    val census = tok.select(col("id"),
+      size(col("toks")).cast("long").as("n_tok"))
+    sel.join(census, "id")
+      .select(col("domain").as("source"), col("id").as("doc_id"),
+        col("n_tok"))
+      .orderBy("source", "doc_id")
+  }
+
   /** T31 — C4 line-level cleaning (Raffel et al. 2020 §2.2) on a
     * deterministically synthesized multi-line corpus. The synthetic
     * documents are single-line and punctuation-free — no line
@@ -1737,6 +1760,139 @@ object Documents {
   def ann12HardNegatives(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     Similarity.hardNegatives(e, e.filter(col("vec_id") % 37 === 0), k = 5)
+      .orderBy("q_id", "rank")
+  }
+
+  /** ANN13 — the CDC streaming index-maintenance loop ON THE HARD
+    * SIGNAL (the t29 pattern applied to the engine's most intricate
+    * state machine,
+    * [[graft.streaming.EventStream.streamingIndexMaintenance]]): the
+    * base corpus installs an IVF index, then TWO mutation micro-batches
+    * stream through an AvailableNow file source (maxFilesPerTrigger=1
+    * forces one file per batch; file mod-times order them). Batch 1
+    * carries adds, edits, and deletes; batch 2 carries an
+    * edit-AFTER-edit, a delete-AFTER-add, and a re-add-AFTER-delete —
+    * every ordering the strictly-greater tombstone rule must get
+    * right. The gate hashes [[Similarity.liveIndexRows]] (the exact
+    * set every probe serves) against DuckDB recomputing the FINAL
+    * corpus's integer-grid embedding: a stale vector surviving, a
+    * fresh one killed, a flipped batch order, a replayed tombstone, or
+    * a missed re-add all hash-fail. */
+  def ann13CdcMaintenance(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    def embed(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      transform(sequence(lit(0), lit(7)), i =>
+        pmod(length(col("text")) * 31 + col("doc_id") * 17 + i * 7,
+          lit(97)).cast("float")).as("embedding"))
+    val base = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/ann13_cdc"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val (idxDir, inDir, ckpt) = (s"$base/index", s"$base/in", s"$base/ckpt")
+    val id = col("doc_id")
+    Similarity.writeIvfIndex(embed(docs.filter(pmod(id, lit(5)) =!= 0)),
+      idxDir, nCells = 8, idCol = "doc_id")
+    val up = lit("upsert").as("op")
+    val del = lit(null).cast("string")
+    // batch 1: adds, edits, deletes — disjoint ids (one mutation per
+    // id per micro-batch, the loop's contract)
+    val b1 = docs
+      .filter(pmod(id, lit(5)) === 0 && pmod(id, lit(2)) === 0)
+      .select(id, col("text"), up)
+      .unionByName(docs
+        .filter(pmod(id, lit(5)) =!= 0 && pmod(id, lit(13)) === 0)
+        .select(id, concat(col("text"), lit(" v2")).as("text"), up))
+      .unionByName(docs
+        .filter(pmod(id, lit(5)) =!= 0 && pmod(id, lit(13)) =!= 0 &&
+          pmod(id, lit(17)) === 0)
+        .select(id, del.as("text"), lit("delete").as("op")))
+    // batch 2: edit-after-edit, delete-after-add, re-add-after-delete
+    val b2 = docs
+      .filter(pmod(id, lit(5)) =!= 0 && pmod(id, lit(13)) === 0 &&
+        pmod(id, lit(3)) === 0)
+      .select(id, concat(col("text"), lit(" v3")).as("text"), up)
+      .unionByName(docs
+        .filter(pmod(id, lit(5)) === 0 && pmod(id, lit(2)) === 0 &&
+          pmod(id, lit(3)) === 0)
+        .select(id, del.as("text"), lit("delete").as("op")))
+      .unionByName(docs
+        .filter(pmod(id, lit(5)) =!= 0 && pmod(id, lit(13)) =!= 0 &&
+          pmod(id, lit(17)) === 0 && pmod(id, lit(2)) === 0)
+        .select(id, concat(col("text"), lit(" back")).as("text"), up))
+    b1.coalesce(1).write.mode("append").parquet(inDir)
+    Thread.sleep(100) // distinct mod-times: the file source orders on them
+    b2.coalesce(1).write.mode("append").parquet(inDir)
+    val stream = s.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = graft.streaming.EventStream.streamingIndexMaintenance(
+        stream, idxDir, embed, "doc_id", "text")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt).start()
+    q.awaitTermination()
+    Similarity.liveIndexRows(s, idxDir)
+      .select(col("n_id").as("doc_id"),
+        aggregate(col("n_vec"), lit(0.0d), (a, x) => a + x).as("vec_l1"),
+        element_at(col("n_vec"), 1).cast("double").as("v0"))
+      .orderBy("doc_id")
+  }
+
+  /** D23 — the exact-dedup INGEST loop on the hard signal (the
+    * t29/ann13 pattern applied to
+    * [[graft.streaming.EventStream.streamingExactDedupIngest]]): a
+    * landed slice (%31 = 0) installs the Bloom-fronted fp store, the
+    * rest of the corpus streams in two AvailableNow micro-batches
+    * (evens first, then odds — mod-times order the files), each batch
+    * deduping within itself, against the landed store, AND against
+    * every earlier batch's survivors (the store grows per batch). The
+    * gate hashes the PUBLISHED kept table against DuckDB replaying
+    * the whole keeper rule: rn = 1 over (batch index, doc_id) per
+    * normalized-text fingerprint, minus landed fingerprints. A
+    * Bloom false NEGATIVE, a dropped store append, a double publish,
+    * or a flipped batch order all hash-fail. */
+  def d23DedupStream(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val base = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/d23_stream"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val (storeDir, inDir) = (s"$base/store", s"$base/in")
+    val (keptDir, ckpt) = (s"$base/kept", s"$base/ckpt")
+    Dedup.writeFpStore(docs.filter(col("doc_id") % 31 === 0),
+      "doc_id", "text", storeDir, expectedTotalFps = 100000L)
+    val corpus = docs.filter(col("doc_id") % 31 =!= 0)
+    corpus.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    Thread.sleep(100) // distinct mod-times: cross-batch keeper order
+    corpus.filter(col("doc_id") % 2 =!= 0).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    val stream = s.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = graft.streaming.EventStream.streamingExactDedupIngest(
+        stream, storeDir, keptDir, "doc_id", "text")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt).start()
+    q.awaitTermination()
+    graft.sources.Sources.readPublished(s, keptDir)
+      .select("doc_id", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** ANN14 — hard negatives through the GENERATOR-AGNOSTIC scale path
+    * ([[Similarity.hardNegativesFromCandidates]]), driver-gated with an
+    * oracle-replayable candidate set: an exact top-20 over-fetch (4×k,
+    * the documented depth rule — same-label candidates fall out at the
+    * label join). The composition under test — candidates → label join
+    * → cross-label filter → re-rank top-k — is exactly what an IVF/PQ
+    * feed runs at 100 TB; the exact miner stays gated as ann12. A
+    * dropped candidate, a same-label leak, or a re-rank drift
+    * hash-fails. */
+  def ann14HardNegativesAnn(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val cands = Similarity.bruteForceTopK(e,
+      e.filter(col("vec_id") % 37 === 0), k = 20)
+    Similarity.hardNegativesFromCandidates(cands,
+        e.select("vec_id", "label"), k = 5,
+        idCol = "vec_id", labelCol = "label")
       .orderBy("q_id", "rank")
   }
 

@@ -37,16 +37,29 @@ class SparkEntrySpec extends SparkSpec {
       "t24_bigram_lm", // t9's 1-row add-one-denominator broadcast cross join
       "t25_ccnet_buckets", // embeds t24's scoring chain
       "llm_ccnet_pipeline", // same chain, target-trained
-      "a12_approx_quantiles") // 1-row sketch+count broadcast cross join
+      "a12_approx_quantiles", // 1-row sketch+count broadcast cross join
+      "ann12_hard_negatives", // the INTENDED exact brute-force miner:
+      // broadcast ~10-anchor set × one corpus scan with a cross-label
+      // predicate — the ann1 exact-baseline shape. The 100 TB path is
+      // hardNegativesFromCandidates (gated as ann14).
+      "ann14_hard_negatives_ann") // the candidate GENERATOR here is the
+      // oracle-replayable exact top-20 over-fetch (ann1's intended
+      // BNLJ); hardNegativesFromCandidates itself — the part that runs
+      // at 100 TB — plans only broadcast hash joins + a depth-bounded
+      // window (SimilaritySpec pins it on an ANN-fed fixture).
 
   test("no query plans an unintended nested-loop or cartesian join") {
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val plan = fn(spark, sf).queryExecution.executedPlan.toString
-      if (!intendedNestedLoop(name)) {
-        assert(!plan.contains("BroadcastNestedLoopJoin") &&
-          !plan.contains("CartesianProduct"),
-          s"$name plans a nested loop / cartesian — a scale killer:\n$plan")
-      }
+    // Collect ALL offenders before asserting: a first-failure abort
+    // would mask every query sorting after the first offender.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) if !intendedNestedLoop(name) =>
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        if (plan.contains("BroadcastNestedLoopJoin") ||
+            plan.contains("CartesianProduct")) Some(name) else None
+      case _ => None
     }
+    assert(offenders.isEmpty,
+      s"queries planning a nested loop / cartesian — scale killers: " +
+        offenders.mkString(", "))
   }
 }

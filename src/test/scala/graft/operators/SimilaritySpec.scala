@@ -341,7 +341,7 @@ class SimilaritySpec extends SparkSpec {
     // cost on unstructured embeddings (measured 0.38 → 0.76)
     val p2 = recall(Similarity.ivfTopK(e, q, 5, nCells = 16, nProbe = 2))
     val p8 = recall(Similarity.ivfTopK(e, q, 5, nCells = 16, nProbe = 8))
-    assert(p8 >= p2 && p8 >= 0.6, s"ivf nProbe=8 recall $p8 (nProbe=2: $p2)")
+    assert(p8 >= p2 && p8 >= 0.7, s"ivf nProbe=8 recall $p8 (nProbe=2: $p2)")
     // PQ at dim 64: m = 8 (8 dims/subspace) is the recall limiter —
     // m = 16 at the same re-rank depth jumped 0.72 → 0.90 measured;
     // the m knob, not depth, is the cliff next to the default

@@ -144,6 +144,77 @@ class DistributedRankSpec extends SparkSpec {
     }
   }
 
+  test("quota draws ride the distributed rank: 90%-one-domain fixture, " +
+    "bit-identical to the plain window, no bare-group window in plan") {
+    // the DoReMi / quota-mix shape: one domain (CommonCrawl / English)
+    // is 90% of the corpus — the skew that single-tasks a plain
+    // Window.partitionBy(domain).orderBy(md5, key)
+    val df = spark.range(2000)
+      .select(when(col("id") % 10 < 9, "cc").otherwise(
+          concat(lit("src"), (col("id") % 5).cast("string"))).as("src"),
+        col("id"), concat(lit("tok"), (col("id") % 31).cast("string"),
+          lit(" word")).as("text"))
+    val mdw = Window.partitionBy("src")
+      .orderBy(md5(col("id").cast("string").cast("binary")), col("id"))
+
+    val q = Sampling.quotaSample(df, "src", "id", 25)
+    val qWant = df.withColumn("_r", row_number().over(mdw))
+      .filter(col("_r") <= 25).drop("_r")
+    assert(q.select("src", "id").except(qWant.select("src", "id"))
+      .count() == 0 && q.count() == qWant.count())
+    assert(q.columns.toSeq == df.columns.toSeq, "payload columns survive")
+
+    val t = Sampling.temperatureMix(df, "src", "id", 0.5, 400)
+    val counts = df.groupBy("src").agg(count(lit(1)).as("_n"))
+    val wsum = Window.partitionBy()
+    val tq = counts.withColumn("_w", pow(col("_n"), 0.5) /
+        sum(pow(col("_n"), 0.5)).over(wsum))
+      .withColumn("_quota", greatest(lit(1L), least(col("_n"),
+        floor(lit(400.0) * col("_w")))).cast("long"))
+      .select(col("src"), col("_quota"))
+    val tWant = df.join(broadcast(tq), Seq("src"))
+      .withColumn("_r", row_number().over(mdw))
+      .filter(col("_r") <= col("_quota")).drop("_r", "_quota")
+    assert(t.select("src", "id").except(tWant.select("src", "id"))
+      .count() == 0 && t.count() == tWant.count())
+
+    val m = Sampling.doremiMix(df, "src", "id", "text", 400,
+      eta = 5.0, smoothing = 0.2)
+    assert(m.columns.toSeq == Seq("src", "id"))
+    assert(m.count() > 0 && m.select("src").distinct().count() ==
+      df.select("src").distinct().count(),
+      "every domain keeps >= 1 row (the floor-at-1 rule)")
+
+    // the plan contract: NO window in any of the three partitions on
+    // the bare domain column — every WindowExec either rides
+    // (_pid, group) or runs over the <= K*256-row weights frame
+    // (doremiWeights' bounded aggregate, partitionSpec length <= 1 but
+    // input is corpus-size-independent). Identify the weights windows
+    // by their aggregate-frame columns.
+    Seq(q, t, m).foreach(_.collect())
+    Seq("quota" -> q, "temp" -> t).foreach { case (nm, d) =>
+      windowExecs(d.queryExecution.executedPlan).foreach { w =>
+        // temperatureMix's quota math runs a global sum over the
+        // |groups|-row counts frame — bounded input, identified by the
+        // counts column _n in its child output
+        val kid = w.child.output.map(_.name)
+        val overCounts = kid.contains("_n") && !kid.contains("_rkoff")
+        assert(w.partitionSpec.length >= 2 || overCounts,
+          s"$nm: bare-group window (dominant-domain single task): $w")
+      }
+    }
+    windowExecs(m.queryExecution.executedPlan).foreach { w =>
+      // doremiWeights' windows all run over the <= K*256-row
+      // (domain, bucket, count) aggregate frame — identified by its
+      // _c/_b/_totd/excess columns, never present on the corpus side
+      val kid = w.child.output.map(_.name)
+      val overWeights = kid.exists(n => n == "_c" || n == "_b" ||
+        n == "_totd" || n == "_term" || n == "excess" || n == "_e")
+      assert(w.partitionSpec.length >= 2 || overWeights,
+        s"doremiMix: corpus-sized bare-group window: $w")
+    }
+  }
+
   test("unimaxCensus survives a NULL language row (driver sort guard)") {
     val docs = Seq((1L, "en", "a b c"), (2L, null.asInstanceOf[String],
       "d e"), (3L, "fr", "f")).toDF("doc_id", "lang", "text")

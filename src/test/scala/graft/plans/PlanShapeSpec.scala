@@ -38,6 +38,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(out.count() > 0, "the composite still selects documents")
   }
 
+  test("llmDoremiPipeline tokenizes the corpus exactly once (tokenize-once contract)") {
+    // the checkpointed (domain, id, toks) projection feeds the DoReMi
+    // weights, the mix's skinny draw rank, and the token census — no
+    // stage may re-split the text
+    val out = graft.queries.Documents.llmDoremiPipeline(spark, sf)
+    val optimized = out.queryExecution.optimizedPlan.toString
+    val splits = "split\\(".r.findAllIn(optimized).length
+    assert(splits == 0,
+      s"expected no split() downstream of the shared projection, found $splits:\n$optimized")
+    assert(out.count() > 0, "the composite still selects documents")
+  }
+
   test("runtime bloom filter guards a selective fact-to-fact join") {
     // a selective filter on one join side → Spark injects a bloom filter
     // on the other side's key so most rows die before the shuffle. The
