@@ -194,6 +194,10 @@ object SparkEntry {
     "ann12_hard_negatives" -> (Documents.ann12HardNegatives _),
     "ann13_cdc_maintenance" -> (Documents.ann13CdcMaintenance _),
     "d23_dedup_stream" -> (Documents.d23DedupStream _),
+    "d24_boilerplate_stream" -> (Documents.d24BoilerplateStream _),
+    "d25_neardup_stream" -> (Documents.d25NearDupStream _),
+    "t34_lm_stream" -> (Documents.t34LmScoreStream _),
+    "ann15_ivf_stream" -> (Documents.ann15IvfStream _),
     "ann14_hard_negatives_ann" -> (Documents.ann14HardNegativesAnn _),
     "r14_length_buckets" -> (Documents.r14LengthBuckets _),
     "llm_web_pipeline" -> (Documents.llmWebPipeline _),
@@ -1823,6 +1827,92 @@ object SparkEntry {
         |    i -> (length(t)*31 + doc_id*17 + i*7) % 97)) AS DOUBLE) AS vec_l1,
         |  CAST((length(t)*31 + doc_id*17) % 97 AS DOUBLE) AS v0
         |FROM fin WHERE live ORDER BY doc_id""".stripMargin,
+    // T34: streamed LM-score ingest — the t26 target-trained chain plus
+    // the kept-threshold on the 6-dp rounded score (both engines filter
+    // the SAME rounded value, so the boundary cannot ulp-flip)
+    "t34_lm_stream" -> (targetBigramLmCtes +
+      """
+        |SELECT id, CAST(n_bigrams AS BIGINT) AS n_bigrams, avg_logp
+        |FROM scored WHERE avg_logp IS NOT NULL AND avg_logp >= -3.6
+        |ORDER BY id""".stripMargin),
+    // D24: streamed boilerplate ingest — the d19 election/coverage/
+    // rewrite chain evaluated at each batch's HORIZON (landed+evens
+    // for batch 1, everything for batch 2; bi -1 = landed store
+    // install, never published)
+    "d24_boilerplate_stream" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CASE WHEN doc_id % 31 = 0 THEN -1 ELSE doc_id % 2 END AS bi,
+        |  regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |g AS (SELECT doc_id, source, bi, u.p AS p, u.s AS s FROM (
+        |  SELECT doc_id, source, bi, unnest(list_transform(range(1, len(ws) - 3),
+        |    i -> {'p': i, 's': ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]})) AS u
+        |  FROM t WHERE len(ws) >= 5)),
+        |bcnt AS (SELECT source, s,
+        |  count(DISTINCT CASE WHEN bi <= 0 THEN doc_id END) AS c0,
+        |  count(DISTINCT doc_id) AS c1
+        |  FROM g GROUP BY source, s),
+        |cov AS (SELECT DISTINCT g.doc_id, unnest(range(g.p, g.p + 5)) AS i
+        |  FROM g JOIN bcnt ON g.source = bcnt.source AND g.s = bcnt.s
+        |  WHERE g.bi >= 0 AND
+        |    ((g.bi = 0 AND bcnt.c0 >= 3) OR (g.bi = 1 AND bcnt.c1 >= 3))),
+        |st AS (SELECT doc_id, ws FROM t WHERE bi >= 0),
+        |tok AS (SELECT doc_id, u.i AS i, u.w AS w FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1), i -> {'i': i, 'w': ws[i]})) AS u FROM st)),
+        |kept AS (SELECT tok.doc_id, tok.i, tok.w FROM tok ANTI JOIN cov
+        |  ON tok.doc_id = cov.doc_id AND tok.i = cov.i),
+        |outp AS (SELECT doc_id, count(*) AS n_kept,
+        |  string_agg(w, ' ' ORDER BY i) AS clean_text FROM kept GROUP BY doc_id)
+        |SELECT st.doc_id, CAST(len(ws) AS BIGINT) AS n_toks,
+        |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(clean_text, '') AS clean_text
+        |FROM st LEFT JOIN outp ON st.doc_id = outp.doc_id
+        |ORDER BY st.doc_id""".stripMargin,
+    // D25: streamed near-dup ingest — sequential survivor semantics
+    // replayed from one exact jaccard pair set: batch 1 (evens) drops
+    // vs landed (bi -1) + within-batch smaller-id rule; batch 2 (odds)
+    // drops vs landed + batch-1 SURVIVORS + within-batch rule
+    "d25_neardup_stream" ->
+      """WITH t AS (SELECT doc_id, n_chars,
+        |  CASE WHEN doc_id % 31 = 0 THEN -1 ELSE doc_id % 2 END AS bi,
+        |  regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+        |  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s FROM t),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jp AS (SELECT id_a, id_b FROM pr
+        |  JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+        |  WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.8),
+        |edges AS (SELECT id_a AS s, id_b AS d FROM jp
+        |  UNION ALL SELECT id_b, id_a FROM jp),
+        |bt AS (SELECT doc_id, bi FROM t),
+        |drop0 AS (SELECT DISTINCT e.s AS doc_id FROM edges e
+        |  JOIN bt sb ON e.s = sb.doc_id AND sb.bi = 0
+        |  JOIN bt xb ON e.d = xb.doc_id
+        |  WHERE xb.bi = -1 OR (xb.bi = 0 AND xb.doc_id < e.s)),
+        |surv0 AS (SELECT doc_id FROM bt WHERE bi = 0
+        |  AND doc_id NOT IN (SELECT doc_id FROM drop0)),
+        |drop1 AS (SELECT DISTINCT e.s AS doc_id FROM edges e
+        |  JOIN bt sb ON e.s = sb.doc_id AND sb.bi = 1
+        |  JOIN bt xb ON e.d = xb.doc_id
+        |  WHERE xb.bi = -1
+        |    OR (xb.bi = 0 AND xb.doc_id IN (SELECT doc_id FROM surv0))
+        |    OR (xb.bi = 1 AND xb.doc_id < e.s)),
+        |surv1 AS (SELECT doc_id FROM bt WHERE bi = 1
+        |  AND doc_id NOT IN (SELECT doc_id FROM drop1))
+        |SELECT doc_id, n_chars FROM t
+        |WHERE doc_id IN (SELECT doc_id FROM surv0
+        |  UNION ALL SELECT doc_id FROM surv1)
+        |ORDER BY doc_id""".stripMargin,
+    // ANN15: streamed IVF ingest — after the base install + two
+    // appended micro-batches the live index must serve the WHOLE
+    // corpus's integer-grid embedding (the ann11 convention)
+    "ann15_ivf_stream" ->
+      """SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(0,8),
+        |    i -> (length(text)*31 + doc_id*17 + i*7) % 97)) AS DOUBLE) AS vec_l1,
+        |  CAST((length(text)*31 + doc_id*17) % 97 AS DOUBLE) AS v0
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // D23: streamed exact-dedup ingest — the keeper rule replayed over
     // (batch index, doc_id) per normalized fingerprint, landed slice's
     // fingerprints excluded (the store install)

@@ -216,6 +216,9 @@ object Dedup {
         "shards" -> shards.toString,
         "formatVersion" -> "1"))
     fps.unpersist(blocking = false)
+    // re-install invalidates stale same-session listings (see
+    // writeNearDupStore)
+    corpus.sparkSession.catalog.refreshByPath(dir)
   }
 
   /** Shard routing for the fp store: xxhash64(fp) mod k, non-negative.
@@ -697,6 +700,9 @@ object Dedup {
     graft.sources.Sources.writeJsonSidecarFs(corpus.sparkSession,
       s"$dir/_meta.json",
       Map("n" -> n.toString, "formatVersion" -> "1"))
+    // re-install invalidates stale same-session listings (see
+    // writeNearDupStore)
+    corpus.sparkSession.catalog.refreshByPath(dir)
   }
 
   /** Grow the boilerplate store with one batch's counts — idempotent
@@ -1087,6 +1093,9 @@ object Dedup {
         "expectedTotalGrams" -> capacity.toString,
         "totalGrams" -> grams.count().toString,
         "formatVersion" -> "1"))
+    // re-install invalidates stale same-session listings (see
+    // writeNearDupStore)
+    spark.catalog.refreshByPath(dir)
   }
 
   /** Grow the eval-gram store when new benchmarks are published: fold
@@ -1587,6 +1596,11 @@ object Dedup {
         "numHashes" -> numHashes.toString,
         "minhashSeed" -> seed.toString,
         "formatVersion" -> "1"))
+    // a RE-install over a previously-read dir (same session) must
+    // invalidate the shared file-status cache, or the first read serves
+    // the pre-install listing and dies on vanished files — the append
+    // path already refreshes; the installer owes the same courtesy
+    corpus.sparkSession.catalog.refreshByPath(dir)
   }
 
   /** Grow the at-rest store with a batch — the other half of the ingest

@@ -200,6 +200,9 @@ object Similarity {
     graft.sources.Sources.writeJsonSidecarFs(spark, s"$path/_meta.json",
       Map("nCells" -> nCells.toString, "kmeansSeed" -> seed.toString,
         "formatVersion" -> "1"))
+    // re-install invalidates stale same-session listings (the
+    // writeNearDupStore convention — the append path already refreshes)
+    spark.catalog.refreshByPath(path)
     centroids
   }
 
@@ -669,6 +672,9 @@ object Similarity {
       Map("m" -> m.toString, "k" -> k.toString,
         "subDim" -> cb.subDim.toString, "pqSeed" -> seed.toString,
         "formatVersion" -> "1"))
+    // re-install invalidates stale same-session listings (the
+    // writeNearDupStore convention)
+    spark.catalog.refreshByPath(path)
     cb
   }
 

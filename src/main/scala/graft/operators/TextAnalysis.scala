@@ -709,6 +709,9 @@ object TextAnalysis {
         "maxBigrams" -> maxBigrams.toString,
         "maxVocab" -> maxVocab.toString,
         "formatVersion" -> "1"))
+    // re-install invalidates stale same-session listings (the
+    // writeNearDupStore convention)
+    spark.catalog.refreshByPath(dir)
   }
 
   /** [[bigramLogProbAgainst]] read from the at-rest model — BIT-

@@ -265,11 +265,12 @@ object Sampling {
     * builtin needed, which DuckDB lacks); position-within-shard = rank
     * by the REMAINING md5 hex (independent of the digit that chose the
     * shard), tie-broken by key. A global row_number would serialize
-    * the corpus into one partition; per-shard windows run one task PER
-    * SHARD — that is the honest parallelism bound of the rank, so pick
-    * nShards ≈ the trainer-worker/output-file count the shuffle feeds
-    * (each worker consumes its shard in pos order anyway, so the
-    * per-shard sort is work the pipeline owes regardless). Output adds
+    * the corpus into one partition, and a per-shard window caps the
+    * rank at nShards ≤ 16 tasks REGARDLESS of cluster size — so the
+    * position rides [[graft.ops.DistributedRank]] (shard as the group
+    * column): every sort is bounded by range-partition size, the rank
+    * is bit-identical, and nShards stays purely the OUTPUT fan-out
+    * knob (the trainer-worker/output-file count). Output adds
     * (shard, pos). nShards must DIVIDE 16: the hex digit is uniform
     * over 16 values, so digit mod a non-divisor (e.g. 12) would load
     * some shards with exactly 2× the documents of others. */
@@ -284,12 +285,11 @@ object Sampling {
       (instr(lit("0123456789abcdef"), substring(col("_hex"), 1, 1)) - 1)
         .cast("long"),
       lit(nShards.toLong))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("shard")
-      .orderBy(substring(col("_hex"), 2, 31), col(keyCol))
-    withHex.withColumn("shard", shard)
-      .withColumn("pos", row_number().over(w).cast("long"))
-      .drop("_hex")
+    graft.ops.DistributedRank.withRankAndCumsum(
+        withHex.withColumn("shard", shard), "shard",
+        Seq(substring(col("_hex"), 2, 31), col(keyCol)))
+      .withColumn("pos", col("_rk"))
+      .drop("_rk", "_n", "_hex")
   }
 
   /** Temperature-scaled corpus mixing (the multilingual-LLM standard:

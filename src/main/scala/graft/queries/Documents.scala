@@ -1877,6 +1877,174 @@ object Documents {
       .orderBy("doc_id")
   }
 
+  /** T34 — the LM-score INGEST loop on the hard signal
+    * ([[graft.streaming.EventStream.streamingLmScoreIngest]], CCNet as
+    * a stream): the src0-trained bigram LM store is installed once,
+    * the corpus streams in two AvailableNow micro-batches, each batch
+    * scores under the FROZEN model (hoisted tables, the read-only
+    * convention) and docs below the avg_logp threshold drop. The gate
+    * hashes the PUBLISHED survivors against DuckDB replaying the t26
+    * target-trained chain plus the threshold. Batch order is
+    * irrelevant (per-doc pure scoring) — the loop's simplest replay
+    * posture, now oracle-checked: a scoring drift, a threshold slip,
+    * a dropped batch, or a double publish hash-fails. Threshold −3.6
+    * sits at the corpus median, so both branches are live in the
+    * hash; the filter compares the 6-dp ROUNDED score on both
+    * engines, so the boundary cannot ulp-flip. */
+  def t34LmScoreStream(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val base = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/t34_stream"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val (storeDir, inDir) = (s"$base/lmstore", s"$base/in")
+    val (outDir, ckpt) = (s"$base/kept", s"$base/ckpt")
+    TextAnalysis.writeBigramLmStore(
+      docs.filter(col("source") === "src0"), "text", storeDir)
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = graft.streaming.EventStream.streamingLmScoreIngest(
+        stream, storeDir, outDir, "doc_id", "text",
+        minAvgLogProb = -3.6)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt).start()
+    q.awaitTermination()
+    graft.sources.Sources.readPublished(s, outDir)
+      .select("id", "n_bigrams", "avg_logp")
+      .orderBy("id")
+  }
+
+  /** D24 — the per-source boilerplate INGEST loop on the hard signal
+    * ([[graft.streaming.EventStream.streamingBoilerplateIngest]]):
+    * a landed slice (%31 = 0) installs the boilerplate count store,
+    * the rest streams in two ordered micro-batches (evens then odds),
+    * and each batch is rewritten against the ACCUMULATED counts —
+    * so chrome repeated across batches is caught even when no single
+    * batch carries it `minDocs` times, and the SAME gram can be
+    * boilerplate for batch 2 but not batch 1 (single-pass semantics:
+    * earlier-published docs keep it). The oracle replays exactly
+    * that: per-gram distinct-doc counts at each batch's horizon
+    * (landed+evens for batch 1, everything for batch 2), coverage and
+    * rewrite per doc against its OWN horizon. A retroactivity bug, a
+    * dropped count append, or a flipped batch order hash-fails. */
+  def d24BoilerplateStream(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val base = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/d24_stream"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val (storeDir, inDir) = (s"$base/store", s"$base/in")
+    val (keptDir, ckpt) = (s"$base/kept", s"$base/ckpt")
+    Dedup.writeBoilerplateStore(docs.filter(col("doc_id") % 31 === 0),
+      "doc_id", "text", "source", storeDir, n = 5)
+    val corpus = docs.filter(col("doc_id") % 31 =!= 0)
+    corpus.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    Thread.sleep(100) // distinct mod-times: per-batch horizons differ
+    corpus.filter(col("doc_id") % 2 =!= 0).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    val stream = s.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = graft.streaming.EventStream.streamingBoilerplateIngest(
+        stream, storeDir, keptDir, "doc_id", "text", "source",
+        minDocs = 3)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt).start()
+    q.awaitTermination()
+    graft.sources.Sources.readPublished(s, keptDir)
+      .select("doc_id", "n_toks", "n_kept", "clean_text")
+      .orderBy("doc_id")
+  }
+
+  /** D25 — the near-dup INGEST loop on the hard signal
+    * ([[graft.streaming.EventStream.streamingNearDupIngest]]): a
+    * landed slice (%31 = 0) installs the near-dup store, the rest
+    * streams as two ORDERED micro-batches (evens then odds). Per
+    * batch the loop drops docs that near-dup the ACCUMULATED store
+    * (landed ∪ earlier survivors) plus the within-batch larger side
+    * of each pair, then appends the survivors' shingles. The oracle
+    * replays the full sequential semantics from ONE exact jaccard
+    * pair set: batch-1 drops against landed only, batch-2 against
+    * landed ∪ batch-1 SURVIVORS — so a store append that leaks
+    * non-survivors, a missed cross-batch pair, a flipped batch
+    * order, or a within-batch keeper drift all hash-fail. The
+    * within-batch drop is unconditional on the smaller side's own
+    * fate (the loop's dropIds union), replayed as-is. */
+  def d25NearDupStream(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val base = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/d25_stream"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val (storeDir, inDir) = (s"$base/store", s"$base/in")
+    val (keptDir, ckpt) = (s"$base/kept", s"$base/ckpt")
+    Dedup.writeNearDupStore(docs.filter(col("doc_id") % 31 === 0),
+      "doc_id", "text", storeDir)
+    val corpus = docs.filter(col("doc_id") % 31 =!= 0)
+    corpus.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    Thread.sleep(100) // distinct mod-times: the store grows per batch
+    corpus.filter(col("doc_id") % 2 =!= 0).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    val stream = s.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = graft.streaming.EventStream.streamingNearDupIngest(
+        stream, storeDir, keptDir, "doc_id", "text", threshold = 0.8)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt).start()
+    q.awaitTermination()
+    graft.sources.Sources.readPublished(s, keptDir)
+      .select("doc_id", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** ANN15 — the IVF INGEST loop on the hard signal
+    * ([[graft.streaming.EventStream.streamingIvfIngest]]): the %5 ≠ 0
+    * slice installs the index (fitting the quantizer), the %5 = 0
+    * sliver streams in two micro-batches, each assigned to its
+    * nearest EXISTING centroid and landed batch-keyed. The gate
+    * hashes [[Similarity.liveIndexRows]] — which must now serve the
+    * WHOLE corpus — against DuckDB recomputing the integer-grid
+    * embedding of every doc (the ann11 convention). A dropped batch,
+    * a double append, or a vector mutated in flight hash-fails; the
+    * centroid ASSIGNMENT is probe-path state checked by ann3/ann5. */
+  def ann15IvfStream(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    def embed(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      transform(sequence(lit(0), lit(7)), i =>
+        pmod(length(col("text")) * 31 + col("doc_id") * 17 + i * 7,
+          lit(97)).cast("float")).as("embedding"))
+    val base = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/ann15_stream"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val (idxDir, inDir, ckpt) = (s"$base/index", s"$base/in", s"$base/ckpt")
+    Similarity.writeIvfIndex(
+      embed(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)),
+      idxDir, nCells = 8, idCol = "doc_id")
+    val sliver = embed(docs.filter(pmod(col("doc_id"), lit(5)) === 0))
+    sliver.filter(pmod(col("doc_id"), lit(2)) === 0).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    sliver.filter(pmod(col("doc_id"), lit(2)) =!= 0).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    val stream = s.readStream.schema(sliver.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = graft.streaming.EventStream.streamingIvfIngest(
+        stream, idxDir, idCol = "doc_id")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt).start()
+    q.awaitTermination()
+    Similarity.liveIndexRows(s, idxDir)
+      .select(col("n_id").as("doc_id"),
+        aggregate(col("n_vec"), lit(0.0d), (a, x) => a + x).as("vec_l1"),
+        element_at(col("n_vec"), 1).cast("double").as("v0"))
+      .orderBy("doc_id")
+  }
+
   /** ANN14 — hard negatives through the GENERATOR-AGNOSTIC scale path
     * ([[Similarity.hardNegativesFromCandidates]]), driver-gated with an
     * oracle-replayable candidate set: an exact top-20 over-fetch (4×k,
