@@ -516,6 +516,74 @@ object ScaleProbe {
       return
     }
 
+    // SPARK_GRAFT_PROBE_MODE=ingest: the ingest loops' per-batch cost
+    // claim — O(batch), NOT O(landed corpus) — measured directly. Hold
+    // the BATCH fixed (a ~10% slice, ids offset + text salted so it's
+    // mostly novel with a small verbatim-dup sliver) and grow the
+    // LANDED STORE n×; time the store-backed batch entry points each
+    // loop calls. Exact dedup must stay flat (negative Bloom probes
+    // never touch the store table); near-dup must stay flat-to-gently-
+    // linear (band buckets, candidate-bounded); LM scoring must stay
+    // flat (capped broadcast model); IVF append must stay flat
+    // (centroids only). A curve bending with the store is a loop that
+    // would die on week 50 of a crawl.
+    if (sys.env.get("SPARK_GRAFT_PROBE_MODE").contains("ingest")) {
+      import graft.operators.{Dedup, Similarity, TextAnalysis}
+      def embed(df: DataFrame): DataFrame = df.select(col("doc_id"),
+        transform(sequence(lit(0), lit(7)), i =>
+          pmod(length(col("text")) * 31 + col("doc_id") * 17 + i * 7,
+            lit(97)).cast("float")).as("embedding"))
+      val batch = base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 700000000L).as("doc_id"),
+          when(col("doc_id") % 97 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" fresh-batch")))
+            .as("text"),
+          col("source"))
+        .repartition(cpus.toInt).persist()
+      val batchDocs = batch.count()
+      factors.foreach { n =>
+        val corpus = replicated(n).repartition(cpus.toInt).persist()
+        val docs = corpus.count()
+        val tmp = java.nio.file.Files
+          .createTempDirectory(s"ingestprobe$n").toString
+        // store installs: untimed — the landed steady state
+        Dedup.writeFpStore(corpus, "doc_id", "text", s"$tmp/fp",
+          expectedTotalFps = math.max(docs * 2, 100000L))
+        Dedup.writeNearDupStore(corpus, "doc_id", "text", s"$tmp/nd")
+        TextAnalysis.writeBigramLmStore(
+          corpus.filter(col("source") === "src0"), "text", s"$tmp/lm")
+        Similarity.writeIvfIndex(embed(corpus), s"$tmp/ivf",
+          nCells = 16, idCol = "doc_id")
+        def timed(name: String)(f: => Long): String = {
+          val t0 = System.nanoTime()
+          val rows = f
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          corpus.persist().count(); batch.persist().count()
+          f""""$name":[$dt%.2f,$rows]"""
+        }
+        val rowsOut = Seq(
+          timed("exact_from_store")(
+            Dedup.incrementalExactDedupFromFpStore(batch, s"$tmp/fp",
+              "doc_id", "text").count()),
+          timed("neardup_from_store")(
+            Dedup.incrementalNearDupFromStore(batch, s"$tmp/nd",
+              "doc_id", "text", threshold = 0.8).count()),
+          timed("lm_score_batch")(
+            TextAnalysis.bigramLogProbFromStore(batch, s"$tmp/lm",
+              "doc_id", "text").count()),
+          timed("ivf_append") {
+            Similarity.appendToIvfIndex(embed(batch), s"$tmp/ivf",
+              batchId = 99L, idCol = "doc_id")
+            batchDocs
+          })
+        corpus.unpersist()
+        println(s"""{"n":$n,"landedDocs":$docs,"batchDocs":$batchDocs,"queries":${rowsOut.mkString("{", ",", "}")}}""")
+      }
+      spark.stop()
+      return
+    }
+
     factors.foreach { n =>
       val corpus = replicated(n)
         .repartition(cpus.toInt).persist()
