@@ -212,18 +212,25 @@ object Sampling {
     * The per-group rank rides [[graft.ops.DistributedRank]]: the group
     * is typically a language/source and a real crawl is ~45% one
     * language, so a plain `Window.partitionBy(group)` would sort the
-    * dominant group in ONE task at crawl scale. The distributed rank is
-    * bit-identical (md5+key is a total order within each group) and
-    * bounded by range-partition size instead of group size. Callers
-    * with a wide payload (raw text) should rank a skinny (group, key)
-    * projection and semi-join back — the frame passed here is
-    * checkpointed once to pin range boundaries. */
+    * dominant group in ONE task at crawl scale. The rank runs over the
+    * SKINNY (group, key) projection only — the payload (raw text,
+    * embeddings) never rides the range exchange or the checkpoint —
+    * and the kept keys (≤ quota · |groups| rows, usually broadcastable)
+    * semi-join the input back. CONTRACT: `keyCol` is unique within
+    * each group (every call site keys on a document id) — duplicate
+    * keys would make the semi join keep every copy where the rank
+    * kept `quota` arbitrary ones. */
   def quotaSample(df: DataFrame, groupCol: String, keyCol: String,
-                  quota: Int): DataFrame =
-    graft.ops.DistributedRank.withRankAndCumsum(df, groupCol,
+                  quota: Int): DataFrame = {
+    val kept = graft.ops.DistributedRank.withRankAndCumsum(
+        df.select(col(groupCol), col(keyCol)), groupCol,
         Seq(md5(col(keyCol).cast("string").cast("binary")), col(keyCol)))
       .filter(col("_rk") <= quota)
-      .drop("_rk", "_n")
+      .select(col(groupCol).as("_qg"), col(keyCol).as("_qk"))
+    df.join(kept,
+      df(groupCol) <=> col("_qg") && df(keyCol) <=> col("_qk"),
+      "left_semi")
+  }
 
   /** R6 — epoch-based source mixing (data-constrained pretraining:
     * scarce high-quality sources are repeated for several epochs while
@@ -268,28 +275,32 @@ object Sampling {
     * the corpus into one partition, and a per-shard window caps the
     * rank at nShards ≤ 16 tasks REGARDLESS of cluster size — so the
     * position rides [[graft.ops.DistributedRank]] (shard as the group
-    * column): every sort is bounded by range-partition size, the rank
-    * is bit-identical, and nShards stays purely the OUTPUT fan-out
-    * knob (the trainer-worker/output-file count). Output adds
-    * (shard, pos). nShards must DIVIDE 16: the hex digit is uniform
-    * over 16 values, so digit mod a non-divisor (e.g. 12) would load
-    * some shards with exactly 2× the documents of others. */
+    * column) over the SKINNY key projection, (shard, pos) joined back
+    * by key: every sort is bounded by range-partition size, the rank
+    * is bit-identical, the payload never rides the range exchange or
+    * the checkpoint, and nShards stays purely the OUTPUT fan-out knob
+    * (the trainer-worker/output-file count). CONTRACT: `keyCol` is
+    * unique (it IS the shuffle key). nShards must DIVIDE 16: the hex
+    * digit is uniform over 16 values, so digit mod a non-divisor
+    * (e.g. 12) would load some shards with exactly 2× the documents
+    * of others. */
   def shuffleShard(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
     require(Set(1, 2, 4, 8, 16).contains(nShards),
       s"nShards must divide 16 (1/2/4/8/16) for uniform shards, got $nShards")
     // project the digest ONCE — shard digit and order key both read it,
     // and a repeated md5 expression would hash every row twice
-    val withHex = df.withColumn("_hex",
+    val withHex = df.select(col(keyCol)).withColumn("_hex",
       md5(col(keyCol).cast("string").cast("binary")))
     val shard = pmod(
       (instr(lit("0123456789abcdef"), substring(col("_hex"), 1, 1)) - 1)
         .cast("long"),
       lit(nShards.toLong))
-    graft.ops.DistributedRank.withRankAndCumsum(
+    val ranked = graft.ops.DistributedRank.withRankAndCumsum(
         withHex.withColumn("shard", shard), "shard",
         Seq(substring(col("_hex"), 2, 31), col(keyCol)))
-      .withColumn("pos", col("_rk"))
-      .drop("_rk", "_n", "_hex")
+      .select(col(keyCol).as("_sk"), col("shard"),
+        col("_rk").as("pos"))
+    df.join(ranked, df(keyCol) <=> col("_sk")).drop("_sk")
   }
 
   /** Temperature-scaled corpus mixing (the multilingual-LLM standard:
@@ -305,9 +316,11 @@ object Sampling {
     * Scale shape: group sizes are one map-side-combinable count
     * aggregate (|groups| rows to the driver-free quota computation — it
     * stays distributed and broadcasts back); the per-group draw rank
-    * rides [[graft.ops.DistributedRank]] (the quotaSample routing — a
-    * plain group-partitioned window would single-task the dominant
-    * language at crawl scale). */
+    * rides [[graft.ops.DistributedRank]] over the SKINNY (group, key)
+    * projection, kept keys semi-joined back (the quotaSample routing —
+    * a plain group-partitioned window would single-task the dominant
+    * language at crawl scale; same `keyCol`-unique-within-group
+    * contract). */
   def temperatureMix(df: DataFrame, groupCol: String, keyCol: String,
                      alpha: Double, totalTarget: Int): DataFrame = {
     val counts = df.groupBy(groupCol).agg(count(lit(1)).as("_n"))
@@ -320,12 +333,15 @@ object Sampling {
           least(col("_n"), floor(lit(totalTarget.toDouble) * col("_w"))))
           .cast("long"))
       .select(col(groupCol), col("_quota"))
-    graft.ops.DistributedRank.withRankAndCumsum(df, groupCol,
+    val kept = graft.ops.DistributedRank.withRankAndCumsum(
+        df.select(col(groupCol), col(keyCol)), groupCol,
         Seq(md5(col(keyCol).cast("string").cast("binary")), col(keyCol)))
-      .drop("_n") // quota's least(n, ...) already carries the group size
       .join(broadcast(quotas), Seq(groupCol))
       .filter(col("_rk") <= col("_quota"))
-      .drop("_rk", "_quota")
+      .select(col(groupCol).as("_qg"), col(keyCol).as("_qk"))
+    df.join(kept,
+      df(groupCol) <=> col("_qg") && df(keyCol) <=> col("_qk"),
+      "left_semi")
   }
 
   /** Hashed-n-gram bucket of a gram string: the first two md5 hex

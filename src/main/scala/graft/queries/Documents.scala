@@ -12,6 +12,32 @@ object Documents {
 
   private val stopwords = Seq("the", "a", "of", "and", "is", "to", "in")
 
+  /** Write `batches` as one parquet file each under `inDir` and PIN
+    * every file's mod-time to its batch ordinal — the ordered-stream
+    * gates (ann13/d23/d24/d25) rely on the AvailableNow file source's
+    * mod-time ordering to deliver batch i before batch i+1, and two
+    * sub-millisecond writes could otherwise tie (a tie is broken
+    * arbitrarily → a flipped batch order → a flaky gate). Explicit
+    * setTimes makes the order deterministic regardless of clock
+    * resolution or filesystem timestamp granularity. */
+  private def writeOrderedBatches(s: SparkSession, inDir: String,
+                                  batches: Seq[DataFrame]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(inDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val seen = scala.collection.mutable.Set[String]()
+    batches.zipWithIndex.foreach { case (b, i) =>
+      b.coalesce(1).write.mode("append").parquet(inDir)
+      fs.listStatus(p).foreach { st =>
+        val name = st.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".") &&
+            !seen.contains(name)) {
+          fs.setTimes(st.getPath, (i + 1) * 1000000L, -1L)
+          seen += name
+        }
+      }
+    }
+  }
+
   /** D1 — exact dedup by normalized-content fingerprint. */
   def d1ExactDedup(s: SparkSession, d: String): DataFrame =
     // the AUTO variant live end-to-end: it measures the drop set and
@@ -1819,9 +1845,7 @@ object Documents {
         .filter(pmod(id, lit(5)) =!= 0 && pmod(id, lit(13)) =!= 0 &&
           pmod(id, lit(17)) === 0 && pmod(id, lit(2)) === 0)
         .select(id, concat(col("text"), lit(" back")).as("text"), up))
-    b1.coalesce(1).write.mode("append").parquet(inDir)
-    Thread.sleep(100) // distinct mod-times: the file source orders on them
-    b2.coalesce(1).write.mode("append").parquet(inDir)
+    writeOrderedBatches(s, inDir, Seq(b1, b2))
     val stream = s.readStream.schema(b1.schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
     val q = graft.streaming.EventStream.streamingIndexMaintenance(
@@ -1860,11 +1884,9 @@ object Documents {
     Dedup.writeFpStore(docs.filter(col("doc_id") % 31 === 0),
       "doc_id", "text", storeDir, expectedTotalFps = 100000L)
     val corpus = docs.filter(col("doc_id") % 31 =!= 0)
-    corpus.filter(col("doc_id") % 2 === 0).coalesce(1)
-      .write.mode("append").parquet(inDir)
-    Thread.sleep(100) // distinct mod-times: cross-batch keeper order
-    corpus.filter(col("doc_id") % 2 =!= 0).coalesce(1)
-      .write.mode("append").parquet(inDir)
+    writeOrderedBatches(s, inDir,
+      Seq(corpus.filter(col("doc_id") % 2 === 0),
+        corpus.filter(col("doc_id") % 2 =!= 0)))
     val stream = s.readStream.schema(corpus.schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
     val q = graft.streaming.EventStream.streamingExactDedupIngest(
@@ -1942,11 +1964,9 @@ object Documents {
     Dedup.writeBoilerplateStore(docs.filter(col("doc_id") % 31 === 0),
       "doc_id", "text", "source", storeDir, n = 5)
     val corpus = docs.filter(col("doc_id") % 31 =!= 0)
-    corpus.filter(col("doc_id") % 2 === 0).coalesce(1)
-      .write.mode("append").parquet(inDir)
-    Thread.sleep(100) // distinct mod-times: per-batch horizons differ
-    corpus.filter(col("doc_id") % 2 =!= 0).coalesce(1)
-      .write.mode("append").parquet(inDir)
+    writeOrderedBatches(s, inDir,
+      Seq(corpus.filter(col("doc_id") % 2 === 0),
+        corpus.filter(col("doc_id") % 2 =!= 0)))
     val stream = s.readStream.schema(corpus.schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
     val q = graft.streaming.EventStream.streamingBoilerplateIngest(
@@ -1985,11 +2005,9 @@ object Documents {
     Dedup.writeNearDupStore(docs.filter(col("doc_id") % 31 === 0),
       "doc_id", "text", storeDir)
     val corpus = docs.filter(col("doc_id") % 31 =!= 0)
-    corpus.filter(col("doc_id") % 2 === 0).coalesce(1)
-      .write.mode("append").parquet(inDir)
-    Thread.sleep(100) // distinct mod-times: the store grows per batch
-    corpus.filter(col("doc_id") % 2 =!= 0).coalesce(1)
-      .write.mode("append").parquet(inDir)
+    writeOrderedBatches(s, inDir,
+      Seq(corpus.filter(col("doc_id") % 2 === 0),
+        corpus.filter(col("doc_id") % 2 =!= 0)))
     val stream = s.readStream.schema(corpus.schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
     val q = graft.streaming.EventStream.streamingNearDupIngest(
