@@ -534,8 +534,16 @@ object EventStream {
     * strictly-greater tombstone rule kills the stale vector while the
     * fresh one survives, and a later delete kills an earlier upsert
     * because its batch is greater. CONTRACT: at most one mutation per
-    * id per micro-batch (compact upstream) — two same-batch mutations
-    * of one id would race rows the tombstone rule cannot order.
+    * id per micro-batch — two same-batch mutations of one id would
+    * race rows the tombstone rule cannot order. Either compact
+    * upstream, or pass `seqCol` (a per-id mutation sequence — a CDC
+    * LSN, a source offset, an event time) and the loop compacts each
+    * micro-batch itself: the HIGHEST-seq mutation per id wins, ties
+    * broken toward delete (the conservative read of an ambiguous
+    * feed — a dropped doc can be re-upserted, a served stale one
+    * cannot be unserved). The compaction window partitions on the id,
+    * bounded by one id's mutation count within ONE micro-batch —
+    * never corpus-shaped.
     * Replay posture: both halves are batch-keyed idempotent
     * overwrites (batchId + 1; batch=0 is the base install), so
     * at-least-once replays converge bit-for-bit — fully idempotent,
@@ -543,14 +551,22 @@ object EventStream {
   def streamingIndexMaintenance(mutations: DataFrame, indexDir: String,
                                 embed: DataFrame => DataFrame,
                                 idCol: String, textCol: String,
-                                opCol: String = "op")
+                                opCol: String = "op",
+                                seqCol: Option[String] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import graft.operators.Similarity
     mutations.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          val compacted = seqCol.fold(batch) { sc =>
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(idCol)
+              .orderBy(col(sc).desc, col(opCol).asc) // "delete" < "upsert"
+            batch.withColumn("_mrk", row_number().over(w))
+              .filter(col("_mrk") === 1).drop("_mrk")
+          }
           // two consumers of one small mutation batch
-          val b = batch.localCheckpoint()
+          val b = compacted.localCheckpoint()
           Similarity.removeFromIvfIndex(
             b.select(col(idCol)), indexDir, batchId + 1, idCol)
           val ups = b.filter(col(opCol) === "upsert")

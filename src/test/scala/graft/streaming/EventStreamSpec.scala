@@ -690,6 +690,47 @@ class EventStreamSpec extends SparkSpec {
     assert(live == want, "replay must be idempotent")
   }
 
+  test("streamingIndexMaintenance seqCol: in-batch compaction keeps the highest-seq mutation, ties toward delete") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("idxcompact").toString
+    val idx = s"$tmp/index"
+    def embed(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), transform(sequence(lit(0), lit(7)),
+        i => (pmod(xxhash64(concat(col("text"), i)), lit(97)) / lit(97.0))
+          .cast("float")).as("embedding"))
+    val initial = (1L to 5L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    graft.operators.Similarity.writeIvfIndex(embed(initial), idx,
+      nCells = 2, idCol = "doc_id")
+    // ONE micro-batch carrying multiple mutations per id — the raw CDC
+    // shape the at-most-one contract forbids without seqCol:
+    //   doc 1: upsert@1 then delete@2        -> dead
+    //   doc 2: delete@1 then upsert@2        -> live, edited
+    //   doc 3: upsert@1, upsert@2 (edit2 wins)
+    //   doc 4: upsert@1 and delete@1 (TIE)   -> delete wins -> dead
+    //   doc 6: upsert@1 (brand new)          -> live
+    val mem = MemoryStream[(Long, String, String, Long)]
+    val q = streamingIndexMaintenance(
+        mem.toDF().toDF("doc_id", "text", "op", "seq"), idx, embed,
+        "doc_id", "text", seqCol = Some("seq"))
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    mem.addData(
+      (1L, "doc 1 edit", "upsert", 1L), (1L, "", "delete", 2L),
+      (2L, "", "delete", 1L), (2L, "doc 2 edit", "upsert", 2L),
+      (3L, "doc 3 edit1", "upsert", 1L), (3L, "doc 3 edit2", "upsert", 2L),
+      (4L, "doc 4 edit", "upsert", 1L), (4L, "", "delete", 1L),
+      (6L, "doc 6", "upsert", 1L))
+    q.processAllAvailable()
+    q.stop()
+    val want = embed(Seq((2L, "doc 2 edit"), (3L, "doc 3 edit2"),
+        (5L, "doc 5"), (6L, "doc 6")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val live = graft.operators.Similarity.liveIndexRows(spark, idx)
+      .select("n_id", "n_vec").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(live == want,
+      s"compacted CDC batch must resolve per-id races: got ${live.keySet}")
+  }
+
   test("streamingCorpusIngest dedups, filters junk, and windows per language") {
     implicit val sqlCtx = spark.sqlContext
     val stop = Seq("the", "a", "of", "and", "is", "to", "in")
