@@ -489,6 +489,53 @@ object Dedup {
         expectedEvalGrams = Some(evalGrams), maxDocFreq = maxDocFreq)
   }
 
+  /** FUZZY decontamination — the near-dup complement of the exact
+    * n-gram family above: a corpus doc whose word-shingle Jaccard
+    * against ANY eval doc reaches `threshold` is flagged WHOLE. Exact
+    * gram matching misses paraphrased or reformatted eval material
+    * (word swaps, punctuation drift) whose individual n-grams all
+    * moved — the residual channel fuzzy eval-matching closes (the
+    * Lee et al. 2021 near-dup contamination finding, applied at the
+    * corpus↔eval boundary instead of train↔test).
+    *
+    * Pairing rides the d10 cross-set machinery with the eval suite as
+    * the TINY side: banded LSH candidates, exact-jaccard verify —
+    * cost is one map pass over the corpus plus candidate-bounded
+    * joins, never corpus × eval. CONTRACT (the d10 rule): corpus and
+    * eval ids must be disjoint. Output: every corpus row plus
+    * `eval_jaccard` (max verified jaccard vs the suite, NULL if
+    * clean) and `contaminated` (0/1) — callers drop, quarantine, or
+    * census as policy dictates. */
+  def fuzzyDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+                         idCol: String, textCol: String,
+                         threshold: Double = 0.8,
+                         shingleSize: Int = 3): DataFrame = {
+    val pairs = incrementalNearDup(evalSet, corpus, idCol, textCol,
+      shingleSize = shingleSize, threshold = threshold)
+    val hits = pairs.groupBy(col("id_b").as(idCol))
+      .agg(round(max("jaccard"), 6).as("eval_jaccard"))
+    corpus.join(hits, Seq(idCol), "left")
+      .withColumn("contaminated", col("eval_jaccard").isNotNull.cast("int"))
+  }
+
+  /** [[fuzzyDecontaminate]] against the eval suite AT REST — the
+    * frozen benchmarks published once as a near-dup store
+    * ([[writeNearDupStore]] over the eval docs), every weekly crawl
+    * flagged against it without re-shingling the suite. Store ≡ live
+    * is the contract (the t23 convention): same output, same oracle.
+    * The pair direction flips (the corpus is the probing batch here),
+    * flags land identically. */
+  def fuzzyDecontaminateFromStore(corpus: DataFrame, dir: String,
+                                  idCol: String, textCol: String,
+                                  threshold: Double = 0.8): DataFrame = {
+    val pairs = incrementalNearDupFromStore(corpus, dir, idCol, textCol,
+      threshold = threshold)
+    val hits = pairs.groupBy(col("id_a").as(idCol))
+      .agg(round(max("jaccard"), 6).as("eval_jaccard"))
+    corpus.join(hits, Seq(idCol), "left")
+      .withColumn("contaminated", col("eval_jaccard").isNotNull.cast("int"))
+  }
+
   /** D9 — inter-document duplicated-span coverage: for each document,
     * how many of its word-n-gram POSITIONS carry an n-gram that occurs
     * in at least `minDocs` distinct documents (itself included), plus

@@ -16,6 +16,26 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L, 2L))
   }
 
+  test("fuzzyDecontaminate flags a paraphrased eval doc whole; clean docs pass") {
+    // corpus doc 1 is a one-word paraphrase of eval doc 100: every
+    // 3-gram around the swapped word moved, but shingle jaccard stays
+    // >= 0.8 — the residual channel exact-gram matching underestimates
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val paraphrased = ((1 to 19).map(i => s"w$i") ++ Seq("SWAPPED") ++
+      (21 to 40).map(i => s"w$i")).mkString(" ")
+    val corpus = Seq((1L, paraphrased),
+      (2L, (1 to 40).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val eval = Seq((100L, base)).toDF("doc_id", "text")
+    val out = Dedup.fuzzyDecontaminate(corpus, eval, "doc_id", "text",
+        threshold = 0.8)
+      .select("doc_id", "contaminated", "eval_jaccard")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    assert(out(1L)._1 == 1 && out(1L)._2.exists(j => j >= 0.8 && j < 1.0),
+      s"paraphrase must flag with jaccard in [0.8, 1): $out")
+    assert(out(2L) == ((0, None)), s"clean doc must pass: $out")
+  }
+
   test("exactDedupByShuffle (dup-majority fallback) agrees with exactDedup") {
     val df = Seq(
       (3L, "Hello  World"), (1L, "hello world"), (2L, "other text"),
