@@ -333,7 +333,22 @@ object ScaleProbe {
           when(col("doc_id") % 10 < 9, "cc")
             .otherwise(col("source")).as("source")),
         "source", "doc_id", 1000)
-        .agg(count(lit(1)).as("n")).filter(col("n") >= 0)))
+        .agg(count(lit(1)).as("n")).filter(col("n") >= 0)),
+      // fuzzy (near-dup) eval decontamination against a FIXED suite
+      // (benchmarks don't grow with the crawl): banded cross-set LSH
+      // candidates + exact verify with eval as the tiny side — the
+      // curve must track corpus size; the flagged sliver grows
+      // linearly (every replica re-plants the base's %97 near-dups —
+      // the one-salt-token texts stay above the 0.8 jaccard bar),
+      // never corpus × eval
+      "t35_fuzzy_decontam" -> (d => Dedup.fuzzyDecontaminate(d,
+        base.filter(col("doc_id") % 97 === 0)
+          .select((col("doc_id") + 500000000L).as("doc_id"),
+            concat(col("text"), lit(" extra")).as("text")),
+        "doc_id", "text")
+        .agg(sum(col("contaminated")).as("n_flagged"),
+          sum(col("eval_jaccard")).as("js"))
+        .filter(col("n_flagged") >= 0)))
 
     // SPARK_GRAFT_PROBE_OPS: comma-separated op-name filter, so a
     // targeted re-probe needn't pay the whole battery (the capped exact

@@ -197,6 +197,10 @@ object SparkEntry {
     "d24_boilerplate_stream" -> (Documents.d24BoilerplateStream _),
     "d25_neardup_stream" -> (Documents.d25NearDupStream _),
     "t34_lm_stream" -> (Documents.t34LmScoreStream _),
+    "t35_fuzzy_decontam" -> (Documents.t35FuzzyDecontam _),
+    "mm4_image_dedup" -> (Documents.mm4ImageDedup _),
+    "llm_rag_pipeline" -> (Documents.llmRagPipeline _),
+    "t36_fuzzy_decontam_store" -> (Documents.t36FuzzyDecontamStore _),
     "ann15_ivf_stream" -> (Documents.ann15IvfStream _),
     "ann14_hard_negatives_ann" -> (Documents.ann14HardNegativesAnn _),
     "r14_length_buckets" -> (Documents.r14LengthBuckets _),
@@ -419,6 +423,31 @@ object SparkEntry {
       |  coalesce(clean_text, '') AS clean_text
       |FROM t LEFT JOIN outp ON t.doc_id = outp.doc_id
       |ORDER BY t.doc_id""".stripMargin
+
+  /** t35/t36 shared oracle: the synthesized eval suite + cross-set
+    * exact jaccard + whole-doc flag. */
+  private val fuzzyDecontamSql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |ev AS (SELECT doc_id + 500000000 AS doc_id,
+        |  regexp_split_to_array(trim(CASE WHEN doc_id % 2 = 0
+        |    THEN text || ' extra' ELSE text END), '\s+') AS ws
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |shc AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+        |  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s FROM t),
+        |she AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+        |  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s FROM ev),
+        |szc AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
+        |sze AS (SELECT doc_id, count(*) AS sz FROM she GROUP BY doc_id),
+        |pr AS (SELECT e.doc_id AS id_a, c.doc_id AS id_b, count(*) AS shared
+        |  FROM she e JOIN shc c ON e.s = c.s GROUP BY 1, 2),
+        |jp AS (SELECT id_b, shared * 1.0 / (sa.sz + sb.sz - shared) AS j
+        |  FROM pr JOIN sze sa ON id_a = sa.doc_id JOIN szc sb ON id_b = sb.doc_id
+        |  WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.8),
+        |hits AS (SELECT id_b AS doc_id, round(max(j), 6) AS eval_jaccard FROM jp GROUP BY id_b)
+        |SELECT t.doc_id, h.eval_jaccard,
+        |  CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS contaminated
+        |FROM t LEFT JOIN hits h ON t.doc_id = h.doc_id
+        |ORDER BY t.doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -1867,6 +1896,55 @@ object SparkEntry {
         |  coalesce(clean_text, '') AS clean_text
         |FROM st LEFT JOIN outp ON st.doc_id = outp.doc_id
         |ORDER BY st.doc_id""".stripMargin,
+    // T35/T36: fuzzy decontamination — eval construction + cross-set
+    // exact jaccard + max-per-doc flag in one chain (round(max) =
+    // max(round) by monotonicity); t36 is the at-rest store path and
+    // SHARES this oracle (store = live is the contract, the t23
+    // convention)
+    "t35_fuzzy_decontam" -> fuzzyDecontamSql,
+    // MM4: perceptual-hash image dedup — the oracle replays the group
+    // structure the dHash is CONTRACTED to mirror (text equality +
+    // the planted brightness-twin arithmetic); invariance, discrimination
+    // and keeper election all land in one hash
+    "mm4_image_dedup" ->
+      """WITH t AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
+        |m AS (SELECT doc_id AS media_id, text FROM t
+        |  UNION ALL SELECT doc_id + 500000000, text FROM t WHERE doc_id % 5 = 0),
+        |g AS (SELECT media_id,
+        |  min(media_id) OVER (PARTITION BY text) AS group_id,
+        |  count(*) OVER (PARTITION BY text) AS n_in_group FROM m)
+        |SELECT media_id, group_id, CAST(n_in_group AS BIGINT) AS n_in_group,
+        |  CASE WHEN n_in_group > 1 THEN 1 ELSE 0 END AS is_dup
+        |FROM g ORDER BY media_id""".stripMargin,
+    // LLM-RAG retrieval composite: chunk (t11's chain) -> integer-grid
+    // embed (ann11's convention) -> IVF at nProbe = nCells (exact, the
+    // ann14 replayability rule) -> top-3 with provenance; rank on
+    // unrounded cosine with chunk-key tie-break, rounded on output
+    "llm_rag_pipeline" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents WHERE doc_id < 1500),
+        |st AS (SELECT doc_id, ws, unnest(range(0, greatest(len(ws), 1), 24)) AS start
+        |  FROM t),
+        |ch AS (SELECT doc_id, CAST(start / 24 AS BIGINT) AS chunk_id,
+        |  CAST(len(list_slice(ws, start + 1, start + 32)) AS BIGINT) AS n_tokens
+        |  FROM st),
+        |ck AS (SELECT doc_id, chunk_id, n_tokens,
+        |  doc_id * 100000 + chunk_id AS chunk_key FROM ch),
+        |ce AS (SELECT doc_id, chunk_id, n_tokens, chunk_key,
+        |  list_transform(range(0, 8),
+        |    i -> CAST((n_tokens * 31 + chunk_key * 17 + i * 7) % 97 AS DOUBLE)) AS v
+        |  FROM ck),
+        |q AS (SELECT unnest(range(0, 10)) AS query_id),
+        |qv AS (SELECT query_id, list_transform(range(0, 8),
+        |    i -> CAST((query_id * 13 + i * 5 + 3) % 97 AS DOUBLE)) AS v FROM q),
+        |sc AS (SELECT query_id, chunk_key, doc_id, chunk_id, n_tokens,
+        |  list_cosine_similarity(qv.v, ce.v) AS cos FROM qv, ce),
+        |rk AS (SELECT query_id, doc_id, chunk_id, n_tokens, cos,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, chunk_key ASC) AS rank
+        |  FROM sc)
+        |SELECT query_id, rank, doc_id, chunk_id, n_tokens, round(cos, 6) AS cos_sim
+        |FROM rk WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "t36_fuzzy_decontam_store" -> fuzzyDecontamSql,
     // D25: streamed near-dup ingest — sequential survivor semantics
     // replayed from one exact jaccard pair set: batch 1 (evens) drops
     // vs landed (bi -1) + within-batch smaller-id rule; batch 2 (odds)

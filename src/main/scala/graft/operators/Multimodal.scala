@@ -158,6 +158,81 @@ object Multimodal {
         MediaRow(id, bytes, MediaMeta(modality, w, h, 16000, durMs))
     }
   }
+
+  /** Per-image 64-bit perceptual hash ([[Ppm.dHash64]]) over a binary
+    * image column — the LAION-style dedup key for image corpora where
+    * re-encodes/re-grades defeat byte-level fingerprints. Map-side:
+    * decode + hash amortize per partition, only (id, dhash) ever
+    * leaves the scan — the multi-TB binary payload is never on an
+    * exchange. Undecodable payloads hash to NULL (the mm2 all-zero
+    * marker's scalar twin) so they can never merge into a dup group. */
+  def imageDHash(images: DataFrame, idCol: String = "media_id",
+                 bytesCol: String = "bytes"): DataFrame = {
+    import images.sparkSession.implicits._
+    images.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, Ppm.decode(bytes).map(Ppm.dHash64))
+      })
+      .toDF(idCol, "dhash")
+  }
+
+  /** Hash-equality dup groups over [[imageDHash]] output: every image
+    * gets its group's minimum id (`group_id`), member count
+    * (`n_in_group`) and an `is_dup` flag. One aggregate of skinny
+    * (dhash → min-id, count) rows — map-side combinable — plus one
+    * id-keyed join back; no window, so a viral image with millions of
+    * copies is one combiner cell, not one task's sort. NULL hashes
+    * (undecodable) stay singleton by definition. */
+  def imageDupGroups(hashed: DataFrame,
+                     idCol: String = "media_id"): DataFrame = {
+    val groups = hashed.filter(col("dhash").isNotNull)
+      .groupBy("dhash")
+      .agg(min(col(idCol)).as("group_id"), count(lit(1)).as("n_in_group"))
+    hashed.join(groups, Seq("dhash"), "left")
+      .select(col(idCol),
+        coalesce(col("group_id"), col(idCol)).as("group_id"),
+        coalesce(col("n_in_group"), lit(1L)).as("n_in_group"),
+        (coalesce(col("n_in_group"), lit(1L)) > 1).cast("int").as("is_dup"))
+  }
+
+  /** NEAR-duplicate image pairs at Hamming distance ≤ `maxHamming`
+    * over the dHash — banded exactly like SimHash text near-dup: the
+    * 64-bit hash splits into `bands` sub-keys, a pair at distance
+    * ≤ bands−1 must agree on ≥ 1 whole band (pigeonhole — recall 1.0
+    * for maxHamming ≤ bands−1, the regime perceptual dedup runs at),
+    * so candidates come from band-key equi-joins of skinny (id, band,
+    * key) rows, then exact popcount verifies. Emits (id_a < id_b,
+    * hamming). Never pairs the corpus against itself unbucketed. */
+  def imageNearDupPairs(hashed: DataFrame, maxHamming: Int = 3,
+                        bands: Int = 4,
+                        idCol: String = "media_id"): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    require(maxHamming <= bands - 1,
+      s"banded recall is exact only for maxHamming <= bands-1 " +
+        s"($maxHamming vs $bands); raise bands")
+    val r = 64 / bands
+    val mask = lit((if (r == 64) -1L else (1L << r) - 1L))
+    val bandCols = (0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("dhash"), b * r).bitwiseAND(mask).as("bk")))
+    val banded = hashed.filter(col("dhash").isNotNull)
+      .select(col(idCol), col("dhash"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("dhash"),
+        col("bb.band").as("band"), col("bb.bk").as("bk"))
+    val a = banded.select(col(idCol).as("id_a"), col("dhash").as("h_a"),
+      col("band"), col("bk"))
+    val b = banded.select(col(idCol).as("id_b"), col("dhash").as("h_b"),
+      col("band"), col("bk"))
+    a.join(b, Seq("band", "bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }
 
 /** Minimal pure-JVM binary-PPM (P6, Netpbm) codec — the image half of
@@ -235,6 +310,71 @@ object Ppm {
       i += 1
     }
     counts.map(c => if (n == 0) 0.0f else (c.toDouble / n).toFloat)
+  }
+
+  /** 64-bit difference hash (dHash — Krawetz's public perceptual-hash
+    * recipe: resize to a 9×8 luma grid, bit = "is this cell brighter
+    * than its right neighbour"). Block-mean downsample with ceil-span
+    * guards so every grid cell covers ≥ 1 pixel for ANY w×h ≥ 1×1;
+    * cell means are compared CROSS-MULTIPLIED as exact integer sums
+    * (sumA·nB > sumB·nA), so the bit pattern is deterministic — no
+    * float accumulation anywhere. Luma is the same integer (r+g+b)/3
+    * as [[luminanceHistogram]].
+    *
+    * The property that makes this a DEDUP key rather than a checksum:
+    * a constant brightness shift adds exactly +s to every cell's mean
+    * (sum' = sum + s·n preserves every cross-multiplied inequality),
+    * so re-exported/re-graded copies of one image collide on the hash
+    * while their bytes differ everywhere — the channel exact binary
+    * dedup misses. Bits pack row-major, MSB first. */
+  def dHash64(img: Rgb): Long = {
+    val gw = 9; val gh = 8
+    val w = img.width; val h = img.height
+    // per-cell (lumaSum, pixelCount) over the block-mean grid
+    val sums = Array.ofDim[Long](gh, gw)
+    val cnts = Array.ofDim[Long](gh, gw)
+    var r = 0
+    while (r < gh) {
+      val y0 = r * h / gh
+      val y1 = math.max(y0 + 1, (r + 1) * h / gh)
+      var c = 0
+      while (c < gw) {
+        val x0 = c * w / gw
+        val x1 = math.max(x0 + 1, (c + 1) * w / gw)
+        // spans never escape the raster: x0 = c·w/gw < w for every
+        // c < gw (integer division), and the ceil guard caps y1/x1 at
+        // y0+1/x0+1 ≤ h/w — every cell covers ≥ 1 real pixel
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val i = 3 * (y * w + x)
+            s += ((img.pixels(i) & 0xFF) + (img.pixels(i + 1) & 0xFF) +
+              (img.pixels(i + 2) & 0xFF)) / 3
+            x += 1
+          }
+          y += 1
+        }
+        sums(r)(c) = s
+        cnts(r)(c) = (y1 - y0).toLong * (x1 - x0)
+        c += 1
+      }
+      r += 1
+    }
+    var hash = 0L
+    r = 0
+    while (r < gh) {
+      var c = 0
+      while (c < gw - 1) {
+        hash <<= 1
+        if (sums(r)(c) * cnts(r)(c + 1) > sums(r)(c + 1) * cnts(r)(c))
+          hash |= 1L
+        c += 1
+      }
+      r += 1
+    }
+    hash
   }
 }
 

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis, Y4m}
+import graft.operators.{Dedup, Multimodal, Ppm, Similarity, TextAnalysis, Y4m}
 
 /** Training-data-pipeline operators over the documents/embeddings tables:
   * dedup family, text analysis, similarity search.
@@ -1978,6 +1978,121 @@ object Documents {
     graft.sources.Sources.readPublished(s, keptDir)
       .select("doc_id", "n_toks", "n_kept", "clean_text")
       .orderBy("doc_id")
+  }
+
+  /** T35 — FUZZY decontamination: the %97 slice poses as the eval
+    * suite (ids offset into the disjoint eval range; every even
+    * source id PERTURBED with an appended token — the paraphrase
+    * case whose individual n-grams drift, which the exact-gram
+    * rewrite family only partially catches), and every corpus doc
+    * near-dupping any eval doc at jaccard ≥ 0.8 is flagged whole.
+    * The oracle recomputes the eval construction, the cross-set
+    * exact jaccard, and the max-per-doc flag in one WITH-chain — a
+    * missed candidate (LSH recall), a verify drift, or a flag slip
+    * hash-fails. */
+  /** The synthesized eval suite shared by t35/t36: the %97 slice with
+    * ids offset into the disjoint eval range and every even source id
+    * perturbed by one appended token. */
+  private def fuzzyEvalSuite(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 97 === 0)
+      .select((col("doc_id") + 500000000L).as("doc_id"),
+        when(col("doc_id") % 2 === 0, concat(col("text"), lit(" extra")))
+          .otherwise(col("text")).as("text"))
+
+  def t35FuzzyDecontam(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.fuzzyDecontaminate(docs, fuzzyEvalSuite(docs), "doc_id", "text",
+        threshold = 0.8)
+      .select(col("doc_id"), col("eval_jaccard"), col("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** T36 — the same flags through the eval suite AT REST (the frozen
+    * benchmarks as a near-dup store, the weekly-crawl read path).
+    * Shares t35's oracle: store ≡ live IS the gate. */
+  def t36FuzzyDecontamStore(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val dir = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/fuzzy_eval_store"
+    Dedup.writeNearDupStore(fuzzyEvalSuite(docs), "doc_id", "text", dir)
+    Dedup.fuzzyDecontaminateFromStore(docs, dir, "doc_id", "text",
+        threshold = 0.8)
+      .select(col("doc_id"), col("eval_jaccard"), col("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** MM4 — perceptual-hash image dedup ([[graft.operators.Multimodal
+    * .imageDHash]] + [[graft.operators.Multimodal.imageDupGroups]]):
+    * every doc < 2000 synthesizes a 16×8 grayscale PPM whose pixels
+    * are md5-avalanched from the TEXT (identical texts — the corpus's
+    * real verbatim-dup structure — yield identical images; any text
+    * difference scrambles every pixel, so distinct texts collide on
+    * the 64-bit dHash with ~2⁻⁶⁰ odds), and every %5 == 0 doc also
+    * plants a BRIGHTNESS-SHIFTED copy (+1 to every channel): its
+    * bytes differ everywhere — exact binary dedup misses it — but
+    * dHash's cross-multiplied cell-difference bits are shift-invariant
+    * by construction, so it MUST land in its original's dup group.
+    * The oracle replays the group structure from what the hash is
+    * CONTRACTED to mirror: text equality (+ the planted-twin
+    * arithmetic). A hash that splits a brightness pair (invariance
+    * bug), merges distinct texts (discrimination bug), or mis-elects
+    * the keeper hash-fails. */
+  def mm4ImageDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val px = Tables.documents(s, d).filter(col("doc_id") < 2000)
+      .select(col("doc_id"),
+        // 128 hex chars -> 16x8 pixels, one md5 block per 2 rows
+        concat((2 to 5).map(i =>
+          md5(concat(col("text"), lit(s":$i")))): _*).as("hex"))
+    val media = px.as[(Long, String)].flatMap { case (id, hex) =>
+      val base = hex.getBytes("US-ASCII")
+      def ppm(shift: Int) = Ppm.encode(16, 8,
+        base.flatMap { b => val v = (b + shift).toByte; Array(v, v, v) })
+      if (id % 5 == 0) Seq((id, ppm(0)), (id + 500000000L, ppm(1)))
+      else Seq((id, ppm(0)))
+    }.toDF("media_id", "bytes")
+    Multimodal.imageDupGroups(Multimodal.imageDHash(media))
+      .orderBy("media_id")
+  }
+
+  /** LLM-RAG retrieval composite — the serving half of the chunk →
+    * embed → index → retrieve pipeline every RAG stack runs: documents
+    * are sliding-window chunked (32/24, t11's operator), each chunk
+    * embedded (the ann11 integer-grid convention — SQL-replayable, so
+    * the whole composite stays on the hard signal), the chunk vectors
+    * landed as an at-rest IVF index, and 10 query vectors retrieve
+    * top-3 chunks with doc/chunk provenance joined back. nProbe =
+    * nCells makes the index path EXACT (the ann14 replayability
+    * convention) — the oracle recomputes chunking, embedding, cosine
+    * and rank from scratch, so a chunker drift, a dropped index row, a
+    * mis-assigned cell, or a rank tie-break slip all hash-fail. At
+    * scale: chunking/embedding are map-side, the index is the ann7
+    * cell-pruned store, and provenance joins on skinny chunk keys. */
+  def llmRagPipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 1500)
+      .select("doc_id", "text")
+    val chunks = TextAnalysis.chunkDocuments(docs, "doc_id", "text", 32, 24)
+      .withColumnRenamed("id", "doc_id")
+      .withColumn("chunk_key", col("doc_id") * 100000L + col("chunk_id"))
+    val embedded = chunks.select(col("chunk_key").as("vec_id"),
+      transform(sequence(lit(0), lit(7)), i =>
+        pmod(col("n_tokens") * 31 + col("chunk_key") * 17 + i * 7, lit(97))
+          .cast("float")).as("embedding"))
+    val dir = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/rag_chunk_index"
+    val centroids = Similarity.writeIvfIndex(embedded, dir, nCells = 8)
+    // query ids live in their own range: scoreProbed's q_id != n_id
+    // self-pair guard must never collide with a chunk key
+    val queries = s.range(0, 10).select((col("id") + 900000000L).as("vec_id"),
+      transform(sequence(lit(0), lit(7)), i =>
+        pmod(col("id") * 13 + i * 5 + 3, lit(97)).cast("float"))
+        .as("embedding"))
+    Similarity.ivfTopKFromIndex(dir, centroids, queries, k = 3, nProbe = 8)
+      .join(chunks.select(col("chunk_key").as("n_id"), col("doc_id"),
+        col("chunk_id"), col("n_tokens")), "n_id")
+      .select((col("q_id") - 900000000L).as("query_id"), col("rank"),
+        col("doc_id"), col("chunk_id"), col("n_tokens"), col("cos_sim"))
+      .orderBy("query_id", "rank")
   }
 
   /** D25 — the near-dup INGEST loop on the hard signal

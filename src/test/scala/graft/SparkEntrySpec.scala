@@ -42,6 +42,9 @@ class SparkEntrySpec extends SparkSpec {
       // broadcast ~10-anchor set × one corpus scan with a cross-label
       // predicate — the ann1 exact-baseline shape. The 100 TB path is
       // hardNegativesFromCandidates (gated as ann14).
+      "llm_rag_pipeline", // the IVF probe step's bounded broadcast LUT:
+      // 10 queries × the nCells(=8)-row centroid table (ann3's shape) —
+      // the corpus-sized chunk side rides equi-joins only
       "ann14_hard_negatives_ann") // the candidate GENERATOR here is the
       // oracle-replayable exact top-20 over-fetch (ann1's intended
       // BNLJ); hardNegativesFromCandidates itself — the part that runs

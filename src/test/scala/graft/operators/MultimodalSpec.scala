@@ -252,4 +252,67 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.groupBy("media_id").agg(min("offset_ms").as("m"))
       .filter($"m" =!= 0L).count() == 0)
   }
+
+  private def grayPpm(w: Int, h: Int, f: Int => Int): Array[Byte] =
+    Ppm.encode(w, h, Array.tabulate(3 * w * h) { i =>
+      f(i / 3).toByte
+    })
+
+  test("dHash64: brightness-shift invariant, content-sensitive, total on 1x1") {
+    val base = grayPpm(16, 8, i => (i * 37 + 11) % 200)
+    val brighter = grayPpm(16, 8, i => (i * 37 + 11) % 200 + 17)
+    // flatten raster row 2 to constant 255: its grid cells all equalize,
+    // so every originally-unequal adjacent pair in grid row 2 (cell(2,0)
+    // mean 195 vs cell(2,1) mean 50.5 in this pattern) must flip to 0
+    val edited = grayPpm(16, 8, i =>
+      if (i / 16 == 2) 255 else (i * 37 + 11) % 200)
+    def h(b: Array[Byte]) = Ppm.dHash64(Ppm.decode(b).get)
+    // +17 to every channel: every cell mean shifts by exactly +17, all
+    // cross-multiplied difference bits survive — the re-export channel
+    assert(h(base) == h(brighter))
+    // one blown-out pixel flips at least one local difference bit
+    assert(h(base) != h(edited))
+    // degenerate rasters stay total (every grid cell clamps to >= 1 px)
+    assert(Ppm.decode(grayPpm(1, 1, _ => 7)).map(Ppm.dHash64).contains(
+      Ppm.dHash64(Ppm.decode(grayPpm(1, 1, _ => 123)).get)))
+  }
+
+  test("imageDHash + imageDupGroups: shifted twin groups with its original, undecodable stays singleton") {
+    val imgs = Seq(
+      (1L, grayPpm(16, 8, i => (i * 53) % 180)),
+      (2L, grayPpm(16, 8, i => (i * 53) % 180 + 40)), // brightness twin of 1
+      (3L, grayPpm(16, 8, i => (i * 91 + 3) % 210)), // different content
+      (4L, "not a ppm".getBytes("US-ASCII"))) // undecodable
+      .toDF("media_id", "bytes")
+    val out = imageDupGroups(imageDHash(imgs))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getInt(3)))).toMap
+    assert(out(1L) == ((1L, 2L, 1)) && out(2L) == ((1L, 2L, 1)),
+      s"twin must join its original's group: $out")
+    assert(out(3L) == ((3L, 1L, 0)), s"distinct content must stay apart: $out")
+    assert(out(4L) == ((4L, 1L, 0)), s"undecodable must stay singleton: $out")
+  }
+
+  test("imageNearDupPairs: banded candidates reproduce brute-force hamming pairs") {
+    // 40 hashed images: pairs planted at hamming 1-3 (bit flips of a
+    // base hash), the rest md5-spread
+    val base = 0x5a3c96e1b4d27f08L
+    val rows = (0L until 40L).map { id =>
+      val h =
+        if (id % 10 == 1) base ^ (1L << (id % 63).toInt) // hamming 1 from base
+        else if (id % 10 == 0) base
+        else scala.util.hashing.MurmurHash3.stringHash(s"img$id").toLong * 2654435761L
+      (id, h)
+    }.toDF("media_id", "dhash")
+    val banded = imageNearDupPairs(rows, maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val all = rows.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, ha) <- all; (ib, hb) <- all if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    assert(brute.nonEmpty, "fixture must plant at least one close pair")
+    assert(banded == brute,
+      s"banded pairs must equal brute force: missing ${brute -- banded}, extra ${banded -- brute}")
+  }
 }
