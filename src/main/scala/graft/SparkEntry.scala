@@ -199,6 +199,8 @@ object SparkEntry {
     "t34_lm_stream" -> (Documents.t34LmScoreStream _),
     "t35_fuzzy_decontam" -> (Documents.t35FuzzyDecontam _),
     "mm4_image_dedup" -> (Documents.mm4ImageDedup _),
+    "mm5_image_dedup_store" -> (Documents.mm5ImageDedupStore _),
+    "mm6_image_dedup_stream" -> (Documents.mm6ImageDedupStream _),
     "llm_rag_pipeline" -> (Documents.llmRagPipeline _),
     "t36_fuzzy_decontam_store" -> (Documents.t36FuzzyDecontamStore _),
     "ann15_ivf_stream" -> (Documents.ann15IvfStream _),
@@ -1916,6 +1918,35 @@ object SparkEntry {
         |SELECT media_id, group_id, CAST(n_in_group AS BIGINT) AS n_in_group,
         |  CASE WHEN n_in_group > 1 THEN 1 ELSE 0 END AS is_dup
         |FROM g ORDER BY media_id""".stripMargin,
+    // MM5: at-rest image dedup — keeper rule replayed on text equality
+    // (what the dHash is contracted to mirror); store slice excluded,
+    // min-id election within the batch
+    "mm5_image_dedup_store" ->
+      """WITH t AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
+        |st AS (SELECT DISTINCT text FROM t WHERE doc_id % 31 = 0),
+        |b AS (SELECT doc_id AS media_id, text FROM t WHERE doc_id % 31 <> 0
+        |  UNION ALL SELECT doc_id + 500000000, text FROM t
+        |  WHERE doc_id % 31 = 0 AND doc_id % 10 = 0),
+        |k AS (SELECT media_id,
+        |  CASE WHEN media_id = min(media_id) OVER (PARTITION BY text)
+        |    AND text NOT IN (SELECT text FROM st) THEN 1 ELSE 0 END AS kept
+        |  FROM b)
+        |SELECT media_id, kept FROM k ORDER BY media_id""".stripMargin,
+    // MM6: the streamed twin — cross-batch keeper rule (batch index =
+    // id parity, batch 1 first), store slice excluded; published table
+    // is the hashed surface, so order/append/publish slips all land
+    "mm6_image_dedup_stream" ->
+      """WITH t AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
+        |st AS (SELECT DISTINCT text FROM t WHERE doc_id % 31 = 0),
+        |b AS (SELECT doc_id AS media_id, text FROM t WHERE doc_id % 31 <> 0
+        |  UNION ALL SELECT doc_id + 500000000, text FROM t
+        |  WHERE doc_id % 31 = 0 AND doc_id % 10 = 0),
+        |r AS (SELECT media_id, text, row_number() OVER (PARTITION BY text
+        |  ORDER BY CASE WHEN media_id % 2 = 0 THEN 1 ELSE 2 END, media_id) AS rn
+        |  FROM b)
+        |SELECT media_id FROM r
+        |WHERE rn = 1 AND text NOT IN (SELECT text FROM st)
+        |ORDER BY media_id""".stripMargin,
     // LLM-RAG retrieval composite: chunk (t11's chain) -> integer-grid
     // embed (ann11's convention) -> IVF at nProbe = nCells (exact, the
     // ann14 replayability rule) -> top-3 with provenance; rank on

@@ -177,6 +177,54 @@ object Multimodal {
       .toDF(idCol, "dhash")
   }
 
+  /** [[imageDHash]] with the payload carried through: (id, bytes,
+    * dhash) — the streaming-ingest shape, where the kept rows must
+    * publish their binary payload. The bytes ride only the id-local
+    * map; nothing here puts them on an exchange. */
+  def withImageDHash(images: DataFrame, idCol: String = "media_id",
+                     bytesCol: String = "bytes"): DataFrame = {
+    import images.sparkSession.implicits._
+    images.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, bytes, Ppm.decode(bytes).map(Ppm.dHash64))
+      })
+      .toDF(idCol, bytesCol, "dhash")
+  }
+
+  /** At-rest image-dedup fingerprint store: the dHash AS the
+    * fingerprint, riding [[Dedup.writeFpStore]]'s Bloom-fronted
+    * machinery unchanged (the dHash string is an injective key, so
+    * md5-of-dhash keeps exact-dedup semantics while reusing the
+    * store's sharding/capacity/meta conventions verbatim). Undecodable
+    * payloads are EXCLUDED — they have no perceptual identity and must
+    * never merge; route them to a quarantine table upstream. */
+  def writeImageDHashStore(images: DataFrame, dir: String,
+                           expectedTotalImages: Long,
+                           idCol: String = "media_id",
+                           bytesCol: String = "bytes",
+                           fpp: Double = 0.001, shards: Int = 1): Unit =
+    Dedup.writeFpStore(
+      imageDHash(images, idCol, bytesCol).filter(col("dhash").isNotNull)
+        .select(col(idCol), col("dhash").cast("string").as("_dh")),
+      idCol, "_dh", dir, expectedTotalImages, fpp, shards)
+
+  /** Batch image dedup against the at-rest store — the weekly-crawl
+    * read path: (id, fp) keepers per [[Dedup
+    * .incrementalExactDedupFromFpStore]]'s contract (one row per
+    * distinct batch dHash absent from the store, smallest id wins
+    * within the batch; Bloom-routed so a mostly-novel batch pays map
+    * work + an anti join over the suspect sliver only). A re-graded /
+    * re-exported copy of a stored image carries the stored dHash and
+    * drops here even though its bytes match nothing. */
+  def imageDedupFromStore(batch: DataFrame, dir: String,
+                          idCol: String = "media_id",
+                          bytesCol: String = "bytes"): DataFrame =
+    Dedup.incrementalExactDedupFromFpStore(
+      imageDHash(batch, idCol, bytesCol).filter(col("dhash").isNotNull)
+        .select(col(idCol), col("dhash").cast("string").as("_dh")),
+      dir, idCol, "_dh")
+
   /** Hash-equality dup groups over [[imageDHash]] output: every image
     * gets its group's minimum id (`group_id`), member count
     * (`n_in_group`) and an `is_dup` flag. One aggregate of skinny

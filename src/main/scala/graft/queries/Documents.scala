@@ -2037,21 +2037,108 @@ object Documents {
     * arithmetic). A hash that splits a brightness pair (invariance
     * bug), merges distinct texts (discrimination bug), or mis-elects
     * the keeper hash-fails. */
-  def mm4ImageDedup(s: SparkSession, d: String): DataFrame = {
+  /** Shared mm4/mm5/mm6 image synthesis: a 16×8 grayscale PPM whose
+    * pixels are md5-avalanched from the doc TEXT (128 hex chars, one
+    * md5 block per two raster rows) — identical texts yield identical
+    * images, any text change scrambles every pixel, and `shift` is the
+    * constant brightness offset the dHash must be invariant to. */
+  private def md5ImageBytes(hex: String, shift: Int): Array[Byte] = {
+    val base = hex.getBytes("US-ASCII")
+    Ppm.encode(16, 8, base.flatMap { b =>
+      val v = (b + shift).toByte; Array(v, v, v)
+    })
+  }
+  private def md5HexImages(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat((2 to 5).map(i =>
+        md5(concat(col("text"), lit(s":$i")))): _*).as("hex"))
+  private def ppmFrame(s: SparkSession, hexed: DataFrame,
+                       idOffset: Long, shift: Int): DataFrame = {
     import s.implicits._
-    val px = Tables.documents(s, d).filter(col("doc_id") < 2000)
-      .select(col("doc_id"),
-        // 128 hex chars -> 16x8 pixels, one md5 block per 2 rows
-        concat((2 to 5).map(i =>
-          md5(concat(col("text"), lit(s":$i")))): _*).as("hex"))
-    val media = px.as[(Long, String)].flatMap { case (id, hex) =>
-      val base = hex.getBytes("US-ASCII")
-      def ppm(shift: Int) = Ppm.encode(16, 8,
-        base.flatMap { b => val v = (b + shift).toByte; Array(v, v, v) })
-      if (id % 5 == 0) Seq((id, ppm(0)), (id + 500000000L, ppm(1)))
-      else Seq((id, ppm(0)))
+    hexed.as[(Long, String)].map { case (id, hex) =>
+      (id + idOffset, md5ImageBytes(hex, shift))
     }.toDF("media_id", "bytes")
+  }
+
+  def mm4ImageDedup(s: SparkSession, d: String): DataFrame = {
+    val hexed = md5HexImages(
+      Tables.documents(s, d).filter(col("doc_id") < 2000))
+    val media = ppmFrame(s, hexed, 0L, 0).unionByName(
+      ppmFrame(s, hexed.filter(col("doc_id") % 5 === 0), 500000000L, 1))
     Multimodal.imageDupGroups(Multimodal.imageDHash(media))
+      .orderBy("media_id")
+  }
+
+  /** MM5 — image dedup against the AT-REST dHash store (the weekly-
+    * crawl read path): the %31 slice's images install the Bloom-
+    * fronted store, the batch is everything else PLUS brightness-
+    * shifted twins of stored images (%31 ∧ %10 — bytes match nothing
+    * in the store, the dHash does), and every batch image reports
+    * `kept` per the keeper rule (first carrier of a dHash the store
+    * has never seen). The oracle replays the rule on what the hash is
+    * contracted to mirror — text equality: min-id per text among the
+    * batch, texts present in the store slice excluded. A Bloom false
+    * negative, a store-probe miss, a twin surviving (invariance bug),
+    * or a wrong within-batch election hash-fails. */
+  def mm5ImageDedupStore(s: SparkSession, d: String): DataFrame = {
+    val hexed = md5HexImages(
+      Tables.documents(s, d).filter(col("doc_id") < 2000))
+    val storeImgs = ppmFrame(s, hexed.filter(col("doc_id") % 31 === 0), 0L, 0)
+    val batch = ppmFrame(s, hexed.filter(col("doc_id") % 31 =!= 0), 0L, 0)
+      .unionByName(ppmFrame(s,
+        hexed.filter(col("doc_id") % 31 === 0 && col("doc_id") % 10 === 0),
+        500000000L, 1))
+    val dir = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/mm5_imgstore"
+    Multimodal.writeImageDHashStore(storeImgs, dir,
+      expectedTotalImages = 100000L)
+    val keepers = Multimodal.imageDedupFromStore(batch, dir)
+      .select(col("id").as("media_id"), lit(1).as("kept"))
+    batch.select("media_id")
+      .join(keepers, Seq("media_id"), "left")
+      .select(col("media_id"), coalesce(col("kept"), lit(0)).as("kept"))
+      .orderBy("media_id")
+  }
+
+  /** MM6 — the image-dedup INGEST loop on the hard signal
+    * ([[graft.streaming.EventStream.streamingImageDedupIngest]] —
+    * d23's loop with the perceptual dHash as the fingerprint): the
+    * %31 slice installs the store, the mm5 batch (twins included)
+    * streams as two AvailableNow micro-batches split by id parity,
+    * and the PUBLISHED kept table is hashed against DuckDB replaying
+    * the full cross-batch keeper rule — rn = 1 over (batch index,
+    * media_id) per text, store slice excluded. A dropped store
+    * append (batch-2 copy of a batch-1 image re-admitted), a flipped
+    * batch order, a double publish, or a surviving brightness twin
+    * hash-fails. */
+  def mm6ImageDedupStream(s: SparkSession, d: String): DataFrame = {
+    val hexed = md5HexImages(
+      Tables.documents(s, d).filter(col("doc_id") < 2000))
+    val base = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/mm6_stream"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val (storeDir, inDir) = (s"$base/store", s"$base/in")
+    val (keptDir, ckpt) = (s"$base/kept", s"$base/ckpt")
+    Multimodal.writeImageDHashStore(
+      ppmFrame(s, hexed.filter(col("doc_id") % 31 === 0), 0L, 0),
+      storeDir, expectedTotalImages = 100000L)
+    val batch = ppmFrame(s, hexed.filter(col("doc_id") % 31 =!= 0), 0L, 0)
+      .unionByName(ppmFrame(s,
+        hexed.filter(col("doc_id") % 31 === 0 && col("doc_id") % 10 === 0),
+        500000000L, 1))
+    writeOrderedBatches(s, inDir,
+      Seq(batch.filter(col("media_id") % 2 === 0),
+        batch.filter(col("media_id") % 2 =!= 0)))
+    val stream = s.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = graft.streaming.EventStream.streamingImageDedupIngest(
+        stream, storeDir, keptDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt).start()
+    q.awaitTermination()
+    graft.sources.Sources.readPublished(s, keptDir)
+      .select("media_id")
       .orderBy("media_id")
   }
 

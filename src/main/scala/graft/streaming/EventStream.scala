@@ -335,6 +335,31 @@ object EventStream {
     }
   }
 
+  /** Streaming IMAGE dedup ingest — [[streamingExactDedupIngest]] with
+    * the perceptual dHash as the fingerprint: each micro-batch of
+    * (id, bytes) image rows hashes map-side
+    * ([[graft.operators.Multimodal.withImageDHash]] — payload carried,
+    * never on an exchange until the kept publish), keeps the first
+    * carrier of each previously-unseen dHash, publishes the kept rows
+    * manifest-committed, and appends the new hashes to the Bloom-
+    * fronted store. Brightness-shifted re-exports of already-landed
+    * images drop even though their bytes match nothing — the byte-
+    * exact loop (d23's) would re-admit every one. Undecodable payloads
+    * DROP here (no perceptual identity ⇒ no dedup claim); a production
+    * loop routes them to a quarantine sink instead. Replay posture,
+    * manifest guard and maintenance hooks are inherited verbatim. */
+  def streamingImageDedupIngest(images: DataFrame, storeDir: String,
+                                keptDir: String,
+                                idCol: String = "media_id",
+                                bytesCol: String = "bytes")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val hashed = graft.operators.Multimodal
+      .withImageDHash(images, idCol, bytesCol)
+      .filter(col("dhash").isNotNull)
+      .withColumn("_dh", col("dhash").cast("string"))
+    streamingExactDedupIngest(hashed, storeDir, keptDir, idCol, "_dh")
+  }
+
   /** Streaming per-source boilerplate removal — the d19 operator's
     * ingest twin, closing the last batch-only member of the rewrite
     * family: per micro-batch, (1) fold the batch's per-(source, gram)

@@ -293,6 +293,23 @@ class MultimodalSpec extends SparkSpec {
     assert(out(4L) == ((4L, 1L, 0)), s"undecodable must stay singleton: $out")
   }
 
+  test("imageDedupFromStore: stored/shifted dups drop, novel keeps, undecodable excluded") {
+    val dir = java.nio.file.Files.createTempDirectory("imgfpstore").toString
+    writeImageDHashStore(
+      Seq((100L, grayPpm(16, 8, i => (i * 53) % 180))).toDF("media_id", "bytes"),
+      dir, expectedTotalImages = 1000L)
+    val batch = Seq(
+      (1L, grayPpm(16, 8, i => (i * 53) % 180 + 40)), // brightness re-export of stored 100
+      (2L, grayPpm(16, 8, i => (i * 91 + 3) % 210)), // novel
+      (3L, grayPpm(16, 8, i => (i * 91 + 3) % 210)), // within-batch dup of 2
+      (4L, "junk".getBytes("US-ASCII"))) // undecodable: no perceptual identity
+      .toDF("media_id", "bytes")
+    val kept = imageDedupFromStore(batch, dir)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L),
+      s"only the novel image's first carrier survives: $kept")
+  }
+
   test("imageNearDupPairs: banded candidates reproduce brute-force hamming pairs") {
     // 40 hashed images: pairs planted at hamming 1-3 (bit flips of a
     // base hash), the rest md5-spread
