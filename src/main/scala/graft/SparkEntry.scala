@@ -200,6 +200,7 @@ object SparkEntry {
     "t35_fuzzy_decontam" -> (Documents.t35FuzzyDecontam _),
     "mm4_image_dedup" -> (Documents.mm4ImageDedup _),
     "mm5_image_dedup_store" -> (Documents.mm5ImageDedupStore _),
+    "mm7_audio_dedup" -> (Documents.mm7AudioDedup _),
     "mm6_image_dedup_stream" -> (Documents.mm6ImageDedupStream _),
     "llm_rag_pipeline" -> (Documents.llmRagPipeline _),
     "t36_fuzzy_decontam_store" -> (Documents.t36FuzzyDecontamStore _),
@@ -450,6 +451,19 @@ object SparkEntry {
         |  CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS contaminated
         |FROM t LEFT JOIN hits h ON t.doc_id = h.doc_id
         |ORDER BY t.doc_id""".stripMargin
+
+  /** mm4/mm7 shared oracle: the %5-twin dup-group structure both
+    * perceptual fingerprints are contracted to mirror. */
+  private val mediaDupGroupsSql: String =
+    """WITH t AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
+      |m AS (SELECT doc_id AS media_id, text FROM t
+      |  UNION ALL SELECT doc_id + 500000000, text FROM t WHERE doc_id % 5 = 0),
+      |g AS (SELECT media_id,
+      |  min(media_id) OVER (PARTITION BY text) AS group_id,
+      |  count(*) OVER (PARTITION BY text) AS n_in_group FROM m)
+      |SELECT media_id, group_id, CAST(n_in_group AS BIGINT) AS n_in_group,
+      |  CASE WHEN n_in_group > 1 THEN 1 ELSE 0 END AS is_dup
+      |FROM g ORDER BY media_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -1904,20 +1918,14 @@ object SparkEntry {
     // SHARES this oracle (store = live is the contract, the t23
     // convention)
     "t35_fuzzy_decontam" -> fuzzyDecontamSql,
-    // MM4: perceptual-hash image dedup — the oracle replays the group
-    // structure the dHash is CONTRACTED to mirror (text equality +
-    // the planted brightness-twin arithmetic); invariance, discrimination
-    // and keeper election all land in one hash
-    "mm4_image_dedup" ->
-      """WITH t AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
-        |m AS (SELECT doc_id AS media_id, text FROM t
-        |  UNION ALL SELECT doc_id + 500000000, text FROM t WHERE doc_id % 5 = 0),
-        |g AS (SELECT media_id,
-        |  min(media_id) OVER (PARTITION BY text) AS group_id,
-        |  count(*) OVER (PARTITION BY text) AS n_in_group FROM m)
-        |SELECT media_id, group_id, CAST(n_in_group AS BIGINT) AS n_in_group,
-        |  CASE WHEN n_in_group > 1 THEN 1 ELSE 0 END AS is_dup
-        |FROM g ORDER BY media_id""".stripMargin,
+    // MM4/MM7: perceptual-hash image dedup / volume-invariant audio
+    // dedup — one shared oracle replaying the group structure both
+    // fingerprints are CONTRACTED to mirror (text equality + the
+    // planted %5 twin arithmetic: brightness shift for images, ×2
+    // gain for audio); invariance, discrimination and keeper election
+    // all land in one hash
+    "mm4_image_dedup" -> mediaDupGroupsSql,
+    "mm7_audio_dedup" -> mediaDupGroupsSql,
     // MM5: at-rest image dedup — keeper rule replayed on text equality
     // (what the dHash is contracted to mirror); store slice excluded,
     // min-id election within the batch

@@ -225,19 +225,39 @@ object Multimodal {
         .select(col(idCol), col("dhash").cast("string").as("_dh")),
       dir, idCol, "_dh")
 
-  /** Hash-equality dup groups over [[imageDHash]] output: every image
-    * gets its group's minimum id (`group_id`), member count
-    * (`n_in_group`) and an `is_dup` flag. One aggregate of skinny
-    * (dhash → min-id, count) rows — map-side combinable — plus one
-    * id-keyed join back; no window, so a viral image with millions of
-    * copies is one combiner cell, not one task's sort. NULL hashes
-    * (undecodable) stay singleton by definition. */
+  /** Per-clip volume-invariant fingerprint ([[Wav.audioFingerprint]])
+    * over a binary audio column — [[imageDHash]]'s audio sibling, same
+    * map-side shape and NULL-on-undecodable contract. The fingerprint
+    * is an injective-keyed Long, so [[imageDupGroups]] (hashCol =
+    * "afp") and the dHash store adapters ([[writeImageDHashStore]]'s
+    * pattern — fp = afp string) compose unchanged. */
+  def audioFingerprints(audio: DataFrame, idCol: String = "media_id",
+                        bytesCol: String = "bytes",
+                        bands: Int = 64): DataFrame = {
+    import audio.sparkSession.implicits._
+    audio.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, Wav.decode(bytes).map(Wav.audioFingerprint(_, bands)))
+      })
+      .toDF(idCol, "afp")
+  }
+
+  /** Hash-equality dup groups over [[imageDHash]] output (or any
+    * (id, hash) frame — pass `hashCol`, e.g. [[audioFingerprints]]'
+    * "afp"): every row gets its group's minimum id (`group_id`),
+    * member count (`n_in_group`) and an `is_dup` flag. One aggregate
+    * of skinny (hash → min-id, count) rows — map-side combinable —
+    * plus one id-keyed join back; no window, so a viral image with
+    * millions of copies is one combiner cell, not one task's sort.
+    * NULL hashes (undecodable) stay singleton by definition. */
   def imageDupGroups(hashed: DataFrame,
-                     idCol: String = "media_id"): DataFrame = {
-    val groups = hashed.filter(col("dhash").isNotNull)
-      .groupBy("dhash")
+                     idCol: String = "media_id",
+                     hashCol: String = "dhash"): DataFrame = {
+    val groups = hashed.filter(col(hashCol).isNotNull)
+      .groupBy(hashCol)
       .agg(min(col(idCol)).as("group_id"), count(lit(1)).as("n_in_group"))
-    hashed.join(groups, Seq("dhash"), "left")
+    hashed.join(groups, Seq(hashCol), "left")
       .select(col(idCol),
         coalesce(col("group_id"), col(idCol)).as("group_id"),
         coalesce(col("n_in_group"), lit(1L)).as("n_in_group"),
@@ -533,6 +553,29 @@ object Wav {
       k += 1
     }
     out
+  }
+
+  /** Volume-invariant audio fingerprint: the sign pattern of adjacent
+    * [[bandEnergies]] differences packed into `bands−1` bits (MSB
+    * first) — the audio twin of [[Ppm.dHash64]]. A re-mastered copy at
+    * a power-of-two gain carries EXACTLY scaled band energies (IEEE
+    * scaling by 2^k is exact through the whole Goertzel recurrence,
+    * the power term, and the n² normalization — no epsilon anywhere),
+    * so every difference sign survives and the copy collides on the
+    * fingerprint while its bytes differ everywhere. Non-power-of-two
+    * gains preserve the signs up to float rounding at near-tie bands —
+    * the usual perceptual-hash tolerance, not an exactness claim. */
+  def audioFingerprint(pcm: Pcm, bands: Int = 64): Long = {
+    require(bands >= 2 && bands <= 64, s"bands in [2, 64]: $bands")
+    val e = bandEnergies(pcm.samples, bands)
+    var h = 0L
+    var i = 0
+    while (i < bands - 1) {
+      h <<= 1
+      if (e(i) > e(i + 1)) h |= 1L
+      i += 1
+    }
+    h
   }
 }
 

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.{Dedup, Multimodal, Ppm, Similarity, TextAnalysis, Y4m}
+import graft.operators.{Dedup, Multimodal, Ppm, Similarity, TextAnalysis, Wav, Y4m}
 
 /** Training-data-pipeline operators over the documents/embeddings tables:
   * dedup family, text analysis, similarity search.
@@ -2066,6 +2066,35 @@ object Documents {
     val media = ppmFrame(s, hexed, 0L, 0).unionByName(
       ppmFrame(s, hexed.filter(col("doc_id") % 5 === 0), 500000000L, 1))
     Multimodal.imageDupGroups(Multimodal.imageDHash(media))
+      .orderBy("media_id")
+  }
+
+  /** MM7 — volume-invariant AUDIO dedup ([[graft.operators.Wav
+    * .audioFingerprint]] + the shared dup-group machinery): clips are
+    * WAVs whose 16-bit samples are md5-avalanched from the text, and
+    * every %5 doc plants a ×2-GAIN twin — every PCM byte differs, but
+    * a power-of-two gain scales the whole Goertzel chain EXACTLY in
+    * IEEE float, so all band-energy difference signs (the fingerprint
+    * bits) provably survive and the remaster lands in its original's
+    * group. Same oracle contract as mm4: group structure replayed
+    * from text equality + twin arithmetic — a gain-twin split
+    * (invariance bug) or a distinct-text merge (discrimination bug)
+    * hash-fails. */
+  def mm7AudioDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hexed = md5HexImages(
+      Tables.documents(s, d).filter(col("doc_id") < 2000))
+    def wavFrame(df: DataFrame, off: Long, gain: Int): DataFrame =
+      df.as[(Long, String)].map { case (id, hex) =>
+        // samples in ±1728·gain — gain 2 stays far from Short overflow
+        val samples = hex.getBytes("US-ASCII")
+          .map(c => (((c - 75) << 6) * gain).toShort)
+        (id + off, Wav.encode(samples, 16000))
+      }.toDF("media_id", "bytes")
+    val media = wavFrame(hexed, 0L, 1).unionByName(
+      wavFrame(hexed.filter(col("doc_id") % 5 === 0), 500000000L, 2))
+    Multimodal.imageDupGroups(Multimodal.audioFingerprints(media),
+        hashCol = "afp")
       .orderBy("media_id")
   }
 

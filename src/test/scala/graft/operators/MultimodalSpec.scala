@@ -293,6 +293,24 @@ class MultimodalSpec extends SparkSpec {
     assert(out(4L) == ((4L, 1L, 0)), s"undecodable must stay singleton: $out")
   }
 
+  test("audioFingerprint: power-of-two gain invariant, content-sensitive, all bits live") {
+    val base = Array.tabulate(128)(i =>
+      (((i * 2654435761L) >> 7).toInt % 1500).toShort)
+    def fpOf(samples: Array[Short]) =
+      Wav.audioFingerprint(Wav.decode(Wav.encode(samples, 16000)).get)
+    def fp(scale: Int) = fpOf(base.map(s => (s * scale).toShort))
+    // x2 and x4 gain: the whole Goertzel chain scales EXACTLY in IEEE,
+    // every difference sign survives
+    assert(fp(1) == fp(2) && fp(1) == fp(4))
+    // real content change: zero the second half — energies reshape
+    assert(fp(1) != fpOf(base.zipWithIndex.map { case (s, i) =>
+      if (i >= 64) 0.toShort else s
+    }))
+    // the fingerprint is not degenerate: both bit values present
+    val h = fp(1)
+    assert(h != 0L && java.lang.Long.bitCount(h) < 63)
+  }
+
   test("imageDedupFromStore: stored/shifted dups drop, novel keeps, undecodable excluded") {
     val dir = java.nio.file.Files.createTempDirectory("imgfpstore").toString
     writeImageDHashStore(
