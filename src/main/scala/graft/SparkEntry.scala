@@ -201,6 +201,7 @@ object SparkEntry {
     "mm4_image_dedup" -> (Documents.mm4ImageDedup _),
     "mm5_image_dedup_store" -> (Documents.mm5ImageDedupStore _),
     "mm7_audio_dedup" -> (Documents.mm7AudioDedup _),
+    "llm_decontam_report" -> (Documents.llmDecontamReport _),
     "mm6_image_dedup_stream" -> (Documents.mm6ImageDedupStream _),
     "llm_rag_pipeline" -> (Documents.llmRagPipeline _),
     "t36_fuzzy_decontam_store" -> (Documents.t36FuzzyDecontamStore _),
@@ -1984,6 +1985,39 @@ object SparkEntry {
         |SELECT query_id, rank, doc_id, chunk_id, n_tokens, round(cos, 6) AS cos_sim
         |FROM rk WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "t36_fuzzy_decontam_store" -> fuzzyDecontamSql,
+    // Decontam REPORT: both channels vs t35's suite + the policy CASE
+    // (drop > rewrite > clean) in one chain; the exact channel is
+    // t10's >= 2-shared-grams rule, the fuzzy channel t35's whole-doc
+    // jaccard; `pr` feeds BOTH (shared distinct-gram counts)
+    "llm_decontam_report" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |ev AS (SELECT doc_id + 500000000 AS doc_id,
+        |  regexp_split_to_array(trim(CASE WHEN doc_id % 2 = 0
+        |    THEN text || ' extra' ELSE text END), '\s+') AS ws
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |shc AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+        |  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s FROM t),
+        |she AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+        |  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s FROM ev),
+        |pr AS (SELECT c.doc_id, e.doc_id AS eval_id, count(*) AS shared
+        |  FROM shc c JOIN she e ON c.s = e.s GROUP BY 1, 2),
+        |ex AS (SELECT doc_id, max(shared) AS max_shared, count(*) AS n_eval_hits
+        |  FROM pr WHERE shared >= 2 GROUP BY doc_id),
+        |szc AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
+        |sze AS (SELECT doc_id, count(*) AS sz FROM she GROUP BY doc_id),
+        |jp AS (SELECT pr.doc_id, shared * 1.0 / (sa.sz + sb.sz - shared) AS j
+        |  FROM pr JOIN sze sa ON pr.eval_id = sa.doc_id
+        |  JOIN szc sb ON pr.doc_id = sb.doc_id
+        |  WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.8),
+        |hits AS (SELECT doc_id, round(max(j), 6) AS eval_jaccard FROM jp GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(ex.max_shared, 0) AS max_shared,
+        |  coalesce(ex.n_eval_hits, 0) AS n_eval_hits, h.eval_jaccard,
+        |  CASE WHEN h.doc_id IS NOT NULL THEN 'drop'
+        |       WHEN coalesce(ex.max_shared, 0) >= 2 THEN 'rewrite'
+        |       ELSE 'clean' END AS status
+        |FROM t LEFT JOIN ex ON t.doc_id = ex.doc_id
+        |LEFT JOIN hits h ON t.doc_id = h.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     // D25: streamed near-dup ingest — sequential survivor semantics
     // replayed from one exact jaccard pair set: batch 1 (evens) drops
     // vs landed (bi -1) + within-batch smaller-id rule; batch 2 (odds)

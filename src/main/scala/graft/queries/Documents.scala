@@ -2211,6 +2211,39 @@ object Documents {
       .orderBy("query_id", "rank")
   }
 
+  /** LLM decontamination REPORT composite — the per-doc verdict table
+    * a production pipeline feeds to policy: BOTH contamination
+    * channels against ONE eval suite (t35's synthesized suite), in one
+    * output. The exact channel ([[Dedup.contaminationPairs]], ≥ 2
+    * shared 3-grams — t10's rule) catches verbatim leakage and routes
+    * to `rewrite` (span-level removal keeps the doc); the fuzzy
+    * channel ([[Dedup.fuzzyDecontaminate]], whole-doc jaccard ≥ 0.8)
+    * catches paraphrased eval material where span rewrites can't be
+    * trusted and routes to `drop`. fuzzy ⊐ exact on its hits (a 0.8
+    * near-dup shares grams), so status is drop > rewrite > clean. The
+    * oracle replays suite construction, BOTH channels, and the policy
+    * CASE in one WITH-chain — either channel drifting, or the
+    * precedence flipping, hash-fails. */
+  def llmDecontamReport(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val suite = fuzzyEvalSuite(docs)
+    val exact = Dedup.contaminationPairs(docs, suite, "doc_id", "text", 3)
+      .filter(col("shared") >= 2)
+      .groupBy(col("id").as("doc_id"))
+      .agg(max("shared").as("max_shared"),
+        count(lit(1)).as("n_eval_hits"))
+    Dedup.fuzzyDecontaminate(docs, suite, "doc_id", "text")
+      .join(exact, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("max_shared"), lit(0L)).as("max_shared"),
+        coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
+        col("eval_jaccard"),
+        when(col("contaminated") === 1, "drop")
+          .when(coalesce(col("max_shared"), lit(0L)) >= 2, "rewrite")
+          .otherwise("clean").as("status"))
+      .orderBy("doc_id")
+  }
+
   /** D25 — the near-dup INGEST loop on the hard signal
     * ([[graft.streaming.EventStream.streamingNearDupIngest]]): a
     * landed slice (%31 = 0) installs the near-dup store, the rest
