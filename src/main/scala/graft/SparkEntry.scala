@@ -202,6 +202,7 @@ object SparkEntry {
     "mm5_image_dedup_store" -> (Documents.mm5ImageDedupStore _),
     "mm7_audio_dedup" -> (Documents.mm7AudioDedup _),
     "llm_decontam_report" -> (Documents.llmDecontamReport _),
+    "mm8_video_dedup" -> (Documents.mm8VideoDedup _),
     "mm6_image_dedup_stream" -> (Documents.mm6ImageDedupStream _),
     "llm_rag_pipeline" -> (Documents.llmRagPipeline _),
     "t36_fuzzy_decontam_store" -> (Documents.t36FuzzyDecontamStore _),
@@ -1927,6 +1928,7 @@ object SparkEntry {
     // all land in one hash
     "mm4_image_dedup" -> mediaDupGroupsSql,
     "mm7_audio_dedup" -> mediaDupGroupsSql,
+    "mm8_video_dedup" -> mediaDupGroupsSql,
     // MM5: at-rest image dedup — keeper rule replayed on text equality
     // (what the dHash is contracted to mirror); store slice excluded,
     // min-id election within the batch

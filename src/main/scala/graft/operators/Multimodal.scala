@@ -243,6 +243,24 @@ object Multimodal {
       .toDF(idCol, "afp")
   }
 
+  /** Per-clip brightness-invariant video fingerprint
+    * ([[Y4m.videoFingerprint]]) over a binary video column — the trio's
+    * third member, same map-side shape and NULL-on-undecodable
+    * contract as [[imageDHash]]/[[audioFingerprints]]. Composes with
+    * [[imageDupGroups]] (hashCol = "vfp") and the dHash store adapters
+    * unchanged. */
+  def videoFingerprints(video: DataFrame, idCol: String = "media_id",
+                        bytesCol: String = "bytes",
+                        bins: Int = 64): DataFrame = {
+    import video.sparkSession.implicits._
+    video.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, Y4m.decode(bytes).map(Y4m.videoFingerprint(_, bins)))
+      })
+      .toDF(idCol, "vfp")
+  }
+
   /** Hash-equality dup groups over [[imageDHash]] output (or any
     * (id, hash) frame — pass `hashCol`, e.g. [[audioFingerprints]]'
     * "afp"): every row gets its group's minimum id (`group_id`),
@@ -699,5 +717,47 @@ object Y4m {
       k += 1
     }
     out
+  }
+
+  /** Brightness-shift-invariant video fingerprint — [[Ppm.dHash64]]'s
+    * temporal sibling: per-time-bin INTEGER luma sums compared
+    * cross-multiplied (sumᵢ·countⱼ vs sumⱼ·countᵢ — the dHash
+    * discipline: no float anywhere, so a constant +s on every Y byte
+    * shifts each bin's sum by exactly s·count and provably preserves
+    * every bit), packed MSB-first into `bins−1` bits. A re-graded /
+    * re-exported copy of a clip collides on the fingerprint while its
+    * bytes differ everywhere. Bins that received no frame (clips
+    * shorter than `bins`) read as mean 0 — deterministic and total.
+    * Exactness bound: cross-products stay below 2⁵³ for up to ~2³²
+    * luma-pixels per bin — far past any clip this decoder holds in
+    * memory. */
+  def videoFingerprint(vid: Video, bins: Int = 64): Long = {
+    require(bins >= 2 && bins <= 65, s"bins in [2, 65]: $bins")
+    val nf = vid.frames.length
+    if (nf == 0) return 0L
+    val sums = new Array[Long](bins)
+    val cnts = new Array[Long](bins)
+    var f = 0
+    while (f < nf) {
+      val bin = (f.toLong * bins / nf).toInt
+      val p = vid.frames(f)
+      var i = 0
+      var s = 0L
+      while (i < p.length) { s += (p(i) & 0xFF); i += 1 }
+      sums(bin) += s
+      cnts(bin) += p.length
+      f += 1
+    }
+    var h = 0L
+    var i = 0
+    while (i < bins - 1) {
+      h <<= 1
+      val (l, cl) = if (cnts(i) == 0) (0L, 1L) else (sums(i), cnts(i))
+      val (r, cr) =
+        if (cnts(i + 1) == 0) (0L, 1L) else (sums(i + 1), cnts(i + 1))
+      if (l * cr > r * cl) h |= 1L
+      i += 1
+    }
+    h
   }
 }

@@ -2098,6 +2098,36 @@ object Documents {
       .orderBy("media_id")
   }
 
+  /** MM8 — brightness-invariant VIDEO dedup ([[graft.operators.Y4m
+    * .videoFingerprint]]): clips are 64-frame Y4M streams whose Y
+    * planes are md5-avalanched from the text per frame, and every %5
+    * doc plants a +16-BRIGHTNESS twin (every Y byte differs; the
+    * integer cross-multiplied bin comparisons provably survive a
+    * constant shift — the dHash discipline on the time axis). Third
+    * member of the modality trio, same shared oracle contract as
+    * mm4/mm7: group structure from text equality + twin arithmetic. */
+  def mm8VideoDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 2000)
+      .select("doc_id", "text")
+    def vidFrame(df: DataFrame, off: Long, shift: Int): DataFrame =
+      df.as[(Long, String)].map { case (id, text) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val frames = Array.tabulate(64) { f =>
+          md.reset()
+          // mask to 0..127 so the +16 twin can never wrap a byte
+          md.digest((text + ":" + f).getBytes("UTF-8"))
+            .map(b => ((b & 0x7F) + shift).toByte)
+        }
+        (id + off, Y4m.encode(16, 1, 25, frames))
+      }.toDF("media_id", "bytes")
+    val media = vidFrame(docs, 0L, 0).unionByName(
+      vidFrame(docs.filter(col("doc_id") % 5 === 0), 500000000L, 16))
+    Multimodal.imageDupGroups(Multimodal.videoFingerprints(media),
+        hashCol = "vfp")
+      .orderBy("media_id")
+  }
+
   /** MM5 — image dedup against the AT-REST dHash store (the weekly-
     * crawl read path): the %31 slice's images install the Bloom-
     * fronted store, the batch is everything else PLUS brightness-

@@ -311,6 +311,22 @@ class MultimodalSpec extends SparkSpec {
     assert(h != 0L && java.lang.Long.bitCount(h) < 63)
   }
 
+  test("videoFingerprint: brightness-shift invariant, content-sensitive, short-clip total") {
+    def clip(shift: Int, frames: Int = 64, tweak: (Int, Int) => Int = (_, v) => v) =
+      Y4m.decode(Y4m.encode(16, 1, 25, Array.tabulate(frames)(f =>
+        Array.tabulate(16)(i =>
+          ((tweak(f, (f * 16 + i) * 37 % 120) & 0x7F) + shift).toByte)))).get
+    // +16 on every Y byte: each bin's integer sum shifts by exactly
+    // 16·count, every cross-multiplied comparison survives
+    assert(Y4m.videoFingerprint(clip(0)) == Y4m.videoFingerprint(clip(16)))
+    // blank frame 7 (one bin's mean collapses): the fingerprint moves
+    assert(Y4m.videoFingerprint(clip(0)) !=
+      Y4m.videoFingerprint(clip(0, tweak = (f, v) => if (f == 7) 0 else v)))
+    // clips shorter than the bin count stay total (empty bins = mean 0)
+    val short = Y4m.videoFingerprint(clip(0, frames = 3))
+    assert(short == Y4m.videoFingerprint(clip(16, frames = 3)))
+  }
+
   test("imageDedupFromStore: stored/shifted dups drop, novel keeps, undecodable excluded") {
     val dir = java.nio.file.Files.createTempDirectory("imgfpstore").toString
     writeImageDHashStore(
