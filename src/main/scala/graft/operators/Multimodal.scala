@@ -205,9 +205,16 @@ object Multimodal {
                            bytesCol: String = "bytes",
                            fpp: Double = 0.001, shards: Int = 1): Unit =
     Dedup.writeFpStore(
-      imageDHash(images, idCol, bytesCol).filter(col("dhash").isNotNull)
-        .select(col(idCol), col("dhash").cast("string").as("_dh")),
+      fingerprintFrame(imageDHash(images, idCol, bytesCol), idCol, "dhash"),
       idCol, "_dh", dir, expectedTotalImages, fpp, shards)
+
+  /** (id, hash) → the fp-store's (id, "_dh" string) contract, NULLs
+    * (undecodable) excluded — the seam that lets every perceptual
+    * fingerprint ride the d15 store machinery. */
+  private def fingerprintFrame(hashed: DataFrame, idCol: String,
+                               hashCol: String): DataFrame =
+    hashed.filter(col(hashCol).isNotNull)
+      .select(col(idCol), col(hashCol).cast("string").as("_dh"))
 
   /** Batch image dedup against the at-rest store — the weekly-crawl
     * read path: (id, fp) keepers per [[Dedup
@@ -221,8 +228,52 @@ object Multimodal {
                           idCol: String = "media_id",
                           bytesCol: String = "bytes"): DataFrame =
     Dedup.incrementalExactDedupFromFpStore(
-      imageDHash(batch, idCol, bytesCol).filter(col("dhash").isNotNull)
-        .select(col(idCol), col("dhash").cast("string").as("_dh")),
+      fingerprintFrame(imageDHash(batch, idCol, bytesCol), idCol, "dhash"),
+      dir, idCol, "_dh")
+
+  /** [[writeImageDHashStore]]/[[imageDedupFromStore]] for the other
+    * two trio members — same store layout, same keeper contract, the
+    * fingerprint swapped ([[Wav.audioFingerprint]] /
+    * [[Y4m.videoFingerprint]]). A store written by one modality's
+    * writer must only ever be probed by the same modality's reader
+    * (the fp namespaces are disjoint by construction only within one
+    * decoder). */
+  def writeAudioFingerprintStore(audio: DataFrame, dir: String,
+                                 expectedTotalClips: Long,
+                                 idCol: String = "media_id",
+                                 bytesCol: String = "bytes",
+                                 fpp: Double = 0.001,
+                                 shards: Int = 1): Unit =
+    Dedup.writeFpStore(
+      fingerprintFrame(audioFingerprints(audio, idCol, bytesCol),
+        idCol, "afp"),
+      idCol, "_dh", dir, expectedTotalClips, fpp, shards)
+
+  def audioDedupFromStore(batch: DataFrame, dir: String,
+                          idCol: String = "media_id",
+                          bytesCol: String = "bytes"): DataFrame =
+    Dedup.incrementalExactDedupFromFpStore(
+      fingerprintFrame(audioFingerprints(batch, idCol, bytesCol),
+        idCol, "afp"),
+      dir, idCol, "_dh")
+
+  def writeVideoFingerprintStore(video: DataFrame, dir: String,
+                                 expectedTotalClips: Long,
+                                 idCol: String = "media_id",
+                                 bytesCol: String = "bytes",
+                                 fpp: Double = 0.001,
+                                 shards: Int = 1): Unit =
+    Dedup.writeFpStore(
+      fingerprintFrame(videoFingerprints(video, idCol, bytesCol),
+        idCol, "vfp"),
+      idCol, "_dh", dir, expectedTotalClips, fpp, shards)
+
+  def videoDedupFromStore(batch: DataFrame, dir: String,
+                          idCol: String = "media_id",
+                          bytesCol: String = "bytes"): DataFrame =
+    Dedup.incrementalExactDedupFromFpStore(
+      fingerprintFrame(videoFingerprints(batch, idCol, bytesCol),
+        idCol, "vfp"),
       dir, idCol, "_dh")
 
   /** Per-clip volume-invariant fingerprint ([[Wav.audioFingerprint]])

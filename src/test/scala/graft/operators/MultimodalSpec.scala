@@ -344,6 +344,32 @@ class MultimodalSpec extends SparkSpec {
       s"only the novel image's first carrier survives: $kept")
   }
 
+  test("audio/video fingerprint stores: perceptual twins drop against the landed store") {
+    val aDir = java.nio.file.Files.createTempDirectory("afpstore").toString
+    val vDir = java.nio.file.Files.createTempDirectory("vfpstore").toString
+    def wavOf(seed: Int, gain: Int) = Wav.encode(
+      Array.tabulate(128)(i => ((i * seed + 11) % 1400 * gain).toShort), 16000)
+    def y4mOf(seed: Int, shift: Int) = Y4m.encode(16, 1, 25,
+      Array.tabulate(64)(f => Array.tabulate(16)(i =>
+        (((f * 16 + i) * seed % 120) + shift).toByte)))
+    writeAudioFingerprintStore(
+      Seq((100L, wavOf(37, 1))).toDF("media_id", "bytes"), aDir, 1000L)
+    writeVideoFingerprintStore(
+      Seq((100L, y4mOf(37, 0))).toDF("media_id", "bytes"), vDir, 1000L)
+    val aKept = audioDedupFromStore(Seq(
+        (1L, wavOf(37, 2)), // x2-gain remaster of stored 100
+        (2L, wavOf(53, 1))) // novel
+      .toDF("media_id", "bytes"), aDir)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val vKept = videoDedupFromStore(Seq(
+        (1L, y4mOf(37, 16)), // +16-brightness re-grade of stored 100
+        (2L, y4mOf(53, 0))) // novel
+      .toDF("media_id", "bytes"), vDir)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(aKept == Set(2L), s"audio: only the novel clip survives: $aKept")
+    assert(vKept == Set(2L), s"video: only the novel clip survives: $vKept")
+  }
+
   test("imageNearDupPairs: banded candidates reproduce brute-force hamming pairs") {
     // 40 hashed images: pairs planted at hamming 1-3 (bit flips of a
     // base hash), the rest md5-spread
