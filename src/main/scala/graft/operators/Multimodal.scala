@@ -341,30 +341,105 @@ object Multimodal {
     * so candidates come from band-key equi-joins of skinny (id, band,
     * key) rows, then exact popcount verifies. Emits (id_a < id_b,
     * hamming). Never pairs the corpus against itself unbucketed. */
-  def imageNearDupPairs(hashed: DataFrame, maxHamming: Int = 3,
-                        bands: Int = 4,
-                        idCol: String = "media_id"): DataFrame = {
+  private def requireBandedExact(maxHamming: Int, bands: Int): Unit = {
     require(64 % bands == 0, "bands must divide 64")
     require(maxHamming <= bands - 1,
       s"banded recall is exact only for maxHamming <= bands-1 " +
         s"($maxHamming vs $bands); raise bands")
+  }
+
+  /** Explode a (id, hash) frame into per-band sub-keys — the SimHash
+    * banding on an arbitrary 64-bit perceptual hash. */
+  private def bandedHashes(hashed: DataFrame, hashCol: String,
+                           bands: Int, idCol: String): DataFrame = {
     val r = 64 / bands
     val mask = lit((if (r == 64) -1L else (1L << r) - 1L))
     val bandCols = (0 until bands).map(b =>
       struct(lit(b).as("band"),
-        shiftrightunsigned(col("dhash"), b * r).bitwiseAND(mask).as("bk")))
-    val banded = hashed.filter(col("dhash").isNotNull)
-      .select(col(idCol), col("dhash"),
+        shiftrightunsigned(col(hashCol), b * r).bitwiseAND(mask).as("bk")))
+    hashed.filter(col(hashCol).isNotNull)
+      .select(col(idCol), col(hashCol).as("_h"),
         explode(array(bandCols: _*)).as("bb"))
-      .select(col(idCol), col("dhash"),
+      .select(col(idCol), col("_h"),
         col("bb.band").as("band"), col("bb.bk").as("bk"))
-    val a = banded.select(col(idCol).as("id_a"), col("dhash").as("h_a"),
+  }
+
+  def imageNearDupPairs(hashed: DataFrame, maxHamming: Int = 3,
+                        bands: Int = 4,
+                        idCol: String = "media_id"): DataFrame = {
+    requireBandedExact(maxHamming, bands)
+    val banded = bandedHashes(hashed, "dhash", bands, idCol)
+    val a = banded.select(col(idCol).as("id_a"), col("_h").as("h_a"),
       col("band"), col("bk"))
-    val b = banded.select(col(idCol).as("id_b"), col("dhash").as("h_b"),
+    val b = banded.select(col(idCol).as("id_b"), col("_h").as("h_b"),
       col("band"), col("bk"))
     a.join(b, Seq("band", "bk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** NEAR-dup image store at rest: the skinny (id, dhash) table landed
+    * under `$dir/hashes/batch=<i>` — the fuzzy sibling of
+    * [[writeImageDHashStore]] (which answers only hash-EQUALITY).
+    * Batch-keyed overwrites make appends idempotent (the near-dup
+    * store convention); the store carries hashes only, never bytes, so
+    * a billion-image store is 16 bytes/row. */
+  def writeImageNearDupStore(images: DataFrame, dir: String,
+                             idCol: String = "media_id",
+                             bytesCol: String = "bytes"): Unit = {
+    val spark = images.sparkSession
+    imageDHash(images, idCol, bytesCol).filter(col("dhash").isNotNull)
+      .select(col(idCol).as("id"), col("dhash"))
+      .write.mode("overwrite").parquet(s"$dir/hashes/batch=0")
+    graft.sources.Sources.writeJsonSidecarFs(spark, s"$dir/_meta.json",
+      Map("formatVersion" -> "1"))
+    spark.catalog.refreshByPath(dir)
+  }
+
+  /** Grow the near-dup store: batch hashes land under their own
+    * batch subdir — idempotent per batchId by overwrite. */
+  def appendToImageNearDupStore(batch: DataFrame, dir: String,
+                                batchId: Long,
+                                idCol: String = "media_id",
+                                bytesCol: String = "bytes"): Unit = {
+    require(batchId > 0, "batchId 0 is the base install")
+    val spark = batch.sparkSession
+    imageDHash(batch, idCol, bytesCol).filter(col("dhash").isNotNull)
+      .select(col(idCol).as("id"), col("dhash"))
+      .write.mode("overwrite").parquet(s"$dir/hashes/batch=$batchId")
+    spark.catalog.refreshByPath(dir)
+  }
+
+  /** Batch × store NEAR-dup pairs at Hamming ≤ `maxHamming` — the
+    * incremental fuzzy-image-dedup read path (d10's shape on the
+    * pixel channel): both sides band their hashes, candidates come
+    * from band-key equi-joins of skinny rows (pigeonhole recall 1.0
+    * at maxHamming ≤ bands−1 — deterministic, not probabilistic), a
+    * popcount verifies. The batch never pairs against itself and the
+    * store never re-pairs its landed corpus; cost is one store scan
+    * of (id, hash) rows joined on band keys. CONTRACT: batch and
+    * store ids disjoint. Output (batch_id, store_id, hamming). */
+  def incrementalImageNearDup(batch: DataFrame, dir: String,
+                              maxHamming: Int = 3, bands: Int = 4,
+                              idCol: String = "media_id",
+                              bytesCol: String = "bytes"): DataFrame = {
+    requireBandedExact(maxHamming, bands)
+    val spark = batch.sparkSession
+    val store = spark.read.parquet(s"$dir/hashes")
+      .select(col("id"), col("dhash"))
+    val qb = bandedHashes(
+        imageDHash(batch, idCol, bytesCol), "dhash", bands, idCol)
+      .select(col(idCol).as("batch_id"), col("_h").as("h_a"),
+        col("band"), col("bk"))
+    val sb = bandedHashes(store, "dhash", bands, "id")
+      .select(col("id").as("store_id"), col("_h").as("h_b"),
+        col("band"), col("bk"))
+    qb.join(sb, Seq("band", "bk"))
+      .select(col("batch_id"), col("store_id"),
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long")
           .as("hamming"))
       .distinct()

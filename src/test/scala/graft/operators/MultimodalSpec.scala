@@ -370,6 +370,42 @@ class MultimodalSpec extends SparkSpec {
     assert(vKept == Set(2L), s"video: only the novel clip survives: $vKept")
   }
 
+  test("incrementalImageNearDup: batch x store banded pairs == brute force; appends land") {
+    val dir = java.nio.file.Files.createTempDirectory("imgndstore").toString
+    def img(seed: Int) = grayPpm(16, 8, i => (i * seed + 5) % 200)
+    // store: two images; batch: a brightness twin of stored 100 (hamming
+    // 0), a near-twin of stored 101 (one raster row flattened -> small
+    // but nonzero hamming, may or may not clear 3), and a novel image
+    writeImageNearDupStore(
+      Seq((100L, img(53)), (101L, img(91))).toDF("media_id", "bytes"), dir)
+    val batch = Seq(
+      (1L, grayPpm(16, 8, i => (i * 53 + 5) % 200 + 30)),
+      (2L, grayPpm(16, 8, i => if (i / 16 == 5) 40 else (i * 91 + 5) % 200)),
+      (3L, img(197))).toDF("media_id", "bytes")
+    val got = incrementalImageNearDup(batch, dir, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over the same hashes
+    def h(b: Array[Byte]) = Ppm.dHash64(Ppm.decode(b).get)
+    val storeH = Seq(100L -> h(img(53)), 101L -> h(img(91)))
+    val batchH = batch.collect().map(r =>
+      r.getLong(0) -> h(r.getAs[Array[Byte]]("bytes")))
+    val brute = (for {
+      (bi, bh) <- batchH; (si, sh) <- storeH
+      d = java.lang.Long.bitCount(bh ^ sh).toLong if d <= 3
+    } yield (bi, si, d)).toSet
+    assert(got.contains((1L, 100L, 0L)), s"brightness twin must pair at 0: $got")
+    assert(got == brute, s"banded must equal brute: got $got vs $brute")
+    // append batch as a landed generation; a re-probe of image 1 now
+    // also pairs with itself landed under a different id namespace
+    appendToImageNearDupStore(
+      batch.select((col("media_id") + 1000L).as("media_id"), col("bytes")),
+      dir, batchId = 1L)
+    val after = incrementalImageNearDup(batch, dir, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after.contains((1L, 1001L)) && after.contains((3L, 1003L)),
+      s"appended generation must be probe-visible: $after")
+  }
+
   test("imageNearDupPairs: banded candidates reproduce brute-force hamming pairs") {
     // 40 hashed images: pairs planted at hamming 1-3 (bit flips of a
     // base hash), the rest md5-spread
