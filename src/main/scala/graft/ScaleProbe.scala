@@ -543,11 +543,25 @@ object ScaleProbe {
     // (centroids only). A curve bending with the store is a loop that
     // would die on week 50 of a crawl.
     if (sys.env.get("SPARK_GRAFT_PROBE_MODE").contains("ingest")) {
-      import graft.operators.{Dedup, Similarity, TextAnalysis}
+      import graft.operators.{Dedup, Multimodal, Ppm, Similarity, TextAnalysis}
       def embed(df: DataFrame): DataFrame = df.select(col("doc_id"),
         transform(sequence(lit(0), lit(7)), i =>
           pmod(length(col("text")) * 31 + col("doc_id") * 17 + i * 7,
             lit(97)).cast("float")).as("embedding"))
+      // the mm4 image synthesis (md5-avalanched 16×8 PPMs) — store
+      // installs and batch probes both pay it, so the timed row prices
+      // decode+hash+banded join, dominated by the store-side hash scan
+      def ppmify(df: DataFrame): DataFrame = {
+        import spark.implicits._
+        df.select(col("doc_id"),
+          concat((2 to 5).map(i =>
+            md5(concat(col("text"), lit(s":$i")))): _*).as("hex"))
+          .as[(Long, String)]
+          .map { case (id, hex) =>
+            val px = hex.getBytes("US-ASCII")
+            (id, Ppm.encode(16, 8, px.flatMap(b => Array(b, b, b))))
+          }.toDF("media_id", "bytes")
+      }
       val batch = base.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 700000000L).as("doc_id"),
           when(col("doc_id") % 97 === 0, col("text"))
@@ -569,6 +583,7 @@ object ScaleProbe {
           corpus.filter(col("source") === "src0"), "text", s"$tmp/lm")
         Similarity.writeIvfIndex(embed(corpus), s"$tmp/ivf",
           nCells = 16, idCol = "doc_id")
+        Multimodal.writeImageNearDupStore(ppmify(corpus), s"$tmp/imgnd")
         def timed(name: String)(f: => Long): String = {
           val t0 = System.nanoTime()
           val rows = f
@@ -591,7 +606,13 @@ object ScaleProbe {
             Similarity.appendToIvfIndex(embed(batch), s"$tmp/ivf",
               batchId = 99L, idCol = "doc_id")
             batchDocs
-          })
+          },
+          // the one deliberately store-linear row: banded candidates
+          // must scan the store's (id, hash) table per batch — 16
+          // bytes/row, so the slope is the hash scan, never the bytes
+          timed("image_neardup_from_store")(
+            Multimodal.incrementalImageNearDup(ppmify(batch),
+              s"$tmp/imgnd", maxHamming = 3).count()))
         corpus.unpersist()
         println(s"""{"n":$n,"landedDocs":$docs,"batchDocs":$batchDocs,"queries":${rowsOut.mkString("{", ",", "}")}}""")
       }
