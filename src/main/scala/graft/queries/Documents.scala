@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.{Dedup, Multimodal, Ppm, Similarity, TextAnalysis, Wav, Y4m}
+import graft.operators.{Dedup, Graph, Multimodal, Ppm, Similarity, TextAnalysis, Wav, Y4m}
 
 /** Training-data-pipeline operators over the documents/embeddings tables:
   * dedup family, text analysis, similarity search.
@@ -2096,6 +2096,28 @@ object Documents {
     Multimodal.imageDupGroups(Multimodal.audioFingerprints(media),
         hashCol = "afp")
       .orderBy("media_id")
+  }
+
+  /** T37 — integer-exact link centrality ([[graft.operators.Graph
+    * .linkRank]]) over a synthesized closed link graph: the doc-id
+    * slice is the node set, each page links to three arithmetic
+    * neighbours mod N (contiguous ids ⇒ every edge lands on a real
+    * node), and three Jacobi iterations of the all-integer PageRank
+    * kernel produce the crawl-quality weights. The oracle UNROLLS all
+    * three iterations in SQL (floor division + integer sums replay
+    * bit-exactly — that is the kernel's entire design), so a dropped
+    * contribution, a degree slip, a wrong damping order, or an
+    * iteration miscount shifts ranks and hash-fails. */
+  def t37LinkRank(s: SparkSession, d: String): DataFrame = {
+    val nodes = Tables.documents(s, d).filter(col("doc_id") < 2000)
+      .select(col("doc_id").as("id"))
+    val m = nodes.count()
+    val edges = nodes.select(col("id").as("src"),
+      explode(array((col("id") * 7 + 1) % m, (col("id") * 13 + 2) % m,
+        (col("id") * 31 + 5) % m)).as("dst"))
+    Graph.linkRank(nodes, edges, iterations = 3)
+      .select(col("id").as("doc_id"), col("pr"))
+      .orderBy("doc_id")
   }
 
   /** MM8 — brightness-invariant VIDEO dedup ([[graft.operators.Y4m
