@@ -204,6 +204,7 @@ object SparkEntry {
     "llm_decontam_report" -> (Documents.llmDecontamReport _),
     "mm8_video_dedup" -> (Documents.mm8VideoDedup _),
     "t37_link_rank" -> (Documents.t37LinkRank _),
+    "llm_rank_select" -> (Documents.llmRankSelect _),
     "mm6_image_dedup_stream" -> (Documents.mm6ImageDedupStream _),
     "llm_rag_pipeline" -> (Documents.llmRagPipeline _),
     "t36_fuzzy_decontam_store" -> (Documents.t36FuzzyDecontamStore _),
@@ -1954,6 +1955,38 @@ object SparkEntry {
         |r3 AS (SELECT nn.id, CAST(150000000000 + (85 * coalesce(s3.s, 0)) // 100 AS BIGINT) AS pr
         |  FROM nn LEFT JOIN s3 ON nn.id = s3.id)
         |SELECT id AS doc_id, pr FROM r3 ORDER BY doc_id""".stripMargin,
+    // Rank-weighted selection: t37's unrolled Jacobi chain + t30's
+    // entropy recount joined into one ranked LIMIT (ties broken by id)
+    "llm_rank_select" ->
+      """WITH nn AS (SELECT doc_id AS id FROM documents WHERE doc_id < 2000),
+        |mc AS (SELECT count(*) AS m FROM nn),
+        |e AS (SELECT id AS src, (id * 7 + 1) % (SELECT m FROM mc) AS dst FROM nn
+        |  UNION ALL SELECT id, (id * 13 + 2) % (SELECT m FROM mc) FROM nn
+        |  UNION ALL SELECT id, (id * 31 + 5) % (SELECT m FROM mc) FROM nn),
+        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+        |r0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS pr FROM nn),
+        |s1 AS (SELECT e.dst AS id, sum(r0.pr // deg.d) AS s FROM e
+        |  JOIN deg ON e.src = deg.src JOIN r0 ON r0.id = e.src GROUP BY e.dst),
+        |r1 AS (SELECT nn.id, CAST(150000000000 + (85 * coalesce(s1.s, 0)) // 100 AS BIGINT) AS pr
+        |  FROM nn LEFT JOIN s1 ON nn.id = s1.id),
+        |s2 AS (SELECT e.dst AS id, sum(r1.pr // deg.d) AS s FROM e
+        |  JOIN deg ON e.src = deg.src JOIN r1 ON r1.id = e.src GROUP BY e.dst),
+        |r2 AS (SELECT nn.id, CAST(150000000000 + (85 * coalesce(s2.s, 0)) // 100 AS BIGINT) AS pr
+        |  FROM nn LEFT JOIN s2 ON nn.id = s2.id),
+        |s3 AS (SELECT e.dst AS id, sum(r2.pr // deg.d) AS s FROM e
+        |  JOIN deg ON e.src = deg.src JOIN r2 ON r2.id = e.src GROUP BY e.dst),
+        |r3 AS (SELECT nn.id, CAST(150000000000 + (85 * coalesce(s3.s, 0)) // 100 AS BIGINT) AS pr
+        |  FROM nn LEFT JOIN s3 ON nn.id = s3.id),
+        |ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+        |  FROM documents WHERE doc_id < 2000),
+        |cc AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c),
+        |en AS (SELECT doc_id,
+        |  round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS char_entropy
+        |  FROM cc GROUP BY doc_id)
+        |SELECT r3.id AS doc_id, r3.pr, en.char_entropy
+        |FROM r3 JOIN en ON r3.id = en.doc_id
+        |WHERE en.char_entropy >= 2.85
+        |ORDER BY r3.pr DESC, doc_id LIMIT 100""".stripMargin,
     // MM5: at-rest image dedup — keeper rule replayed on text equality
     // (what the dHash is contracted to mirror); store slice excluded,
     // min-id election within the batch

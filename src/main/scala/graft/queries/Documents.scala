@@ -2120,6 +2120,33 @@ object Documents {
       .orderBy("doc_id")
   }
 
+  /** Rank-weighted selection composite — the C4-era curation shape:
+    * link centrality (t37's integer kernel over the same closed
+    * graph) joined onto a content-quality gate (t30's char-entropy
+    * cut), top-100 by (pr, id) via distributed TakeOrdered — never a
+    * corpus-wide window. The oracle chains BOTH replays (3 unrolled
+    * Jacobi iterations + the per-char entropy recount) into one
+    * ranked LIMIT, so a rank drift in either signal reorders the kept
+    * set and hash-fails. */
+  def llmRankSelect(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 2000)
+    val nodes = docs.select(col("doc_id").as("id"))
+    val m = nodes.count()
+    val edges = nodes.select(col("id").as("src"),
+      explode(array((col("id") * 7 + 1) % m, (col("id") * 13 + 2) % m,
+        (col("id") * 31 + 5) % m)).as("dst"))
+    val pr = Graph.linkRank(nodes, edges, iterations = 3)
+      .withColumnRenamed("id", "doc_id")
+    TextAnalysis.charEntropyScore(docs, "doc_id", "text",
+        minEntropy = 2.85)
+      .filter(col("keep") === 1)
+      .join(pr, "doc_id")
+      .orderBy(desc("pr"), col("doc_id"))
+      .limit(100)
+      .select(col("doc_id"), col("pr"), col("char_entropy"))
+      .orderBy(desc("pr"), col("doc_id"))
+  }
+
   /** MM8 — brightness-invariant VIDEO dedup ([[graft.operators.Y4m
     * .videoFingerprint]]): clips are 64-frame Y4M streams whose Y
     * planes are md5-avalanched from the text per frame, and every %5
