@@ -212,6 +212,8 @@ object SparkEntry {
     "ann14_hard_negatives_ann" -> (Documents.ann14HardNegativesAnn _),
     "r14_length_buckets" -> (Documents.r14LengthBuckets _),
     "llm_web_pipeline" -> (Documents.llmWebPipeline _),
+    "d26_exact_dedup_stream" -> (Documents.d26ExactDedupStream _),
+    "d27_corpus_ingest_stream" -> (Documents.d27CorpusIngestStream _),
   )
 
   /** T20's oracle: every Gopher rule statistic recomputed on RAW gram
@@ -2139,6 +2141,54 @@ object SparkEntry {
         |SELECT doc_id, n_chars FROM r
         |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM landed)
         |ORDER BY doc_id""".stripMargin,
+    // D26: the deterministic streaming exact-dedup transform — the
+    // whitespace-twin construction replayed, then the keeper rule
+    // rn = 1 over (batch ordinal, id) per normalized fingerprint.
+    // Cross-batch twins catch a batch-blind global-min-id dedup;
+    // negative-id same-batch twins catch an arrival-order
+    // representative (the pre-round-15 dropDuplicatesWithinWatermark)
+    "d26_exact_dedup_stream" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text, n_chars,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS bi FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' ', n_chars, 1 FROM documents
+        |  WHERE doc_id % 2 <> 0 AND doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT -doc_id - 1, ' ' || text, n_chars, 1 FROM documents
+        |  WHERE doc_id % 2 = 0 AND doc_id % 11 = 0),
+        |r AS (SELECT doc_id, n_chars, ROW_NUMBER() OVER (
+        |  PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |  ORDER BY bi, doc_id) AS rn FROM aug)
+        |SELECT doc_id, n_chars FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // D27: the streaming corpus-ingest pipeline — keeper rule over the
+    // cross-batch-twinned corpus, then the 6-dp quality and repetition
+    // gates on the KEEPER's case-folded text, then per-language doc and
+    // raw-text token counts in the one emitted event-time window
+    "d27_corpus_ingest_stream" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text, lang,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS bi FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' ', lang, 1 FROM documents
+        |  WHERE doc_id % 2 <> 0 AND doc_id % 7 = 0),
+        |k AS (SELECT *, ROW_NUMBER() OVER (
+        |  PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |  ORDER BY bi, doc_id) AS rn FROM aug),
+        |s AS (SELECT lang, text, lower(text) AS lt,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |  FROM k WHERE rn = 1),
+        |g AS (SELECT lang, text FROM s WHERE
+        |  round(least(len(ws) / 50.0, 1.0) * 0.5
+        |    + least(len(list_filter(ws, w -> w IN ('the','a','of','and','is','to','in')))
+        |        / greatest(len(ws) * 0.05, 1.0), 1.0) * 0.5
+        |    - (length(lt) - length(regexp_replace(lt, '[^a-zA-Z0-9\s]', '', 'g'))) * 1.0
+        |        / greatest(length(lt), 1), 6) >= 0.655
+        |  AND round(1.0 - len(list_distinct(ws)) * 1.0 / greatest(len(ws), 1), 6) < 0.515)
+        |SELECT '2024-03-01 00:00:00' AS win_start, lang,
+        |  count(*) AS n_docs,
+        |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tok_total
+        |FROM g GROUP BY lang ORDER BY lang""".stripMargin,
     // ANN14: ANN-fed hard negatives — exact top-20 over-fetch replayed
     // as a candidate-rank window (unrounded cos, the bruteForceTopK
     // rule), then the label join + cross-label re-rank on the ROUNDED

@@ -1899,6 +1899,140 @@ object Documents {
       .orderBy("doc_id")
   }
 
+  /** D26 — the deterministic streaming exact-dedup TRANSFORM on the
+    * hard signal: the corpus (plus constructed whitespace-twin
+    * duplicates) streams in two AvailableNow micro-batches and rides
+    * [[graft.streaming.EventStream.streamingExactDedup]]'s
+    * flatMapGroupsWithState keeper election. The twins are placed so
+    * the gate separates ALL THREE candidate semantics:
+    *   - odd docs with %7 = 0 get a `text + " "` twin (same normalized
+    *     fingerprint, id + 1,000,000) in the EARLIER batch — the
+    *     streamed keeper is the twin, so a batch-blind global-min-id
+    *     dedup (d1's rule) hash-fails;
+    *   - even docs with %11 = 0 get a `" " + text` twin with a SMALLER
+    *     id (−doc_id − 1) appended LATER in the SAME batch file — the
+    *     deterministic election keeps the twin, so an arrival-order
+    *     representative (the old dropDuplicatesWithinWatermark
+    *     behavior) hash-fails.
+    * All timestamps are one constant (nothing is ever late; the
+    * watermark machinery idles), so the oracle replays the pure keeper
+    * rule: rn = 1 over (batch ordinal, id) per fingerprint. */
+  def d26ExactDedupStream(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val base = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/d26_stream"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val (inDir, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    val t0 = to_timestamp(lit("2024-03-01 00:00:00"))
+    val cols = Seq(col("doc_id"), col("text"), col("n_chars"), t0.as("ts"))
+    val id = col("doc_id")
+    val b1 = docs.filter(id % 2 === 0).select(cols: _*)
+      .unionByName(docs.filter(id % 2 =!= 0 && id % 7 === 0)
+        .select((id + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" ")).as("text"), col("n_chars"), t0.as("ts")))
+      .unionByName(docs.filter(id % 2 === 0 && id % 11 === 0)
+        .select((-id - 1L).as("doc_id"),
+          concat(lit(" "), col("text")).as("text"), col("n_chars"), t0.as("ts")))
+    val b2 = docs.filter(id % 2 =!= 0).select(cols: _*)
+    writeOrderedBatches(s, inDir, Seq(b1, b2))
+    val stream = s.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = graft.streaming.EventStream
+      .streamingExactDedup(stream, "ts", "text", "doc_id")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(outDir)
+      .select("doc_id", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** D27 — the streaming corpus-ingest PIPELINE on the hard signal:
+    * d26's twinned corpus (cross-batch twins only — the dedup keeper
+    * feeds the window counts, so the batch-order signal survives into
+    * the aggregate) streams through
+    * [[graft.streaming.EventStream.streamingCorpusIngest]] — the full
+    * multi-stateful chain: deterministic dedup → 6-dp-rounded quality
+    * and repetition gates → per-(window, language) counters. All
+    * corpus rows share ONE event-time window; a far-future sentinel
+    * batch advances the watermark so the append-mode aggregation
+    * closes and emits that window (the sentinel's own window never
+    * closes and stays unpublished). The oracle replays keeper rule +
+    * both score formulas + the token sum per language: a flipped
+    * batch order, a dropped gate branch, a scoring drift, or a
+    * dedup-blind count all hash-fail. Thresholds 0.655 / 0.515 sit
+    * strictly between observed 6-dp score values at every SF (no
+    * boundary row exists to ulp-flip), with both pass and fail
+    * branches carrying hundreds of docs. */
+  def d27CorpusIngestStream(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val base = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/d27_stream"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val (inDir, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    val t0 = to_timestamp(lit("2024-03-01 00:00:00"))
+    val id = col("doc_id")
+    val cols = Seq(id, col("text"), col("lang"), t0.as("ts"))
+    val b1 = docs.filter(id % 2 === 0).select(cols: _*)
+      .unionByName(docs.filter(id % 2 =!= 0 && id % 7 === 0)
+        .select((id + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" ")).as("text"), col("lang"), t0.as("ts")))
+    val b2 = docs.filter(id % 2 =!= 0).select(cols: _*)
+    // TWO fresh-text sentinel batches, days apart — watermark-advancers
+    // only, and they must SURVIVE the whole pre-window pipeline:
+    //  - fresh text, because a duplicate would be dropped by the dedup
+    //    stage and never reach the post-dedup watermark node;
+    //  - gate-passing text (50+ distinct words, stopword-led, no
+    //    punctuation → quality 1.0, repetition 0.0), because Catalyst
+    //    pushes the deterministic quality/repetition Filter BELOW the
+    //    re-declared EventTimeWatermark node, so the effective
+    //    watermark only tracks rows that pass the gates;
+    //  - two of them, because the watermark computed at the END of a
+    //    batch only takes effect at the START of the next one, and
+    //    AvailableNow stops after the last file with no no-data flush
+    //    batch: sentinel #1 advances the watermark past the corpus
+    //    window, sentinel #2's batch then opens with that watermark
+    //    and emits the window.
+    // The dedup state's event-time timeouts force trailing no-data
+    // batches, so sentinel #1's own window MAY also flush before the
+    // stream stops — the gate pins the corpus window explicitly below,
+    // making the emitted-sentinel question irrelevant to the hash.
+    def sentinel(idVal: Long, tag: String, tsLit: String) =
+      docs.limit(1).select(lit(idVal).as("doc_id"),
+        lit("the a of and is to in " +
+          (1 to 50).map(i => s"sentinel$tag$i").mkString(" ")).as("text"),
+        lit("en").as("lang"), to_timestamp(lit(tsLit)).as("ts"))
+    val b3 = sentinel(999999999L, "one", "2024-03-05 00:00:00")
+    val b4 = sentinel(999999998L, "two", "2024-03-09 00:00:00")
+    writeOrderedBatches(s, inDir, Seq(b1, b2, b3, b4))
+    val stream = s.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val out = graft.streaming.EventStream.streamingCorpusIngest(
+      stream, "ts", "text", "doc_id", "lang", stopwords,
+      minQuality = 0.655, maxRepetition = 0.515)
+    val prev = s.conf.get(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+    s.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    try {
+      val q = out.writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", prev)
+    s.read.parquet(outDir)
+      .filter(col("win_start") === to_timestamp(lit("2024-03-01 00:00:00")))
+      .select(date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss")
+        .as("win_start"), col("lang"), col("n_docs"), col("tok_total"))
+      .orderBy("lang")
+  }
+
   /** T34 — the LM-score INGEST loop on the hard signal
     * ([[graft.streaming.EventStream.streamingLmScoreIngest]], CCNet as
     * a stream): the src0-trained bigram LM store is installed once,

