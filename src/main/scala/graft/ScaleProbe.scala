@@ -562,8 +562,15 @@ object ScaleProbe {
             (id, Ppm.encode(16, 8, px.flatMap(b => Array(b, b, b))))
           }.toDF("media_id", "bytes")
       }
+      // batch ids must stay disjoint from EVERY replica's id range
+      // (replica r offsets by r·10M): derive the offset from the max
+      // factor instead of pinning 700M, which a factor ≥ 70 would have
+      // silently collided with — corrupting the dedup operators'
+      // disjoint-id contract mid-probe
+      val batchIdOffset =
+        math.max(700000000L, (factors.max + 1).toLong * 10000000L)
       val batch = base.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 700000000L).as("doc_id"),
+        .select((col("doc_id") + batchIdOffset).as("doc_id"),
           when(col("doc_id") % 97 === 0, col("text"))
             .otherwise(concat(col("text"), lit(" fresh-batch")))
             .as("text"),
@@ -607,9 +614,11 @@ object ScaleProbe {
               batchId = 99L, idCol = "doc_id")
             batchDocs
           },
-          // the one deliberately store-linear row: banded candidates
-          // must scan the store's (id, hash) table per batch — 16
-          // bytes/row, so the slope is the hash scan, never the bytes
+          // round 15: the store is banded + (band, pfx)-partitioned at
+          // rest, so the probe reads only the partitions the batch's
+          // own prefixes can collide in — the formerly store-linear
+          // hash scan now prunes (flat when batch prefixes don't cover
+          // the prefix space; worst-case the old skinny scan)
           timed("image_neardup_from_store")(
             Multimodal.incrementalImageNearDup(ppmify(batch),
               s"$tmp/imgnd", maxHamming = 3).count()))

@@ -1624,7 +1624,10 @@ object Dedup {
     * meta NEXT TO its tables, not on the driver's local disk. */
   def writeNearDupStore(corpus: DataFrame, idCol: String, textCol: String,
                         dir: String, shingleSize: Int = 3,
-                        numHashes: Int = 64, seed: Long = 42L): Unit = {
+                        numHashes: Int = 64, seed: Long = 42L,
+                        bands: Int = 16, pfxBits: Int = 4): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(pfxBits >= 1 && pfxBits <= 16, "pfxBits must be in [1, 16]")
     val h = hashedShingles(shingles(corpus, idCol, textCol, shingleSize))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // batch=0 is the base install; appends land under their own
@@ -1634,15 +1637,29 @@ object Dedup {
     // append batches keeps them (resuming an ingest line); a true
     // fresh install starts from an empty dir.
     h.write.mode("overwrite").parquet(s"$dir/shingles/batch=0")
-    minHashSignaturesHashed(h, numHashes, seed)
-      .write.mode("overwrite").parquet(s"$dir/signatures/batch=0")
+    val sigs = minHashSignaturesHashed(h, numHashes, seed)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sigs.write.mode("overwrite").parquet(s"$dir/signatures/batch=0")
+    // formatVersion 2: the store ALSO lands its band-bucket keys,
+    // partitioned by (band, pfx = top pfxBits bits of the bucket
+    // hash) — a probing batch knows exactly which (band, pfx)
+    // partitions its own band keys can collide in, so the candidate
+    // read is partition-pruned instead of banding a full signature
+    // scan per batch (the round-14 store-linear term). The banding
+    // geometry is pinned here; a probe called with a different
+    // `bands` knob falls back to the signature path (still correct,
+    // store-linear) rather than mis-colliding.
+    writeBandKeysGeneration(sigs, dir, 0L, numHashes, bands, pfxBits)
+    sigs.unpersist()
     h.unpersist()
     graft.sources.Sources.writeJsonSidecarFs(corpus.sparkSession,
       s"$dir/_meta.json",
       Map("shingleSize" -> shingleSize.toString,
         "numHashes" -> numHashes.toString,
         "minhashSeed" -> seed.toString,
-        "formatVersion" -> "1"))
+        "bands" -> bands.toString,
+        "pfxBits" -> pfxBits.toString,
+        "formatVersion" -> "2"))
     // a RE-install over a previously-read dir (same session) must
     // invalidate the shared file-status cache, or the first read serves
     // the pre-install listing and dies on vanished files — the append
@@ -1704,8 +1721,20 @@ object Dedup {
     val h = hashedShingles(shingles(batch, idCol, textCol, shingleSize))
       .localCheckpoint()
     h.write.mode("overwrite").parquet(s"$dir/shingles/batch=$batchId")
-    minHashSignaturesHashed(h, numHashes, seed)
-      .write.mode("overwrite").parquet(s"$dir/signatures/batch=$batchId")
+    val sigs = minHashSignaturesHashed(h, numHashes, seed).localCheckpoint()
+    sigs.write.mode("overwrite").parquet(s"$dir/signatures/batch=$batchId")
+    // v2 stores also land the batch's band keys (see writeNearDupStore);
+    // a v1 store (no pinned bands) skips it — its probes band the
+    // signature table at read time, so the table would be dead weight.
+    // Crash between the signature and bandkeys writes: the batch's docs
+    // are invisible to the PRUNED candidate path until the replay heals
+    // the overwrite — the same inert-orphan class as a shingles-only
+    // batch, converging by the same replay.
+    meta.get("bands").foreach { b =>
+      writeBandKeysGeneration(sigs, dir, batchId, numHashes,
+        b.toInt, meta("pfxBits").toInt)
+    }
+    sigs.unpersist()
     h.unpersist()
     // invalidate cached reads of the store: CacheManager matches plans
     // by ROOT PATH, not file listing, so a store scan persisted by an
@@ -1715,6 +1744,20 @@ object Dedup {
     // invalidates; readers stay oblivious.
     spark.catalog.refreshByPath(dir)
   }
+
+  /** Shared writer half of the v2 band-key table: explode signatures
+    * into (band, bh) keys and land them partitioned by (band, pfx =
+    * top `pfxBits` bits of the 32-bit bucket hash) under the batch's
+    * generation dir. ~(4 B key + 8 B id) × bands per doc at rest. */
+  private def writeBandKeysGeneration(sigs: DataFrame, dir: String,
+                                      batchId: Long, numHashes: Int,
+                                      bands: Int, pfxBits: Int): Unit =
+    bandBuckets(sigs, numHashes, bands)
+      .select(col("band"),
+        shiftrightunsigned(col("bh"), 32 - pfxBits).as("pfx"),
+        col("bh"), col("id"))
+      .write.partitionBy("band", "pfx")
+      .mode("overwrite").parquet(s"$dir/bandkeys/batch=$batchId")
 
   /** D10 against the at-rest store: the batch is the only side that
     * tokenizes, hashes, or signs — the corpus arrives as two pruned
@@ -1744,17 +1787,50 @@ object Dedup {
     val shingleSize = meta("shingleSize").toInt
     val numHashes = meta("numHashes").toInt
     val seed = meta.getOrElse("minhashSeed", "42").toLong
+    val hB = hashedShingles(shingles(batch, idCol, textCol, shingleSize))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // explicit projections: the store dirs are batch=<id>-partitioned,
     // and the discovered partition column must not ride into unions or
     // aggregation keys
-    crossNearDup(
-      hashedShingles(shingles(batch, idCol, textCol, shingleSize))
-        .persist(StorageLevel.MEMORY_AND_DISK),
-      spark.read.parquet(s"$dir/shingles").select("id", "hs")
-        .persist(StorageLevel.MEMORY_AND_DISK),
-      spark.read.parquet(s"$dir/signatures")
-        .select("id", (0 until numHashes).map(i => s"mh_$i"): _*),
-      numHashes, bands, threshold, seed)
+    val hC = spark.read.parquet(s"$dir/shingles").select("id", "hs")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (meta.get("bands").map(_.toInt).contains(bands)) {
+      // v2 pruned path: candidates come from the at-rest band-key
+      // table, read ONLY in the (band, pfx) partitions the batch's own
+      // band keys can collide in — per-batch candidate cost tracks the
+      // batch's prefix coverage, not the landed corpus. Falls back to
+      // the signature path when the caller's `bands` knob differs from
+      // the store's pinned geometry (band hashes only collide when
+      // writer and reader agree).
+      val pfxBits = meta("pfxBits").toInt
+      val bB = bandBuckets(
+          minHashSignaturesHashed(hB, numHashes, seed), numHashes, bands)
+        .select(col("id"), col("band"),
+          shiftrightunsigned(col("bh"), 32 - pfxBits).as("pfx"), col("bh"))
+        .localCheckpoint() // two consumers: partition-key fetch + join
+      // bounded driver fetch: ≤ bands · 2^pfxBits distinct keys
+      val wanted = bB.select("band", "pfx").distinct().collect()
+        .map(row => (row.getInt(0), row.getInt(1)))
+      val prune =
+        if (wanted.isEmpty) lit(false)
+        else wanted.groupBy(_._1).map { case (b, ps) =>
+          col("band") === b && col("pfx").isin(ps.map(_._2): _*)
+        }.reduce(_ || _)
+      // join on (band, bh) only — bh equality implies pfx equality, and
+      // the directory-inferred partition column type stays out of keys
+      val bC = spark.read.parquet(s"$dir/bandkeys")
+        .filter(prune)
+        .select(col("id").as("id_b"), col("band"), col("bh"))
+      val cands = bB.drop("pfx").as("x")
+        .join(bC, Seq("band", "bh"))
+        .select(col("x.id").as("id_a"), col("id_b"))
+        .distinct()
+      jaccardForHashed(hB.unionByName(hC), cands, threshold)
+    } else
+      crossNearDup(hB, hC,
+        spark.read.parquet(s"$dir/signatures")
+          .select("id", (0 until numHashes).map(i => s"mh_$i"): _*),
+        numHashes, bands, threshold, seed)
   }
 
   /** True ⇔ the corpus is small enough that the exact all-shared-shingle

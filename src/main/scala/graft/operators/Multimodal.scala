@@ -192,6 +192,22 @@ object Multimodal {
       .toDF(idCol, bytesCol, "dhash")
   }
 
+  /** [[withImageDHash]] for the audio modality: (id, bytes, afp) —
+    * the streaming-ingest shape with the volume-invariant Goertzel
+    * fingerprint ([[Wav.audioFingerprint]]) computed map-side and the
+    * payload carried through to the kept publish, never an exchange. */
+  def withAudioFingerprint(audio: DataFrame, idCol: String = "media_id",
+                           bytesCol: String = "bytes",
+                           bands: Int = 64): DataFrame = {
+    import audio.sparkSession.implicits._
+    audio.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, bytes, Wav.decode(bytes).map(Wav.audioFingerprint(_, bands)))
+      })
+      .toDF(idCol, bytesCol, "afp")
+  }
+
   /** At-rest image-dedup fingerprint store: the dHash AS the
     * fingerprint, riding [[Dedup.writeFpStore]]'s Bloom-fronted
     * machinery unchanged (the dHash string is an injective key, so
@@ -378,72 +394,130 @@ object Multimodal {
       .select(col("id_a"), col("id_b"),
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long")
           .as("hamming"))
-      .distinct()
+      // hamming is a pure function of the pair, so filtering BEFORE the
+      // dedup is semantically identical — and every band-colliding FAR
+      // pair (hamming up to 64) dies map-side instead of riding the
+      // distinct's exchange
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
-  /** NEAR-dup image store at rest: the skinny (id, dhash) table landed
-    * under `$dir/hashes/batch=<i>` — the fuzzy sibling of
-    * [[writeImageDHashStore]] (which answers only hash-EQUALITY).
-    * Batch-keyed overwrites make appends idempotent (the near-dup
-    * store convention); the store carries hashes only, never bytes, so
-    * a billion-image store is 16 bytes/row. */
+  /** NEAR-dup image store at rest, PROBE-PRUNABLE: the store lands
+    * ALREADY BANDED — rows (bk, id, h) under
+    * `$dir/bands/batch=<i>/band=<b>/pfx=<p>`, where `pfx` is the top
+    * `pfxBits` bits of the band key. A batch probe knows exactly which
+    * (band, pfx) partitions its own hashes can collide in, so each
+    * probe is a partition-PRUNED read of ~(batch-distinct prefixes /
+    * 2^pfxBits) of the store instead of a full (id, hash) scan — the
+    * one store-side term that previously grew with corpus instead of
+    * with the answer. Banding geometry (bands, pfxBits) is pinned in
+    * `_meta.json` (formatVersion 2): band keys only align when writer
+    * and reader agree, the near-dup-store sidecar convention. Rows
+    * carry the full hash `h`, so the popcount verify needs no second
+    * store read. Batch-keyed overwrites keep appends idempotent; the
+    * store carries hashes only, never bytes (~24 bytes × bands per
+    * image at rest). */
   def writeImageNearDupStore(images: DataFrame, dir: String,
                              idCol: String = "media_id",
-                             bytesCol: String = "bytes"): Unit = {
+                             bytesCol: String = "bytes",
+                             bands: Int = 4, pfxBits: Int = 4): Unit = {
+    require(64 % bands == 0, "bands must divide 64")
+    require(pfxBits >= 1 && pfxBits <= 64 / bands,
+      s"pfxBits must be in [1, ${64 / bands}]")
     val spark = images.sparkSession
-    imageDHash(images, idCol, bytesCol).filter(col("dhash").isNotNull)
-      .select(col(idCol).as("id"), col("dhash"))
-      .write.mode("overwrite").parquet(s"$dir/hashes/batch=0")
+    writeBandedGeneration(
+      imageDHash(images, idCol, bytesCol), idCol,
+      dir, 0L, bands, pfxBits)
     graft.sources.Sources.writeJsonSidecarFs(spark, s"$dir/_meta.json",
-      Map("formatVersion" -> "1"))
+      Map("formatVersion" -> "2", "bands" -> bands.toString,
+        "pfxBits" -> pfxBits.toString))
     spark.catalog.refreshByPath(dir)
   }
 
-  /** Grow the near-dup store: batch hashes land under their own
-    * batch subdir — idempotent per batchId by overwrite. */
+  /** Grow the near-dup store: batch band rows land under their own
+    * batch subdir — idempotent per batchId by overwrite. Geometry comes
+    * FROM the store's sidecar (a mismatched appender would land band
+    * keys no probe can collide with). */
   def appendToImageNearDupStore(batch: DataFrame, dir: String,
                                 batchId: Long,
                                 idCol: String = "media_id",
                                 bytesCol: String = "bytes"): Unit = {
     require(batchId > 0, "batchId 0 is the base install")
     val spark = batch.sparkSession
-    imageDHash(batch, idCol, bytesCol).filter(col("dhash").isNotNull)
-      .select(col(idCol).as("id"), col("dhash"))
-      .write.mode("overwrite").parquet(s"$dir/hashes/batch=$batchId")
+    val meta = graft.sources.Sources.readJsonSidecarFs(spark, s"$dir/_meta.json")
+    writeBandedGeneration(
+      imageDHash(batch, idCol, bytesCol), idCol,
+      dir, batchId, meta("bands").toInt, meta("pfxBits").toInt)
     spark.catalog.refreshByPath(dir)
+  }
+
+  /** Shared writer half: band the (id, dhash) frame and land it
+    * partitioned by (band, pfx) under the batch's generation dir. */
+  private def writeBandedGeneration(hashed: DataFrame, idCol: String,
+                                    dir: String, batchId: Long,
+                                    bands: Int, pfxBits: Int): Unit = {
+    val r = 64 / bands
+    bandedHashes(hashed.filter(col("dhash").isNotNull), "dhash", bands, idCol)
+      .select(col("band"),
+        shiftrightunsigned(col("bk"), r - pfxBits).as("pfx"),
+        col("bk"), col(idCol).as("id"), col("_h").as("h"))
+      .write.partitionBy("band", "pfx")
+      .mode("overwrite").parquet(s"$dir/bands/batch=$batchId")
   }
 
   /** Batch × store NEAR-dup pairs at Hamming ≤ `maxHamming` — the
     * incremental fuzzy-image-dedup read path (d10's shape on the
-    * pixel channel): both sides band their hashes, candidates come
-    * from band-key equi-joins of skinny rows (pigeonhole recall 1.0
-    * at maxHamming ≤ bands−1 — deterministic, not probabilistic), a
-    * popcount verifies. The batch never pairs against itself and the
-    * store never re-pairs its landed corpus; cost is one store scan
-    * of (id, hash) rows joined on band keys. CONTRACT: batch and
-    * store ids disjoint. Output (batch_id, store_id, hamming). */
+    * pixel channel): the batch bands its hashes with the STORE's
+    * pinned geometry, candidates come from band-key equi-joins
+    * (pigeonhole recall 1.0 at maxHamming ≤ bands−1 — deterministic,
+    * not probabilistic), a popcount verifies — BEFORE the pair dedup,
+    * so far collisions never ride the exchange. The store side is a
+    * partition-PRUNED read: the batch's distinct (band, pfx) keys —
+    * a bounded driver fetch, ≤ bands · 2^pfxBits values by
+    * construction — become partition filters on the banded store
+    * scan, so a trickle batch against a billion-image store reads
+    * only the partitions its own hashes can collide in. The batch
+    * never pairs against itself and the store never re-pairs its
+    * landed corpus. CONTRACT: batch and store ids disjoint. Output
+    * (batch_id, store_id, hamming). */
   def incrementalImageNearDup(batch: DataFrame, dir: String,
-                              maxHamming: Int = 3, bands: Int = 4,
+                              maxHamming: Int = 3,
                               idCol: String = "media_id",
                               bytesCol: String = "bytes"): DataFrame = {
-    requireBandedExact(maxHamming, bands)
     val spark = batch.sparkSession
-    val store = spark.read.parquet(s"$dir/hashes")
-      .select(col("id"), col("dhash"))
+    val meta = graft.sources.Sources.readJsonSidecarFs(spark, s"$dir/_meta.json")
+    val bands = meta("bands").toInt
+    val pfxBits = meta("pfxBits").toInt
+    requireBandedExact(maxHamming, bands)
+    val r = 64 / bands
     val qb = bandedHashes(
         imageDHash(batch, idCol, bytesCol), "dhash", bands, idCol)
       .select(col(idCol).as("batch_id"), col("_h").as("h_a"),
+        col("band"), shiftrightunsigned(col("bk"), r - pfxBits).as("pfx"),
+        col("bk"))
+      .localCheckpoint() // two consumers: the partition-key fetch + the join
+    // bounded driver fetch: ≤ bands · 2^pfxBits distinct partition keys
+    val wanted = qb.select("band", "pfx").distinct().collect()
+      .map(row => (row.getInt(0), row.getLong(1)))
+    // empty batch → lit(false) prunes EVERY partition (zero-file scan)
+    val prune =
+      if (wanted.isEmpty) lit(false)
+      else wanted.groupBy(_._1).map { case (b, ps) =>
+        col("band") === b && col("pfx").isin(ps.map(_._2): _*)
+      }.reduce(_ || _)
+    // join on (band, bk) only — bk equality already implies pfx
+    // equality, and the discovered pfx partition column's directory-
+    // inferred type need not match the probe side's
+    val sb = spark.read.parquet(s"$dir/bands")
+      .filter(prune)
+      .select(col("id").as("store_id"), col("h").as("h_b"),
         col("band"), col("bk"))
-    val sb = bandedHashes(store, "dhash", bands, "id")
-      .select(col("id").as("store_id"), col("_h").as("h_b"),
-        col("band"), col("bk"))
-    qb.join(sb, Seq("band", "bk"))
+    qb.drop("pfx").join(sb, Seq("band", "bk"))
       .select(col("batch_id"), col("store_id"),
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long")
           .as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }
 

@@ -8,6 +8,26 @@ import org.scalatest.BeforeAndAfterAll
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
   val sf: String = "/root/testdata/sf0.001"
+
+  /** Every FileSourceScanExec in an EXECUTED plan, descending through
+    * the AQE wrappers (AdaptiveSparkPlanExec / QueryStageExec are
+    * leaf-like nodes whose inner plan a plain collect never visits) —
+    * the plan-shape assertions' scan extractor. */
+  protected def fileScans(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val here = p match {
+        case f: FileSourceScanExec => Seq(f)
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case _ => Seq.empty
+      }
+      here ++ p.children.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
 }
 
 object SparkSpec {

