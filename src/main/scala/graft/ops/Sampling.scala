@@ -217,9 +217,32 @@ object Sampling {
     * embeddings) never rides the range exchange or the checkpoint —
     * and the kept keys (≤ quota · |groups| rows, usually broadcastable)
     * semi-join the input back. CONTRACT: `keyCol` is unique within
-    * each group (every call site keys on a document id) — duplicate
-    * keys would make the semi join keep every copy where the rank
-    * kept `quota` arbitrary ones. */
+    * each group (every call site keys on a document id) — a violation
+    * SILENTLY OVER-FILLS the quota (the semi join keeps every copy of
+    * a kept key, where the pre-round-14 window implementation kept
+    * exactly `quota` arbitrary rows); run [[requireUniqueKeys]] in
+    * debug/CI to make violations fail loudly instead. */
+  /** Debug/CI gate for the draw family's keyCol-uniqueness contract
+    * (quotaSample / temperatureMix / shuffleShard): one aggregation
+    * over the skinny (group, key) projection, failing loudly with the
+    * first offending key — the alternative is a semi join that
+    * silently keeps every duplicate copy of a kept key (over-quota).
+    * Deliberately a separate opt-in call, not a flag: the check is a
+    * full extra shuffle, which a production draw over a contract-
+    * honest corpus must not pay per run. */
+  def requireUniqueKeys(df: DataFrame, groupCol: String,
+                        keyCol: String): Unit = {
+    val dup = df.groupBy(col(groupCol), col(keyCol))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > 1)
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"draw contract violated: key ${dup.headOption.map(_.get(1))} " +
+        s"appears ${dup.headOption.map(_.getLong(2))}x in group " +
+        s"${dup.headOption.map(_.get(0))} — deduplicate or re-key " +
+        "before quota/temperature draws (duplicates silently over-fill " +
+        "the quota)")
+  }
+
   def quotaSample(df: DataFrame, groupCol: String, keyCol: String,
                   quota: Int): DataFrame = {
     val kept = graft.ops.DistributedRank.withRankAndCumsum(
@@ -342,6 +365,47 @@ object Sampling {
     df.join(kept,
       df(groupCol) <=> col("_qg") && df(keyCol) <=> col("_qk"),
       "left_semi")
+  }
+
+  /** Weighted corpus draw WITHOUT an RNG — Efraimidis–Spirakis A-Res
+    * (2006) made deterministic: each key gets a reproducible uniform
+    * u ∈ (0,1] from its md5 prefix (24 bits — enough that u-ties are
+    * rare, and the id tiebreak absorbs them), a selection priority
+    * ln(u) · weightScale / w, and the draw keeps the top `n`
+    * priorities — the exact weighted-sampling-without-replacement
+    * scheme (P[i ∈ sample] follows the ES inclusion law), with the
+    * noise source a hash instead of RNG state, so the draw is
+    * reproducible across runs, partitionings, AND engines (the md5
+    * rank-draw discipline, now weight-aware). This is the C4-era
+    * curation shape the verdict asked for: a centrality prior (e.g.
+    * [[graft.operators.Graph.linkRank]]'s integer pr) DRIVES the
+    * draw — a doc with 10× the rank is ~10× as likely to survive —
+    * rather than merely ordering a top-k cut.
+    *
+    * `weightScale` normalizes integer weights to O(1) (pass the
+    * linkRank `scale`), keeping the 6-dp-rounded priority's dynamic
+    * range where cross-engine float replay is proven (the r8/dsir
+    * rounded-log-weight convention). Priorities round BEFORE the
+    * cut on both engines, so the boundary cannot ulp-flip.
+    *
+    * Scale shape: priorities are map-side arithmetic over the SKINNY
+    * (key, weight) projection; the cut is a distributed TakeOrdered
+    * (never a corpus-wide window); the ≤ n kept keys broadcast back
+    * as a semi join. CONTRACT: `keyCol` unique, weights > 0. */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     n: Int, weightScale: Double = 1.0): DataFrame = {
+    require(n >= 1, s"n >= 1: $n")
+    val u = (conv(substring(md5(col(keyCol).cast("string").cast("binary")),
+      1, 6), 16, 10).cast("double") + 1.0d) / lit(16777216.0d)
+    val priority = round(
+      log(u) * lit(weightScale) / col(weightCol).cast("double"), 6)
+    val kept = df.select(col(keyCol), col(weightCol))
+      .withColumn("_prio", priority)
+      .orderBy(col("_prio").desc, col(keyCol))
+      .limit(n)
+      .select(col(keyCol).as("_wk"), col("_prio"))
+    df.join(broadcast(kept), df(keyCol) <=> col("_wk"))
+      .drop("_wk")
   }
 
   /** Hashed-n-gram bucket of a gram string: the first two md5 hex

@@ -49,4 +49,39 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(1L -> (base + 85L * S / 100L),
       2L -> (base + 85L * (S / 2) / 100L)), s"got $got")
   }
+
+  test("linkRank: dangling mass redistributes uniformly, integer-exactly") {
+    // 1 -> 2, 2 -> 1, 3 dangling: without redistribution node 3 only
+    // ever keeps the teleport floor and its initial mass evaporates
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val S = 1000000000000L
+    val base = 15L * S / 100L
+    val off = Graph.linkRank(nodes, edges, iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(off(3L) == base, s"dropped mass: 3 keeps only the floor: $off")
+    val on = Graph.linkRank(nodes, edges, iterations = 1,
+        redistributeDangling = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // dangling sum = S (node 3's initial rank), per-node share S div 3
+    val share = S / 3L
+    val expected = Map(
+      1L -> (base + 85L * (S + share) / 100L),
+      2L -> (base + 85L * (S + share) / 100L),
+      3L -> (base + 85L * share / 100L))
+    assert(on == expected, s"got $on want $expected")
+    // and total mass is (nearly) conserved instead of losing S
+    assert(on.values.sum > off.values.sum + 8L * S / 10L)
+  }
+
+  test("linkRank: overflow headroom guard fails loudly, not silently wrapped") {
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    // max |V| at this scale is Long.MaxValue/85/scale = 3 < 4 nodes
+    val scale = Long.MaxValue / 85L / 3L
+    val e = intercept[IllegalArgumentException] {
+      Graph.linkRank(nodes, edges, iterations = 1, scale = scale)
+    }
+    assert(e.getMessage.contains("overflow"), e.getMessage)
+  }
 }

@@ -119,6 +119,51 @@ class OpsSpec extends SparkSpec {
     assert(small.count() == 5)
   }
 
+  test("weightedSample: deterministic ES draw — weights drive inclusion, brute-force parity") {
+    // 400 keys, weight 10x for ids % 4 == 0: the heavy quarter must win
+    // far more than its 25% share of a 100-row draw, light rows still
+    // get in (it's a weighted draw, not a top-k by weight)
+    val df = (1L to 400L)
+      .map(i => (i, if (i % 4 == 0) 10000000000000L else 1000000000000L))
+      .toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", "w", n = 100,
+        weightScale = 1e12)
+      .select("id").as[Long].collect().toSet
+    assert(got.size == 100)
+    val heavy = got.count(_ % 4 == 0)
+    assert(heavy > 50, s"10x-weighted quarter must dominate the draw: $heavy")
+    assert(heavy < 100, s"light rows must still appear: $heavy")
+    // exact parity with a brute-force replay of the formula
+    def hex6(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(id.toString.getBytes("UTF-8"))
+        .take(3).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+    }
+    val brute = (1L to 400L).map { i =>
+      val w = if (i % 4 == 0) 1e13 else 1e12
+      val u = (hex6(i) + 1.0) / 16777216.0
+      val prio = BigDecimal(math.log(u) * 1e12 / w)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (i, prio)
+    }.sortBy { case (i, p) => (-p, i) }.take(100).map(_._1).toSet
+    assert(got == brute, s"missing ${brute -- got}, extra ${got -- brute}")
+    // partitioning-independent (hash noise, no RNG state)
+    val again = Sampling.weightedSample(df.repartition(7), "id", "w",
+        n = 100, weightScale = 1e12)
+      .select("id").as[Long].collect().toSet
+    assert(again == got)
+  }
+
+  test("requireUniqueKeys: loud failure on a duplicated draw key, silence on clean input") {
+    val clean = Seq(("en", 1L), ("en", 2L), ("de", 1L)).toDF("g", "k")
+    Sampling.requireUniqueKeys(clean, "g", "k") // must not throw
+    val dirty = clean.unionByName(Seq(("en", 2L)).toDF("g", "k"))
+    val e = intercept[IllegalArgumentException] {
+      Sampling.requireUniqueKeys(dirty, "g", "k")
+    }
+    assert(e.getMessage.contains("contract violated"), e.getMessage)
+  }
+
   test("text-quality PSI: parity slices read stable, a junk-polluted snapshot flags") {
     import graft.metrics.Psi
     import graft.operators.TextAnalysis
