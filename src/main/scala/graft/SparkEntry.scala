@@ -214,6 +214,9 @@ object SparkEntry {
     "llm_web_pipeline" -> (Documents.llmWebPipeline _),
     "d26_exact_dedup_stream" -> (Documents.d26ExactDedupStream _),
     "d27_corpus_ingest_stream" -> (Documents.d27CorpusIngestStream _),
+    "t38_link_rank_dangling" -> (Documents.t38LinkRankDangling _),
+    "llm_rank_weighted_mix" -> (Documents.llmRankWeightedMix _),
+    "mm9_audio_dedup_stream" -> (Documents.mm9AudioDedupStream _),
   )
 
   /** T20's oracle: every Gopher rule statistic recomputed on RAW gram
@@ -1957,6 +1960,36 @@ object SparkEntry {
         |r3 AS (SELECT nn.id, CAST(150000000000 + (85 * coalesce(s3.s, 0)) // 100 AS BIGINT) AS pr
         |  FROM nn LEFT JOIN s3 ON nn.id = s3.id)
         |SELECT id AS doc_id, pr FROM r3 ORDER BY doc_id""".stripMargin,
+    // T38: the dangling-mass variant — %5 nodes have no outlinks; each
+    // unrolled iteration adds the dangling rank sum's floor-divided
+    // uniform share inside the damped term, exactly like the kernel
+    "t38_link_rank_dangling" ->
+      """WITH nn AS (SELECT doc_id AS id FROM documents WHERE doc_id < 2000),
+        |mc AS (SELECT count(*) AS m FROM nn),
+        |e AS (SELECT id AS src, (id * 7 + 1) % (SELECT m FROM mc) AS dst FROM nn WHERE id % 5 <> 0
+        |  UNION ALL SELECT id, (id * 13 + 2) % (SELECT m FROM mc) FROM nn WHERE id % 5 <> 0
+        |  UNION ALL SELECT id, (id * 31 + 5) % (SELECT m FROM mc) FROM nn WHERE id % 5 <> 0),
+        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+        |r0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS pr FROM nn),
+        |d0 AS (SELECT coalesce(sum(pr), 0) AS dm FROM r0 WHERE id NOT IN (SELECT src FROM deg)),
+        |s1 AS (SELECT e.dst AS id, sum(r0.pr // deg.d) AS s FROM e
+        |  JOIN deg ON e.src = deg.src JOIN r0 ON r0.id = e.src GROUP BY e.dst),
+        |r1 AS (SELECT nn.id, CAST(150000000000 + (85 * (coalesce(s1.s, 0)
+        |    + (SELECT dm FROM d0) // (SELECT m FROM mc))) // 100 AS BIGINT) AS pr
+        |  FROM nn LEFT JOIN s1 ON nn.id = s1.id),
+        |d1 AS (SELECT coalesce(sum(pr), 0) AS dm FROM r1 WHERE id NOT IN (SELECT src FROM deg)),
+        |s2 AS (SELECT e.dst AS id, sum(r1.pr // deg.d) AS s FROM e
+        |  JOIN deg ON e.src = deg.src JOIN r1 ON r1.id = e.src GROUP BY e.dst),
+        |r2 AS (SELECT nn.id, CAST(150000000000 + (85 * (coalesce(s2.s, 0)
+        |    + (SELECT dm FROM d1) // (SELECT m FROM mc))) // 100 AS BIGINT) AS pr
+        |  FROM nn LEFT JOIN s2 ON nn.id = s2.id),
+        |d2 AS (SELECT coalesce(sum(pr), 0) AS dm FROM r2 WHERE id NOT IN (SELECT src FROM deg)),
+        |s3 AS (SELECT e.dst AS id, sum(r2.pr // deg.d) AS s FROM e
+        |  JOIN deg ON e.src = deg.src JOIN r2 ON r2.id = e.src GROUP BY e.dst),
+        |r3 AS (SELECT nn.id, CAST(150000000000 + (85 * (coalesce(s3.s, 0)
+        |    + (SELECT dm FROM d2) // (SELECT m FROM mc))) // 100 AS BIGINT) AS pr
+        |  FROM nn LEFT JOIN s3 ON nn.id = s3.id)
+        |SELECT id AS doc_id, pr FROM r3 ORDER BY doc_id""".stripMargin,
     // Rank-weighted selection: t37's unrolled Jacobi chain + t30's
     // entropy recount joined into one ranked LIMIT (ties broken by id)
     "llm_rank_select" ->
@@ -1989,6 +2022,40 @@ object SparkEntry {
         |FROM r3 JOIN en ON r3.id = en.doc_id
         |WHERE en.char_entropy >= 2.85
         |ORDER BY r3.pr DESC, doc_id LIMIT 100""".stripMargin,
+    // Rank-WEIGHTED draw: the unrolled Jacobi chain feeds the
+    // Efraimidis–Spirakis priority — 24-bit md5 uniform via strpos hex
+    // arithmetic (the shuffleShard portability rule), ln, 6-dp round,
+    // top-200 by (priority, id)
+    "llm_rank_weighted_mix" ->
+      """WITH nn AS (SELECT doc_id AS id FROM documents WHERE doc_id < 2000),
+        |mc AS (SELECT count(*) AS m FROM nn),
+        |e AS (SELECT id AS src, (id * 7 + 1) % (SELECT m FROM mc) AS dst FROM nn
+        |  UNION ALL SELECT id, (id * 13 + 2) % (SELECT m FROM mc) FROM nn
+        |  UNION ALL SELECT id, (id * 31 + 5) % (SELECT m FROM mc) FROM nn),
+        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+        |r0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS pr FROM nn),
+        |s1 AS (SELECT e.dst AS id, sum(r0.pr // deg.d) AS s FROM e
+        |  JOIN deg ON e.src = deg.src JOIN r0 ON r0.id = e.src GROUP BY e.dst),
+        |r1 AS (SELECT nn.id, CAST(150000000000 + (85 * coalesce(s1.s, 0)) // 100 AS BIGINT) AS pr
+        |  FROM nn LEFT JOIN s1 ON nn.id = s1.id),
+        |s2 AS (SELECT e.dst AS id, sum(r1.pr // deg.d) AS s FROM e
+        |  JOIN deg ON e.src = deg.src JOIN r1 ON r1.id = e.src GROUP BY e.dst),
+        |r2 AS (SELECT nn.id, CAST(150000000000 + (85 * coalesce(s2.s, 0)) // 100 AS BIGINT) AS pr
+        |  FROM nn LEFT JOIN s2 ON nn.id = s2.id),
+        |s3 AS (SELECT e.dst AS id, sum(r2.pr // deg.d) AS s FROM e
+        |  JOIN deg ON e.src = deg.src JOIN r2 ON r2.id = e.src GROUP BY e.dst),
+        |r3 AS (SELECT nn.id, CAST(150000000000 + (85 * coalesce(s3.s, 0)) // 100 AS BIGINT) AS pr
+        |  FROM nn LEFT JOIN s3 ON nn.id = s3.id),
+        |pv AS (SELECT r3.id AS doc_id, r3.pr, d.lang,
+        |  list_sum(list_transform(range(6), i ->
+        |    (strpos('0123456789abcdef',
+        |       substring(md5(CAST(r3.id AS VARCHAR)), CAST(i + 1 AS INT), 1)) - 1)
+        |    * CAST(16 ** (5 - i) AS BIGINT))) AS v
+        |  FROM r3 JOIN documents d ON d.doc_id = r3.id),
+        |pp AS (SELECT doc_id, lang, pr,
+        |  round(ln((v + 1) / 16777216.0) * 1e12 / pr, 6) AS priority FROM pv),
+        |keep AS (SELECT * FROM pp ORDER BY priority DESC, doc_id LIMIT 200)
+        |SELECT doc_id, lang, pr, priority FROM keep ORDER BY doc_id""".stripMargin,
     // MM5: at-rest image dedup — keeper rule replayed on text equality
     // (what the dHash is contracted to mirror); store slice excluded,
     // min-id election within the batch
@@ -2007,6 +2074,22 @@ object SparkEntry {
     // id parity, batch 1 first), store slice excluded; published table
     // is the hashed surface, so order/append/publish slips all land
     "mm6_image_dedup_stream" ->
+      """WITH t AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
+        |st AS (SELECT DISTINCT text FROM t WHERE doc_id % 31 = 0),
+        |b AS (SELECT doc_id AS media_id, text FROM t WHERE doc_id % 31 <> 0
+        |  UNION ALL SELECT doc_id + 500000000, text FROM t
+        |  WHERE doc_id % 31 = 0 AND doc_id % 10 = 0),
+        |r AS (SELECT media_id, text, row_number() OVER (PARTITION BY text
+        |  ORDER BY CASE WHEN media_id % 2 = 0 THEN 1 ELSE 2 END, media_id) AS rn
+        |  FROM b)
+        |SELECT media_id FROM r
+        |WHERE rn = 1 AND text NOT IN (SELECT text FROM st)
+        |ORDER BY media_id""".stripMargin,
+    // MM9: the audio-modality streamed twin — SAME keeper-rule replay
+    // as mm6 (the fingerprint is contracted to mirror text equality;
+    // gain twins are invariance-dropped), proving the shared
+    // store/stream seam end-to-end for a second modality
+    "mm9_audio_dedup_stream" ->
       """WITH t AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
         |st AS (SELECT DISTINCT text FROM t WHERE doc_id % 31 = 0),
         |b AS (SELECT doc_id AS media_id, text FROM t WHERE doc_id % 31 <> 0

@@ -2254,6 +2254,29 @@ object Documents {
       .orderBy("doc_id")
   }
 
+  /** T38 — [[graft.operators.Graph.linkRank]] with DANGLING-MASS
+    * redistribution on a graph where it matters: every %5 node has NO
+    * outgoing edges (a real crawl's no-outlink pages), so without
+    * redistribution a fifth of the total rank mass would evaporate
+    * every iteration. The oracle unrolls all three Jacobi steps WITH
+    * the per-iteration dangling sum and its floor-divided uniform
+    * share — a dropped dangling term, a wrong divisor, or mass
+    * leaking from the wrong node set shifts every rank and
+    * hash-fails. */
+  def t38LinkRankDangling(s: SparkSession, d: String): DataFrame = {
+    val nodes = Tables.documents(s, d).filter(col("doc_id") < 2000)
+      .select(col("doc_id").as("id"))
+    val m = nodes.count()
+    val edges = nodes.filter(col("id") % 5 =!= 0)
+      .select(col("id").as("src"),
+        explode(array((col("id") * 7 + 1) % m, (col("id") * 13 + 2) % m,
+          (col("id") * 31 + 5) % m)).as("dst"))
+    Graph.linkRank(nodes, edges, iterations = 3,
+        redistributeDangling = true)
+      .select(col("id").as("doc_id"), col("pr"))
+      .orderBy("doc_id")
+  }
+
   /** Rank-weighted selection composite — the C4-era curation shape:
     * link centrality (t37's integer kernel over the same closed
     * graph) joined onto a content-quality gate (t30's char-entropy
@@ -2279,6 +2302,34 @@ object Documents {
       .limit(100)
       .select(col("doc_id"), col("pr"), col("char_entropy"))
       .orderBy(desc("pr"), col("doc_id"))
+  }
+
+  /** Rank-WEIGHTED draw composite — the other half of the C4-era
+    * curation shape ([[llmRankSelect]] SORTS by centrality; this one
+    * lets centrality DRIVE a weighted sample): t37's integer PageRank
+    * feeds [[graft.ops.Sampling.weightedSample]] as the weight
+    * column, so a 10×-rank page is ~10× as likely to survive the cut
+    * while low-rank pages still get in — the Efraimidis–Spirakis draw
+    * on the md5 noise source. The oracle chains the unrolled Jacobi
+    * replay into the exact priority formula (strpos hex arithmetic
+    * for the 24-bit uniform, ln, 6-dp round, top-200 by (priority,
+    * id)); a rank drift, a hash slip, or a weight-blind draw reorders
+    * the kept set and hash-fails. */
+  def llmRankWeightedMix(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 2000)
+    val nodes = docs.select(col("doc_id").as("id"))
+    val m = nodes.count()
+    val edges = nodes.select(col("id").as("src"),
+      explode(array((col("id") * 7 + 1) % m, (col("id") * 13 + 2) % m,
+        (col("id") * 31 + 5) % m)).as("dst"))
+    val pr = Graph.linkRank(nodes, edges, iterations = 3)
+      .withColumnRenamed("id", "doc_id")
+    graft.ops.Sampling.weightedSample(
+        docs.select("doc_id", "lang").join(pr, "doc_id"),
+        "doc_id", "pr", n = 200, weightScale = 1e12)
+      .select(col("doc_id"), col("lang"), col("pr"),
+        col("_prio").as("priority"))
+      .orderBy("doc_id")
   }
 
   /** MM8 — brightness-invariant VIDEO dedup ([[graft.operators.Y4m
@@ -2375,6 +2426,58 @@ object Documents {
     val stream = s.readStream.schema(batch.schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
     val q = graft.streaming.EventStream.streamingImageDedupIngest(
+        stream, storeDir, keptDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt).start()
+    q.awaitTermination()
+    graft.sources.Sources.readPublished(s, keptDir)
+      .select("media_id")
+      .orderBy("media_id")
+  }
+
+  /** MM9 — the AUDIO-dedup INGEST loop on the hard signal
+    * ([[graft.streaming.EventStream.streamingAudioDedupIngest]] —
+    * mm6's loop with the volume-invariant Goertzel fingerprint),
+    * proving the shared fingerprint store/stream seam end-to-end for
+    * a second modality: the %31 slice installs the store (gain 1),
+    * the rest of the corpus plus ×2-gain remasters of stored clips
+    * streams as two AvailableNow micro-batches split by id parity,
+    * and the PUBLISHED kept table is hashed against DuckDB replaying
+    * the cross-batch keeper rule on what the fingerprint is
+    * contracted to mirror — text equality (samples derive from the
+    * text's md5 hex; the ×2 gain is provably fingerprint-invariant,
+    * the mm7 IEEE argument). A dropped store append, a flipped batch
+    * order, a double publish, or a surviving gain twin hash-fails. */
+  def mm9AudioDedupStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hexed = md5HexImages(
+      Tables.documents(s, d).filter(col("doc_id") < 2000))
+    val base = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/mm9_stream"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val (storeDir, inDir) = (s"$base/store", s"$base/in")
+    val (keptDir, ckpt) = (s"$base/kept", s"$base/ckpt")
+    def wavFrame(df: DataFrame, off: Long, gain: Int): DataFrame =
+      df.as[(Long, String)].map { case (id, hex) =>
+        // samples in ±1728·gain — gain 2 stays far from Short overflow
+        val samples = hex.getBytes("US-ASCII")
+          .map(c => (((c - 75) << 6) * gain).toShort)
+        (id + off, Wav.encode(samples, 16000))
+      }.toDF("media_id", "bytes")
+    Multimodal.writeAudioFingerprintStore(
+      wavFrame(hexed.filter(col("doc_id") % 31 === 0), 0L, 1),
+      storeDir, expectedTotalClips = 100000L)
+    val batch = wavFrame(hexed.filter(col("doc_id") % 31 =!= 0), 0L, 1)
+      .unionByName(wavFrame(
+        hexed.filter(col("doc_id") % 31 === 0 && col("doc_id") % 10 === 0),
+        500000000L, 2))
+    writeOrderedBatches(s, inDir,
+      Seq(batch.filter(col("media_id") % 2 === 0),
+        batch.filter(col("media_id") % 2 =!= 0)))
+    val stream = s.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = graft.streaming.EventStream.streamingAudioDedupIngest(
         stream, storeDir, keptDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", ckpt).start()

@@ -435,6 +435,30 @@ object EventStream {
     streamingExactDedupIngest(hashed, storeDir, keptDir, idCol, "_dh")
   }
 
+  /** Streaming AUDIO dedup ingest — [[streamingImageDedupIngest]] for
+    * the trio's second modality, proving the shared
+    * fingerprint-frame/store seam end-to-end as a stream: each
+    * micro-batch of (id, bytes) clips fingerprints map-side
+    * ([[graft.operators.Multimodal.withAudioFingerprint]] — the
+    * volume-invariant Goertzel sign pattern), keeps the first carrier
+    * of each previously-unseen fingerprint, publishes kept rows
+    * manifest-committed, and folds the new fingerprints into the
+    * Bloom-fronted store. A ×2-gain remaster of a landed clip drops
+    * even though its bytes match nothing. Undecodable payloads DROP
+    * (no perceptual identity ⇒ no dedup claim). Replay posture,
+    * manifest guard and maintenance hooks inherited verbatim. */
+  def streamingAudioDedupIngest(audio: DataFrame, storeDir: String,
+                                keptDir: String,
+                                idCol: String = "media_id",
+                                bytesCol: String = "bytes")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val hashed = graft.operators.Multimodal
+      .withAudioFingerprint(audio, idCol, bytesCol)
+      .filter(col("afp").isNotNull)
+      .withColumn("_dh", col("afp").cast("string"))
+    streamingExactDedupIngest(hashed, storeDir, keptDir, idCol, "_dh")
+  }
+
   /** Streaming per-source boilerplate removal — the d19 operator's
     * ingest twin, closing the last batch-only member of the rewrite
     * family: per micro-batch, (1) fold the batch's per-(source, gram)
@@ -659,9 +683,16 @@ object EventStream {
       (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val compacted = seqCol.fold(batch) { sc =>
+            // tiebreak chain: highest seq wins; equal seqs break toward
+            // delete ("delete" < "upsert"); equal (seq, op) — an
+            // out-of-contract feed replaying one mutation with two
+            // payloads — breaks on the payload itself, so an
+            // at-least-once replay elects the SAME winner instead of
+            // whichever row a task saw first (the bit-for-bit
+            // convergence claim must hold even for sloppy inputs)
             val w = org.apache.spark.sql.expressions.Window
               .partitionBy(idCol)
-              .orderBy(col(sc).desc, col(opCol).asc) // "delete" < "upsert"
+              .orderBy(col(sc).desc, col(opCol).asc, col(textCol).asc)
             batch.withColumn("_mrk", row_number().over(w))
               .filter(col("_mrk") === 1).drop("_mrk")
           }

@@ -162,7 +162,11 @@ class SimilaritySpec extends SparkSpec {
     val rows = a.collect().map(_.toString).sorted.toSeq
     val got = a.select("q_id", "n_id").as[(Long, Long)].collect().toSet
     val recall = (got & exact).size.toDouble / exact.size
-    assert(recall >= 0.3, s"ivfpq recall $recall below floor")
+    // floor = measured-minus-margin (RecallProbe table, NOTES r13:
+    // ivfpq nProbe=4/cells=8 at sf0.001 = 0.74; seeded fits replay
+    // bit-identically, so a codebook regression halving recall FAILS
+    // here instead of hiding under a 0.3 floor)
+    assert(recall >= 0.65, s"ivfpq recall $recall below floor")
     // seeded quantizer + codebooks over the SAME input frame ⇒
     // replay-identical (k-means|| init samples per partition, so
     // LAYOUT invariance is not promised — same contract as ann3)
@@ -185,7 +189,9 @@ class SimilaritySpec extends SparkSpec {
     val adc = recall(Similarity.pqTopK(enc, cb, q, 5))
     val rr = recall(Similarity.pqTopKReranked(enc, cb, q, e, 5, depth = 50))
     assert(rr >= adc, s"re-rank recall $rr below raw ADC $adc")
-    assert(rr >= 0.4, s"re-rank recall $rr below floor")
+    // floor = measured-minus-margin (NOTES r13 table: m8k16 rerank
+    // d=50 at sf0.001 = 0.72; deterministic fits ⇒ tight floor)
+    assert(rr >= 0.6, s"re-rank recall $rr below floor")
     // re-ranked cos_sim is EXACT cosine: every (q, n, sim) row must
     // agree with the brute-force similarity for the same pair
     val bfSim = Similarity.bruteForceTopK(e, q, 50)
