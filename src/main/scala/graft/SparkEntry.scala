@@ -217,6 +217,7 @@ object SparkEntry {
     "t38_link_rank_dangling" -> (Documents.t38LinkRankDangling _),
     "llm_rank_weighted_mix" -> (Documents.llmRankWeightedMix _),
     "mm9_audio_dedup_stream" -> (Documents.mm9AudioDedupStream _),
+    "mm10_video_dedup_stream" -> (Documents.mm10VideoDedupStream _),
   )
 
   /** T20's oracle: every Gopher rule statistic recomputed on RAW gram
@@ -2090,6 +2091,22 @@ object SparkEntry {
     // gain twins are invariance-dropped), proving the shared
     // store/stream seam end-to-end for a second modality
     "mm9_audio_dedup_stream" ->
+      """WITH t AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
+        |st AS (SELECT DISTINCT text FROM t WHERE doc_id % 31 = 0),
+        |b AS (SELECT doc_id AS media_id, text FROM t WHERE doc_id % 31 <> 0
+        |  UNION ALL SELECT doc_id + 500000000, text FROM t
+        |  WHERE doc_id % 31 = 0 AND doc_id % 10 = 0),
+        |r AS (SELECT media_id, text, row_number() OVER (PARTITION BY text
+        |  ORDER BY CASE WHEN media_id % 2 = 0 THEN 1 ELSE 2 END, media_id) AS rn
+        |  FROM b)
+        |SELECT media_id FROM r
+        |WHERE rn = 1 AND text NOT IN (SELECT text FROM st)
+        |ORDER BY media_id""".stripMargin,
+    // MM10: the video-modality streamed twin — the trio's third member
+    // on the SAME keeper-rule replay (frames derive per-text, so the
+    // fingerprint mirrors text equality; +16 brightness twins are
+    // invariance-dropped), closing the store/stream seam for all three
+    "mm10_video_dedup_stream" ->
       """WITH t AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
         |st AS (SELECT DISTINCT text FROM t WHERE doc_id % 31 = 0),
         |b AS (SELECT doc_id AS media_id, text FROM t WHERE doc_id % 31 <> 0

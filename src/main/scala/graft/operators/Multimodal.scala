@@ -208,6 +208,22 @@ object Multimodal {
       .toDF(idCol, bytesCol, "afp")
   }
 
+  /** [[withImageDHash]] for the video modality: (id, bytes, vfp) —
+    * the streaming-ingest shape with the brightness-invariant luma-bin
+    * fingerprint ([[Y4m.videoFingerprint]]) computed map-side and the
+    * payload carried through to the kept publish, never an exchange. */
+  def withVideoFingerprint(video: DataFrame, idCol: String = "media_id",
+                           bytesCol: String = "bytes",
+                           bins: Int = 64): DataFrame = {
+    import video.sparkSession.implicits._
+    video.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, bytes, Y4m.decode(bytes).map(Y4m.videoFingerprint(_, bins)))
+      })
+      .toDF(idCol, bytesCol, "vfp")
+  }
+
   /** At-rest image-dedup fingerprint store: the dHash AS the
     * fingerprint, riding [[Dedup.writeFpStore]]'s Bloom-fronted
     * machinery unchanged (the dHash string is an injective key, so

@@ -2487,6 +2487,63 @@ object Documents {
       .orderBy("media_id")
   }
 
+  /** MM10 — the VIDEO-dedup INGEST loop on the hard signal
+    * ([[graft.streaming.EventStream.streamingVideoDedupIngest]] —
+    * mm6's loop with the brightness-invariant luma-bin fingerprint),
+    * closing the modality trio end-to-end through the shared
+    * store/stream seam: the %31 slice's clips install the store
+    * (shift 0), the rest of the corpus plus +16-brightness re-encodes
+    * of stored clips streams as two AvailableNow micro-batches split
+    * by id parity, and the PUBLISHED kept table is hashed against
+    * DuckDB replaying the cross-batch keeper rule on text equality
+    * (frames derive from the text's per-frame md5 masked to 0..127,
+    * so the +16 shift never wraps a byte and is provably
+    * fingerprint-invariant — the mm8 integer argument). A dropped
+    * store append, a flipped batch order, a double publish, or a
+    * surviving brightness twin hash-fails. */
+  def mm10VideoDedupStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 2000)
+      .select("doc_id", "text")
+    val base = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/mm10_stream"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val (storeDir, inDir) = (s"$base/store", s"$base/in")
+    val (keptDir, ckpt) = (s"$base/kept", s"$base/ckpt")
+    def vidFrame(df: DataFrame, off: Long, shift: Int): DataFrame =
+      df.as[(Long, String)].map { case (id, text) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val frames = Array.tabulate(64) { f =>
+          md.reset()
+          // mask to 0..127 so the +16 twin can never wrap a byte
+          md.digest((text + ":" + f).getBytes("UTF-8"))
+            .map(b => ((b & 0x7F) + shift).toByte)
+        }
+        (id + off, Y4m.encode(16, 1, 25, frames))
+      }.toDF("media_id", "bytes")
+    Multimodal.writeVideoFingerprintStore(
+      vidFrame(docs.filter(col("doc_id") % 31 === 0), 0L, 0),
+      storeDir, expectedTotalClips = 100000L)
+    val batch = vidFrame(docs.filter(col("doc_id") % 31 =!= 0), 0L, 0)
+      .unionByName(vidFrame(
+        docs.filter(col("doc_id") % 31 === 0 && col("doc_id") % 10 === 0),
+        500000000L, 16))
+    writeOrderedBatches(s, inDir,
+      Seq(batch.filter(col("media_id") % 2 === 0),
+        batch.filter(col("media_id") % 2 =!= 0)))
+    val stream = s.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = graft.streaming.EventStream.streamingVideoDedupIngest(
+        stream, storeDir, keptDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt).start()
+    q.awaitTermination()
+    graft.sources.Sources.readPublished(s, keptDir)
+      .select("media_id")
+      .orderBy("media_id")
+  }
+
   /** LLM-RAG retrieval composite — the serving half of the chunk →
     * embed → index → retrieve pipeline every RAG stack runs: documents
     * are sliding-window chunked (32/24, t11's operator), each chunk

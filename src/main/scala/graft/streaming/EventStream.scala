@@ -459,6 +459,28 @@ object EventStream {
     streamingExactDedupIngest(hashed, storeDir, keptDir, idCol, "_dh")
   }
 
+  /** Streaming VIDEO dedup ingest — the trio's third modality on the
+    * same seam: micro-batches of (id, bytes) clips fingerprint
+    * map-side ([[graft.operators.Multimodal.withVideoFingerprint]] —
+    * the brightness-invariant luma-bin pattern), first carrier of a
+    * previously-unseen fingerprint wins, kept rows publish
+    * manifest-committed, new fingerprints fold into the Bloom-fronted
+    * store. A uniformly brightness-shifted re-encode of a landed clip
+    * drops even though its bytes match nothing. Undecodable payloads
+    * DROP. Replay posture, manifest guard and maintenance hooks
+    * inherited verbatim. */
+  def streamingVideoDedupIngest(video: DataFrame, storeDir: String,
+                                keptDir: String,
+                                idCol: String = "media_id",
+                                bytesCol: String = "bytes")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val hashed = graft.operators.Multimodal
+      .withVideoFingerprint(video, idCol, bytesCol)
+      .filter(col("vfp").isNotNull)
+      .withColumn("_dh", col("vfp").cast("string"))
+    streamingExactDedupIngest(hashed, storeDir, keptDir, idCol, "_dh")
+  }
+
   /** Streaming per-source boilerplate removal — the d19 operator's
     * ingest twin, closing the last batch-only member of the rewrite
     * family: per micro-batch, (1) fold the batch's per-(source, gram)
