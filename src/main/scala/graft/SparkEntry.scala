@@ -218,6 +218,9 @@ object SparkEntry {
     "llm_rank_weighted_mix" -> (Documents.llmRankWeightedMix _),
     "mm9_audio_dedup_stream" -> (Documents.mm9AudioDedupStream _),
     "mm10_video_dedup_stream" -> (Documents.mm10VideoDedupStream _),
+    "d28_soft_dedup" -> (Documents.d28SoftDedup _),
+    "llm_softdedup_mix" -> (Documents.llmSoftdedupMix _),
+    "t39_url_filter" -> (Documents.t39UrlFilter _),
   )
 
   /** T20's oracle: every Gopher rule statistic recomputed on RAW gram
@@ -2118,6 +2121,87 @@ object SparkEntry {
         |SELECT media_id FROM r
         |WHERE rn = 1 AND text NOT IN (SELECT text FROM st)
         |ORDER BY media_id""".stripMargin,
+    // D28: SoftDeDup reweighting — canonical md5 commonness and the
+    // rounded 1/n weight recomputed from the raw planted corpus
+    "d28_soft_dedup" ->
+      """WITH t AS (SELECT doc_id, text FROM documents),
+        |b AS (SELECT doc_id, text FROM t
+        |  UNION ALL SELECT doc_id + 500000, upper(text) || '!!!' FROM t
+        |    WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT doc_id + 600000, '  ' || text || ' .' FROM t
+        |    WHERE doc_id % 13 = 0),
+        |k AS (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(
+        |  lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')))
+        |  AS fp FROM b),
+        |c AS (SELECT fp, count(*) AS n_copies FROM k GROUP BY fp)
+        |SELECT k.doc_id, c.n_copies,
+        |  round(1.0 / c.n_copies, 6) AS soft_weight
+        |FROM k JOIN c USING (fp) ORDER BY doc_id""".stripMargin,
+    // SoftDeDup mix: d28's weight chain feeding the ES priority (the
+    // llm_rank_weighted_mix portability convention) and a top-300 cut
+    "llm_softdedup_mix" ->
+      """WITH t AS (SELECT doc_id, text FROM documents),
+        |b AS (SELECT doc_id, text FROM t
+        |  UNION ALL SELECT doc_id + 500000, upper(text) || '!!!' FROM t
+        |    WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT doc_id + 600000, '  ' || text || ' .' FROM t
+        |    WHERE doc_id % 13 = 0),
+        |k AS (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(
+        |  lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')))
+        |  AS fp FROM b),
+        |c AS (SELECT fp, count(*) AS n_copies FROM k GROUP BY fp),
+        |w AS (SELECT k.doc_id, c.n_copies,
+        |  round(1.0 / c.n_copies, 6) AS soft_weight
+        |  FROM k JOIN c USING (fp)),
+        |pv AS (SELECT doc_id, n_copies, soft_weight,
+        |  list_sum(list_transform(range(6), i ->
+        |    (strpos('0123456789abcdef',
+        |       substring(md5(CAST(doc_id AS VARCHAR)), CAST(i + 1 AS INT), 1)) - 1)
+        |    * CAST(16 ** (5 - i) AS BIGINT))) AS v FROM w),
+        |pp AS (SELECT doc_id, n_copies, soft_weight,
+        |  round(ln((v + 1) / 16777216.0) * 1.0 / soft_weight, 6) AS priority
+        |  FROM pv),
+        |keep AS (SELECT * FROM pp ORDER BY priority DESC, doc_id LIMIT 300)
+        |SELECT doc_id, n_copies, soft_weight, priority FROM keep
+        |ORDER BY doc_id""".stripMargin,
+    // T39: URL curation — host/registered-domain extraction, blocklist
+    // verdict, and the occurrence-count score replayed on the raw URL
+    "t39_url_filter" ->
+      """WITH t AS (SELECT doc_id FROM documents),
+        |u AS (SELECT doc_id, 'https://' ||
+        |  CASE WHEN doc_id % 11 = 0
+        |         THEN 'www.tracker' || CAST(doc_id % 2 AS VARCHAR) || '.com'
+        |       WHEN doc_id % 7 = 0
+        |         THEN 'blog' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk'
+        |       ELSE 'site' || CAST(doc_id % 9 AS VARCHAR) || '.com' END ||
+        |  '/p' || CAST(doc_id % 50 AS VARCHAR) ||
+        |  CASE WHEN doc_id % 13 = 0 THEN '/casino-games' ELSE '' END ||
+        |  CASE WHEN doc_id % 17 = 0 THEN '?ref=xxx&x=1' ELSE '' END AS url
+        |  FROM t),
+        |h AS (SELECT doc_id, url, regexp_replace(regexp_replace(lower(
+        |    regexp_extract(regexp_replace(url, '(?i)^https?://', ''),
+        |      '^([^/?#]+)', 1)), '^www\.', ''), ':[0-9]+$', '') AS host
+        |  FROM u),
+        |d AS (SELECT doc_id, url, string_split(host, '.') AS parts FROM h),
+        |rd AS (SELECT doc_id, url,
+        |  CASE WHEN len(parts) >= 3 AND
+        |         array_to_string(parts[len(parts)-1:], '.') IN
+        |           ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
+        |            'org.au','co.jp','or.jp','ne.jp','com.br','com.cn',
+        |            'com.mx','co.in','co.kr','com.tw','com.sg','co.za',
+        |            'com.ar','com.tr')
+        |       THEN array_to_string(parts[len(parts)-2:], '.')
+        |       ELSE array_to_string(parts[len(parts)-1:], '.') END AS domain
+        |  FROM d),
+        |sc AS (SELECT doc_id, url, domain,
+        |  CAST((length(lower(url)) - length(replace(lower(url), 'casino', ''))) / 6
+        |     + (length(lower(url)) - length(replace(lower(url), 'xxx', ''))) / 3
+        |    AS BIGINT) AS url_score,
+        |  domain IN ('tracker0.com', 'tracker1.com', 'spam.co.uk') AS blocked
+        |  FROM rd)
+        |SELECT doc_id, url, domain, blocked, url_score,
+        |  (NOT blocked) AND url_score <= 0 AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin,
     // LLM-RAG retrieval composite: chunk (t11's chain) -> integer-grid
     // embed (ann11's convention) -> IVF at nProbe = nCells (exact, the
     // ann14 replayability rule) -> top-3 with provenance; rank on

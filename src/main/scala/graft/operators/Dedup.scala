@@ -113,6 +113,37 @@ object Dedup {
     }
   }
 
+  /** SoftDeDup-style commonness REWEIGHTING (He et al.,
+    * arXiv:2407.06654): instead of dropping duplicates, every document
+    * keeps flowing with a sampling weight inversely proportional to
+    * its "commonness" — the number of corpus documents sharing its
+    * canonical fingerprint (lowercase, punctuation stripped,
+    * whitespace collapsed — the d17 form). Downstream token budgets
+    * then see each duplicated TEXT once in expectation while retaining
+    * rare-phrasing diversity a hard dedup would throw away. Output:
+    * the input plus `n_copies` (commonness) and `soft_weight`
+    * (round(1/n, 6) — IEEE division is deterministic, so the rounded
+    * weight replays across engines).
+    *
+    * Scale shape: the d1 family's — one map-side md5 over the text,
+    * one map-side-combinable (fp → count) aggregate over skinny
+    * 16-byte rows, one join back on the fingerprint. No window, so a
+    * million-copy boilerplate page is one combiner cell; the payload
+    * rides the fp-keyed exchange once (same as exactDedupByShuffle's
+    * rank — weights must attach to EVERY row, so a drop-set broadcast
+    * cannot apply). */
+  def softDedupWeights(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val fp = TextAnalysis.canonicalFingerprint(col(textCol))
+    val keyed = df.withColumn("_fp", fp)
+    val counts = keyed.groupBy("_fp")
+      .agg(count(lit(1)).as("n_copies"))
+    keyed.join(counts, Seq("_fp"))
+      .withColumn("soft_weight",
+        round(lit(1.0) / col("n_copies").cast("double"), 6))
+      .drop("_fp")
+  }
+
   /** The dup-MAJORITY fallback: one payload shuffle on the fingerprint,
     * rank, keep rn = 1. Same answer as `exactDedup` under that method's
     * unique-id contract; unlike it, this variant ranks PHYSICAL rows, so

@@ -1776,6 +1776,90 @@ object Documents {
       .orderBy("canon_url")
   }
 
+  /** D28 — SoftDeDup commonness reweighting
+    * ([[graft.operators.Dedup.softDedupWeights]]): the corpus plus two
+    * planted reformatting families — %7 docs re-appear uppercased with
+    * trailing punctuation, %13 docs with injected whitespace — so
+    * canonical commonness is 1, 2, or 3 and the 1/n weights are live
+    * at every value. The oracle recomputes the canonical md5, the
+    * group count, and the rounded weight from scratch; a
+    * normalization drift, a count slip, or a dropped row hash-fails. */
+  def d28SoftDedup(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d).select("doc_id", "text")
+    val corpus = t
+      .unionByName(t.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          concat(upper(col("text")), lit("!!!")).as("text")))
+      .unionByName(t.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 600000).as("doc_id"),
+          concat(lit("  "), col("text"), lit(" .")).as("text")))
+    Dedup.softDedupWeights(corpus, "doc_id", "text")
+      .select("doc_id", "n_copies", "soft_weight")
+      .orderBy("doc_id")
+  }
+
+  /** Soft-dedup MIX composite — d28's weights DRIVE the corpus draw
+    * ([[graft.ops.Sampling.weightedSample]] on the md5 noise source):
+    * an n-copy text's members each draw at weight 1/n, so the GROUP
+    * competes like one unique document while rare phrasings keep
+    * their diversity — the SoftDeDup idea carried through to the
+    * token-budget cut instead of stopping at a weight column. Oracle
+    * replays commonness → weight → Efraimidis–Spirakis priority →
+    * top-300 end to end. */
+  def llmSoftdedupMix(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d).select("doc_id", "text")
+    val corpus = t
+      .unionByName(t.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          concat(upper(col("text")), lit("!!!")).as("text")))
+      .unionByName(t.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 600000).as("doc_id"),
+          concat(lit("  "), col("text"), lit(" .")).as("text")))
+    val weighted = Dedup.softDedupWeights(corpus, "doc_id", "text")
+      .select("doc_id", "n_copies", "soft_weight")
+    graft.ops.Sampling.weightedSample(weighted, "doc_id", "soft_weight",
+        n = 300, weightScale = 1.0)
+      .select(col("doc_id"), col("n_copies"), col("soft_weight"),
+        col("_prio").as("priority"))
+      .orderBy("doc_id")
+  }
+
+  /** T39 — URL-level curation gate
+    * ([[graft.operators.TextAnalysis.urlFilter]], the RefinedWeb
+    * front filter): synthetic URLs plant every branch — %11 docs live
+    * on (www-prefixed) blocklisted tracker domains, %7 on `co.uk`
+    * hosts so the multi-part-suffix rule is live, %13 carry a banned
+    * word in the path and %17 in the query (a %13∧%17 doc scores 2).
+    * The oracle recomputes host, registered domain, blocklist verdict
+    * and occurrence-count score from the raw URL string; a suffix
+    * slip (`uk` instead of `blog.co.uk`), a missed www-strip, or an
+    * off-by-one in the occurrence arithmetic hash-fails. */
+  def t39UrlFilter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val urls = Tables.documents(s, d).select(col("doc_id"),
+      concat(
+        lit("https://"),
+        when(col("doc_id") % 11 === 0,
+          concat(lit("www.tracker"), (col("doc_id") % 2).cast("string"),
+            lit(".com")))
+          .when(col("doc_id") % 7 === 0,
+            concat(lit("blog"), (col("doc_id") % 5).cast("string"),
+              lit(".co.uk")))
+          .otherwise(concat(lit("site"), (col("doc_id") % 9).cast("string"),
+            lit(".com"))),
+        lit("/p"), (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 13 === 0, lit("/casino-games"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 17 === 0, lit("?ref=xxx&x=1"))
+          .otherwise(lit(""))).as("url"))
+    val blocklist = Seq("tracker0.com", "tracker1.com", "spam.co.uk")
+      .toDF("domain")
+    TextAnalysis.urlFilter(urls, "doc_id", "url", blocklist,
+        bannedWords = Seq("casino", "xxx"))
+      .select("doc_id", "url", "domain", "blocked", "url_score", "keep")
+      .orderBy("doc_id")
+  }
+
   /** ANN12 — hard-negative mining: every %37 vector anchors a
     * top-5 most-similar CROSS-LABEL search (the contrastive-training
     * negative set). Exact generator on the hard signal — the ann1

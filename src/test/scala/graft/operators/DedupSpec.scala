@@ -564,6 +564,24 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("softDedupWeights: commonness counts, 1/n weights, every row flows") {
+    val docs = Seq(
+      (1L, "Hello, World!"), (2L, "hello world"), (3L, "HELLO  world..."),
+      (4L, "unique text"), (5L, "another one"), (6L, "Another ONE"))
+      .toDF("doc_id", "text")
+    val out = Dedup.softDedupWeights(docs, "doc_id", "text")
+      .select("doc_id", "n_copies", "soft_weight")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L, 6L), "no row dropped")
+    assert(out.map(_._2) == Seq(3L, 3L, 3L, 1L, 2L, 2L), s"counts: $out")
+    assert(out.map(_._3) == Seq(0.333333, 0.333333, 0.333333, 1.0, 0.5, 0.5))
+    // the SoftDeDup invariant: each canonical group's total weight ~ 1,
+    // so a duplicated text competes like one unique doc in expectation
+    val groupSums = out.groupBy(_._2).map { case (_, rows) =>
+      rows.map(_._3).sum / (rows.size / rows.head._2.toInt) }
+    assert(groupSums.forall(s => math.abs(s - 1.0) < 1e-4))
+  }
+
   test("removeDupSpans: keep-first removal, overlap union, short docs") {
     // doc 0 carries the first occurrence of "a b c d e" (kept); doc 1
     // repeats it (dropped); doc 2 repeats it TWICE with positions

@@ -455,6 +455,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 1L, 1L, 1L), (4L, 2L, 3L, 2L), (7L, 3L, 4L, 3L)))
   }
 
+  test("registeredDomain: www/port strip, multi-part suffix, bare host, scheme-free") {
+    val cases = Seq(
+      ("https://www.example.com/a?b=1", "example.com"),
+      ("http://news.bbc.co.uk/story", "bbc.co.uk"),        // multi-part suffix
+      ("https://deep.sub.blog.org:8080/x", "blog.org"),    // port + subdomains
+      ("HTTPS://WWW.Site.COM:443", "site.com"),            // case + default port
+      ("example.org/path", "example.org"),                 // no scheme
+      ("localhost", "localhost"),                          // single label
+      ("https://www.co.uk", "co.uk"))                      // suffix IS the host (2 labels)
+    val out = cases.map(_._1).toDF("url")
+      .select(TextAnalysis.registeredDomain(col("url")).as("d"))
+      .as[String].collect().toSeq
+    assert(out == cases.map(_._2), s"got $out")
+  }
+
+  test("urlFilter: blocklist verdict, occurrence score, broadcast/shuffle parity") {
+    val urls = Seq(
+      (1L, "https://www.bad.com/x"),            // blocked (www-stripped)
+      (2L, "https://good.com/casino/casino"),   // score 2
+      (3L, "https://good.com/a?q=xxx"),         // score 1
+      (4L, "https://sub.bad.com/y"),            // subdomain of blocked domain
+      (5L, "https://fine.org/clean")).toDF("id", "url")
+    val bl = Seq("bad.com").toDF("domain")
+    val out = TextAnalysis.urlFilter(urls, "id", "url", bl,
+        Seq("casino", "xxx"), maxScore = 1L)
+      .select("id", "blocked", "url_score", "keep")
+      .as[(Long, Boolean, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, true, 0L, false),
+      (2L, false, 2L, false),   // over maxScore
+      (3L, false, 1L, true),    // at maxScore: kept
+      (4L, true, 0L, false),    // registered domain catches subdomains
+      (5L, false, 0L, false == false)), s"got $out")
+    val shuffled = TextAnalysis.urlFilter(urls, "id", "url", bl,
+        Seq("casino", "xxx"), maxScore = 1L, broadcastBlocklist = false)
+      .select("id", "blocked", "url_score", "keep")
+      .as[(Long, Boolean, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(shuffled == out, "broadcast and shuffle blocklist paths must agree")
+  }
+
   test("vocabGrowth: corpus properties — monotone, ends at the true vocab") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = TextAnalysis.vocabGrowth(docs, "doc_id", "text")
