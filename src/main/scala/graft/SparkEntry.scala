@@ -221,6 +221,8 @@ object SparkEntry {
     "d28_soft_dedup" -> (Documents.d28SoftDedup _),
     "llm_softdedup_mix" -> (Documents.llmSoftdedupMix _),
     "t39_url_filter" -> (Documents.t39UrlFilter _),
+    "t40_fim_transform" -> (Documents.t40FimTransform _),
+    "t41_text_scrub" -> (Documents.t41TextScrub _),
   )
 
   /** T20's oracle: every Gopher rule statistic recomputed on RAW gram
@@ -2202,6 +2204,57 @@ object SparkEntry {
         |SELECT doc_id, url, domain, blocked, url_score,
         |  (NOT blocked) AND url_score <= 0 AS keep
         |FROM sc ORDER BY doc_id""".stripMargin,
+    // T40: FIM — the md5 apply-decision, both mod-draw cut points, and
+    // the three substrings replayed character-for-character
+    "t40_fim_transform" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |u AS (SELECT doc_id, text, n,
+        |  list_sum(list_transform(range(6), i ->
+        |    (strpos('0123456789abcdef', substring(
+        |       md5(CAST(doc_id AS VARCHAR) || ':fim'),
+        |       CAST(i + 1 AS INT), 1)) - 1)
+        |    * CAST(16 ** (5 - i) AS BIGINT))) AS vf,
+        |  list_sum(list_transform(range(6), i ->
+        |    (strpos('0123456789abcdef', substring(
+        |       md5(CAST(doc_id AS VARCHAR) || ':a'),
+        |       CAST(i + 1 AS INT), 1)) - 1)
+        |    * CAST(16 ** (5 - i) AS BIGINT))) AS va,
+        |  list_sum(list_transform(range(6), i ->
+        |    (strpos('0123456789abcdef', substring(
+        |       md5(CAST(doc_id AS VARCHAR) || ':b'),
+        |       CAST(i + 1 AS INT), 1)) - 1)
+        |    * CAST(16 ** (5 - i) AS BIGINT))) AS vb
+        |  FROM t),
+        |c AS (SELECT doc_id, text, n, vf / 16777216.0 < 0.5 AS fim_applied,
+        |  va % (n + 1) AS a, vb FROM u),
+        |c2 AS (SELECT doc_id, text, n, fim_applied, a,
+        |  a + vb % (n - a + 1) AS b FROM c)
+        |SELECT doc_id, fim_applied,
+        |  CASE WHEN fim_applied THEN
+        |    '<PRE>' || substring(text, 1, CAST(a AS INT)) ||
+        |    '<SUF>' || substring(text, CAST(b + 1 AS INT), CAST(n - b AS INT)) ||
+        |    '<MID>' || substring(text, CAST(a + 1 AS INT), CAST(b - a AS INT))
+        |  ELSE text END AS fim_text
+        |FROM c2 ORDER BY doc_id""".stripMargin,
+    // T41: scrub — planted controls rebuilt with chr(), the three
+    // regexp passes replayed with the global flag (Spark's default)
+    "t41_text_scrub" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN chr(1) || chr(7) ELSE '' END ||
+        |  text ||
+        |  CASE WHEN doc_id % 5 = 0
+        |    THEN chr(13) || chr(10) || ' tail' || chr(160) || 'x' || chr(8203)
+        |    ELSE '' END ||
+        |  CASE WHEN doc_id % 7 = 0 THEN chr(65279) || chr(133) ELSE '' END
+        |  AS raw FROM documents),
+        |c AS (SELECT doc_id, raw, regexp_replace(regexp_replace(
+        |  regexp_replace(raw, '\r\n?', chr(10), 'g'),
+        |  '[\x{A0}]', ' ', 'g'),
+        |  '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}\x{80}-\x{9F}\x{FEFF}\x{200B}-\x{200D}]',
+        |  '', 'g') AS clean_text FROM t)
+        |SELECT doc_id, clean_text,
+        |  CAST(length(raw) - length(clean_text) AS BIGINT) AS n_scrubbed
+        |FROM c ORDER BY doc_id""".stripMargin,
     // LLM-RAG retrieval composite: chunk (t11's chain) -> integer-grid
     // embed (ann11's convention) -> IVF at nProbe = nCells (exact, the
     // ann14 replayability rule) -> top-3 with provenance; rank on

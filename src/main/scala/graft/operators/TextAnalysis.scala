@@ -78,6 +78,59 @@ object TextAnalysis {
       .withColumn("keep", !col("blocked") && col("url_score") <= maxScore)
   }
 
+  /** Fill-in-the-Middle transform (Bavarian et al., arXiv:2207.14255)
+    * — the code/infilling pretraining reorder: a `rate` fraction of
+    * documents split into (prefix, middle, suffix) at two cut points
+    * and re-emit in PSM order `<PRE>prefix<SUF>suffix<MID>middle`, the
+    * rest pass through. Everything derives from the id's md5 (the
+    * engine-portable noise convention): the apply decision is a 24-bit
+    * uniform against `rate`, the cuts are two mod-draws over character
+    * positions — so the transform is reproducible across runs,
+    * partitionings, and engines, and an oracle can replay it
+    * character-for-character. Map-side only: hash arithmetic + three
+    * substrings per row, no exchange at any scale. Output adds
+    * `fim_applied` and `fim_text`. */
+  def fimTransform(df: DataFrame, idCol: String, textCol: String,
+                   rate: Double = 0.5,
+                   preTok: String = "<PRE>", sufTok: String = "<SUF>",
+                   midTok: String = "<MID>"): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate in [0,1]: $rate")
+    def u24(salt: String): Column =
+      conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))
+        .cast("binary")), 1, 6), 16, 10).cast("long")
+    val n = length(col(textCol))
+    val applied = (u24(":fim").cast("double") / lit(16777216.0)) < lit(rate)
+    // a in [0, n], b in [a, n] — split points between characters
+    val a = (u24(":a") % (n + 1)).cast("int")
+    val b = (a + u24(":b") % (n - a + 1)).cast("int")
+    val prefix = col(textCol).substr(lit(1), a)
+    val middle = col(textCol).substr(a + 1, b - a)
+    val suffix = col(textCol).substr(b + 1, n - b)
+    df.withColumn("fim_applied", applied)
+      .withColumn("fim_text",
+        when(applied, concat(lit(preTok), prefix, lit(sufTok), suffix,
+          lit(midTok), middle))
+          .otherwise(col(textCol)))
+  }
+
+  /** Control-character / unicode scrub — the byte-hygiene pass every
+    * crawl pipeline runs before tokenization: strips C0/C1 control
+    * chars (tab and newline survive), the BOM, and zero-width
+    * joiners/spaces; normalizes CRLF and lone CR to LF and NBSP to a
+    * plain space. Pure regexp, map-side, codegen'd; compare lengths
+    * before/after for an n_scrubbed signal a quality gate can drop
+    * mostly-garbage docs on. */
+  def scrubText(text: Column): Column = {
+    // \\x{...} escapes parse identically in Java regex and RE2, so the
+    // DuckDB oracle replays the same three passes verbatim
+    val lf = regexp_replace(text, "\\r\\n?", "\n")
+    val sp = regexp_replace(lf, "[\\x{A0}]", " ")
+    regexp_replace(sp,
+      "[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}" +
+        "\\x{80}-\\x{9F}\\x{FEFF}\\x{200B}-\\x{200D}]",
+      "")
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** BPE-ish subword count estimate: words + extra splits for long words

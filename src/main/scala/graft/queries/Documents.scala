@@ -1860,6 +1860,46 @@ object Documents {
       .orderBy("doc_id")
   }
 
+  /** T40 — Fill-in-the-Middle transform
+    * ([[graft.operators.TextAnalysis.fimTransform]], PSM order): half
+    * the corpus (md5-decided) re-emits as
+    * `<PRE>prefix<SUF>suffix<MID>middle` with both cut points drawn
+    * from the id's hash. The oracle replays the 24-bit uniforms, the
+    * two mod-draws, and the three substrings character-for-character —
+    * an off-by-one in a cut, a swapped sentinel, or a drifted apply
+    * decision hash-fails. */
+  def t40FimTransform(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.fimTransform(
+        Tables.documents(s, d).select("doc_id", "text"),
+        "doc_id", "text", rate = 0.5)
+      .select("doc_id", "fim_applied", "fim_text")
+      .orderBy("doc_id")
+
+  /** T41 — control-char / unicode scrub
+    * ([[graft.operators.TextAnalysis.scrubText]]): planted C0 controls
+    * (%3), CRLF + NBSP + zero-width space tails (%5), and BOM + C1 NEL
+    * (%7) — every scrub class live, overlapping on %15/%21/%35 ids.
+    * The oracle rebuilds the same planted strings with chr() and
+    * replays the three regexp passes; `n_scrubbed` pins the exact
+    * removed-char count. */
+  def t41TextScrub(s: SparkSession, d: String): DataFrame = {
+    val planted = Tables.documents(s, d).select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 3 === 0, lit("\u0001\u0007"))
+          .otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 5 === 0,
+          lit("\r\n tail\u00A0x\u200B")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("\uFEFF\u0085"))
+          .otherwise(lit(""))).as("text"))
+    planted
+      .withColumn("clean_text", TextAnalysis.scrubText(col("text")))
+      .withColumn("n_scrubbed",
+        (length(col("text")) - length(col("clean_text"))).cast("long"))
+      .select("doc_id", "clean_text", "n_scrubbed")
+      .orderBy("doc_id")
+  }
+
   /** ANN12 — hard-negative mining: every %37 vector anchors a
     * top-5 most-similar CROSS-LABEL search (the contrastive-training
     * negative set). Exact generator on the hard signal — the ann1

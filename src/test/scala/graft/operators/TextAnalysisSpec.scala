@@ -495,6 +495,49 @@ class TextAnalysisSpec extends SparkSpec {
     assert(shuffled == out, "broadcast and shuffle blocklist paths must agree")
   }
 
+  test("fimTransform: reassembly invariant, rate bounds, partitioning-independent") {
+    val docs = (1L to 400L).map(i => (i, s"doc $i body with some words " * 3))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.fimTransform(docs, "doc_id", "text", rate = 0.5)
+      .select("doc_id", "text", "fim_applied", "fim_text")
+      .as[(Long, String, Boolean, String)].collect()
+    // every transformed row reassembles to the original text
+    val re = "(?s)^<PRE>(.*)<SUF>(.*)<MID>(.*)$".r
+    out.foreach { case (id, text, applied, fim) =>
+      if (applied) fim match {
+        case re(p, sf, m) => assert(p + m + sf == text, s"doc $id")
+        case _ => fail(s"doc $id: applied but not PSM-shaped: $fim")
+      } else assert(fim == text, s"doc $id passthrough")
+    }
+    // the md5 apply-decision tracks the rate (binomial 400, 0.5)
+    val nApplied = out.count(_._3)
+    assert(nApplied > 150 && nApplied < 250, s"applied $nApplied of 400")
+    // rate 0 and 1 are exact
+    assert(TextAnalysis.fimTransform(docs, "doc_id", "text", rate = 0.0)
+      .filter(col("fim_applied")).count() == 0)
+    assert(TextAnalysis.fimTransform(docs, "doc_id", "text", rate = 1.0)
+      .filter(!col("fim_applied")).count() == 0)
+    // hash noise, no RNG state: repartitioning changes nothing
+    val again = TextAnalysis.fimTransform(docs.repartition(7), "doc_id",
+        "text", rate = 0.5)
+      .select("doc_id", "fim_text").as[(Long, String)].collect().toMap
+    assert(out.forall { case (id, _, _, fim) => again(id) == fim })
+  }
+
+  test("scrubText: every scrub class, survivors survive") {
+    val cases = Seq(
+      ("a\u0001b\u0007c", "abc"),                       // C0 controls
+      ("x\r\ny\rz", "x\ny\nz"),                         // CRLF + lone CR -> LF
+      ("k\u00A0l", "k l"),                              // NBSP -> space
+      ("\uFEFFm\u200Bn\u200D", "mn"),                   // BOM + zero-widths
+      ("p\u0085q\u009Fr", "pqr"),                       // C1 range
+      ("tab\tand\nnewline kept", "tab\tand\nnewline kept"))
+    val out = cases.map(_._1).toDF("text")
+      .select(TextAnalysis.scrubText(col("text")).as("c"))
+      .as[String].collect().toSeq
+    assert(out == cases.map(_._2), s"got ${out.map(_.getBytes.toSeq)}")
+  }
+
   test("vocabGrowth: corpus properties — monotone, ends at the true vocab") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = TextAnalysis.vocabGrowth(docs, "doc_id", "text")
