@@ -223,6 +223,7 @@ object SparkEntry {
     "t39_url_filter" -> (Documents.t39UrlFilter _),
     "t40_fim_transform" -> (Documents.t40FimTransform _),
     "t41_text_scrub" -> (Documents.t41TextScrub _),
+    "llm_code_pipeline" -> (Documents.llmCodePipeline _),
   )
 
   /** T20's oracle: every Gopher rule statistic recomputed on RAW gram
@@ -2255,6 +2256,61 @@ object SparkEntry {
         |SELECT doc_id, clean_text,
         |  CAST(length(raw) - length(clean_text) AS BIGINT) AS n_scrubbed
         |FROM c ORDER BY doc_id""".stripMargin,
+    // Code-pretraining composite: scrub (t41) -> exact dedup on the
+    // SCRUBBED text (d1's fp — the scrub is what makes the encoding
+    // twins byte-equal) -> FIM on the scrubbed length (t40) -> pack
+    // (t8); each fragment is the individually-proven oracle block
+    "llm_code_pipeline" ->
+      """WITH t AS (SELECT doc_id, text FROM documents),
+        |b AS (SELECT doc_id, text FROM t
+        |  UNION ALL SELECT doc_id + 700000,
+        |    chr(65279) || text || chr(8203) || chr(7) FROM t
+        |    WHERE doc_id % 9 = 0),
+        |c AS (SELECT doc_id, regexp_replace(regexp_replace(
+        |  regexp_replace(text, '\r\n?', chr(10), 'g'),
+        |  '[\x{A0}]', ' ', 'g'),
+        |  '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}\x{80}-\x{9F}\x{FEFF}\x{200B}-\x{200D}]',
+        |  '', 'g') AS clean FROM b),
+        |k AS (SELECT doc_id, clean, row_number() OVER (
+        |  PARTITION BY md5(trim(regexp_replace(lower(clean), '\s+', ' ', 'g')))
+        |  ORDER BY doc_id) AS rn FROM c),
+        |kk AS (SELECT doc_id, clean, length(clean) AS n FROM k WHERE rn = 1),
+        |u AS (SELECT doc_id, clean, n,
+        |  list_sum(list_transform(range(6), i ->
+        |    (strpos('0123456789abcdef', substring(
+        |       md5(CAST(doc_id AS VARCHAR) || ':fim'),
+        |       CAST(i + 1 AS INT), 1)) - 1)
+        |    * CAST(16 ** (5 - i) AS BIGINT))) AS vf,
+        |  list_sum(list_transform(range(6), i ->
+        |    (strpos('0123456789abcdef', substring(
+        |       md5(CAST(doc_id AS VARCHAR) || ':a'),
+        |       CAST(i + 1 AS INT), 1)) - 1)
+        |    * CAST(16 ** (5 - i) AS BIGINT))) AS va,
+        |  list_sum(list_transform(range(6), i ->
+        |    (strpos('0123456789abcdef', substring(
+        |       md5(CAST(doc_id AS VARCHAR) || ':b'),
+        |       CAST(i + 1 AS INT), 1)) - 1)
+        |    * CAST(16 ** (5 - i) AS BIGINT))) AS vb
+        |  FROM kk),
+        |cc AS (SELECT doc_id, clean, n, vf / 16777216.0 < 0.5 AS fim_applied,
+        |  va % (n + 1) AS a, vb FROM u),
+        |c2 AS (SELECT doc_id, clean, n, fim_applied, a,
+        |  a + vb % (n - a + 1) AS b FROM cc),
+        |f AS (SELECT doc_id, fim_applied,
+        |  CASE WHEN fim_applied THEN
+        |    '<PRE>' || substring(clean, 1, CAST(a AS INT)) ||
+        |    '<SUF>' || substring(clean, CAST(b + 1 AS INT), CAST(n - b AS INT)) ||
+        |    '<MID>' || substring(clean, CAST(a + 1 AS INT), CAST(b - a AS INT))
+        |  ELSE clean END AS fim_text FROM c2),
+        |p AS (SELECT doc_id AS id, doc_id % 8 AS shard, fim_applied,
+        |  len(regexp_split_to_array(trim(fim_text), '\s+')) AS n_tokens FROM f),
+        |cum AS (SELECT id, shard, n_tokens, fim_applied,
+        |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY id
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM p)
+        |SELECT id AS doc_id, shard, n_tokens,
+        |  CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS chunk_id,
+        |  fim_applied
+        |FROM cum ORDER BY doc_id""".stripMargin,
     // LLM-RAG retrieval composite: chunk (t11's chain) -> integer-grid
     // embed (ann11's convention) -> IVF at nProbe = nCells (exact, the
     // ann14 replayability rule) -> top-3 with provenance; rank on

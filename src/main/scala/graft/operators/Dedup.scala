@@ -1787,6 +1787,12 @@ object Dedup {
       .select(col("band"),
         shiftrightunsigned(col("bh"), 32 - pfxBits).as("pfx"),
         col("bh"), col("id"))
+      // co-locate each (band, pfx) before the dynamic-partition write:
+      // without this every task holds an open writer per directory it
+      // touches (up to bands · 2^pfxBits each — measured 10-60× wall
+      // on the store gates); with it a directory is one task's one
+      // file, and the shuffle is skinny (band, pfx, bh, id) rows
+      .repartition(col("band"), col("pfx"))
       .write.partitionBy("band", "pfx")
       .mode("overwrite").parquet(s"$dir/bandkeys/batch=$batchId")
 

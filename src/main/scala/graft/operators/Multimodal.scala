@@ -477,6 +477,10 @@ object Multimodal {
       .select(col("band"),
         shiftrightunsigned(col("bk"), r - pfxBits).as("pfx"),
         col("bk"), col(idCol).as("id"), col("_h").as("h"))
+      // one task per (band, pfx) → one file per directory; see
+      // Dedup.writeBandKeysGeneration for the open-writer-per-dir
+      // pathology this avoids
+      .repartition(col("band"), col("pfx"))
       .write.partitionBy("band", "pfx")
       .mode("overwrite").parquet(s"$dir/bands/batch=$batchId")
   }

@@ -1900,6 +1900,34 @@ object Documents {
       .orderBy("doc_id")
   }
 
+  /** Code-pretraining composite — scrub → dedup → FIM → pack, the
+    * chain a code corpus actually runs: %9 docs re-appear as ENCODING
+    * twins (BOM-prefixed, zero-width + C0 suffixed — byte-different,
+    * scrub-identical), so the scrub stage is what MAKES the dedup
+    * catch them; survivors FIM-transform at rate 0.5 and pack into
+    * 512-token shard-local chunks. Every stage's oracle block is
+    * individually proven (t41 / d1 / t40 / t8); the composite pins the
+    * hand-offs — dedup on the SCRUBBED text, FIM cuts on the scrubbed
+    * length, packing on the FIM output's token count. */
+  def llmCodePipeline(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d).select("doc_id", "text")
+    val twins = t.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 700000).as("doc_id"),
+        concat(lit("\uFEFF"), col("text"), lit("\u200B\u0007"))
+          .as("text"))
+    val cleaned = t.unionByName(twins)
+      .select(col("doc_id"),
+        TextAnalysis.scrubText(col("text")).as("clean"))
+    val kept = Dedup.exactDedup(cleaned, "doc_id", "clean")
+    val fim = TextAnalysis.fimTransform(kept, "doc_id", "clean",
+      rate = 0.5)
+    TextAnalysis.packSequences(fim, "doc_id", "fim_text",
+        budget = 512, shards = 8, carry = Seq("fim_applied"))
+      .select(col("id").as("doc_id"), col("shard"), col("n_tokens"),
+        col("chunk_id"), col("fim_applied"))
+      .orderBy("doc_id")
+  }
+
   /** ANN12 — hard-negative mining: every %37 vector anchors a
     * top-5 most-similar CROSS-LABEL search (the contrastive-training
     * negative set). Exact generator on the hard signal — the ann1
