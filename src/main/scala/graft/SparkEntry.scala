@@ -224,6 +224,7 @@ object SparkEntry {
     "t40_fim_transform" -> (Documents.t40FimTransform _),
     "t41_text_scrub" -> (Documents.t41TextScrub _),
     "llm_code_pipeline" -> (Documents.llmCodePipeline _),
+    "t42_domain_prior" -> (Documents.t42DomainPrior _),
   )
 
   /** T20's oracle: every Gopher rule statistic recomputed on RAW gram
@@ -2311,6 +2312,40 @@ object SparkEntry {
         |  CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS chunk_id,
         |  fim_applied
         |FROM cum ORDER BY doc_id""".stripMargin,
+    // T42: domain prior — registered domain (t39's extraction), t12's
+    // quality replay, DECIMAL sums and the qsum >= thr*n verdict
+    "t42_domain_prior" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |q AS (SELECT doc_id,
+        |  round(least(len(ws) / 50.0, 1.0) * 0.5
+        |    + least(len(list_filter(ws, w -> w IN ('the','a','of','and','is','to','in')))
+        |        / greatest(len(ws) * 0.05, 1.0), 1.0) * 0.5
+        |    - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) * 1.0
+        |        / greatest(length(text), 1), 6) AS quality
+        |  FROM t),
+        |u AS (SELECT doc_id, quality,
+        |  CASE WHEN doc_id % 11 = 0
+        |         THEN 'tracker' || CAST(doc_id % 2 AS VARCHAR) || '.com'
+        |       WHEN doc_id % 7 = 0
+        |         THEN 'blog' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk'
+        |       ELSE 'site' || CAST(doc_id % 9 AS VARCHAR) || '.com' END
+        |    AS domain,
+        |  'https://' ||
+        |  CASE WHEN doc_id % 11 = 0
+        |         THEN 'www.tracker' || CAST(doc_id % 2 AS VARCHAR) || '.com'
+        |       WHEN doc_id % 7 = 0
+        |         THEN 'blog' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk'
+        |       ELSE 'site' || CAST(doc_id % 9 AS VARCHAR) || '.com' END ||
+        |  '/p' || CAST(doc_id % 50 AS VARCHAR) AS url
+        |  FROM q),
+        |g AS (SELECT domain, count(*) AS domain_docs,
+        |  sum(CAST(quality AS DECIMAL(18,6))) AS qsum FROM u GROUP BY domain)
+        |SELECT u.doc_id, u.domain, g.domain_docs,
+        |  CAST(g.qsum AS DOUBLE) AS domain_qsum,
+        |  g.domain_docs < 20 OR
+        |    g.qsum >= CAST(0.81 AS DECIMAL(18,6)) * g.domain_docs AS keep
+        |FROM u JOIN g USING (domain) ORDER BY doc_id""".stripMargin,
     // LLM-RAG retrieval composite: chunk (t11's chain) -> integer-grid
     // embed (ann11's convention) -> IVF at nProbe = nCells (exact, the
     // ann14 replayability rule) -> top-3 with provenance; rank on

@@ -131,6 +131,39 @@ object TextAnalysis {
       "")
   }
 
+  /** Domain-level quality prior — the FineWeb-style curation rule
+    * that judges the SITE, not just the page: per registered domain,
+    * aggregate document quality and drop every page of a domain whose
+    * average falls below `minAvgQuality` (domains with fewer than
+    * `minDocs` pages are exempt — too little signal to damn a site).
+    * The aggregate is a DECIMAL(18,6) sum of 6-dp-rounded scores, and
+    * the keep rule compares `qsum >= thr * n` IN decimal — no float
+    * summation-order sensitivity, so any engine replays the verdict
+    * bit-exactly (the DECIMAL-sums portability discipline). Output
+    * adds `domain`, `domain_docs`, `domain_qsum` (double, exact cast
+    * of the decimal) and `keep`; all rows flow for the audit trail.
+    *
+    * Scale shape: one map-side-combinable aggregate over skinny
+    * (domain, decimal) rows, one domain-keyed join back (AQE
+    * broadcasts it when the domain census fits, which it usually
+    * does — the web has ~10⁸ registered domains, the census rows are
+    * ~30 bytes). */
+  def domainQualityPrior(df: DataFrame, idCol: String, urlCol: String,
+                         qualityCol: String, minAvgQuality: Double,
+                         minDocs: Long = 30L): DataFrame = {
+    val d = df.withColumn("domain", registeredDomain(col(urlCol)))
+    val agg = d.groupBy("domain").agg(
+      count(lit(1)).as("domain_docs"),
+      sum(round(col(qualityCol), 6).cast("decimal(18,6)")).as("_qsum"))
+    d.join(agg, Seq("domain"))
+      .withColumn("domain_qsum", col("_qsum").cast("double"))
+      .withColumn("keep",
+        col("domain_docs") < minDocs ||
+          col("_qsum") >=
+            lit(minAvgQuality).cast("decimal(18,6)") * col("domain_docs"))
+      .drop("_qsum")
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** BPE-ish subword count estimate: words + extra splits for long words

@@ -1928,6 +1928,35 @@ object Documents {
       .orderBy("doc_id")
   }
 
+  /** T42 — domain-level quality prior
+    * ([[graft.operators.TextAnalysis.domainQualityPrior]]): t39's
+    * synthetic URL universe (tracker/.co.uk/site domains) scored with
+    * t2's quality formula; domains aggregate in DECIMAL and every
+    * page inherits its site's verdict. The oracle replays domain
+    * extraction, the decimal sum, and the `qsum >= thr·n` comparison
+    * from scratch — a float-avg shortcut, a domain split slip, or a
+    * wrong exemption hash-fails. */
+  def t42DomainPrior(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val urls = docs.select(col("doc_id"),
+      concat(
+        lit("https://"),
+        when(col("doc_id") % 11 === 0,
+          concat(lit("www.tracker"), (col("doc_id") % 2).cast("string"),
+            lit(".com")))
+          .when(col("doc_id") % 7 === 0,
+            concat(lit("blog"), (col("doc_id") % 5).cast("string"),
+              lit(".co.uk")))
+          .otherwise(concat(lit("site"), (col("doc_id") % 9).cast("string"),
+            lit(".com"))),
+        lit("/p"), (col("doc_id") % 50).cast("string")).as("url"),
+      TextAnalysis.qualityScore(col("text"), stopwords).as("quality"))
+    TextAnalysis.domainQualityPrior(urls, "doc_id", "url", "quality",
+        minAvgQuality = 0.81, minDocs = 20L)
+      .select("doc_id", "domain", "domain_docs", "domain_qsum", "keep")
+      .orderBy("doc_id")
+  }
+
   /** ANN12 — hard-negative mining: every %37 vector anchors a
     * top-5 most-similar CROSS-LABEL search (the contrastive-training
     * negative set). Exact generator on the hard signal — the ann1
