@@ -59,6 +59,30 @@ object ScaleProbe {
 
     val allOps: Seq[(String, DataFrame => DataFrame)] = Seq(
       "d1_exact" -> (d => Dedup.exactDedup(d, "doc_id", "text")),
+      // d1's reweighting twin: the count aggregate is the same shape,
+      // but every row flows back through the fp join — the curve
+      // should track d1's with a constant payload-join premium
+      "d28_soft_dedup" -> (d =>
+        graft.operators.Dedup.softDedupWeights(d, "doc_id", "text")
+          .agg(sum(col("n_copies")).as("nc"),
+            sum(col("soft_weight")).as("sw"))
+          .filter(col("nc") >= 0)),
+      // registered-domain + blocklist + occurrence score: pure map-side
+      // work plus one broadcast join — the flattest curve on the board
+      "t39_url_filter" -> { d =>
+        val spark = d.sparkSession
+        import spark.implicits._
+        val urls = d.select(col("doc_id"),
+          concat(lit("https://site"), (col("doc_id") % 997).cast("string"),
+            lit(".com/p"), (col("doc_id") % 50).cast("string"),
+            when(col("doc_id") % 13 === 0, lit("/casino"))
+              .otherwise(lit(""))).as("url"))
+        graft.operators.TextAnalysis.urlFilter(urls, "doc_id", "url",
+            Seq("site1.com", "site2.com").toDF("domain"), Seq("casino"))
+          .agg(sum(col("url_score")).as("s"),
+            count(when(col("keep"), 1)).as("k"))
+          .filter(col("s") >= 0)
+      },
       "d2_minhash_lsh" -> (d => Dedup.minHashLshDedup(d, "doc_id", "text",
         shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.8)),
       "d3_simhash" -> (d => Dedup.simHashPairs(

@@ -1652,11 +1652,18 @@ object Dedup {
     * grow the store). Store rows are 8-byte hashes/ids only — ~10×
     * lighter than the text. The sidecar goes through the store dir's
     * Hadoop filesystem so an hdfs://-/s3a://-rooted store keeps its
-    * meta NEXT TO its tables, not on the driver's local disk. */
+    * meta NEXT TO its tables, not on the driver's local disk.
+    *
+    * `pfxBits` sizes the band-key tree: a generation writes
+    * bands · 2^pfxBits directories, and a batch probe reads ~2^-pfxBits
+    * of the store per matched band. The default (2 → 64 dirs) prices
+    * directory/committer churn for small generations; at cluster scale
+    * raise it (4–6) — bigger generations amortize the dirs and the
+    * probes prune proportionally harder. */
   def writeNearDupStore(corpus: DataFrame, idCol: String, textCol: String,
                         dir: String, shingleSize: Int = 3,
                         numHashes: Int = 64, seed: Long = 42L,
-                        bands: Int = 16, pfxBits: Int = 4): Unit = {
+                        bands: Int = 16, pfxBits: Int = 2): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(pfxBits >= 1 && pfxBits <= 16, "pfxBits must be in [1, 16]")
     val h = hashedShingles(shingles(corpus, idCol, textCol, shingleSize))

@@ -538,6 +538,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == cases.map(_._2), s"got ${out.map(_.getBytes.toSeq)}")
   }
 
+  test("domainQualityPrior: site verdicts, decimal-exact boundary, small-domain exemption") {
+    // bad.com: avg 0.4 < 0.5 -> dropped; good.com: avg exactly AT the
+    // threshold (qsum == thr * n in DECIMAL) -> kept; tiny.org: one
+    // low-quality doc but under minDocs -> exempt
+    val df = Seq(
+      (1L, "https://bad.com/a", 0.3), (2L, "https://bad.com/b", 0.5),
+      (3L, "https://good.com/a", 0.4), (4L, "https://www.good.com/b", 0.6),
+      (5L, "https://tiny.org/x", 0.1)).toDF("id", "url", "q")
+    val out = TextAnalysis.domainQualityPrior(df, "id", "url", "q",
+        minAvgQuality = 0.5, minDocs = 2L)
+      .select("id", "domain", "domain_docs", "keep")
+      .as[(Long, String, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, "bad.com", 2L, false), (2L, "bad.com", 2L, false),
+      (3L, "good.com", 2L, true), (4L, "good.com", 2L, true),
+      (5L, "tiny.org", 1L, true)), s"got $out")
+  }
+
   test("vocabGrowth: corpus properties — monotone, ends at the true vocab") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = TextAnalysis.vocabGrowth(docs, "doc_id", "text")

@@ -154,6 +154,37 @@ class OpsSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("weightedSample plan: TakeOrdered cut, no corpus-wide window") {
+    // the 100 TB posture: the top-n cut must be a distributed
+    // TakeOrdered (per-partition heads + driver merge of n rows), and
+    // no Window with an empty partition spec may appear anywhere
+    val df = (1L to 5000L).map(i => (i, 1000000000000L)).toDF("id", "w")
+    val out = Sampling.weightedSample(df, "id", "w", n = 50,
+      weightScale = 1e12)
+    out.collect()
+    val plan = out.queryExecution.executedPlan
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val inner = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case _ => Seq.empty
+      }
+      Seq(p) ++ inner ++ p.children.flatMap(walk)
+    }
+    val nodes = walk(plan)
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      s"expected TakeOrderedAndProject in:\n${plan.treeString}")
+    val badWindows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(badWindows.isEmpty, "no global window in the draw")
+  }
+
   test("requireUniqueKeys: loud failure on a duplicated draw key, silence on clean input") {
     val clean = Seq(("en", 1L), ("en", 2L), ("de", 1L)).toDF("g", "k")
     Sampling.requireUniqueKeys(clean, "g", "k") // must not throw
