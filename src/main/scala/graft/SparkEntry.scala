@@ -225,6 +225,7 @@ object SparkEntry {
     "t41_text_scrub" -> (Documents.t41TextScrub _),
     "llm_code_pipeline" -> (Documents.llmCodePipeline _),
     "t42_domain_prior" -> (Documents.t42DomainPrior _),
+    "llm_refinedweb_pipeline" -> (Documents.llmRefinedwebPipeline _),
   )
 
   /** T20's oracle: every Gopher rule statistic recomputed on RAW gram
@@ -2346,6 +2347,38 @@ object SparkEntry {
         |  g.domain_docs < 20 OR
         |    g.qsum >= CAST(0.81 AS DECIMAL(18,6)) * g.domain_docs AS keep
         |FROM u JOIN g USING (domain) ORDER BY doc_id""".stripMargin,
+    // RefinedWeb composite: t39's URL gate, then t42's domain prior
+    // computed over the URL SURVIVORS only, then the page verdict
+    "llm_refinedweb_pipeline" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |q AS (SELECT doc_id,
+        |  round(least(len(ws) / 50.0, 1.0) * 0.5
+        |    + least(len(list_filter(ws, w -> w IN ('the','a','of','and','is','to','in')))
+        |        / greatest(len(ws) * 0.05, 1.0), 1.0) * 0.5
+        |    - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) * 1.0
+        |        / greatest(length(text), 1), 6) AS quality
+        |  FROM t),
+        |u AS (SELECT doc_id, quality,
+        |  CASE WHEN doc_id % 11 = 0
+        |         THEN 'tracker' || CAST(doc_id % 2 AS VARCHAR) || '.com'
+        |       WHEN doc_id % 7 = 0
+        |         THEN 'blog' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk'
+        |       ELSE 'site' || CAST(doc_id % 9 AS VARCHAR) || '.com' END
+        |    AS domain,
+        |  CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END AS url_score
+        |  FROM q),
+        |uk AS (SELECT doc_id, quality, domain FROM u
+        |  WHERE domain NOT IN ('tracker0.com', 'tracker1.com')
+        |    AND url_score <= 0),
+        |g AS (SELECT domain, count(*) AS domain_docs,
+        |  sum(CAST(quality AS DECIMAL(18,6))) AS qsum FROM uk GROUP BY domain)
+        |SELECT uk.doc_id, uk.domain, g.domain_docs,
+        |  CAST(g.qsum AS DOUBLE) AS domain_qsum
+        |FROM uk JOIN g USING (domain)
+        |WHERE g.domain_docs < 20 OR
+        |  g.qsum >= CAST(0.81 AS DECIMAL(18,6)) * g.domain_docs
+        |ORDER BY doc_id""".stripMargin,
     // LLM-RAG retrieval composite: chunk (t11's chain) -> integer-grid
     // embed (ann11's convention) -> IVF at nProbe = nCells (exact, the
     // ann14 replayability rule) -> top-3 with provenance; rank on

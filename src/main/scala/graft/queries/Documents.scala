@@ -1957,6 +1957,45 @@ object Documents {
       .orderBy("doc_id")
   }
 
+  /** RefinedWeb-style web-curation composite — the URL-first gate
+    * order the paper runs (arXiv:2306.01116): URL filtering FIRST
+    * (blocklist + banned-word score — cheap, metadata-only), then the
+    * domain quality prior computed over the URL SURVIVORS (the
+    * censored census is the honest one — blocked domains must not
+    * drag their neighbors' averages), then the per-page keep. The
+    * oracle chains t39's and t42's proven blocks over the same
+    * survivor population; filtering in the wrong order, a leaked
+    * blocked page in the census, or a float-avg shortcut hash-fails. */
+  def llmRefinedwebPipeline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val urls = docs.select(col("doc_id"),
+      concat(
+        lit("https://"),
+        when(col("doc_id") % 11 === 0,
+          concat(lit("www.tracker"), (col("doc_id") % 2).cast("string"),
+            lit(".com")))
+          .when(col("doc_id") % 7 === 0,
+            concat(lit("blog"), (col("doc_id") % 5).cast("string"),
+              lit(".co.uk")))
+          .otherwise(concat(lit("site"), (col("doc_id") % 9).cast("string"),
+            lit(".com"))),
+        lit("/p"), (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 13 === 0, lit("/casino-games"))
+          .otherwise(lit(""))).as("url"),
+      TextAnalysis.qualityScore(col("text"), stopwords).as("quality"))
+    val urlKept = TextAnalysis.urlFilter(urls, "doc_id", "url",
+        Seq("tracker0.com", "tracker1.com").toDF("domain"),
+        bannedWords = Seq("casino", "xxx"))
+      .filter(col("keep"))
+      .drop("domain", "keep")
+    TextAnalysis.domainQualityPrior(urlKept, "doc_id", "url", "quality",
+        minAvgQuality = 0.81, minDocs = 20L)
+      .filter(col("keep"))
+      .select("doc_id", "domain", "domain_docs", "domain_qsum")
+      .orderBy("doc_id")
+  }
+
   /** ANN12 — hard-negative mining: every %37 vector anchors a
     * top-5 most-similar CROSS-LABEL search (the contrastive-training
     * negative set). Exact generator on the hard signal — the ann1
