@@ -491,6 +491,50 @@ object ScaleProbe {
       return
     }
 
+    // SPARK_GRAFT_PROBE_MODE=knn: the k-NN-join cost law. nCells grows
+    // WITH the corpus (per-cell size held roughly constant) and the
+    // quantizer fit is sample-capped, so candidate volume —
+    // |corpus|·nProbe·cellSize — must track corpus size LINEARLY: a
+    // flat per-vector cost is the 100 TB contract for the
+    // neighbor-graph builder. medoidAssign rides along (fixed seed
+    // set ⇒ the same linear law, no fit at all).
+    if (sys.env.get("SPARK_GRAFT_PROBE_MODE").contains("knn")) {
+      import graft.operators.Similarity
+      val eBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      def replicatedE(n: Int): DataFrame =
+        if (n == 1) eBase
+        else (0 until n).map { r =>
+          eBase.select((col("vec_id") + lit(r.toLong * 10000000L)).as("vec_id"),
+            transform(col("embedding"),
+              x => x + lit(r * 1e-3f)).as("embedding"),
+            col("label"))
+        }.reduce(_ unionByName _)
+      factors.foreach { n =>
+        val corpus = replicatedE(n).repartition(cpus.toInt).persist()
+        val vecs = corpus.count()
+        def timed(name: String)(f: => Long): String = {
+          val t0 = System.nanoTime()
+          val rows = f
+          val dt = (System.nanoTime() - t0) / 1e9
+          f""""$name":[$dt%.2f,$rows]"""
+        }
+        val rows = Seq(
+          timed("ann17_knn_join") {
+            Similarity.knnJoin(corpus, k = 3, nCells = 8 * n, nProbe = 2,
+              fitCap = 20000).count()
+          },
+          timed("ann18_medoid_assign") {
+            Similarity.medoidAssign(corpus,
+              eBase.filter(col("vec_id") < 8)
+                .select(col("vec_id").as("seed_id"), col("embedding"))).count()
+          })
+        corpus.unpersist()
+        println(s"""{"n":$n,"vecs":$vecs,"queries":${rows.mkString("{", ",", "}")}}""")
+      }
+      spark.stop()
+      return
+    }
+
     // SPARK_GRAFT_PROBE_MODE=maint: incremental index maintenance vs
     // full rebuild as the corpus grows N× with the MOVED SLIVER held at
     // a fixed absolute size (edits/deletes keyed off the base-replica id

@@ -226,6 +226,13 @@ object SparkEntry {
     "llm_code_pipeline" -> (Documents.llmCodePipeline _),
     "t42_domain_prior" -> (Documents.t42DomainPrior _),
     "llm_refinedweb_pipeline" -> (Documents.llmRefinedwebPipeline _),
+    "ann16_filtered_ann" -> (Documents.ann16FilteredAnn _),
+    "ann17_knn_join" -> (Documents.ann17KnnJoin _),
+    "t43_chat_render" -> (Documents.t43ChatRender _),
+    "llm_sft_pipeline" -> (Documents.llmSftPipeline _),
+    "ann18_medoid_assign" -> (Documents.ann18MedoidAssign _),
+    "llm_diversity_sample" -> (Documents.llmDiversitySample _),
+    "t44_span_corrupt" -> (Documents.t44SpanCorrupt _),
   )
 
   /** T20's oracle: every Gopher rule statistic recomputed on RAW gram
@@ -3009,6 +3016,181 @@ object SparkEntry {
         |SELECT n_keys, n_rows, max_n, mean_n, skew_ratio,
         |  round(top_n * 1.0 / n_rows, 6) AS top_share
         |FROM agg, top""".stripMargin,
+    // ANN16: filtered vector search under the nProbe=nCells exactness
+    // convention — the oracle is ann1's brute force restricted to the
+    // lang='en' id set (the IN-subquery is the semi-join twin of the
+    // engine's cell-side pre-filter)
+    "ann16_filtered_ann" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+        |c AS (SELECT vec_id, v FROM e
+        |  WHERE vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')),
+        |scored AS (SELECT q_id, c.vec_id AS n_id, list_cosine_similarity(qv, c.v) AS cos
+        |  FROM q, c WHERE c.vec_id <> q_id),
+        |r AS (SELECT q_id, n_id, cos, ROW_NUMBER() OVER (
+        |  PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM scored)
+        |SELECT q_id, rank, n_id, round(cos, 6) AS cos_sim FROM r
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // ANN17: k-NN join at nProbe=nCells ⇒ exact all-pairs — the oracle
+    // is the n² self-join top-3 on the capped fixture
+    "ann17_knn_join" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 120),
+        |scored AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+        |  list_cosine_similarity(a.v, b.v) AS cos
+        |  FROM e a, e b WHERE a.vec_id <> b.vec_id),
+        |r AS (SELECT q_id, n_id, cos, ROW_NUMBER() OVER (
+        |  PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM scored)
+        |SELECT q_id, rank, n_id, round(cos, 6) AS cos_sim FROM r
+        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    // T43: the chat render is deterministic string assembly — template,
+    // turn order, offsets, and prompt fingerprint all recomputed
+    "t43_chat_render" ->
+      """WITH b AS (SELECT doc_id, doc_id % 40 AS conv_id,
+        |  substring(text, 1, 120) AS t FROM documents),
+        |r AS (SELECT conv_id, doc_id,
+        |  CASE WHEN (row_number() OVER (PARTITION BY conv_id ORDER BY doc_id)) % 2 = 1
+        |       THEN 'user' ELSE 'assistant' END AS role, t FROM b),
+        |t AS (SELECT conv_id, doc_id,
+        |  '<|' || role || '|>' || t || '<|end|>' AS rt FROM r),
+        |g AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+        |  string_agg(rt, '' ORDER BY doc_id) AS text,
+        |  arg_max(rt, doc_id) AS last_rt FROM t GROUP BY conv_id)
+        |SELECT conv_id, n_turns, text,
+        |  CAST(length(text) - length(last_rt) AS BIGINT) AS resp_start,
+        |  CAST(length(last_rt) AS BIGINT) AS resp_len,
+        |  md5(substring(text, 1, length(text) - length(last_rt))) AS prompt_fp
+        |FROM g ORDER BY conv_id""".stripMargin,
+    // LLM SFT composite: fixture construction (base convs + prompt-twin
+    // convs with a different final response), render, min-conv keeper
+    // per prompt_fp, t8's shard-local pack — one WITH-chain, one hash
+    "llm_sft_pipeline" ->
+      """WITH b AS (SELECT doc_id, doc_id % 20 AS conv_id,
+        |  substring(text, 1, 100) AS t FROM documents WHERE doc_id < 400),
+        |rn AS (SELECT conv_id, doc_id, t,
+        |  row_number() OVER (PARTITION BY conv_id ORDER BY doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY conv_id) AS n FROM b),
+        |roled AS (SELECT conv_id, doc_id AS ord,
+        |  CASE WHEN rn % 2 = 1 THEN 'user' ELSE 'assistant' END AS role,
+        |  t, rn, n FROM rn),
+        |base AS (SELECT conv_id, ord, role, t FROM roled),
+        |twin AS (SELECT conv_id + 1000 AS conv_id, ord, role, t
+        |  FROM roled WHERE conv_id < 10 AND rn < n),
+        |synth AS (SELECT conv_id + 1000 AS conv_id,
+        |  CAST(100000000 AS BIGINT) AS ord, 'assistant' AS role,
+        |  'ALT ' || CAST(conv_id AS VARCHAR) AS t
+        |  FROM (SELECT DISTINCT conv_id FROM roled WHERE conv_id < 10)),
+        |turns AS (SELECT * FROM base UNION ALL SELECT * FROM twin
+        |  UNION ALL SELECT * FROM synth),
+        |rend AS (SELECT conv_id, ord,
+        |  '<|' || role || '|>' || t || '<|end|>' AS rt FROM turns),
+        |g AS (SELECT conv_id, string_agg(rt, '' ORDER BY ord) AS text,
+        |  arg_max(rt, ord) AS last_rt FROM rend GROUP BY conv_id),
+        |rfp AS (SELECT conv_id, text,
+        |  CAST(length(text) - length(last_rt) AS BIGINT) AS resp_start,
+        |  md5(substring(text, 1, length(text) - length(last_rt))) AS prompt_fp
+        |  FROM g),
+        |keep AS (SELECT prompt_fp, min(conv_id) AS conv_id
+        |  FROM rfp GROUP BY prompt_fp),
+        |surv AS (SELECT rfp.* FROM rfp JOIN keep USING (prompt_fp, conv_id)),
+        |tok AS (SELECT conv_id AS id, conv_id % 4 AS shard,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |  prompt_fp, resp_start FROM surv),
+        |c AS (SELECT id, shard, n_tokens, prompt_fp, resp_start,
+        |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY id
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM tok)
+        |SELECT id, shard, n_tokens,
+        |  CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS chunk_id,
+        |  prompt_fp, resp_start
+        |FROM c ORDER BY id""".stripMargin,
+    // ANN18: medoid assignment is pure arithmetic — argmax cosine over
+    // the 8 seed vectors, ties to the smaller seed id
+    "ann18_medoid_assign" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id AS cell, v AS sv FROM e WHERE vec_id < 8),
+        |x AS (SELECT e.vec_id, s.cell,
+        |  list_cosine_similarity(e.v, s.sv) AS cs FROM e, s),
+        |r AS (SELECT vec_id, cell, cs, ROW_NUMBER() OVER (
+        |  PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS rk FROM x)
+        |SELECT vec_id, cell, round(cs, 6) AS cell_sim FROM r
+        |WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+    // Diversity composite: ann18's assignment + r4's md5 quota draw
+    // keyed on the CELL — both stages replayed, one hash
+    "llm_diversity_sample" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id AS cell, v AS sv FROM e WHERE vec_id < 8),
+        |x AS (SELECT e.vec_id, s.cell,
+        |  list_cosine_similarity(e.v, s.sv) AS cs FROM e, s),
+        |r AS (SELECT vec_id, cell, cs, ROW_NUMBER() OVER (
+        |  PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS rk FROM x),
+        |a AS (SELECT vec_id, cell, round(cs, 6) AS cell_sim FROM r WHERE rk = 1),
+        |q AS (SELECT vec_id, cell, cell_sim, ROW_NUMBER() OVER (
+        |  PARTITION BY cell ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS qrk
+        |  FROM a)
+        |SELECT vec_id, cell, cell_sim FROM q WHERE qrk <= 12
+        |ORDER BY vec_id""".stripMargin,
+    // T44: span corruption replayed end-to-end — t40's u24 hex-digit
+    // noise per segment, integer segment bounds, DuckDB's INCLUSIVE
+    // list_slice(begin, end) mapped onto Spark's (start, length)
+    "t44_span_corrupt" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |b AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS L FROM t),
+        |u AS (SELECT doc_id, tk, L,
+        |  list_sum(list_transform(range(6), i ->
+        |    (strpos('0123456789abcdef', substring(
+        |       md5(CAST(doc_id AS VARCHAR) || ':s0'),
+        |       CAST(i + 1 AS INT), 1)) - 1)
+        |    * CAST(16 ** (5 - i) AS BIGINT))) AS v0,
+        |  list_sum(list_transform(range(6), i ->
+        |    (strpos('0123456789abcdef', substring(
+        |       md5(CAST(doc_id AS VARCHAR) || ':s1'),
+        |       CAST(i + 1 AS INT), 1)) - 1)
+        |    * CAST(16 ** (5 - i) AS BIGINT))) AS v1,
+        |  list_sum(list_transform(range(6), i ->
+        |    (strpos('0123456789abcdef', substring(
+        |       md5(CAST(doc_id AS VARCHAR) || ':s2'),
+        |       CAST(i + 1 AS INT), 1)) - 1)
+        |    * CAST(16 ** (5 - i) AS BIGINT))) AS v2
+        |  FROM b),
+        |g AS (SELECT doc_id, tk, L,
+        |  CAST(floor(L * 0 / 3.0) AS BIGINT) AS ss0,
+        |  CAST(floor(L * 1 / 3.0) AS BIGINT) AS se0,
+        |  CAST(floor(L * 1 / 3.0) AS BIGINT) AS ss1,
+        |  CAST(floor(L * 2 / 3.0) AS BIGINT) AS se1,
+        |  CAST(floor(L * 2 / 3.0) AS BIGINT) AS ss2,
+        |  CAST(floor(L * 3 / 3.0) AS BIGINT) AS se2,
+        |  v0, v1, v2 FROM u),
+        |sp AS (SELECT doc_id, tk, L, ss0, se0, ss1, se1, ss2, se2,
+        |  se0 - ss0 > 2 AS c0, se1 - ss1 > 2 AS c1, se2 - ss2 > 2 AS c2,
+        |  ss0 + v0 % greatest(se0 - ss0 - 1, 1) AS p0,
+        |  ss1 + v1 % greatest(se1 - ss1 - 1, 1) AS p1,
+        |  ss2 + v2 % greatest(se2 - ss2 - 1, 1) AS p2
+        |  FROM g),
+        |o AS (SELECT doc_id, L,
+        |  (CASE WHEN c0 THEN 1 ELSE 0 END + CASE WHEN c1 THEN 1 ELSE 0 END
+        |   + CASE WHEN c2 THEN 1 ELSE 0 END) AS n_spans,
+        |  (CASE WHEN c0 THEN list_slice(tk, ss0 + 1, p0) || ['<extra_id_0>']
+        |      || list_slice(tk, p0 + 3, se0)
+        |    ELSE list_slice(tk, ss0 + 1, se0) END)
+        |  || (CASE WHEN c1 THEN list_slice(tk, ss1 + 1, p1) || ['<extra_id_1>']
+        |      || list_slice(tk, p1 + 3, se1)
+        |    ELSE list_slice(tk, ss1 + 1, se1) END)
+        |  || (CASE WHEN c2 THEN list_slice(tk, ss2 + 1, p2) || ['<extra_id_2>']
+        |      || list_slice(tk, p2 + 3, se2)
+        |    ELSE list_slice(tk, ss2 + 1, se2) END) AS inp,
+        |  (CASE WHEN c0 THEN ['<extra_id_0>'] || list_slice(tk, p0 + 1, p0 + 2)
+        |    ELSE CAST([] AS VARCHAR[]) END)
+        |  || (CASE WHEN c1 THEN ['<extra_id_1>'] || list_slice(tk, p1 + 1, p1 + 2)
+        |    ELSE CAST([] AS VARCHAR[]) END)
+        |  || (CASE WHEN c2 THEN ['<extra_id_2>'] || list_slice(tk, p2 + 1, p2 + 2)
+        |    ELSE CAST([] AS VARCHAR[]) END)
+        |  || ['<extra_id_3>'] AS tgt
+        |  FROM sp)
+        |SELECT doc_id, L AS n_tokens, CAST(n_spans AS BIGINT) AS n_spans,
+        |  array_to_string(inp, ' ') AS input_text,
+        |  array_to_string(tgt, ' ') AS target_text
+        |FROM o ORDER BY doc_id""".stripMargin,
   )
 
   /** pipeline_e2e oracle: the query parquet-dumps its deterministic gold

@@ -177,6 +177,104 @@ object Similarity {
     scoreProbed(cells, probes(queries, centroids, nProbe, idCol, vecCol), k)
   }
 
+  /** Metadata-filtered ANN ("filtered vector search"): IVF top-k where
+    * only corpus vectors whose id appears in `allowed` may be returned —
+    * the production retrieval shape where a vector query carries a
+    * relational predicate (language, license, date range, tenant).
+    *
+    * The filter is applied to the CELL side before scoring (a left-semi
+    * join on the id), not to the emitted top-k after it — post-filtering
+    * would under-fill k wherever the predicate is selective, the classic
+    * filtered-ANN failure mode. Pre-filtering keeps k filled from
+    * survivors at the cost of the semi-join, which at scale is the
+    * cheap side: `allowed` is a skinny id set (one column), so AQE
+    * broadcasts it when small and hash-joins on the 8-byte key when
+    * not; the vectors themselves never shuffle for the filter. With
+    * `nProbe = nCells` the result is EXACTLY brute-force over the
+    * filtered corpus (every cell probed), the oracle convention; at
+    * scale, probe selectivity applies on top of the predicate. */
+  def ivfTopKFiltered(corpus: DataFrame, queries: DataFrame, k: Int,
+                      allowed: DataFrame, allowedIdCol: String,
+                      nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (cells, centroids) = quantize(corpus, nCells, seed, idCol, vecCol)
+    val live = cells.join(
+      allowed.select(col(allowedIdCol).as("n_id")), Seq("n_id"), "left_semi")
+    scoreProbed(live, probes(queries, centroids, nProbe, idCol, vecCol), k)
+  }
+
+  /** Distributed k-NN join: every corpus vector finds its k nearest
+    * neighbors — the neighbor-graph builder under SemDeDup/D4-style
+    * curation, near-dup mining, and diversity scoring. Unlike
+    * `ivfTopK`, the QUERY side here is corpus-sized, so nothing about
+    * it may broadcast: vectors are cell-assigned by the seeded coarse
+    * quantizer, each vector probes its `nProbe` nearest cells, and the
+    * probe assignments join the cell contents on the cell id — a plain
+    * shuffle hash join keyed by cell, the only exchange that touches
+    * vectors.
+    *
+    * Scale shape: candidate volume is |corpus| × nProbe × (|corpus| /
+    * nCells) expected — the knob pair (nCells, nProbe) prices recall
+    * against compute exactly as in `ivfTopK`, and at 100 TB nCells
+    * grows with the corpus to hold the per-cell candidate count flat.
+    * The per-query top-k window partitions by query id over probed-cell
+    * candidates only (bounded by cell geometry, never the corpus); a
+    * skewed cell is AQE's skew-join case, and rebalancing it is the
+    * quantizer's job (`shouldRebuildIvf` measures exactly this). With
+    * `nProbe = nCells` the join IS the exact all-pairs search — the
+    * oracle convention at fixture scale. */
+  def knnJoin(corpus: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              fitCap: Int = 0): DataFrame = {
+    // fitCap bounds the QUANTIZER fit (nCells grows with the corpus, so
+    // an unbounded k-means fit would be the one super-linear term —
+    // trainPq's argument); assignment stays map-side over everything
+    val (cells, centroids) = quantize(corpus, nCells, seed, idCol, vecCol,
+      fitCap = fitCap)
+    val qProbes = probes(corpus, centroids, nProbe, idCol, vecCol)
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+    qProbes.join(cells, "cell")
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", nativeCosine(cells)(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Seed-medoid cell assignment: every corpus vector lands in the cell
+    * of its most-similar SEED vector (argmax cosine, ties to the
+    * smaller seed id). The deterministic, engine-portable alternative
+    * to the k-means quantizer: centroids are data rows chosen by the
+    * caller (canopy/medoid bucketing), so the assignment is pure
+    * arithmetic any engine replays bit-for-bit — which makes
+    * cluster-BALANCED selection (see `llm_diversity_sample`) a hashable
+    * pipeline, where k-means cells are JVM-only state.
+    *
+    * Scale shape: the seed table is the bounded side (cells, not
+    * corpus) and broadcasts; the corpus is scanned ONCE and the argmax
+    * is a struct-max AGGREGATION, not a window — the |seeds|-row
+    * fan-out collapses map-side (partial agg) before the exchange, so
+    * the only shuffle carries one skinny (id, best) row per vector and
+    * the wide embeddings never leave the scan. Output:
+    * (idCol, cell, cell_sim 6dp). */
+  def medoidAssign(corpus: DataFrame, seeds: DataFrame,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   seedIdCol: String = "seed_id"): DataFrame = {
+    val s = broadcast(seeds.select(col(seedIdCol).as("_cell"),
+      col(vecCol).as("_sv")))
+    corpus.select(col(idCol), col(vecCol))
+      .crossJoin(s)
+      .withColumn("_csim", nativeCosine(corpus)(col(vecCol), col("_sv")))
+      // max over (sim, -cell): highest similarity wins, ties to the
+      // SMALLER seed id — the engine's deterministic-keeper convention
+      .groupBy(col(idCol))
+      .agg(max(struct(col("_csim").as("s"), (-col("_cell")).as("nc"))).as("_b"))
+      .select(col(idCol), (-col("_b.nc")).as("cell"),
+        round(col("_b.s"), 6).as("cell_sim"))
+  }
+
   /** IVF index at rest: the quantized corpus written under
     * `$path/cells/batch=0` partitioned by cell, the CENTROIDS persisted
     * at `$path/centroids` with an `_meta.json` (nCells, kmeansSeed,

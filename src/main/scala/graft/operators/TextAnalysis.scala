@@ -113,6 +113,63 @@ object TextAnalysis {
           .otherwise(col(textCol)))
   }
 
+  /** T5-style span corruption (Raffel et al. 2020, arXiv:1910.10683 —
+    * the denoising pretraining objective): the token stream is cut
+    * into `nSegments` contiguous segments, and in every segment long
+    * enough a run of `spanLen` tokens is replaced by a numbered
+    * sentinel in the INPUT and moved — sentinel-prefixed — to the
+    * TARGET, which a final terminator sentinel closes. Like
+    * `fimTransform`, ALL noise derives from the id's md5 (the u24
+    * convention), so the corruption is reproducible across engines,
+    * partitionings, and replays — no RNG state anywhere.
+    *
+    * Per segment k of [floor(kL/n), floor((k+1)L/n)): if the segment
+    * has more than `spanLen` tokens, the span starts at
+    * segStart + u24(id:sk) % (segLen − spanLen + 1); shorter segments
+    * pass through uncorrupted (n_spans counts the corrupted ones).
+    *
+    * Scale shape: pure map-side — tokenize once, slice per segment
+    * with compile-time-unrolled expressions (nSegments is a plan
+    * constant, not data), no shuffle at any corpus size. */
+  def spanCorrupt(df: DataFrame, idCol: String, textCol: String,
+                  nSegments: Int = 3, spanLen: Int = 2): DataFrame = {
+    require(nSegments >= 1 && spanLen >= 1, "nSegments, spanLen >= 1")
+    def u24(salt: String): Column =
+      conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))
+        .cast("binary")), 1, 6), 16, 10).cast("long")
+    val base = df.select(col(idCol), tokens(col(textCol)).as("_tk"))
+      .withColumn("_L", size(col("_tk")).cast("long"))
+    val L = col("_L")
+    val tk = col("_tk")
+    val segs = (0 until nSegments).map { k =>
+      val segStart = floor(L * k / nSegments.toDouble).cast("long")
+      val segEnd = floor(L * (k + 1) / nSegments.toDouble).cast("long")
+      val segLen = segEnd - segStart
+      val can = segLen > spanLen
+      // greatest(...,1): ANSI-safe denominator on the uncorrupted branch
+      val off = u24(s":s$k") % greatest(segLen - spanLen + 1, lit(1L))
+      val spanStart = segStart + off
+      val sentinel = array(lit(s"<extra_id_$k>"))
+      val pre = slice(tk, (segStart + 1).cast("int"),
+        (spanStart - segStart).cast("int"))
+      val span = slice(tk, (spanStart + 1).cast("int"), lit(spanLen))
+      val post = slice(tk, (spanStart + spanLen + 1).cast("int"),
+        (segEnd - spanStart - spanLen).cast("int"))
+      val whole = slice(tk, (segStart + 1).cast("int"), segLen.cast("int"))
+      (when(can, concat(pre, sentinel, post)).otherwise(whole),
+        when(can, concat(sentinel, span))
+          .otherwise(array().cast("array<string>")),
+        when(can, 1L).otherwise(0L))
+    }
+    val inputArr = concat(segs.map(_._1): _*)
+    val targetArr = concat(segs.map(_._2) :+
+      array(lit(s"<extra_id_$nSegments>")): _*)
+    base.select(col(idCol), L.as("n_tokens"),
+      segs.map(_._3).reduce(_ + _).as("n_spans"),
+      array_join(inputArr, " ").as("input_text"),
+      array_join(targetArr, " ").as("target_text"))
+  }
+
   /** Control-character / unicode scrub — the byte-hygiene pass every
     * crawl pipeline runs before tokenization: strips C0/C1 control
     * chars (tab and newline survive), the BOM, and zero-width

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.{Dedup, Graph, Multimodal, Ppm, Similarity, TextAnalysis, Wav, Y4m}
+import graft.operators.{Dedup, Graph, Instruction, Multimodal, Ppm, Similarity, TextAnalysis, Wav, Y4m}
 
 /** Training-data-pipeline operators over the documents/embeddings tables:
   * dedup family, text analysis, similarity search.
@@ -2967,5 +2967,134 @@ object Documents {
         round(ent, 6).as("char_entropy"))
       .withColumn("keep", (col("char_entropy") >= 2.85).cast("int"))
       .orderBy("doc_id")
+  }
+
+  /** ANN16 — metadata-filtered vector search: top-5 per query among
+    * ONLY the vectors whose id belongs to an English document (the
+    * cross-table predicate every production retrieval system carries).
+    * `nProbe = nCells` is the llm_rag exactness convention — every cell
+    * probed ⇒ the IVF path is bit-equal to brute force over the
+    * filtered corpus, so the oracle recomputes full values, not just
+    * invariants. The pre-filter (cell-side semi-join) vs post-filter
+    * distinction is the point: k stays FILLED from survivors even
+    * though lang='en' keeps only ~a fifth of the corpus. */
+  def ann16FilteredAnn(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val allowed = Tables.documents(s, d)
+      .filter(col("lang") === "en").select("doc_id")
+    Similarity.ivfTopKFiltered(e, e.filter(col("vec_id") < 5), k = 5,
+        allowed, "doc_id", nCells = 8, nProbe = 8)
+      .orderBy("q_id", "rank")
+  }
+
+  /** ANN17 — distributed k-NN join: EVERY vector (capped fixture:
+    * vec_id < 120) finds its 3 nearest neighbors — the neighbor-graph
+    * builder under SemDeDup/D4 curation. The query side is corpus-sized
+    * so nothing broadcasts except the nCells-row centroid table; the
+    * probe→cell join is a plain shuffle hash join on the cell id.
+    * `nProbe = nCells` ⇒ exact all-pairs (the oracle convention);
+    * recall at nProbe < nCells is SimilaritySpec's job. */
+  def ann17KnnJoin(s: SparkSession, d: String): DataFrame =
+    Similarity.knnJoin(Tables.embeddings(s, d).filter(col("vec_id") < 120),
+        k = 3, nCells = 4, nProbe = 4)
+      .orderBy("q_id", "rank")
+
+  /** T44 — T5-style span corruption: the denoising-objective twin of
+    * t40's FIM. All noise from the id's md5 (u24 convention), so the
+    * oracle replays segment bounds, span offsets, sentinel placement,
+    * and both output texts exactly; short segments pass through
+    * (n_spans < 3 happens naturally on short docs at every SF). */
+  def t44SpanCorrupt(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.spanCorrupt(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** ANN18 — seed-medoid cell assignment: every vector to its
+    * most-similar seed (vec_id < 8), ties to the smaller seed id.
+    * Unlike the k-means cells (JVM state, invariant-gated), medoid
+    * assignment is pure arithmetic — the oracle recomputes every
+    * (vec_id, cell, cell_sim) row. */
+  def ann18MedoidAssign(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    Similarity.medoidAssign(e, e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("seed_id"), col("embedding")))
+      .orderBy("vec_id")
+  }
+
+  /** LLM composite — cluster-balanced ("diversity") selection: medoid
+    * cells in embedding space, then the md5-noise quota draw per CELL
+    * (r4's draw keyed on geometry instead of metadata) — so an
+    * over-represented content region is capped the way an
+    * over-represented domain is, the embedding-space twin of domain
+    * quotas. Fully value-compared: assignment and draw both replay. */
+  def llmDiversitySample(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val assigned = Similarity.medoidAssign(e, e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("seed_id"), col("embedding")))
+    graft.ops.Sampling.quotaSample(assigned, "cell", "vec_id", quota = 12)
+      .orderBy("vec_id")
+  }
+
+  /** Deterministic SFT-conversation fixture over the documents table:
+    * conv_id = doc_id mod `mod`, turn order = doc_id, role alternating
+    * by within-conversation rank, turn text = the doc's first `cut`
+    * chars — every column replayable in SQL, so the render gates are
+    * full-value oracles. The rank window partitions by conversation
+    * (bounded groups); fixture-side only — the OPERATOR takes turn
+    * order as given. */
+  private def sftTurns(s: SparkSession, d: String, mod: Int, cut: Int,
+                       maxOrd: Long = 0L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("conv_id").orderBy("ord")
+    val docs = Tables.documents(s, d)
+    val capped = if (maxOrd > 0) docs.filter(col("doc_id") < maxOrd) else docs
+    capped.select(
+        (col("doc_id") % mod).as("conv_id"), col("doc_id").as("ord"),
+        substring(col("text"), 1, cut).as("t"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("conv_id")))
+      .withColumn("role",
+        when(col("rn") % 2 === 1, "user").otherwise("assistant"))
+  }
+
+  /** T43 — chat-template render with loss-mask offsets: conversations
+    * rendered to flat training text, the final turn's span emitted as
+    * (resp_start, resp_len) character offsets and the prompt
+    * fingerprinted for dedup. Single-turn conversations (present at
+    * every SF under mod=40) exercise the empty-prompt edge:
+    * resp_start = 0, prompt_fp = md5(''). Full value compare —
+    * template, offsets, and fingerprint all recomputed by the oracle. */
+  def t43ChatRender(s: SparkSession, d: String): DataFrame =
+    Instruction.renderChat(sftTurns(s, d, mod = 40, cut = 120),
+        "conv_id", "ord", "role", "t")
+      .orderBy("conv_id")
+
+  /** LLM composite — the SFT data path: render → prompt-dedup → pack.
+    * The fixture plants REAL prompt duplicates: for each conversation
+    * c < 10, a twin at conv_id c+1000 repeats c's turns minus the last
+    * and appends a DIFFERENT final response (ord above every doc_id),
+    * so twin.prompt ≡ base.prompt while the rendered texts differ —
+    * exactly the same-question-different-answer collision prompt-dedup
+    * exists for. The min-conv keeper must elect every base conv and
+    * drop every twin; survivors pack shard-locally (t8's budget
+    * arithmetic) with prompt_fp/resp_start carried through. One hash
+    * over the whole chain. */
+  def llmSftPipeline(s: SparkSession, d: String): DataFrame = {
+    val base = sftTurns(s, d, mod = 20, cut = 100, maxOrd = 400L)
+    val baseTurns = base.select("conv_id", "ord", "role", "t")
+    val twinTurns = base.filter(col("conv_id") < 10 && col("rn") < col("n"))
+      .select((col("conv_id") + 1000).as("conv_id"),
+        col("ord"), col("role"), col("t"))
+    val synth = base.filter(col("conv_id") < 10)
+      .select("conv_id").distinct()
+      .select((col("conv_id") + 1000).as("conv_id"),
+        lit(100000000L).as("ord"), lit("assistant").as("role"),
+        concat(lit("ALT "), col("conv_id").cast("string")).as("t"))
+    val turns = baseTurns.unionByName(twinTurns).unionByName(synth)
+    val rendered = Instruction.renderChat(turns, "conv_id", "ord", "role", "t")
+    val deduped = Instruction.dedupByPrompt(rendered)
+    TextAnalysis.packSequences(deduped, "conv_id", "text",
+        budget = 256, shards = 4, carry = Seq("prompt_fp", "resp_start"))
+      .orderBy("id")
   }
 }

@@ -45,6 +45,16 @@ class SparkEntrySpec extends SparkSpec {
       "llm_rag_pipeline", // the IVF probe step's bounded broadcast LUT:
       // 10 queries × the nCells(=8)-row centroid table (ann3's shape) —
       // the corpus-sized chunk side rides equi-joins only
+      "ann16_filtered_ann", // ann3's bounded probe broadcast: queries ×
+      // the nCells(=8)-row centroid table; the filter itself is a
+      // cell-side semi-join, never a nested loop
+      "ann17_knn_join", // same nCells-row centroid LUT crossed into the
+      // corpus-sized probe side (bounded inner side); the probe→cell
+      // candidate join is a plain shuffle hash join on the cell id
+      "ann18_medoid_assign", // the 8-row seed table crossed into one
+      // corpus scan; the fan-out collapses in the map-side partial agg
+      "llm_diversity_sample", // same bounded seed cross join feeding
+      // the quota draw
       "ann14_hard_negatives_ann") // the candidate GENERATOR here is the
       // oracle-replayable exact top-20 over-fetch (ann1's intended
       // BNLJ); hardNegativesFromCandidates itself — the part that runs

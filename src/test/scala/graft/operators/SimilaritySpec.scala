@@ -462,4 +462,71 @@ class SimilaritySpec extends SparkSpec {
       .select("rank", "n_id").as[(Int, Long)].collect().toSet
     assert(twin == top)
   }
+
+  test("ivfTopKFiltered: neighbors satisfy the predicate, k fills, and " +
+       "nProbe=nCells equals brute force over the filtered corpus") {
+    val e = Tables.embeddings(spark, sf)
+    val allowed = e.filter($"label" % 2 === 0).select($"vec_id".as("id"))
+    val allowedIds = allowed.as[Long].collect().toSet
+    val q = e.filter($"vec_id" < 5)
+    val got = Similarity.ivfTopKFiltered(e, q, k = 5, allowed, "id",
+      nCells = 8, nProbe = 8)
+    val rows = got.collect()
+    // every emitted neighbor passes the filter — the pre-filter contract
+    assert(rows.forall(r => allowedIds(r.getAs[Long]("n_id"))))
+    // k fills from survivors (the post-filter failure mode would not)
+    assert(rows.groupBy(_.getAs[Long]("q_id")).values.forall(_.length == 5))
+    // exactness convention: every cell probed ⇒ ≡ filtered brute force
+    val brute = Similarity.bruteForceTopK(
+      e.join(allowed, e("vec_id") === allowed("id"), "left_semi"), q, 5)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("q_id"), r.getAs[Int]("rank"), r.getAs[Long]("n_id"))
+    assert(rows.map(key).toSet == brute.collect().map(key).toSet)
+  }
+
+  test("medoidAssign: argmax cell with min-seed tie-break, vectors never shuffle wide") {
+    // 2-D fixture: seeds 0=(1,0), 1=(0,1); vector 10 leans x, 11 leans y,
+    // 12 is EXACTLY diagonal — equal cosine to both seeds, tie → seed 0
+    val corpus = Seq(
+      (10L, Array(2.0f, 0.5f)), (11L, Array(0.5f, 2.0f)),
+      (12L, Array(3.0f, 3.0f))).toDF("vec_id", "embedding")
+    val seeds = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("seed_id", "embedding")
+    val got = Similarity.medoidAssign(corpus, seeds)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 0L, 11L -> 1L, 12L -> 0L), s"got $got")
+    // deterministic under physical layout
+    val re = Similarity.medoidAssign(corpus.repartition(5), seeds)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(re == got)
+    // the exchange after the fan-out carries skinny (id, struct) rows —
+    // no window over the corpus appears in the plan
+    val plan = Similarity.medoidAssign(corpus, seeds)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "medoidAssign must aggregate, not window")
+  }
+
+  test("knnJoin: nProbe=nCells is exact all-pairs; partial probing " +
+       "clears a recall floor; repartition-invariant") {
+    val e = Tables.embeddings(spark, sf).filter($"vec_id" < 40)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("q_id"), r.getAs[Int]("rank"), r.getAs[Long]("n_id"))
+    val exact = Similarity.bruteForceTopK(e, e, 3).collect().map(key).toSet
+    val full = Similarity.knnJoin(e, k = 3, nCells = 4, nProbe = 4)
+      .collect().map(key).toSet
+    assert(full == exact, "all cells probed must reproduce brute force")
+    // every vector is a query exactly once
+    assert(full.map(_._1).size == 40)
+    // partial probing: recall floor (self-cell plus 1 neighbor cell
+    // catches most true neighbors on a random corpus — measured ~0.9)
+    val part = Similarity.knnJoin(e, k = 3, nCells = 4, nProbe = 2)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val exPairs = exact.map(t => (t._1, t._3))
+    val recall = (part & exPairs).size.toDouble / exPairs.size
+    assert(recall >= 0.6, s"knn-join nProbe=2 recall $recall below floor")
+    // determinism under physical layout changes
+    val re = Similarity.knnJoin(e.repartition(7), k = 3, nCells = 4, nProbe = 4)
+      .collect().map(key).toSet
+    assert(re == full)
+  }
 }

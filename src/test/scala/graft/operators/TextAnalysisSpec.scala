@@ -570,4 +570,42 @@ class TextAnalysisSpec extends SparkSpec {
     val docsCum = out.map(_.getLong(1))
     assert(docsCum.last == docs.count())
   }
+
+  test("spanCorrupt: sentinels round-trip — substituting targets back " +
+       "reconstructs the original token stream") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),       // 12 tokens: 3 corruptible segments
+      (2L, "one two three"),                  // 1-token segments: pass-through
+      (3L, "")                                 // degenerate
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.spanCorrupt(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_spans") == 3L)
+    // parse the target into sentinel -> span-token map, substitute back
+    val tgt = r1.getAs[String]("target_text").split(" ").toSeq
+    val spans = scala.collection.mutable.Map[String, Vector[String]]()
+    var cur: String = null
+    tgt.foreach { t =>
+      if (t.startsWith("<extra_id_")) { cur = t; spans(cur) = Vector() }
+      else spans(cur) = spans(cur) :+ t
+    }
+    val rebuilt = r1.getAs[String]("input_text").split(" ").toSeq
+      .flatMap(t => spans.getOrElse(t, Vector(t)))
+    assert(rebuilt == "a b c d e f g h i j k l".split(" ").toSeq,
+      s"round-trip failed: $rebuilt")
+
+    // short segments pass through untouched, terminator still emitted
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("n_spans") == 0L)
+    assert(r2.getAs[String]("input_text") == "one two three")
+    assert(r2.getAs[String]("target_text") == "<extra_id_3>")
+
+    // determinism: noise is the id's md5, not partitioning
+    val again = TextAnalysis.spanCorrupt(docs.repartition(5), "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("input_text")).toMap
+    assert(again(1L) == r1.getAs[String]("input_text"))
+  }
 }
