@@ -233,6 +233,8 @@ object SparkEntry {
     "ann18_medoid_assign" -> (Documents.ann18MedoidAssign _),
     "llm_diversity_sample" -> (Documents.llmDiversitySample _),
     "t44_span_corrupt" -> (Documents.t44SpanCorrupt _),
+    "m17_retrieval_metrics" -> (Documents.m17RetrievalMetrics _),
+    "llm_dpo_pairs" -> (Documents.llmDpoPairs _),
   )
 
   /** T20's oracle: every Gopher rule statistic recomputed on RAW gram
@@ -3191,6 +3193,87 @@ object SparkEntry {
         |  array_to_string(inp, ' ') AS input_text,
         |  array_to_string(tgt, ' ') AS target_text
         |FROM o ORDER BY doc_id""".stripMargin,
+    // M17: IR metrics recomputed end to end — ann1's exact top-5 as the
+    // ranked run, same-label pairs as qrels, recall/MRR/nDCG per query
+    "m17_retrieval_metrics" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv, label AS ql FROM e
+        |  WHERE vec_id < 20),
+        |sc AS (SELECT q_id, e.vec_id AS n_id,
+        |  list_cosine_similarity(qv, e.v) AS cos
+        |  FROM q, e WHERE e.vec_id <> q_id),
+        |res AS (SELECT q_id, n_id, rank FROM (
+        |  SELECT q_id, n_id, cos, ROW_NUMBER() OVER (
+        |    PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM sc)
+        |  WHERE rank <= 5),
+        |rel AS (SELECT q.q_id, e.vec_id AS n_id FROM q
+        |  JOIN e ON e.label = q.ql AND e.vec_id <> q.q_id),
+        |nr AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_rel FROM rel
+        |  GROUP BY q_id),
+        |h AS (SELECT res.q_id, res.rank,
+        |  CASE WHEN rel.n_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |  FROM res LEFT JOIN rel
+        |    ON res.q_id = rel.q_id AND res.n_id = rel.n_id),
+        |pq AS (SELECT q_id, CAST(sum(hit) AS BIGINT) AS hits,
+        |  coalesce(max(CASE WHEN hit = 1 THEN 1.0 / rank END), 0.0) AS mrr_raw,
+        |  sum(CASE WHEN hit = 1 THEN 1.0 / log2(rank + 1) ELSE 0.0 END) AS dcg
+        |  FROM h GROUP BY q_id),
+        |j AS (SELECT pq.q_id, coalesce(nr.n_rel, 0) AS n_rel, hits, mrr_raw, dcg,
+        |  list_sum(list_transform(range(1,
+        |    CAST(greatest(least(coalesce(nr.n_rel, 0), 5), 1) AS BIGINT) + 1),
+        |    i -> 1.0 / log2(i + 1))) AS idcg
+        |  FROM pq LEFT JOIN nr USING (q_id))
+        |SELECT q_id, n_rel, hits,
+        |  round(CASE WHEN n_rel > 0 THEN hits * 1.0 / n_rel ELSE 0.0 END, 6)
+        |    AS recall_at_k,
+        |  round(mrr_raw, 6) AS mrr,
+        |  round(CASE WHEN n_rel > 0 THEN dcg / idcg ELSE 0.0 END, 6)
+        |    AS ndcg_at_k
+        |FROM j ORDER BY q_id""".stripMargin,
+    // DPO pairs: the llm_sft twin construction + render, then the
+    // (chosen, rejected) election by response length — chosen ties to
+    // the smaller conv, rejected to the larger, margins exact
+    "llm_dpo_pairs" ->
+      """WITH b AS (SELECT doc_id, doc_id % 20 AS conv_id,
+        |  substring(text, 1, 100) AS t FROM documents WHERE doc_id < 400),
+        |rn AS (SELECT conv_id, doc_id, t,
+        |  row_number() OVER (PARTITION BY conv_id ORDER BY doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY conv_id) AS n FROM b),
+        |roled AS (SELECT conv_id, doc_id AS ord,
+        |  CASE WHEN rn % 2 = 1 THEN 'user' ELSE 'assistant' END AS role,
+        |  t, rn, n FROM rn),
+        |base AS (SELECT conv_id, ord, role, t FROM roled),
+        |twin AS (SELECT conv_id + 1000 AS conv_id, ord, role, t
+        |  FROM roled WHERE conv_id < 10 AND rn < n),
+        |synth AS (SELECT conv_id + 1000 AS conv_id,
+        |  CAST(100000000 AS BIGINT) AS ord, 'assistant' AS role,
+        |  'ALT ' || CAST(conv_id AS VARCHAR) AS t
+        |  FROM (SELECT DISTINCT conv_id FROM roled WHERE conv_id < 10)),
+        |turns AS (SELECT * FROM base UNION ALL SELECT * FROM twin
+        |  UNION ALL SELECT * FROM synth),
+        |rend AS (SELECT conv_id, ord,
+        |  '<|' || role || '|>' || t || '<|end|>' AS rt FROM turns),
+        |g AS (SELECT conv_id, string_agg(rt, '' ORDER BY ord) AS text,
+        |  arg_max(rt, ord) AS last_rt FROM rend GROUP BY conv_id),
+        |cand AS (SELECT conv_id AS c,
+        |  md5(substring(text, 1, length(text) - length(last_rt))) AS prompt_fp,
+        |  CAST(length(last_rt) AS DOUBLE) AS s, last_rt AS resp FROM g),
+        |w1 AS (SELECT prompt_fp, c, s, resp,
+        |  row_number() OVER (PARTITION BY prompt_fp
+        |    ORDER BY s DESC, c ASC) AS rch,
+        |  row_number() OVER (PARTITION BY prompt_fp
+        |    ORDER BY s ASC, c DESC) AS rrj,
+        |  count(*) OVER (PARTITION BY prompt_fp) AS n FROM cand),
+        |ch AS (SELECT prompt_fp, CAST(n AS BIGINT) AS n_candidates,
+        |  c AS chosen_conv, resp AS chosen_response, s AS chs
+        |  FROM w1 WHERE rch = 1),
+        |rj AS (SELECT prompt_fp, c AS rejected_conv,
+        |  resp AS rejected_response, s AS rjs FROM w1 WHERE rrj = 1)
+        |SELECT ch.prompt_fp, n_candidates, chosen_conv, rejected_conv,
+        |  chosen_response, rejected_response, round(chs - rjs, 6) AS margin
+        |FROM ch JOIN rj USING (prompt_fp)
+        |WHERE n_candidates >= 2 ORDER BY prompt_fp""".stripMargin,
   )
 
   /** pipeline_e2e oracle: the query parquet-dumps its deterministic gold

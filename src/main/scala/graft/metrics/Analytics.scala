@@ -185,4 +185,58 @@ object Classification {
           .as("f1"),
         col("support"))
   }
+
+  /** Retrieval evaluation — recall@k, MRR, nDCG@k per query: the
+    * standard IR metrics every ANN/RAG stack is judged by (the
+    * evaluation leg the similarity operators feed). `results` is any
+    * ranked frame (qCol, nCol, rankCol) — bruteForceTopK / ivfTopK /
+    * pqTopKReranked emit exactly this shape; `qrels` is the binary
+    * relevance set (qCol, nCol).
+    *
+    * Per query: recall@k = |retrieved∩relevant| / |relevant|;
+    * MRR = 1/rank of the first relevant hit (0 when none);
+    * nDCG@k = Σ_hits 1/log2(rank+1) over the ideal Σ_{i≤min(|rel|,k)}
+    * 1/log2(i+1). A query with an empty relevance set scores 0 across
+    * the board (emitted, not dropped — silent drops would inflate
+    * macro averages). All three rounded to 6 dp; inputs to the ratios
+    * stay unrounded (the m9 discipline).
+    *
+    * Scale shape: results is queries×k rows — the tiny side — so the
+    * relevance join broadcasts it; per-query state is ≤ k rows and the
+    * IDCG is a closed-form fold over ≤ k terms. Nothing here touches
+    * the corpus. */
+  def retrievalMetrics(results: DataFrame, qrels: DataFrame, k: Int,
+                       qCol: String = "q_id", nCol: String = "n_id",
+                       rankCol: String = "rank"): DataFrame = {
+    val res = results.filter(col(rankCol) <= k)
+      .select(col(qCol).as("_q"), col(nCol).as("_n"),
+        col(rankCol).cast("long").as("_r"))
+    val rel = qrels.select(col(qCol).as("_q"), col(nCol).as("_n"),
+      lit(1L).as("_rel"))
+    val nRel = rel.groupBy("_q").agg(count(lit(1)).as("n_rel"))
+    val perQ = res.join(rel, Seq("_q", "_n"), "left")
+      .withColumn("_hit", coalesce(col("_rel"), lit(0L)))
+      .groupBy("_q")
+      .agg(sum(col("_hit")).as("hits"),
+        // max(1/r over hits) = 1/min(hit rank) — the reciprocal rank
+        coalesce(max(when(col("_hit") === 1L, lit(1.0) / col("_r"))),
+          lit(0.0)).as("_mrr"),
+        sum(when(col("_hit") === 1L, lit(1.0) / log2(col("_r") + 1))
+          .otherwise(lit(0.0))).as("_dcg"))
+    val withRel = perQ.join(nRel, Seq("_q"), "left")
+      .na.fill(0L, Seq("n_rel"))
+    // IDCG over min(n_rel, k) ideal hits; sequence needs a ≥1 bound on
+    // the n_rel=0 branch (guarded to 0 output below)
+    val idcg = aggregate(
+      transform(sequence(lit(1L),
+        greatest(least(col("n_rel"), lit(k.toLong)), lit(1L))),
+        i => lit(1.0) / log2(i.cast("double") + 1.0)),
+      lit(0.0), (acc, x) => acc + x)
+    withRel.select(col("_q").as(qCol), col("n_rel"), col("hits"),
+      round(when(col("n_rel") > 0, col("hits").cast("double") / col("n_rel"))
+        .otherwise(0.0), 6).as("recall_at_k"),
+      round(col("_mrr"), 6).as("mrr"),
+      round(when(col("n_rel") > 0, col("_dcg") / idcg).otherwise(0.0), 6)
+        .as("ndcg_at_k"))
+  }
 }

@@ -92,4 +92,45 @@ object Instruction {
     val keep = rendered.groupBy(col(fpCol)).agg(min(col(convCol)).as(convCol))
     rendered.join(keep, Seq(fpCol, convCol), "left_semi")
   }
+
+  /** Preference-pair construction (DPO/RLHF data prep): for every
+    * prompt with at least two candidate conversations, emit the
+    * (chosen, rejected) response pair — chosen = highest `scoreCol`
+    * (ties to the SMALLER conv id), rejected = lowest (ties to the
+    * LARGER conv id), so an all-tied group still yields a
+    * deterministic, distinct pair. Same-prompt groups are exactly what
+    * [[dedupByPrompt]] collapses — this operator is the other fork of
+    * that collision: instead of electing one survivor, it turns the
+    * disagreement into a training signal. Input is [[renderChat]]
+    * output plus a caller-supplied score column; responses are sliced
+    * out of the rendered text with the loss-mask offsets. Singleton
+    * prompts drop (no pair to form).
+    *
+    * Scale shape: ONE aggregation keyed by prompt fingerprint, the
+    * chosen/rejected elections as struct-max/min — map-side
+    * combinable, a million-candidate prompt is one combiner cell; no
+    * window, no join-back (the response payload rides inside the
+    * max/min structs). Output: (prompt_fp, n_candidates, chosen_conv,
+    * rejected_conv, chosen_response, rejected_response, margin). */
+  def preferencePairs(rendered: DataFrame, scoreCol: String,
+                      convCol: String = "conv_id",
+                      fpCol: String = "prompt_fp"): DataFrame = {
+    val resp = col("text").substr(col("resp_start").cast("int") + 1,
+      col("resp_len").cast("int"))
+    rendered.select(col(fpCol).as("prompt_fp"), col(convCol).as("_c"),
+        col(scoreCol).cast("double").as("_s"), resp.as("_resp"))
+      .groupBy("prompt_fp")
+      .agg(count(lit(1)).as("n_candidates"),
+        max(struct(col("_s").as("s"), (-col("_c")).as("nc"),
+          col("_resp").as("r"))).as("_ch"),
+        min(struct(col("_s").as("s"), (-col("_c")).as("nc"),
+          col("_resp").as("r"))).as("_rj"))
+      .filter(col("n_candidates") >= 2)
+      .select(col("prompt_fp"), col("n_candidates"),
+        (-col("_ch.nc")).as("chosen_conv"),
+        (-col("_rj.nc")).as("rejected_conv"),
+        col("_ch.r").as("chosen_response"),
+        col("_rj.r").as("rejected_response"),
+        round(col("_ch.s") - col("_rj.s"), 6).as("margin"))
+  }
 }

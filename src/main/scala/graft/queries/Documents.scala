@@ -2999,6 +2999,23 @@ object Documents {
         k = 3, nCells = 4, nProbe = 4)
       .orderBy("q_id", "rank")
 
+  /** M17 — retrieval evaluation metrics over the exact top-5 (ann1's
+    * replayable generator) with SAME-LABEL relevance (label(n) =
+    * label(q), n ≠ q — the standard class-based qrels construction):
+    * recall@5, MRR, nDCG@5 per query, every number recomputed by the
+    * oracle from the same candidate grid. */
+  def m17RetrievalMetrics(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 20)
+    val results = Similarity.bruteForceTopK(e, q, 5)
+    val qrels = q.select(col("vec_id").as("q_id"), col("label").as("ql"))
+      .join(e.select(col("vec_id").as("n_id"), col("label")),
+        col("label") === col("ql") && col("n_id") =!= col("q_id"))
+      .select("q_id", "n_id")
+    graft.metrics.Classification.retrievalMetrics(results, qrels, k = 5)
+      .orderBy("q_id")
+  }
+
   /** T44 — T5-style span corruption: the denoising-objective twin of
     * t40's FIM. All noise from the id's md5 (u24 convention), so the
     * oracle replays segment bounds, span offsets, sentinel placement,
@@ -3079,7 +3096,11 @@ object Documents {
     * drop every twin; survivors pack shard-locally (t8's budget
     * arithmetic) with prompt_fp/resp_start carried through. One hash
     * over the whole chain. */
-  def llmSftPipeline(s: SparkSession, d: String): DataFrame = {
+  /** Base + prompt-twin conversations (see [[llmSftPipeline]]): for
+    * each conv c < 10, conv c+1000 repeats c's turns minus the last
+    * and appends a different final response — twin.prompt ≡
+    * base.prompt, rendered texts differ. */
+  private def sftTwinTurns(s: SparkSession, d: String): DataFrame = {
     val base = sftTurns(s, d, mod = 20, cut = 100, maxOrd = 400L)
     val baseTurns = base.select("conv_id", "ord", "role", "t")
     val twinTurns = base.filter(col("conv_id") < 10 && col("rn") < col("n"))
@@ -3090,11 +3111,28 @@ object Documents {
       .select((col("conv_id") + 1000).as("conv_id"),
         lit(100000000L).as("ord"), lit("assistant").as("role"),
         concat(lit("ALT "), col("conv_id").cast("string")).as("t"))
-    val turns = baseTurns.unionByName(twinTurns).unionByName(synth)
-    val rendered = Instruction.renderChat(turns, "conv_id", "ord", "role", "t")
+    baseTurns.unionByName(twinTurns).unionByName(synth)
+  }
+
+  def llmSftPipeline(s: SparkSession, d: String): DataFrame = {
+    val rendered = Instruction.renderChat(sftTwinTurns(s, d),
+      "conv_id", "ord", "role", "t")
     val deduped = Instruction.dedupByPrompt(rendered)
     TextAnalysis.packSequences(deduped, "conv_id", "text",
         budget = 256, shards = 4, carry = Seq("prompt_fp", "resp_start"))
       .orderBy("id")
+  }
+
+  /** LLM composite — DPO preference pairs from the same twin fixture:
+    * every duplicated prompt (base conv c + twin c+1000) becomes one
+    * (chosen, rejected) pair scored by rendered response LENGTH
+    * (integer-exact, so the election and the margin replay bit-for-bit
+    * in SQL); singleton prompts drop. The dedup fork keeps one
+    * survivor, this fork keeps the disagreement as training signal. */
+  def llmDpoPairs(s: SparkSession, d: String): DataFrame = {
+    val rendered = Instruction.renderChat(sftTwinTurns(s, d),
+      "conv_id", "ord", "role", "t")
+    Instruction.preferencePairs(rendered, scoreCol = "resp_len")
+      .orderBy("prompt_fp")
   }
 }

@@ -51,6 +51,9 @@ class SparkEntrySpec extends SparkSpec {
       "ann17_knn_join", // same nCells-row centroid LUT crossed into the
       // corpus-sized probe side (bounded inner side); the probe→cell
       // candidate join is a plain shuffle hash join on the cell id
+      "m17_retrieval_metrics", // the ranked run comes from ann1's
+      // intended exact BNLJ generator; the metrics themselves join
+      // queries×k rows — the tiny side — against the qrels
       "ann18_medoid_assign", // the 8-row seed table crossed into one
       // corpus scan; the fan-out collapses in the map-side partial agg
       "llm_diversity_sample", // same bounded seed cross join feeding

@@ -118,4 +118,29 @@ class AnalyticsSpec extends SparkSpec {
     // per class straight from the joins
     assert(dist.size == 3)
   }
+
+  test("retrievalMetrics: hand-computed recall/MRR/nDCG, empty qrels score 0") {
+    import spark.implicits._
+    // q1: relevant {a,b,c}; retrieved [a, x, b] → hits 2, recall 2/3,
+    // MRR 1 (first hit at rank 1), DCG 1/log2(2)+1/log2(4) = 1.5,
+    // IDCG = 1 + 1/log2(3) + 1/log2(4) (3 ideal hits at k=3)
+    // q2: no qrels at all → all-zero row, still emitted
+    val results = Seq(
+      (1L, 1, "a"), (1L, 2, "x"), (1L, 3, "b"),
+      (2L, 1, "p"), (2L, 2, "q"), (2L, 3, "r")
+    ).toDF("q_id", "rank", "n_id")
+    val qrels = Seq((1L, "a"), (1L, "b"), (1L, "c")).toDF("q_id", "n_id")
+    val out = Classification.retrievalMetrics(results, qrels, k = 3)
+      .collect().map(r => r.getAs[Long]("q_id") -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_rel") == 3L && r1.getAs[Long]("hits") == 2L)
+    assert(math.abs(r1.getAs[Double]("recall_at_k") - 2.0 / 3) < 5e-7)
+    assert(r1.getAs[Double]("mrr") == 1.0)
+    val idcg = 1.0 + 1.0 / (math.log(3) / math.log(2)) + 0.5
+    assert(math.abs(r1.getAs[Double]("ndcg_at_k") - 1.5 / idcg) < 5e-7)
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("n_rel") == 0L && r2.getAs[Long]("hits") == 0L)
+    assert(r2.getAs[Double]("recall_at_k") == 0.0)
+    assert(r2.getAs[Double]("mrr") == 0.0 && r2.getAs[Double]("ndcg_at_k") == 0.0)
+  }
 }

@@ -70,4 +70,36 @@ class InstructionSpec extends SparkSpec {
     val rendered = Instruction.renderChat(turns, "conv_id", "turn", "role", "txt")
     assert(Instruction.dedupByPrompt(rendered).count() == 2L)
   }
+
+  test("preferencePairs: score elects chosen/rejected, ties split deterministically, " +
+       "singletons drop") {
+    val twin = Seq(
+      (99L, 10L, "user", "hello"),
+      (99L, 20L, "assistant", "hi there"),
+      (99L, 35L, "user", "what is 2+2?"),
+      (99L, 40L, "assistant", "five, obviously")
+    ).toDF("conv_id", "turn", "role", "txt")
+    val rendered = Instruction.renderChat(turns.unionByName(twin),
+      "conv_id", "turn", "role", "txt")
+    val pairs = Instruction.preferencePairs(rendered, scoreCol = "resp_len")
+      .collect()
+    // conv 2 is a singleton prompt — no pair
+    assert(pairs.length == 1)
+    val p = pairs.head
+    // longer response ("five, obviously") wins over "4"
+    assert(p.getAs[Long]("chosen_conv") == 99L)
+    assert(p.getAs[Long]("rejected_conv") == 1L)
+    assert(p.getAs[String]("chosen_response") == "<|assistant|>five, obviously<|end|>")
+    assert(p.getAs[String]("rejected_response") == "<|assistant|>4<|end|>")
+    assert(p.getAs[Double]("margin") ==
+      "<|assistant|>five, obviously<|end|>".length - "<|assistant|>4<|end|>".length)
+    // all-tied scores: chosen = smaller conv, rejected = larger — a
+    // deterministic, DISTINCT pair even with no signal
+    val tied = Instruction.preferencePairs(
+      rendered.withColumn("const", lit(1.0)), scoreCol = "const").collect()
+    val t = tied.head
+    assert(t.getAs[Long]("chosen_conv") == 1L &&
+      t.getAs[Long]("rejected_conv") == 99L)
+    assert(t.getAs[Double]("margin") == 0.0)
+  }
 }
