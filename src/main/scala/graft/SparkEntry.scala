@@ -235,6 +235,8 @@ object SparkEntry {
     "t44_span_corrupt" -> (Documents.t44SpanCorrupt _),
     "m17_retrieval_metrics" -> (Documents.m17RetrievalMetrics _),
     "llm_dpo_pairs" -> (Documents.llmDpoPairs _),
+    "t45_sft_dedup_stream" -> (Documents.t45SftDedupStream _),
+    "llm_chat_from_logs" -> (Documents.llmChatFromLogs _),
   )
 
   /** T20's oracle: every Gopher rule statistic recomputed on RAW gram
@@ -3274,6 +3276,81 @@ object SparkEntry {
         |  chosen_response, rejected_response, round(chs - rjs, 6) AS margin
         |FROM ch JOIN rj USING (prompt_fp)
         |WHERE n_candidates >= 2 ORDER BY prompt_fp""".stripMargin,
+    // T45: the streaming SFT dedup — llm_sft's render chain (base +
+    // twins + the fresh-prompt v2 duplicate pairs), then d26's keeper
+    // rule on the PROMPT fingerprint: first batch wins, min conv
+    // within the batch
+    "t45_sft_dedup_stream" ->
+      """WITH b AS (SELECT doc_id, doc_id % 20 AS conv_id,
+        |  substring(text, 1, 100) AS t FROM documents WHERE doc_id < 400),
+        |rn AS (SELECT conv_id, doc_id, t,
+        |  row_number() OVER (PARTITION BY conv_id ORDER BY doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY conv_id) AS n FROM b),
+        |roled AS (SELECT conv_id, doc_id AS ord,
+        |  CASE WHEN rn % 2 = 1 THEN 'user' ELSE 'assistant' END AS role,
+        |  t, rn, n FROM rn),
+        |base AS (SELECT conv_id, ord, role, t FROM roled),
+        |twin AS (SELECT conv_id + 1000 AS conv_id, ord, role, t
+        |  FROM roled WHERE conv_id < 10 AND rn < n),
+        |synth AS (SELECT conv_id + 1000 AS conv_id,
+        |  CAST(100000000 AS BIGINT) AS ord, 'assistant' AS role,
+        |  'ALT ' || CAST(conv_id AS VARCHAR) AS t
+        |  FROM (SELECT DISTINCT conv_id FROM roled WHERE conv_id < 10)),
+        |turns AS (SELECT * FROM base UNION ALL SELECT * FROM twin
+        |  UNION ALL SELECT * FROM synth),
+        |rend AS (SELECT conv_id, ord,
+        |  '<|' || role || '|>' || t || '<|end|>' AS rt FROM turns),
+        |g AS (SELECT conv_id, string_agg(rt, '' ORDER BY ord) AS text,
+        |  arg_max(rt, ord) AS last_rt FROM rend GROUP BY conv_id),
+        |r0 AS (SELECT conv_id,
+        |  md5(substring(text, 1, length(text) - length(last_rt))) AS prompt_fp,
+        |  CAST(length(last_rt) AS BIGINT) AS resp_len FROM g),
+        |rend2 AS (SELECT conv_id, ord,
+        |  '<|' || role || '|>v2 ' || t || '<|end|>' AS rt FROM turns
+        |  WHERE conv_id BETWEEN 10 AND 14),
+        |g2 AS (SELECT conv_id, string_agg(rt, '' ORDER BY ord) AS text,
+        |  arg_max(rt, ord) AS last_rt FROM rend2 GROUP BY conv_id),
+        |r2 AS (SELECT conv_id,
+        |  md5(substring(text, 1, length(text) - length(last_rt))) AS prompt_fp,
+        |  CAST(length(last_rt) AS BIGINT) AS resp_len FROM g2),
+        |aug AS (
+        |  SELECT conv_id, prompt_fp, resp_len,
+        |    CASE WHEN conv_id < 1000 THEN 1 ELSE 2 END AS bi FROM r0
+        |  UNION ALL SELECT conv_id + 3000, prompt_fp, resp_len, 2 FROM r2
+        |  UNION ALL SELECT conv_id + 4000, prompt_fp, resp_len, 2 FROM r2),
+        |k AS (SELECT conv_id, prompt_fp, resp_len, ROW_NUMBER() OVER (
+        |  PARTITION BY prompt_fp ORDER BY bi, conv_id) AS krn FROM aug)
+        |SELECT conv_id, prompt_fp, resp_len FROM k WHERE krn = 1
+        |ORDER BY conv_id""".stripMargin,
+    // Chat-from-logs: s_sessionize's session chain + t43's render —
+    // sessions become conversations, events become turns keyed by
+    // event_id, the full render + offsets recomputed
+    "llm_chat_from_logs" ->
+      """WITH e AS (SELECT event_id, ts, user_id, event_type FROM events),
+        |l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |  AS prev_ts FROM e),
+        |n AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |    OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END
+        |  AS new_sess FROM l),
+        |s AS (SELECT event_id, user_id, event_type,
+        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sess_id FROM n),
+        |tu AS (SELECT CAST(user_id * 100000 + sess_id AS BIGINT) AS conv_id,
+        |  event_id AS ord, event_type,
+        |  row_number() OVER (PARTITION BY user_id, sess_id
+        |    ORDER BY event_id) AS rn FROM s),
+        |t AS (SELECT conv_id, ord,
+        |  '<|' || (CASE WHEN rn % 2 = 1 THEN 'user' ELSE 'assistant' END)
+        |  || '|>' || event_type || '#' || CAST(ord % 100 AS VARCHAR)
+        |  || '<|end|>' AS rt FROM tu),
+        |g AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+        |  string_agg(rt, '' ORDER BY ord) AS text,
+        |  arg_max(rt, ord) AS last_rt FROM t GROUP BY conv_id)
+        |SELECT conv_id, n_turns, text,
+        |  CAST(length(text) - length(last_rt) AS BIGINT) AS resp_start,
+        |  CAST(length(last_rt) AS BIGINT) AS resp_len,
+        |  md5(substring(text, 1, length(text) - length(last_rt))) AS prompt_fp
+        |FROM g ORDER BY conv_id""".stripMargin,
   )
 
   /** pipeline_e2e oracle: the query parquet-dumps its deterministic gold

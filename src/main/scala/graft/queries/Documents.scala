@@ -3123,6 +3123,81 @@ object Documents {
       .orderBy("id")
   }
 
+  /** T45 — the SFT stream: prompt-level dedup as a REAL stream through
+    * [[graft.streaming.EventStream.streamingDedupByKey]] keyed on
+    * `prompt_fp` (the generalized d26 election). Batch 1 lands the 20
+    * base conversations; batch 2 carries (a) the prompt-twins of convs
+    * 0–9 — cross-batch duplicates the landed state must drop — and
+    * (b) fresh-prompt 'v2' renders of convs 10–14, each TWICE under
+    * conv ids +3000 and +4000 — in-batch duplicates the min-id
+    * election must resolve to the +3000 copy. The oracle replays
+    * render → fingerprint → the (batch, min-conv) keeper rule; an
+    * arrival-order or global-min-id implementation hash-fails. */
+  def t45SftDedupStream(s: SparkSession, d: String): DataFrame = {
+    val baseDir = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/t45_stream"
+    val p = new org.apache.hadoop.fs.Path(baseDir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val (inDir, outDir, ckpt) = (s"$baseDir/in", s"$baseDir/out", s"$baseDir/ckpt")
+    val turns = sftTwinTurns(s, d)
+    val rendered = Instruction.renderChat(turns, "conv_id", "ord", "role", "t")
+    val v2 = Instruction.renderChat(
+      turns.filter(col("conv_id").between(10, 14))
+        .withColumn("t", concat(lit("v2 "), col("t"))),
+      "conv_id", "ord", "role", "t")
+    val t0c = to_timestamp(lit("2024-03-01 00:00:00"))
+    def sel(df: DataFrame, off: Long): DataFrame = df.select(
+      (col("conv_id") + off).as("conv_id"), col("prompt_fp"),
+      col("resp_len"), t0c.as("ts"))
+    val b1 = sel(rendered.filter(col("conv_id") < 1000), 0L)
+    val b2 = sel(rendered.filter(col("conv_id") >= 1000), 0L)
+      .unionByName(sel(v2, 3000L)).unionByName(sel(v2, 4000L))
+    writeOrderedBatches(s, inDir, Seq(b1, b2))
+    val stream = s.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = graft.streaming.EventStream
+      .streamingDedupByKey(stream, "ts", col("prompt_fp"), "conv_id")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(outDir)
+      .select("conv_id", "prompt_fp", "resp_len")
+      .orderBy("conv_id")
+  }
+
+  /** LLM composite — conversations assembled from EVENT LOGS: the
+    * s_sessionize chain (30-min-gap sessions over real timestamps)
+    * turns each (user, session) into a conversation, events become
+    * turns ordered by event_id (the deterministic key — ts ties would
+    * be arrival-order), and the render emits the same loss-mask
+    * contract as t43. The chat surface composed with a second real
+    * table and a window-chain fixture — sessionization drift, a lost
+    * turn, or an offset error all move the hash. */
+  def llmChatFromLogs(s: SparkSession, d: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val byUser = W.partitionBy("user_id").orderBy("ts")
+    val ev = Tables.events(s, d)
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_sess", when(col("prev_ts").isNull ||
+        unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+        .otherwise(0))
+      .withColumn("sess_id", sum("new_sess").over(
+        byUser.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    val turns = ev.select(
+        (col("user_id") * 100000L + col("sess_id")).as("conv_id"),
+        col("event_id").as("ord"), col("event_type"))
+      .withColumn("rn", row_number().over(
+        W.partitionBy("conv_id").orderBy("ord")))
+      .withColumn("role", when(col("rn") % 2 === 1, "user")
+        .otherwise("assistant"))
+      .withColumn("t", concat(col("event_type"), lit("#"),
+        pmod(col("ord"), lit(100L)).cast("string")))
+    Instruction.renderChat(turns, "conv_id", "ord", "role", "t")
+      .orderBy("conv_id")
+  }
+
   /** LLM composite — DPO preference pairs from the same twin fixture:
     * every duplicated prompt (base conv c + twin c+1000) becomes one
     * (chosen, rejected) pair scored by rendered response LENGTH

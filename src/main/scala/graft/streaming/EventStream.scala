@@ -115,10 +115,24 @@ object EventStream {
     * non-null (the election compares ids, not arrival order). */
   def streamingExactDedup(docs: DataFrame, tsCol: String, textCol: String,
                           idCol: String,
+                          watermark: String = "1 hour"): DataFrame =
+    streamingDedupByKey(docs, tsCol,
+      graft.operators.TextAnalysis.fingerprint(col(textCol)), idCol, watermark)
+
+  /** The generalized election: [[streamingExactDedup]] keyed on ANY
+    * caller expression instead of the content fingerprint — the SFT
+    * stream dedups on `prompt_fp` (one conversation per prompt), a CDC
+    * stream might key on a business key. Same deterministic min-id
+    * keeper, same bounded EventTimeTimeout state, bit-identical to
+    * `streamingExactDedup` when `keyExpr` is the content fingerprint.
+    * `keyExpr` is cast to string (the state key) and must be
+    * non-null. */
+  def streamingDedupByKey(docs: DataFrame, tsCol: String, keyExpr: org.apache.spark.sql.Column,
+                          idCol: String,
                           watermark: String = "1 hour"): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     val withFp = docs
-      .withColumn("_fp", graft.operators.TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("_fp", keyExpr.cast("string"))
       .withWatermark(tsCol, watermark)
     val schema = withFp.schema
     val fpIdx = schema.fieldIndex("_fp")

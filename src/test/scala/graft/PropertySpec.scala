@@ -595,4 +595,36 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("renderChat: offsets partition the render exactly for arbitrary turns") {
+    import graft.operators.Instruction
+    // arbitrary conversations: 1-6 turns, arbitrary role/text strings
+    // (template injection included — a text containing '<|end|>' must
+    // not corrupt the offsets, which are computed from lengths, not
+    // by searching for markers)
+    val turnGen = for {
+      role <- Gen.oneOf("user", "assistant", "system", "tool")
+      text <- Gen.oneOf(Gen.alphaNumStr,
+        Gen.const("<|end|>"), Gen.const(""), Gen.const("a b  c"),
+        Gen.const("多语言 текст"))
+    } yield (role, text)
+    val convGen = Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, turnGen))
+    samples(convGen).zipWithIndex.foreach { case (conv, ci) =>
+      val rows = conv.zipWithIndex.map { case ((role, text), i) =>
+        (ci.toLong, i.toLong, role, text)
+      }
+      val out = Instruction.renderChat(
+        rows.toDF("conv_id", "turn", "role", "txt"),
+        "conv_id", "turn", "role", "txt").head()
+      val text = out.getAs[String]("text")
+      val start = out.getAs[Long]("resp_start").toInt
+      val len = out.getAs[Long]("resp_len").toInt
+      // the three invariants the loss mask depends on
+      assert(out.getAs[Long]("n_turns") == conv.length.toLong)
+      assert(start + len == text.length, "response span ends the render")
+      val (lastRole, lastText) = conv.last
+      assert(text.substring(start, start + len) ==
+        s"<|$lastRole|>$lastText<|end|>", "span slices the final turn")
+    }
+  }
 }
