@@ -59,6 +59,20 @@ object ScaleProbe {
 
     val allOps: Seq[(String, DataFrame => DataFrame)] = Seq(
       "d1_exact" -> (d => Dedup.exactDedup(d, "doc_id", "text")),
+      // chat render: ONE conversation-keyed aggregation over groups of
+      // ≤13 turns (conv = doc_id div 13 — replica offsets keep conv ids
+      // disjoint, conv COUNT scales with the corpus while group size
+      // stays fixed) — the curve must be linear, map-side dominated
+      "t43_chat_render" -> { d =>
+        val W = org.apache.spark.sql.expressions.Window
+        val turns = d.select(floor(col("doc_id") / 13).cast("long").as("conv_id"),
+            col("doc_id").as("ord"), substring(col("text"), 1, 120).as("t"))
+          .withColumn("role",
+            when(row_number().over(
+              W.partitionBy("conv_id").orderBy("ord")) % 2 === 1, "user")
+              .otherwise("assistant"))
+        graft.operators.Instruction.renderChat(turns, "conv_id", "ord", "role", "t")
+      },
       // d1's reweighting twin: the count aggregate is the same shape,
       // but every row flows back through the fp join — the curve
       // should track d1's with a constant payload-join premium

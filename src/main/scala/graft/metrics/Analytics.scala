@@ -211,8 +211,10 @@ object Classification {
     val res = results.filter(col(rankCol) <= k)
       .select(col(qCol).as("_q"), col(nCol).as("_n"),
         col(rankCol).cast("long").as("_r"))
-    val rel = qrels.select(col(qCol).as("_q"), col(nCol).as("_n"),
-      lit(1L).as("_rel"))
+    // distinct: a duplicated qrel row would otherwise fan out the left
+    // join and inflate hits/DCG — qrels are a set, enforce it
+    val rel = qrels.select(col(qCol).as("_q"), col(nCol).as("_n"))
+      .distinct().withColumn("_rel", lit(1L))
     val nRel = rel.groupBy("_q").agg(count(lit(1)).as("n_rel"))
     val perQ = res.join(rel, Seq("_q", "_n"), "left")
       .withColumn("_hit", coalesce(col("_rel"), lit(0L)))

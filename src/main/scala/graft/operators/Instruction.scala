@@ -25,7 +25,11 @@ object Instruction {
     * replayable by any engine with string concat — no tokenizer state,
     * no configuration. */
   private def renderTurn(role: Column, text: Column): Column =
-    concat(lit("<|"), role, lit("|>"), text, lit("<|end|>"))
+    // null role/text render as empty rather than nulling the whole turn
+    // (concat is null-propagating; a nulled turn would silently desync
+    // n_turns from the sorted render array)
+    concat(lit("<|"), coalesce(role, lit("")), lit("|>"),
+      coalesce(text, lit("")), lit("<|end|>"))
 
   /** Render multi-turn conversations into flat training texts with
     * response-span offsets.
