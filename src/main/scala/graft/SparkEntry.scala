@@ -237,6 +237,8 @@ object SparkEntry {
     "llm_dpo_pairs" -> (Documents.llmDpoPairs _),
     "t45_sft_dedup_stream" -> (Documents.t45SftDedupStream _),
     "llm_chat_from_logs" -> (Documents.llmChatFromLogs _),
+    "t46_bm25_topk" -> (Documents.t46Bm25TopK _),
+    "llm_hybrid_retrieval" -> (Documents.llmHybridRetrieval _),
   )
 
   /** T20's oracle: every Gopher rule statistic recomputed on RAW gram
@@ -3351,6 +3353,80 @@ object SparkEntry {
         |  CAST(length(last_rt) AS BIGINT) AS resp_len,
         |  md5(substring(text, 1, length(text) - length(last_rt))) AS prompt_fp
         |FROM g ORDER BY conv_id""".stripMargin,
+    // T46: BM25 recomputed end to end — case-folded terms, tf/df/dl,
+    // df-pruned postings, the Okapi formula with LITERAL-shaped
+    // constants ((1.2 + 1), (1 - 0.75)) so both engines fold the same
+    // IEEE doubles
+    "t46_bm25_topk" ->
+      """WITH body AS (SELECT doc_id AS n_id,
+        |  regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents),
+        |dl AS (SELECT n_id, CAST(len(tk) AS BIGINT) AS dl FROM body),
+        |tf AS (SELECT n_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+        |  SELECT n_id, unnest(tk) AS term FROM body) GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |post AS (SELECT tf.n_id, tf.term, tf.tf, dl.dl, st.avgdl,
+        |  ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) AS idf
+        |  FROM tf JOIN dl USING (n_id) JOIN df USING (term), st
+        |  WHERE df.df <= 1.0 * st.n_docs),
+        |q AS (SELECT doc_id AS q_id, substring(text, 1, 60) AS q_text
+        |  FROM documents WHERE doc_id % 83 = 0 AND doc_id < 500),
+        |qt AS (SELECT q_id, unnest(list_distinct(
+        |  regexp_split_to_array(trim(lower(q_text)), '\s+'))) AS term FROM q),
+        |sc AS (SELECT q_id, n_id,
+        |  round(sum(idf * (tf * (1.2 + 1)) /
+        |    (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl))), 6) AS bm25
+        |  FROM qt JOIN post USING (term) GROUP BY 1, 2),
+        |r AS (SELECT q_id, n_id, bm25, ROW_NUMBER() OVER (
+        |  PARTITION BY q_id ORDER BY bm25 DESC, n_id ASC) AS rank FROM sc)
+        |SELECT q_id, rank, n_id, bm25 FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+    // Hybrid retrieval: the t46 run (top-20) + the ann1 vector run
+    // (top-20) fused by reciprocal-rank — rank arithmetic only
+    "llm_hybrid_retrieval" ->
+      """WITH body AS (SELECT doc_id AS n_id,
+        |  regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents),
+        |dl AS (SELECT n_id, CAST(len(tk) AS BIGINT) AS dl FROM body),
+        |tf AS (SELECT n_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+        |  SELECT n_id, unnest(tk) AS term FROM body) GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |post AS (SELECT tf.n_id, tf.term, tf.tf, dl.dl, st.avgdl,
+        |  ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) AS idf
+        |  FROM tf JOIN dl USING (n_id) JOIN df USING (term), st
+        |  WHERE df.df <= 1.0 * st.n_docs),
+        |q AS (SELECT doc_id AS q_id, substring(text, 1, 60) AS q_text
+        |  FROM documents WHERE doc_id % 83 = 0 AND doc_id < 500),
+        |qt AS (SELECT q_id, unnest(list_distinct(
+        |  regexp_split_to_array(trim(lower(q_text)), '\s+'))) AS term FROM q),
+        |sc AS (SELECT q_id, n_id,
+        |  round(sum(idf * (tf * (1.2 + 1)) /
+        |    (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl))), 6) AS bm25
+        |  FROM qt JOIN post USING (term) GROUP BY 1, 2),
+        |l20 AS (SELECT q_id, n_id, rank FROM (
+        |  SELECT q_id, n_id, ROW_NUMBER() OVER (
+        |    PARTITION BY q_id ORDER BY bm25 DESC, n_id ASC) AS rank FROM sc)
+        |  WHERE rank <= 20),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |qv AS (SELECT vec_id AS q_id, v AS qvec FROM e
+        |  WHERE vec_id % 83 = 0 AND vec_id < 500),
+        |vsc AS (SELECT q_id, e.vec_id AS n_id,
+        |  list_cosine_similarity(qvec, e.v) AS cos
+        |  FROM qv, e WHERE e.vec_id <> q_id),
+        |v20 AS (SELECT q_id, n_id, rank FROM (
+        |  SELECT q_id, n_id, ROW_NUMBER() OVER (
+        |    PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM vsc)
+        |  WHERE rank <= 20),
+        |f AS (SELECT coalesce(l.q_id, v.q_id) AS q_id,
+        |  coalesce(l.n_id, v.n_id) AS n_id,
+        |  round(coalesce(1.0 / (l.rank + 60), 0.0)
+        |    + coalesce(1.0 / (v.rank + 60), 0.0), 6) AS rrf
+        |  FROM l20 l FULL OUTER JOIN v20 v
+        |    ON l.q_id = v.q_id AND l.n_id = v.n_id),
+        |r AS (SELECT q_id, n_id, rrf, ROW_NUMBER() OVER (
+        |  PARTITION BY q_id ORDER BY rrf DESC, n_id ASC) AS rank FROM f)
+        |SELECT q_id, rank, n_id, rrf FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
   )
 
   /** pipeline_e2e oracle: the query parquet-dumps its deterministic gold

@@ -243,6 +243,30 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009 — the standard way to
+    * merge a lexical and a vector run without score calibration):
+    * rrf(d) = Σ_runs 1/(c + rank_run(d)), absent-from-one-run docs
+    * contribute only the run they appear in (full-outer on the
+    * (query, doc) key). Pure rank arithmetic — identical doubles in
+    * any engine, no score-scale assumptions; rounded to 6 dp before
+    * the final ranking, ties to the smaller doc id.
+    *
+    * Scale shape: both runs are queries×k rows (tiny by construction),
+    * one full-outer hash join + one bounded per-query window. */
+  def rrfFuse(runA: DataFrame, runB: DataFrame, k: Int,
+              c: Int = 60): DataFrame = {
+    def side(df: DataFrame, out: String) = df.select(col("q_id"),
+      col("n_id"), (lit(1.0) / (col("rank") + lit(c))).as(out))
+    val joined = side(runA, "_sa").join(side(runB, "_sb"),
+        Seq("q_id", "n_id"), "full_outer")
+      .na.fill(0.0, Seq("_sa", "_sb"))
+      .withColumn("rrf", round(col("_sa") + col("_sb"), 6))
+    val w = Window.partitionBy("q_id").orderBy(desc("rrf"), asc("n_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("rrf"))
+  }
+
   /** Seed-medoid cell assignment: every corpus vector lands in the cell
     * of its most-similar SEED vector (argmax cosine, ties to the
     * smaller seed id). The deterministic, engine-portable alternative

@@ -113,6 +113,60 @@ object TextAnalysis {
           .otherwise(col(textCol)))
   }
 
+  /** BM25 lexical retrieval (Robertson–Spärck Jones; the Okapi BM25
+    * formula with the standard k1/b defaults): case-folded whitespace
+    * terms, idf = ln((N − df + 0.5)/(df + 0.5) + 1), per-(query, doc)
+    * score summed over shared terms, top-k per query (score rounded to
+    * 6 dp BEFORE ranking, ties to the smaller doc id — the engine's
+    * reproducible-order convention). The lexical half of every hybrid
+    * retrieval stack; fuse with the vector run via
+    * [[Similarity.rrfFuse]].
+    *
+    * Scale shape: the postings table is (doc, term, tf) — the inverted
+    * index — joined to query terms ON THE TERM KEY, so per-term work is
+    * posting-list-sized, never corpus×queries. The classic hot key is a
+    * stopword's posting list: `maxDfRatio` drops terms appearing in
+    * more than that fraction of documents from scoring entirely
+    * (df-based stopword pruning — they carry ~zero idf anyway), which
+    * bounds the worst posting list; residual skew is AQE's skew-join
+    * case. Corpus stats (N, avgdl) ride a 1-row broadcast (the t9
+    * pattern). A query whose terms all miss (or are all pruned) emits
+    * no rows — standard IR behavior, pad upstream if recall-0 rows are
+    * needed. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+               idCol: String = "doc_id", textCol: String = "text",
+               qIdCol: String = "q_id", qTextCol: String = "q_text",
+               k1: Double = 1.2, b: Double = 0.75,
+               maxDfRatio: Double = 0.5): DataFrame = {
+    def terms(c: Column) = split(trim(lower(c)), "\\s+")
+    val body = docs.select(col(idCol).as("n_id"), terms(col(textCol)).as("_tk"))
+    val dl = body.select(col("n_id"), size(col("_tk")).cast("long").as("dl"))
+    val tf = body.select(col("n_id"), explode(col("_tk")).as("term"))
+      .groupBy("n_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = broadcast(dl.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl")))
+    val postings = tf.join(dl, "n_id").join(df, "term").crossJoin(stats)
+      .filter(col("df") <= lit(maxDfRatio) * col("n_docs"))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+    val qterms = queries.select(col(qIdCol).as("q_id"),
+      explode(array_distinct(terms(col(qTextCol)))).as("term"))
+    // literal shapes ((k1 + 1), (1 − b)) are pre-folded Scala doubles;
+    // the oracle writes the same literal expressions so both engines
+    // evaluate identical IEEE constants (the doremi (1 − 0.7) rule)
+    val scored = qterms.join(postings, "term")
+      .groupBy("q_id", "n_id")
+      .agg(round(sum(col("idf") * (col("tf") * lit(k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))), 6)
+        .as("bm25"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("bm25"), asc("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("bm25"))
+  }
+
   /** T5-style span corruption (Raffel et al. 2020, arXiv:1910.10683 —
     * the denoising pretraining objective): the token stream is cut
     * into `nSegments` contiguous segments, and in every segment long

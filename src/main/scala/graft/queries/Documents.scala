@@ -3167,6 +3167,41 @@ object Documents {
       .orderBy("conv_id")
   }
 
+  /** Shared retrieval query set: 7 ids present in BOTH documents and
+    * embeddings at every SF. */
+  private def retrievalQueries(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 83 === 0 && col("doc_id") < 500)
+      .select(col("doc_id").as("q_id"),
+        substring(col("text"), 1, 60).as("q_text"))
+
+  /** T46 — BM25 lexical retrieval: queries are each query doc's first
+    * 60 chars, the formula (idf, length norm, df-based stopword
+    * pruning) recomputed end to end by the oracle. */
+  def t46Bm25TopK(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bm25TopK(Tables.documents(s, d),
+        retrievalQueries(s, d), k = 5, maxDfRatio = 1.0)
+      .orderBy("q_id", "rank")
+
+  /** LLM composite — hybrid retrieval: the BM25 run (t46, top-20) and
+    * the exact vector run (ann1's generator, top-20) fused by
+    * reciprocal-rank fusion — pure rank arithmetic, so the fused
+    * ordering replays exactly; a drift in EITHER run (a pruned term, a
+    * wrong idf, a cosine flip) moves the fused hash. */
+  def llmHybridRetrieval(s: SparkSession, d: String): DataFrame = {
+    val q = retrievalQueries(s, d)
+    // maxDfRatio = 1.0: the synthetic corpus has a ~31-word vocabulary
+    // (every term in ~80% of docs), so the default df pruning would
+    // empty the run — discrimination here comes from tf and dl; the
+    // pruning path is spec-pinned on a hand fixture instead
+    val lex = TextAnalysis.bm25TopK(Tables.documents(s, d), q, k = 20,
+      maxDfRatio = 1.0)
+    val e = Tables.embeddings(s, d)
+    val vec = Similarity.bruteForceTopK(e,
+      e.filter(col("vec_id") % 83 === 0 && col("vec_id") < 500), 20)
+    Similarity.rrfFuse(lex, vec, k = 5).orderBy("q_id", "rank")
+  }
+
   /** LLM composite — conversations assembled from EVENT LOGS: the
     * s_sessionize chain (30-min-gap sessions over real timestamps)
     * turns each (user, session) into a conversation, events become

@@ -51,6 +51,10 @@ class SparkEntrySpec extends SparkSpec {
       "ann17_knn_join", // same nCells-row centroid LUT crossed into the
       // corpus-sized probe side (bounded inner side); the probe→cell
       // candidate join is a plain shuffle hash join on the cell id
+      "t46_bm25_topk", // t9's 1-row corpus-stats (N, avgdl) broadcast
+      // crossed into the postings
+      "llm_hybrid_retrieval", // the same 1-row stats broadcast + the
+      // ann1 exact vector generator; the fusion itself is hash joins
       "m17_retrieval_metrics", // the ranked run comes from ann1's
       // intended exact BNLJ generator; the metrics themselves join
       // queries×k rows — the tiny side — against the qrels

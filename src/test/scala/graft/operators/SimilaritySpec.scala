@@ -484,6 +484,17 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.map(key).toSet == brute.collect().map(key).toSet)
   }
 
+  test("rrfFuse: rank arithmetic exact, one-run-only docs still score") {
+    val a = Seq((1L, 1, 100L), (1L, 2, 200L)).toDF("q_id", "rank", "n_id")
+    val b = Seq((1L, 1, 200L), (1L, 2, 300L)).toDF("q_id", "rank", "n_id")
+    val out = Similarity.rrfFuse(a, b, k = 3)
+      .collect().sortBy(_.getAs[Int]("rank"))
+    // 200 in both runs (1/62 + 1/61) beats 100 (1/61) beats 300 (1/62)
+    assert(out.map(_.getAs[Long]("n_id")).toSeq == Seq(200L, 100L, 300L))
+    val r200 = out.head.getAs[Double]("rrf")
+    assert(math.abs(r200 - (1.0 / 62 + 1.0 / 61)) < 5e-7)
+  }
+
   test("medoidAssign: argmax cell with min-seed tie-break, vectors never shuffle wide") {
     // 2-D fixture: seeds 0=(1,0), 1=(0,1); vector 10 leans x, 11 leans y,
     // 12 is EXACTLY diagonal — equal cosine to both seeds, tie → seed 0

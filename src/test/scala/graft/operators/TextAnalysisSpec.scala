@@ -571,6 +571,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(docsCum.last == docs.count())
   }
 
+  test("bm25TopK: hand-computed score, df pruning, length norm direction") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry durian cherry cherry")).toDF("doc_id", "text")
+    val q = Seq((10L, "apple cherry")).toDF("q_id", "q_text")
+    // default maxDfRatio=0.5 on N=3 prunes df=2 terms (banana, cherry):
+    // only 'apple' scores → only doc 1 is retrievable
+    val out = TextAnalysis.bm25TopK(docs, q, k = 5).collect()
+    assert(out.map(_.getAs[Long]("n_id")).toSeq == Seq(1L))
+    val idf = math.log((3 - 1 + 0.5) / (1 + 0.5) + 1.0)
+    val expected = idf * (2 * (1.2 + 1)) /
+      (2 + 1.2 * ((1 - 0.75) + 0.75 * 3.0 / 3.0))
+    assert(math.abs(out.head.getAs[Double]("bm25") - expected) < 5e-7)
+    // unpruned: doc 3 (tf=3) outranks doc 2 (tf=1) for 'cherry'
+    val full = TextAnalysis.bm25TopK(docs, q, k = 5, maxDfRatio = 1.0)
+      .collect().sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("n_id"))
+    assert(full.indexOf(3L) < full.indexOf(2L))
+  }
+
   test("spanCorrupt: sentinels round-trip — substituting targets back " +
        "reconstructs the original token stream") {
     import spark.implicits._
