@@ -239,6 +239,7 @@ object SparkEntry {
     "llm_chat_from_logs" -> (Documents.llmChatFromLogs _),
     "t46_bm25_topk" -> (Documents.t46Bm25TopK _),
     "llm_hybrid_retrieval" -> (Documents.llmHybridRetrieval _),
+    "t47_bm25_store" -> (Documents.t47Bm25Store _),
   )
 
   /** T20's oracle: every Gopher rule statistic recomputed on RAW gram
@@ -3357,30 +3358,10 @@ object SparkEntry {
     // df-pruned postings, the Okapi formula with LITERAL-shaped
     // constants ((1.2 + 1), (1 - 0.75)) so both engines fold the same
     // IEEE doubles
-    "t46_bm25_topk" ->
-      """WITH body AS (SELECT doc_id AS n_id,
-        |  regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents),
-        |dl AS (SELECT n_id, CAST(len(tk) AS BIGINT) AS dl FROM body),
-        |tf AS (SELECT n_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
-        |  SELECT n_id, unnest(tk) AS term FROM body) GROUP BY 1, 2),
-        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
-        |post AS (SELECT tf.n_id, tf.term, tf.tf, dl.dl, st.avgdl,
-        |  ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) AS idf
-        |  FROM tf JOIN dl USING (n_id) JOIN df USING (term), st
-        |  WHERE df.df <= 1.0 * st.n_docs),
-        |q AS (SELECT doc_id AS q_id, substring(text, 1, 60) AS q_text
-        |  FROM documents WHERE doc_id % 83 = 0 AND doc_id < 500),
-        |qt AS (SELECT q_id, unnest(list_distinct(
-        |  regexp_split_to_array(trim(lower(q_text)), '\s+'))) AS term FROM q),
-        |sc AS (SELECT q_id, n_id,
-        |  round(sum(idf * (tf * (1.2 + 1)) /
-        |    (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl))), 6) AS bm25
-        |  FROM qt JOIN post USING (term) GROUP BY 1, 2),
-        |r AS (SELECT q_id, n_id, bm25, ROW_NUMBER() OVER (
-        |  PARTITION BY q_id ORDER BY bm25 DESC, n_id ASC) AS rank FROM sc)
-        |SELECT q_id, rank, n_id, bm25 FROM r WHERE rank <= 5
-        |ORDER BY q_id, rank""".stripMargin,
+    "t46_bm25_topk" -> bm25GateSql,
+    // T47: the same answers through the bucket-partitioned at-rest
+    // index (the d14/ann4 store-equals-live convention)
+    "t47_bm25_store" -> bm25GateSql,
     // Hybrid retrieval: the t46 run (top-20) + the ann1 vector run
     // (top-20) fused by reciprocal-rank — rank arithmetic only
     "llm_hybrid_retrieval" ->
@@ -3564,6 +3545,33 @@ object SparkEntry {
 
   /** ann2/ann3's gate oracle: the pinned (query × rank) grid with every
     * invariant flag at 1 — see Documents.annInvariantGate. */
+  /** The t46/t47 shared oracle: BM25 end to end over the gate's query
+    * set (maxDfRatio = 1.0 — see t46Bm25TopK's scaladoc). */
+  private val bm25GateSql: String =
+    """WITH body AS (SELECT doc_id AS n_id,
+      |  regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents),
+      |dl AS (SELECT n_id, CAST(len(tk) AS BIGINT) AS dl FROM body),
+      |tf AS (SELECT n_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+      |  SELECT n_id, unnest(tk) AS term FROM body) GROUP BY 1, 2),
+      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |post AS (SELECT tf.n_id, tf.term, tf.tf, dl.dl, st.avgdl,
+      |  ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) AS idf
+      |  FROM tf JOIN dl USING (n_id) JOIN df USING (term), st
+      |  WHERE df.df <= 1.0 * st.n_docs),
+      |q AS (SELECT doc_id AS q_id, substring(text, 1, 60) AS q_text
+      |  FROM documents WHERE doc_id % 83 = 0 AND doc_id < 500),
+      |qt AS (SELECT q_id, unnest(list_distinct(
+      |  regexp_split_to_array(trim(lower(q_text)), '\s+'))) AS term FROM q),
+      |sc AS (SELECT q_id, n_id,
+      |  round(sum(idf * (tf * (1.2 + 1)) /
+      |    (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl))), 6) AS bm25
+      |  FROM qt JOIN post USING (term) GROUP BY 1, 2),
+      |r AS (SELECT q_id, n_id, bm25, ROW_NUMBER() OVER (
+      |  PARTITION BY q_id ORDER BY bm25 DESC, n_id ASC) AS rank FROM sc)
+      |SELECT q_id, rank, n_id, bm25 FROM r WHERE rank <= 5
+      |ORDER BY q_id, rank""".stripMargin
+
   private val annGateSql: String =
     """SELECT e.vec_id AS q_id, CAST(r.range AS INT) AS rank,
       |  1 AS sim_ok, 1 AS neighbor_ok, 1 AS recall_floor_ok

@@ -167,6 +167,79 @@ object TextAnalysis {
       .select(col("q_id"), col("rank"), col("n_id"), col("bm25"))
   }
 
+  /** BM25 index at rest: the postings table (term, doc, tf, dl) landed
+    * partitioned by a term-hash BUCKET (every posting list lives whole
+    * in exactly one bucket), corpus stats (nDocs, sumDl — the exact
+    * LONGS, not a JSON double that could lose ULPs) in the `_meta.json`
+    * sidecar. A probe prunes to the buckets its query terms hash into —
+    * at vocabulary scale the read is |query terms| buckets out of
+    * `buckets`, never a full postings scan. The repartition-on-bucket
+    * before the partitioned write is the banded-store lesson (one dir =
+    * one task's file, no open-writer fan-out). */
+  def writeBm25Index(docs: DataFrame, dir: String,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     buckets: Int = 64): Unit = {
+    require(buckets >= 1, "buckets >= 1")
+    val spark = docs.sparkSession
+    def terms(c: Column) = split(trim(lower(c)), "\\s+")
+    val body = docs.select(col(idCol).as("n_id"), terms(col(textCol)).as("_tk"))
+    val dl = body.select(col("n_id"), size(col("_tk")).cast("long").as("dl"))
+    val tf = body.select(col("n_id"), explode(col("_tk")).as("term"))
+      .groupBy("n_id", "term").agg(count(lit(1)).as("tf"))
+    tf.join(dl, "n_id")
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
+    val st = dl.agg(sum(col("dl")).as("s"), count(lit(1)).as("n")).head()
+    graft.sources.Sources.writeJsonSidecarFs(spark, s"$dir/_meta.json", Map(
+      "formatVersion" -> "1", "buckets" -> buckets.toString,
+      "nDocs" -> st.getAs[Long]("n").toString,
+      "sumDl" -> st.getAs[Long]("s").toString))
+    spark.catalog.refreshByPath(s"$dir/postings")
+  }
+
+  /** [[bm25TopK]] served from the at-rest index: same formula, same
+    * answer (avgdl is recomputed from the sidecar's exact longs the
+    * way `avg(long)` computes it — long sum cast to double, divided —
+    * so store and live scores are bit-identical). The probe collects
+    * its own ≤ `buckets` distinct bucket ids (bounded driver fetch, the
+    * banded-store convention) and the postings scan carries a partition
+    * filter on them. df comes from the pruned read itself — complete
+    * for every query term because a term's postings never straddle
+    * buckets. */
+  def bm25TopKFromIndex(dir: String, queries: DataFrame, k: Int,
+                        qIdCol: String = "q_id", qTextCol: String = "q_text",
+                        k1: Double = 1.2, b: Double = 0.75,
+                        maxDfRatio: Double = 0.5): DataFrame = {
+    val spark = queries.sparkSession
+    val meta = graft.sources.Sources.readJsonSidecarFs(spark, s"$dir/_meta.json")
+    val buckets = meta("buckets").toLong
+    val nDocs = meta("nDocs").toLong
+    val avgdl = meta("sumDl").toLong.toDouble / nDocs
+    def terms(c: Column) = split(trim(lower(c)), "\\s+")
+    val qterms = queries.select(col(qIdCol).as("q_id"),
+        explode(array_distinct(terms(col(qTextCol)))).as("term"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets)))
+    val qb = qterms.select("bucket").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val post = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(qb: _*))
+    val df = post.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = qterms.join(post, Seq("term", "bucket")).join(df, "term")
+      .filter(col("df") <= lit(maxDfRatio) * lit(nDocs))
+      .withColumn("idf",
+        log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .groupBy("q_id", "n_id")
+      .agg(round(sum(col("idf") * (col("tf") * lit(k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl)))), 6)
+        .as("bm25"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("bm25"), asc("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("bm25"))
+  }
+
   /** T5-style span corruption (Raffel et al. 2020, arXiv:1910.10683 —
     * the denoising pretraining objective): the token stream is cut
     * into `nSegments` contiguous segments, and in every segment long

@@ -3183,6 +3183,22 @@ object Documents {
         retrievalQueries(s, d), k = 5, maxDfRatio = 1.0)
       .orderBy("q_id", "rank")
 
+  /** T47 — t46's answers served from the at-rest index: write the
+    * bucket-partitioned postings, then probe; store ≡ live on the
+    * SAME oracle (the d14/ann4 convention). The probe's postings scan
+    * is partition-pruned to the query terms' buckets —
+    * TextAnalysisSpec asserts the partition filter. */
+  def t47Bm25Store(s: SparkSession, d: String): DataFrame = {
+    val dir = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/t47_bm25"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    TextAnalysis.writeBm25Index(Tables.documents(s, d), dir, buckets = 16)
+    TextAnalysis.bm25TopKFromIndex(dir, retrievalQueries(s, d), k = 5,
+        maxDfRatio = 1.0)
+      .orderBy("q_id", "rank")
+  }
+
   /** LLM composite — hybrid retrieval: the BM25 run (t46, top-20) and
     * the exact vector run (ann1's generator, top-20) fused by
     * reciprocal-rank fusion — pure rank arithmetic, so the fused

@@ -592,6 +592,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(full.indexOf(3L) < full.indexOf(2L))
   }
 
+  test("bm25 store: store path ≡ live path, probe scan partition-prunes to query buckets") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sf)
+    val q = docs.filter($"doc_id" % 83 === 0 && $"doc_id" < 500)
+      .select($"doc_id".as("q_id"), substring($"text", 1, 60).as("q_text"))
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    TextAnalysis.writeBm25Index(docs, dir, buckets = 16)
+    val live = TextAnalysis.bm25TopK(docs, q, 5, maxDfRatio = 1.0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val storeDf = TextAnalysis.bm25TopKFromIndex(dir, q, 5, maxDfRatio = 1.0)
+    val store = storeDf.collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getLong(2), r.getDouble(3))).toSet
+    assert(store == live, "at-rest index must serve the live answers bit-for-bit")
+    // the postings scan must carry a partition filter on the bucket —
+    // a full-store scan would be the store-linear anti-pattern
+    val pf = fileScans(storeDf).flatMap(_.partitionFilters)
+    assert(pf.exists(_.toString.contains("bucket")),
+      s"postings scan lacks a bucket partition filter: $pf")
+  }
+
   test("spanCorrupt: sentinels round-trip — substituting targets back " +
        "reconstructs the original token stream") {
     import spark.implicits._
