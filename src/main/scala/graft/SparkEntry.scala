@@ -240,6 +240,7 @@ object SparkEntry {
     "t46_bm25_topk" -> (Documents.t46Bm25TopK _),
     "llm_hybrid_retrieval" -> (Documents.llmHybridRetrieval _),
     "t47_bm25_store" -> (Documents.t47Bm25Store _),
+    "t48_bm25_append" -> (Documents.t48Bm25Append _),
   )
 
   /** T20's oracle: every Gopher rule statistic recomputed on RAW gram
@@ -3362,6 +3363,9 @@ object SparkEntry {
     // T47: the same answers through the bucket-partitioned at-rest
     // index (the d14/ann4 store-equals-live convention)
     "t47_bm25_store" -> bm25GateSql,
+    // T48: two-installment install + exact-long stats update — same
+    // ground truth
+    "t48_bm25_append" -> bm25GateSql,
     // Hybrid retrieval: the t46 run (top-20) + the ann1 vector run
     // (top-20) fused by reciprocal-rank — rank arithmetic only
     "llm_hybrid_retrieval" ->

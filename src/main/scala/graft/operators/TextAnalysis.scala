@@ -189,12 +189,48 @@ object TextAnalysis {
     tf.join(dl, "n_id")
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
       .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/postings/batch=0")
     val st = dl.agg(sum(col("dl")).as("s"), count(lit(1)).as("n")).head()
     graft.sources.Sources.writeJsonSidecarFs(spark, s"$dir/_meta.json", Map(
       "formatVersion" -> "1", "buckets" -> buckets.toString,
       "nDocs" -> st.getAs[Long]("n").toString,
       "sumDl" -> st.getAs[Long]("s").toString))
+    spark.catalog.refreshByPath(s"$dir/postings")
+  }
+
+  /** Grow the BM25 index: the batch's postings land under their own
+    * `batch=<id>` subdir (idempotent per batchId by overwrite — the
+    * banded-store convention) with the WRITER's bucket geometry read
+    * from the sidecar, and the corpus stats update as exact-long
+    * arithmetic (oldN + batchN, oldSum + batchSum) through the
+    * rename-atomic sidecar write — so a post-append probe scores with
+    * the true corpus-wide idf/avgdl, bit-identical to a fresh rebuild
+    * over the union. CONTRACT: batch ids are disjoint from landed ids
+    * (the dedup-store rule); a re-appended doc would double its df
+    * contribution. */
+  def appendToBm25Index(batch: DataFrame, dir: String, batchId: Long,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): Unit = {
+    require(batchId > 0, "batchId 0 is the base install")
+    val spark = batch.sparkSession
+    val meta = graft.sources.Sources.readJsonSidecarFs(spark, s"$dir/_meta.json")
+    val buckets = meta("buckets").toLong
+    def terms(c: Column) = split(trim(lower(c)), "\\s+")
+    val body = batch.select(col(idCol).as("n_id"), terms(col(textCol)).as("_tk"))
+    val dl = body.select(col("n_id"), size(col("_tk")).cast("long").as("dl"))
+    val tf = body.select(col("n_id"), explode(col("_tk")).as("term"))
+      .groupBy("n_id", "term").agg(count(lit(1)).as("tf"))
+    tf.join(dl, "n_id")
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets)))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/postings/batch=$batchId")
+    val st = dl.agg(sum(col("dl")).as("s"), count(lit(1)).as("n")).head()
+    graft.sources.Sources.writeJsonSidecarFs(spark, s"$dir/_meta.json", Map(
+      "formatVersion" -> "1", "buckets" -> buckets.toString,
+      "nDocs" -> (meta("nDocs").toLong + st.getAs[Long]("n")).toString,
+      "sumDl" -> (meta("sumDl").toLong + st.getAs[Long]("s")).toString))
     spark.catalog.refreshByPath(s"$dir/postings")
   }
 

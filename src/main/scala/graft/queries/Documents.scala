@@ -3199,6 +3199,26 @@ object Documents {
       .orderBy("q_id", "rank")
   }
 
+  /** T48 — t46's answers with the corpus landed in TWO installments
+    * (write ⅔, append ⅓): the append updates the corpus stats as
+    * exact-long arithmetic, so post-append scores are bit-identical
+    * to a fresh rebuild — same oracle as t46/t47 (the d14
+    * convention). */
+  def t48Bm25Append(s: SparkSession, d: String): DataFrame = {
+    val dir = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/t48_bm25"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val docs = Tables.documents(s, d)
+    TextAnalysis.writeBm25Index(docs.filter(col("doc_id") % 3 =!= 0),
+      dir, buckets = 16)
+    TextAnalysis.appendToBm25Index(docs.filter(col("doc_id") % 3 === 0),
+      dir, batchId = 1L)
+    TextAnalysis.bm25TopKFromIndex(dir, retrievalQueries(s, d), k = 5,
+        maxDfRatio = 1.0)
+      .orderBy("q_id", "rank")
+  }
+
   /** LLM composite — hybrid retrieval: the BM25 run (t46, top-20) and
     * the exact vector run (ann1's generator, top-20) fused by
     * reciprocal-rank fusion — pure rank arithmetic, so the fused

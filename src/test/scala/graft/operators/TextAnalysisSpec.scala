@@ -611,6 +611,17 @@ class TextAnalysisSpec extends SparkSpec {
     val pf = fileScans(storeDf).flatMap(_.partitionFilters)
     assert(pf.exists(_.toString.contains("bucket")),
       s"postings scan lacks a bucket partition filter: $pf")
+    // grow path: landing the same corpus in two installments (with the
+    // exact-long stats update) serves the SAME answers as the fresh
+    // install — idf and avgdl reflect the union, not the base batch
+    val dir2 = java.nio.file.Files.createTempDirectory("bm25idx2").toString
+    TextAnalysis.writeBm25Index(docs.filter($"doc_id" % 3 =!= 0), dir2,
+      buckets = 16)
+    TextAnalysis.appendToBm25Index(docs.filter($"doc_id" % 3 === 0), dir2, 1L)
+    val grown = TextAnalysis.bm25TopKFromIndex(dir2, q, 5, maxDfRatio = 1.0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(grown == live, "append path must equal the fresh rebuild")
   }
 
   test("spanCorrupt: sentinels round-trip — substituting targets back " +
