@@ -59,6 +59,17 @@ object ScaleProbe {
 
     val allOps: Seq[(String, DataFrame => DataFrame)] = Seq(
       "d1_exact" -> (d => Dedup.exactDedup(d, "doc_id", "text")),
+      // BM25 with a FIXED query set: postings volume (tf rows) grows
+      // linearly and the per-term join work is posting-list-sized, so
+      // the curve must be linear; the synthetic 31-word vocab makes
+      // posting lists corpus-length — the WORST skew case, every term
+      // a hot key (real vocabularies spread far thinner)
+      "t46_bm25" -> { d =>
+        val q = d.filter(col("doc_id") % 9973 === 0)
+          .select(col("doc_id").as("q_id"),
+            substring(col("text"), 1, 60).as("q_text"))
+        graft.operators.TextAnalysis.bm25TopK(d, q, k = 5, maxDfRatio = 1.0)
+      },
       // chat render: ONE conversation-keyed aggregation over groups of
       // ≤13 turns (conv = doc_id div 13 — replica offsets keep conv ids
       // disjoint, conv COUNT scales with the corpus while group size
