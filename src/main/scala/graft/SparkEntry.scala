@@ -241,6 +241,7 @@ object SparkEntry {
     "llm_hybrid_retrieval" -> (Documents.llmHybridRetrieval _),
     "t47_bm25_store" -> (Documents.t47Bm25Store _),
     "t48_bm25_append" -> (Documents.t48Bm25Append _),
+    "t49_bm25_pruned" -> (Documents.t49Bm25Pruned _),
   )
 
   /** T20's oracle: every Gopher rule statistic recomputed on RAW gram
@@ -3366,6 +3367,42 @@ object SparkEntry {
     // T48: two-installment install + exact-long stats update — same
     // ground truth
     "t48_bm25_append" -> bm25GateSql,
+    // T49: the df-based stopword prune LIVE (maxDfRatio = 0.5) on the
+    // realistic-vocabulary fixture — the oracle builds the same
+    // synthetic corpus and replays the PRUNED scoring; an engine that
+    // scored the df=N stopwords (tiny but nonzero idf) hash-fails
+    "t49_bm25_pruned" ->
+      """WITH corpus AS (SELECT doc_id,
+        |  'the of the w' || CAST(doc_id % 211 AS VARCHAR) ||
+        |  ' w' || CAST(doc_id % 211 AS VARCHAR) ||
+        |  ' x' || CAST(doc_id % 997 AS VARCHAR) ||
+        |  CASE WHEN doc_id % 3 = 0 THEN ' longtail filler pad' ELSE '' END
+        |  AS text FROM documents),
+        |body AS (SELECT doc_id AS n_id,
+        |  regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM corpus),
+        |dl AS (SELECT n_id, CAST(len(tk) AS BIGINT) AS dl FROM body),
+        |tf AS (SELECT n_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+        |  SELECT n_id, unnest(tk) AS term FROM body) GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |post AS (SELECT tf.n_id, tf.term, tf.tf, dl.dl, st.avgdl,
+        |  ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) AS idf
+        |  FROM tf JOIN dl USING (n_id) JOIN df USING (term), st
+        |  WHERE df.df <= 0.5 * st.n_docs),
+        |q AS (SELECT doc_id AS q_id,
+        |  'the w' || CAST(doc_id % 211 AS VARCHAR) ||
+        |  ' x' || CAST(doc_id % 997 AS VARCHAR) AS q_text
+        |  FROM documents WHERE doc_id % 83 = 0 AND doc_id < 500),
+        |qt AS (SELECT q_id, unnest(list_distinct(
+        |  regexp_split_to_array(trim(lower(q_text)), '\s+'))) AS term FROM q),
+        |sc AS (SELECT q_id, n_id,
+        |  round(sum(idf * (tf * (1.2 + 1)) /
+        |    (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl))), 6) AS bm25
+        |  FROM qt JOIN post USING (term) GROUP BY 1, 2),
+        |r AS (SELECT q_id, n_id, bm25, ROW_NUMBER() OVER (
+        |  PARTITION BY q_id ORDER BY bm25 DESC, n_id ASC) AS rank FROM sc)
+        |SELECT q_id, rank, n_id, bm25 FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
     // Hybrid retrieval: the t46 run (top-20) + the ann1 vector run
     // (top-20) fused by reciprocal-rank — rank arithmetic only
     "llm_hybrid_retrieval" ->

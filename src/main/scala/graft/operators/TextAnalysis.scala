@@ -170,12 +170,14 @@ object TextAnalysis {
   /** BM25 index at rest: the postings table (term, doc, tf, dl) landed
     * partitioned by a term-hash BUCKET (every posting list lives whole
     * in exactly one bucket), corpus stats (nDocs, sumDl — the exact
-    * LONGS, not a JSON double that could lose ULPs) in the `_meta.json`
-    * sidecar. A probe prunes to the buckets its query terms hash into —
-    * at vocabulary scale the read is |query terms| buckets out of
-    * `buckets`, never a full postings scan. The repartition-on-bucket
-    * before the partitioned write is the banded-store lesson (one dir =
-    * one task's file, no open-writer fan-out). */
+    * LONGS, not a JSON double that could lose ULPs) as PER-BATCH
+    * entries under `_stats/batch_<id>.json` — the base install is
+    * batch 0; probes derive totals by summing entries. A probe prunes
+    * to the buckets its query terms hash into — at vocabulary scale
+    * the read is |query terms| buckets out of `buckets`, never a full
+    * postings scan. The repartition-on-bucket before the partitioned
+    * write is the banded-store lesson (one dir = one task's file, no
+    * open-writer fan-out). */
   def writeBm25Index(docs: DataFrame, dir: String,
                      idCol: String = "doc_id", textCol: String = "text",
                      buckets: Int = 64): Unit = {
@@ -192,22 +194,32 @@ object TextAnalysis {
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$dir/postings/batch=0")
     val st = dl.agg(sum(col("dl")).as("s"), count(lit(1)).as("n")).head()
+    writeBm25BatchStats(spark, dir, 0L,
+      st.getAs[Long]("n"), st.getAs[Long]("s"))
+    // geometry-only meta, written LAST (a probe that finds it can rely
+    // on postings/batch=0 and _stats/batch_0 being in place); the
+    // corpus stats live in _stats, never read-modify-written
     graft.sources.Sources.writeJsonSidecarFs(spark, s"$dir/_meta.json", Map(
-      "formatVersion" -> "1", "buckets" -> buckets.toString,
-      "nDocs" -> st.getAs[Long]("n").toString,
-      "sumDl" -> st.getAs[Long]("s").toString))
+      "formatVersion" -> "2", "buckets" -> buckets.toString))
     spark.catalog.refreshByPath(s"$dir/postings")
   }
 
   /** Grow the BM25 index: the batch's postings land under their own
-    * `batch=<id>` subdir (idempotent per batchId by overwrite — the
-    * banded-store convention) with the WRITER's bucket geometry read
-    * from the sidecar, and the corpus stats update as exact-long
-    * arithmetic (oldN + batchN, oldSum + batchSum) through the
-    * rename-atomic sidecar write — so a post-append probe scores with
-    * the true corpus-wide idf/avgdl, bit-identical to a fresh rebuild
-    * over the union. CONTRACT: batch ids are disjoint from landed ids
-    * (the dedup-store rule); a re-appended doc would double its df
+    * `batch=<id>` subdir AND its corpus-stats contribution under its
+    * own `_stats/batch_<id>.json` entry — BOTH idempotent per batchId
+    * by overwrite (the banded-store convention), so an at-least-once
+    * replay converges instead of double-counting nDocs/sumDl, and two
+    * appenders with DISTINCT batch ids never race (no sidecar
+    * read-modify-write anywhere on this path — each writer touches
+    * only its own files). The bucket geometry is read from the
+    * install's immutable `_meta.json`. A crash between the postings
+    * write and the stats write leaves the batch's df visible with its
+    * nDocs/sumDl contribution missing — the same inert-orphan class as
+    * the near-dup store's half-landed batch, healed when the replay
+    * re-lands both by overwrite. Post-append probes score with the
+    * true corpus-wide idf/avgdl, bit-identical to a fresh rebuild over
+    * the union. CONTRACT: batch ids are disjoint from landed ids (the
+    * dedup-store rule); a re-appended doc would double its df
     * contribution. */
   def appendToBm25Index(batch: DataFrame, dir: String, batchId: Long,
                         idCol: String = "doc_id",
@@ -227,11 +239,39 @@ object TextAnalysis {
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$dir/postings/batch=$batchId")
     val st = dl.agg(sum(col("dl")).as("s"), count(lit(1)).as("n")).head()
-    graft.sources.Sources.writeJsonSidecarFs(spark, s"$dir/_meta.json", Map(
-      "formatVersion" -> "1", "buckets" -> buckets.toString,
-      "nDocs" -> (meta("nDocs").toLong + st.getAs[Long]("n")).toString,
-      "sumDl" -> (meta("sumDl").toLong + st.getAs[Long]("s")).toString))
+    writeBm25BatchStats(spark, dir, batchId,
+      st.getAs[Long]("n"), st.getAs[Long]("s"))
     spark.catalog.refreshByPath(s"$dir/postings")
+  }
+
+  /** One batch's corpus-stats entry: its own sidecar file, overwritten
+    * whole on replay — the write is rename-atomic, so a concurrent
+    * probe sees the old entry or the new one, never a torn file. */
+  private def writeBm25BatchStats(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String, batchId: Long,
+                                  nDocs: Long, sumDl: Long): Unit =
+    graft.sources.Sources.writeJsonSidecarFs(spark,
+      s"$dir/_stats/batch_$batchId.json",
+      Map("nDocs" -> nDocs.toString, "sumDl" -> sumDl.toString))
+
+  /** Corpus totals of a BM25 index: the exact-long sum over the
+    * per-batch `_stats` entries. A v1 store (stats inline in
+    * `_meta.json`, before the per-batch layout) reads from the meta —
+    * read-only legacy support. */
+  private[operators] def readBm25Stats(spark: org.apache.spark.sql.SparkSession,
+                                       dir: String): (Long, Long) = {
+    val meta = graft.sources.Sources.readJsonSidecarFs(spark, s"$dir/_meta.json")
+    if (meta.contains("nDocs")) (meta("nDocs").toLong, meta("sumDl").toLong)
+    else {
+      val d = new org.apache.hadoop.fs.Path(s"$dir/_stats")
+      val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val pat = "batch_(\\d+)\\.json".r
+      val entries = fs.listStatus(d).toSeq.map(_.getPath)
+        .filter(p => pat.matches(p.getName))
+        .map(p => graft.sources.Sources.readJsonSidecarFs(spark, p.toString))
+      require(entries.nonEmpty, s"bm25 index at $dir has no _stats entries")
+      (entries.map(_("nDocs").toLong).sum, entries.map(_("sumDl").toLong).sum)
+    }
   }
 
   /** [[bm25TopK]] served from the at-rest index: same formula, same
@@ -250,8 +290,12 @@ object TextAnalysis {
     val spark = queries.sparkSession
     val meta = graft.sources.Sources.readJsonSidecarFs(spark, s"$dir/_meta.json")
     val buckets = meta("buckets").toLong
-    val nDocs = meta("nDocs").toLong
-    val avgdl = meta("sumDl").toLong.toDouble / nDocs
+    val (nDocs, sumDl) = readBm25Stats(spark, dir)
+    // an empty base install (or a corrupt stats entry) must fail loudly
+    // here, not surface as NaN/Infinity scores downstream
+    require(nDocs > 0, s"bm25 index at $dir records nDocs=$nDocs — " +
+      "empty base install or corrupt _stats; rebuild the index")
+    val avgdl = sumDl.toDouble / nDocs
     def terms(c: Column) = split(trim(lower(c)), "\\s+")
     val qterms = queries.select(col(qIdCol).as("q_id"),
         explode(array_distinct(terms(col(qTextCol)))).as("term"))

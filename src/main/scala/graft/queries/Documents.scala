@@ -3219,6 +3219,42 @@ object Documents {
       .orderBy("q_id", "rank")
   }
 
+  /** T49's corpus: a realistic-VOCABULARY fixture built from the
+    * documents id space (the t14 token-prefix convention), because the
+    * synthetic tables' ~31-word vocabulary puts every term in ~80% of
+    * docs — any df cap would empty the run. Here each doc carries
+    * ubiquitous stopwords (`the` ×2, `of` — df = N, PRUNED at 0.5), a
+    * mid-frequency subject `w<id%211>` (tf 2, df ≈ N/211), a rare
+    * `x<id%997>`, and a third of the docs a 3-token filler tail
+    * (df = N/3 — kept, and the dl spread the length norm needs). */
+  private def prunedVocabCorpus(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      concat(lit("the of the w"), (col("doc_id") % 211).cast("string"),
+        lit(" w"), (col("doc_id") % 211).cast("string"),
+        lit(" x"), (col("doc_id") % 997).cast("string"),
+        when(col("doc_id") % 3 === 0, lit(" longtail filler pad"))
+          .otherwise(lit(""))).as("text"))
+
+  /** T49 — BM25 with the df-based stopword prune LIVE (maxDfRatio =
+    * 0.5, the default — t46/t47/t48 must run it disabled, see
+    * t46Bm25TopK): on the realistic-vocabulary fixture the `the`/`of`
+    * postings (df = N, the corpus-length hot lists that motivate the
+    * prune) are dropped from scoring entirely, and the oracle replays
+    * the PRUNED formula — an engine that scored the stopwords (or
+    * mis-applied the cap) hash-fails, because their idf is tiny but
+    * nonzero. Queries mix a pruned term with scoring terms, so the
+    * prune changes every score, not just the candidate set. */
+  def t49Bm25Pruned(s: SparkSession, d: String): DataFrame = {
+    val corpus = prunedVocabCorpus(s, d)
+    val q = Tables.documents(s, d)
+      .filter(col("doc_id") % 83 === 0 && col("doc_id") < 500)
+      .select(col("doc_id").as("q_id"),
+        concat(lit("the w"), (col("doc_id") % 211).cast("string"),
+          lit(" x"), (col("doc_id") % 997).cast("string")).as("q_text"))
+    TextAnalysis.bm25TopK(corpus, q, k = 5, maxDfRatio = 0.5)
+      .orderBy("q_id", "rank")
+  }
+
   /** LLM composite — hybrid retrieval: the BM25 run (t46, top-20) and
     * the exact vector run (ann1's generator, top-20) fused by
     * reciprocal-rank fusion — pure rank arithmetic, so the fused

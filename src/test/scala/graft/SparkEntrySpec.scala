@@ -53,6 +53,7 @@ class SparkEntrySpec extends SparkSpec {
       // candidate join is a plain shuffle hash join on the cell id
       "t46_bm25_topk", // t9's 1-row corpus-stats (N, avgdl) broadcast
       // crossed into the postings
+      "t49_bm25_pruned", // same 1-row stats broadcast, prune live
       "llm_hybrid_retrieval", // the same 1-row stats broadcast + the
       // ann1 exact vector generator; the fusion itself is hash joins
       "m17_retrieval_metrics", // the ranked run comes from ann1's

@@ -622,6 +622,85 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
         r.getDouble(3))).toSet
     assert(grown == live, "append path must equal the fresh rebuild")
+    // REPLAY SAFETY: an at-least-once re-append of the SAME batchId
+    // (foreachBatch's retry contract) must converge by overwrite —
+    // postings AND the per-batch stats entry — not double-count
+    // nDocs/sumDl and skew idf/avgdl on every later probe
+    TextAnalysis.appendToBm25Index(docs.filter($"doc_id" % 3 === 0), dir2, 1L)
+    val replayed = TextAnalysis.bm25TopKFromIndex(dir2, q, 5, maxDfRatio = 1.0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(replayed == live,
+      "replaying an append (same batchId) must leave scores bit-identical")
+  }
+
+  test("bm25 store: two appenders with distinct batch ids never lose " +
+       "an update; empty base install fails loudly at probe time") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sf)
+    val q = docs.filter($"doc_id" % 83 === 0 && $"doc_id" < 500)
+      .select($"doc_id".as("q_id"), substring($"text", 1, 60).as("q_text"))
+    val live = TextAnalysis.bm25TopK(docs, q, 5, maxDfRatio = 1.0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // two ingest lines interleaved on one store: each batch owns its
+    // own postings dir and its own _stats entry, so there is no
+    // read-modify-write to race — under the OLD inline-meta layout
+    // this interleaving lost the first appender's stats update
+    // (A reads meta, B reads meta, A writes, B overwrites without A)
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx3").toString
+    TextAnalysis.writeBm25Index(docs.filter($"doc_id" % 3 === 2), dir,
+      buckets = 16)
+    TextAnalysis.appendToBm25Index(docs.filter($"doc_id" % 3 === 0), dir, 1L)
+    TextAnalysis.appendToBm25Index(docs.filter($"doc_id" % 3 === 1), dir, 2L)
+    val grown = TextAnalysis.bm25TopKFromIndex(dir, q, 5, maxDfRatio = 1.0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(grown == live,
+      "both appenders' stats entries must be counted (no lost update)")
+    // nDocs = 0 guard: a probe on an empty base install must raise,
+    // not emit NaN/Infinity scores
+    val dir2 = java.nio.file.Files.createTempDirectory("bm25idx4").toString
+    TextAnalysis.writeBm25Index(docs.filter($"doc_id" < 0), dir2, buckets = 4)
+    val ex = intercept[IllegalArgumentException] {
+      TextAnalysis.bm25TopKFromIndex(dir2, q, 5, maxDfRatio = 1.0)
+    }
+    assert(ex.getMessage.contains("nDocs=0"))
+  }
+
+  test("bm25 store: df prune live on the store path ≡ live path " +
+       "(t49's realistic-vocabulary fixture)") {
+    import spark.implicits._
+    // the t49 fixture shape: df=N stopwords (pruned at 0.5), a
+    // mid-frequency subject, a rare term, dl spread via a filler tail
+    val corpus = graft.core.Tables.documents(spark, sf).select($"doc_id",
+      concat(lit("the of the w"), ($"doc_id" % 211).cast("string"),
+        lit(" w"), ($"doc_id" % 211).cast("string"),
+        lit(" x"), ($"doc_id" % 997).cast("string"),
+        when($"doc_id" % 3 === 0, lit(" longtail filler pad"))
+          .otherwise(lit(""))).as("text"))
+    val q = graft.core.Tables.documents(spark, sf)
+      .filter($"doc_id" % 83 === 0 && $"doc_id" < 500)
+      .select($"doc_id".as("q_id"),
+        concat(lit("the w"), ($"doc_id" % 211).cast("string"),
+          lit(" x"), ($"doc_id" % 997).cast("string")).as("q_text"))
+    val live = TextAnalysis.bm25TopK(corpus, q, 5, maxDfRatio = 0.5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(live.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx5").toString
+    TextAnalysis.writeBm25Index(corpus, dir, buckets = 16)
+    val store = TextAnalysis.bm25TopKFromIndex(dir, q, 5, maxDfRatio = 0.5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(store == live,
+      "store-path df prune must score identically to the live prune")
+    // and the prune must be LIVE: disabling it changes scores (the
+    // stopwords carry tiny but nonzero idf)
+    val unpruned = TextAnalysis.bm25TopK(corpus, q, 5, maxDfRatio = 1.0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(unpruned != live, "fixture must make the prune observable")
   }
 
   test("spanCorrupt: sentinels round-trip — substituting targets back " +
