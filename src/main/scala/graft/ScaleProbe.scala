@@ -59,13 +59,18 @@ object ScaleProbe {
 
     val allOps: Seq[(String, DataFrame => DataFrame)] = Seq(
       "d1_exact" -> (d => Dedup.exactDedup(d, "doc_id", "text")),
-      // BM25 with a FIXED query set: postings volume (tf rows) grows
-      // linearly and the per-term join work is posting-list-sized, so
-      // the curve must be linear; the synthetic 31-word vocab makes
-      // posting lists corpus-length — the WORST skew case, every term
-      // a hot key (real vocabularies spread far thinner)
+      // BM25 with a FIXED query set (base replica only — replica ids
+      // offset by 10 M, not a multiple of 9973, so an unrestricted
+      // mod-filter would GROW the query set with the replication
+      // factor and bend the curve for a harness reason): postings
+      // volume (tf rows) grows linearly and the per-term join work is
+      // posting-list-sized, so the curve must be linear; the synthetic
+      // 31-word vocab makes posting lists corpus-length — the WORST
+      // skew case, every term a hot key (real vocabularies spread far
+      // thinner)
       "t46_bm25" -> { d =>
-        val q = d.filter(col("doc_id") % 9973 === 0)
+        val q = d.filter(col("doc_id") % 9973 === 0 &&
+            col("doc_id") < 10000000L)
           .select(col("doc_id").as("q_id"),
             substring(col("text"), 1, 60).as("q_text"))
         graft.operators.TextAnalysis.bm25TopK(d, q, k = 5, maxDfRatio = 1.0)
@@ -620,6 +625,73 @@ object ScaleProbe {
         oldSnap.unpersist(); newSnap.unpersist()
         println(f"""{"n":$n,"docs":$docs,"incremental_sec":$tIncr%.2f,"rebuild_sec":$tRebuild%.2f,"live":$live}""")
       }
+      spark.stop()
+      return
+    }
+
+    // SPARK_GRAFT_PROBE_MODE=bandab: the controlled A/B isolating the
+    // v2 band-key premium (the round-15 adverse bench signal: d25
+    // 8.1→14.4 s, d14 3.3→7.0 s vs the r14 binary, never separated
+    // from box noise). ONE binary, two layouts per rep, interleaved on
+    // the same corpus: pfxBits=2 (v2 — installs/appends ALSO land the
+    // (band, pfx)-partitioned band-key generation; probes prune) vs
+    // pfxBits=0 (v1 — no band-key table; probes band the full
+    // signature scan). Medians over `reps` reps; each (rep, layout)
+    // gets its own salted batch so the operators' plan-keyed caches
+    // never cross-serve, and the cache is cleared between layouts.
+    // The headline is (v2 − v1) per op: the install/append premium the
+    // pruned probe buys, measured with everything else bit-identical.
+    if (sys.env.get("SPARK_GRAFT_PROBE_MODE").contains("bandab")) {
+      val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "5").toInt
+      val corpus = replicated(2)
+      val docs = corpus.count()
+      def salted(off: Long, tag: String): DataFrame =
+        base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + off).as("doc_id"),
+            when(col("doc_id") % 97 === 0, col("text"))
+              .otherwise(concat(col("text"), lit(s" $tag"))).as("text"))
+      val batchDocs = salted(700000000L, "x").count()
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val out = scala.collection.mutable.Map[(String, String), Vector[Double]]()
+        .withDefaultValue(Vector())
+      (1 to reps).foreach { rep =>
+        Seq(("v2", 2), ("v1", 0)).foreach { case (layout, pfx) =>
+          val tmp = java.nio.file.Files
+            .createTempDirectory(s"bandab_${layout}_$rep").toString
+          val append = salted(700000000L + rep * 2000000L,
+            s"fresh-$layout-$rep")
+          val probe = salted(800000000L + rep * 2000000L,
+            s"probe-$layout-$rep")
+          out((layout, "install")) :+= timed {
+            Dedup.writeNearDupStore(corpus, "doc_id", "text", s"$tmp/nd",
+              pfxBits = pfx)
+          }
+          out((layout, "append")) :+= timed {
+            Dedup.appendToNearDupStore(append, s"$tmp/nd", "doc_id",
+              "text", batchId = 1L)
+          }
+          out((layout, "probe")) :+= timed {
+            Dedup.incrementalNearDupFromStore(probe, s"$tmp/nd",
+              "doc_id", "text").count()
+          }
+          // drop the operators' plan-keyed internal persists so the
+          // next layout/rep starts cold (NOTES.md cache policy)
+          spark.catalog.clearCache()
+        }
+      }
+      def med(xs: Vector[Double]): Double = {
+        val s = xs.sorted; s(s.size / 2)
+      }
+      def sect(layout: String): String =
+        Seq("install", "append", "probe").map { op =>
+          val xs = out((layout, op))
+          f""""$op":${med(xs)}%.2f,"${op}_all":[${
+            xs.map(x => f"$x%.2f").mkString(",")}]"""
+        }.mkString("{", ",", "}")
+      println(s"""{"mode":"bandab","docs":$docs,"batch":$batchDocs,""" +
+        s""""reps":$reps,"v2":${sect("v2")},"v1":${sect("v1")}}""")
       spark.stop()
       return
     }

@@ -1659,13 +1659,21 @@ object Dedup {
     * of the store per matched band. The default (2 → 64 dirs) prices
     * directory/committer churn for small generations; at cluster scale
     * raise it (4–6) — bigger generations amortize the dirs and the
-    * probes prune proportionally harder. */
+    * probes prune proportionally harder. `pfxBits = 0` opts OUT of the
+    * band-key table entirely (the v1 layout): installs and appends
+    * skip the per-generation band-key write, and probes band the
+    * signature table at read time — store-linear probes, cheaper
+    * ingest. Right for one-shot stores probed a handful of times;
+    * wrong for a long ingest line, where every batch would re-scan the
+    * growing signature table (the round-14 linear term the v2 layout
+    * removed). */
   def writeNearDupStore(corpus: DataFrame, idCol: String, textCol: String,
                         dir: String, shingleSize: Int = 3,
                         numHashes: Int = 64, seed: Long = 42L,
                         bands: Int = 16, pfxBits: Int = 2): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    require(pfxBits >= 1 && pfxBits <= 16, "pfxBits must be in [1, 16]")
+    require(pfxBits >= 0 && pfxBits <= 16,
+      "pfxBits must be in [1, 16], or 0 for the v1 no-band-key layout")
     val h = hashedShingles(shingles(corpus, idCol, textCol, shingleSize))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // batch=0 is the base install; appends land under their own
@@ -1687,17 +1695,20 @@ object Dedup {
     // geometry is pinned here; a probe called with a different
     // `bands` knob falls back to the signature path (still correct,
     // store-linear) rather than mis-colliding.
-    writeBandKeysGeneration(sigs, dir, 0L, numHashes, bands, pfxBits)
+    if (pfxBits > 0)
+      writeBandKeysGeneration(sigs, dir, 0L, numHashes, bands, pfxBits)
     sigs.unpersist()
     h.unpersist()
+    val geometry =
+      if (pfxBits > 0)
+        Map("bands" -> bands.toString, "pfxBits" -> pfxBits.toString,
+          "formatVersion" -> "2")
+      else Map("formatVersion" -> "1") // no pinned bands: probes re-band
     graft.sources.Sources.writeJsonSidecarFs(corpus.sparkSession,
       s"$dir/_meta.json",
       Map("shingleSize" -> shingleSize.toString,
         "numHashes" -> numHashes.toString,
-        "minhashSeed" -> seed.toString,
-        "bands" -> bands.toString,
-        "pfxBits" -> pfxBits.toString,
-        "formatVersion" -> "2"))
+        "minhashSeed" -> seed.toString) ++ geometry)
     // a RE-install over a previously-read dir (same session) must
     // invalidate the shared file-status cache, or the first read serves
     // the pre-install listing and dies on vanished files — the append

@@ -1,0 +1,137 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.DataFrame
+
+/** The SECOND entry path: every gate in [[pinned]] is run BOTH ways —
+  * the registered DataFrame/Column-API query AND its `oracleSql` text
+  * through `spark.sql` over temp views of the same tables — and the
+  * results must be value-identical. The oracle SQL is written for
+  * DuckDB, but for the relational/window/agg/join families it is plain
+  * ANSI, so Spark SQL executes it verbatim; gates whose oracle leans
+  * on DuckDB-only surface (regexp_split_to_array, list_*, unnest,
+  * recursive CTEs) stay on the DataFrame-vs-DuckDB gate alone.
+  *
+  * Why this matters: `GraftExtensions` registers the engine's native
+  * expressions for SQL users, and the driver's correctness gate only
+  * exercises the Column API — this sweep pins that a SQL user of the
+  * same session gets the same answers (Catalyst resolves both texts to
+  * the same logical surface; a regression that splits the two entry
+  * paths — an analyzer rule, a function-registry drift — fails here).
+  *
+  * The pinned list is an explicit floor (≥ 30 per the coverage bar):
+  * a gate DROPPING out of Spark-SQL portability is a failure, not a
+  * silent skip. Discovery mode (SPARK_GRAFT_SQL_SWEEP_DISCOVER=1)
+  * tries every registered oracle and prints the portable set, for
+  * re-pinning after new gates land.
+  */
+class SqlSurfaceSpec extends SparkSpec {
+
+  /** Gates whose oracle SQL must run verbatim in Spark SQL and match
+    * the DataFrame path value-for-value — the discovery pass's full
+    * portable set (65 gates; the rest lean on DuckDB-only routines:
+    * strftime/epoch/quantile_cont/regexp_split_to_array/unnest, or —
+    * m5_parse_emp_length — on DuckDB's no-match regexp_extract
+    * semantics, which Spark evaluates differently; those stay on the
+    * DataFrame-vs-DuckDB driver gate alone). */
+  private val pinned: Seq[String] = Seq(
+    "a10_approx_distinct", "a1_mode", "a2_mean", "a4_topk_freq",
+    "a5_distinct", "a6_summary", "a7_value_counts", "a_cube",
+    "a_grouping_sets", "a_map_metrics", "a_pivot", "a_rollup",
+    "a_stats_corr", "a_unpivot", "dq_skew_stats",
+    "j1_left_join", "j2_inner_join", "j3_semi_join", "j4_anti_join",
+    "j7_salted_join", "j8_full_outer",
+    "m13_quality_filter", "m1_string_indexer", "m2_one_hot",
+    "m6_label_encode", "m7_binary_target",
+    "mm10_video_dedup_stream", "mm4_image_dedup", "mm5_image_dedup_store",
+    "mm6_image_dedup_stream", "mm7_audio_dedup", "mm8_video_dedup",
+    "mm9_audio_dedup_stream",
+    "o1_topk_limit", "ops_mean_impute",
+    "p2_select", "p5_between", "p6p7p8_predicates",
+    "q1_agg", "q1_typed", "q5_local_supplier",
+    "r12_curriculum_order", "r1_sample", "r3_distinct",
+    "s3_parquet_scan", "s5_orc_roundtrip", "s5_partitioned_roundtrip",
+    "s6_csv_roundtrip", "s9_json_roundtrip", "s_compact_roundtrip",
+    "s_jsonl_roundtrip", "s_merge_schema", "s_publish_compact",
+    "s_publish_roundtrip", "s_publish_zorder", "s_zorder_roundtrip",
+    "u2_union", "u3_intersect_except", "u_scd2", "u_upsert",
+    "w1_row_number", "w3_running_sum", "w4_lead_ntile", "w5_rank_family")
+
+  private def registerTables(): Unit =
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$sf/$t.parquet").createOrReplaceTempView(t)
+    }
+
+  /** Value-identity compare, the driver's shape: columns sorted by
+    * name, rows in QUERY order (every gate carries a total ORDER BY,
+    * identical in both texts), exact strings for non-floats, 1e-9
+    * relative tolerance for floats (ULP noise from differing physical
+    * plans). */
+  private def sameResult(a: DataFrame, b: DataFrame): Option[String] = {
+    val colsA = a.columns.sorted.toSeq
+    val colsB = b.columns.sorted.toSeq
+    if (colsA != colsB) return Some(s"columns $colsA vs $colsB")
+    def norm(df: DataFrame): Seq[Seq[Any]] =
+      df.select(colsA.map(org.apache.spark.sql.functions.col): _*)
+        .collect().toSeq.map(_.toSeq)
+    val (ra, rb) = (norm(a), norm(b))
+    if (ra.size != rb.size) return Some(s"rows ${ra.size} vs ${rb.size}")
+    ra.zip(rb).zipWithIndex.collectFirst {
+      case ((x, y), i) if !rowEq(x, y) => s"row $i: $x vs $y"
+    }
+  }
+
+  private def rowEq(x: Seq[Any], y: Seq[Any]): Boolean =
+    x.size == y.size && x.zip(y).forall {
+      case (null, null) => true
+      case (a: Double, b) => numEq(a, b)
+      case (a, b: Double) => numEq(b, a)
+      case (a: Float, b) => numEq(a.toDouble, b)
+      case (a, b: Float) => numEq(b.toDouble, a)
+      case (a: java.math.BigDecimal, b) => numEq(a.doubleValue, b)
+      case (a, b: java.math.BigDecimal) => numEq(b.doubleValue, a)
+      case (a: Number, b: Number) => a.longValue == b.longValue
+      case (a, b) =>
+        a != null && b != null && a.toString == b.toString
+    }
+
+  private def numEq(a: Double, b: Any): Boolean = b match {
+    case n: Number =>
+      val d = n.doubleValue
+      (a.isNaN && d.isNaN) ||
+        math.abs(a - d) <= 1e-9 * math.max(1.0, math.max(math.abs(a), math.abs(d)))
+    case _ => false
+  }
+
+  private def checkGate(name: String): Option[String] =
+    SparkEntry.oracleSql.get(name) match {
+      case None => Some(s"$name: no oracleSql entry")
+      case Some(sql) =>
+        try {
+          val viaSql = spark.sql(sql)
+          val viaDf = SparkEntry.queries(name)(spark, sf)
+          sameResult(viaDf, viaSql).map(d => s"$name: $d")
+        } catch {
+          case e: Exception =>
+            Some(s"$name: SQL path failed — " +
+              e.getMessage.linesIterator.toSeq.headOption.getOrElse(""))
+        }
+    }
+
+  test("SQL surface: >= 30 gates' oracle SQL runs verbatim in Spark SQL " +
+       "and matches the DataFrame path") {
+    registerTables()
+    assert(pinned.size >= 30)
+    val failures = pinned.flatMap(checkGate)
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("SQL surface discovery (opt-in): print the portable oracle set") {
+    assume(sys.env.contains("SPARK_GRAFT_SQL_SWEEP_DISCOVER"))
+    registerTables()
+    SparkEntry.oracleSql.keys.toSeq.sorted.foreach { name =>
+      info(f"$name%-28s ${checkGate(name).getOrElse("MATCH")}")
+    }
+  }
+}
