@@ -226,15 +226,21 @@ object Dedup {
       .select(TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // formatVersion 2: fps land under per-batch generation dirs
+    // (batch=0 is the base install) and every APPEND owns its own
+    // bloom sidecar (see appendToFpStore) — no sidecar is ever
+    // read-modify-written, so replays converge by overwrite and two
+    // ingest lines with distinct batch ids never lose an update
     if (shards == 1) {
-      fps.write.mode("overwrite").parquet(s"$dir/fps")
+      fps.write.mode("overwrite").parquet(s"$dir/fps/batch=0")
       val filter = fps.select(xxhash64(col("fp")).as("k"))
         .stat.bloomFilter("k", expectedTotalFps, fpp)
       graft.sources.Sources.writeBinarySidecarFs(spark, s"$dir/_bloom.bin",
         graft.functions.BloomMightContain.toBytes(filter))
     } else {
       fps.withColumn("shard", fpShardId(col("fp"), shards))
-        .write.partitionBy("shard").mode("overwrite").parquet(s"$dir/fps")
+        .write.partitionBy("shard").mode("overwrite")
+        .parquet(s"$dir/fps/batch=0")
       (0 until shards).foreach { i =>
         val keys = fps.filter(fpShardId(col("fp"), shards) === i)
           .select(xxhash64(col("fp")).as("k"))
@@ -245,7 +251,7 @@ object Dedup {
       Map("expectedTotalFps" -> expectedTotalFps.toString,
         "fpp" -> fpp.toString,
         "shards" -> shards.toString,
-        "formatVersion" -> "1"))
+        "formatVersion" -> "2"))
     fps.unpersist(blocking = false)
     // re-install invalidates stale same-session listings (see
     // writeNearDupStore)
@@ -261,6 +267,65 @@ object Dedup {
 
   private def fpShardCapacity(expectedTotalFps: Long, shards: Int): Long =
     math.max(1L, (expectedTotalFps + shards - 1) / shards)
+
+  /** One shard lineage's Bloom filter, merged at probe time: the base
+    * install's filter OR'd with every per-batch append filter
+    * (`_bloom[.s<i>].b<batchId>.bin`). All filters in a lineage are
+    * built with the store's recorded capacity/fpp, so the layouts are
+    * bit-compatible and the merge is a byte-array OR. The driver-side
+    * read is |appends| sidecar files — a long ingest line folds them
+    * down with [[compactFpStoreSidecars]] from its single-writer
+    * maintenance slot. */
+  private[graft] def mergedBloomBytes(spark: org.apache.spark.sql.SparkSession,
+                                      dir: String, shard: Option[Int]): Array[Byte] = {
+    val prefix = shard.map(i => s"_bloom.s$i").getOrElse("_bloom")
+    val batchPat =
+      (java.util.regex.Pattern.quote(prefix) + "\\.b(\\d+)\\.bin").r
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchFiles = fs.listStatus(d).map(_.getPath.getName)
+      .filter(n => batchPat.matches(n)).sorted
+    val base = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      graft.sources.Sources.readBinarySidecarFs(spark, s"$dir/$prefix.bin"))
+    batchFiles.foreach { n =>
+      base.mergeInPlace(org.apache.spark.util.sketch.BloomFilter.readFrom(
+        graft.sources.Sources.readBinarySidecarFs(spark, s"$dir/$n")))
+    }
+    graft.functions.BloomMightContain.toBytes(base)
+  }
+
+  /** Single-writer maintenance: fold every per-batch append filter into
+    * the base sidecar and delete the batch files, so probe-time merge
+    * cost resets to one file per shard. Safe ONLY from the store's one
+    * writer lineage (a streaming loop's maintenance slot, or an offline
+    * job while ingest is paused) — it re-introduces exactly the
+    * read-modify-write the per-batch layout exists to avoid, which is
+    * fine when nobody else is writing. */
+  def compactFpStoreSidecars(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): Unit = {
+    val meta = graft.sources.Sources.readJsonSidecarFs(spark, s"$dir/_meta.json")
+    val shards = meta.getOrElse("shards", "1").toInt
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lineages: Seq[Option[Int]] =
+      if (shards == 1) Seq(None) else (0 until shards).map(Some(_))
+    lineages.foreach { shard =>
+      val prefix = shard.map(i => s"_bloom.s$i").getOrElse("_bloom")
+      val batchPat =
+        (java.util.regex.Pattern.quote(prefix) + "\\.b(\\d+)\\.bin").r
+      val batchFiles = fs.listStatus(d).map(_.getPath.getName)
+        .filter(n => batchPat.matches(n)).sorted
+      if (batchFiles.nonEmpty) {
+        // merged bytes FIRST (bloom ⊇ fps must hold at every instant),
+        // batch-file deletes after — a crash between leaves harmless
+        // already-merged extras
+        graft.sources.Sources.writeBinarySidecarFs(spark,
+          s"$dir/$prefix.bin", mergedBloomBytes(spark, dir, shard))
+        batchFiles.foreach(n =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$n"), false))
+      }
+    }
+  }
 
   /** One shard's Bloom sidecar from its key frame; an EMPTY shard gets
     * an explicit empty filter (stat.bloomFilter over zero rows yields a
@@ -301,15 +366,12 @@ object Dedup {
     val maybe: Column =
       if (shards == 1)
         graft.plans.GraftFunctions.bloomMightContain(spark,
-          xxhash64(col("fp")),
-          graft.sources.Sources.readBinarySidecarFs(spark, s"$dir/_bloom.bin"))
+          xxhash64(col("fp")), mergedBloomBytes(spark, dir, None))
       else {
         val sid = fpShardId(col("fp"), shards)
         (0 until shards).map { i =>
           (i, graft.plans.GraftFunctions.bloomMightContain(spark,
-            xxhash64(col("fp")),
-            graft.sources.Sources.readBinarySidecarFs(spark,
-              s"$dir/_bloom.s$i.bin")))
+            xxhash64(col("fp")), mergedBloomBytes(spark, dir, Some(i))))
         }.foldRight(lit(false): Column) { case ((i, probe), acc) =>
           when(sid === i, probe).otherwise(acc)
         }
@@ -335,64 +397,79 @@ object Dedup {
     fresh.unionByName(verified)
   }
 
-  /** Close the exact-dedup ingest loop: land the survivors' fps and fold
-    * them into the Bloom sidecar. Write ORDER is the store invariant —
-    * the filter FIRST, the parquet append SECOND — because correctness
-    * requires bloom ⊇ fps at all times: a parquet fp missing from the
+  /** Close the exact-dedup ingest loop: land the survivors' fps under
+    * the batch's own `fps/batch=<batchId>` generation dir and its keys
+    * as the batch's OWN Bloom sidecar (`_bloom[.s<i>].b<batchId>.bin`)
+    * — probes merge base + batch filters at read time
+    * ([[mergedBloomBytes]]). Nothing on this path reads or rewrites a
+    * shared mutable file, which buys two properties the old
+    * merge-into-base design lacked: (1) an at-least-once REPLAY of the
+    * same batchId converges by overwrite instead of re-landing
+    * duplicate fp rows, and (2) two ingest lines with DISTINCT batch
+    * ids never lose an update (the RMW interleave A-read/B-read/
+    * A-write/B-write silently dropped A's keys — a later duplicate of
+    * an A-batch doc could then probe negative and be re-admitted).
+    *
+    * Write ORDER is still the store invariant — the filter FIRST, the
+    * parquet generation SECOND — because correctness requires
+    * bloom ⊇ fps at all times: a parquet fp missing from the merged
     * filter would let a later duplicate probe negative and skip its
-    * verify (silent re-admit), while a filter entry missing from parquet
-    * only sends one more suspect to the verify join, which finds nothing
-    * and correctly admits it. Crash between the writes → the safe side.
-    * Replayed appends re-land duplicate fp ROWS, which anti-join
-    * semantics ignore (unlike the near-dup store's shingle table, where
-    * duplicates corrupt jaccard — hence its heavier id-anti-join guard;
-    * here the cheap path is also the correct one). The per-batch filter
-    * is built with the STORE's recorded capacity/fpp so `mergeInPlace`
-    * sees bit-compatible layouts. */
-  def appendToFpStore(newFps: DataFrame, dir: String): Unit = {
+    * verify (silent re-admit), while a filter entry missing from
+    * parquet only sends one more suspect to the verify join, which
+    * finds nothing and correctly admits it. Crash between the writes →
+    * the safe side, healed by the replay's overwrite. The per-batch
+    * filter is built with the STORE's recorded capacity/fpp so
+    * probe-time `mergeInPlace` sees bit-compatible layouts; batchId
+    * namespace is the caller's contract (the near-dup store rule). */
+  def appendToFpStore(newFps: DataFrame, dir: String, batchId: Long): Unit = {
+    require(batchId > 0, "batchId 0 is the base install (writeFpStore)")
     // zero-row append is a no-op — reached on replay paths where every
     // fp is already in the store. Guarded explicitly because
     // stat.bloomFilter over zero rows yields a null sketch buffer
-    // (NPE), and a zero-row parquet append would only add an empty file
+    // (NPE), and a zero-row parquet generation would only add an
+    // empty dir
     if (newFps.isEmpty) return
     val spark = newFps.sparkSession
     val meta = graft.sources.Sources.readJsonSidecarFs(spark, s"$dir/_meta.json")
+    require(meta.getOrElse("formatVersion", "1") == "2",
+      s"fp store at $dir predates per-batch generations (formatVersion " +
+        s"${meta.getOrElse("formatVersion", "1")}); reinstall with " +
+        "writeFpStore to grow it")
     val expected = meta("expectedTotalFps").toLong
     val fpp = meta("fpp").toDouble
     val shards = meta.getOrElse("shards", "1").toInt
     if (shards == 1) {
-      val store = org.apache.spark.util.sketch.BloomFilter.readFrom(
-        graft.sources.Sources.readBinarySidecarFs(spark, s"$dir/_bloom.bin"))
       val batchFilter = newFps.select(xxhash64(col("fp")).as("k"))
         .stat.bloomFilter("k", expected, fpp)
-      store.mergeInPlace(batchFilter)
-      graft.sources.Sources.writeBinarySidecarFs(spark, s"$dir/_bloom.bin",
-        graft.functions.BloomMightContain.toBytes(store))
-      newFps.select("fp").write.mode("append").parquet(s"$dir/fps")
+      graft.sources.Sources.writeBinarySidecarFs(spark,
+        s"$dir/_bloom.b$batchId.bin",
+        graft.functions.BloomMightContain.toBytes(batchFilter))
+      newFps.select("fp").write.mode("overwrite")
+        .parquet(s"$dir/fps/batch=$batchId")
     } else {
-      // per shard: slice the batch by the routing hash, fold the
-      // slice's keys into that shard's sidecar (same bloom-first
-      // ordering — bloom ⊇ fps must hold per shard), land the slice
-      // under its partition dir. The batch is localCheckpoint'd by
-      // every ingest caller, so the k slice passes re-read a frozen
-      // frame, not the store. Empty slices are skipped whole.
+      // per shard: slice the batch by the routing hash, land the
+      // slice's keys as that shard's per-batch sidecar (same
+      // bloom-first ordering — bloom ⊇ fps must hold per shard). The
+      // batch is localCheckpoint'd by every ingest caller, so the k
+      // slice passes re-read a frozen frame, not the store. Empty
+      // slices skip the sidecar; the fps generation lands once,
+      // shard-partitioned.
       val perShard = fpShardCapacity(expected, shards)
       (0 until shards).foreach { i =>
         val slice = newFps.filter(fpShardId(col("fp"), shards) === i)
           .select("fp")
         if (!slice.isEmpty) {
-          val store = org.apache.spark.util.sketch.BloomFilter.readFrom(
-            graft.sources.Sources.readBinarySidecarFs(spark,
-              s"$dir/_bloom.s$i.bin"))
           val batchFilter = slice.select(xxhash64(col("fp")).as("k"))
             .stat.bloomFilter("k", perShard, fpp)
-          store.mergeInPlace(batchFilter)
           graft.sources.Sources.writeBinarySidecarFs(spark,
-            s"$dir/_bloom.s$i.bin",
-            graft.functions.BloomMightContain.toBytes(store))
-          slice.write.mode("append").parquet(s"$dir/fps/shard=$i")
+            s"$dir/_bloom.s$i.b$batchId.bin",
+            graft.functions.BloomMightContain.toBytes(batchFilter))
         }
       }
+      newFps.withColumn("shard", fpShardId(col("fp"), shards))
+        .select(col("fp"), col("shard"))
+        .write.partitionBy("shard").mode("overwrite")
+        .parquet(s"$dir/fps/batch=$batchId")
     }
     // same-session cached plans over the store keep serving the
     // pre-append file list otherwise (CacheManager keys on root path) —

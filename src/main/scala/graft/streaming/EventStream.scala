@@ -394,8 +394,11 @@ object EventStream {
             graft.sources.Sources.publishBatch(kept, keptDir, batchId + 1)
             kept.unpersist()
           }
+          // batchId + 1 keeps the store's batch-0-is-the-install
+          // convention (the same shift publishBatch uses); replays of
+          // this trigger overwrite their own generation + sidecar
           Dedup.appendToFpStore(
-            survivors.select("fp").distinct(), storeDir)
+            survivors.select("fp").distinct(), storeDir, batchId + 1)
           // maintenance LAST and best-effort: a throw here (transient FS
           // error, compactPublished's own require) is logged and
           // swallowed — the batch's fps are already in the store, so
@@ -408,6 +411,10 @@ object EventStream {
               graft.sources.Sources.compactPublished(spark, keptDir,
                 targetFileBytes)
               graft.sources.Sources.vacuumPublished(spark, keptDir)
+              // fold per-batch bloom sidecars into the base so probe
+              // merge cost resets — safe HERE because the stream is the
+              // store's single writer (compactFpStoreSidecars's contract)
+              Dedup.compactFpStoreSidecars(spark, storeDir)
             } catch {
               case scala.util.control.NonFatal(e) =>
                 System.err.println(

@@ -301,11 +301,12 @@ class DedupSpec extends SparkSpec {
     val batch2 = docs.filter($"doc_id" % 5 === 0 && $"doc_id" % 2 =!= 0)
     Dedup.writeFpStore(corpus, "doc_id", "text", dir,
       expectedTotalFps = 100000L, shards = 2)
-    // layout: two bloom sidecars, hash-partitioned fps dirs
+    // layout: two bloom sidecars, hash-partitioned fps dirs under the
+    // base generation
     assert(new java.io.File(s"$dir/_bloom.s0.bin").exists() &&
       new java.io.File(s"$dir/_bloom.s1.bin").exists())
-    assert(new java.io.File(s"$dir/fps/shard=0").exists() &&
-      new java.io.File(s"$dir/fps/shard=1").exists())
+    assert(new java.io.File(s"$dir/fps/batch=0/shard=0").exists() &&
+      new java.io.File(s"$dir/fps/batch=0/shard=1").exists())
     // shard routing is layout-only: same answer as the live path
     val live1 = Dedup.incrementalExactDedup(batch1, corpus, "doc_id", "text")
       .select("fp", "id").as[(String, Long)].collect().toSet
@@ -314,7 +315,7 @@ class DedupSpec extends SparkSpec {
     val store1 = store1raw.select("fp", "id").as[(String, Long)].collect().toSet
     assert(store1 == live1 && store1.nonEmpty)
     // grow: the append must slice by the SAME routing hash
-    Dedup.appendToFpStore(store1raw.select("fp"), dir)
+    Dedup.appendToFpStore(store1raw.select("fp"), dir, batchId = 1L)
     val corpus2 = corpus.unionByName(
       batch1.join(store1raw.select($"id".as("doc_id")), Seq("doc_id"), "left_semi"))
     val live2 = Dedup.incrementalExactDedup(batch2, corpus2, "doc_id", "text")
@@ -324,11 +325,12 @@ class DedupSpec extends SparkSpec {
       .select("fp", "id").as[(String, Long)].collect().toSet
     assert(store2 == live2)
     // per-shard invariant after the grow: every landed fp probes
-    // POSITIVE in ITS OWN shard's filter (bloom ⊇ fps, shard-wise) —
-    // and the shard dirs really partition by the routing hash
+    // POSITIVE in ITS OWN shard's MERGED filter (base + per-batch
+    // sidecars: bloom ⊇ fps, shard-wise) — and the shard dirs really
+    // partition by the routing hash
     (0 to 1).foreach { i =>
       val bloom = org.apache.spark.util.sketch.BloomFilter.readFrom(
-        graft.sources.Sources.readBinarySidecarFs(spark, s"$dir/_bloom.s$i.bin"))
+        Dedup.mergedBloomBytes(spark, dir, Some(i)))
       val landed = spark.read.parquet(s"$dir/fps")
         .filter($"shard" === i).select(xxhash64($"fp")).as[Long].collect()
       assert(landed.nonEmpty, s"shard $i must hold fps")
@@ -358,7 +360,7 @@ class DedupSpec extends SparkSpec {
     assert(store1 == live1 && store1.nonEmpty)
 
     // grow, then batch 2 must dedup against corpus ∪ batch-1 survivors
-    Dedup.appendToFpStore(store1raw.select("fp"), dir)
+    Dedup.appendToFpStore(store1raw.select("fp"), dir, batchId = 1L)
     val corpus2 = corpus.unionByName(
       batch1.join(store1raw.select($"id".as("doc_id")), Seq("doc_id"), "left_semi"))
     val live2 = Dedup.incrementalExactDedup(batch2, corpus2, "doc_id", "text")
@@ -369,10 +371,11 @@ class DedupSpec extends SparkSpec {
     assert(store2 == live2)
 
     // store invariant after the grow: every landed fp probes POSITIVE in
-    // the sidecar filter — a parquet fp the bloom misses would let a
-    // later duplicate skip its verify and be silently re-admitted
+    // the MERGED filter (base + per-batch sidecars) — a parquet fp the
+    // bloom misses would let a later duplicate skip its verify and be
+    // silently re-admitted
     val bloom = org.apache.spark.util.sketch.BloomFilter.readFrom(
-      graft.sources.Sources.readBinarySidecarFs(spark, s"$dir/_bloom.bin"))
+      Dedup.mergedBloomBytes(spark, dir, None))
     val landed = spark.read.parquet(s"$dir/fps")
       .select(xxhash64($"fp")).as[Long].collect()
     assert(landed.forall(bloom.mightContainLong),
@@ -390,6 +393,57 @@ class DedupSpec extends SparkSpec {
     val nDup = batchFp.count() - store2.size
     assert(nSuspect < nDup + math.max(10, batchFp.count() / 20),
       s"suspect count $nSuspect should be ≈ true dups $nDup + fpp dribble")
+  }
+
+  test("fp store: appends never touch shared files — two writer lineages " +
+       "and replays converge (the RMW design lost updates)") {
+    val dir = java.nio.file.Files.createTempDirectory("fprace").toString
+    val docs = graft.core.Tables.documents(spark, sf)
+    Dedup.writeFpStore(docs.filter($"doc_id" % 5 =!= 0), "doc_id", "text",
+      dir, expectedTotalFps = 100000L)
+    def sidecar(name: String): Array[Byte] =
+      graft.sources.Sources.readBinarySidecarFs(spark, s"$dir/$name")
+    val baseBefore = sidecar("_bloom.bin")
+    def fpsOf(pred: org.apache.spark.sql.Column) = docs.filter(pred)
+      .select(graft.operators.TextAnalysis.fingerprint($"text").as("fp"))
+      .distinct().localCheckpoint()
+    // two ingest lines on one store, interleaved: under the old
+    // merge-into-base design this is the A-read/B-read/A-write/B-write
+    // lost update (B's rewrite lacks A's keys); per-batch ownership
+    // makes the interleave structurally raceless — each append only
+    // CREATES its own files, proven by the base sidecar staying
+    // byte-identical
+    Dedup.appendToFpStore(fpsOf($"doc_id" % 5 === 0 && $"doc_id" % 2 === 0),
+      dir, batchId = 1L)
+    Dedup.appendToFpStore(fpsOf($"doc_id" % 5 === 0 && $"doc_id" % 2 =!= 0),
+      dir, batchId = 2L)
+    assert(java.util.Arrays.equals(baseBefore, sidecar("_bloom.bin")),
+      "append must not read-modify-write the shared base sidecar")
+    // both lineages' keys probe positive in the merged filter
+    val merged = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      Dedup.mergedBloomBytes(spark, dir, None))
+    val allKeys = docs.filter($"doc_id" % 5 === 0)
+      .select(xxhash64(graft.operators.TextAnalysis.fingerprint($"text")))
+      .as[Long].collect()
+    assert(allKeys.nonEmpty && allKeys.forall(merged.mightContainLong),
+      "no lost update: both appenders' keys must be in the merged filter")
+    // replay convergence: re-appending batch 1 overwrites its own
+    // generation — the store holds the same distinct fps AND the same
+    // ROW count (the old append re-landed duplicate rows forever)
+    val rowsBefore = spark.read.parquet(s"$dir/fps").count()
+    Dedup.appendToFpStore(fpsOf($"doc_id" % 5 === 0 && $"doc_id" % 2 === 0),
+      dir, batchId = 1L)
+    assert(spark.read.parquet(s"$dir/fps").count() == rowsBefore,
+      "replayed append must overwrite its generation, not grow the store")
+    // single-writer maintenance folds the per-batch sidecars down and
+    // keeps bloom ⊇ fps
+    Dedup.compactFpStoreSidecars(spark, dir)
+    assert(!new java.io.File(s"$dir/_bloom.b1.bin").exists() &&
+      !new java.io.File(s"$dir/_bloom.b2.bin").exists())
+    val compacted = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      Dedup.mergedBloomBytes(spark, dir, None))
+    assert(allKeys.forall(compacted.mightContainLong),
+      "compaction must preserve bloom ⊇ fps")
   }
 
   test("contaminationPairs counts shared distinct n-grams per (doc, eval doc)") {

@@ -395,7 +395,7 @@ class EventStreamSpec extends SparkSpec {
     val fps = spark.read.parquet(s"$storeDir/fps")
     assert(fps.distinct().count() == 4) // landed + 3 survivors
     val bloom = org.apache.spark.util.sketch.BloomFilter.readFrom(
-      graft.sources.Sources.readBinarySidecarFs(spark, s"$storeDir/_bloom.bin"))
+      graft.operators.Dedup.mergedBloomBytes(spark, storeDir, None))
     val keys = fps.select(xxhash64($"fp")).as[Long].collect()
     assert(keys.forall(bloom.mightContainLong))
     // no per-batch cache leak: the loop must release what it created
