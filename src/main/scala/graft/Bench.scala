@@ -193,10 +193,15 @@ object Bench {
     // battery grows
     val failPart = (if (failures == "[]") "" else s""","failures":$failures""") +
       (if (contended) s""","contended":true""" else "")
+    // battery size + loadavg ride the FINAL line too (not just the
+    // detail line): cross-round comparisons need both without digging
+    // up BENCH_DETAIL.json — a bigger battery or a loaded box explains
+    // a bigger total before anyone chases a phantom regression
+    val envPart = f""","n_queries":${results.size},"loadavg":[$load0%.2f,$loadAvg%.2f]"""
     def compact(dp: Int): String = {
       val qs = results.map { case (k, med, _, _, _) => "\"" + k + "\":" + short(med, dp) }
         .mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","sum_of_min":$sumOfMin%.2f,"queries":$qs$failPart}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","sum_of_min":$sumOfMin%.2f$envPart,"queries":$qs$failPart}"""
     }
     // the battery has grown past the point where 2 dp always fits the
     // consumer's window — degrade per-query precision (never the total,
@@ -218,14 +223,14 @@ object Bench {
         .mkString("{", ",", "}")
       val restPart = if (rest.isEmpty) "" else
         s""","fastest_omitted":{"n":${rest.size},"sum_sec":${short(rest.map(_._2).sum, 2)},"max_sec":${short(rest.map(_._2).max, 2)}}"""
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","sum_of_min":$sumOfMin%.2f,"queries":$qs$restPart$failPart}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","sum_of_min":$sumOfMin%.2f$envPart,"queries":$qs$restPart$failPart}"""
     }
     // last-ditch floor: a mass-failure run can make the failures array
     // alone outgrow the window — collapse it to a count so SOME parseable
     // line always lands in the tail (the full list is in the detail line)
     val floorLine = {
       val nFail = results.count(!_._5)
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","sum_of_min":$sumOfMin%.2f,"queries":{},"queries_omitted":${results.size},"failures_n":$nFail}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","sum_of_min":$sumOfMin%.2f$envPart,"queries":{},"queries_omitted":${results.size},"failures_n":$nFail}"""
     }
     val line = (2 to 1 by -1).map(compact).find(_.length <= 1900)
       .getOrElse((results.size to 0 by -1).view.map(bucketed)

@@ -75,6 +75,44 @@ object ScaleProbe {
             substring(col("text"), 1, 60).as("q_text"))
         graft.operators.TextAnalysis.bm25TopK(d, q, k = 5, maxDfRatio = 1.0)
       },
+      // hybrid retrieval (the llm_hybrid_retrieval composite): the BM25
+      // run + the exact vector run + the RRF full-outer fuse, FIXED
+      // 7-query set on the base replica. Both runs are linear in the
+      // corpus with fixed queries (postings join / one broadcast-query
+      // scan); the fuse is queries×k rows — the curve must be linear
+      "llm_hybrid" -> { d =>
+        val q = d.filter(col("doc_id") % 83 === 0 && col("doc_id") < 500)
+        val lex = graft.operators.TextAnalysis.bm25TopK(d,
+          q.select(col("doc_id").as("q_id"),
+            substring(col("text"), 1, 60).as("q_text")),
+          k = 20, maxDfRatio = 1.0)
+        def embed(df: DataFrame): DataFrame = df.select(
+          col("doc_id").as("vec_id"),
+          transform(sequence(lit(0), lit(7)), i =>
+            pmod(length(col("text")) * 31 + col("doc_id") * 17 + i * 7,
+              lit(97)).cast("float")).as("embedding"))
+        val vec = graft.operators.Similarity.bruteForceTopK(
+          embed(d), embed(q), 20)
+        graft.operators.Similarity.rrfFuse(lex, vec, k = 5)
+      },
+      // prompt-level SFT dedup (t45's per-batch kernel): chat render
+      // over conv groups, then the prompt-fp keeper election — one
+      // conversation agg + one fp agg + a semi join, all key-partitioned;
+      // the curve must be linear. (The STREAMING form adds Spark's
+      // state-store lookups, bounded per micro-batch by in-flight keys —
+      // runtime-owned, not an engine term.)
+      "t45_sft_dedup" -> { d =>
+        val W = org.apache.spark.sql.expressions.Window
+        val turns = d.select(floor(col("doc_id") / 13).cast("long").as("conv_id"),
+            col("doc_id").as("ord"), substring(col("text"), 1, 120).as("t"))
+          .withColumn("role",
+            when(row_number().over(
+              W.partitionBy("conv_id").orderBy("ord")) % 2 === 1, "user")
+              .otherwise("assistant"))
+        graft.operators.Instruction.dedupByPrompt(
+          graft.operators.Instruction.renderChat(
+            turns, "conv_id", "ord", "role", "t"))
+      },
       // chat render: ONE conversation-keyed aggregation over groups of
       // ≤13 turns (conv = doc_id div 13 — replica offsets keep conv ids
       // disjoint, conv COUNT scales with the corpus while group size

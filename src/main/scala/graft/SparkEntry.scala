@@ -209,6 +209,7 @@ object SparkEntry {
     "llm_rag_pipeline" -> (Documents.llmRagPipeline _),
     "t36_fuzzy_decontam_store" -> (Documents.t36FuzzyDecontamStore _),
     "ann15_ivf_stream" -> (Documents.ann15IvfStream _),
+    "ann19_pq_stream" -> (Documents.ann19PqStream _),
     "ann14_hard_negatives_ann" -> (Documents.ann14HardNegativesAnn _),
     "r14_length_buckets" -> (Documents.r14LengthBuckets _),
     "llm_web_pipeline" -> (Documents.llmWebPipeline _),
@@ -2503,6 +2504,13 @@ object SparkEntry {
         |    i -> (length(text)*31 + doc_id*17 + i*7) % 97)) AS DOUBLE) AS vec_l1,
         |  CAST((length(text)*31 + doc_id*17) % 97 AS DOUBLE) AS v0
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // ANN19: the PQ ingest loop — integer-grid embedding, every
+    // subspace argmin (CASE order = the engine's first-minimum
+    // tie-break), reconstruction norm from the grid's literal norm2
+    // constants. The grid values are GENERATED from the same
+    // f(j,c,t) = (j·13 + c·7 + t·3) mod 17 the engine installs
+    // (Documents.pqGrid), so both sides recompute, neither copies.
+    "ann19_pq_stream" -> ann19PqSql,
     // D23: streamed exact-dedup ingest — the keeper rule replayed over
     // (batch index, doc_id) per normalized fingerprint, landed slice's
     // fingerprints excluded (the store install)
@@ -3586,6 +3594,47 @@ object SparkEntry {
 
   /** ann2/ann3's gate oracle: the pinned (query × rank) grid with every
     * invariant flag at 1 — see Documents.annInvariantGate. */
+  /** ANN19's oracle, GENERATED from the same f(j,c,t) = (j·13 + c·7 +
+    * t·3) mod 17 grid the engine installs (Documents.pqGrid) — the
+    * doremi literal rule applied to a whole codebook: both sides
+    * recompute the constants, neither copies a magic table. m=2
+    * subspaces × k=4 centroids × subDim=4; distances are sums of
+    * squared small-int differences (exact in double), argmin CASE
+    * order = the engine's first-minimum tie-break. */
+  private val ann19PqSql: String = {
+    def f(j: Int, c: Int, t: Int): Int = (j * 13 + c * 7 + t * 3) % 17
+    val es = (0 until 8).map(i =>
+      s"  CAST((length(text)*31 + doc_id*17 + $i*7) % 97 AS DOUBLE) AS e$i")
+      .mkString(",\n")
+    def dist(j: Int, c: Int): String = (0 until 4).map { t =>
+      val e = s"e${4 * j + t}"; val g = f(j, c, t)
+      s"($e - $g)*($e - $g)"
+    }.mkString(" + ")
+    val dists = (for { j <- 0 to 1; c <- 0 to 3 }
+      yield s"  ${dist(j, c)} AS d$j$c").mkString(",\n")
+    def argmin(j: Int): String =
+      s"CASE WHEN d${j}0 <= d${j}1 AND d${j}0 <= d${j}2 AND d${j}0 <= d${j}3 THEN 0 " +
+        s"WHEN d${j}1 <= d${j}2 AND d${j}1 <= d${j}3 THEN 1 " +
+        s"WHEN d${j}2 <= d${j}3 THEN 2 ELSE 3 END"
+    def n2(j: Int, c: Int): Int = (0 until 4).map(t => f(j, c, t) * f(j, c, t)).sum
+    def norm(j: Int): String =
+      s"CASE c$j " + (0 to 3).map(c => s"WHEN $c THEN ${n2(j, c)}").mkString(" ") +
+        " END"
+    s"""WITH e AS (SELECT doc_id,
+       |$es
+       |FROM documents),
+       |d AS (SELECT doc_id,
+       |$dists
+       |FROM e),
+       |cd AS (SELECT doc_id,
+       |  ${argmin(0)} AS c0,
+       |  ${argmin(1)} AS c1
+       |FROM d)
+       |SELECT doc_id, c0, c1,
+       |  CAST(${norm(0)} + ${norm(1)} AS DOUBLE) AS recon_norm
+       |FROM cd ORDER BY doc_id""".stripMargin
+  }
+
   /** The t46/t47 shared oracle: BM25 end to end over the gate's query
     * set (maxDfRatio = 1.0 — see t46Bm25TopK's scaladoc). */
   private val bm25GateSql: String =

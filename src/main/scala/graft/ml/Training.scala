@@ -99,8 +99,22 @@ object Training {
       } else train
       val ovr = new OneVsRest().setClassifier(gbt)
         .setLabelCol("label").setFeaturesCol("features")
-        .setParallelism(4)
-      ovr.fit(fitOn)
+        .setParallelism(7)
+      // materialize the assembled (features, label, is_val) frame ONCE
+      // across the 7 binary fits: each OneVsRest slot relabels and
+      // re-scans it per boosting pass, and an uncached lineage would
+      // re-run the upstream assembly/hash-split for every one of them.
+      // (OneVsRest's own handlePersistence only kicks in on ITS derived
+      // projection per fit; caching here shares the blocks across all
+      // slots.) Parallelism 7 = one slot per class — the fits are
+      // iterative many-small-stage jobs, so concurrent slots fill the
+      // scheduler instead of serializing 7 × 150 rounds.
+      val preCached =
+        fitOn.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+      if (!preCached)
+        fitOn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try ovr.fit(fitOn)
+      finally if (!preCached) fitOn.unpersist(false)
     }
 
     def fitPredict(train: DataFrame, test: DataFrame): DataFrame =

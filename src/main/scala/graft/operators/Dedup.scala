@@ -1236,7 +1236,9 @@ object Dedup {
     val capacity =
       if (expectedTotalGrams > 0) expectedTotalGrams
       else math.max(grams.count(), 1L)
-    grams.write.mode("overwrite").parquet(s"$dir/grams")
+    // batch=0 is the base suite; later suites land under their own
+    // generation dirs with their own sidecars (appendToEvalGramStore)
+    grams.write.mode("overwrite").parquet(s"$dir/grams/batch=0")
     val filter =
       if (grams.isEmpty)
         org.apache.spark.util.sketch.BloomFilter.create(capacity, fpp)
@@ -1246,8 +1248,7 @@ object Dedup {
     graft.sources.Sources.writeJsonSidecarFs(spark, s"$dir/_meta.json",
       Map("n" -> n.toString, "fpp" -> fpp.toString,
         "expectedTotalGrams" -> capacity.toString,
-        "totalGrams" -> grams.count().toString,
-        "formatVersion" -> "1"))
+        "formatVersion" -> "2"))
     // re-install invalidates stale same-session listings (see
     // writeNearDupStore)
     spark.catalog.refreshByPath(dir)
@@ -1272,7 +1273,8 @@ object Dedup {
     * ([[writeEvalGramStore]] over the full suite) with honest
     * capacity. */
   def appendToEvalGramStore(evalSet: DataFrame, textCol: String,
-                            dir: String): Unit = {
+                            dir: String, batchId: Long): Unit = {
+    require(batchId > 0, "batchId 0 is the base install (writeEvalGramStore)")
     val spark = evalSet.sparkSession
     val meta = graft.sources.Sources.readJsonSidecarFs(spark, s"$dir/_meta.json")
     val n = meta("n").toInt
@@ -1285,22 +1287,21 @@ object Dedup {
       .distinct()
       .localCheckpoint()
     if (grams.isEmpty) return
-    val store = org.apache.spark.util.sketch.BloomFilter.readFrom(
-      graft.sources.Sources.readBinarySidecarFs(spark, s"$dir/_bloom.bin"))
+    // per-batch ownership (the fp-store design): the suite's filter
+    // and gram generation land under the batch's own names — replays
+    // converge by overwrite, concurrent suite publications with
+    // distinct ids never lose an update, nothing shared is RMW'd
     val batchFilter = grams.select(col("h1").as("k"))
       .stat.bloomFilter("k", capacity, fpp)
-    store.mergeInPlace(batchFilter)
-    graft.sources.Sources.writeBinarySidecarFs(spark, s"$dir/_bloom.bin",
-      graft.functions.BloomMightContain.toBytes(store))
-    grams.write.mode("append").parquet(s"$dir/grams")
+    graft.sources.Sources.writeBinarySidecarFs(spark,
+      s"$dir/_bloom.b$batchId.bin",
+      graft.functions.BloomMightContain.toBytes(batchFilter))
+    grams.write.mode("overwrite").parquet(s"$dir/grams/batch=$batchId")
     spark.catalog.refreshByPath(dir)
-    // upper-bound accounting (batch grams may overlap the store's —
-    // counting the true union would re-scan the whole parquet half
-    // per append): good enough to catch runaway growth
-    val total = meta.get("totalGrams").map(_.toLong)
-      .getOrElse(capacity) + grams.count()
-    graft.sources.Sources.writeJsonSidecarFs(spark, s"$dir/_meta.json",
-      meta + ("totalGrams" -> total.toString))
+    // upper-bound accounting moves OUT of the sidecar (its counter was
+    // a meta RMW): derive it from the landed generations at warn time —
+    // row-group metadata count, no data scan
+    val total = spark.read.parquet(s"$dir/grams").count()
     if (total > 2L * capacity)
       System.err.println(
         s"[graft] eval-gram store $dir holds ~$total grams against a " +
@@ -1324,8 +1325,7 @@ object Dedup {
     val spark = corpus.sparkSession
     val meta = graft.sources.Sources.readJsonSidecarFs(spark, s"$dir/_meta.json")
     decontaminateRewriteLoaded(corpus, dir, meta("n").toInt,
-      graft.sources.Sources.readBinarySidecarFs(spark, s"$dir/_bloom.bin"),
-      idCol, textCol)
+      mergedBloomBytes(spark, dir, None), idCol, textCol)
   }
 
   /** [[decontaminateRewriteFromStore]] with the store's geometry and

@@ -783,21 +783,35 @@ object Similarity {
                    idCol: String = "vec_id", vecCol: String = "embedding")
       : PqCodebooks = {
     val cb = trainPq(corpus, dim, m, k, seed, sampleCap, vecCol)
+    installPqIndex(corpus, path, cb, idCol, vecCol,
+      metaExtra = Map("pqSeed" -> seed.toString))
+    cb
+  }
+
+  /** Install a PQ index with CALLER-PROVIDED codebooks — the
+    * offline-trained path (codebooks fitted on a reference corpus and
+    * shipped to every installer), and the deterministic-quantizer path
+    * a replayable gate needs (an integer-grid codebook makes every
+    * code and recon_norm exactly recomputable by an external oracle,
+    * the ann15 convention). Same layout and growth contract as
+    * [[writePqIndex]], which is now train-then-install. */
+  def installPqIndex(corpus: DataFrame, path: String, cb: PqCodebooks,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     metaExtra: Map[String, String] = Map.empty): Unit = {
     pqEncode(corpus, cb, idCol, vecCol)
       .write.mode("overwrite").parquet(s"$path/codes/batch=0")
     val spark = corpus.sparkSession
-    val rows = for { j <- 0 until m; c <- 0 until k }
+    val rows = for { j <- 0 until cb.m; c <- 0 until cb.k }
       yield (j, c, cb.centroids(j)(c).toSeq, cb.norm2(j)(c))
     spark.createDataFrame(rows).toDF("j", "c", "centroid", "norm2")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
     graft.sources.Sources.writeJsonSidecarFs(spark, s"$path/_meta.json",
-      Map("m" -> m.toString, "k" -> k.toString,
-        "subDim" -> cb.subDim.toString, "pqSeed" -> seed.toString,
-        "formatVersion" -> "1"))
+      Map("m" -> cb.m.toString, "k" -> cb.k.toString,
+        "subDim" -> cb.subDim.toString,
+        "formatVersion" -> "1") ++ metaExtra)
     // re-install invalidates stale same-session listings (the
     // writeNearDupStore convention)
     spark.catalog.refreshByPath(path)
-    cb
   }
 
   /** Codebooks of an at-rest PQ index — m·k tiny rows plus the meta

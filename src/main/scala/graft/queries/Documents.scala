@@ -2920,6 +2920,63 @@ object Documents {
       .orderBy("doc_id")
   }
 
+  /** ANN19's deterministic codebook grid: centroid value
+    * f(j, c, t) = (j·13 + c·7 + t·3) mod 17 — small integers, so the
+    * engine's float/double distance arithmetic is EXACT and the oracle
+    * replays every argmin bit-for-bit. Shared by the gate (engine
+    * side) and the oracle-SQL generator in SparkEntry. */
+  def pqGrid(j: Int, c: Int, t: Int): Int = (j * 13 + c * 7 + t * 3) % 17
+
+  /** ANN19 — the PQ INGEST loop on the hard signal
+    * ([[graft.streaming.EventStream.streamingPqIngest]]), closing the
+    * one formerly spec-only streaming loop: the index is installed
+    * with the INTEGER-GRID codebooks ([[pqGrid]], via
+    * [[Similarity.installPqIndex]] — the offline-trained-codebooks
+    * path), the %5 = 0 sliver streams in two micro-batches encoded
+    * against the STORED codebooks, and the gate hashes the full landed
+    * codes table — (doc_id, per-subspace codes, recon_norm) — against
+    * DuckDB recomputing the integer-grid embedding, every subspace
+    * argmin (first-minimum tie-break, the PqAssign rule), and the
+    * reconstruction norm. A dropped batch, a double append, a drifted
+    * codebook read, or an argmin tie broken the other way hash-fails. */
+  def ann19PqStream(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    def embed(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      transform(sequence(lit(0), lit(7)), i =>
+        pmod(length(col("text")) * 31 + col("doc_id") * 17 + i * 7,
+          lit(97)).cast("float")).as("embedding"))
+    val grid = Array.tabulate(2, 4, 4)((j, c, t) => pqGrid(j, c, t).toFloat)
+    val norm2 = grid.map(_.map(_.foldLeft(0.0)((a, x) =>
+      a + x.toDouble * x.toDouble)))
+    val cb = Similarity.PqCodebooks(2, 4, 4, grid, norm2)
+    val base = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/ann19_stream"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val (idxDir, inDir, ckpt) = (s"$base/index", s"$base/in", s"$base/ckpt")
+    Similarity.installPqIndex(
+      embed(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)),
+      idxDir, cb, idCol = "doc_id")
+    val sliver = embed(docs.filter(pmod(col("doc_id"), lit(5)) === 0))
+    sliver.filter(pmod(col("doc_id"), lit(2)) === 0).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    sliver.filter(pmod(col("doc_id"), lit(2)) =!= 0).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    val stream = s.readStream.schema(sliver.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = graft.streaming.EventStream.streamingPqIngest(
+        stream, idxDir, idCol = "doc_id")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt).start()
+    q.awaitTermination()
+    s.read.parquet(s"$idxDir/codes")
+      .select(col("n_id").as("doc_id"),
+        element_at(col("code"), 1).as("c0"),
+        element_at(col("code"), 2).as("c1"),
+        col("recon_norm"))
+      .orderBy("doc_id")
+  }
+
   /** ANN14 — hard negatives through the GENERATOR-AGNOSTIC scale path
     * ([[Similarity.hardNegativesFromCandidates]]), driver-gated with an
     * oracle-replayable candidate set: an exact top-20 over-fetch (4×k,

@@ -576,8 +576,8 @@ object EventStream {
     val spark = docs.sparkSession
     val n = graft.sources.Sources
       .readJsonSidecarFs(spark, s"$evalStoreDir/_meta.json")("n").toInt
-    val probeBytes = graft.sources.Sources
-      .readBinarySidecarFs(spark, s"$evalStoreDir/_bloom.bin")
+    val probeBytes =
+      graft.operators.Dedup.mergedBloomBytes(spark, evalStoreDir, None)
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {

@@ -961,7 +961,7 @@ class DedupSpec extends SparkSpec {
     assert(live.except(store).count() == 0 && store.except(live).count() == 0,
       "store path must be bit-identical to the live rewrite")
     // publish suite B: store now ≡ live over the UNION of suites
-    Dedup.appendToEvalGramStore(suiteB, "text", tmp)
+    Dedup.appendToEvalGramStore(suiteB, "text", tmp, batchId = 1L)
     val liveBoth = Dedup.decontaminateRewrite(
       corpus, suiteA.union(suiteB), "doc_id", "text", n = 5)
     val storeBoth = Dedup.decontaminateRewriteFromStore(corpus, tmp, "doc_id", "text")
@@ -969,16 +969,20 @@ class DedupSpec extends SparkSpec {
       storeBoth.except(liveBoth).count() == 0,
       "grown store must equal the live rewrite over both suites")
     // bloom ⊇ grams: every parquet gram key probes positive on the h1
-    // lane — the invariant that makes a false NEGATIVE (silent
-    // contamination) impossible
+    // lane of the MERGED filter (base + per-batch sidecars) — the
+    // invariant that makes a false NEGATIVE (silent contamination)
+    // impossible
     val bloom = org.apache.spark.util.sketch.BloomFilter.readFrom(
-      graft.sources.Sources.readBinarySidecarFs(spark, s"$tmp/_bloom.bin"))
+      Dedup.mergedBloomBytes(spark, tmp, None))
     val h1s = spark.read.parquet(s"$tmp/grams").select("h1").as[Long].collect()
     assert(h1s.nonEmpty && h1s.forall(bloom.mightContainLong),
       "bloom sidecar must cover every stored gram key")
-    // replaying an append is harmless: duplicate gram ROWS land but the
-    // consumer is a left-semi join — output unchanged
-    Dedup.appendToEvalGramStore(suiteB, "text", tmp)
+    // replaying an append converges by overwrite: same generation dir,
+    // same sidecar, same row count — output unchanged
+    val rowsBefore = spark.read.parquet(s"$tmp/grams").count()
+    Dedup.appendToEvalGramStore(suiteB, "text", tmp, batchId = 1L)
+    assert(spark.read.parquet(s"$tmp/grams").count() == rowsBefore,
+      "replayed append must overwrite its generation, not grow the store")
     val replayed = Dedup.decontaminateRewriteFromStore(corpus, tmp, "doc_id", "text")
     assert(liveBoth.except(replayed).count() == 0 &&
       replayed.except(liveBoth).count() == 0,
