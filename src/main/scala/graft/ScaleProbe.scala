@@ -794,6 +794,7 @@ object ScaleProbe {
         Similarity.writeIvfIndex(embed(corpus), s"$tmp/ivf",
           nCells = 16, idCol = "doc_id")
         Multimodal.writeImageNearDupStore(ppmify(corpus), s"$tmp/imgnd")
+        TextAnalysis.writeBm25Index(corpus, s"$tmp/bm25", buckets = 64)
         def timed(name: String)(f: => Long): String = {
           val t0 = System.nanoTime()
           val rows = f
@@ -824,7 +825,21 @@ object ScaleProbe {
           // the prefix space; worst-case the old skinny scan)
           timed("image_neardup_from_store")(
             Multimodal.incrementalImageNearDup(ppmify(batch),
-              s"$tmp/imgnd", maxHamming = 3).count()))
+              s"$tmp/imgnd", maxHamming = 3).count()),
+          // BM25 store probe against the GROWING index: the postings
+          // scan is partition-pruned to the query terms' buckets, but
+          // the synthetic ~31-word vocabulary makes every posting list
+          // corpus-length, so the row prices the WORST case — pruning
+          // cuts the file set, posting volume still grows linearly.
+          // Real vocabularies spread thin (a query's terms hit a few
+          // bounded lists) — there the row is flat; here it must stay
+          // ≤ linear in the landed corpus
+          timed("bm25_probe_from_store")(
+            TextAnalysis.bm25TopKFromIndex(s"$tmp/bm25",
+              base.filter(col("doc_id") % 83 === 0 && col("doc_id") < 500)
+                .select(col("doc_id").as("q_id"),
+                  substring(col("text"), 1, 60).as("q_text")),
+              k = 5, maxDfRatio = 1.0).count()))
         corpus.unpersist()
         println(s"""{"n":$n,"landedDocs":$docs,"batchDocs":$batchDocs,"queries":${rowsOut.mkString("{", ",", "}")}}""")
       }

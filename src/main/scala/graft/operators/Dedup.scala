@@ -1830,6 +1830,7 @@ object Dedup {
     // or the overwrite silently replaces the earlier batch
     require(batchId > 0, "batchId 0 is the base install (writeNearDupStore)")
     val spark = batch.sparkSession
+    requireNoCrashedCompaction(spark, dir)
     val meta = graft.sources.Sources.readJsonSidecarFs(spark, s"$dir/_meta.json")
     val shingleSize = meta("shingleSize").toInt
     val numHashes = meta("numHashes").toInt
@@ -1891,6 +1892,48 @@ object Dedup {
       .write.partitionBy("band", "pfx")
       .mode("overwrite").parquet(s"$dir/bandkeys/batch=$batchId")
 
+  /** Fold every landed generation of the near-dup store into a single
+    * `batch=0` per table — the maintenance op that bounds file/dir
+    * counts on a long ingest line (week 50 of a crawl is thousands of
+    * `batch=<id>` dirs of small files; probes pay the listing even
+    * when pruned). SINGLE-WRITER, COMMITTED-BATCHES-ONLY contract:
+    * call it from the ingest lineage itself (the foreachBatch
+    * maintenance slot — every batch it sees is checkpoint-committed
+    * and will never replay) or offline with ingest stopped. Compacting
+    * a batch that later REPLAYS would double its shingle rows (which
+    * corrupt jaccard) — the checkpoint is what makes that impossible.
+    *
+    * Crash-safe in three phases: (1) STAGE full copies of every table
+    * under `_compacting/` (the store is untouched — a crash leaves
+    * stale staging that the next run deletes and redoes); (2) COMMIT
+    * by the rename-atomic `_compact_swap.json` marker (staging is now
+    * authoritative); (3) SWAP table by table (delete old dir, move
+    * staged dir in), then clear marker + staging. A crash during (3)
+    * resumes from the marker — the next compact call (or any probe/
+    * append, which fail loudly on the marker) finishes the swap
+    * idempotently: a table already swapped has no staged dir left. */
+  def compactNearDupStore(spark: org.apache.spark.sql.SparkSession,
+                          dir: String,
+                          maxBatchId: Long = Long.MaxValue): Unit = {
+    val meta = graft.sources.Sources.readJsonSidecarFs(spark, s"$dir/_meta.json")
+    val numHashes = meta("numHashes").toInt
+    val tables = Seq(
+      StoreMaintenance.TableSpec("shingles", _.select("id", "hs")),
+      StoreMaintenance.TableSpec("signatures",
+        _.select("id", (0 until numHashes).map(i => s"mh_$i"): _*))) ++
+      (if (meta.contains("bands"))
+        Seq(StoreMaintenance.TableSpec("bandkeys",
+          _.select(col("band"), col("pfx"), col("bh"), col("id"))
+            .repartition(col("band"), col("pfx")),
+          partitionCols = Seq("band", "pfx")))
+       else Nil)
+    StoreMaintenance.compact(spark, dir, tables, maxBatchId)
+  }
+
+  private def requireNoCrashedCompaction(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    StoreMaintenance.requireNoCrashedCompaction(spark, dir)
+
   /** D10 against the at-rest store: the batch is the only side that
     * tokenizes, hashes, or signs — the corpus arrives as two pruned
     * parquet scans of the store `writeNearDupStore` landed. The
@@ -1915,6 +1958,7 @@ object Dedup {
                                   bands: Int = 16,
                                   threshold: Double = 0.8): DataFrame = {
     val spark = batch.sparkSession
+    requireNoCrashedCompaction(spark, dir)
     val meta = graft.sources.Sources.readJsonSidecarFs(spark, s"$dir/_meta.json")
     val shingleSize = meta("shingleSize").toInt
     val numHashes = meta("numHashes").toInt

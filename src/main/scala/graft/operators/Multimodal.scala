@@ -460,6 +460,7 @@ object Multimodal {
                                 bytesCol: String = "bytes"): Unit = {
     require(batchId > 0, "batchId 0 is the base install")
     val spark = batch.sparkSession
+    StoreMaintenance.requireNoCrashedCompaction(spark, dir)
     val meta = graft.sources.Sources.readJsonSidecarFs(spark, s"$dir/_meta.json")
     writeBandedGeneration(
       imageDHash(batch, idCol, bytesCol), idCol,
@@ -485,6 +486,23 @@ object Multimodal {
       .mode("overwrite").parquet(s"$dir/bands/batch=$batchId")
   }
 
+  /** Fold every committed generation of the perceptual banded store
+    * into one `batch=0` — [[graft.operators.StoreMaintenance]]'s
+    * crash-safe three-phase protocol applied to the image/audio/video
+    * near-dup stores this module lands via `writeBandedGeneration`.
+    * Same contract as `Dedup.compactNearDupStore`: single writer,
+    * fold only generations the ingest checkpoint has committed
+    * (`maxBatchId`), probes and appends fail loudly on a crashed swap
+    * until a re-run finishes it. */
+  def compactImageNearDupStore(spark: org.apache.spark.sql.SparkSession,
+                               dir: String,
+                               maxBatchId: Long = Long.MaxValue): Unit =
+    StoreMaintenance.compact(spark, dir, Seq(
+      StoreMaintenance.TableSpec("bands",
+        _.select(col("band"), col("pfx"), col("bk"), col("id"), col("h"))
+          .repartition(col("band"), col("pfx")),
+        partitionCols = Seq("band", "pfx"))), maxBatchId)
+
   /** Batch × store NEAR-dup pairs at Hamming ≤ `maxHamming` — the
     * incremental fuzzy-image-dedup read path (d10's shape on the
     * pixel channel): the batch bands its hashes with the STORE's
@@ -505,6 +523,7 @@ object Multimodal {
                               idCol: String = "media_id",
                               bytesCol: String = "bytes"): DataFrame = {
     val spark = batch.sparkSession
+    StoreMaintenance.requireNoCrashedCompaction(spark, dir)
     val meta = graft.sources.Sources.readJsonSidecarFs(spark, s"$dir/_meta.json")
     val bands = meta("bands").toInt
     val pfxBits = meta("pfxBits").toInt

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Crash-safe GENERATION COMPACTION shared by the at-rest stores whose
+  * tables accumulate `batch=<id>` dirs per ingest batch (near-dup
+  * shingles/signatures/bandkeys, perceptual bands): fold every
+  * committed generation into a single `batch=0` per table, bounding
+  * file/dir counts on a long ingest line (week 50 of a crawl is
+  * thousands of small-file generations; probes pay the listing even
+  * when partition-pruned).
+  *
+  * SINGLE-WRITER, COMMITTED-BATCHES-ONLY contract: call from the
+  * ingest lineage itself (a foreachBatch maintenance slot — every
+  * generation it can see below the bound is checkpoint-committed and
+  * will never replay) or offline with ingest stopped. Folding a
+  * generation a crashed trigger later re-appends would DUPLICATE its
+  * rows into the fold (which corrupts jaccard-class verifies) — the
+  * `maxBatchId` bound plus the checkpoint is what makes that
+  * impossible.
+  *
+  * Three phases: (1) STAGE full folds of every table under
+  * `_compacting/` — the store is untouched, a crash leaves stale
+  * staging the next run deletes and redoes; (2) COMMIT by the
+  * rename-atomic `_compact_swap.json` marker recording exactly which
+  * generation dirs the fold covers — staging is now authoritative;
+  * (3) SWAP table by table (delete the folded generation dirs, move
+  * the staged `batch=0` in), then clear marker + staging. A crash
+  * during (3) resumes from the marker: the next compact call finishes
+  * the swap idempotently (a table whose staged dir is gone was already
+  * swapped), and until then every probe/append entry point fails
+  * loudly on the marker ([[requireNoCrashedCompaction]]) — reading
+  * mid-swap could see a half-old/half-new table set. */
+private[operators] object StoreMaintenance {
+
+  /** One store table: how to project its fold (include any
+    * `repartition` the landed layout needs) and the partition columns
+    * of its at-rest layout (empty = plain dir of files). */
+  final case class TableSpec(name: String,
+                             project: DataFrame => DataFrame,
+                             partitionCols: Seq[String] = Nil)
+
+  private def marker(dir: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$dir/_compact_swap.json")
+
+  private def hadoopFs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Loud guard shared by the stores' probe/append entry points. */
+  def requireNoCrashedCompaction(spark: SparkSession, dir: String): Unit =
+    require(!hadoopFs(spark, dir).exists(marker(dir)),
+      s"store at $dir has an unfinished compaction swap — run its " +
+        "compact*Store maintenance op to finish it first")
+
+  def compact(spark: SparkSession, dir: String, tables: Seq[TableSpec],
+              maxBatchId: Long): Unit = {
+    val fs = hadoopFs(spark, dir)
+    if (fs.exists(marker(dir))) {
+      finish(spark, dir)
+      return
+    }
+    val staging = new org.apache.hadoop.fs.Path(s"$dir/_compacting")
+    if (fs.exists(staging)) fs.delete(staging, true) // stage-phase crash
+    def foldable(t: String): Seq[(Long, org.apache.hadoop.fs.Path)] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$t")).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .map(s => (s.getPath.getName.stripPrefix("batch=").toLong, s.getPath))
+        .filter(_._1 <= maxBatchId)
+        .sortBy(_._1)
+    val folds = tables.map(t => t.name -> foldable(t.name)).toMap
+    if (folds.values.map(_.size).max <= 1) return // nothing to fold
+    // phase 1: stage
+    tables.foreach { t =>
+      val paths = folds(t.name).map(_._2.toString)
+      // basePath: the folded generation dirs are sibling partition
+      // dirs (some with nested partitions inside) — without the table
+      // root Spark refuses the multi-root partition inference
+      val df = t.project(spark.read
+        .option("basePath", s"$dir/${t.name}").parquet(paths: _*))
+      val w = df.write
+      (if (t.partitionCols.nonEmpty) w.partitionBy(t.partitionCols: _*)
+       else w).parquet(s"$dir/_compacting/${t.name}/batch=0")
+    }
+    // phase 2: commit — record exactly which generation dirs the fold
+    // covers, so the swap's deletes are replayable
+    graft.sources.Sources.writeJsonSidecarFs(spark, marker(dir).toString,
+      Map("tables" -> tables.map(_.name).mkString(",")) ++
+        tables.map(t => s"folded_${t.name}" ->
+          folds(t.name).map(_._1).mkString(",")).toMap)
+    // phase 3: swap
+    finish(spark, dir)
+  }
+
+  /** Phase 3, idempotent under re-entry. */
+  def finish(spark: SparkSession, dir: String): Unit = {
+    val fs = hadoopFs(spark, dir)
+    val m = graft.sources.Sources
+      .readJsonSidecarFs(spark, marker(dir).toString)
+    m("tables").split(",").toSeq.foreach { t =>
+      val staged = new org.apache.hadoop.fs.Path(s"$dir/_compacting/$t/batch=0")
+      if (fs.exists(staged)) { // not yet swapped on this entry
+        m(s"folded_$t").split(",").filter(_.nonEmpty).foreach { id =>
+          val gen = new org.apache.hadoop.fs.Path(s"$dir/$t/batch=$id")
+          if (fs.exists(gen)) fs.delete(gen, true)
+        }
+        val live = new org.apache.hadoop.fs.Path(s"$dir/$t/batch=0")
+        require(fs.rename(staged, live),
+          s"store compaction: swap of $t failed ($staged -> $live)")
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_compacting"), true)
+    fs.delete(marker(dir), false)
+    spark.catalog.refreshByPath(dir)
+  }
+}

@@ -250,13 +250,34 @@ object EventStream {
     * delivery; read with `Sources.readPublished`). */
   def streamingNearDupIngest(docs: DataFrame, storeDir: String,
                              keptDir: String, idCol: String, textCol: String,
-                             threshold: Double = 0.8)
+                             threshold: Double = 0.8,
+                             compactStoreEvery: Int = 0)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import graft.operators.Dedup
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
+          // in-loop store maintenance, BEFORE this trigger touches the
+          // store: fold generations ≤ batchId — those came from
+          // triggers that have committed (trigger N starting means
+          // N−1's checkpoint committed), so no replay can ever
+          // re-append a folded generation and duplicate its shingle
+          // rows. This trigger's own generation (batchId + 1, possibly
+          // half-landed by a crashed prior attempt) stays unfolded by
+          // the bound. Best-effort like the exact loop's slot: a
+          // maintenance failure must not fail a data trigger.
+          if (compactStoreEvery > 0 && batchId > 0 &&
+              batchId % compactStoreEvery == 0)
+            try Dedup.compactNearDupStore(spark, storeDir,
+              maxBatchId = batchId)
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                System.err.println(
+                  s"[graft] near-dup store compaction of $storeDir " +
+                    s"failed (batch $batchId, retried at the next " +
+                    s"qualifying trigger): ${e.getMessage}")
+            }
           // blocks persisted BEFORE this batch stay untouched — only
           // the dedup family's per-call caches created below are
           // released, so a co-resident batch job's persists survive

@@ -505,6 +505,64 @@ class DedupSpec extends SparkSpec {
     assert(fromStore == live && fromStore.nonEmpty)
   }
 
+  test("near-dup store compaction: folds committed generations into " +
+       "batch=0, probe answers unchanged, replay bound honored, " +
+       "crashed swap blocks and heals") {
+    val dir = java.nio.file.Files.createTempDirectory("ndcompact").toString
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter($"doc_id" % 5 > 1)
+    val b1 = docs.filter($"doc_id" % 5 === 1)
+    val b2 = docs.filter($"doc_id" % 5 === 0 && $"doc_id" % 2 === 0)
+    val probe = docs.filter($"doc_id" % 5 === 0 && $"doc_id" % 2 =!= 0)
+      .select(($"doc_id" + 900000000L).as("doc_id"), $"text")
+    Dedup.writeNearDupStore(corpus, "doc_id", "text", dir)
+    Dedup.appendToNearDupStore(b1, dir, "doc_id", "text", batchId = 1L)
+    Dedup.appendToNearDupStore(b2, dir, "doc_id", "text", batchId = 2L)
+    def pairs() = Dedup.incrementalNearDupFromStore(probe, dir,
+        "doc_id", "text")
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    def gens(t: String): Set[String] =
+      new java.io.File(s"$dir/$t").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+        .map(_.getName).toSet
+    val before = pairs()
+    assert(before.nonEmpty && gens("shingles").size == 3)
+    // bound honored: gen 2 could still be replayed by its trigger —
+    // fold only ≤ 1; it must survive untouched
+    Dedup.compactNearDupStore(spark, dir, maxBatchId = 1L)
+    assert(gens("shingles") == Set("batch=0", "batch=2") &&
+      gens("signatures") == Set("batch=0", "batch=2") &&
+      gens("bandkeys") == Set("batch=0", "batch=2"))
+    assert(pairs() == before, "partial fold must not change any answer")
+    // full fold
+    Dedup.compactNearDupStore(spark, dir)
+    assert(gens("shingles") == Set("batch=0") &&
+      gens("signatures") == Set("batch=0") &&
+      gens("bandkeys") == Set("batch=0"))
+    assert(pairs() == before, "full fold must not change any answer")
+    // the store keeps growing normally after a fold (a DIFFERENT id
+    // range — probe ids must stay disjoint from landed ids)
+    val b3 = docs.filter($"doc_id" % 5 === 4)
+      .select(($"doc_id" + 950000000L).as("doc_id"), $"text")
+    Dedup.appendToNearDupStore(b3, dir, "doc_id", "text", batchId = 3L)
+    assert(gens("shingles") == Set("batch=0", "batch=3"))
+    // crashed swap: a leftover marker must BLOCK probes and appends
+    // loudly (mid-swap reads could see a half-old/half-new table set),
+    // and the next compact call must heal it
+    graft.sources.Sources.writeJsonSidecarFs(spark,
+      s"$dir/_compact_swap.json",
+      Map("tables" -> "shingles,signatures,bandkeys",
+        "folded_shingles" -> "", "folded_signatures" -> "",
+        "folded_bandkeys" -> ""))
+    intercept[IllegalArgumentException](pairs())
+    intercept[IllegalArgumentException](
+      Dedup.appendToNearDupStore(b3, dir, "doc_id", "text", 4L))
+    Dedup.compactNearDupStore(spark, dir) // finds the marker, finishes
+    assert(!new java.io.File(s"$dir/_compact_swap.json").exists())
+    assert(pairs().nonEmpty, "healed store must serve probes again")
+  }
+
   test("near-dup store meta pins the MinHash seed; reader honors it") {
     // a seed mismatch between writer and reader silently yields
     // near-zero pairs — the meta sidecar must carry the seed so the

@@ -404,6 +404,23 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(after.contains((1L, 1001L)) && after.contains((3L, 1003L)),
       s"appended generation must be probe-visible: $after")
+    // maintenance: folding install + append into one batch=0 changes
+    // no answer, and the store keeps growing afterwards
+    compactImageNearDupStore(spark, dir)
+    val gens = new java.io.File(s"$dir/bands").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName).toSet
+    assert(gens == Set("batch=0"), s"fold must leave one generation: $gens")
+    val folded = incrementalImageNearDup(batch, dir, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(folded == after, "fold must not change any probe answer")
+    appendToImageNearDupStore(
+      batch.select((col("media_id") + 2000L).as("media_id"), col("bytes")),
+      dir, batchId = 2L)
+    val grown = incrementalImageNearDup(batch, dir, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(grown.contains((1L, 2001L)),
+      s"post-fold appends must stay probe-visible: $grown")
   }
 
   test("incrementalImageNearDup probe PRUNES the banded store scan by (band, pfx)") {

@@ -299,6 +299,47 @@ class EventStreamSpec extends SparkSpec {
     assert(storeIds == Set(100L, 2L, 3L, 6L))
   }
 
+  test("streamingNearDupIngest in-loop compaction folds committed " +
+       "generations without changing answers") {
+    implicit val sqlCtx = spark.sqlContext
+    def doc(ws: String*): String = ws.mkString(" ")
+    val baseA = doc((1 to 20).map(i => s"ka$i"): _*)
+    val baseB = doc((1 to 20).map(i => s"kb$i"): _*)
+    val baseC = doc((1 to 20).map(i => s"kc$i"): _*)
+    def variant(b: String): String =
+      b.split(" ").dropRight(1).mkString(" ") + " zz"
+    val tmp = java.nio.file.Files.createTempDirectory("ndcompactloop").toString
+    val (storeDir, keptDir) = (s"$tmp/store", s"$tmp/kept")
+    graft.operators.Dedup.writeNearDupStore(
+      Seq((100L, baseA)).toDF("doc_id", "text"), "doc_id", "text", storeDir)
+    val mem = MemoryStream[(Long, String)]
+    val q = streamingNearDupIngest(
+        mem.toDF().toDF("doc_id", "text"), storeDir, keptDir,
+        "doc_id", "text", compactStoreEvery = 2)
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    mem.addData((1L, baseB)); q.processAllAvailable()       // trigger 0
+    mem.addData((2L, baseC)); q.processAllAvailable()       // trigger 1
+    // trigger 2 compacts gens ≤ 2 first (install + triggers 0–1, all
+    // committed), THEN processes: doc 3 near-dups survivor 1 — the
+    // FOLDED store must still know it
+    mem.addData((3L, variant(baseB)), (4L, doc((1 to 20).map(i => s"kd$i"): _*)))
+    q.processAllAvailable()
+    q.stop()
+    val kept = graft.sources.Sources.readPublished(spark, keptDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 4L), s"survivors should be {1, 2, 4}: $kept")
+    val gens = new java.io.File(s"$storeDir/signatures").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName).toSet
+    // gens 0/1/2 folded at trigger 2; trigger 2's own gen (3) landed after
+    assert(gens == Set("batch=0", "batch=3"),
+      s"triggers 0-1 must be folded, trigger 2's generation kept: $gens")
+    val storeIds = spark.read.parquet(s"$storeDir/signatures")
+      .select("id").distinct().as[Long].collect().toSet
+    assert(storeIds == Set(100L, 1L, 2L, 4L),
+      s"fold must lose no store rows: $storeIds")
+  }
+
   test("replayed batch does not erase its published rows or store rows") {
     // Simulates the crash-after-side-effects-before-checkpoint-commit
     // window: run a batch to completion, then replay the SAME data as
