@@ -327,6 +327,29 @@ object Dedup {
     }
   }
 
+  /** Fold the fp store's committed generations into one `batch=0` and
+    * its per-batch bloom sidecars into the base filter —
+    * [[StoreMaintenance]]'s protocol on the fps table plus
+    * [[compactFpStoreSidecars]]. The sidecar fold needs no generation
+    * bound of its own: bloom folding is a set union, so a replayed
+    * append re-writing its own `_bloom.b<id>.bin` after the fold adds
+    * keys the base already carries — merged probes are unchanged. The
+    * fps TABLE fold takes `maxBatchId` like every row-table fold
+    * (duplicate fp rows from a replayed folded generation would be
+    * anti-join-invisible, but the store should not grow on replay). */
+  def compactFpStore(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     maxBatchId: Long = Long.MaxValue): Unit = {
+    val meta = graft.sources.Sources.readJsonSidecarFs(spark, s"$dir/_meta.json")
+    val shards = meta.getOrElse("shards", "1").toInt
+    val spec =
+      if (shards == 1) StoreMaintenance.TableSpec("fps", _.select("fp"))
+      else StoreMaintenance.TableSpec("fps",
+        _.select(col("fp"), col("shard")).repartition(col("shard")),
+        partitionCols = Seq("shard"))
+    StoreMaintenance.compact(spark, dir, Seq(spec), maxBatchId)
+    compactFpStoreSidecars(spark, dir)
+  }
+
   /** One shard's Bloom sidecar from its key frame; an EMPTY shard gets
     * an explicit empty filter (stat.bloomFilter over zero rows yields a
     * null sketch buffer). */
@@ -355,6 +378,7 @@ object Dedup {
                                        dir: String, idCol: String,
                                        textCol: String): DataFrame = {
     val spark = batch.sparkSession
+    requireNoCrashedCompaction(spark, dir)
     val meta = graft.sources.Sources.readJsonSidecarFs(spark, s"$dir/_meta.json")
     // stores written before sharding existed carry no "shards" key = 1
     val shards = meta.getOrElse("shards", "1").toInt
@@ -430,6 +454,7 @@ object Dedup {
     // empty dir
     if (newFps.isEmpty) return
     val spark = newFps.sparkSession
+    requireNoCrashedCompaction(spark, dir)
     val meta = graft.sources.Sources.readJsonSidecarFs(spark, s"$dir/_meta.json")
     require(meta.getOrElse("formatVersion", "1") == "2",
       s"fp store at $dir predates per-batch generations (formatVersion " +

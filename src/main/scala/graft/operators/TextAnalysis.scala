@@ -220,7 +220,13 @@ object TextAnalysis {
     * true corpus-wide idf/avgdl, bit-identical to a fresh rebuild over
     * the union. CONTRACT: batch ids are disjoint from landed ids (the
     * dedup-store rule); a re-appended doc would double its df
-    * contribution. */
+    * contribution. Generation COMPACTION for this store is a fresh
+    * [[writeBm25Index]] rebuild over the corpus: folding postings
+    * generations in place would have to fold their `_stats` entries
+    * atomically with them (a half-fold silently skews idf/avgdl,
+    * unlike the dedup stores' marker-guarded row tables), and the
+    * rebuild is one tokenize-and-count pass — cheap relative to the
+    * corpus it reads either way. */
   def appendToBm25Index(batch: DataFrame, dir: String, batchId: Long,
                         idCol: String = "doc_id",
                         textCol: String = "text"): Unit = {

@@ -432,10 +432,11 @@ object EventStream {
               graft.sources.Sources.compactPublished(spark, keptDir,
                 targetFileBytes)
               graft.sources.Sources.vacuumPublished(spark, keptDir)
-              // fold per-batch bloom sidecars into the base so probe
-              // merge cost resets — safe HERE because the stream is the
-              // store's single writer (compactFpStoreSidecars's contract)
-              Dedup.compactFpStoreSidecars(spark, storeDir)
+              // fold the store's committed generations (≤ batchId —
+              // this trigger's own gen batchId+1 may still replay) and
+              // its per-batch bloom sidecars — safe HERE because the
+              // stream is the store's single writer
+              Dedup.compactFpStore(spark, storeDir, maxBatchId = batchId)
             } catch {
               case scala.util.control.NonFatal(e) =>
                 System.err.println(

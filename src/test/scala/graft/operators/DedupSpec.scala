@@ -435,15 +435,29 @@ class DedupSpec extends SparkSpec {
       dir, batchId = 1L)
     assert(spark.read.parquet(s"$dir/fps").count() == rowsBefore,
       "replayed append must overwrite its generation, not grow the store")
-    // single-writer maintenance folds the per-batch sidecars down and
-    // keeps bloom ⊇ fps
-    Dedup.compactFpStoreSidecars(spark, dir)
+    // single-writer maintenance: the full fold collapses the fps
+    // generations to one batch=0 AND the per-batch sidecars into the
+    // base, preserving bloom ⊇ fps
+    Dedup.compactFpStore(spark, dir)
     assert(!new java.io.File(s"$dir/_bloom.b1.bin").exists() &&
       !new java.io.File(s"$dir/_bloom.b2.bin").exists())
+    val fpGens = new java.io.File(s"$dir/fps").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName).toSet
+    assert(fpGens == Set("batch=0"), s"fold must leave one generation: $fpGens")
+    assert(spark.read.parquet(s"$dir/fps").count() == rowsBefore,
+      "fold must lose no fp rows")
     val compacted = org.apache.spark.util.sketch.BloomFilter.readFrom(
       Dedup.mergedBloomBytes(spark, dir, None))
     assert(allKeys.forall(compacted.mightContainLong),
       "compaction must preserve bloom ⊇ fps")
+    // and the folded store still answers probes: a batch of known dups
+    // against it must all be caught
+    val dupBatch = docs.filter($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 990000000L).as("doc_id"), $"text")
+    assert(Dedup.incrementalExactDedupFromFpStore(
+        dupBatch, dir, "doc_id", "text").count() == 0,
+      "every doc in the dup batch must be caught by the folded store")
   }
 
   test("contaminationPairs counts shared distinct n-grams per (doc, eval doc)") {
