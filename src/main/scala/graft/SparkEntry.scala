@@ -135,6 +135,7 @@ object SparkEntry {
     "a_unpivot"       -> (Relational.aUnpivot _),
     "ann4_ivf_store"  -> (Documents.ann4IvfStore _),
     "d14_store_append" -> (Documents.d14StoreAppend _),
+    "d29_neardup_compacted" -> (Documents.d29NearDupCompacted _),
     "t15_decontam_rewrite" -> (Documents.t15DecontamRewrite _),
     "t16_stratified_cut" -> (Documents.t16StratifiedCut _),
     "t17_vocab_per_lang" -> (Documents.t17VocabPerLang _),
@@ -1257,6 +1258,10 @@ object SparkEntry {
     // d14 = the d10/d11 semantics with the corpus landed in TWO store
     // installments (write + append) — same ground truth
     "d14_store_append" -> crossSetJaccardSql,
+    // D29: d14's flow with the install + append generations FOLDED
+    // into one batch=0 before the probe — same ground truth, so any
+    // row the fold loses or duplicates moves a jaccard and hash-fails
+    "d29_neardup_compacted" -> crossSetJaccardSql,
     "t1_tumbling_window" ->
       """SELECT strftime(make_timestamp(
         |    CAST(floor(epoch(ts) / 604800) * 604800 AS BIGINT) * 1000000),

@@ -1495,6 +1495,32 @@ object Documents {
       .orderBy("id_a", "id_b")
   }
 
+  /** D29 — d14's grown store with a GENERATION FOLD between the append
+    * and the probe ([[Dedup.compactNearDupStore]]'s crash-safe
+    * three-phase swap): the probe runs against a store whose
+    * install + append generations were compacted into one `batch=0`,
+    * and the answer must STILL be d14's exact cross-set jaccard pairs
+    * — a fold that lost, duplicated, or mis-partitioned a single
+    * shingle/signature/band-key row moves a jaccard and hash-fails.
+    * This is the oracle gate for the maintenance op itself (the spec
+    * additionally pins the crashed-swap marker and the replay bound). */
+  def d29NearDupCompacted(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val dir = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/neardup_store_compacted"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    Dedup.writeNearDupStore(
+      docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1),
+      "doc_id", "text", dir)
+    Dedup.appendToNearDupStore(docs.filter(col("doc_id") % 5 === 1),
+      dir, "doc_id", "text", batchId = 1L)
+    Dedup.compactNearDupStore(s, dir)
+    Dedup.incrementalNearDupFromStore(docs.filter(col("doc_id") % 5 === 0),
+        dir, "doc_id", "text", threshold = 0.8)
+      .orderBy("id_a", "id_b")
+  }
+
   /** MM1 — binary-column plumbing: payload sizes oracle-checked against
     * the utf-8 byte length DuckDB computes. */
   def mm1MediaMeta(s: SparkSession, d: String): DataFrame =
