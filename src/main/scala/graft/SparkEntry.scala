@@ -244,7 +244,7 @@ object SparkEntry {
     "t47_bm25_store" -> (Documents.t47Bm25Store _),
     "t48_bm25_append" -> (Documents.t48Bm25Append _),
     "t49_bm25_pruned" -> (Documents.t49Bm25Pruned _),
-  )
+  ) ++ graft.queries.Medallion.queries
 
   /** T20's oracle: every Gopher rule statistic recomputed on RAW gram
     * strings (the engine's doc-local sorted-run scan must agree with a
@@ -3462,7 +3462,7 @@ object SparkEntry {
         |  PARTITION BY q_id ORDER BY rrf DESC, n_id ASC) AS rank FROM f)
         |SELECT q_id, rank, n_id, rrf FROM r WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
-  )
+  ) ++ graft.queries.Medallion.oracleSql
 
   /** pipeline_e2e oracle: the query parquet-dumps its deterministic gold
     * tables + loan silver (PipelineE2E.oracleDumpDir, same process so the

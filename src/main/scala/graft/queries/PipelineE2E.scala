@@ -14,7 +14,7 @@ import graft.pipeline.{Gold, Schemas, Silver}
   */
 object PipelineE2E {
 
-  private def gen(spark: SparkSession, schema: StructType, n: Int): DataFrame = {
+  private[queries] def gen(spark: SparkSession, schema: StructType, n: Int): DataFrame = {
     val special: Map[String, Column] = {
       val id = col("row_id")
       Map(
