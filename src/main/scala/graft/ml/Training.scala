@@ -97,22 +97,28 @@ object Training {
           graft.ops.Sampling.hashBucket(
             struct(col("features"), col("label")), seed.toString) < pct)
       } else train
-      val ovr = new OneVsRest().setClassifier(gbt)
-        .setLabelCol("label").setFeaturesCol("features")
-        .setParallelism(7)
       // materialize the assembled (features, label, is_val) frame ONCE
-      // across the 7 binary fits: each OneVsRest slot relabels and
-      // re-scans it per boosting pass, and an uncached lineage would
+      // across the per-class binary fits: each OneVsRest slot relabels
+      // and re-scans it per boosting pass, and an uncached lineage would
       // re-run the upstream assembly/hash-split for every one of them.
       // (OneVsRest's own handlePersistence only kicks in on ITS derived
       // projection per fit; caching here shares the blocks across all
-      // slots.) Parallelism 7 = one slot per class — the fits are
-      // iterative many-small-stage jobs, so concurrent slots fill the
-      // scheduler instead of serializing 7 × 150 rounds.
+      // slots.)
       val preCached =
         fitOn.storageLevel != org.apache.spark.storage.StorageLevel.NONE
       if (!preCached)
         fitOn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // one slot per DISTINCT label, derived from the data (capped at
+      // 16 so a high-cardinality label can't flood the scheduler) — the
+      // fits are iterative many-small-stage jobs, so concurrent slots
+      // fill the scheduler instead of serializing nClasses × maxIter
+      // rounds; a hard-coded constant would silently under-fill or
+      // over-provision the pool when the cardinality differs. The
+      // distinct-count job runs on the frame just cached above.
+      val nClasses = fitOn.select("label").distinct().count().toInt
+      val ovr = new OneVsRest().setClassifier(gbt)
+        .setLabelCol("label").setFeaturesCol("features")
+        .setParallelism(math.min(16, math.max(1, nClasses)))
       try ovr.fit(fitOn)
       finally if (!preCached) fitOn.unpersist(false)
     }

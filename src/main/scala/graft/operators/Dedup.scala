@@ -1258,12 +1258,18 @@ object Dedup {
       .select(col("hg.h1").as("h1"), col("hg.h2").as("h2"))
       .distinct()
       .localCheckpoint()
+    val nGrams = grams.count()
     val capacity =
       if (expectedTotalGrams > 0) expectedTotalGrams
-      else math.max(grams.count(), 1L)
+      else math.max(nGrams, 1L)
     // batch=0 is the base suite; later suites land under their own
     // generation dirs with their own sidecars (appendToEvalGramStore)
     grams.write.mode("overwrite").parquet(s"$dir/grams/batch=0")
+    // per-batch gram-count entry (the BM25 _stats convention): appends
+    // derive the store's total by summing these tiny sidecars instead
+    // of re-scanning every landed generation's parquet
+    graft.sources.Sources.writeJsonSidecarFs(spark,
+      s"$dir/_stats/batch_0.json", Map("grams" -> nGrams.toString))
     val filter =
       if (grams.isEmpty)
         org.apache.spark.util.sketch.BloomFilter.create(capacity, fpp)
@@ -1288,11 +1294,12 @@ object Dedup {
     * probe) — the appendToFpStore invariant. Duplicate gram ROWS from
     * a replay are harmless: the consumer is a left-semi join.
     *
-    * The cumulative gram count is tracked in `_meta.json`
-    * (`totalGrams`): the sidecar was SIZED for `expectedTotalGrams`,
-    * and merged filters share that bit array — appends growing the
-    * store past its sizing capacity saturate it, raising the
-    * effective fpp (never false negatives — only extra verify work).
+    * The cumulative gram count is the sum of per-batch
+    * `_stats/batch_<id>.json` entries (each batch writes only its
+    * own): the sidecar was SIZED for `expectedTotalGrams`, and merged
+    * filters share that bit array — appends growing the store past
+    * its sizing capacity saturate it, raising the effective fpp
+    * (never false negatives — only extra verify work).
     * Past 2× capacity this warns loudly: the operator keeps working,
     * but the owner should rebuild the store
     * ([[writeEvalGramStore]] over the full suite) with honest
@@ -1302,6 +1309,16 @@ object Dedup {
     require(batchId > 0, "batchId 0 is the base install (writeEvalGramStore)")
     val spark = evalSet.sparkSession
     val meta = graft.sources.Sources.readJsonSidecarFs(spark, s"$dir/_meta.json")
+    // a v1 store keeps its gram parquet FLAT under $dir/grams — landing
+    // a grams/batch=<id> dir next to flat files makes every subsequent
+    // read of $dir/grams fail on conflicting directory structures,
+    // bricking the store AFTER this batch's sidecar already landed.
+    // Mirror appendToFpStore: growing a v1 store requires a
+    // writeEvalGramStore reinstall.
+    require(meta.getOrElse("formatVersion", "1") == "2",
+      s"eval-gram store at $dir predates per-batch generations " +
+        s"(formatVersion ${meta.getOrElse("formatVersion", "1")}); " +
+        "reinstall with writeEvalGramStore to grow it")
     val n = meta("n").toInt
     val capacity = meta("expectedTotalGrams").toLong
     val fpp = meta("fpp").toDouble
@@ -1322,16 +1339,37 @@ object Dedup {
       s"$dir/_bloom.b$batchId.bin",
       graft.functions.BloomMightContain.toBytes(batchFilter))
     grams.write.mode("overwrite").parquet(s"$dir/grams/batch=$batchId")
+    // this batch's gram count lands under its own `_stats` entry
+    // (idempotent by overwrite, no shared-file RMW) and the warn total
+    // is the sum of those tiny sidecars — O(batch) count + O(landed
+    // generations) 60-byte JSON reads, never a re-list/re-open of every
+    // generation's parquet footers (which made each append O(store))
+    graft.sources.Sources.writeJsonSidecarFs(spark,
+      s"$dir/_stats/batch_$batchId.json",
+      Map("grams" -> grams.count().toString))
     spark.catalog.refreshByPath(dir)
-    // upper-bound accounting moves OUT of the sidecar (its counter was
-    // a meta RMW): derive it from the landed generations at warn time —
-    // row-group metadata count, no data scan
-    val total = spark.read.parquet(s"$dir/grams").count()
+    val total = sumStatsEntries(spark, s"$dir/_stats", "grams")
     if (total > 2L * capacity)
       System.err.println(
         s"[graft] eval-gram store $dir holds ~$total grams against a " +
         s"sidecar sized for $capacity — effective fpp is degrading; " +
         "rebuild with writeEvalGramStore over the full suite")
+  }
+
+  /** Sum of one numeric field over a store's per-batch `_stats/
+    * batch_<id>.json` entries (the no-RMW accounting convention). */
+  private def sumStatsEntries(spark: org.apache.spark.sql.SparkSession,
+                              statsDir: String, field: String): Long = {
+    val d = new org.apache.hadoop.fs.Path(statsDir)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(d)) 0L
+    else {
+      val pat = "batch_(\\d+)\\.json".r
+      fs.listStatus(d).toSeq.map(_.getPath)
+        .filter(p => pat.matches(p.getName))
+        .map(p => graft.sources.Sources.readJsonSidecarFs(spark, p.toString))
+        .flatMap(_.get(field).map(_.toLong)).sum
+    }
   }
 
   /** [[decontaminateRewrite]] against the at-rest eval-gram store —

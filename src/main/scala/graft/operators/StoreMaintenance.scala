@@ -62,13 +62,24 @@ private[operators] object StoreMaintenance {
     }
     val staging = new org.apache.hadoop.fs.Path(s"$dir/_compacting")
     if (fs.exists(staging)) fs.delete(staging, true) // stage-phase crash
-    def foldable(t: String): Seq[(Long, org.apache.hadoop.fs.Path)] =
-      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$t")).toSeq
+    def foldable(t: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+      val tp = new org.apache.hadoop.fs.Path(s"$dir/$t")
+      if (!fs.exists(tp)) Nil
+      else fs.listStatus(tp).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
         .map(s => (s.getPath.getName.stripPrefix("batch=").toLong, s.getPath))
         .filter(_._1 <= maxBatchId)
         .sortBy(_._1)
+    }
     val folds = tables.map(t => t.name -> foldable(t.name)).toMap
+    // every installed table owns >= 1 committed generation (base install
+    // lands batch=0) — a zero-generation table means the caller's
+    // TableSpec doesn't match the store on disk; fail with the contract,
+    // not an opaque empty-path parquet read in the stage phase
+    tables.foreach(t => require(folds(t.name).nonEmpty,
+      s"store compaction at $dir: table ${t.name} has no committed " +
+        s"batch= generations <= $maxBatchId — TableSpec/store mismatch " +
+        "(a base install always lands batch=0)"))
     if (folds.values.map(_.size).max <= 1) return // nothing to fold
     // phase 1: stage
     tables.foreach { t =>

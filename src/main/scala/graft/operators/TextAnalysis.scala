@@ -233,6 +233,16 @@ object TextAnalysis {
     require(batchId > 0, "batchId 0 is the base install")
     val spark = batch.sparkSession
     val meta = graft.sources.Sources.readJsonSidecarFs(spark, s"$dir/_meta.json")
+    // a v1 index keeps nDocs/sumDl inline in _meta.json and
+    // readBm25Stats PREFERS that branch — landing a batch's postings +
+    // _stats entry against it would leave post-append probes scoring
+    // with the batch's df but stale corpus totals (silently wrong,
+    // violating the rebuild-identical contract). Mirror appendToFpStore:
+    // growing a v1 index requires a writeBm25Index rebuild.
+    require(meta.getOrElse("formatVersion", "1") == "2",
+      s"bm25 index at $dir predates per-batch _stats entries " +
+        s"(formatVersion ${meta.getOrElse("formatVersion", "1")}); " +
+        "rebuild with writeBm25Index to grow it")
     val buckets = meta("buckets").toLong
     def terms(c: Column) = split(trim(lower(c)), "\\s+")
     val body = batch.select(col(idCol).as("n_id"), terms(col(textCol)).as("_tk"))

@@ -1140,4 +1140,106 @@ class DedupSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSet
     assert(out == Set(("s.com/p", 3L, 3L), ("other.com/q", 4L, 1L)))
   }
+
+  test("compaction commit window: a generation landing between stage and " +
+       "swap survives — finish deletes only the marker's recorded ids") {
+    // the benign interleaving the single-writer contract allows: an
+    // append passes the marker guard while the fold is STAGING, and its
+    // generation lands before the SWAP. finish must delete exactly the
+    // generations the marker records — this spec fails if it ever
+    // deletes (or folds) the non-recorded newcomer.
+    val dir = java.nio.file.Files.createTempDirectory("ndinterleave").toString
+    val tmp = java.nio.file.Files.createTempDirectory("ndstaged").toString
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter($"doc_id" % 5 > 1)
+    val b1 = docs.filter($"doc_id" % 5 === 1)
+    val b2 = docs.filter($"doc_id" % 5 === 0 && $"doc_id" % 2 === 0)
+    val probe = docs.filter($"doc_id" % 5 === 0 && $"doc_id" % 2 =!= 0)
+      .select(($"doc_id" + 900000000L).as("doc_id"), $"text")
+    Dedup.writeNearDupStore(corpus, "doc_id", "text", dir)
+    Dedup.appendToNearDupStore(b1, dir, "doc_id", "text", batchId = 1L)
+    // the interleaved append: guard-checked before any marker existed,
+    // rows fully landed by swap time
+    Dedup.appendToNearDupStore(b2, dir, "doc_id", "text", batchId = 2L)
+    def pairs() = Dedup.incrementalNearDupFromStore(probe, dir,
+        "doc_id", "text")
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    def gens(t: String): Set[String] =
+      new java.io.File(s"$dir/$t").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+        .map(_.getName).toSet
+    val before = pairs()
+    assert(before.nonEmpty)
+    // a REAL staged fold of generations 0+1: a fold is row-identical to
+    // a rebuild over the folded batches' union (signatures are
+    // deterministic under the store seed), so install the union into a
+    // scratch store and move its tables into the staging slots
+    Dedup.writeNearDupStore(corpus.unionByName(b1), "doc_id", "text", tmp)
+    Seq("shingles", "signatures", "bandkeys").foreach { t =>
+      val src = new java.io.File(s"$tmp/$t/batch=0")
+      val dst = new java.io.File(s"$dir/_compacting/$t/batch=0")
+      dst.getParentFile.mkdirs()
+      assert(src.renameTo(dst), s"staging move failed for $t")
+    }
+    // COMMIT: the marker records folds of generations 0 and 1 ONLY
+    graft.sources.Sources.writeJsonSidecarFs(spark,
+      s"$dir/_compact_swap.json",
+      Map("tables" -> "shingles,signatures,bandkeys",
+        "folded_shingles" -> "0,1", "folded_signatures" -> "0,1",
+        "folded_bandkeys" -> "0,1"))
+    Dedup.compactNearDupStore(spark, dir) // resumes: finish-only path
+    Seq("shingles", "signatures", "bandkeys").foreach { t =>
+      assert(gens(t) == Set("batch=0", "batch=2"),
+        s"$t must keep the fold AND the interleaved newcomer: ${gens(t)}")
+    }
+    assert(pairs() == before,
+      "probe must see both the folded generations and the newcomer")
+  }
+
+  test("compaction refuses a TableSpec with no committed generations, loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("ndzerogen").toString
+    Seq(1L).toDF("x").write.parquet(s"$dir/t1/batch=0")
+    Seq(2L).toDF("x").write.parquet(s"$dir/t1/batch=1")
+    new java.io.File(s"$dir/t2").mkdirs() // installed-but-empty table dir
+    val ex = intercept[IllegalArgumentException] {
+      StoreMaintenance.compact(spark, dir,
+        Seq(StoreMaintenance.TableSpec("t1", identity),
+          StoreMaintenance.TableSpec("t2", identity)),
+        maxBatchId = Long.MaxValue)
+    }
+    assert(ex.getMessage.contains("t2") &&
+      ex.getMessage.contains("no committed"),
+      s"guard must name the offending table: ${ex.getMessage}")
+    // the store is untouched — no staging, no marker, t1 intact
+    assert(!new java.io.File(s"$dir/_compacting").exists())
+    assert(!new java.io.File(s"$dir/_compact_swap.json").exists())
+    assert(spark.read.parquet(s"$dir/t1").count() == 2)
+  }
+
+  test("appendToEvalGramStore refuses a v1 (flat-layout) store") {
+    // a v1 store keeps grams FLAT under $dir/grams; landing a
+    // batch=<id> dir next to flat files bricks every later read on
+    // conflicting directory structures — the guard must fire BEFORE
+    // anything lands
+    val tmp = java.nio.file.Files.createTempDirectory("evalgramv1").toString
+    val suiteA = Seq((100L, "x quick brown fox jumps over y")).toDF("doc_id", "text")
+    Dedup.writeEvalGramStore(suiteA, "text", tmp, n = 5)
+    // rewrite the store into v1 shape: flatten the generation dir, strip
+    // the version tag
+    val gen = new java.io.File(s"$tmp/grams/batch=0")
+    gen.listFiles().foreach(f =>
+      f.renameTo(new java.io.File(s"$tmp/grams/${f.getName}")))
+    assert(gen.delete())
+    val meta = graft.sources.Sources.readJsonSidecarFs(spark, s"$tmp/_meta.json")
+    graft.sources.Sources.writeJsonSidecarFs(spark, s"$tmp/_meta.json",
+      meta - "formatVersion")
+    val suiteB = Seq((101L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.appendToEvalGramStore(suiteB, "text", tmp, batchId = 1L)
+    }
+    assert(ex.getMessage.contains("writeEvalGramStore"))
+    // nothing landed: the flat layout still reads
+    assert(spark.read.parquet(s"$tmp/grams").count() > 0)
+  }
 }
