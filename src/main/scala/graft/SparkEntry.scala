@@ -807,7 +807,7 @@ object SparkEntry {
         |  CASE WHEN lower(trim(emp_length)) = '10+ years' THEN 10
         |       WHEN lower(trim(emp_length)) = '< 1 year' THEN 0
         |       WHEN lower(trim(emp_length)) = 'missing' THEN -1
-        |       ELSE coalesce(TRY_CAST(nullif(regexp_extract(lower(trim(emp_length)), '^(\d+)', 1), '') AS INTEGER), -1)
+        |       ELSE coalesce(TRY_CAST(regexp_replace(lower(trim(emp_length)), '[^0-9].*$', '') AS INTEGER), -1)
         |  END AS emp_length_int
         |FROM raw ORDER BY p_partkey""".stripMargin,
     "a1_modes_multi" ->

@@ -29,20 +29,23 @@ class SqlSurfaceSpec extends SparkSpec {
 
   /** Gates whose oracle SQL must run verbatim in Spark SQL and match
     * the DataFrame path value-for-value — the discovery pass's full
-    * portable set (65 gates; the rest lean on DuckDB-only routines:
-    * strftime/epoch/quantile_cont/regexp_split_to_array/unnest, or —
-    * m5_parse_emp_length — on DuckDB's no-match regexp_extract
-    * semantics, which Spark evaluates differently; those stay on the
-    * DataFrame-vs-DuckDB driver gate alone). */
+    * portable set (66 gates, re-adjudicated round 17: m5 joins after
+    * its oracle moved to dialect-neutral leading-digit parsing, and
+    * ann19_pq_stream arrived portable). The rest lean on DuckDB-only
+    * surface and stay on the DataFrame-vs-DuckDB driver gate alone:
+    * strftime/epoch/quantile_cont (date/quantile families),
+    * regexp_split_to_array/unnest/list_* (t49, d29, token-level
+    * oracles), and the read_parquet table function (the pl_* medallion
+    * gates, whose oracles replay dumped frames). */
   private val pinned: Seq[String] = Seq(
     "a10_approx_distinct", "a1_mode", "a2_mean", "a4_topk_freq",
     "a5_distinct", "a6_summary", "a7_value_counts", "a_cube",
     "a_grouping_sets", "a_map_metrics", "a_pivot", "a_rollup",
-    "a_stats_corr", "a_unpivot", "dq_skew_stats",
+    "a_stats_corr", "a_unpivot", "ann19_pq_stream", "dq_skew_stats",
     "j1_left_join", "j2_inner_join", "j3_semi_join", "j4_anti_join",
     "j7_salted_join", "j8_full_outer",
     "m13_quality_filter", "m1_string_indexer", "m2_one_hot",
-    "m6_label_encode", "m7_binary_target",
+    "m5_parse_emp_length", "m6_label_encode", "m7_binary_target",
     "mm10_video_dedup_stream", "mm4_image_dedup", "mm5_image_dedup_store",
     "mm6_image_dedup_stream", "mm7_audio_dedup", "mm8_video_dedup",
     "mm9_audio_dedup_stream",
