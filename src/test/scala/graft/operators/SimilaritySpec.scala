@@ -540,4 +540,102 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(key).toSet
     assert(re == full)
   }
+
+  test("recall floors on the full embeddings table (ann16–19): filtered " +
+       "ANN, k-NN join (+fitCap), medoid canopy, PQ index via stream ingest") {
+    // the ann16–19 gates pin EXACTNESS (integer-grid codebooks,
+    // nProbe=nCells conventions); these floors pin the APPROXIMATE
+    // regimes those operators actually run at scale, against brute-force
+    // ground truth on the real 500-vector embeddings table — the
+    // RecallProbe protocol asserted in the default suite. Floors are
+    // measured-minus-margin (deterministic fits ⇒ tight).
+    val e = Tables.embeddings(spark, sf).persist()
+    val q = e.filter($"vec_id" < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    def recall(approx: Set[(Long, Long)], exact: Set[(Long, Long)]): Double =
+      (approx & exact).size.toDouble / exact.size
+
+    // ann16 — ivfTopKFiltered at PARTIAL probing (the gate runs
+    // nProbe=nCells exactness): ground truth is brute force over the
+    // filtered corpus
+    val allowed = e.filter($"label" % 2 === 0).select($"vec_id".as("id"))
+    val exactF = pairs(Similarity.bruteForceTopK(
+      e.join(allowed, e("vec_id") === allowed("id"), "left_semi"), q, 5))
+    val gotF = pairs(Similarity.ivfTopKFiltered(e, q, 5, allowed, "id",
+      nCells = 16, nProbe = 4))
+    val rF = recall(gotF, exactF)
+    val gotF8 = pairs(Similarity.ivfTopKFiltered(e, q, 5, allowed, "id",
+      nCells = 16, nProbe = 8))
+    val rF8 = recall(gotF8, exactF)
+    info(f"ann16 filtered ivf nCells=16 nProbe=4 recall $rF%.3f nProbe=8 $rF8%.3f")
+    assert(rF >= 0.50, s"filtered-ANN recall $rF below floor (measured 0.58)")
+    assert(rF8 >= rF && rF8 >= 0.75,
+      s"filtered-ANN nProbe=8 recall $rF8 (measured 0.84; must beat nProbe=4's $rF)")
+
+    // ann17 — knnJoin over the FULL table at partial probing, and the
+    // fitCap variant (quantizer fit on a sample; assignment unchanged)
+    val exactK = pairs(Similarity.bruteForceTopK(e, e, 3)
+      .filter($"q_id" =!= $"n_id"))
+    val gotK = pairs(Similarity.knnJoin(e, k = 3, nCells = 16, nProbe = 4))
+    val rK = recall(gotK, exactK)
+    val gotKCap = pairs(Similarity.knnJoin(e, k = 3, nCells = 16,
+      nProbe = 4, fitCap = 250))
+    val rKCap = recall(gotKCap, exactK)
+    info(f"ann17 knnJoin nCells=16 nProbe=4 recall $rK%.3f fitCap=250 $rKCap%.3f")
+    assert(rK >= 0.55, s"knnJoin recall $rK below floor (measured 0.599)")
+    assert(rKCap >= 0.50, s"fitCap knnJoin recall $rKCap below floor (measured 0.576)")
+
+    // ann18 — medoid cells as a canopy index: corpus assigned to 16
+    // seed-medoid cells, each query searched exactly WITHIN its own
+    // cell (top-1 canopy, the cheapest probe regime)
+    val seeds = e.filter($"vec_id" < 16)
+      .select($"vec_id".as("seed_id"), $"embedding")
+    val cells = Similarity.medoidAssign(e, seeds)
+      .select($"vec_id".as("n_id"), $"cell")
+    val exactG = pairs(Similarity.bruteForceTopK(e, q, 5)
+      .filter($"q_id" =!= $"n_id"))
+    val qCells = cells.join(q.select($"vec_id".as("n_id")), "n_id")
+      .select($"n_id".as("q_vec"), $"cell")
+      .as[(Long, Long)].collect()
+    val gotG = qCells.flatMap { case (qid, cell) =>
+      val cellIds = cells.filter($"cell" === cell).select("n_id")
+      val sub = e.join(cellIds, e("vec_id") === cellIds("n_id"), "left_semi")
+      Similarity.bruteForceTopK(sub, e.filter($"vec_id" === qid), 6)
+        .filter($"q_id" =!= $"n_id").limit(5)
+        .select("q_id", "n_id").as[(Long, Long)].collect()
+    }.toSet
+    val rG = recall(gotG, exactG)
+    info(f"ann18 medoid top-1-canopy recall $rG%.3f")
+    assert(rG >= 0.85, s"medoid canopy recall $rG below floor " +
+      "(measured 0.92 at top-1 cell of 16 — the honest cheap-probe number)")
+
+    // ann19 — the PQ index AT REST, built through install + STREAMING
+    // ingest with REAL trained codebooks (the gate uses integer grids
+    // for oracle exactness): ADC search from the streamed index clears
+    // a floor, and exact re-rank recovers more
+    val base = java.nio.file.Files.createTempDirectory("ann19floor").toString
+    val cb = Similarity.trainPq(e, dim = 64, m = 8, k = 16)
+    Similarity.installPqIndex(e.filter($"vec_id" % 5 =!= 0), s"$base/idx", cb)
+    val sliver = e.filter($"vec_id" % 5 === 0).select("vec_id", "embedding")
+    sliver.filter($"vec_id" % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(s"$base/in")
+    sliver.filter($"vec_id" % 2 =!= 0).coalesce(1)
+      .write.mode("append").parquet(s"$base/in")
+    val stream = spark.readStream.schema(sliver.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    graft.streaming.EventStream.streamingPqIngest(stream, s"$base/idx")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ckpt").start().awaitTermination()
+    val adc = pairs(Similarity.pqTopKFromIndex(s"$base/idx", q, e, 5))
+    val rAdc = recall(adc, pairs(Similarity.bruteForceTopK(e, q, 5)))
+    val rr = pairs(Similarity.pqTopKFromIndex(s"$base/idx", q, e, 5,
+      depth = 50))
+    val rRr = recall(rr, pairs(Similarity.bruteForceTopK(e, q, 5)))
+    info(f"ann19 streamed-index ADC recall $rAdc%.3f rerank d=50 $rRr%.3f")
+    assert(rAdc >= 0.40, s"streamed-index ADC recall $rAdc below floor (measured 0.46)")
+    assert(rRr >= rAdc && rRr >= 0.65,
+      s"streamed-index re-rank recall $rRr below floor (measured 0.72; ADC $rAdc)")
+    e.unpersist()
+  }
 }
