@@ -39,6 +39,13 @@ import org.apache.spark.sql.SparkSession
   * detail line records both medians per refined query under
   * "tail_refined" so the two protocols stay auditable side by side.
   *
+  * STREAM-LIFECYCLE MIN POLICY: keys containing "_stream" publish the
+  * MIN over all samples as their headline (detail line lists them under
+  * "stream_min_keys") — their wall is a deterministic lifecycle floor
+  * plus strictly-additive scheduler noise that tracks box load, not
+  * code, so the min is the code-attributable number and cross-round
+  * deltas on these keys become readable from the JSON alone.
+  *
   * A warm-up pass (tiny range job + one parquet footer read) is excluded
   * from timings so the first measured query doesn't absorb JVM/codegen/
   * classloading cost.
@@ -139,10 +146,23 @@ object Bench {
       System.gc(); Thread.sleep(1000)
       tail.foreach { case (n, f) => (1 to refineRuns).foreach(_ => sample(n, f)) }
     }
+    // STREAM-LIFECYCLE MIN POLICY (round-17 verdict #7): the *_stream
+    // keys time a full Structured-Streaming lifecycle (checkpoint dir,
+    // 2–4 AvailableNow triggers, state-store setup) whose fixed floor
+    // is code-attributable but whose per-trigger scheduling moves with
+    // box load, not code — across rounds these keys dominated the
+    // cross-round delta on byte-identical plans (d27 9.6→11.6 s on a
+    // 1.7-loadavg pass). Their HEADLINE number is the MIN over all
+    // samples (the tail_refined rationale applied per-key): load noise
+    // on a deterministic floor is strictly additive, so the min is the
+    // code-attributable number. Non-stream keys keep the median; the
+    // [min,max] spread stays in the detail line for both.
+    def streamKey(n: String): Boolean = n.contains("_stream")
     val results = names.map { case (name, _) =>
       val runsFor = times(name)
       val ts = runsFor.map(_._1).sorted
-      (name, ts(ts.size / 2), ts.head, ts.last, runsFor.forall(_._2))
+      val headline = if (streamKey(name)) ts.head else ts(ts.size / 2)
+      (name, headline, ts.head, ts.last, runsFor.forall(_._2))
     }
     val qs3 = results.map { case (k, med, _, _, _) => "\"" + k + f"""\":$med%.3f""" }
       .mkString("{", ",", "}")
@@ -166,8 +186,10 @@ object Bench {
         f"${medianOf(all)}%.3f" + s""","n":${all.size}}"""
     }.mkString("{", ",", "}")
     val perPassLoads = passLoads.map(l => f"$l%.2f").mkString("[", ",", "]")
+    val streamMinKeys = results.collect { case (k, _, _, _, _) if streamKey(k) =>
+      "\"" + k + "\"" }.mkString("[", ",", "]")
     val detail =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sum_of_min":$sumOfMin%.3f,"runs":$runs,"refine_runs":$refineRuns,"loadavg":[$load0%.2f,$loadAvg%.2f],"load_gate":$loadGate%.2f,"contended":$contended,"pass_loadavg":$perPassLoads,"queries":$qs3,"spread":$spread,"tail_refined":$refined,"failures":$failures,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sum_of_min":$sumOfMin%.3f,"runs":$runs,"refine_runs":$refineRuns,"loadavg":[$load0%.2f,$loadAvg%.2f],"load_gate":$loadGate%.2f,"contended":$contended,"pass_loadavg":$perPassLoads,"stream_min_keys":$streamMinKeys,"queries":$qs3,"spread":$spread,"tail_refined":$refined,"failures":$failures,"sf":"$sfDir"}"""
     // Full medians+spread JSON: printed first and persisted to a file.
     // The consumer of this output keeps only the LAST ~2000 characters,
     // so the detail line (≈4.5 KB at 80 queries) can never be the final

@@ -440,7 +440,66 @@ object ScaleProbe {
         "doc_id", "text")
         .agg(sum(col("contaminated")).as("n_flagged"),
           sum(col("eval_jaccard")).as("js"))
-        .filter(col("n_flagged") >= 0)))
+        .filter(col("n_flagged") >= 0)),
+      // ---- flagship composites (round-17 verdict #6): each CHAINS
+      // many already-probed operators end to end, so these rows pin
+      // that the COMPOSITION introduces no super-linear seam (an
+      // unintended re-shuffle between stages, a lineage re-run the
+      // single-op rows never see). Fixed selection targets
+      // (temperature 300 / quota 40) keep the tail stages flat while
+      // the dedup/decontam/score heads track corpus size.
+      "llm_pretrain" -> { d =>
+        val deduped = Dedup.exactDedup(d, "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val contaminated = Dedup.contaminationPairs(
+            deduped, evalMix(d), "doc_id", "text", 3)
+          .filter(col("shared") >= 2)
+          .select(col("id").as("doc_id")).distinct()
+        val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+        val mixed = graft.ops.Sampling.temperatureMix(
+          clean, "lang", "doc_id", 0.5, 300)
+        TextAnalysis.chunkDocuments(mixed, "doc_id", "text", 32, 24,
+            carry = Seq("lang"))
+          .groupBy("lang")
+          .agg(countDistinct(col("id")).as("n_docs"),
+            count(lit(1)).as("n_chunks"), sum("n_tokens").as("chunk_tokens"))
+      },
+      "llm_corpus" -> { d =>
+        val deduped = Dedup.exactDedup(d, "doc_id", "text")
+        val filtered = deduped
+          .withColumn("q", TextAnalysis.qualityScore(col("text"),
+            Seq("the", "a", "of", "and", "is", "to", "in")))
+          .withColumn("rep", TextAnalysis.repetitionRatio(col("text")))
+          .filter(col("q") >= 0.4 && col("rep") < 0.5)
+        val sampled = graft.ops.Sampling.quotaSample(
+          filtered, "lang", "doc_id", 40)
+        TextAnalysis.packSequences(sampled, "doc_id", "text",
+            budget = 256, shards = 4, carry = Seq("lang"))
+          .groupBy("lang", "shard")
+          .agg(count(lit(1)).as("n_docs"), max("chunk_id").as("max_chunk"),
+            sum("n_tokens").as("tok_total"))
+      },
+      "llm_web" -> { d =>
+        // the web-ingest composite: t33's extraction + d22's canonical
+        // latest-crawl dedup + t30's entropy cut, chained on one lineage
+        val pages = d.select(col("doc_id"),
+          concat(lit("<html><head><title>t</title><script>var x = 1 < 2;" +
+              "</script></head><body><p>"), col("text"),
+            lit("</p><!-- c --><a href=\"u\">l</a></body></html>")).as("h"),
+          concat(lit("https://www.s"), (col("doc_id") % 100000).cast("string"),
+            lit(".com/p"), (col("doc_id") % 977).cast("string")).as("url"),
+          (col("doc_id") % 97).as("fetch_ts"))
+        val latest = Dedup.latestPerUrl(
+          TextAnalysis.htmlToText(pages, "doc_id", "h"),
+          "url", "fetch_ts", "doc_id")
+        val ent = graft.plans.GraftFunctions.charEntropy(
+          d.sparkSession, col("text"))
+        latest
+          .select(col("doc_id"), col("n_crawls"),
+            (round(ent, 6) >= 2.85).cast("int").as("keep"))
+          .agg(sum("n_crawls").as("c"), sum("keep").as("k"))
+          .filter(col("c") >= 0)
+      })
 
     // SPARK_GRAFT_PROBE_OPS: comma-separated op-name filter, so a
     // targeted re-probe needn't pay the whole battery (the capped exact

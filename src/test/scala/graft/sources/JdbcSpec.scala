@@ -92,4 +92,28 @@ class JdbcSpec extends SparkSpec {
     assert(row._2 == predDist)
     assert(row._3 == summary.perClass.find(_.cls == "B").get.f1)
   }
+
+  test("S7/S8 against real Postgres — asserted environment skip") {
+    // The reference's metrics store is Postgres JSONB
+    // (model_inference_utils.py:103–136); the Derby twins above carry
+    // the engine-side S7/S8 semantics. A REAL Postgres round-trip is
+    // environmentally impossible here, and this test pins exactly why:
+    // the container ships postgres 15 server binaries
+    // (/usr/local/bin/{postgres,pg_ctl,initdb}) but NO org.postgresql
+    // JDBC driver jar exists in /opt/spark/jars or the offline coursier
+    // cache, the build runs with zero egress (COURSIER_MODE=offline),
+    // and Spark's JDBC source cannot open a Postgres socket without the
+    // driver class. The skip ACTIVATES the moment a driver lands on the
+    // classpath: this test then fails loudly, demanding the real
+    // round-trip be implemented against the container's binaries.
+    val driverPresent =
+      try { Class.forName("org.postgresql.Driver"); true }
+      catch { case _: ClassNotFoundException => false }
+    assume(driverPresent,
+      "org.postgresql.Driver absent — zero-egress container, no driver " +
+        "jar in /opt/spark/jars or the offline coursier cache; Derby " +
+        "twins cover S7/S8 engine semantics")
+    fail("org.postgresql.Driver is now on the classpath — implement the " +
+      "real-Postgres S7/S8 round-trip (initdb + pg_ctl + JDBC) here")
+  }
 }
