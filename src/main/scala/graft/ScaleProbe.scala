@@ -793,6 +793,30 @@ object ScaleProbe {
       return
     }
 
+    // SPARK_GRAFT_PROBE_MODE=medallion: the reference's FLAGSHIP
+    // pipeline (silver cleaners → gold featurizers → feature/label
+    // stores) at growing loan counts — the scale law for the one
+    // composite the reference actually ships. Sources are synthesized
+    // at n×10k loans (dims at n×5k members); the chain is mode/mean
+    // statistics (one aggregation each), map-side cleaning, the top-10
+    // fit, and three left joins on (member_id, snapshot_date) — the
+    // curve must be linear with flat per-row cost: a bend means a
+    // statistics job or join stopped scaling before 100 TB would.
+    if (sys.env.get("SPARK_GRAFT_PROBE_MODE").contains("medallion")) {
+      factors.foreach { n =>
+        val nLoans = 10000 * n
+        val t0 = System.nanoTime()
+        val frame = graft.queries.PipelineE2E.parityFrame(spark,
+          nLoans, nDims = 5000 * n)
+        val (rows, cols) = (frame.count(), frame.columns.length.toLong)
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        println(f"""{"n":$n,"loans":$nLoans,"store_rows":$rows,"cols":$cols,"medallion_sec":$dt%.2f}""")
+      }
+      spark.stop()
+      return
+    }
+
     // SPARK_GRAFT_PROBE_MODE=ingest: the ingest loops' per-batch cost
     // claim — O(batch), NOT O(landed corpus) — measured directly. Hold
     // the BATCH fixed (a ~10% slice, ids offset + text salted so it's

@@ -244,6 +244,7 @@ object SparkEntry {
     "t47_bm25_store" -> (Documents.t47Bm25Store _),
     "t48_bm25_append" -> (Documents.t48Bm25Append _),
     "t49_bm25_pruned" -> (Documents.t49Bm25Pruned _),
+    "t50_decontam_compacted" -> (Documents.t50DecontamCompacted _),
   ) ++ graft.queries.Medallion.queries
 
   /** T20's oracle: every Gopher rule statistic recomputed on RAW gram
@@ -2903,6 +2904,10 @@ object SparkEntry {
     // flagged sliver) is bit-identical to t15 BY CONTRACT — sharing
     // t15's oracle verbatim IS the gate on that contract
     "t19_decontam_auto" -> decontamRewriteSql,
+    // T50: the store FOLDED (generations + bloom sidecars + stats into
+    // batch 0) must still serve t15's exact answers over the suite
+    // union — a fold losing a gram row or bloom coverage hash-fails
+    "t50_decontam_compacted" -> decontamRewriteSql,
     "d16_cluster_best" -> clusterBestSql,
     // D17: min id per canonical form, the form pinned via its md5
     "d17_canonical_dedup" ->

@@ -1308,6 +1308,7 @@ object Dedup {
                             dir: String, batchId: Long): Unit = {
     require(batchId > 0, "batchId 0 is the base install (writeEvalGramStore)")
     val spark = evalSet.sparkSession
+    requireNoCrashedCompaction(spark, dir)
     val meta = graft.sources.Sources.readJsonSidecarFs(spark, s"$dir/_meta.json")
     // a v1 store keeps its gram parquet FLAT under $dir/grams — landing
     // a grams/batch=<id> dir next to flat files makes every subsequent
@@ -1357,7 +1358,13 @@ object Dedup {
   }
 
   /** Sum of one numeric field over a store's per-batch `_stats/
-    * batch_<id>.json` entries (the no-RMW accounting convention). */
+    * batch_<id>.json` entries (the no-RMW accounting convention).
+    * Honors batch 0's `folded` id list ([[compactEvalGramStore]]'s
+    * crash anchor): an entry whose id batch 0 records as folded is
+    * already counted inside batch 0's total — its file only still
+    * exists if a compaction crashed between the fold write and the
+    * entry deletes, and counting it again would double its
+    * contribution. */
   private def sumStatsEntries(spark: org.apache.spark.sql.SparkSession,
                               statsDir: String, field: String): Long = {
     val d = new org.apache.hadoop.fs.Path(statsDir)
@@ -1365,10 +1372,83 @@ object Dedup {
     if (!fs.exists(d)) 0L
     else {
       val pat = "batch_(\\d+)\\.json".r
-      fs.listStatus(d).toSeq.map(_.getPath)
-        .filter(p => pat.matches(p.getName))
-        .map(p => graft.sources.Sources.readJsonSidecarFs(spark, p.toString))
-        .flatMap(_.get(field).map(_.toLong)).sum
+      val entries = fs.listStatus(d).toSeq.map(_.getPath).flatMap { p =>
+        p.getName match {
+          case pat(id) => Some(id.toLong ->
+            graft.sources.Sources.readJsonSidecarFs(spark, p.toString))
+          case _ => None
+        }
+      }
+      val folded = entries.find(_._1 == 0L).map(_._2)
+        .flatMap(_.get("folded"))
+        .map(_.split(",").filter(_.nonEmpty).map(_.toLong).toSet)
+        .getOrElse(Set.empty[Long])
+      entries.collect { case (id, m) if id == 0L || !folded(id) =>
+        m.get(field).map(_.toLong).getOrElse(0L) }.sum
+    }
+  }
+
+  /** Fold the eval-gram store's committed generations into one
+    * `batch=0`, its per-batch bloom sidecars into the base filter, and
+    * its per-batch `_stats` gram counts into batch 0's entry — the
+    * [[compactFpStore]] protocol applied to the decontamination store,
+    * closing the file-count growth term on a long suite-publication
+    * line. Same SINGLE-WRITER, COMMITTED-BATCHES-ONLY contract as
+    * every fold: `maxBatchId` bounds the row-table AND stats folds (a
+    * replayed uncommitted batch re-landing its generation after its
+    * rows were folded would duplicate grams — harmless to the
+    * left-semi consumer — but re-landing its `_stats` entry after its
+    * count was folded would double-count the warn bound); the BLOOM
+    * fold needs no bound, set union being replay-proof.
+    *
+    * Crash anatomy: the grams fold rides [[StoreMaintenance]]'s marker
+    * (probes/appends fail loudly mid-swap); the bloom fold writes the
+    * merged base before deleting batch files (coverage never drops);
+    * the stats fold records the folded ids INSIDE batch 0's entry
+    * before deleting them, so [[sumStatsEntries]] never double-counts a
+    * crash-surviving entry and a re-run prunes it. Folded ids are
+    * RETIRED: later appends must use fresh batch ids (the streaming
+    * batchId monotonicity every ingest loop already has) — a recycled
+    * id would read as crash residue. */
+  def compactEvalGramStore(spark: org.apache.spark.sql.SparkSession,
+                           dir: String,
+                           maxBatchId: Long = Long.MaxValue): Unit = {
+    StoreMaintenance.compact(spark, dir,
+      Seq(StoreMaintenance.TableSpec("grams", _.select("h1", "h2"))),
+      maxBatchId)
+    // same `_bloom.b<id>.bin` lineage as the fp store (unsharded)
+    compactFpStoreSidecars(spark, dir)
+    val d = new org.apache.hadoop.fs.Path(s"$dir/_stats")
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(d)) return
+    val pat = "batch_(\\d+)\\.json".r
+    val present = fs.listStatus(d).toSeq.map(_.getPath.getName).flatMap {
+      case pat(id) => Some(id.toLong)
+      case _ => None
+    }.toSet
+    val base =
+      if (present(0L)) graft.sources.Sources.readJsonSidecarFs(spark,
+        s"$dir/_stats/batch_0.json")
+      else Map("grams" -> "0")
+    val alreadyFolded = base.get("folded")
+      .map(_.split(",").filter(_.nonEmpty).map(_.toLong).toSet)
+      .getOrElse(Set.empty[Long])
+    val toFold = (present - 0L)
+      .filter(id => id <= maxBatchId && !alreadyFolded(id))
+    if (toFold.isEmpty && (alreadyFolded & present).isEmpty) return
+    val foldSum = toFold.toSeq.sorted.map(id =>
+      graft.sources.Sources.readJsonSidecarFs(spark,
+        s"$dir/_stats/batch_$id.json").getOrElse("grams", "0").toLong).sum
+    // retain only folded ids whose files might still exist (crash
+    // residue) plus the ones folded now — the list self-prunes
+    val keepFolded = ((alreadyFolded & present) | toFold).toSeq.sorted
+    graft.sources.Sources.writeJsonSidecarFs(spark,
+      s"$dir/_stats/batch_0.json",
+      Map("grams" -> (base.getOrElse("grams", "0").toLong + foldSum).toString,
+        "folded" -> keepFolded.mkString(",")))
+    (alreadyFolded | toFold).foreach { id =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/_stats/batch_$id.json")
+      if (fs.exists(p)) fs.delete(p, false)
     }
   }
 
@@ -1386,6 +1466,7 @@ object Dedup {
   def decontaminateRewriteFromStore(corpus: DataFrame, dir: String,
                                     idCol: String, textCol: String): DataFrame = {
     val spark = corpus.sparkSession
+    requireNoCrashedCompaction(spark, dir)
     val meta = graft.sources.Sources.readJsonSidecarFs(spark, s"$dir/_meta.json")
     decontaminateRewriteLoaded(corpus, dir, meta("n").toInt,
       mergedBloomBytes(spark, dir, None), idCol, textCol)

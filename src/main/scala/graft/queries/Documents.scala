@@ -394,6 +394,32 @@ object Documents {
       .orderBy("doc_id")
   }
 
+  /** T50 — eval-gram store GENERATION COMPACTION oracle-gated (the d29
+    * pattern on the decontamination store): the suite lands in two
+    * installments (base install + appendToEvalGramStore), the fold
+    * ([[Dedup.compactEvalGramStore]]) collapses generations, bloom
+    * sidecars AND `_stats` counts into batch 0, and the probe runs
+    * against the FOLDED store — sharing t15's oracle over the suite
+    * union. A fold that loses a gram row (missed contamination), a
+    * bloom fold that drops coverage (a probe-negative contaminated doc
+    * skips its verify), or a swap that loses the table all hash-fail. */
+  def t50DecontamCompacted(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val base = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/evalgram_compact"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val suite = docs.filter(col("doc_id") % 97 === 0)
+    Dedup.writeEvalGramStore(suite.filter(col("doc_id") % 2 === 0),
+      "text", base, n = 5)
+    Dedup.appendToEvalGramStore(suite.filter(col("doc_id") % 2 =!= 0),
+      "text", base, batchId = 1L)
+    Dedup.compactEvalGramStore(s, base)
+    Dedup.decontaminateRewriteFromStore(
+        docs.filter(col("doc_id") % 97 =!= 0), base, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** T29 — the streaming decontamination ingest ON THE HARD SIGNAL:
     * the eval-gram store is published once, the corpus lands as two
     * parquet fixture batches behind an AvailableNow file source

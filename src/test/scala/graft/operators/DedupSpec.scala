@@ -1217,6 +1217,69 @@ class DedupSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/t1").count() == 2)
   }
 
+  test("eval-gram store compaction: folds generations + bloom sidecars + " +
+       "stats, answers unchanged, crash marker blocks, accounting exact") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "clean document with no leaked content at all"),
+      (12L, "alpha beta gamma delta epsilon zeta"),
+      (13L, "tiny doc")).toDF("doc_id", "text")
+    val suiteA = Seq((100L, "x quick brown fox jumps over y")).toDF("doc_id", "text")
+    val suiteB = Seq((101L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("evalgramfold").toString
+    Dedup.writeEvalGramStore(suiteA, "text", dir, n = 5)
+    Dedup.appendToEvalGramStore(suiteB, "text", dir, batchId = 1L)
+    def rewrite() = Dedup.decontaminateRewriteFromStore(
+        corpus, dir, "doc_id", "text")
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toSet
+    val before = rewrite()
+    val gramsBefore = spark.read.parquet(s"$dir/grams")
+      .select("h1", "h2").as[(Long, Long)].collect().toSet
+    val statBefore =
+      spark.read.parquet(s"$dir/grams/batch=0").count() +
+        spark.read.parquet(s"$dir/grams/batch=1").count()
+    Dedup.compactEvalGramStore(spark, dir)
+    // one generation, no per-batch bloom files, one stats entry
+    val gens = new java.io.File(s"$dir/grams").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName).toSet
+    assert(gens == Set("batch=0"), s"gens after fold: $gens")
+    assert(!new java.io.File(s"$dir/_bloom.b1.bin").exists(),
+      "per-batch bloom sidecar must fold into the base filter")
+    assert(!new java.io.File(s"$dir/_stats/batch_1.json").exists(),
+      "per-batch stats entry must fold into batch 0")
+    val stat0 = graft.sources.Sources.readJsonSidecarFs(spark,
+      s"$dir/_stats/batch_0.json")
+    assert(stat0("grams").toLong == statBefore,
+      s"folded count ${stat0("grams")} must equal the generations' sum $statBefore")
+    // no gram row lost or duplicated by the fold
+    val gramsAfter = spark.read.parquet(s"$dir/grams")
+      .select("h1", "h2").as[(Long, Long)].collect()
+    assert(gramsAfter.toSet == gramsBefore &&
+      gramsAfter.length == gramsBefore.size)
+    // bloom ⊇ grams still holds through the folded base filter
+    val bloom = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      Dedup.mergedBloomBytes(spark, dir, None))
+    assert(gramsAfter.map(_._1).forall(bloom.mightContainLong))
+    assert(rewrite() == before, "fold must not change any rewrite answer")
+    // the store keeps growing after a fold (fresh id — folded ids retire)
+    Dedup.appendToEvalGramStore(
+      Seq((102L, "zeta epsilon delta gamma beta alpha")).toDF("doc_id", "text"),
+      "text", dir, batchId = 2L)
+    assert(graft.sources.Sources.readJsonSidecarFs(spark,
+      s"$dir/_stats/batch_2.json")("grams").toLong > 0)
+    // crashed swap: marker blocks probe AND append loudly; compact heals
+    graft.sources.Sources.writeJsonSidecarFs(spark,
+      s"$dir/_compact_swap.json",
+      Map("tables" -> "grams", "folded_grams" -> ""))
+    intercept[IllegalArgumentException](rewrite())
+    intercept[IllegalArgumentException](
+      Dedup.appendToEvalGramStore(suiteB, "text", dir, batchId = 3L))
+    Dedup.compactEvalGramStore(spark, dir)
+    assert(!new java.io.File(s"$dir/_compact_swap.json").exists())
+    assert(rewrite().nonEmpty, "healed store must serve probes again")
+  }
+
   test("appendToEvalGramStore refuses a v1 (flat-layout) store") {
     // a v1 store keeps grams FLAT under $dir/grams; landing a
     // batch=<id> dir next to flat files bricks every later read on
