@@ -795,19 +795,21 @@ object ScaleProbe {
 
     // SPARK_GRAFT_PROBE_MODE=medallion: the reference's FLAGSHIP
     // pipeline (silver cleaners → gold featurizers → feature/label
-    // stores) at growing loan counts — the scale law for the one
-    // composite the reference actually ships. Sources are synthesized
-    // at n×10k loans (dims at n×5k members); the chain is mode/mean
-    // statistics (one aggregation each), map-side cleaning, the top-10
-    // fit, and three left joins on (member_id, snapshot_date) — the
-    // curve must be linear with flat per-row cost: a bend means a
-    // statistics job or join stopped scaling before 100 TB would.
+    // stores) at growing LOAN-SPINE counts — the scale law for the one
+    // composite the reference actually ships. The loan table is the
+    // fact side (n×10k rows); the dim tables keep the generator's
+    // one-row-per-(member, week) grid (the reference's dims are
+    // per-member snapshots — growing them would duplicate join keys
+    // and measure a key-explosion artifact, not the pipeline). The
+    // chain is mode/mean statistics (one aggregation each), map-side
+    // cleaning, the top-10 fit, and three left joins — the curve must
+    // be linear with flat per-row cost: a bend means a statistics job
+    // or join stopped scaling before 100 TB would.
     if (sys.env.get("SPARK_GRAFT_PROBE_MODE").contains("medallion")) {
       factors.foreach { n =>
         val nLoans = 10000 * n
         val t0 = System.nanoTime()
-        val frame = graft.queries.PipelineE2E.parityFrame(spark,
-          nLoans, nDims = 5000 * n)
+        val frame = graft.queries.PipelineE2E.parityFrame(spark, nLoans)
         val (rows, cols) = (frame.count(), frame.columns.length.toLong)
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
