@@ -798,18 +798,14 @@ object SparkEntry {
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "m5_parse_emp_length" ->
-      """WITH raw AS (SELECT p_partkey,
+      s"""WITH raw AS (SELECT p_partkey,
         |  CASE WHEN p_size >= 40 THEN '10+ years'
         |       WHEN p_size = 1 THEN '< 1 year'
         |       WHEN p_size % 7 = 0 THEN 'missing'
         |       WHEN p_size % 11 = 0 THEN 'garbage value'
         |       ELSE p_size || ' years' END AS emp_length FROM part)
         |SELECT p_partkey, emp_length,
-        |  CASE WHEN lower(trim(emp_length)) = '10+ years' THEN 10
-        |       WHEN lower(trim(emp_length)) = '< 1 year' THEN 0
-        |       WHEN lower(trim(emp_length)) = 'missing' THEN -1
-        |       ELSE coalesce(TRY_CAST(regexp_replace(lower(trim(emp_length)), '[^0-9].*$', '') AS INTEGER), -1)
-        |  END AS emp_length_int
+        |  ${graft.queries.Medallion.empLengthIntSql} AS emp_length_int
         |FROM raw ORDER BY p_partkey""".stripMargin,
     "a1_modes_multi" ->
       """SELECT col_name, mode_value FROM (

@@ -222,6 +222,12 @@ object Dedup {
         f"${bits / 8 / 1e9}%.1f GB of filter — past the single-sidecar " +
         s"ceiling (~1e9 fps at 1e-3); raise `shards` (currently $shards)")
     val spark = corpus.sparkSession
+    // the v1 guard prescribes "reinstall with writeFpStore": over a v1
+    // flat layout, fps/batch=0 landing next to flat files would brick
+    // every later read; over a v2-with-appends, stale generations and
+    // their blooms would survive a full rebuild — clear both shapes
+    StoreMaintenance.clearForReinstall(spark, dir,
+      Seq("fps"), Seq("_bloom*.bin"))
     val fps = corpus
       .select(TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .distinct()
@@ -1250,6 +1256,12 @@ object Dedup {
                          n: Int = 5, expectedTotalGrams: Long = 0L,
                          fpp: Double = 0.001): Unit = {
     val spark = evalSet.sparkSession
+    // "rebuild over the full suite" is this store's prescribed recovery
+    // (saturation warn, v1 guard): stale gram generations, per-batch
+    // blooms, or stats entries surviving the reinstall would keep
+    // redacting retired suites and double-count the accounting
+    StoreMaintenance.clearForReinstall(spark, dir,
+      Seq("grams", "_stats"), Seq("_bloom*.bin"))
     // eager: the gram projection feeds the capacity count, the parquet
     // write, and the filter build (the bloomContaminationPairs pattern)
     val grams = evalSet
@@ -1320,6 +1332,31 @@ object Dedup {
       s"eval-gram store at $dir predates per-batch generations " +
         s"(formatVersion ${meta.getOrElse("formatVersion", "1")}); " +
         "reinstall with writeEvalGramStore to grow it")
+    // a v2 store installed before the per-batch `_stats` layout has no
+    // batch_0 entry — heal ONCE by counting the base generation (two
+    // appenders racing the heal write the same value), else the base
+    // suite's grams would contribute 0 to the saturation warn forever
+    val stat0 = new org.apache.hadoop.fs.Path(s"$dir/_stats/batch_0.json")
+    val statFs = stat0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val baseEntry: Map[String, String] =
+      if (statFs.exists(stat0))
+        graft.sources.Sources.readJsonSidecarFs(spark, stat0.toString)
+      else {
+        val n0 = spark.read.parquet(s"$dir/grams/batch=0").count()
+        graft.sources.Sources.writeJsonSidecarFs(spark, stat0.toString,
+          Map("grams" -> n0.toString))
+        Map("grams" -> n0.toString)
+      }
+    // ids folded into batch 0 by compactEvalGramStore are RETIRED: the
+    // accounting would read a re-landed entry as crash residue and the
+    // next fold would double the generation's rows — enforce the
+    // contract loudly instead of documenting it
+    val retired = baseEntry.get("folded")
+      .map(_.split(",").filter(_.nonEmpty).map(_.toLong).toSet)
+      .getOrElse(Set.empty[Long])
+    require(!retired(batchId),
+      s"batch id $batchId was folded into batch 0 by " +
+        "compactEvalGramStore and is retired — append with a fresh id")
     val n = meta("n").toInt
     val capacity = meta("expectedTotalGrams").toLong
     val fpp = meta("fpp").toDouble
@@ -1418,35 +1455,45 @@ object Dedup {
       maxBatchId)
     // same `_bloom.b<id>.bin` lineage as the fp store (unsharded)
     compactFpStoreSidecars(spark, dir)
-    val d = new org.apache.hadoop.fs.Path(s"$dir/_stats")
-    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(d)) return
+    // stats: batch 0's entry becomes the EXACT row count of the folded
+    // generation — one parquet count of the table the fold just
+    // rewrote, so a pre-accounting generation (installed before the
+    // per-batch `_stats` layout) heals here instead of contributing 0
+    // forever. Entries of generations no longer on disk are recorded
+    // in batch 0's `folded` list BEFORE being deleted, so a crash
+    // between the write and the deletes leaves [[sumStatsEntries]]
+    // exact (it skips listed ids) and a re-run prunes the residue.
+    val statsDir = new org.apache.hadoop.fs.Path(s"$dir/_stats")
+    val fs = statsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val pat = "batch_(\\d+)\\.json".r
-    val present = fs.listStatus(d).toSeq.map(_.getPath.getName).flatMap {
-      case pat(id) => Some(id.toLong)
-      case _ => None
-    }.toSet
-    val base =
-      if (present(0L)) graft.sources.Sources.readJsonSidecarFs(spark,
-        s"$dir/_stats/batch_0.json")
-      else Map("grams" -> "0")
-    val alreadyFolded = base.get("folded")
-      .map(_.split(",").filter(_.nonEmpty).map(_.toLong).toSet)
-      .getOrElse(Set.empty[Long])
-    val toFold = (present - 0L)
-      .filter(id => id <= maxBatchId && !alreadyFolded(id))
-    if (toFold.isEmpty && (alreadyFolded & present).isEmpty) return
-    val foldSum = toFold.toSeq.sorted.map(id =>
-      graft.sources.Sources.readJsonSidecarFs(spark,
-        s"$dir/_stats/batch_$id.json").getOrElse("grams", "0").toLong).sum
-    // retain only folded ids whose files might still exist (crash
-    // residue) plus the ones folded now — the list self-prunes
-    val keepFolded = ((alreadyFolded & present) | toFold).toSeq.sorted
+    val entryIds: Set[Long] =
+      if (!fs.exists(statsDir)) Set.empty
+      else fs.listStatus(statsDir).toSeq.map(_.getPath.getName).flatMap {
+        case pat(id) => Some(id.toLong)
+        case _ => None
+      }.toSet
+    val liveGens: Set[Long] = fs
+      .listStatus(new org.apache.hadoop.fs.Path(s"$dir/grams")).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong).toSet
+    val alreadyFolded =
+      (if (entryIds(0L)) graft.sources.Sources.readJsonSidecarFs(spark,
+        s"$dir/_stats/batch_0.json") else Map.empty[String, String])
+        .get("folded")
+        .map(_.split(",").filter(_.nonEmpty).map(_.toLong).toSet)
+        .getOrElse(Set.empty[Long])
+    // an entry whose generation dir is gone was folded into batch=0
+    // (now, or by a crashed prior run) — retire it; keep previously
+    // retired ids whose residue files still exist
+    val retire = ((entryIds - 0L).filterNot(liveGens) | alreadyFolded)
+      .filter(id => entryIds(id) || alreadyFolded(id))
+    val keepFolded = retire.filter(entryIds).toSeq.sorted
+    val count0 = spark.read.parquet(s"$dir/grams/batch=0").count()
     graft.sources.Sources.writeJsonSidecarFs(spark,
       s"$dir/_stats/batch_0.json",
-      Map("grams" -> (base.getOrElse("grams", "0").toLong + foldSum).toString,
+      Map("grams" -> count0.toString,
         "folded" -> keepFolded.mkString(",")))
-    (alreadyFolded | toFold).foreach { id =>
+    retire.foreach { id =>
       val p = new org.apache.hadoop.fs.Path(s"$dir/_stats/batch_$id.json")
       if (fs.exists(p)) fs.delete(p, false)
     }
@@ -2134,7 +2181,7 @@ object Dedup {
       val prune =
         if (wanted.isEmpty) lit(false)
         else wanted.groupBy(_._1).map { case (b, ps) =>
-          col("band") === b && col("pfx").isin(ps.map(_._2): _*)
+          col("band") === b && col("pfx").isin(ps.map(_._2).toIndexedSeq: _*)
         }.reduce(_ || _)
       // join on (band, bh) only — bh equality implies pfx equality, and
       // the directory-inferred partition column type stays out of keys

@@ -542,7 +542,7 @@ object Multimodal {
     val prune =
       if (wanted.isEmpty) lit(false)
       else wanted.groupBy(_._1).map { case (b, ps) =>
-        col("band") === b && col("pfx").isin(ps.map(_._2): _*)
+        col("band") === b && col("pfx").isin(ps.map(_._2).toIndexedSeq: _*)
       }.reduce(_ || _)
     // join on (band, bk) only — bk equality already implies pfx
     // equality, and the discovered pfx partition column's directory-

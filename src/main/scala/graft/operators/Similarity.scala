@@ -313,10 +313,15 @@ object Similarity {
                     nCells: Int = 16, seed: Long = 42L,
                     idCol: String = "vec_id", vecCol: String = "embedding")
       : Seq[(Int, Array[Float])] = {
+    val spark = corpus.sparkSession
+    // appended cells were quantized under the OLD centroids and old
+    // tombstones name ids the fresh corpus may reuse — a reinstall over
+    // a grown index must not mix them with the new fit
+    graft.operators.StoreMaintenance.clearForReinstall(spark, path,
+      Seq("cells", "tombstones"))
     val (cells, centroids) = quantize(corpus, nCells, seed, idCol, vecCol)
     cells.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/cells/batch=0")
-    val spark = corpus.sparkSession
     spark.createDataFrame(centroids).toDF("cell", "c_vec")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     graft.sources.Sources.writeJsonSidecarFs(spark, s"$path/_meta.json",
@@ -798,9 +803,14 @@ object Similarity {
   def installPqIndex(corpus: DataFrame, path: String, cb: PqCodebooks,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      metaExtra: Map[String, String] = Map.empty): Unit = {
+    val spark = corpus.sparkSession
+    // appended codes were encoded under the OLD codebooks — ADC'ing
+    // them against the new tables would silently mis-rank; a reinstall
+    // over a grown index starts clean
+    graft.operators.StoreMaintenance.clearForReinstall(spark, path,
+      Seq("codes", "tombstones"))
     pqEncode(corpus, cb, idCol, vecCol)
       .write.mode("overwrite").parquet(s"$path/codes/batch=0")
-    val spark = corpus.sparkSession
     val rows = for { j <- 0 until cb.m; c <- 0 until cb.k }
       yield (j, c, cb.centroids(j)(c).toSeq, cb.norm2(j)(c))
     spark.createDataFrame(rows).toDF("j", "c", "centroid", "norm2")

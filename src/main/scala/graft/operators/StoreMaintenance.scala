@@ -31,7 +31,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * swapped), and until then every probe/append entry point fails
   * loudly on the marker ([[requireNoCrashedCompaction]]) — reading
   * mid-swap could see a half-old/half-new table set. */
-private[operators] object StoreMaintenance {
+private[graft] object StoreMaintenance {
 
   /** One store table: how to project its fold (include any
     * `repartition` the landed layout needs) and the partition columns
@@ -52,6 +52,34 @@ private[operators] object StoreMaintenance {
     require(!hadoopFs(spark, dir).exists(marker(dir)),
       s"store at $dir has an unfinished compaction swap — run its " +
         "compact*Store maintenance op to finish it first")
+
+  /** Reinstall hygiene for installers whose REBUILD is the documented
+    * maintenance path (BM25, eval-gram) or whose appended data is
+    * meaningless under fresh fit state (PQ codes under new codebooks,
+    * IVF cells/tombstones under new centroids): a base install
+    * overwrites only `batch=0`, so installing over a store that had
+    * appends would silently mix the fresh base with stale generations
+    * and their sidecars — postings/stats double-count, retired suites
+    * keep redacting, old-codebook codes ADC against new tables. Clear
+    * every mutable subtree and per-batch sidecar first; a crashed
+    * compaction's staging/marker is superseded by the reinstall too.
+    * (The near-dup family deliberately KEEPS appends on reinstall —
+    * its documented resume-an-ingest-line contract — and does not call
+    * this.) */
+  def clearForReinstall(spark: SparkSession, dir: String,
+                        subdirs: Seq[String],
+                        sidecarGlobs: Seq[String] = Nil): Unit = {
+    val fs = hadoopFs(spark, dir)
+    (subdirs :+ "_compacting").foreach { s =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$s")
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    sidecarGlobs.foreach { g =>
+      val matched = fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/$g"))
+      if (matched != null) matched.foreach(st => fs.delete(st.getPath, false))
+    }
+    if (fs.exists(marker(dir))) fs.delete(marker(dir), false)
+  }
 
   def compact(spark: SparkSession, dir: String, tables: Seq[TableSpec],
               maxBatchId: Long): Unit = {

@@ -183,6 +183,11 @@ object TextAnalysis {
                      buckets: Int = 64): Unit = {
     require(buckets >= 1, "buckets >= 1")
     val spark = docs.sparkSession
+    // rebuild IS this store's compaction: stale postings generations or
+    // stats entries surviving the reinstall would double df and
+    // nDocs/sumDl on every later probe
+    StoreMaintenance.clearForReinstall(spark, dir,
+      Seq("postings", "_stats"))
     def terms(c: Column) = split(trim(lower(c)), "\\s+")
     val body = docs.select(col(idCol).as("n_id"), terms(col(textCol)).as("_tk"))
     val dl = body.select(col("n_id"), size(col("_tk")).cast("long").as("dl"))

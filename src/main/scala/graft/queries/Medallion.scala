@@ -223,7 +223,11 @@ object Medallion {
       s"($d1 = last_day($d1) AND $d2 = last_day($d2)) THEN 0.0 " +
       s"ELSE (day($d1) - day($d2)) / 31.0 END, 8)"
 
-  private val empLengthIntSql: String =
+  /** The dialect-neutral SQL twin of [[graft.ops.ColumnOps.parseEmpLength]]
+    * — ONE definition shared by the m5 oracle (SparkEntry) and the
+    * pl_gold_demo oracle, so a portability tweak can never split the
+    * two gates. */
+  private[graft] val empLengthIntSql: String =
     "CASE WHEN lower(trim(emp_length)) = '10+ years' THEN 10 " +
       "WHEN lower(trim(emp_length)) = '< 1 year' THEN 0 " +
       "WHEN lower(trim(emp_length)) = 'missing' THEN -1 " +

@@ -50,10 +50,14 @@ object PipelineE2E {
         "disbursement_method" -> element_at(array(lit("Cash"), lit("DirectPay")), (id % 2 + 1).cast("int")))
     }
     // a few hundred synthetic rows don't need the session's default
-    // parallelism: 4 partitions keeps every one of this query's ~30
-    // downstream jobs at 4 tasks instead of 32 (pure scheduler overhead
-    // at this size; real sources size their own partitions)
-    val base = spark.range(0L, n.toLong, 1L, 4).toDF("row_id")
+    // parallelism: 4 partitions keeps every one of the gate queries'
+    // ~30 downstream jobs at 4 tasks instead of 32 (pure scheduler
+    // overhead at that size; real sources size their own partitions).
+    // The medallion SCALE probe reuses this generator at n up to 500k+,
+    // where a pinned 4 would measure a 4-task scan bottleneck instead
+    // of the pipeline — grow with n, capped at the session's cores.
+    val parts = math.max(4, math.min(32, n / 10000))
+    val base = spark.range(0L, n.toLong, 1L, parts).toDF("row_id")
     base.select(schema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
       special.get(f.name).map(_.cast(f.dataType).as(f.name)).getOrElse {
         val v: Column = f.dataType match {

@@ -603,6 +603,14 @@ object EventStream {
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          // the store is compactable (compactEvalGramStore) by ITS
+          // writer lineage, which this reader loop is not — a crashed
+          // swap mid-fold would let the per-batch grams read see a
+          // half-old/half-new table and publish contaminated spans as
+          // clean, silently; fail the trigger loudly instead (the
+          // probe/append entry points carry the same guard)
+          graft.operators.StoreMaintenance
+            .requireNoCrashedCompaction(spark, evalStoreDir)
           val cleaned = Dedup.decontaminateRewriteLoaded(
             batch, evalStoreDir, n, probeBytes, idCol, textCol)
           val kept =
