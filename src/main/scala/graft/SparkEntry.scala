@@ -245,6 +245,7 @@ object SparkEntry {
     "t48_bm25_append" -> (Documents.t48Bm25Append _),
     "t49_bm25_pruned" -> (Documents.t49Bm25Pruned _),
     "t50_decontam_compacted" -> (Documents.t50DecontamCompacted _),
+    "d30_fp_compacted" -> (Documents.d30FpCompacted _),
   ) ++ graft.queries.Medallion.queries
 
   /** T20's oracle: every Gopher rule statistic recomputed on RAW gram
@@ -1030,6 +1031,21 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     // the Bloom-routed store path is exact (see d15FpStore) → d7's oracle
     "d15_fp_store" ->
+      """WITH fp AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |batch AS (SELECT * FROM fp WHERE doc_id % 5 = 0),
+        |corpus AS (SELECT * FROM fp WHERE doc_id % 5 <> 0),
+        |keep AS (SELECT fp, min(doc_id) AS doc_id FROM batch GROUP BY fp)
+        |SELECT doc_id, fp FROM keep
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = keep.fp)
+        |ORDER BY doc_id""".stripMargin,
+    // D30: the fp store FOLDED (generations + per-batch blooms into the
+    // base) must serve d15's probe semantics over the landed union —
+    // the store side is base(%5∈{1,2}) ∪ append(%5∈{3,4}) = %5<>0, so
+    // the oracle is d15's verbatim; a fold losing an fp row or bloom
+    // coverage re-admits a duplicate and hash-fails
+    "d30_fp_compacted" ->
       """WITH fp AS (SELECT doc_id,
         |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |  FROM documents),

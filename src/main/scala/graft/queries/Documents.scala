@@ -180,6 +180,33 @@ object Documents {
       .orderBy("doc_id")
   }
 
+  /** D30 — fp store GENERATION COMPACTION oracle-gated (the d29/t50
+    * pattern on the exact-dedup store): the corpus lands in two
+    * installments (sharded base install + appendToFpStore), the fold
+    * ([[Dedup.compactFpStore]]) collapses fps generations and per-batch
+    * bloom sidecars, and the probe runs against the FOLDED store —
+    * same oracle shape as d15 over the union. A fold that loses an fp
+    * row (suspect verifies clean → re-admitted) or drops bloom coverage
+    * (duplicate probes negative → re-admitted) adds rows and
+    * hash-fails. */
+  def d30FpCompacted(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val dir = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/fp_compact"
+    Dedup.writeFpStore(
+      docs.filter(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2),
+      "doc_id", "text", dir, expectedTotalFps = 1000000L, shards = 2)
+    Dedup.appendToFpStore(
+      docs.filter(col("doc_id") % 5 === 3 || col("doc_id") % 5 === 4)
+        .select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct(),
+      dir, batchId = 1L)
+    Dedup.compactFpStore(s, dir)
+    Dedup.incrementalExactDedupFromFpStore(
+        docs.filter(col("doc_id") % 5 === 0), dir, "doc_id", "text")
+      .select(col("id").as("doc_id"), col("fp"))
+      .orderBy("doc_id")
+  }
+
   /** D9 — duplicated-span coverage (word-5-grams shared by ≥ 2 docs):
     * per-doc positional coverage by inter-document repeated spans, the
     * signal exact-substring dedup thresholds on. The corpus' planted
