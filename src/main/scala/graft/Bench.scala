@@ -134,14 +134,24 @@ object Bench {
       names.foreach { case (n, f) => sample(n, f) }
     }
     def medianOf(ts: Vector[Double]): Double = { val s = ts.sorted; s(s.size / 2) }
+    // successful samples only, everywhere a number is published or a
+    // policy decision is made from one: a crashed run's duration is
+    // time-to-failure, and letting it into the tail-selection median
+    // would EXCLUDE a heavy query from refinement exactly when its one
+    // honest sample most needs corroboration (all-failed keys fall back
+    // to raw times and sit in the failures list)
+    def okTimes(n: String): Vector[Double] = {
+      val ok = times(n).collect { case (t, true) => t }
+      if (ok.nonEmpty) ok else times(n).map(_._1)
+    }
     // clean-box tail refinement (see scaladoc): extra back-to-back
     // samples for the heavy tail, after a GC settle
     val refineRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_REFINE", "5").toInt
     val tail = names
-      .filter { case (n, _) => medianOf(times(n).map(_._1)) >= 2.0 }
-      .sortBy { case (n, _) => -medianOf(times(n).map(_._1)) }
+      .filter { case (n, _) => medianOf(okTimes(n)) >= 2.0 }
+      .sortBy { case (n, _) => -medianOf(okTimes(n)) }
       .take(12)
-    val interleavedMedians = tail.map { case (n, _) => n -> medianOf(times(n).map(_._1)) }.toMap
+    val interleavedMedians = tail.map { case (n, _) => n -> medianOf(okTimes(n)) }.toMap
     if (refineRuns > 0 && tail.nonEmpty) {
       System.gc(); Thread.sleep(1000)
       tail.foreach { case (n, f) => (1 to refineRuns).foreach(_ => sample(n, f)) }
@@ -165,8 +175,7 @@ object Bench {
       // the stream-min policy one fast crash would otherwise become the
       // headline (all-failed keys keep their raw times and sit in the
       // failures list)
-      val okTs = runsFor.collect { case (t, true) => t }
-      val ts = (if (okTs.nonEmpty) okTs else runsFor.map(_._1)).sorted
+      val ts = okTimes(name).sorted
       val headline = if (streamKey(name)) ts.head else ts(ts.size / 2)
       (name, headline, ts.head, ts.last, runsFor.forall(_._2))
     }
@@ -186,7 +195,7 @@ object Bench {
     // sum doesn't
     val sumOfMin = results.map(_._3).sum
     val refined = tail.map { case (n, _) =>
-      val all = times(n).map(_._1)
+      val all = okTimes(n)
       "\"" + n + "\":{\"interleaved\":" +
         f"${interleavedMedians(n)}%.3f" + ",\"combined\":" +
         f"${medianOf(all)}%.3f" + s""","n":${all.size}}"""

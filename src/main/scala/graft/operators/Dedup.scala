@@ -1450,6 +1450,14 @@ object Dedup {
   def compactEvalGramStore(spark: org.apache.spark.sql.SparkSession,
                            dir: String,
                            maxBatchId: Long = Long.MaxValue): Unit = {
+    def gens(): Set[Long] = {
+      val g = new org.apache.hadoop.fs.Path(s"$dir/grams")
+      g.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(g).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .map(_.getPath.getName.stripPrefix("batch=").toLong).toSet
+    }
+    val gensBefore = gens()
     StoreMaintenance.compact(spark, dir,
       Seq(StoreMaintenance.TableSpec("grams", _.select("h1", "h2"))),
       maxBatchId)
@@ -1472,10 +1480,7 @@ object Dedup {
         case pat(id) => Some(id.toLong)
         case _ => None
       }.toSet
-    val liveGens: Set[Long] = fs
-      .listStatus(new org.apache.hadoop.fs.Path(s"$dir/grams")).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-      .map(_.getPath.getName.stripPrefix("batch=").toLong).toSet
+    val liveGens: Set[Long] = gens()
     val alreadyFolded =
       (if (entryIds(0L)) graft.sources.Sources.readJsonSidecarFs(spark,
         s"$dir/_stats/batch_0.json") else Map.empty[String, String])
@@ -1485,8 +1490,12 @@ object Dedup {
     // an entry whose generation dir is gone was folded into batch=0
     // (now, or by a crashed prior run) — retire it; keep previously
     // retired ids whose residue files still exist
-    val retire = ((entryIds - 0L).filterNot(liveGens) | alreadyFolded)
-      .filter(id => entryIds(id) || alreadyFolded(id))
+    val retire = (entryIds - 0L).filterNot(liveGens) | alreadyFolded
+    // idempotent no-op: nothing was folded this call (generation set
+    // unchanged — catches legacy entry-less generations too), no crash
+    // residue, batch 0's entry present — skip the O(store) recount +
+    // rewrite a maintenance sweep would otherwise pay on every visit
+    if (liveGens == gensBefore && retire.isEmpty && entryIds(0L)) return
     val keepFolded = retire.filter(entryIds).toSeq.sorted
     val count0 = spark.read.parquet(s"$dir/grams/batch=0").count()
     graft.sources.Sources.writeJsonSidecarFs(spark,

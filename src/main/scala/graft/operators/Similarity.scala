@@ -546,6 +546,15 @@ object Similarity {
                       idCol: String = "vec_id",
                       vecCol: String = "embedding")
       : Seq[(Int, Array[Float])] = {
+    // an in-place rebuild would have writeIvfIndex's reinstall clear
+    // DELETE the source cells this lazy frame reads from before the
+    // k-means fit ever materializes them — irrecoverable data loss
+    // preceding the first error; the side-by-side contract is now a
+    // require, not advice
+    require(new org.apache.hadoop.fs.Path(dstPath).toUri !=
+        new org.apache.hadoop.fs.Path(path).toUri,
+      s"rebuildIvfIndex must build SIDE BY SIDE (src == dst: $path) — " +
+        "swap the serving path after the build, never rebuild in place")
     // honor tombstones: a rebuild is exactly where deleted bytes are
     // compacted away — the fresh index carries no tombstone dir
     val all = liveRows(spark.read.parquet(s"$path/cells"),

@@ -196,9 +196,14 @@ object Documents {
     Dedup.writeFpStore(
       docs.filter(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2),
       "doc_id", "text", dir, expectedTotalFps = 1000000L, shards = 2)
+    // localCheckpoint — the append path's caller contract: the sharded
+    // append re-reads the batch frame per shard slice + filter build,
+    // and an unfrozen lineage would re-run the scan+fingerprint+distinct
+    // for each of those jobs
     Dedup.appendToFpStore(
       docs.filter(col("doc_id") % 5 === 3 || col("doc_id") % 5 === 4)
-        .select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct(),
+        .select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
+        .localCheckpoint(),
       dir, batchId = 1L)
     Dedup.compactFpStore(s, dir)
     Dedup.incrementalExactDedupFromFpStore(

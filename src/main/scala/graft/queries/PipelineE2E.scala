@@ -55,7 +55,11 @@ object PipelineE2E {
     // overhead at that size; real sources size their own partitions).
     // The medallion SCALE probe reuses this generator at n up to 500k+,
     // where a pinned 4 would measure a 4-task scan bottleneck instead
-    // of the pipeline — grow with n, capped at the session's cores.
+    // of the pipeline — grow with n, capped at 32 (the probe/parity
+    // local[32] shape). ParityRun's 600k fixture moved 4 → 32 partitions
+    // under this change and its macro-F1 stayed bit-identical (0.8882,
+    // re-anchored round 17): at this row count Spark's tree findSplits
+    // samples at fraction 1, so the fit is layout-independent.
     val parts = math.max(4, math.min(32, n / 10000))
     val base = spark.range(0L, n.toLong, 1L, parts).toDF("row_id")
     base.select(schema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
