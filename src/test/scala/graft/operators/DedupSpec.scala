@@ -1262,6 +1262,13 @@ class DedupSpec extends SparkSpec {
       Dedup.mergedBloomBytes(spark, dir, None))
     assert(gramsAfter.map(_._1).forall(bloom.mightContainLong))
     assert(rewrite() == before, "fold must not change any rewrite answer")
+    // folded ids are RETIRED — enforced, not just documented: replaying
+    // the folded id would read as crash residue in the accounting and
+    // the next fold would double its rows
+    val exRetired = intercept[IllegalArgumentException] {
+      Dedup.appendToEvalGramStore(suiteB, "text", dir, batchId = 1L)
+    }
+    assert(exRetired.getMessage.contains("retired"))
     // the store keeps growing after a fold (fresh id — folded ids retire)
     Dedup.appendToEvalGramStore(
       Seq((102L, "zeta epsilon delta gamma beta alpha")).toDF("doc_id", "text"),
@@ -1278,6 +1285,39 @@ class DedupSpec extends SparkSpec {
     Dedup.compactEvalGramStore(spark, dir)
     assert(!new java.io.File(s"$dir/_compact_swap.json").exists())
     assert(rewrite().nonEmpty, "healed store must serve probes again")
+  }
+
+  test("writeFpStore reinstall clears stale generations and per-batch " +
+       "blooms (rebuild-over-grown-store hygiene)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fpreinstall").toString
+    val docs = Tables.documents(spark, sf)
+    Dedup.writeFpStore(docs.filter($"doc_id" % 5 === 1), "doc_id", "text",
+      dir, expectedTotalFps = 100000L)
+    Dedup.appendToFpStore(
+      docs.filter($"doc_id" % 5 === 2)
+        .select(TextAnalysis.fingerprint($"text").as("fp")).distinct()
+        .localCheckpoint(),
+      dir, batchId = 1L)
+    assert(new java.io.File(s"$dir/fps/batch=1").exists() &&
+      new java.io.File(s"$dir/_bloom.b1.bin").exists())
+    // full rebuild over a DIFFERENT corpus slice: the old generation and
+    // its bloom must not survive — a stale batch=1 would keep rejecting
+    // docs the rebuilt store never saw
+    Dedup.writeFpStore(docs.filter($"doc_id" % 5 === 3), "doc_id", "text",
+      dir, expectedTotalFps = 100000L)
+    val gens = new java.io.File(s"$dir/fps").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(gens == Set("batch=0"), s"stale generations survived: $gens")
+    assert(!new java.io.File(s"$dir/_bloom.b1.bin").exists(),
+      "stale per-batch bloom survived the reinstall")
+    // probe semantics = a fresh store over the new slice: a %5==2 doc
+    // (in the OLD store only) must now be admitted as new
+    val probe = docs.filter($"doc_id" % 5 === 2)
+    val out = Dedup.incrementalExactDedupFromFpStore(
+      probe, dir, "doc_id", "text")
+    assert(out.count() == Dedup.exactDedup(probe, "doc_id", "text").count(),
+      "rebuilt store must not remember the pre-rebuild corpus")
   }
 
   test("appendToEvalGramStore refuses a v1 (flat-layout) store") {
