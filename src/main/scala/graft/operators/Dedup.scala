@@ -226,6 +226,7 @@ object Dedup {
     // flat layout, fps/batch=0 landing next to flat files would brick
     // every later read; over a v2-with-appends, stale generations and
     // their blooms would survive a full rebuild — clear both shapes
+    StoreMaintenance.requireInputNotFromStore(corpus, dir, "writeFpStore")
     StoreMaintenance.clearForReinstall(spark, dir,
       Seq("fps"), Seq("_bloom*.bin"))
     val fps = corpus
@@ -334,13 +335,21 @@ object Dedup {
   }
 
   /** Fold the fp store's committed generations into one `batch=0` and
-    * its per-batch bloom sidecars into the base filter —
-    * [[StoreMaintenance]]'s protocol on the fps table plus
-    * [[compactFpStoreSidecars]]. The sidecar fold needs no generation
-    * bound of its own: bloom folding is a set union, so a replayed
-    * append re-writing its own `_bloom.b<id>.bin` after the fold adds
-    * keys the base already carries — merged probes are unchanged. The
-    * fps TABLE fold takes `maxBatchId` like every row-table fold
+    * fold OR RE-SIZE its bloom sidecars ([[resizeFpSidecarsAfterFold]]):
+    * when the table fold left unfolded generations behind (a bounded
+    * `maxBatchId`), per-batch filters are unioned into the base
+    * ([[compactFpStoreSidecars]] — replay-proof, set union); when EVERY
+    * generation folded into `batch=0`, the base filter is REBUILT from
+    * the folded keys with capacity = max(installed, 2×folded), because
+    * the install-sized union quietly saturates once appends outgrow the
+    * original sizing — the effective fpp degrades and every probe leaks
+    * more false-positive candidates into the exact-verify join, eroding
+    * the O(batch) guarantee the sidecar exists to provide. The fold is
+    * exactly the moment a right-sized rebuild is nearly free: batch 0's
+    * folded parquet is already in hand, one `stat.bloomFilter` pass
+    * restores the designed fpp, and `_meta.json` records the new
+    * capacity so later appends build bit-compatible per-batch filters.
+    * The fps TABLE fold takes `maxBatchId` like every row-table fold
     * (duplicate fp rows from a replayed folded generation would be
     * anti-join-invisible, but the store should not grow on replay). */
   def compactFpStore(spark: org.apache.spark.sql.SparkSession, dir: String,
@@ -353,7 +362,122 @@ object Dedup {
         _.select(col("fp"), col("shard")).repartition(col("shard")),
         partitionCols = Seq("shard"))
     StoreMaintenance.compact(spark, dir, Seq(spec), maxBatchId)
-    compactFpStoreSidecars(spark, dir)
+    resizeFpSidecarsAfterFold(spark, dir)
+  }
+
+  /** Capacity growth factor a post-fold sidecar rebuild applies when the
+    * folded key count outgrew the installed sizing: room for one more
+    * store doubling before the next fold needs to re-size again, at
+    * ~1.8 bytes/key of filter — cheap insurance against re-sizing every
+    * fold on a steadily growing ingest line. */
+  private val bloomFoldHeadroom = 2L
+
+  /** Batch-id set of a store table's live `batch=<id>` generation dirs. */
+  private def liveGenIds(spark: org.apache.spark.sql.SparkSession,
+                         tableDir: String): Set[Long] = {
+    val p = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong).toSet
+  }
+
+  /** Names of a dir's per-batch bloom sidecar files (`_bloom.b<id>.bin`
+    * and `_bloom.s<i>.b<id>.bin`). */
+  private def batchBloomFiles(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): Seq[String] = {
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pat = "_bloom(\\.s\\d+)?\\.b\\d+\\.bin".r
+    fs.listStatus(d).toSeq.map(_.getPath.getName).filter(pat.matches)
+  }
+
+  /** Serializable-filter guard shared with `writeFpStore`: true when a
+    * capacity/fpp pair fits the single-sidecar byte-array ceiling. */
+  private def bloomFits(capacity: Long, fpp: Double): Boolean =
+    math.ceil(-capacity * math.log(fpp) / (math.log(2) * math.log(2))) <=
+      8.0 * Int.MaxValue
+
+  /** Post-fold sidecar policy for the fp store (see [[compactFpStore]]):
+    * union when unfolded generations remain (their keys live only in
+    * their own per-batch filters — rebuilding from `batch=0` alone
+    * would DROP them and admit silent false negatives), rebuild
+    * re-sized from the folded keys when `batch=0` is the only
+    * generation. No-op when no per-batch sidecar files exist (nothing
+    * folded, nothing stray) — the idempotent-maintenance-visit fast
+    * path. Self-healing: a crash between the base write and the batch
+    * deletes leaves stale old-capacity batch files that the next call
+    * deletes without reading. */
+  private[graft] def resizeFpSidecarsAfterFold(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val batchFiles = batchBloomFiles(spark, dir)
+    if (batchFiles.isEmpty) return
+    if ((liveGenIds(spark, s"$dir/fps") - 0L).nonEmpty) {
+      compactFpStoreSidecars(spark, dir)
+      return
+    }
+    val meta = graft.sources.Sources.readJsonSidecarFs(spark, s"$dir/_meta.json")
+    val shards = meta.getOrElse("shards", "1").toInt
+    val fpp = meta("fpp").toDouble
+    val installed = meta("expectedTotalFps").toLong
+    val perShard = fpShardCapacity(installed, shards)
+    val folded = spark.read.parquet(s"$dir/fps/batch=0")
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dropBatchFiles(): Unit = batchBloomFiles(spark, dir).foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$n"), false))
+    if (shards == 1) {
+      val n0 = folded.count()
+      val newCap = if (n0 > installed) n0 * bloomFoldHeadroom else installed
+      if (!bloomFits(newCap, fpp)) {
+        // past the single-sidecar ceiling: the union keeps every key
+        // (saturated but never false-negative); the honest fix is a
+        // sharded reinstall, which writeFpStore's own require names
+        System.err.println(s"[graft] fp store $dir: $n0 folded fps " +
+          s"need a filter past the single-sidecar ceiling — keeping " +
+          "the saturated union; reinstall with writeFpStore(shards=k)")
+        compactFpStoreSidecars(spark, dir)
+        return
+      }
+      val keys = folded.select(xxhash64(col("fp")).as("k"))
+      val filter =
+        if (n0 == 0L)
+          org.apache.spark.util.sketch.BloomFilter.create(newCap, fpp)
+        else keys.stat.bloomFilter("k", newCap, fpp)
+      graft.sources.Sources.writeBinarySidecarFs(spark, s"$dir/_bloom.bin",
+        graft.functions.BloomMightContain.toBytes(filter))
+      dropBatchFiles()
+      if (newCap != installed)
+        graft.sources.Sources.writeJsonSidecarFs(spark, s"$dir/_meta.json",
+          meta + ("expectedTotalFps" -> newCap.toString))
+    } else {
+      val cached = folded.persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val counts = cached.groupBy("shard").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val maxN = if (counts.isEmpty) 0L else counts.values.max
+        val newPerShard =
+          if (maxN > perShard) maxN * bloomFoldHeadroom else perShard
+        if (!bloomFits(newPerShard, fpp)) {
+          System.err.println(s"[graft] fp store $dir: hottest shard " +
+            s"holds $maxN folded fps — past the per-shard ceiling; " +
+            "keeping the saturated union; reinstall with more shards")
+          compactFpStoreSidecars(spark, dir)
+          return
+        }
+        (0 until shards).foreach { i =>
+          val keys = cached.filter(col("shard") === i)
+            .select(xxhash64(col("fp")).as("k"))
+          writeShardBloom(spark, dir, i, keys, newPerShard, fpp)
+        }
+        dropBatchFiles()
+        if (newPerShard != perShard)
+          graft.sources.Sources.writeJsonSidecarFs(spark, s"$dir/_meta.json",
+            meta + ("expectedTotalFps" ->
+              (newPerShard * shards).toString))
+      } finally cached.unpersist(blocking = false)
+    }
   }
 
   /** One shard's Bloom sidecar from its key frame; an EMPTY shard gets
@@ -1260,6 +1384,8 @@ object Dedup {
     // (saturation warn, v1 guard): stale gram generations, per-batch
     // blooms, or stats entries surviving the reinstall would keep
     // redacting retired suites and double-count the accounting
+    StoreMaintenance.requireInputNotFromStore(evalSet, dir,
+      "writeEvalGramStore")
     StoreMaintenance.clearForReinstall(spark, dir,
       Seq("grams", "_stats"), Seq("_bloom*.bin"))
     // eager: the gram projection feeds the capacity count, the parquet
@@ -1357,6 +1483,27 @@ object Dedup {
     require(!retired(batchId),
       s"batch id $batchId was folded into batch 0 by " +
         "compactEvalGramStore and is retired — append with a fresh id")
+    // same heal for APPENDED generations: a v2 store grown before the
+    // per-batch accounting change has live grams/batch=<id> dirs with
+    // no `_stats` entry, so the saturation warn undercounts them until
+    // a compaction happens to run — backfill each missing entry once
+    // (one parquet count, then never again; racing appenders write the
+    // same value). Retired ids are skipped: a re-landed folded dir is
+    // replay residue whose rows batch 0 already counts.
+    locally {
+      val gdir = new org.apache.hadoop.fs.Path(s"$dir/grams")
+      statFs.listStatus(gdir).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .map(_.getPath.getName.stripPrefix("batch=").toLong)
+        .filter(id => id > 0 && !retired(id))
+        .filterNot(id => statFs.exists(
+          new org.apache.hadoop.fs.Path(s"$dir/_stats/batch_$id.json")))
+        .foreach { id =>
+          val ni = spark.read.parquet(s"$dir/grams/batch=$id").count()
+          graft.sources.Sources.writeJsonSidecarFs(spark,
+            s"$dir/_stats/batch_$id.json", Map("grams" -> ni.toString))
+        }
+    }
     val n = meta("n").toInt
     val capacity = meta("expectedTotalGrams").toLong
     val fpp = meta("fpp").toDouble
@@ -1391,7 +1538,8 @@ object Dedup {
       System.err.println(
         s"[graft] eval-gram store $dir holds ~$total grams against a " +
         s"sidecar sized for $capacity — effective fpp is degrading; " +
-        "rebuild with writeEvalGramStore over the full suite")
+        "run compactEvalGramStore (re-sizes the sidecar at fold time) " +
+        "or rebuild with writeEvalGramStore over the full suite")
   }
 
   /** Sum of one numeric field over a store's per-batch `_stats/
@@ -1461,8 +1609,15 @@ object Dedup {
     StoreMaintenance.compact(spark, dir,
       Seq(StoreMaintenance.TableSpec("grams", _.select("h1", "h2"))),
       maxBatchId)
-    // same `_bloom.b<id>.bin` lineage as the fp store (unsharded)
-    compactFpStoreSidecars(spark, dir)
+    // same `_bloom.b<id>.bin` lineage as the fp store (unsharded), same
+    // post-fold policy (see compactFpStore): union only while unfolded
+    // generations remain; once batch=0 is the only generation, REBUILD
+    // the base filter from the folded h1 keys re-sized to
+    // max(installed, 2×folded) and record the new capacity in
+    // `_meta.json` — this is the de-saturation the warn in
+    // appendToEvalGramStore asks for, paid when the folded parquet is
+    // already in hand
+    resizeEvalGramSidecarAfterFold(spark, dir)
     // stats: batch 0's entry becomes the EXACT row count of the folded
     // generation — one parquet count of the table the fold just
     // rewrote, so a pre-accounting generation (installed before the
@@ -1487,16 +1642,29 @@ object Dedup {
         .get("folded")
         .map(_.split(",").filter(_.nonEmpty).map(_.toLong).toSet)
         .getOrElse(Set.empty[Long])
-    // an entry whose generation dir is gone was folded into batch=0
-    // (now, or by a crashed prior run) — retire it; keep previously
-    // retired ids whose residue files still exist
-    val retire = (entryIds - 0L).filterNot(liveGens) | alreadyFolded
+    // an id is RETIRED the moment its generation folds into batch=0:
+    // the ids folded THIS call (generation-set diff — catches legacy
+    // entry-less generations too), entries whose generation dir is gone
+    // (a crashed prior run's fold), and every id retired before. The
+    // retire set is PERMANENT — batch 0's `folded` list keeps carrying
+    // an id after its residue entry file is deleted, because
+    // [[appendToEvalGramStore]]'s retired-id require is the only thing
+    // standing between a replayed folded batch and double-landed grams
+    // + double-counted saturation accounting; forgetting the id once
+    // its residue vanished would re-open exactly that door on the next
+    // maintenance visit.
+    val retire = (gensBefore -- liveGens) - 0L |
+      (entryIds - 0L).filterNot(liveGens) | alreadyFolded
+    // residue: retired ids whose per-batch entry file still exists
+    // (crash between the fold write and the entry deletes)
+    val residue = retire & entryIds
     // idempotent no-op: nothing was folded this call (generation set
-    // unchanged — catches legacy entry-less generations too), no crash
-    // residue, batch 0's entry present — skip the O(store) recount +
-    // rewrite a maintenance sweep would otherwise pay on every visit
-    if (liveGens == gensBefore && retire.isEmpty && entryIds(0L)) return
-    val keepFolded = retire.filter(entryIds).toSeq.sorted
+    // unchanged), no crash residue to prune, batch 0's entry present
+    // (and with it the persisted retire list) — skip the O(store)
+    // recount + rewrite a maintenance sweep would otherwise pay per
+    // visit
+    if (liveGens == gensBefore && residue.isEmpty && entryIds(0L)) return
+    val keepFolded = retire.toSeq.sorted
     val count0 = spark.read.parquet(s"$dir/grams/batch=0").count()
     graft.sources.Sources.writeJsonSidecarFs(spark,
       s"$dir/_stats/batch_0.json",
@@ -1506,6 +1674,55 @@ object Dedup {
       val p = new org.apache.hadoop.fs.Path(s"$dir/_stats/batch_$id.json")
       if (fs.exists(p)) fs.delete(p, false)
     }
+  }
+
+  /** [[resizeFpSidecarsAfterFold]]'s unsharded twin for the eval-gram
+    * store's h1-lane sidecar: union while unfolded generations remain,
+    * rebuild re-sized (capacity = max(installed, 2×folded distinct h1))
+    * once `batch=0` is the only generation, updating
+    * `expectedTotalGrams` so later suite appends build bit-compatible
+    * per-batch filters. The filter key count uses DISTINCT h1 — folds
+    * concatenate generations without dedup (the left-semi consumer is
+    * duplicate-blind), so the raw row count would over-size the
+    * rebuild. */
+  private def resizeEvalGramSidecarAfterFold(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val batchFiles = batchBloomFiles(spark, dir)
+    if (batchFiles.isEmpty) return
+    if ((liveGenIds(spark, s"$dir/grams") - 0L).nonEmpty) {
+      compactFpStoreSidecars(spark, dir)
+      return
+    }
+    val meta = graft.sources.Sources.readJsonSidecarFs(spark, s"$dir/_meta.json")
+    val fpp = meta("fpp").toDouble
+    val installed = meta("expectedTotalGrams").toLong
+    val keys = spark.read.parquet(s"$dir/grams/batch=0")
+      .select(col("h1").as("k")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n0 = keys.count()
+      val newCap = if (n0 > installed) n0 * bloomFoldHeadroom else installed
+      if (!bloomFits(newCap, fpp)) {
+        System.err.println(s"[graft] eval-gram store $dir: $n0 folded " +
+          "grams need a filter past the single-sidecar ceiling — " +
+          "keeping the saturated union; split the suite across stores")
+        compactFpStoreSidecars(spark, dir)
+        return
+      }
+      val filter =
+        if (n0 == 0L)
+          org.apache.spark.util.sketch.BloomFilter.create(newCap, fpp)
+        else keys.stat.bloomFilter("k", newCap, fpp)
+      graft.sources.Sources.writeBinarySidecarFs(spark, s"$dir/_bloom.bin",
+        graft.functions.BloomMightContain.toBytes(filter))
+      val d = new org.apache.hadoop.fs.Path(dir)
+      val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      batchBloomFiles(spark, dir).foreach(n =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$n"), false))
+      if (newCap != installed)
+        graft.sources.Sources.writeJsonSidecarFs(spark, s"$dir/_meta.json",
+          meta + ("expectedTotalGrams" -> newCap.toString))
+    } finally keys.unpersist(blocking = false)
   }
 
   /** [[decontaminateRewrite]] against the at-rest eval-gram store —

@@ -317,6 +317,8 @@ object Similarity {
     // appended cells were quantized under the OLD centroids and old
     // tombstones name ids the fresh corpus may reuse — a reinstall over
     // a grown index must not mix them with the new fit
+    graft.operators.StoreMaintenance.requireInputNotFromStore(
+      corpus, path, "writeIvfIndex")
     graft.operators.StoreMaintenance.clearForReinstall(spark, path,
       Seq("cells", "tombstones"))
     val (cells, centroids) = quantize(corpus, nCells, seed, idCol, vecCol)
@@ -549,10 +551,19 @@ object Similarity {
     // an in-place rebuild would have writeIvfIndex's reinstall clear
     // DELETE the source cells this lazy frame reads from before the
     // k-means fit ever materializes them — irrecoverable data loss
-    // preceding the first error; the side-by-side contract is now a
-    // require, not advice
-    require(new org.apache.hadoop.fs.Path(dstPath).toUri !=
-        new org.apache.hadoop.fs.Path(path).toUri,
+    // preceding the first error; the side-by-side contract is a require
+    // over fs-QUALIFIED, symlink-CANONICAL paths (a raw-URI compare lets
+    // relative-vs-absolute, file://-vs-plain, or symlinked aliases of
+    // the same dir dodge the guard and lose the store anyway)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def canon(p: String): java.net.URI = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val q = hp.getFileSystem(hconf).makeQualified(hp)
+      if (q.toUri.getScheme == "file")
+        new java.io.File(q.toUri.getPath).getCanonicalFile.toURI
+      else q.toUri
+    }
+    require(canon(dstPath) != canon(path),
       s"rebuildIvfIndex must build SIDE BY SIDE (src == dst: $path) — " +
         "swap the serving path after the build, never rebuild in place")
     // honor tombstones: a rebuild is exactly where deleted bytes are
@@ -816,6 +827,8 @@ object Similarity {
     // appended codes were encoded under the OLD codebooks — ADC'ing
     // them against the new tables would silently mis-rank; a reinstall
     // over a grown index starts clean
+    graft.operators.StoreMaintenance.requireInputNotFromStore(
+      corpus, path, "installPqIndex")
     graft.operators.StoreMaintenance.clearForReinstall(spark, path,
       Seq("codes", "tombstones"))
     pqEncode(corpus, cb, idCol, vecCol)

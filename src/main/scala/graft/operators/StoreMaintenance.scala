@@ -53,6 +53,35 @@ private[graft] object StoreMaintenance {
       s"store at $dir has an unfinished compaction swap — run its " +
         "compact*Store maintenance op to finish it first")
 
+  /** Loud guard for every installer that CLEARS the store before its
+    * input DataFrame is materialized ([[clearForReinstall]] callers):
+    * an input lazily derived from the SAME store directory — the
+    * tempting rebuild-in-place pattern — would have the clear delete
+    * its source files before the first byte is read, losing the store
+    * with no error (Spark file listings are resolved at analysis, read
+    * at execution). Walks the analyzed plan's file-source relations and
+    * rejects any scan rooted under `dir`; a frozen input
+    * (`localCheckpoint`) carries no file relation and passes, which is
+    * exactly the documented safe pattern. Paths are fs-qualified so
+    * relative/scheme aliases cannot dodge the compare. */
+  def requireInputNotFromStore(df: DataFrame, dir: String, op: String): Unit = {
+    val fs = hadoopFs(df.sparkSession, dir)
+    val qDir = fs.makeQualified(new org.apache.hadoop.fs.Path(dir)).toString
+    val offending = df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(p => fs.makeQualified(p).toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten.filter(r => r == qDir || r.startsWith(qDir + "/"))
+    require(offending.isEmpty,
+      s"$op clears $dir before writing, but its input still READS from " +
+        s"that store (${offending.head}) — the clear would delete the " +
+        "source before the plan materializes it. Rebuild side by side " +
+        "into a fresh path, or freeze the input (localCheckpoint) first")
+  }
+
   /** Reinstall hygiene for installers whose REBUILD is the documented
     * maintenance path (BM25, eval-gram) or whose appended data is
     * meaningless under fresh fit state (PQ codes under new codebooks,

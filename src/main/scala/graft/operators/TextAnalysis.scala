@@ -186,6 +186,7 @@ object TextAnalysis {
     // rebuild IS this store's compaction: stale postings generations or
     // stats entries surviving the reinstall would double df and
     // nDocs/sumDl on every later probe
+    StoreMaintenance.requireInputNotFromStore(docs, dir, "writeBm25Index")
     StoreMaintenance.clearForReinstall(spark, dir,
       Seq("postings", "_stats"))
     def terms(c: Column) = split(trim(lower(c)), "\\s+")

@@ -1345,4 +1345,149 @@ class DedupSpec extends SparkSpec {
     // nothing landed: the flat layout still reads
     assert(spark.read.parquet(s"$tmp/grams").count() > 0)
   }
+
+  test("compactFpStore RE-SIZES the base bloom from the folded keys — " +
+       "a store grown past its install sizing de-saturates at fold time") {
+    val dir = java.nio.file.Files.createTempDirectory("fpresize").toString
+    val docs = Tables.documents(spark, sf)
+    def fpsOf(pred: org.apache.spark.sql.Column) = docs.filter(pred)
+      .select(TextAnalysis.fingerprint($"text").as("fp"))
+      .distinct().localCheckpoint()
+    // install sized for 8 fps, then grow WAY past it — the union fold
+    // of r17 kept the 8-key bit array forever, so the merged filter
+    // saturated and flagged most NOVEL keys as suspects
+    Dedup.writeFpStore(docs.filter($"doc_id" % 5 === 0), "doc_id", "text",
+      dir, expectedTotalFps = 8L)
+    Dedup.appendToFpStore(fpsOf($"doc_id" % 5 === 1), dir, batchId = 1L)
+    Dedup.appendToFpStore(fpsOf($"doc_id" % 5 === 2), dir, batchId = 2L)
+    def merged() = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      Dedup.mergedBloomBytes(spark, dir, None))
+    def novelHitRate(f: org.apache.spark.util.sketch.BloomFilter): Double =
+      (0 until 2000).count(i => f.mightContainLong(0x9E3779B97F4A7C15L * i))
+        .toDouble / 2000
+    val saturated = novelHitRate(merged())
+    assert(saturated > 0.10,
+      f"fixture must demonstrate saturation (novel-key hit rate $saturated%.3f)")
+    Dedup.compactFpStore(spark, dir)
+    // capacity now covers the folded population with headroom, and the
+    // meta records it so later appends build bit-compatible filters
+    val n0 = spark.read.parquet(s"$dir/fps").select("fp").distinct().count()
+    val newCap = graft.sources.Sources
+      .readJsonSidecarFs(spark, s"$dir/_meta.json")("expectedTotalFps").toLong
+    assert(newCap >= n0 && newCap == n0 * 2,
+      s"fold must re-size capacity to 2x the $n0 folded fps, got $newCap")
+    val rebuilt = merged()
+    assert(novelHitRate(rebuilt) < 0.01,
+      "rebuilt filter must restore the designed fpp")
+    // ...without ever dropping coverage: bloom ⊇ fps still holds and a
+    // batch of known dups is fully caught
+    val landed = spark.read.parquet(s"$dir/fps")
+      .select(xxhash64($"fp")).as[Long].collect()
+    assert(landed.nonEmpty && landed.forall(rebuilt.mightContainLong))
+    val dupBatch = docs.filter($"doc_id" % 5 <= 2)
+      .select(($"doc_id" + 990000000L).as("doc_id"), $"text")
+    assert(Dedup.incrementalExactDedupFromFpStore(
+      dupBatch, dir, "doc_id", "text").count() == 0)
+    // per-batch sidecars folded away; a second maintenance visit is a
+    // byte-level no-op (the idempotent fast path)
+    assert(new java.io.File(dir).listFiles()
+      .forall(f => !f.getName.matches("_bloom\\.b\\d+\\.bin")))
+    val baseBytes = graft.sources.Sources
+      .readBinarySidecarFs(spark, s"$dir/_bloom.bin")
+    Dedup.compactFpStore(spark, dir)
+    assert(java.util.Arrays.equals(baseBytes, graft.sources.Sources
+      .readBinarySidecarFs(spark, s"$dir/_bloom.bin")),
+      "idempotent visit must not rewrite the base sidecar")
+    // and appends after the re-size stay bit-compatible with the new base
+    Dedup.appendToFpStore(fpsOf($"doc_id" % 5 === 3), dir, batchId = 3L)
+    assert(spark.read.parquet(s"$dir/fps").select(xxhash64($"fp"))
+      .as[Long].collect().forall(merged().mightContainLong),
+      "post-resize append must merge into the re-sized base")
+  }
+
+  test("compactEvalGramStore re-sizes the sidecar AND retires folded ids " +
+       "permanently across later folds") {
+    val dir = java.nio.file.Files.createTempDirectory("evresize").toString
+    def suite(tag: String, k: Int) = (0 until k).map(i =>
+      (i.toLong, (0 until 12).map(j => s"${tag}_${i}_w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    Dedup.writeEvalGramStore(suite("a", 1), "text", dir, n = 5,
+      expectedTotalGrams = 4L)
+    Dedup.appendToEvalGramStore(suite("b", 4), "text", dir, batchId = 1L)
+    Dedup.appendToEvalGramStore(suite("c", 4), "text", dir, batchId = 2L)
+    Dedup.compactEvalGramStore(spark, dir)
+    val n0 = spark.read.parquet(s"$dir/grams")
+      .select("h1").distinct().count()
+    val meta = graft.sources.Sources.readJsonSidecarFs(spark, s"$dir/_meta.json")
+    assert(meta("expectedTotalGrams").toLong == n0 * 2,
+      s"fold must re-size to 2x the $n0 folded grams, got " +
+        meta("expectedTotalGrams"))
+    // the de-saturated sidecar still covers every stored key
+    val bloom = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      Dedup.mergedBloomBytes(spark, dir, None))
+    val h1s = spark.read.parquet(s"$dir/grams").select("h1").as[Long].collect()
+    assert(h1s.nonEmpty && h1s.forall(bloom.mightContainLong))
+    // folded ids 1,2 are retired even after their residue entries are
+    // gone — and a LATER fold (of batch 3) must not forget them: the
+    // r17 keepFolded filtered on still-existing entry files, so the
+    // second fold silently un-retired 1 and 2 and a replayed folded
+    // batch could re-land
+    Dedup.appendToEvalGramStore(suite("d", 2), "text", dir, batchId = 3L)
+    Dedup.compactEvalGramStore(spark, dir)
+    val folded = graft.sources.Sources
+      .readJsonSidecarFs(spark, s"$dir/_stats/batch_0.json")("folded")
+    assert(folded == "1,2,3",
+      s"retired ids must persist across folds, got '$folded'")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.appendToEvalGramStore(suite("b", 4), "text", dir, batchId = 1L)
+    }
+    assert(ex.getMessage.contains("retired"))
+  }
+
+  test("appendToEvalGramStore backfills _stats entries for appended " +
+       "generations that predate the per-batch accounting") {
+    val dir = java.nio.file.Files.createTempDirectory("evheal").toString
+    def suite(tag: String) = Seq(
+      (0L, (0 until 12).map(j => s"${tag}_w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    Dedup.writeEvalGramStore(suite("a"), "text", dir, n = 5)
+    Dedup.appendToEvalGramStore(suite("b"), "text", dir, batchId = 1L)
+    val entry1 = new java.io.File(s"$dir/_stats/batch_1.json")
+    val want = spark.read.parquet(s"$dir/grams/batch=1").count()
+    // simulate a store grown before the accounting change: generation
+    // landed, entry never written
+    assert(entry1.delete())
+    Dedup.appendToEvalGramStore(suite("c"), "text", dir, batchId = 2L)
+    assert(entry1.exists(), "append must heal the missing batch_1 entry")
+    assert(graft.sources.Sources
+      .readJsonSidecarFs(spark, s"$dir/_stats/batch_1.json")("grams")
+      .toLong == want,
+      "healed entry must carry the generation's exact gram count")
+  }
+
+  test("installers refuse an input that lazily reads from the store " +
+       "being cleared; a frozen (localCheckpoint) input passes") {
+    val dir = java.nio.file.Files.createTempDirectory("fpselfread").toString
+    val docs = Tables.documents(spark, sf)
+    Dedup.writeFpStore(docs.filter($"doc_id" % 5 === 0), "doc_id", "text",
+      dir, expectedTotalFps = 1000L)
+    // the tempting rebuild-in-place: derive the reinstall corpus from
+    // the store's own parquet — clearForReinstall would delete the
+    // source before this lazy plan reads a byte
+    val fromStore = spark.read.parquet(s"$dir/fps")
+      .select($"fp".as("text")).withColumn("doc_id", lit(1L))
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.writeFpStore(fromStore, "doc_id", "text", dir,
+        expectedTotalFps = 1000L)
+    }
+    assert(ex.getMessage.contains("localCheckpoint"),
+      s"guard must name the safe pattern: ${ex.getMessage}")
+    // store intact after the refused install
+    assert(spark.read.parquet(s"$dir/fps").count() > 0)
+    // the documented safe pattern: freeze first, then reinstall in place
+    val frozen = fromStore.localCheckpoint()
+    Dedup.writeFpStore(frozen, "doc_id", "text", dir,
+      expectedTotalFps = 1000L)
+    assert(spark.read.parquet(s"$dir/fps").count() == frozen.count())
+  }
 }

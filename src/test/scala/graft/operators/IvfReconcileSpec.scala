@@ -160,6 +160,46 @@ class IvfReconcileSpec extends SparkSpec {
       s"rebuilt index must read healthy at the same SLO (skew $skewR, cells $cellsR)")
   }
 
+  test("rebuildIvfIndex side-by-side guard sees through path aliases") {
+    // the r17 require compared raw unqualified URIs, so a relative
+    // path, a file:// scheme, or a symlink of the SAME directory walked
+    // past it — and writeIvfIndex's reinstall clear then deleted the
+    // source cells before the k-means fit read them (irrecoverable loss
+    // before the first error). The guard must canonicalize both sides.
+    val root = java.nio.file.Files.createTempDirectory("ivfalias")
+    val path = root.toString + "/index"
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Array.fill(8)(i.toFloat))).toDF("vec_id", "embedding")
+    Similarity.writeIvfIndex(vecs, path, nCells = 2)
+    val rowsBefore = spark.read.parquet(s"$path/cells").count()
+    // alias 1: explicit file: scheme on the same dir
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.rebuildIvfIndex(spark, path, "file:" + path, nCells = 2)
+    }
+    assert(e1.getMessage.contains("SIDE BY SIDE"))
+    // alias 2: a dot-segment alias of the same dir
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.rebuildIvfIndex(spark, path,
+        root.toString + "/./index", nCells = 2)
+    }
+    assert(e2.getMessage.contains("SIDE BY SIDE"))
+    // alias 3: a SYMLINK to the same dir
+    val link = java.nio.file.Paths.get(root.toString, "alias")
+    java.nio.file.Files.createSymbolicLink(link,
+      java.nio.file.Paths.get(path))
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.rebuildIvfIndex(spark, path, link.toString, nCells = 2)
+    }
+    assert(e3.getMessage.contains("SIDE BY SIDE"))
+    // the store survived every refused alias
+    assert(spark.read.parquet(s"$path/cells").count() == rowsBefore,
+      "refused rebuilds must leave the source index untouched")
+    // and an honest side-by-side rebuild still works
+    Similarity.rebuildIvfIndex(spark, path, path + "_v2", nCells = 2)
+    assert(spark.read.parquet(s"$path/cells").count() == rowsBefore)
+    assert(spark.read.parquet(s"${path}_v2/cells").count() == rowsBefore)
+  }
+
   test("reconcileFeatures injects missing features as 0, drops extras, orders") {
     val contract = Seq("f1", "f2", "f3")
     val batch = Seq((1L, 0.5, 9.9)).toDF("id", "f2", "junk")
