@@ -140,6 +140,7 @@ object SparkEntry {
     "t16_stratified_cut" -> (Documents.t16StratifiedCut _),
     "t17_vocab_per_lang" -> (Documents.t17VocabPerLang _),
     "ann5_ivf_append" -> (Documents.ann5IvfAppend _),
+    "ann20_ivf_rebuilt" -> (Documents.ann20IvfRebuilt _),
     "d16_cluster_best" -> (Documents.d16ClusterBest _),
     "d17_canonical_dedup" -> (Documents.d17CanonicalDedup _),
     "dq_skew_stats"   -> (Relational.dqSkewStats _),
@@ -245,6 +246,7 @@ object SparkEntry {
     "t48_bm25_append" -> (Documents.t48Bm25Append _),
     "t49_bm25_pruned" -> (Documents.t49Bm25Pruned _),
     "t50_decontam_compacted" -> (Documents.t50DecontamCompacted _),
+    "t51_bm25_rebuilt" -> (Documents.t51Bm25Rebuilt _),
     "d30_fp_compacted" -> (Documents.d30FpCompacted _),
   ) ++ graft.queries.Medallion.queries
 
@@ -1215,6 +1217,10 @@ object SparkEntry {
     "ann4_ivf_store" -> annGateSql,
     // ann5: the grow path emits the same pinned (query × rank) grid
     "ann5_ivf_append" -> annGateSql,
+    // ann20: churn → monitor → side-by-side rebuild → probe; same
+    // pinned grid (the invariant flags are engine-verified in-plan,
+    // the recall floor measured against post-churn brute force)
+    "ann20_ivf_rebuilt" -> annGateSql,
     "ann8_pq_adc" -> annGateSql,
     "ann9_pq_store" -> annGateSql,
     "ann10_ivf_pq" -> annGateSql,
@@ -3401,38 +3407,11 @@ object SparkEntry {
     // realistic-vocabulary fixture — the oracle builds the same
     // synthetic corpus and replays the PRUNED scoring; an engine that
     // scored the df=N stopwords (tiny but nonzero idf) hash-fails
-    "t49_bm25_pruned" ->
-      """WITH corpus AS (SELECT doc_id,
-        |  'the of the w' || CAST(doc_id % 211 AS VARCHAR) ||
-        |  ' w' || CAST(doc_id % 211 AS VARCHAR) ||
-        |  ' x' || CAST(doc_id % 997 AS VARCHAR) ||
-        |  CASE WHEN doc_id % 3 = 0 THEN ' longtail filler pad' ELSE '' END
-        |  AS text FROM documents),
-        |body AS (SELECT doc_id AS n_id,
-        |  regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM corpus),
-        |dl AS (SELECT n_id, CAST(len(tk) AS BIGINT) AS dl FROM body),
-        |tf AS (SELECT n_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
-        |  SELECT n_id, unnest(tk) AS term FROM body) GROUP BY 1, 2),
-        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
-        |post AS (SELECT tf.n_id, tf.term, tf.tf, dl.dl, st.avgdl,
-        |  ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) AS idf
-        |  FROM tf JOIN dl USING (n_id) JOIN df USING (term), st
-        |  WHERE df.df <= 0.5 * st.n_docs),
-        |q AS (SELECT doc_id AS q_id,
-        |  'the w' || CAST(doc_id % 211 AS VARCHAR) ||
-        |  ' x' || CAST(doc_id % 997 AS VARCHAR) AS q_text
-        |  FROM documents WHERE doc_id % 83 = 0 AND doc_id < 500),
-        |qt AS (SELECT q_id, unnest(list_distinct(
-        |  regexp_split_to_array(trim(lower(q_text)), '\s+'))) AS term FROM q),
-        |sc AS (SELECT q_id, n_id,
-        |  round(sum(idf * (tf * (1.2 + 1)) /
-        |    (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl))), 6) AS bm25
-        |  FROM qt JOIN post USING (term) GROUP BY 1, 2),
-        |r AS (SELECT q_id, n_id, bm25, ROW_NUMBER() OVER (
-        |  PARTITION BY q_id ORDER BY bm25 DESC, n_id ASC) AS rank FROM sc)
-        |SELECT q_id, rank, n_id, bm25 FROM r WHERE rank <= 5
-        |ORDER BY q_id, rank""".stripMargin,
+    "t49_bm25_pruned" -> bm25PrunedGateSql,
+    // t51: the rebuilt-store probe must equal the SAME pruned live
+    // replay — a stale generation or stats entry surviving the
+    // reinstall shifts every idf and hash-fails here
+    "t51_bm25_rebuilt" -> bm25PrunedGateSql,
     // Hybrid retrieval: the t46 run (top-20) + the ann1 vector run
     // (top-20) fused by reciprocal-rank — rank arithmetic only
     "llm_hybrid_retrieval" ->
@@ -3672,6 +3651,43 @@ object SparkEntry {
       |  FROM tf JOIN dl USING (n_id) JOIN df USING (term), st
       |  WHERE df.df <= 1.0 * st.n_docs),
       |q AS (SELECT doc_id AS q_id, substring(text, 1, 60) AS q_text
+      |  FROM documents WHERE doc_id % 83 = 0 AND doc_id < 500),
+      |qt AS (SELECT q_id, unnest(list_distinct(
+      |  regexp_split_to_array(trim(lower(q_text)), '\s+'))) AS term FROM q),
+      |sc AS (SELECT q_id, n_id,
+      |  round(sum(idf * (tf * (1.2 + 1)) /
+      |    (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl))), 6) AS bm25
+      |  FROM qt JOIN post USING (term) GROUP BY 1, 2),
+      |r AS (SELECT q_id, n_id, bm25, ROW_NUMBER() OVER (
+      |  PARTITION BY q_id ORDER BY bm25 DESC, n_id ASC) AS rank FROM sc)
+      |SELECT q_id, rank, n_id, bm25 FROM r WHERE rank <= 5
+      |ORDER BY q_id, rank""".stripMargin
+
+  /** The t49/t51 shared oracle: BM25 with the df-based stopword prune
+    * (maxDfRatio = 0.5) replayed end to end over the
+    * realistic-vocabulary fixture — shared so the live gate (t49) and
+    * the rebuilt-store gate (t51) can never drift apart. */
+  private val bm25PrunedGateSql: String =
+    """WITH corpus AS (SELECT doc_id,
+      |  'the of the w' || CAST(doc_id % 211 AS VARCHAR) ||
+      |  ' w' || CAST(doc_id % 211 AS VARCHAR) ||
+      |  ' x' || CAST(doc_id % 997 AS VARCHAR) ||
+      |  CASE WHEN doc_id % 3 = 0 THEN ' longtail filler pad' ELSE '' END
+      |  AS text FROM documents),
+      |body AS (SELECT doc_id AS n_id,
+      |  regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM corpus),
+      |dl AS (SELECT n_id, CAST(len(tk) AS BIGINT) AS dl FROM body),
+      |tf AS (SELECT n_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+      |  SELECT n_id, unnest(tk) AS term FROM body) GROUP BY 1, 2),
+      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |post AS (SELECT tf.n_id, tf.term, tf.tf, dl.dl, st.avgdl,
+      |  ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) AS idf
+      |  FROM tf JOIN dl USING (n_id) JOIN df USING (term), st
+      |  WHERE df.df <= 0.5 * st.n_docs),
+      |q AS (SELECT doc_id AS q_id,
+      |  'the w' || CAST(doc_id % 211 AS VARCHAR) ||
+      |  ' x' || CAST(doc_id % 997 AS VARCHAR) AS q_text
       |  FROM documents WHERE doc_id % 83 = 0 AND doc_id < 500),
       |qt AS (SELECT q_id, unnest(list_distinct(
       |  regexp_split_to_array(trim(lower(q_text)), '\s+'))) AS term FROM q),

@@ -1399,6 +1399,57 @@ object Documents {
       Similarity.bruteForceTopK(e, q, 5), recallFloor = 8)
   }
 
+  /** ANN20 — the IVF maintenance loop CLOSED in one oracle gate (the
+    * d29/d30 convention applied to the rebuild story, finishing the
+    * store-maintenance matrix): install over the full corpus, CHURN
+    * deletes until the drift monitor demands a rebuild — every vector
+    * of the smallest query-free cell is tombstoned, so the dead-cell
+    * arm of `shouldRebuildIvf` trips by construction and the gate
+    * `require`s it (measure → decide → act, ann13's loop with the act
+    * arm executed) — then `rebuildIvfIndex` SIDE BY SIDE (fresh
+    * quantizer over the live population; tombstoned bytes compacted
+    * away by construction), and the probe serves from the REBUILT
+    * index against the post-churn brute-force truth. Invariant-gated
+    * like ann4 (floor ≥ 8 of 25; measured {15, 21, 21} across
+    * sf0.001/0.01/0.1 — the victim cell holds {1, 62, 267} vectors). */
+  def ann20IvfRebuilt(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 5)
+    val base = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/ann20_ivf"
+    val bp = new org.apache.hadoop.fs.Path(base)
+    bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+    val path = s"$base/index"
+    Similarity.writeIvfIndex(e, path, nCells = 8)
+    // deterministic churn: tombstone EVERY vector of the smallest cell
+    // holding no query vector (queries must survive to be asked)
+    val cells = s.read.parquet(s"$path/cells").select("n_id", "cell")
+    val qCells = cells.filter(col("n_id") < 5).select("cell").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val victim = (0 until 8).filterNot(qCells).min
+    val removedIds = cells.filter(col("cell") === victim)
+      .select("n_id").localCheckpoint()
+    Similarity.removeFromIvfIndex(removedIds, path, batchId = 1L,
+      idCol = "n_id")
+    // the monitor must DEMAND the rebuild over the live occupancy —
+    // require, not assume: the gate pins the whole maintenance loop
+    val occ = Similarity.liveIndexRows(s, path)
+      .groupBy("cell").count().collect().map(_.getLong(1))
+    val skew = occ.max.toDouble * occ.length / occ.sum
+    require(Similarity.shouldRebuildIvf(8, occ.length.toLong, skew),
+      s"churn fixture must trip the rebuild monitor " +
+        s"(nonEmpty=${occ.length}, skew=$skew)")
+    val rebuilt = s"$base/index_v2"
+    val newCentroids = Similarity.rebuildIvfIndex(s, path, rebuilt,
+      nCells = 8)
+    val liveCorpus = e.join(
+      removedIds.select(col("n_id").as("vec_id")), Seq("vec_id"),
+      "left_anti")
+    annInvariantGate(
+      Similarity.ivfTopKFromIndex(rebuilt, newCentroids, q, 5, nProbe = 4),
+      Similarity.bruteForceTopK(liveCorpus, q, 5), recallFloor = 8)
+  }
+
   /** ANN6 — hybrid re-rank: exact top-20 cosine candidates re-ordered
     * by 0.8·cos + 0.2·quality (the document's composite quality score,
     * doc_id = vec_id), top-5 kept. Candidate stage is the exact
@@ -3385,14 +3436,59 @@ object Documents {
     * mis-applied the cap) hash-fails, because their idf is tiny but
     * nonzero. Queries mix a pruned term with scoring terms, so the
     * prune changes every score, not just the candidate set. */
-  def t49Bm25Pruned(s: SparkSession, d: String): DataFrame = {
-    val corpus = prunedVocabCorpus(s, d)
-    val q = Tables.documents(s, d)
+  def t49Bm25Pruned(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bm25TopK(prunedVocabCorpus(s, d),
+        prunedVocabQueries(s, d), k = 5, maxDfRatio = 0.5)
+      .orderBy("q_id", "rank")
+
+  /** T49/t51's shared query set: each query mixes a PRUNED stopword
+    * with the doc's mid-frequency subject and rare term, so the df cap
+    * changes every score, not just the candidate set. */
+  private def prunedVocabQueries(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .filter(col("doc_id") % 83 === 0 && col("doc_id") < 500)
       .select(col("doc_id").as("q_id"),
         concat(lit("the w"), (col("doc_id") % 211).cast("string"),
           lit(" x"), (col("doc_id") % 997).cast("string")).as("q_text"))
-    TextAnalysis.bm25TopK(corpus, q, k = 5, maxDfRatio = 0.5)
+
+  /** T51 — the BM25 maintenance story oracle-gated end to end (the
+    * rebuild leg the r17 matrix left as "documented"): the
+    * realistic-vocabulary corpus lands in THREE installments (install
+    * + two appends — the long suite-publication line whose per-batch
+    * `_stats` entries motivate the documented rebuild), then
+    * `writeBm25Index` over the FULL corpus reinstalls in place —
+    * `clearForReinstall` hygiene is load-bearing here: one stale
+    * postings generation or stats entry surviving would double df and
+    * nDocs/sumDl, shifting every idf — and the df-PRUNED probe
+    * (maxDfRatio = 0.5, t49's live semantics) serves from the rebuilt
+    * index. Oracle = t49's end-to-end BM25 replay: rebuilt-store path
+    * ≡ live path, bit for bit, with the prune applied. The gate also
+    * `require`s the post-rebuild layout is singular (exactly one
+    * generation, one stats entry) so a hygiene regression fails
+    * loudly even before the hash does. */
+  def t51Bm25Rebuilt(s: SparkSession, d: String): DataFrame = {
+    val dir = sys.props("java.io.tmpdir") +
+      s"/graft_${ProcessHandle.current.pid}/t51_bm25"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    val corpus = prunedVocabCorpus(s, d)
+    TextAnalysis.writeBm25Index(corpus.filter(col("doc_id") % 3 === 1),
+      dir, buckets = 16)
+    TextAnalysis.appendToBm25Index(corpus.filter(col("doc_id") % 3 === 2),
+      dir, batchId = 1L)
+    TextAnalysis.appendToBm25Index(corpus.filter(col("doc_id") % 3 === 0),
+      dir, batchId = 2L)
+    // the REBUILD: full-corpus reinstall over the grown store
+    TextAnalysis.writeBm25Index(corpus, dir, buckets = 16)
+    val gens = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/postings"))
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).toSeq
+    val stats = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/_stats"))
+      .map(_.getPath.getName).filter(_.matches("batch_\\d+\\.json")).toSeq
+    require(gens == Seq("batch=0") && stats == Seq("batch_0.json"),
+      s"rebuild must leave a singular layout, got $gens / $stats")
+    TextAnalysis.bm25TopKFromIndex(dir, prunedVocabQueries(s, d), k = 5,
+        maxDfRatio = 0.5)
       .orderBy("q_id", "rank")
   }
 
