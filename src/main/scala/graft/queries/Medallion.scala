@@ -43,11 +43,25 @@ object Medallion {
   private def pq(sub: String): String =
     s"read_parquet('$dumpBase/$sub/*.parquet')"
 
-  private val nLoans = 600
+  /** The loan SPINE scales with the driver's testdata SF (600 at
+    * sf0.001 → 6k at sf0.01 → 60k at sf0.1), so the full-frame hashes
+    * of the loan-side gates — silver/gold cleaners, feature/label
+    * stores — also pin shuffle-order independence and double
+    * accumulation of the store assembly at the board's largest scale,
+    * not just value semantics on a toy frame. The DIM sources stay at
+    * the 75×4 one-row-per-(member_id, snapshot_date) grid the
+    * generator defines: growing them past 300 duplicates join keys
+    * and the gate would measure a key-explosion artifact, not the
+    * pipeline (the medallion ScaleProbe learned this the hard way). */
+  private def sfScale(d: String): Int =
+    "sf([0-9.]+)".r.findFirstMatchIn(d)
+      .map(m => math.max(1, math.round(m.group(1).toDouble / 0.001).toInt))
+      .getOrElse(1)
+  private def nLoans(d: String): Int = 600 * sfScale(d)
   private val nDims = 300
 
-  private def rawLoan(s: SparkSession) =
-    PipelineE2E.gen(s, Schemas.loanTermsRaw, nLoans)
+  private def rawLoan(s: SparkSession, d: String) =
+    PipelineE2E.gen(s, Schemas.loanTermsRaw, nLoans(d))
   private def rawDemo(s: SparkSession) =
     PipelineE2E.gen(s, Schemas.demographicRaw, nDims)
   private def rawFin(s: SparkSession) =
@@ -63,9 +77,9 @@ object Medallion {
   // ---- raw → silver ------------------------------------------------
 
   /** silver_loan_terms.py replayed row-for-row: 37 leakage drops + 4
-    * binary encodes over the 600-loan raw frame. */
+    * binary encodes over the SF-scaled raw frame. */
   def plSilverLoan(s: SparkSession, d: String): DataFrame = {
-    val raw = rawLoan(s)
+    val raw = rawLoan(s, d)
     dump(raw, "silver_loan/raw")
     dateAsString(Silver.loanTerms(raw), "snapshot_date").orderBy("id")
   }
@@ -107,7 +121,7 @@ object Medallion {
   /** gold_loan_terms.py replayed from the dumped loan silver: term-digit
     * extract, grade→0–6 label map, purpose/loan_status fixed-dict OHE. */
   def plGoldLoan(s: SparkSession, d: String): DataFrame = {
-    val silver = Silver.loanTerms(rawLoan(s))
+    val silver = Silver.loanTerms(rawLoan(s, d))
     dump(silver, "gold_loan/silver")
     dateAsString(Gold.loanTerms(silver,
       Seq("car", "house", "debt", "other"),
@@ -148,9 +162,9 @@ object Medallion {
 
   // ---- gold → stores -----------------------------------------------
 
-  private def goldFrames(s: SparkSession):
+  private def goldFrames(s: SparkSession, d: String):
       (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val gl = Gold.loanTerms(Silver.loanTerms(rawLoan(s)),
+    val gl = Gold.loanTerms(Silver.loanTerms(rawLoan(s, d)),
       Seq("car", "house", "debt", "other"),
       Seq("Current", "Fully Paid", "Charged Off"))
     val gd = Gold.demographic(Silver.demographic(rawDemo(s)),
@@ -167,7 +181,7 @@ object Medallion {
     * frames and the full ~115-column × 600-row result is compared
     * value-for-value. */
   def plFeatureStore(s: SparkSession, d: String): DataFrame = {
-    val (gl, gd, gf, gc) = goldFrames(s)
+    val (gl, gd, gf, gc) = goldFrames(s, d)
     dump(gl, "feature_store/gold_loan")
     dump(gd, "feature_store/gold_demo")
     dump(gf, "feature_store/gold_fin")
@@ -178,7 +192,7 @@ object Medallion {
   /** Label store (gold_label_store.py:40–42) from the dumped loan
     * silver. */
   def plLabelStore(s: SparkSession, d: String): DataFrame = {
-    val silver = Silver.loanTerms(rawLoan(s))
+    val silver = Silver.loanTerms(rawLoan(s, d))
     dump(silver, "label_store/silver")
     dateAsString(Gold.labelStore(silver), "snapshot_date").orderBy("id")
   }
@@ -198,7 +212,7 @@ object Medallion {
     val binary = loanBinary.toMap
     val cols = silverLoanCols.map {
       case "snapshot_date" =>
-        "CAST(snapshot_date AS VARCHAR) AS snapshot_date"
+        "CAST(snapshot_date AS STRING) AS snapshot_date"
       case c if binary.contains(c) =>
         s"CASE WHEN $c = '${binary(c)}' THEN 1 ELSE 0 END AS $c"
       case c => c
@@ -210,18 +224,35 @@ object Medallion {
     * STRINGIFIED value asc (Imputation.modesOf casts values to string
     * before ranking), cast back to the column's int type. */
   private def modeSubquery(c: String, from: String): String =
-    s"(SELECT CAST(CAST($c AS VARCHAR) AS INTEGER) FROM $from " +
+    s"(SELECT CAST(CAST($c AS STRING) AS INTEGER) FROM $from " +
       s"WHERE $c IS NOT NULL GROUP BY $c " +
-      s"ORDER BY count(*) DESC, CAST($c AS VARCHAR) ASC LIMIT 1)"
+      s"ORDER BY count(*) DESC, CAST($c AS STRING) ASC LIMIT 1)"
+
+  /** Dialect-neutral 'MMM-yyyy' parse (the Spark `to_date` twin): both
+    * engines share make_date/substr/TRY_CAST, and a non-month prefix or
+    * non-numeric year flows to NULL through make_date's null
+    * propagation — try_strptime semantics without the DuckDB-only
+    * function (the r17 oracle leaned on try_strptime, which kept this
+    * gate off the Spark-SQL sweep). */
+  private def parseMmmYyyySql(c: String): String = {
+    val mcase = Seq("Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul",
+      "Aug", "Sep", "Oct", "Nov", "Dec").zipWithIndex
+      .map { case (m, i) => s"WHEN '$m' THEN ${i + 1}" }.mkString(" ")
+    s"make_date(TRY_CAST(substr($c, 5, 4) AS INTEGER), " +
+      s"CASE substr($c, 1, 3) $mcase ELSE NULL END, 1)"
+  }
 
   /** Spark months_between(d1, d2) for pure dates: integer months when
     * the day-of-month matches (or both are month-ends), else
     * + (day1−day2)/31, rounded to 8 places. */
   private def monthsBetweenSql(d1: String, d2: String): String =
+    // e-notation literals: Spark SQL parses bare `31.0` as DECIMAL and
+    // its decimal division truncates at scale 6 — `31.0e0` is a DOUBLE
+    // in both engines, matching months_between's float math
     s"round((year($d1) - year($d2)) * 12 + (month($d1) - month($d2)) + " +
       s"CASE WHEN day($d1) = day($d2) OR " +
-      s"($d1 = last_day($d1) AND $d2 = last_day($d2)) THEN 0.0 " +
-      s"ELSE (day($d1) - day($d2)) / 31.0 END, 8)"
+      s"($d1 = last_day($d1) AND $d2 = last_day($d2)) THEN 0.0e0 " +
+      s"ELSE (day($d1) - day($d2)) / 31.0e0 END, 8)"
 
   /** The dialect-neutral SQL twin of [[graft.ops.ColumnOps.parseEmpLength]]
     * — ONE definition shared by the m5 oracle (SparkEntry) and the
@@ -245,27 +276,79 @@ object Medallion {
   private val empTitleTop10Sorted: Seq[String] =
     ("MISSING" +: (0 to 8).map(i => s"V2_$i")).sorted
 
-  private def goldDemoSelect(from: String): String = {
+  private val goldDemoOracleCols: Seq[String] = {
     val empOhe = empTitleTop10Sorted.zipWithIndex.map { case (v, i) =>
       s"CASE WHEN emp_title = '$v' THEN 1 ELSE 0 END AS emp_title_ohe_$i"
     } :+ (s"CASE WHEN emp_title IN (${empTitleTop10Sorted.map(v => s"'$v'").mkString(", ")}) " +
       "THEN 0 ELSE 1 END AS emp_title_ohe_other")
-    val cols = Seq("member_id",
-      "CAST(snapshot_date AS VARCHAR) AS snapshot_date", "annual_inc",
+    Seq("member_id",
+      "CAST(snapshot_date AS STRING) AS snapshot_date", "annual_inc",
       s"$empLengthIntSql AS emp_length_int") ++ empOhe ++
       ohe("home_ownership", Schemas.homeOwnershipCats) ++
       ohe("verification_status", Schemas.verificationStatusCats) ++
       ohe("application_type", Schemas.applicationTypeCats) ++
       ohe("addr_state", Seq("CA", "NY", "TX", "WA"))
-    s"SELECT ${cols.mkString(", ")} FROM $from"
   }
+
+  private def goldDemoSelect(from: String): String =
+    s"SELECT ${goldDemoOracleCols.mkString(", ")} FROM $from"
+
+  private val goldLoanOracleCols: Seq[String] = Seq("id", "member_id",
+    "CAST(snapshot_date AS STRING) AS snapshot_date",
+    "loan_amnt", "funded_amnt", "funded_amnt_inv", "int_rate",
+    "installment",
+    "CAST(regexp_extract(term, '([0-9]+)', 1) AS INTEGER) AS term_months",
+    "grade",
+    ("CASE " + Schemas.gradeMapping
+      .map { case (k, v) => s"WHEN grade = '$k' THEN $v" }
+      .mkString(" ") + " ELSE NULL END AS grade_encoded"),
+    "pymnt_plan", "debt_settlement_flag", "initial_list_status",
+    "disbursement_method") ++
+    ohe("purpose", Seq("car", "house", "debt", "other")) ++
+    ohe("loan_status", Seq("Current", "Fully Paid", "Charged Off"))
+
+  private val goldFinNonKeys: Seq[String] = Seq("dti", "all_util",
+    "il_util", "bc_util", "revol_bal") ++ Schemas.financialFill0 ++
+    Schemas.financialFillMinus1 ++
+    Seq("all_util_missing", "il_util_missing", "bc_util_missing")
+
+  private val goldCreditPassThrough: Seq[String] =
+    Seq("mort_acc") ++ Schemas.creditModeImputed ++
+      Schemas.creditFillMinus1 ++
+      Seq("mort_acc_missing", "months_since_earliest_cr_line")
+
+  /** Output name of one oracle select expression (the text after the
+    * last ` AS `, unquoted; a bare column is its own name). */
+  private def aliasOf(e: String): String = {
+    val i = e.toUpperCase.lastIndexOf(" AS ")
+    (if (i < 0) e else e.substring(i + 4)).trim
+      .stripPrefix("\"").stripSuffix("\"")
+  }
+
+  /** The feature store's output column NAMES, derived from the same
+    * per-table oracle lists the pl_gold_* gates select — single-sourced
+    * so the explicit select list (the dialect-neutral replacement for
+    * DuckDB's `* EXCLUDE`) can never drift from the join inputs. */
+  private def featureStoreCols: Seq[String] = {
+    val keys = Set("member_id", "snapshot_date")
+    ((goldLoanOracleCols.map(aliasOf)) ++
+      goldDemoOracleCols.map(aliasOf).filterNot(keys) ++
+      goldFinNonKeys ++
+      (goldCreditPassThrough :+ "months_since_earliest_cr"))
+      .filterNot(keys + "grade")
+  }
+
+  /** Double-quoted identifier, valid in BOTH engines (several OHE
+    * column names carry spaces): DuckDB natively, the Spark-SQL sweep
+    * under spark.sql.ansi.doubleQuotedIdentifiers. */
+  private def qi(c: String): String = "\"" + c + "\""
 
   def oracleSql: Map[String, String] = Map(
     "pl_silver_loan" ->
       s"${silverLoanSelect(pq("silver_loan/raw"))} ORDER BY id",
 
     "pl_silver_demo" ->
-      s"""SELECT member_id, CAST(snapshot_date AS VARCHAR) AS snapshot_date,
+      s"""SELECT member_id, CAST(snapshot_date AS STRING) AS snapshot_date,
          |  upper(trim(coalesce(emp_title, 'MISSING'))) AS emp_title,
          |  coalesce(emp_length, 'MISSING') AS emp_length,
          |  coalesce(home_ownership, 'MISSING') AS home_ownership,
@@ -282,8 +365,8 @@ object Medallion {
       val flags = Seq("all_util", "il_util", "bc_util")
         .map(c => s"CASE WHEN $c IS NULL THEN 1 ELSE 0 END AS ${c}_missing")
       s"""WITH raw AS (SELECT * FROM ${pq("silver_fin/raw")}),
-         |m AS (SELECT CAST(avg(dti) AS REAL) AS dti_mean FROM raw)
-         |SELECT member_id, CAST(snapshot_date AS VARCHAR) AS snapshot_date,
+         |m AS (SELECT CAST(avg(dti) AS FLOAT) AS dti_mean FROM raw)
+         |SELECT member_id, CAST(snapshot_date AS STRING) AS snapshot_date,
          |  coalesce(dti, dti_mean) AS dti, revol_bal,
          |  ${(fill0 ++ fillM1 ++ flags).mkString(",\n  ")}
          |FROM raw, m
@@ -296,9 +379,9 @@ object Medallion {
       val fillM1 = Schemas.creditFillMinus1
         .map(c => s"coalesce($c, -1) AS $c")
       s"""WITH raw AS (SELECT * FROM ${pq("silver_credit/raw")}),
-         |p AS (SELECT *, CAST(try_strptime(earliest_cr_line, '%b-%Y') AS DATE) AS ecl FROM raw)
-         |SELECT member_id, CAST(snapshot_date AS VARCHAR) AS snapshot_date,
-         |  CAST(ecl AS VARCHAR) AS earliest_cr_line,
+         |p AS (SELECT *, ${parseMmmYyyySql("earliest_cr_line")} AS ecl FROM raw)
+         |SELECT member_id, CAST(snapshot_date AS STRING) AS snapshot_date,
+         |  CAST(ecl AS STRING) AS earliest_cr_line,
          |  coalesce(mort_acc, 0) AS mort_acc,
          |  ${(modes ++ fillM1).mkString(",\n  ")},
          |  CASE WHEN mort_acc IS NULL THEN 1 ELSE 0 END AS mort_acc_missing,
@@ -308,51 +391,32 @@ object Medallion {
          |ORDER BY member_id, snapshot_date""".stripMargin
     },
 
-    "pl_gold_loan" -> {
-      val cols = Seq("id", "member_id",
-        "CAST(snapshot_date AS VARCHAR) AS snapshot_date",
-        "loan_amnt", "funded_amnt", "funded_amnt_inv", "int_rate",
-        "installment",
-        "CAST(regexp_extract(term, '([0-9]+)', 1) AS INTEGER) AS term_months",
-        "grade",
-        ("CASE " + Schemas.gradeMapping
-          .map { case (k, v) => s"WHEN grade = '$k' THEN $v" }
-          .mkString(" ") + " ELSE NULL END AS grade_encoded"),
-        "pymnt_plan", "debt_settlement_flag", "initial_list_status",
-        "disbursement_method") ++
-        ohe("purpose", Seq("car", "house", "debt", "other")) ++
-        ohe("loan_status", Seq("Current", "Fully Paid", "Charged Off"))
-      s"SELECT ${cols.mkString(", ")} FROM ${pq("gold_loan/silver")} ORDER BY id"
-    },
+    "pl_gold_loan" ->
+      s"SELECT ${goldLoanOracleCols.mkString(", ")} FROM ${pq("gold_loan/silver")} ORDER BY id",
 
     "pl_gold_demo" ->
       s"""${goldDemoSelect(pq("gold_demo/silver"))}
          |ORDER BY member_id, snapshot_date""".stripMargin,
 
-    "pl_gold_fin" -> {
-      val nonKeys = Seq("dti", "all_util", "il_util", "bc_util",
-        "revol_bal") ++ Schemas.financialFill0 ++
-        Schemas.financialFillMinus1 ++
-        Seq("all_util_missing", "il_util_missing", "bc_util_missing")
-      s"""SELECT member_id, CAST(snapshot_date AS VARCHAR) AS snapshot_date,
-         |  ${nonKeys.map(c => s"CAST($c AS DOUBLE) AS $c").mkString(",\n  ")}
+    "pl_gold_fin" ->
+      s"""SELECT member_id, CAST(snapshot_date AS STRING) AS snapshot_date,
+         |  ${goldFinNonKeys.map(c => s"CAST($c AS DOUBLE) AS $c").mkString(",\n  ")}
          |FROM ${pq("gold_fin/silver")}
-         |ORDER BY member_id, snapshot_date""".stripMargin
-    },
+         |ORDER BY member_id, snapshot_date""".stripMargin,
 
-    "pl_gold_credit" -> {
-      val passThrough = Seq("mort_acc") ++ Schemas.creditModeImputed ++
-        Schemas.creditFillMinus1 ++
-        Seq("mort_acc_missing", "months_since_earliest_cr_line")
-      s"""SELECT member_id, CAST(snapshot_date AS VARCHAR) AS snapshot_date,
-         |  ${passThrough.mkString(", ")},
+    "pl_gold_credit" ->
+      s"""SELECT member_id, CAST(snapshot_date AS STRING) AS snapshot_date,
+         |  ${goldCreditPassThrough.mkString(", ")},
          |  coalesce(CAST((year(snapshot_date) - year(earliest_cr_line)) * 12
          |    + (month(snapshot_date) - month(earliest_cr_line)) AS INTEGER),
          |    999) AS months_since_earliest_cr
          |FROM ${pq("gold_credit/silver")}
-         |ORDER BY member_id, snapshot_date""".stripMargin
-    },
+         |ORDER BY member_id, snapshot_date""".stripMargin,
 
+    // explicit quoted select list instead of DuckDB's `* EXCLUDE` —
+    // the one construct that kept this gate off the Spark-SQL sweep;
+    // the names are derived from the same lists the pl_gold_* oracles
+    // select (featureStoreCols), so they cannot drift
     "pl_feature_store" ->
       s"""WITH gl AS (SELECT * FROM ${pq("feature_store/gold_loan")}),
          |gd AS (SELECT * FROM ${pq("feature_store/gold_demo")}),
@@ -363,11 +427,11 @@ object Medallion {
          |  LEFT JOIN gf USING (member_id, snapshot_date)
          |  LEFT JOIN gc USING (member_id, snapshot_date)),
          |dd AS (SELECT DISTINCT * FROM j)
-         |SELECT * EXCLUDE (member_id, snapshot_date, grade) FROM dd
+         |SELECT ${featureStoreCols.map(qi).mkString(", ")} FROM dd
          |WHERE grade IS NOT NULL ORDER BY id""".stripMargin,
 
     "pl_label_store" ->
-      s"""SELECT id, CAST(snapshot_date AS VARCHAR) AS snapshot_date, grade
+      s"""SELECT id, CAST(snapshot_date AS STRING) AS snapshot_date, grade
          |FROM ${pq("label_store/silver")}
          |WHERE grade IS NOT NULL ORDER BY id""".stripMargin
   )
