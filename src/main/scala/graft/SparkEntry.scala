@@ -248,6 +248,7 @@ object SparkEntry {
     "t50_decontam_compacted" -> (Documents.t50DecontamCompacted _),
     "t51_bm25_rebuilt" -> (Documents.t51Bm25Rebuilt _),
     "d30_fp_compacted" -> (Documents.d30FpCompacted _),
+    "fuzz_differential" -> (graft.queries.Fuzz.fuzzDifferential _),
   ) ++ graft.queries.Medallion.queries
 
   /** T20's oracle: every Gopher rule statistic recomputed on RAW gram
@@ -3412,6 +3413,11 @@ object SparkEntry {
     // replay — a stale generation or stats entry surviving the
     // reinstall shifts every idf and hash-fails here
     "t51_bm25_rebuilt" -> bm25PrunedGateSql,
+    // cross-engine differential fuzz: 12 seeded operator compositions
+    // (joins/fills/windows/aggs over the real tables), digested
+    // order-insensitively; the oracle text is generated from the SAME
+    // seeds, so both engines replay identical plans
+    "fuzz_differential" -> graft.queries.Fuzz.fuzzDifferentialSql,
     // Hybrid retrieval: the t46 run (top-20) + the ann1 vector run
     // (top-20) fused by reciprocal-rank — rank arithmetic only
     "llm_hybrid_retrieval" ->
