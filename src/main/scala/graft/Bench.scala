@@ -116,14 +116,27 @@ object Bench {
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
     val names = selected.toSeq.sortBy(_._1)
     val times = scala.collection.mutable.Map.empty[String, Vector[(Double, Boolean)]]
+    // per-query PHASE decomposition (round-18 verdict #6): the
+    // stream/store gates wrap their install/append/fold/stream steps in
+    // PhaseTimer.timed, so a per-phase regression can't hide under a
+    // stable total. Per phase the MIN over samples is kept (the
+    // stream-min rationale: lifecycle floors plus additive noise), and
+    // the probe/emit remainder is published as "rest" at print time.
+    val phaseMins = scala.collection.mutable.Map.empty[String, Map[String, Double]]
     def sample(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()
-      val ok =
+      val (ok, phases) = graft.core.PhaseTimer.collect {
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
+      }
       val t = (System.nanoTime() - t0) / 1e9
+      if (ok && phases.nonEmpty) {
+        val prev = phaseMins.getOrElse(name, Map.empty)
+        phaseMins(name) = phases.map { case (p, sec) =>
+          p -> math.min(sec, prev.getOrElse(p, Double.MaxValue)) }
+      }
       // drop caches this query (or its upstream operators) persisted so
       // the rest of the pass isn't taxed by lingering blocks
       spark.catalog.clearCache()
@@ -203,8 +216,21 @@ object Bench {
     val perPassLoads = passLoads.map(l => f"$l%.2f").mkString("[", ",", "]")
     val streamMinKeys = results.collect { case (k, _, _, _, _) if streamKey(k) =>
       "\"" + k + "\"" }.mkString("[", ",", "]")
+    // per-phase seconds for the instrumented stream/store keys, each
+    // phase the min over samples; "rest" = the key's min total minus
+    // the phase sum (the probe/emit remainder — the part the gate
+    // returns lazily and the noop sink materializes)
+    val phasesJson = results
+      .collect { case (k, _, lo, _, _) if phaseMins.contains(k) =>
+        val ph = phaseMins(k)
+        val rest = math.max(0.0, lo - ph.values.sum)
+        val inner = (ph.toSeq :+ ("rest" -> rest))
+          .map { case (p, sec) => "\"" + p + f"""\":$sec%.3f""" }
+          .mkString(",")
+        "\"" + k + "\":{" + inner + "}"
+      }.mkString("{", ",", "}")
     val detail =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sum_of_min":$sumOfMin%.3f,"runs":$runs,"refine_runs":$refineRuns,"loadavg":[$load0%.2f,$loadAvg%.2f],"load_gate":$loadGate%.2f,"contended":$contended,"pass_loadavg":$perPassLoads,"stream_min_keys":$streamMinKeys,"queries":$qs3,"spread":$spread,"tail_refined":$refined,"failures":$failures,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sum_of_min":$sumOfMin%.3f,"runs":$runs,"refine_runs":$refineRuns,"loadavg":[$load0%.2f,$loadAvg%.2f],"load_gate":$loadGate%.2f,"contended":$contended,"pass_loadavg":$perPassLoads,"stream_min_keys":$streamMinKeys,"phases":$phasesJson,"queries":$qs3,"spread":$spread,"tail_refined":$refined,"failures":$failures,"sf":"$sfDir"}"""
     // Full medians+spread JSON: printed first and persisted to a file.
     // The consumer of this output keeps only the LAST ~2000 characters,
     // so the detail line (≈4.5 KB at 80 queries) can never be the final

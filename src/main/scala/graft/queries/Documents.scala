@@ -190,22 +190,29 @@ object Documents {
     * (duplicate probes negative → re-admitted) adds rows and
     * hash-fails. */
   def d30FpCompacted(s: SparkSession, d: String): DataFrame = {
+    import graft.core.PhaseTimer.timed
     val docs = Tables.documents(s, d)
     val dir = sys.props("java.io.tmpdir") +
       s"/graft_${ProcessHandle.current.pid}/fp_compact"
-    Dedup.writeFpStore(
-      docs.filter(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2),
-      "doc_id", "text", dir, expectedTotalFps = 1000000L, shards = 2)
+    timed("install") {
+      Dedup.writeFpStore(
+        docs.filter(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2),
+        "doc_id", "text", dir, expectedTotalFps = 1000000L, shards = 2)
+    }
     // localCheckpoint — the append path's caller contract: the sharded
     // append re-reads the batch frame per shard slice + filter build,
     // and an unfrozen lineage would re-run the scan+fingerprint+distinct
     // for each of those jobs
-    Dedup.appendToFpStore(
-      docs.filter(col("doc_id") % 5 === 3 || col("doc_id") % 5 === 4)
-        .select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
-        .localCheckpoint(),
-      dir, batchId = 1L)
-    Dedup.compactFpStore(s, dir)
+    timed("append") {
+      Dedup.appendToFpStore(
+        docs.filter(col("doc_id") % 5 === 3 || col("doc_id") % 5 === 4)
+          .select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
+          .localCheckpoint(),
+        dir, batchId = 1L)
+    }
+    timed("fold") { Dedup.compactFpStore(s, dir) }
+    // the probe is the returned frame — its wall is the sample
+    // remainder ("rest" in the bench's phases map)
     Dedup.incrementalExactDedupFromFpStore(
         docs.filter(col("doc_id") % 5 === 0), dir, "doc_id", "text")
       .select(col("id").as("doc_id"), col("fp"))
@@ -442,11 +449,16 @@ object Documents {
     val p = new org.apache.hadoop.fs.Path(base)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     val suite = docs.filter(col("doc_id") % 97 === 0)
-    Dedup.writeEvalGramStore(suite.filter(col("doc_id") % 2 === 0),
-      "text", base, n = 5)
-    Dedup.appendToEvalGramStore(suite.filter(col("doc_id") % 2 =!= 0),
-      "text", base, batchId = 1L)
-    Dedup.compactEvalGramStore(s, base)
+    import graft.core.PhaseTimer.timed
+    timed("install") {
+      Dedup.writeEvalGramStore(suite.filter(col("doc_id") % 2 === 0),
+        "text", base, n = 5)
+    }
+    timed("append") {
+      Dedup.appendToEvalGramStore(suite.filter(col("doc_id") % 2 =!= 0),
+        "text", base, batchId = 1L)
+    }
+    timed("fold") { Dedup.compactEvalGramStore(s, base) }
     Dedup.decontaminateRewriteFromStore(
         docs.filter(col("doc_id") % 97 =!= 0), base, "doc_id", "text")
       .orderBy("doc_id")
@@ -474,21 +486,28 @@ object Documents {
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     val (storeDir, inDir) = (s"$base/evalstore", s"$base/in")
     val (keptDir, ckpt) = (s"$base/kept", s"$base/ckpt")
-    Dedup.writeEvalGramStore(docs.filter(col("doc_id") % 97 === 0),
-      "text", storeDir, n = 5)
+    import graft.core.PhaseTimer.timed
+    timed("install") {
+      Dedup.writeEvalGramStore(docs.filter(col("doc_id") % 97 === 0),
+        "text", storeDir, n = 5)
+    }
     // two fixture batch files: the even and odd halves of the corpus
     val corpus = docs.filter(col("doc_id") % 97 =!= 0)
-    corpus.filter(col("doc_id") % 2 === 0).coalesce(1)
-      .write.mode("append").parquet(inDir)
-    corpus.filter(col("doc_id") % 2 =!= 0).coalesce(1)
-      .write.mode("append").parquet(inDir)
+    timed("fixtures") {
+      corpus.filter(col("doc_id") % 2 === 0).coalesce(1)
+        .write.mode("append").parquet(inDir)
+      corpus.filter(col("doc_id") % 2 =!= 0).coalesce(1)
+        .write.mode("append").parquet(inDir)
+    }
     val stream = s.readStream.schema(corpus.schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
-    val q = graft.streaming.EventStream.streamingDecontamIngest(
-        stream, storeDir, keptDir, "doc_id", "text")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .option("checkpointLocation", ckpt).start()
-    q.awaitTermination()
+    timed("stream") {
+      val q = graft.streaming.EventStream.streamingDecontamIngest(
+          stream, storeDir, keptDir, "doc_id", "text")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+    }
     graft.sources.Sources.readPublished(s, keptDir)
       .select("doc_id", "n_toks", "n_kept", "clean_text")
       .orderBy("doc_id")
@@ -1420,28 +1439,33 @@ object Documents {
     val bp = new org.apache.hadoop.fs.Path(base)
     bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
     val path = s"$base/index"
-    Similarity.writeIvfIndex(e, path, nCells = 8)
+    import graft.core.PhaseTimer.timed
+    timed("install") { Similarity.writeIvfIndex(e, path, nCells = 8) }
     // deterministic churn: tombstone EVERY vector of the smallest cell
     // holding no query vector (queries must survive to be asked)
-    val cells = s.read.parquet(s"$path/cells").select("n_id", "cell")
-    val qCells = cells.filter(col("n_id") < 5).select("cell").distinct()
-      .collect().map(_.getInt(0)).toSet
-    val victim = (0 until 8).filterNot(qCells).min
-    val removedIds = cells.filter(col("cell") === victim)
-      .select("n_id").localCheckpoint()
-    Similarity.removeFromIvfIndex(removedIds, path, batchId = 1L,
-      idCol = "n_id")
-    // the monitor must DEMAND the rebuild over the live occupancy —
-    // require, not assume: the gate pins the whole maintenance loop
-    val occ = Similarity.liveIndexRows(s, path)
-      .groupBy("cell").count().collect().map(_.getLong(1))
-    val skew = occ.max.toDouble * occ.length / occ.sum
-    require(Similarity.shouldRebuildIvf(8, occ.length.toLong, skew),
-      s"churn fixture must trip the rebuild monitor " +
-        s"(nonEmpty=${occ.length}, skew=$skew)")
+    val removedIds = timed("churn") {
+      val cells = s.read.parquet(s"$path/cells").select("n_id", "cell")
+      val qCells = cells.filter(col("n_id") < 5).select("cell").distinct()
+        .collect().map(_.getInt(0)).toSet
+      val victim = (0 until 8).filterNot(qCells).min
+      val removed = cells.filter(col("cell") === victim)
+        .select("n_id").localCheckpoint()
+      Similarity.removeFromIvfIndex(removed, path, batchId = 1L,
+        idCol = "n_id")
+      // the monitor must DEMAND the rebuild over the live occupancy —
+      // require, not assume: the gate pins the whole maintenance loop
+      val occ = Similarity.liveIndexRows(s, path)
+        .groupBy("cell").count().collect().map(_.getLong(1))
+      val skew = occ.max.toDouble * occ.length / occ.sum
+      require(Similarity.shouldRebuildIvf(8, occ.length.toLong, skew),
+        s"churn fixture must trip the rebuild monitor " +
+          s"(nonEmpty=${occ.length}, skew=$skew)")
+      removed
+    }
     val rebuilt = s"$base/index_v2"
-    val newCentroids = Similarity.rebuildIvfIndex(s, path, rebuilt,
-      nCells = 8)
+    val newCentroids = timed("rebuild") {
+      Similarity.rebuildIvfIndex(s, path, rebuilt, nCells = 8)
+    }
     val liveCorpus = e.join(
       removedIds.select(col("n_id").as("vec_id")), Seq("vec_id"),
       "left_anti")
@@ -1619,12 +1643,17 @@ object Documents {
       s"/graft_${ProcessHandle.current.pid}/neardup_store_compacted"
     val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-    Dedup.writeNearDupStore(
-      docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1),
-      "doc_id", "text", dir)
-    Dedup.appendToNearDupStore(docs.filter(col("doc_id") % 5 === 1),
-      dir, "doc_id", "text", batchId = 1L)
-    Dedup.compactNearDupStore(s, dir)
+    import graft.core.PhaseTimer.timed
+    timed("install") {
+      Dedup.writeNearDupStore(
+        docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1),
+        "doc_id", "text", dir)
+    }
+    timed("append") {
+      Dedup.appendToNearDupStore(docs.filter(col("doc_id") % 5 === 1),
+        dir, "doc_id", "text", batchId = 1L)
+    }
+    timed("fold") { Dedup.compactNearDupStore(s, dir) }
     Dedup.incrementalNearDupFromStore(docs.filter(col("doc_id") % 5 === 0),
         dir, "doc_id", "text", threshold = 0.8)
       .orderBy("id_a", "id_b")
@@ -2236,19 +2265,26 @@ object Documents {
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     val (storeDir, inDir) = (s"$base/store", s"$base/in")
     val (keptDir, ckpt) = (s"$base/kept", s"$base/ckpt")
-    Dedup.writeFpStore(docs.filter(col("doc_id") % 31 === 0),
-      "doc_id", "text", storeDir, expectedTotalFps = 100000L)
+    import graft.core.PhaseTimer.timed
+    timed("install") {
+      Dedup.writeFpStore(docs.filter(col("doc_id") % 31 === 0),
+        "doc_id", "text", storeDir, expectedTotalFps = 100000L)
+    }
     val corpus = docs.filter(col("doc_id") % 31 =!= 0)
-    writeOrderedBatches(s, inDir,
-      Seq(corpus.filter(col("doc_id") % 2 === 0),
-        corpus.filter(col("doc_id") % 2 =!= 0)))
+    timed("fixtures") {
+      writeOrderedBatches(s, inDir,
+        Seq(corpus.filter(col("doc_id") % 2 === 0),
+          corpus.filter(col("doc_id") % 2 =!= 0)))
+    }
     val stream = s.readStream.schema(corpus.schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
-    val q = graft.streaming.EventStream.streamingExactDedupIngest(
-        stream, storeDir, keptDir, "doc_id", "text")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .option("checkpointLocation", ckpt).start()
-    q.awaitTermination()
+    timed("stream") {
+      val q = graft.streaming.EventStream.streamingExactDedupIngest(
+          stream, storeDir, keptDir, "doc_id", "text")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+    }
     graft.sources.Sources.readPublished(s, keptDir)
       .select("doc_id", "n_chars")
       .orderBy("doc_id")
@@ -2290,16 +2326,19 @@ object Documents {
         .select((-id - 1L).as("doc_id"),
           concat(lit(" "), col("text")).as("text"), col("n_chars"), t0.as("ts")))
     val b2 = docs.filter(id % 2 =!= 0).select(cols: _*)
-    writeOrderedBatches(s, inDir, Seq(b1, b2))
+    import graft.core.PhaseTimer.timed
+    timed("fixtures") { writeOrderedBatches(s, inDir, Seq(b1, b2)) }
     val stream = s.readStream.schema(b1.schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
-    val q = graft.streaming.EventStream
-      .streamingExactDedup(stream, "ts", "text", "doc_id")
-      .writeStream.format("parquet").option("path", outDir)
-      .option("checkpointLocation", ckpt)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    timed("stream") {
+      val q = graft.streaming.EventStream
+        .streamingExactDedup(stream, "ts", "text", "doc_id")
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     s.read.parquet(outDir)
       .select("doc_id", "n_chars")
       .orderBy("doc_id")
@@ -2363,7 +2402,8 @@ object Documents {
         lit("en").as("lang"), to_timestamp(lit(tsLit)).as("ts"))
     val b3 = sentinel(999999999L, "one", "2024-03-05 00:00:00")
     val b4 = sentinel(999999998L, "two", "2024-03-09 00:00:00")
-    writeOrderedBatches(s, inDir, Seq(b1, b2, b3, b4))
+    import graft.core.PhaseTimer.timed
+    timed("fixtures") { writeOrderedBatches(s, inDir, Seq(b1, b2, b3, b4)) }
     val stream = s.readStream.schema(b1.schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
     val out = graft.streaming.EventStream.streamingCorpusIngest(
@@ -2373,7 +2413,7 @@ object Documents {
       "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
     s.conf.set(
       "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
-    try {
+    try timed("stream") {
       val q = out.writeStream.format("parquet").option("path", outDir)
         .option("checkpointLocation", ckpt)
         .outputMode("append")
@@ -2768,23 +2808,30 @@ object Documents {
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     val (storeDir, inDir) = (s"$base/store", s"$base/in")
     val (keptDir, ckpt) = (s"$base/kept", s"$base/ckpt")
-    Multimodal.writeImageDHashStore(
-      ppmFrame(s, hexed.filter(col("doc_id") % 31 === 0), 0L, 0),
-      storeDir, expectedTotalImages = 100000L)
+    import graft.core.PhaseTimer.timed
+    timed("install") {
+      Multimodal.writeImageDHashStore(
+        ppmFrame(s, hexed.filter(col("doc_id") % 31 === 0), 0L, 0),
+        storeDir, expectedTotalImages = 100000L)
+    }
     val batch = ppmFrame(s, hexed.filter(col("doc_id") % 31 =!= 0), 0L, 0)
       .unionByName(ppmFrame(s,
         hexed.filter(col("doc_id") % 31 === 0 && col("doc_id") % 10 === 0),
         500000000L, 1))
-    writeOrderedBatches(s, inDir,
-      Seq(batch.filter(col("media_id") % 2 === 0),
-        batch.filter(col("media_id") % 2 =!= 0)))
+    timed("fixtures") {
+      writeOrderedBatches(s, inDir,
+        Seq(batch.filter(col("media_id") % 2 === 0),
+          batch.filter(col("media_id") % 2 =!= 0)))
+    }
     val stream = s.readStream.schema(batch.schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
-    val q = graft.streaming.EventStream.streamingImageDedupIngest(
-        stream, storeDir, keptDir)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .option("checkpointLocation", ckpt).start()
-    q.awaitTermination()
+    timed("stream") {
+      val q = graft.streaming.EventStream.streamingImageDedupIngest(
+          stream, storeDir, keptDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+    }
     graft.sources.Sources.readPublished(s, keptDir)
       .select("media_id")
       .orderBy("media_id")
@@ -2994,19 +3041,26 @@ object Documents {
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     val (storeDir, inDir) = (s"$base/store", s"$base/in")
     val (keptDir, ckpt) = (s"$base/kept", s"$base/ckpt")
-    Dedup.writeNearDupStore(docs.filter(col("doc_id") % 31 === 0),
-      "doc_id", "text", storeDir)
+    import graft.core.PhaseTimer.timed
+    timed("install") {
+      Dedup.writeNearDupStore(docs.filter(col("doc_id") % 31 === 0),
+        "doc_id", "text", storeDir)
+    }
     val corpus = docs.filter(col("doc_id") % 31 =!= 0)
-    writeOrderedBatches(s, inDir,
-      Seq(corpus.filter(col("doc_id") % 2 === 0),
-        corpus.filter(col("doc_id") % 2 =!= 0)))
+    timed("fixtures") {
+      writeOrderedBatches(s, inDir,
+        Seq(corpus.filter(col("doc_id") % 2 === 0),
+          corpus.filter(col("doc_id") % 2 =!= 0)))
+    }
     val stream = s.readStream.schema(corpus.schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
-    val q = graft.streaming.EventStream.streamingNearDupIngest(
-        stream, storeDir, keptDir, "doc_id", "text", threshold = 0.8)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .option("checkpointLocation", ckpt).start()
-    q.awaitTermination()
+    timed("stream") {
+      val q = graft.streaming.EventStream.streamingNearDupIngest(
+          stream, storeDir, keptDir, "doc_id", "text", threshold = 0.8)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+    }
     graft.sources.Sources.readPublished(s, keptDir)
       .select("doc_id", "n_chars")
       .orderBy("doc_id")
@@ -3033,21 +3087,28 @@ object Documents {
     val p = new org.apache.hadoop.fs.Path(base)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     val (idxDir, inDir, ckpt) = (s"$base/index", s"$base/in", s"$base/ckpt")
-    Similarity.writeIvfIndex(
-      embed(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)),
-      idxDir, nCells = 8, idCol = "doc_id")
+    import graft.core.PhaseTimer.timed
+    timed("install") {
+      Similarity.writeIvfIndex(
+        embed(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)),
+        idxDir, nCells = 8, idCol = "doc_id")
+    }
     val sliver = embed(docs.filter(pmod(col("doc_id"), lit(5)) === 0))
-    sliver.filter(pmod(col("doc_id"), lit(2)) === 0).coalesce(1)
-      .write.mode("append").parquet(inDir)
-    sliver.filter(pmod(col("doc_id"), lit(2)) =!= 0).coalesce(1)
-      .write.mode("append").parquet(inDir)
+    timed("fixtures") {
+      sliver.filter(pmod(col("doc_id"), lit(2)) === 0).coalesce(1)
+        .write.mode("append").parquet(inDir)
+      sliver.filter(pmod(col("doc_id"), lit(2)) =!= 0).coalesce(1)
+        .write.mode("append").parquet(inDir)
+    }
     val stream = s.readStream.schema(sliver.schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
-    val q = graft.streaming.EventStream.streamingIvfIngest(
-        stream, idxDir, idCol = "doc_id")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .option("checkpointLocation", ckpt).start()
-    q.awaitTermination()
+    timed("stream") {
+      val q = graft.streaming.EventStream.streamingIvfIngest(
+          stream, idxDir, idCol = "doc_id")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+    }
     Similarity.liveIndexRows(s, idxDir)
       .select(col("n_id").as("doc_id"),
         aggregate(col("n_vec"), lit(0.0d), (a, x) => a + x).as("vec_l1"),
@@ -3089,21 +3150,28 @@ object Documents {
     val p = new org.apache.hadoop.fs.Path(base)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     val (idxDir, inDir, ckpt) = (s"$base/index", s"$base/in", s"$base/ckpt")
-    Similarity.installPqIndex(
-      embed(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)),
-      idxDir, cb, idCol = "doc_id")
+    import graft.core.PhaseTimer.timed
+    timed("install") {
+      Similarity.installPqIndex(
+        embed(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)),
+        idxDir, cb, idCol = "doc_id")
+    }
     val sliver = embed(docs.filter(pmod(col("doc_id"), lit(5)) === 0))
-    sliver.filter(pmod(col("doc_id"), lit(2)) === 0).coalesce(1)
-      .write.mode("append").parquet(inDir)
-    sliver.filter(pmod(col("doc_id"), lit(2)) =!= 0).coalesce(1)
-      .write.mode("append").parquet(inDir)
+    timed("fixtures") {
+      sliver.filter(pmod(col("doc_id"), lit(2)) === 0).coalesce(1)
+        .write.mode("append").parquet(inDir)
+      sliver.filter(pmod(col("doc_id"), lit(2)) =!= 0).coalesce(1)
+        .write.mode("append").parquet(inDir)
+    }
     val stream = s.readStream.schema(sliver.schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
-    val q = graft.streaming.EventStream.streamingPqIngest(
-        stream, idxDir, idCol = "doc_id")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .option("checkpointLocation", ckpt).start()
-    q.awaitTermination()
+    timed("stream") {
+      val q = graft.streaming.EventStream.streamingPqIngest(
+          stream, idxDir, idCol = "doc_id")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+    }
     s.read.parquet(s"$idxDir/codes")
       .select(col("n_id").as("doc_id"),
         element_at(col("code"), 1).as("c0"),
@@ -3473,14 +3541,19 @@ object Documents {
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
     val corpus = prunedVocabCorpus(s, d)
-    TextAnalysis.writeBm25Index(corpus.filter(col("doc_id") % 3 === 1),
-      dir, buckets = 16)
-    TextAnalysis.appendToBm25Index(corpus.filter(col("doc_id") % 3 === 2),
-      dir, batchId = 1L)
-    TextAnalysis.appendToBm25Index(corpus.filter(col("doc_id") % 3 === 0),
-      dir, batchId = 2L)
+    import graft.core.PhaseTimer.timed
+    timed("install") {
+      TextAnalysis.writeBm25Index(corpus.filter(col("doc_id") % 3 === 1),
+        dir, buckets = 16)
+    }
+    timed("append") {
+      TextAnalysis.appendToBm25Index(corpus.filter(col("doc_id") % 3 === 2),
+        dir, batchId = 1L)
+      TextAnalysis.appendToBm25Index(corpus.filter(col("doc_id") % 3 === 0),
+        dir, batchId = 2L)
+    }
     // the REBUILD: full-corpus reinstall over the grown store
-    TextAnalysis.writeBm25Index(corpus, dir, buckets = 16)
+    timed("rebuild") { TextAnalysis.writeBm25Index(corpus, dir, buckets = 16) }
     val gens = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/postings"))
       .map(_.getPath.getName).filter(_.startsWith("batch=")).toSeq
     val stats = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/_stats"))
