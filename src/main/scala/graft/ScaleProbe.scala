@@ -726,6 +726,88 @@ object ScaleProbe {
       return
     }
 
+    // SPARK_GRAFT_PROBE_MODE=compaction: the FOLD's own cost law
+    // (round-18 verdict #7). A long ingest line accumulates batch=<id>
+    // generation dirs; the claim under test is two-sided: (1) fold
+    // cost is O(store) — it scales with total rows folded, not
+    // superlinearly with generation count; (2) the POST-fold probe is
+    // FLAT in how many generations the store had before folding — the
+    // fold actually resets listing/merge cost to the single-generation
+    // floor, on both foldable probe families (fp exact-dedup,
+    // near-dup). Args are generation counts (default 1 4 16); each run
+    // installs the store, appends G−1 distinct salted batches, times
+    // probe-before-fold / fold / probe-after-fold, and REQUIRES the
+    // post-fold probes flat across G (2× slack for box noise on
+    // few-second walls).
+    if (sys.env.get("SPARK_GRAFT_PROBE_MODE").contains("compaction")) {
+      val genCounts = if (args.nonEmpty) args.toSeq.map(_.toInt)
+        else Seq(1, 4, 16)
+      val corpus = replicated(2).persist()
+      val docs = corpus.count()
+      def salted(off: Long, tag: String): DataFrame =
+        base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + off).as("doc_id"),
+            concat(col("text"), lit(s" $tag")).as("text"))
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val postFp = scala.collection.mutable.Map.empty[Int, Double]
+      val postNd = scala.collection.mutable.Map.empty[Int, Double]
+      genCounts.foreach { g =>
+        val tmp = java.nio.file.Files
+          .createTempDirectory(s"compactprobe$g").toString
+        val probe = salted(900000000L, "probe")
+        // fp store: install + g−1 appends of distinct fps
+        Dedup.writeFpStore(corpus, "doc_id", "text", s"$tmp/fp",
+          expectedTotalFps = 1000000L)
+        (1 until g).foreach { i =>
+          Dedup.appendToFpStore(
+            salted(i.toLong * 2000000L, s"gen$i")
+              .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+              .distinct().localCheckpoint(),
+            s"$tmp/fp", batchId = i.toLong)
+        }
+        def fpProbe(): Unit = {
+          Dedup.incrementalExactDedupFromFpStore(probe, s"$tmp/fp",
+            "doc_id", "text").count()
+          spark.catalog.clearCache()
+        }
+        val fpPre = timed(fpProbe())
+        val fpFold = timed(Dedup.compactFpStore(spark, s"$tmp/fp"))
+        val fpPost = timed(fpProbe())
+        postFp(g) = fpPost
+        // near-dup store: same shape on the banded family
+        Dedup.writeNearDupStore(corpus, "doc_id", "text", s"$tmp/nd")
+        (1 until g).foreach { i =>
+          Dedup.appendToNearDupStore(salted(i.toLong * 2000000L, s"gen$i"),
+            s"$tmp/nd", "doc_id", "text", batchId = i.toLong)
+        }
+        def ndProbe(): Unit = {
+          Dedup.incrementalNearDupFromStore(probe, s"$tmp/nd",
+            "doc_id", "text").count()
+          spark.catalog.clearCache()
+        }
+        val ndPre = timed(ndProbe())
+        val ndFold = timed(Dedup.compactNearDupStore(spark, s"$tmp/nd"))
+        val ndPost = timed(ndProbe())
+        postNd(g) = ndPost
+        println(f"""{"mode":"compaction","gens":$g,"docs":$docs,""" +
+          f""""fp":{"pre_probe":$fpPre%.2f,"fold":$fpFold%.2f,"post_probe":$fpPost%.2f},""" +
+          f""""neardup":{"pre_probe":$ndPre%.2f,"fold":$ndFold%.2f,"post_probe":$ndPost%.2f}}""")
+      }
+      // the flatness claim, ASSERTED: post-fold probe cost must not
+      // track pre-fold generation count (2× slack on few-second walls)
+      Seq("fp" -> postFp, "neardup" -> postNd).foreach { case (fam, m) =>
+        val (lo, hi) = (m.values.min, m.values.max)
+        require(hi <= 2.0 * lo + 0.5,
+          f"$fam post-fold probe not flat across generations: " +
+            f"min $lo%.2f s, max $hi%.2f s")
+      }
+      corpus.unpersist()
+      spark.stop()
+      return
+    }
+
     // SPARK_GRAFT_PROBE_MODE=bandab: the controlled A/B isolating the
     // v2 band-key premium (the round-15 adverse bench signal: d25
     // 8.1→14.4 s, d14 3.3→7.0 s vs the r14 binary, never separated
