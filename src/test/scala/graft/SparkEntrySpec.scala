@@ -48,6 +48,9 @@ class SparkEntrySpec extends SparkSpec {
       "ann16_filtered_ann", // ann3's bounded probe broadcast: queries ×
       // the nCells(=8)-row centroid table; the filter itself is a
       // cell-side semi-join, never a nested loop
+      "ann20_ivf_rebuilt", // ann4's shape on the rebuilt index: the
+      // exact post-churn baseline + the 1-row invariant-flag broadcast;
+      // the churn/rebuild stages themselves are equi-join only
       "ann17_knn_join", // same nCells-row centroid LUT crossed into the
       // corpus-sized probe side (bounded inner side); the probe→cell
       // candidate join is a plain shuffle hash join on the cell id
