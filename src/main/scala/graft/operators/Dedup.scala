@@ -213,14 +213,11 @@ object Dedup {
                    fpp: Double = 0.001, shards: Int = 1): Unit = {
     require(shards >= 1, s"shards must be >= 1: $shards")
     val perShard = fpShardCapacity(expectedTotalFps, shards)
-    // optimal bits ≈ -n·ln(p)/ln²2; 8·Int.MaxValue is the serializable
-    // ceiling (byte-array length), reached near 1.19e9 keys at 1e-3
-    val bits = math.ceil(
-      -perShard * math.log(fpp) / (math.log(2) * math.log(2)))
-    require(bits <= 8.0 * Int.MaxValue,
+    require(bloomFits(perShard, fpp),
       s"writeFpStore: $perShard fps/shard at fpp=$fpp needs " +
-        f"${bits / 8 / 1e9}%.1f GB of filter — past the single-sidecar " +
-        s"ceiling (~1e9 fps at 1e-3); raise `shards` (currently $shards)")
+        f"${bloomBits(perShard, fpp) / 8 / 1e9}%.1f GB of filter — past " +
+        s"the single-sidecar ceiling (~1e9 fps at 1e-3); raise `shards` " +
+        s"(currently $shards)")
     val spark = corpus.sparkSession
     // the v1 guard prescribes "reinstall with writeFpStore": over a v1
     // flat layout, fps/batch=0 landing next to flat files would brick
@@ -393,26 +390,79 @@ object Dedup {
     fs.listStatus(d).toSeq.map(_.getPath.getName).filter(pat.matches)
   }
 
-  /** Serializable-filter guard shared with `writeFpStore`: true when a
-    * capacity/fpp pair fits the single-sidecar byte-array ceiling. */
+  /** Optimal Bloom bit count ≈ -n·ln(p)/ln²2; 8·Int.MaxValue is the
+    * serializable ceiling (byte-array length), reached near 1.19e9
+    * keys at fpp 1e-3. Shared by `writeFpStore`'s install require and
+    * the fold-time re-size guards. */
+  private def bloomBits(capacity: Long, fpp: Double): Double =
+    math.ceil(-capacity * math.log(fpp) / (math.log(2) * math.log(2)))
+
   private def bloomFits(capacity: Long, fpp: Double): Boolean =
-    math.ceil(-capacity * math.log(fpp) / (math.log(2) * math.log(2))) <=
-      8.0 * Int.MaxValue
+    bloomBits(capacity, fpp) <= 8.0 * Int.MaxValue
+
+  /** Delete every per-batch bloom sidecar file of a store dir. */
+  private def dropBatchBloomFiles(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    batchBloomFiles(spark, dir).foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$n"), false))
+  }
+
+  /** One LANE's fold-time re-sized rebuild (a lane = the base filter of
+    * an unsharded store, or one shard's): `keys` is the folded
+    * generation's DISTINCT key frame as one `k` column; capacity grows
+    * to folded×headroom only when the lane outgrew `installed`.
+    *
+    * WRITE ORDER is meta FIRST, filter second, batch-file deletes last
+    * — the ordering that keeps every crash window self-healing: once
+    * `_meta.json` records the new capacity, the per-batch sidecar
+    * files are still on disk, so the idempotent fast path
+    * (batch-files-empty ⇒ return) cannot trap an inconsistent store —
+    * any later maintenance call sees the files and re-runs this
+    * rebuild. The reverse order (meta last) had a real hole: a crash
+    * after the deletes but before the meta write left a new-capacity
+    * base with an old-capacity meta, the fast path returned forever,
+    * and the next append's old-capacity filter made every probe's
+    * `mergeInPlace` throw until some unrelated fold happened by. A
+    * crash BETWEEN meta and filter (or filter and deletes) leaves
+    * mixed-capacity sidecars whose merge fails LOUDLY on probe; the
+    * next compact call heals it (bloom ⊇ keys holds throughout — the
+    * base filter always covers batch=0, and unfolded keys only ever
+    * live in their own still-present batch files).
+    *
+    * Returns false when the re-sized lane would not fit the
+    * serializable ceiling — the caller falls back to the saturated
+    * union (never false-negative) and warns. */
+  private def resizeLane(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, keys: DataFrame, installed: Long,
+                         fpp: Double, writeMeta: Long => Unit,
+                         writeFilter: (DataFrame, Long) => Unit)
+      : Boolean = {
+    val cached = keys.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n0 = cached.count()
+      val newCap = if (n0 > installed) n0 * bloomFoldHeadroom else installed
+      if (!bloomFits(newCap, fpp)) return false
+      if (newCap != installed) writeMeta(newCap)
+      writeFilter(cached, newCap)
+      dropBatchBloomFiles(spark, dir)
+      true
+    } finally cached.unpersist(blocking = false)
+  }
 
   /** Post-fold sidecar policy for the fp store (see [[compactFpStore]]):
     * union when unfolded generations remain (their keys live only in
     * their own per-batch filters — rebuilding from `batch=0` alone
     * would DROP them and admit silent false negatives), rebuild
-    * re-sized from the folded keys when `batch=0` is the only
-    * generation. No-op when no per-batch sidecar files exist (nothing
-    * folded, nothing stray) — the idempotent-maintenance-visit fast
-    * path. Self-healing: a crash between the base write and the batch
-    * deletes leaves stale old-capacity batch files that the next call
-    * deletes without reading. */
+    * re-sized from the folded DISTINCT fps when `batch=0` is the only
+    * generation (folds concatenate generations without dedup, so the
+    * raw row count would over-size the lane). No-op when no per-batch
+    * sidecar files exist — the idempotent-maintenance-visit fast path,
+    * safe under [[resizeLane]]'s meta-first crash discipline. */
   private[graft] def resizeFpSidecarsAfterFold(
       spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
-    val batchFiles = batchBloomFiles(spark, dir)
-    if (batchFiles.isEmpty) return
+    if (batchBloomFiles(spark, dir).isEmpty) return
     if ((liveGenIds(spark, s"$dir/fps") - 0L).nonEmpty) {
       compactFpStoreSidecars(spark, dir)
       return
@@ -422,61 +472,62 @@ object Dedup {
     val fpp = meta("fpp").toDouble
     val installed = meta("expectedTotalFps").toLong
     val perShard = fpShardCapacity(installed, shards)
-    val folded = spark.read.parquet(s"$dir/fps/batch=0")
-    val d = new org.apache.hadoop.fs.Path(dir)
-    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def dropBatchFiles(): Unit = batchBloomFiles(spark, dir).foreach(n =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$n"), false))
-    if (shards == 1) {
-      val n0 = folded.count()
-      val newCap = if (n0 > installed) n0 * bloomFoldHeadroom else installed
-      if (!bloomFits(newCap, fpp)) {
-        // past the single-sidecar ceiling: the union keeps every key
-        // (saturated but never false-negative); the honest fix is a
-        // sharded reinstall, which writeFpStore's own require names
-        System.err.println(s"[graft] fp store $dir: $n0 folded fps " +
-          s"need a filter past the single-sidecar ceiling — keeping " +
-          "the saturated union; reinstall with writeFpStore(shards=k)")
-        compactFpStoreSidecars(spark, dir)
-        return
+    val ok =
+      if (shards == 1)
+        resizeLane(spark, dir,
+          spark.read.parquet(s"$dir/fps/batch=0")
+            .select("fp").distinct()
+            .select(xxhash64(col("fp")).as("k")),
+          installed, fpp,
+          newCap => graft.sources.Sources.writeJsonSidecarFs(spark,
+            s"$dir/_meta.json",
+            meta + ("expectedTotalFps" -> newCap.toString)),
+          (keys, newCap) => {
+            val filter =
+              if (keys.isEmpty)
+                org.apache.spark.util.sketch.BloomFilter.create(newCap, fpp)
+              else keys.stat.bloomFilter("k", newCap, fpp)
+            graft.sources.Sources.writeBinarySidecarFs(spark,
+              s"$dir/_bloom.bin",
+              graft.functions.BloomMightContain.toBytes(filter))
+          })
+      else {
+        val cached = spark.read.parquet(s"$dir/fps/batch=0")
+          .select("fp", "shard").distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val counts = cached.groupBy("shard").count().collect()
+            .map(r => r.getInt(0) -> r.getLong(1)).toMap
+          val maxN = if (counts.isEmpty) 0L else counts.values.max
+          val newPerShard =
+            if (maxN > perShard) maxN * bloomFoldHeadroom else perShard
+          if (!bloomFits(newPerShard, fpp)) false
+          else {
+            // meta FIRST (the resizeLane crash discipline), then every
+            // shard's filter, batch-file deletes last
+            if (newPerShard != perShard)
+              graft.sources.Sources.writeJsonSidecarFs(spark,
+                s"$dir/_meta.json",
+                meta + ("expectedTotalFps" ->
+                  (newPerShard * shards).toString))
+            (0 until shards).foreach { i =>
+              val keys = cached.filter(col("shard") === i)
+                .select(xxhash64(col("fp")).as("k"))
+              writeShardBloom(spark, dir, i, keys, newPerShard, fpp)
+            }
+            dropBatchBloomFiles(spark, dir)
+            true
+          }
+        } finally cached.unpersist(blocking = false)
       }
-      val keys = folded.select(xxhash64(col("fp")).as("k"))
-      val filter =
-        if (n0 == 0L)
-          org.apache.spark.util.sketch.BloomFilter.create(newCap, fpp)
-        else keys.stat.bloomFilter("k", newCap, fpp)
-      graft.sources.Sources.writeBinarySidecarFs(spark, s"$dir/_bloom.bin",
-        graft.functions.BloomMightContain.toBytes(filter))
-      dropBatchFiles()
-      if (newCap != installed)
-        graft.sources.Sources.writeJsonSidecarFs(spark, s"$dir/_meta.json",
-          meta + ("expectedTotalFps" -> newCap.toString))
-    } else {
-      val cached = folded.persist(StorageLevel.MEMORY_AND_DISK)
-      try {
-        val counts = cached.groupBy("shard").count().collect()
-          .map(r => r.getInt(0) -> r.getLong(1)).toMap
-        val maxN = if (counts.isEmpty) 0L else counts.values.max
-        val newPerShard =
-          if (maxN > perShard) maxN * bloomFoldHeadroom else perShard
-        if (!bloomFits(newPerShard, fpp)) {
-          System.err.println(s"[graft] fp store $dir: hottest shard " +
-            s"holds $maxN folded fps — past the per-shard ceiling; " +
-            "keeping the saturated union; reinstall with more shards")
-          compactFpStoreSidecars(spark, dir)
-          return
-        }
-        (0 until shards).foreach { i =>
-          val keys = cached.filter(col("shard") === i)
-            .select(xxhash64(col("fp")).as("k"))
-          writeShardBloom(spark, dir, i, keys, newPerShard, fpp)
-        }
-        dropBatchFiles()
-        if (newPerShard != perShard)
-          graft.sources.Sources.writeJsonSidecarFs(spark, s"$dir/_meta.json",
-            meta + ("expectedTotalFps" ->
-              (newPerShard * shards).toString))
-      } finally cached.unpersist(blocking = false)
+    if (!ok) {
+      // past the serializable ceiling: the union keeps every key
+      // (saturated but never false-negative); the honest fix is a
+      // sharded reinstall, which writeFpStore's own require names
+      System.err.println(s"[graft] fp store $dir: folded fps need a " +
+        "filter past the single-sidecar ceiling — keeping the " +
+        "saturated union; reinstall with writeFpStore(shards=k)")
+      compactFpStoreSidecars(spark, dir)
     }
   }
 
@@ -1598,13 +1649,7 @@ object Dedup {
   def compactEvalGramStore(spark: org.apache.spark.sql.SparkSession,
                            dir: String,
                            maxBatchId: Long = Long.MaxValue): Unit = {
-    def gens(): Set[Long] = {
-      val g = new org.apache.hadoop.fs.Path(s"$dir/grams")
-      g.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .listStatus(g).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-        .map(_.getPath.getName.stripPrefix("batch=").toLong).toSet
-    }
+    def gens(): Set[Long] = liveGenIds(spark, s"$dir/grams")
     val gensBefore = gens()
     StoreMaintenance.compact(spark, dir,
       Seq(StoreMaintenance.TableSpec("grams", _.select("h1", "h2"))),
@@ -1681,48 +1726,39 @@ object Dedup {
     * rebuild re-sized (capacity = max(installed, 2×folded distinct h1))
     * once `batch=0` is the only generation, updating
     * `expectedTotalGrams` so later suite appends build bit-compatible
-    * per-batch filters. The filter key count uses DISTINCT h1 — folds
-    * concatenate generations without dedup (the left-semi consumer is
-    * duplicate-blind), so the raw row count would over-size the
-    * rebuild. */
+    * per-batch filters — one [[resizeLane]] call, so the two store
+    * families share the meta-first crash discipline by construction. */
   private def resizeEvalGramSidecarAfterFold(
       spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
-    val batchFiles = batchBloomFiles(spark, dir)
-    if (batchFiles.isEmpty) return
+    if (batchBloomFiles(spark, dir).isEmpty) return
     if ((liveGenIds(spark, s"$dir/grams") - 0L).nonEmpty) {
       compactFpStoreSidecars(spark, dir)
       return
     }
     val meta = graft.sources.Sources.readJsonSidecarFs(spark, s"$dir/_meta.json")
     val fpp = meta("fpp").toDouble
-    val installed = meta("expectedTotalGrams").toLong
-    val keys = spark.read.parquet(s"$dir/grams/batch=0")
-      .select(col("h1").as("k")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      val n0 = keys.count()
-      val newCap = if (n0 > installed) n0 * bloomFoldHeadroom else installed
-      if (!bloomFits(newCap, fpp)) {
-        System.err.println(s"[graft] eval-gram store $dir: $n0 folded " +
-          "grams need a filter past the single-sidecar ceiling — " +
-          "keeping the saturated union; split the suite across stores")
-        compactFpStoreSidecars(spark, dir)
-        return
-      }
-      val filter =
-        if (n0 == 0L)
-          org.apache.spark.util.sketch.BloomFilter.create(newCap, fpp)
-        else keys.stat.bloomFilter("k", newCap, fpp)
-      graft.sources.Sources.writeBinarySidecarFs(spark, s"$dir/_bloom.bin",
-        graft.functions.BloomMightContain.toBytes(filter))
-      val d = new org.apache.hadoop.fs.Path(dir)
-      val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      batchBloomFiles(spark, dir).foreach(n =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$n"), false))
-      if (newCap != installed)
-        graft.sources.Sources.writeJsonSidecarFs(spark, s"$dir/_meta.json",
-          meta + ("expectedTotalGrams" -> newCap.toString))
-    } finally keys.unpersist(blocking = false)
+    val ok = resizeLane(spark, dir,
+      spark.read.parquet(s"$dir/grams/batch=0")
+        .select(col("h1").as("k")).distinct(),
+      meta("expectedTotalGrams").toLong, fpp,
+      newCap => graft.sources.Sources.writeJsonSidecarFs(spark,
+        s"$dir/_meta.json",
+        meta + ("expectedTotalGrams" -> newCap.toString)),
+      (keys, newCap) => {
+        val filter =
+          if (keys.isEmpty)
+            org.apache.spark.util.sketch.BloomFilter.create(newCap, fpp)
+          else keys.stat.bloomFilter("k", newCap, fpp)
+        graft.sources.Sources.writeBinarySidecarFs(spark,
+          s"$dir/_bloom.bin",
+          graft.functions.BloomMightContain.toBytes(filter))
+      })
+    if (!ok) {
+      System.err.println(s"[graft] eval-gram store $dir: folded grams " +
+        "need a filter past the single-sidecar ceiling — keeping the " +
+        "saturated union; split the suite across stores")
+      compactFpStoreSidecars(spark, dir)
+    }
   }
 
   /** [[decontaminateRewrite]] against the at-rest eval-gram store —

@@ -74,6 +74,16 @@ private[graft] object StoreMaintenance {
             h.location.rootPaths.map(p => fs.makeQualified(p).toString)
           case _ => Seq.empty[String]
         }
+      // the DataSource V2 shape of the same file scan (parquet taken
+      // off spark.sql.sources.useV1SourceList, or any FileTable
+      // source) — without this arm the guard silently passes exactly
+      // the plans it exists to refuse
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table match {
+          case ft: org.apache.spark.sql.execution.datasources.v2.FileTable =>
+            ft.fileIndex.rootPaths.map(p => fs.makeQualified(p).toString)
+          case _ => Seq.empty[String]
+        }
     }.flatten.filter(r => r == qDir || r.startsWith(qDir + "/"))
     require(offending.isEmpty,
       s"$op clears $dir before writing, but its input still READS from " +

@@ -80,7 +80,11 @@ object Fuzz {
 
     val nStages = 3 + rng.nextInt(4)
     (1 to nStages).foreach { _ =>
-      rng.nextInt(10) match {
+      // 11 stage kinds: 0–9 below plus the distinct default (the first
+      // review of this generator found nextInt(10) left `case _`
+      // unreachable — DISTINCT was never fuzzed while the docs claimed
+      // it was)
+      rng.nextInt(11) match {
         case 0 => // filter on the int column
           val m = 2 + rng.nextInt(9); val r = 1 + rng.nextInt(m)
           sql = s"SELECT k, s1, n1 FROM ($sql) ${t()} WHERE (n1 % $m) < $r"
