@@ -1405,6 +1405,52 @@ class DedupSpec extends SparkSpec {
       "post-resize append must merge into the re-sized base")
   }
 
+  test("fold-time re-size: old-capacity crash residue fails LOUDLY on " +
+       "probe and the next fold heals it") {
+    // the re-size writes meta first, filters second, batch-file deletes
+    // last — so the one reachable bad state is a stale OLD-capacity
+    // per-batch sidecar next to the re-sized base (a crash between
+    // filter write and deletes, or a replayed append's file landing
+    // after the fold). The contract under test: that state must fail
+    // LOUDLY at probe time (mergeInPlace refuses mixed bit sizes —
+    // never a silent wrong answer), and the next maintenance call must
+    // heal it (the fast path cannot trap it, because the batch file is
+    // still on disk).
+    val dir = java.nio.file.Files.createTempDirectory("fpresidue").toString
+    val docs = Tables.documents(spark, sf)
+    def fpsOf(pred: org.apache.spark.sql.Column) = docs.filter(pred)
+      .select(TextAnalysis.fingerprint($"text").as("fp"))
+      .distinct().localCheckpoint()
+    Dedup.writeFpStore(docs.filter($"doc_id" % 5 === 0), "doc_id", "text",
+      dir, expectedTotalFps = 8L)
+    Dedup.appendToFpStore(fpsOf($"doc_id" % 5 === 1), dir, batchId = 1L)
+    // capture an OLD-capacity per-batch sidecar before the fold
+    val residue = graft.sources.Sources
+      .readBinarySidecarFs(spark, s"$dir/_bloom.b1.bin")
+    Dedup.compactFpStore(spark, dir) // folds + re-sizes past capacity 8
+    assert(graft.sources.Sources
+      .readJsonSidecarFs(spark, s"$dir/_meta.json")("expectedTotalFps")
+      .toLong > 8L, "fixture must actually re-size")
+    // the crash artifact: an old-capacity batch file re-lands
+    graft.sources.Sources.writeBinarySidecarFs(spark,
+      s"$dir/_bloom.b9.bin", residue)
+    val probe = docs.filter($"doc_id" % 5 === 2)
+    val ex = intercept[Exception] {
+      Dedup.incrementalExactDedupFromFpStore(probe, dir, "doc_id", "text")
+        .count()
+    }
+    assert(ex.getMessage != null, s"probe must fail loudly: $ex")
+    // the next maintenance call heals (rebuild path deletes the
+    // residue without reading it) and the probe answers exactly
+    Dedup.compactFpStore(spark, dir)
+    assert(!new java.io.File(s"$dir/_bloom.b9.bin").exists(),
+      "heal must drop the residue file")
+    val out = Dedup.incrementalExactDedupFromFpStore(
+      probe, dir, "doc_id", "text")
+    assert(out.count() == Dedup.exactDedup(probe, "doc_id", "text").count(),
+      "healed store must admit the novel batch exactly")
+  }
+
   test("compactEvalGramStore re-sizes the sidecar AND retires folded ids " +
        "permanently across later folds") {
     val dir = java.nio.file.Files.createTempDirectory("evresize").toString
