@@ -431,23 +431,28 @@ object Dedup {
     * base filter always covers batch=0, and unfolded keys only ever
     * live in their own still-present batch files).
     *
-    * Returns false when the re-sized lane would not fit the
-    * serializable ceiling — the caller falls back to the saturated
-    * union (never false-negative) and warns. */
+    * Returns (resized?, folded key count); resized = false means the
+    * lane would not fit the serializable ceiling — the caller falls
+    * back to the saturated union (never false-negative) and warns
+    * with the count. */
   private def resizeLane(spark: org.apache.spark.sql.SparkSession,
                          dir: String, keys: DataFrame, installed: Long,
-                         fpp: Double, writeMeta: Long => Unit,
-                         writeFilter: (DataFrame, Long) => Unit)
-      : Boolean = {
+                         fpp: Double, writeMeta: Long => Unit)
+      : (Boolean, Long) = {
     val cached = keys.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val n0 = cached.count()
       val newCap = if (n0 > installed) n0 * bloomFoldHeadroom else installed
-      if (!bloomFits(newCap, fpp)) return false
+      if (!bloomFits(newCap, fpp)) return (false, n0)
       if (newCap != installed) writeMeta(newCap)
-      writeFilter(cached, newCap)
+      val filter =
+        if (n0 == 0L)
+          org.apache.spark.util.sketch.BloomFilter.create(newCap, fpp)
+        else cached.stat.bloomFilter("k", newCap, fpp)
+      graft.sources.Sources.writeBinarySidecarFs(spark, s"$dir/_bloom.bin",
+        graft.functions.BloomMightContain.toBytes(filter))
       dropBatchBloomFiles(spark, dir)
-      true
+      (true, n0)
     } finally cached.unpersist(blocking = false)
   }
 
@@ -472,62 +477,56 @@ object Dedup {
     val fpp = meta("fpp").toDouble
     val installed = meta("expectedTotalFps").toLong
     val perShard = fpShardCapacity(installed, shards)
-    val ok =
-      if (shards == 1)
-        resizeLane(spark, dir,
-          spark.read.parquet(s"$dir/fps/batch=0")
-            .select("fp").distinct()
-            .select(xxhash64(col("fp")).as("k")),
-          installed, fpp,
-          newCap => graft.sources.Sources.writeJsonSidecarFs(spark,
-            s"$dir/_meta.json",
-            meta + ("expectedTotalFps" -> newCap.toString)),
-          (keys, newCap) => {
-            val filter =
-              if (keys.isEmpty)
-                org.apache.spark.util.sketch.BloomFilter.create(newCap, fpp)
-              else keys.stat.bloomFilter("k", newCap, fpp)
-            graft.sources.Sources.writeBinarySidecarFs(spark,
-              s"$dir/_bloom.bin",
-              graft.functions.BloomMightContain.toBytes(filter))
-          })
-      else {
-        val cached = spark.read.parquet(s"$dir/fps/batch=0")
-          .select("fp", "shard").distinct()
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        try {
-          val counts = cached.groupBy("shard").count().collect()
-            .map(r => r.getInt(0) -> r.getLong(1)).toMap
-          val maxN = if (counts.isEmpty) 0L else counts.values.max
-          val newPerShard =
-            if (maxN > perShard) maxN * bloomFoldHeadroom else perShard
-          if (!bloomFits(newPerShard, fpp)) false
-          else {
-            // meta FIRST (the resizeLane crash discipline), then every
-            // shard's filter, batch-file deletes last
-            if (newPerShard != perShard)
-              graft.sources.Sources.writeJsonSidecarFs(spark,
-                s"$dir/_meta.json",
-                meta + ("expectedTotalFps" ->
-                  (newPerShard * shards).toString))
-            (0 until shards).foreach { i =>
-              val keys = cached.filter(col("shard") === i)
-                .select(xxhash64(col("fp")).as("k"))
-              writeShardBloom(spark, dir, i, keys, newPerShard, fpp)
-            }
-            dropBatchBloomFiles(spark, dir)
-            true
-          }
-        } finally cached.unpersist(blocking = false)
-      }
-    if (!ok) {
-      // past the serializable ceiling: the union keeps every key
-      // (saturated but never false-negative); the honest fix is a
-      // sharded reinstall, which writeFpStore's own require names
-      System.err.println(s"[graft] fp store $dir: folded fps need a " +
-        "filter past the single-sidecar ceiling — keeping the " +
-        "saturated union; reinstall with writeFpStore(shards=k)")
+    // ceiling fallback in every branch: the union keeps every key
+    // (saturated but never false-negative); the warn carries the count
+    // the operator needs to size the honest fix — a (more-)sharded
+    // writeFpStore reinstall
+    def unionWithWarn(msg: String): Unit = {
+      System.err.println(msg)
       compactFpStoreSidecars(spark, dir)
+    }
+    if (shards == 1) {
+      val (ok, n0) = resizeLane(spark, dir,
+        spark.read.parquet(s"$dir/fps/batch=0")
+          .select("fp").distinct()
+          .select(xxhash64(col("fp")).as("k")),
+        installed, fpp,
+        newCap => graft.sources.Sources.writeJsonSidecarFs(spark,
+          s"$dir/_meta.json",
+          meta + ("expectedTotalFps" -> newCap.toString)))
+      if (!ok) unionWithWarn(s"[graft] fp store $dir: $n0 folded fps " +
+        "need a filter past the single-sidecar ceiling — keeping the " +
+        "saturated union; reinstall with writeFpStore(shards=k)")
+    } else {
+      val cached = spark.read.parquet(s"$dir/fps/batch=0")
+        .select("fp", "shard").distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val counts = cached.groupBy("shard").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val maxN = if (counts.isEmpty) 0L else counts.values.max
+        val newPerShard =
+          if (maxN > perShard) maxN * bloomFoldHeadroom else perShard
+        if (!bloomFits(newPerShard, fpp))
+          unionWithWarn(s"[graft] fp store $dir: hottest shard holds " +
+            s"$maxN folded fps — past the per-shard ceiling; keeping " +
+            "the saturated union; reinstall with more shards")
+        else {
+          // meta FIRST (the resizeLane crash discipline), then every
+          // shard's filter, batch-file deletes last
+          if (newPerShard != perShard)
+            graft.sources.Sources.writeJsonSidecarFs(spark,
+              s"$dir/_meta.json",
+              meta + ("expectedTotalFps" ->
+                (newPerShard * shards).toString))
+          (0 until shards).foreach { i =>
+            val keys = cached.filter(col("shard") === i)
+              .select(xxhash64(col("fp")).as("k"))
+            writeShardBloom(spark, dir, i, keys, newPerShard, fpp)
+          }
+          dropBatchBloomFiles(spark, dir)
+        }
+      } finally cached.unpersist(blocking = false)
     }
   }
 
@@ -1737,26 +1736,17 @@ object Dedup {
     }
     val meta = graft.sources.Sources.readJsonSidecarFs(spark, s"$dir/_meta.json")
     val fpp = meta("fpp").toDouble
-    val ok = resizeLane(spark, dir,
+    val (ok, n0) = resizeLane(spark, dir,
       spark.read.parquet(s"$dir/grams/batch=0")
         .select(col("h1").as("k")).distinct(),
       meta("expectedTotalGrams").toLong, fpp,
       newCap => graft.sources.Sources.writeJsonSidecarFs(spark,
         s"$dir/_meta.json",
-        meta + ("expectedTotalGrams" -> newCap.toString)),
-      (keys, newCap) => {
-        val filter =
-          if (keys.isEmpty)
-            org.apache.spark.util.sketch.BloomFilter.create(newCap, fpp)
-          else keys.stat.bloomFilter("k", newCap, fpp)
-        graft.sources.Sources.writeBinarySidecarFs(spark,
-          s"$dir/_bloom.bin",
-          graft.functions.BloomMightContain.toBytes(filter))
-      })
+        meta + ("expectedTotalGrams" -> newCap.toString)))
     if (!ok) {
-      System.err.println(s"[graft] eval-gram store $dir: folded grams " +
-        "need a filter past the single-sidecar ceiling — keeping the " +
-        "saturated union; split the suite across stores")
+      System.err.println(s"[graft] eval-gram store $dir: $n0 folded " +
+        "grams need a filter past the single-sidecar ceiling — keeping " +
+        "the saturated union; split the suite across stores")
       compactFpStoreSidecars(spark, dir)
     }
   }

@@ -54,11 +54,14 @@ object Medallion {
     * and the gate would measure a key-explosion artifact, not the
     * pipeline (the medallion ScaleProbe learned this the hard way). */
   private def sfScale(d: String): Int =
-    // the sf token must be a full path SEGMENT with a digit-led value
-    // ("/root/testdata/sf0.01") — an unanchored "sf([0-9.]+)" matched
-    // unrelated segments first (".../sf2-box/.../sf0.001" → 2000×) and
-    // a dots-only capture crashed toDouble
-    """(?:^|/)sf([0-9]+(?:\.[0-9]+)?)(?:/|$)""".r.findFirstMatchIn(d)
+    // the sf token must be a full path SEGMENT with a digit-led value,
+    // and the LAST such segment wins — the testdata dir itself
+    // ("/root/testdata/sf0.01") is always the deepest; an earlier
+    // lookalike segment ("/data/sf2/testdata/sf0.001") must not
+    // override it, and an unanchored "sf([0-9.]+)" additionally
+    // crashed toDouble on dots-only captures
+    """(?:^|/)sf([0-9]+(?:\.[0-9]+)?)(?:/|$)""".r.findAllMatchIn(d)
+      .toSeq.lastOption
       .map(m => math.max(1, math.round(m.group(1).toDouble / 0.001).toInt))
       .getOrElse(1)
   private def nLoans(d: String): Int = 600 * sfScale(d)
