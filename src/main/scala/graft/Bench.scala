@@ -124,6 +124,9 @@ object Bench {
     // the probe/emit remainder is published as "rest" at print time.
     val phaseMins = scala.collection.mutable.Map.empty[String, Map[String, Double]]
     def sample(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      // label every job with its query (guide §1.5) so event logs / the UI
+      // attribute each job to a bench key — zero-cost when logs are off
+      spark.sparkContext.setJobDescription(name)
       val t0 = System.nanoTime()
       val (ok, phases) = graft.core.PhaseTimer.collect {
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -140,6 +143,7 @@ object Bench {
       // drop caches this query (or its upstream operators) persisted so
       // the rest of the pass isn't taxed by lingering blocks
       spark.catalog.clearCache()
+      spark.sparkContext.setJobDescription(null)
       times(name) = times.getOrElse(name, Vector.empty) :+ (t, ok)
     }
     (1 to runs).foreach { _ =>

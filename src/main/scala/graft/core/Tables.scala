@@ -51,6 +51,29 @@ object Tables {
       case _ =>
         raw.withColumn("ts", col("ts").cast("timestamp"))
     }
+  /** Adaptive map-parallelism widen (optimization guide §2.5 "input
+    * skew: one huge unsplittable file ... repartition immediately after
+    * the read") for operators whose PER-ROW map work is heavy
+    * (tokenize → shingle → 64 MinHash transforms, md5 rank keys, …).
+    * A parquet row group is the scan's atomic split, so a one-row-group
+    * input (the driver's test tables; a gzip'd crawl shard in
+    * production) executes the whole map pass in ONE task regardless of
+    * core count — profiling round 18 showed single 4+ s tasks
+    * serializing 32 idle cores. When the input has fewer partitions
+    * than the session's parallelism, redistribute by a deterministic
+    * hash of the id column (NOT round-robin: a stable row→partition
+    * map keeps seeded draws reproducible at a given config); when the
+    * input is already wide — every real deployment — this is a
+    * provable no-op, so no cluster-scale query pays the exchange.
+    * Deliberately NOT applied at the table loaders: operators that
+    * never ship the payload (exactDedup's project-before-shuffle
+    * contract) and cheap projections must not inherit a text exchange.
+    * Rank/rank-order outputs are partitioning-independent (total ORDER
+    * BY + rounded aggregates — the board's construction invariant). */
+  def widenIfNarrow(df: DataFrame, key: String): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p, col(key)) else df
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -1867,7 +1867,11 @@ object Dedup {
     * element (free subexpressions in lambda bodies are not CSE'd) —
     * measured 17 s → 2 s on the d4 query at sf0.1. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val tokenized = df.select(col(idCol).as("id"),
+    // the tokenize→gram→hash map pass is the family's dominant per-row
+    // cost; widen a narrow input (one-row-group scan, single-file
+    // micro-batch) so it runs at core parallelism — no-op on wide input
+    val wide = graft.core.Tables.widenIfNarrow(df, idCol)
+    val tokenized = wide.select(col(idCol).as("id"),
       split(trim(col(textCol)), "\\s+").as("toks"))
     tokenized.select(col("id"),
       explode(array_distinct(positionalGrams(col("toks"), n, hashed = false)))
@@ -2838,7 +2842,10 @@ object Dedup {
     * row per distinct token occurrence) through an extra exchange and
     * measured 2.4× slower at sf0.1. */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("id"),
+    // same widen-if-narrow rationale as shingles: the tokenize+hash map
+    // pass dominates and must not serialize on a one-split input
+    val tok = graft.core.Tables.widenIfNarrow(df, idCol)
+      .select(col(idCol).as("id"),
         explode(split(trim(col(textCol)), "\\s+")).as("w"))
       .select(col("id"), xxhash64(col("w")).as("h"))
     // Packed bit-counting: the signed ±1 bit-sum equals 2·ones(i) − n,

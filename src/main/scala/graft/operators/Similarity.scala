@@ -98,44 +98,203 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** Default fit-sample bound when the caller doesn't set one: centroid
+    * quality needs a representative sample, not the corpus (the FAISS
+    * convention — train the coarse quantizer on a bounded draw), so the
+    * fit cost is corpus-size-independent at ANY scale. */
+  private val DefaultFitCap = 100000
+
+  /** Deterministic local k-means: seeded k-means++ init + Lloyd
+    * iterations over a DRIVER-SIDED bounded sample. The sample is
+    * bounded by construction (≤ fitCap rows of subDim floats), so
+    * pushing it through distributed MLlib KMeans bought nothing and
+    * cost (init + maxIter) scheduled Spark jobs PER FIT — profiling
+    * round 18 measured 147 jobs for ann10_ivf_pq alone, ~0.1 s of
+    * scheduling each on an otherwise idle 32-core box. One local fit
+    * is a few ms of arithmetic and ZERO jobs, and — unlike k-means||,
+    * whose init samples by partition-dependent RNG — it is exactly
+    * reproducible from (points, k, seed) alone, independent of
+    * partitioning and core count.
+    *
+    * Returns ≤ k centroids (fewer when the sample has fewer distinct
+    * points — the MLlib behavior callers already handle); ties in the
+    * assignment step break to the lowest centroid index, matching
+    * [[graft.functions.PqAssign]]'s rule. Empty clusters keep their
+    * previous centroid (deterministic; matches the "duplicate
+    * centroids are harmless" posture of the padding logic). */
+  /** Multi-restart wrapper: k-means|| earns its centroid quality from
+    * oversampled init; a single k-means++ draw can land a visibly worse
+    * local optimum (the ann16 recall floor caught exactly that). Five
+    * seeded restarts picking the lowest within-cluster sum of squares
+    * recover the quality at local-arithmetic cost (µs–ms per restart)
+    * while staying exactly reproducible from (points, k, seed). */
+  private[operators] def localKMeans(points: Array[Array[Float]], k: Int,
+                                     seed: Long, maxIter: Int)
+      : Array[Array[Double]] = {
+    val restarts = 5
+    var best: Array[Array[Double]] = null
+    var bestCost = Double.MaxValue
+    var r = 0
+    while (r < restarts) {
+      val cs = localKMeansOnce(points, k, seed + 1000L * r, maxIter)
+      var cost = 0.0
+      val dim = points(0).length
+      var i = 0
+      while (i < points.length) {
+        val p = points(i)
+        var bd = Double.MaxValue
+        var c = 0
+        while (c < cs.length) {
+          var s = 0.0; var t = 0
+          while (t < dim) { val df = p(t) - cs(c)(t); s += df * df; t += 1 }
+          if (s < bd) bd = s
+          c += 1
+        }
+        cost += bd
+        i += 1
+      }
+      if (cost < bestCost) { bestCost = cost; best = cs }
+      r += 1
+    }
+    best
+  }
+
+  private def localKMeansOnce(points: Array[Array[Float]], k: Int,
+                              seed: Long, maxIter: Int)
+      : Array[Array[Double]] = {
+    require(points.nonEmpty, "localKMeans: empty training sample")
+    val n = points.length
+    val dim = points(0).length
+    def d2(p: Array[Float], c: Array[Double]): Double = {
+      var s = 0.0; var t = 0
+      while (t < dim) { val df = p(t) - c(t); s += df * df; t += 1 }
+      s
+    }
+    // k-means++ init (seeded): first centroid uniform, each next drawn
+    // with probability ∝ D² to the chosen set. All-zero residual D²
+    // means every remaining point duplicates a centroid — stop early.
+    val rnd = new scala.util.Random(seed)
+    val centers = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    centers += points(rnd.nextInt(n)).map(_.toDouble)
+    val minD2 = Array.tabulate(n)(i => d2(points(i), centers(0)))
+    while (centers.length < k && minD2.exists(_ > 0)) {
+      val total = minD2.sum
+      var r = rnd.nextDouble() * total
+      var i = 0
+      while (i < n - 1 && r >= minD2(i)) { r -= minD2(i); i += 1 }
+      // skip a zero-weight landing (floating-point walk edge): advance
+      // to the next point with positive residual
+      while (minD2(i) == 0.0) i = (i + 1) % n
+      val c = points(i).map(_.toDouble)
+      centers += c
+      var j = 0
+      while (j < n) {
+        val d = d2(points(j), c)
+        if (d < minD2(j)) minD2(j) = d
+        j += 1
+      }
+    }
+    val kk = centers.length
+    val cs = centers.toArray
+    // Lloyd: assign (first-min tie-break) + recompute means. The
+    // caller's maxIter is a distributed-era knob (iterations used to
+    // cost a scheduled job each); locally an iteration is microseconds,
+    // so polish to (near-)convergence instead — floor the iteration
+    // budget at 25 and early-stop when no centroid moved ≥ 1e-12.
+    val iters = math.max(maxIter, 25)
+    var moved = true
+    var iter = 0
+    while (iter < iters && moved) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Long](kk)
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          val d = d2(points(i), cs(c))
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        val s = sums(best); val p = points(i)
+        var t = 0
+        while (t < dim) { s(t) += p(t); t += 1 }
+        i += 1
+      }
+      moved = false
+      var c = 0
+      while (c < kk) {
+        if (counts(c) > 0) {
+          val s = sums(c)
+          var t = 0
+          while (t < dim) {
+            val nv = s(t) / counts(c)
+            if (math.abs(nv - cs(c)(t)) >= 1e-12) moved = true
+            cs(c)(t) = nv
+            t += 1
+          }
+        } // empty cluster: keep previous centroid
+        c += 1
+      }
+      iter += 1
+    }
+    cs
+  }
+
+  /** Draw the bounded, deterministic fit sample (the engine's seeded
+    * xxhash64-rank draw, not a bare limit — limit takes the
+    * first-scanned partitions, a skewed marginal in any time-/source-
+    * ordered corpus; TakeOrdered keeps it a per-partition heap, never
+    * a global sort) and collect it: ≤ cap rows of floats — bounded by
+    * construction, the DistributedRank collect convention. */
+  private def collectFitSample(corpus: DataFrame, vecCol: String,
+                               cap: Int, seed: Long): Array[Array[Float]] =
+    corpus.select(col(vecCol).as("_vec"))
+      .orderBy(xxhash64(col("_vec"), lit(seed)),
+        xxhash64(col("_vec"), lit(seed + 1)))
+      .limit(cap)
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+
   /** Seeded k-means coarse quantizer: every corpus vector assigned to a
     * cell. 5 iterations is plenty for bucketing — recall is governed by
-    * nProbe, not centroid polish. Returns the quantized corpus
-    * (n_id, n_vec, cell) and the centroid table. */
+    * nProbe, not centroid polish. The fit runs LOCALLY on a bounded
+    * deterministic sample (fitCap, default 100 k — see [[localKMeans]]
+    * for why distributed KMeans was the wrong tool for a by-construction
+    * bounded sample); the ASSIGNMENT is the native
+    * [[graft.functions.PqAssign]] kernel over the broadcast centroid
+    * literal — map-side over everything, no shuffle, no MLlib vector
+    * conversion. Returns the quantized corpus (n_id, n_vec, cell) and
+    * the centroid table. */
   private[operators] def quantize(corpus: DataFrame, nCells: Int, seed: Long,
                                   idCol: String, vecCol: String,
                                   fitCap: Int = 0)
       : (DataFrame, Seq[(Int, Array[Float])]) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val corpusV = corpus.select(col(idCol), col(vecCol),
-      array_to_vector(col(vecCol).cast("array<double>")).as("_v"))
-    val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
-      .setFeaturesCol("_v").setPredictionCol("cell")
-    // fitCap > 0: fit the quantizer on a bounded sample (centroid
-    // quality needs a representative sample, not the corpus); the
-    // ASSIGNMENT below is model.transform — map-side over everything
-    // either way. The sample is a seeded xxhash64-rank draw, not a bare
-    // limit — limit takes the first-scanned partitions, a skewed
-    // marginal in any time-/source-ordered corpus (trainPq's argument);
-    // TakeOrdered keeps it a per-partition heap, never a global sort.
-    // The sampled frame is persisted for the fit: k-means iterates, and
-    // an unpersisted TakeOrdered input would re-run the draw per
-    // iteration (measured ~+1 s on ann10 at sf0.1).
-    val model =
-      if (fitCap > 0) {
-        val fitInput = corpusV
-          .orderBy(xxhash64(col(vecCol), lit(seed)),
-            xxhash64(col(vecCol), lit(seed + 1))).limit(fitCap)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try km.fit(fitInput) finally fitInput.unpersist()
-      } else km.fit(corpusV)
-    val cells = model.transform(corpusV)
-      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"), col("cell"))
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.map(_.toFloat))
+    val cap = if (fitCap > 0) fitCap else DefaultFitCap
+    val fitPts = collectFitSample(corpus, vecCol, cap, seed)
+    require(fitPts.nonEmpty,
+      "quantize: the corpus is empty — an IVF index needs at least one vector")
+    val cs = localKMeans(fitPts, nCells, seed, maxIter = 5)
+    val centroids = cs.zipWithIndex.map { case (c, i) =>
+      (i, c.map(_.toFloat))
     }.toSeq
+    val cells = assignCells(corpus, centroids, idCol, vecCol)
     (cells, centroids)
+  }
+
+  /** Nearest-centroid assignment via the single-subspace PqAssign
+    * kernel: squared-euclidean argmin, first index on ties — one
+    * compiled loop per row over the broadcast centroid literal. */
+  private[operators] def assignCells(corpus: DataFrame,
+                                     centroids: Seq[(Int, Array[Float])],
+                                     idCol: String, vecCol: String): DataFrame = {
+    val cb = Seq(centroids.map(_._2.toSeq))
+    val enc = graft.plans.GraftFunctions.pqAssign(corpus.sparkSession,
+      col(vecCol), cb)
+    corpus
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+        enc.getField("code").getItem(0).as("cell"))
   }
 
   /** Query → its nProbe nearest cells (nCells centroids, broadcast). */
@@ -680,54 +839,36 @@ object Similarity {
               seed: Long = 42L, sampleCap: Int = 100000,
               vecCol: String = "embedding", maxIter: Int = 5): PqCodebooks = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val subDim = dim / m
-    // seeded HASH draw, not limit(): limit takes whatever rows Spark
-    // scans first, which in a time- or source-ordered corpus is a
-    // skewed marginal — codebooks trained on the first partitions
-    // silently cost recall at 100×. The xxhash64 rank is the engine's
-    // deterministic-draw convention (ops/Sampling.hashBucket's fast
-    // in-engine primitive); orderBy+limit plans as TakeOrdered — a
-    // per-partition top-`sampleCap` heap + merge, never a global sort.
-    val sample = corpus.select(col(vecCol).as("_vec"))
-      .orderBy(xxhash64(col("_vec"), lit(seed)),
-        xxhash64(col("_vec"), lit(seed + 1)))
-      .limit(sampleCap)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val n = sample.count() // materialize once before the concurrent fits
-      require(n > 0,
-        "trainPq: the training corpus is empty — codebooks need at least one vector")
-      // the m fits are INDEPENDENT seeded jobs — run them concurrently
-      // from driver threads (Spark schedules jobs from separate threads
-      // in parallel; results are the same seeded models regardless of
-      // timing). Sequential fits paid m × the per-fit job-scheduling
-      // overhead: 8 fits measured ~6 s where the concurrent batch runs
-      // in ~1 fit's wall-clock.
-      import scala.collection.parallel.CollectionConverters._
-      val centroids = (0 until m).par.map { j =>
-        val sub = sample.select(array_to_vector(
-          slice(col("_vec"), j * subDim + 1, subDim).cast("array<double>"))
-          .as("_v"))
-        // seed + j: subspaces must not share init — identical seeds on
-        // near-identical marginals would correlate codebook errors.
-        // maxIter 5 is the `quantize` argument: recall is governed by
-        // the re-rank depth, not codebook polish (measured across the
-        // three SFs: 5 vs 10 iterations moved reranked recall by ≤ 2
-        // of 25, in neither direction consistently)
-        val model = new KMeans().setK(k).setSeed(seed + j).setMaxIter(maxIter)
-          .setFeaturesCol("_v").setPredictionCol("_c").fit(sub)
-        val cs = model.clusterCenters.map(_.toArray.map(_.toFloat))
-        // fewer DISTINCT points than k ⇒ KMeans returns fewer centers;
-        // pad by repeating the last so codebooks stay rectangular
-        // (duplicate centroids are harmless: argmin takes the first)
-        if (cs.length < k) cs ++ Array.fill(k - cs.length)(cs.last) else cs
-      }.toArray
-      val norm2 = centroids.map(_.map(c =>
-        c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
-      PqCodebooks(m, k, subDim, centroids, norm2)
-    } finally sample.unpersist()
+    // one seeded-hash TakeOrdered draw + collect (see collectFitSample
+    // — bounded by `sampleCap` at any corpus size), then the m
+    // sub-codebook fits run as LOCAL deterministic k-means over slices
+    // of the collected sample: zero Spark jobs per fit where the
+    // previous distributed-MLlib path scheduled (init + maxIter) jobs
+    // × m subspaces over a driver-sized sample (the round-18 profile:
+    // ann10 ran 147 sub-second jobs, nearly all of them these fits).
+    val pts = collectFitSample(corpus, vecCol, sampleCap, seed)
+    require(pts.nonEmpty,
+      "trainPq: the training corpus is empty — codebooks need at least one vector")
+    import scala.collection.parallel.CollectionConverters._
+    val centroids = (0 until m).par.map { j =>
+      val sub = pts.map(v => java.util.Arrays.copyOfRange(v, j * subDim,
+        (j + 1) * subDim))
+      // seed + j: subspaces must not share init — identical seeds on
+      // near-identical marginals would correlate codebook errors.
+      // maxIter 5 is the `quantize` argument: recall is governed by
+      // the re-rank depth, not codebook polish (measured across the
+      // three SFs: 5 vs 10 iterations moved reranked recall by ≤ 2
+      // of 25, in neither direction consistently)
+      val cs = localKMeans(sub, k, seed + j, maxIter).map(_.map(_.toFloat))
+      // fewer DISTINCT points than k ⇒ fewer centers come back; pad by
+      // repeating the last so codebooks stay rectangular (duplicate
+      // centroids are harmless: argmin takes the first)
+      if (cs.length < k) cs ++ Array.fill(k - cs.length)(cs.last) else cs
+    }.toArray
+    val norm2 = centroids.map(_.map(c =>
+      c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
+    PqCodebooks(m, k, subDim, centroids, norm2)
   }
 
   /** Encode a corpus against trained codebooks: (n_id, code, recon_norm)

@@ -470,7 +470,28 @@ object Sampling {
     * the corpus text exactly once. [[dsirSelect]] is the from-raw-text
     * convenience wrapper; semantics and output are identical. */
   def dsirSelectTokenized(rawTok: DataFrame, targetTok: DataFrame,
-                          n: Int, buckets: Int = 256): DataFrame = {
+                          n: Int, buckets: Int = 256): DataFrame =
+    dsirRank(rawTok, rawB => withBuckets(targetTok, Nil, col("toks")),
+      n, buckets)
+
+  /** R8 when the TARGET is a SUBSET of the raw pool — the registered
+    * r8/llm_select shape (target = a source slice of the same corpus).
+    * The raw side's checkpointed (id, buckets) table already holds
+    * every target doc's hashed grams, so the target distribution is an
+    * id semi-join against it instead of a second tokenize+md5 pass
+    * over the slice (optimization guide §1.2: same result, one less
+    * full-corpus-slice hash; it also removes the round-18 profiled
+    * 3 s single-task stage where the slice's md5 Project was pushed
+    * below the widen exchange into the one-row-group scan task).
+    * Output is bit-identical to [[dsirSelectTokenized]] on the slice —
+    * same docs ⇒ same token arrays ⇒ same buckets ⇒ same counts. */
+  def dsirSelectTokenizedWithin(rawTok: DataFrame, targetIds: DataFrame,
+                                n: Int, buckets: Int = 256): DataFrame =
+    dsirRank(rawTok, rawB => rawB.join(targetIds, "id"), n, buckets)
+
+  private def dsirRank(rawTok: DataFrame,
+                       targetB: DataFrame => DataFrame,
+                       n: Int, buckets: Int): DataFrame = {
     require(buckets == 256,
       "bucket count is fixed at 256 (two md5 hex digits) for engine portability")
     def dist(bucketed: DataFrame): DataFrame =
@@ -480,15 +501,20 @@ object Sampling {
         .agg(map_from_entries(collect_list(struct(col("_b"), col("_c"))))
           .as("_m"), sum("_c").as("_tot"))
     // the raw side is hashed ONCE: the bucketed frame feeds both its
-    // own distribution aggregate and the scoring pass. localCheckpoint,
+    // own distribution aggregate and the scoring pass (and, on the
+    // subset path, the target distribution too). localCheckpoint,
     // not persist — eager, both consumers read the materialized blocks,
     // and the blocks are released by the ContextCleaner when the frame
     // goes out of scope (a persist here had no unpersist point — the
     // returned DataFrame still depends on the frame — so every call
     // leaked a CacheManager entry for the session lifetime)
-    val rawB = withBuckets(rawTok, Seq(col("id") -> "id"), col("toks"))
+    // widen-if-narrow before the gram+md5 map pass (the family's
+    // dominant per-row cost; no-op on an already-wide input)
+    val rawB = withBuckets(
+        graft.core.Tables.widenIfNarrow(rawTok, "id"),
+        Seq(col("id") -> "id"), col("toks"))
       .localCheckpoint()
-    val ratioRow = dist(withBuckets(targetTok, Nil, col("toks")))
+    val ratioRow = dist(targetB(rawB))
       .toDF("_tm", "_ttot")
       .crossJoin(dist(rawB).toDF("_rm", "_rtot"))
       .select(transform(sequence(lit(0), lit(buckets - 1)), b =>

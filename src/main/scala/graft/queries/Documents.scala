@@ -692,8 +692,14 @@ object Documents {
     * and the ranked cut. */
   def r8DsirSelect(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    graft.ops.Sampling.dsirSelect(docs,
-        docs.filter(col("source") === "src0"), "doc_id", "text", n = 100)
+    // target ⊆ raw (the src0 slice of the same corpus): the subset path
+    // reuses the raw side's checkpointed buckets for the target
+    // distribution — bit-identical output, one less tokenize+md5 pass
+    graft.ops.Sampling.dsirSelectTokenizedWithin(
+        docs.select(col("doc_id").as("id"),
+          split(trim(col("text")), "\\s+").as("toks")),
+        docs.filter(col("source") === "src0")
+          .select(col("doc_id").as("id")), n = 100)
       .orderBy("rank")
   }
 
@@ -725,9 +731,12 @@ object Documents {
     // id-keyed semi-join shape: the kept set is ids only, tokens join
     // back by key (AQE broadcasts the smaller side)
     val clean = tok.join(kept, "doc_id")
-    graft.ops.Sampling.dsirSelectTokenized(
+    // target ⊆ raw (the src0 slice of the cleaned pool): subset path —
+    // the target distribution rides the raw side's checkpointed buckets
+    graft.ops.Sampling.dsirSelectTokenizedWithin(
         clean.select(col("doc_id").as("id"), col("toks")),
-        clean.filter(col("source") === "src0").select("toks"), n = 50)
+        clean.filter(col("source") === "src0")
+          .select(col("doc_id").as("id")), n = 50)
       .orderBy("rank")
   }
 
