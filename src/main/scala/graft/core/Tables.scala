@@ -70,9 +70,15 @@ object Tables {
     * contract) and cheap projections must not inherit a text exchange.
     * Rank/rank-order outputs are partitioning-independent (total ORDER
     * BY + rounded aggregates — the board's construction invariant). */
-  def widenIfNarrow(df: DataFrame, key: String): DataFrame = {
+  def widenIfNarrow(df: DataFrame, key: String): DataFrame =
+    widenIfNarrowBy(df, col(key))
+
+  /** [[widenIfNarrow]] keyed on an arbitrary deterministic expression —
+    * for frames with no id column (hash the payload column instead:
+    * still a stable row→partition map, still a no-op on wide input). */
+  def widenIfNarrowBy(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p, col(key)) else df
+    if (df.rdd.getNumPartitions < p) df.repartition(p, key) else df
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -2206,10 +2206,18 @@ object Dedup {
     // replaces batch=0 only — re-installing over a dir that already has
     // append batches keeps them (resuming an ingest line); a true
     // fresh install starts from an empty dir.
-    h.write.mode("overwrite").parquet(s"$dir/shingles/batch=0")
+    // REBALANCE before every table write (guide §6): the upstream map
+    // pass runs at core parallelism (shingles' widen), so an unhinted
+    // write would land one tiny file per task per generation — and at
+    // probe time each tiny file is its own scan split. The AQE-managed
+    // rebalance writes size-targeted files instead: few per generation
+    // here, advisory-sized at cluster scale, deferring the compaction
+    // pressure the maintenance matrix exists to relieve.
+    h.hint("rebalance").write.mode("overwrite").parquet(s"$dir/shingles/batch=0")
     val sigs = minHashSignaturesHashed(h, numHashes, seed)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    sigs.write.mode("overwrite").parquet(s"$dir/signatures/batch=0")
+    sigs.hint("rebalance").write.mode("overwrite")
+      .parquet(s"$dir/signatures/batch=0")
     // formatVersion 2: the store ALSO lands its band-bucket keys,
     // partitioned by (band, pfx = top pfxBits bits of the bucket
     // hash) — a probing batch knows exactly which (band, pfx)
@@ -2294,9 +2302,14 @@ object Dedup {
     // lineage so both writes emit the same frozen rows.
     val h = hashedShingles(shingles(batch, idCol, textCol, shingleSize))
       .localCheckpoint()
-    h.write.mode("overwrite").parquet(s"$dir/shingles/batch=$batchId")
+    // rebalance before write (same file-sizing rationale as the
+    // installer) — applied ABOVE the checkpoint, so the frozen rows are
+    // only re-bucketed, never recomputed
+    h.hint("rebalance").write.mode("overwrite")
+      .parquet(s"$dir/shingles/batch=$batchId")
     val sigs = minHashSignaturesHashed(h, numHashes, seed).localCheckpoint()
-    sigs.write.mode("overwrite").parquet(s"$dir/signatures/batch=$batchId")
+    sigs.hint("rebalance").write.mode("overwrite")
+      .parquet(s"$dir/signatures/batch=$batchId")
     // v2 stores also land the batch's band keys (see writeNearDupStore);
     // a v1 store (no pinned bands) skips it — its probes band the
     // signature table at read time, so the table would be dead weight.

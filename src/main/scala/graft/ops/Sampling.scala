@@ -614,10 +614,25 @@ object Sampling {
   def doremiWeightsTokenized(tok: DataFrame, eta: Double = 10.0,
                              smoothing: Double = 0.1): DataFrame = {
     val buckets = 256
-    val bucketed = withBuckets(tok, Seq(col("domain") -> "domain"),
-      col("toks"))
-    val cnt = bucketed
-      .select(col("domain"), explode(col("_buckets")).as("_b"))
+    // widen-if-narrow before the gram+md5 map pass (the r8 rationale;
+    // no-op on an already-wide input). Key on the token ARRAY hash, not
+    // the domain — a handful of domains would hash to a handful of
+    // partitions, re-creating the skew this exists to kill.
+    val wideTok = graft.core.Tables.widenIfNarrowBy(tok, col("toks"))
+    // EXPLODE grams first, md5 per gram ROW second: a Project over the
+    // token arrays gets pushed below the widen exchange by the
+    // optimizer (alias substitution through RepartitionByExpression),
+    // which would run the whole md5 pass back in the single upstream
+    // task — a Generate cannot sink through an exchange, so hashing
+    // the generator's output pins the expensive part above it. Same
+    // grams, same md5, same counts as bucketing the array first.
+    val bigrams = when(size(col("toks")) >= 2,
+      transform(sequence(lit(0), size(col("toks")) - 2),
+        i => concat_ws(" ", slice(col("toks"), i + 1, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val cnt = wideTok
+      .select(col("domain"), explode(concat(col("toks"), bigrams)).as("_g"))
+      .select(col("domain"), gramBucket(col("_g")).as("_b"))
       .groupBy("domain", "_b").agg(count(lit(1)).as("_c"))
     // everything below runs over ≤ K·256 rows
     val wAll = Window.partitionBy()

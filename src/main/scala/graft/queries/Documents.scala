@@ -2340,13 +2340,15 @@ object Documents {
     val stream = s.readStream.schema(b1.schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
     timed("stream") {
-      val q = graft.streaming.EventStream
-        .streamingExactDedup(stream, "ts", "text", "doc_id")
-        .writeStream.format("parquet").option("path", outDir)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      graft.streaming.EventStream.withStatePartitions(s) {
+        val q = graft.streaming.EventStream
+          .streamingExactDedup(stream, "ts", "text", "doc_id")
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
     }
     s.read.parquet(outDir)
       .select("doc_id", "n_chars")
@@ -2423,11 +2425,13 @@ object Documents {
     s.conf.set(
       "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
     try timed("stream") {
-      val q = out.writeStream.format("parquet").option("path", outDir)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      graft.streaming.EventStream.withStatePartitions(s) {
+        val q = out.writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
     } finally s.conf.set(
       "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", prev)
     s.read.parquet(outDir)
@@ -3424,13 +3428,15 @@ object Documents {
     writeOrderedBatches(s, inDir, Seq(b1, b2))
     val stream = s.readStream.schema(b1.schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
-    val q = graft.streaming.EventStream
-      .streamingDedupByKey(stream, "ts", col("prompt_fp"), "conv_id")
-      .writeStream.format("parquet").option("path", outDir)
-      .option("checkpointLocation", ckpt)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    graft.streaming.EventStream.withStatePartitions(s) {
+      val q = graft.streaming.EventStream
+        .streamingDedupByKey(stream, "ts", col("prompt_fp"), "conv_id")
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     s.read.parquet(outDir)
       .select("conv_id", "prompt_fp", "resp_len")
       .orderBy("conv_id")

@@ -17,6 +17,30 @@ import java.sql.Timestamp
   */
 object EventStream {
 
+  /** Scope a STATEFUL streaming query's state-partition count: Spark
+    * pins the number of state-store partitions to
+    * `spark.sql.shuffle.partitions` at the stream's FIRST batch (the
+    * checkpoint records it forever), and every trigger then opens,
+    * commits and snapshot-maintains one HDFS-backed store per
+    * partition per stateful operator. That count is a DEPLOYMENT
+    * decision — size it to state volume and ingest rate, not to the
+    * driver's core count: a toy stream carrying kilobytes of state
+    * across 32 partitions × 2 stateful operators × 4 triggers pays
+    * 256 store commits of pure metadata (round-18 profile: ~1.3 s per
+    * trigger of 65-task no-op stages). Default 8 locally;
+    * SPARK_GRAFT_STREAM_STATE_PARTITIONS overrides for production
+    * (set it to hundreds+ on a real cluster). Batch-side shuffles of
+    * the same session are untouched — the conf is restored as soon as
+    * the lifecycle (start → awaitTermination) returns, and AQE
+    * coalescing governs the micro-batch's own exchanges either way. */
+  def withStatePartitions[A](spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val target = sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+    spark.conf.set(key, target)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** T1/T3 — tumbling event-time window with a late-data watermark.
     * The reference has no late-data story (a week is complete or
     * skipped); the watermark is the principled generalization. */
