@@ -1887,6 +1887,14 @@ object Dedup {
   private def hashedShingles(sh: DataFrame): DataFrame =
     sh.select(col("id"), xxhash64(col("shingle")).as("hs"))
 
+  /** (id, hs) hashed-shingle projection of a frame — the shared
+    * per-batch table the streaming near-dup loop computes ONCE and
+    * feeds to the store probe, the within-batch pair pass, and the
+    * survivor append (the *Hashed seams). */
+  private[graft] def hashedShinglesFor(df: DataFrame, idCol: String,
+                                       textCol: String, n: Int): DataFrame =
+    hashedShingles(shingles(df, idCol, textCol, n))
+
   /** Shared tail of the Jaccard paths: join per-doc sizes onto the
     * per-pair shared counts, compute/filter the coefficient. Kept single
     * so d4 (exact) and d2 (LSH-verified) can never silently diverge —
@@ -2287,21 +2295,43 @@ object Dedup {
     val spark = batch.sparkSession
     requireNoCrashedCompaction(spark, dir)
     val meta = graft.sources.Sources.readJsonSidecarFs(spark, s"$dir/_meta.json")
-    val shingleSize = meta("shingleSize").toInt
+    appendHashedShingles(spark,
+      hashedShingles(shingles(batch, idCol, textCol,
+        meta("shingleSize").toInt)),
+      dir, batchId, meta)
+  }
+
+  /** [[appendToNearDupStore]] from a caller-held hashed-shingle table
+    * (id, hs) signed with the store's geometry — the streaming loop's
+    * compute-once seam (see incrementalNearDupFromStoreHashed). The
+    * frozen-snapshot contract is enforced HERE (localCheckpoint before
+    * the first write) regardless of the caller's lineage. */
+  private[graft] def appendToNearDupStoreHashed(hIn: DataFrame, dir: String,
+                                                batchId: Long): Unit = {
+    require(batchId > 0, "batchId 0 is the base install (writeNearDupStore)")
+    val spark = hIn.sparkSession
+    requireNoCrashedCompaction(spark, dir)
+    val meta = graft.sources.Sources.readJsonSidecarFs(spark, s"$dir/_meta.json")
+    appendHashedShingles(spark, hIn, dir, batchId, meta)
+  }
+
+  /** Shared append tail. EAGER SNAPSHOT, not persist: the rows to
+    * write must be frozen BEFORE the first write touches the store. A
+    * caller's batch — e.g. the streaming loop's `kept` — typically
+    * descends from a pairing that scans the store, and Spark recaches
+    * path-dependent plan-keyed cache entries after each parquet write;
+    * a merely persisted `h` would be invalidated by the FIRST write
+    * and recomputed against the HALF-WRITTEN store — where the batch
+    * doc now near-dups its own just-landed signature — so the SECOND
+    * write would land zero rows. localCheckpoint truncates the
+    * lineage so both writes emit the same frozen rows. */
+  private def appendHashedShingles(spark: org.apache.spark.sql.SparkSession,
+                                   hIn: DataFrame, dir: String,
+                                   batchId: Long,
+                                   meta: Map[String, String]): Unit = {
     val numHashes = meta("numHashes").toInt
     val seed = meta.getOrElse("minhashSeed", "42").toLong
-    // EAGER SNAPSHOT, not persist: the rows to write must be frozen
-    // BEFORE the first write touches the store. A caller's batch —
-    // e.g. the streaming loop's `kept` — typically descends from a
-    // pairing that scans the store, and Spark recaches path-dependent
-    // plan-keyed cache entries after each parquet write; a merely
-    // persisted `h` would be invalidated by the FIRST write and
-    // recomputed against the HALF-WRITTEN store — where the batch doc
-    // now near-dups its own just-landed signature — so the SECOND
-    // write would land zero rows. localCheckpoint truncates the
-    // lineage so both writes emit the same frozen rows.
-    val h = hashedShingles(shingles(batch, idCol, textCol, shingleSize))
-      .localCheckpoint()
+    val h = hIn.localCheckpoint()
     // rebalance before write (same file-sizing rationale as the
     // installer) — applied ABOVE the checkpoint, so the frozen rows are
     // only re-bucketed, never recomputed
@@ -2417,14 +2447,30 @@ object Dedup {
                                   idCol: String, textCol: String,
                                   bands: Int = 16,
                                   threshold: Double = 0.8): DataFrame = {
-    val spark = batch.sparkSession
+    val meta = graft.sources.Sources.readJsonSidecarFs(batch.sparkSession,
+      s"$dir/_meta.json")
+    incrementalNearDupFromStoreHashed(
+      hashedShingles(shingles(batch, idCol, textCol,
+        meta("shingleSize").toInt))
+        .persist(StorageLevel.MEMORY_AND_DISK),
+      dir, bands, threshold)
+  }
+
+  /** [[incrementalNearDupFromStore]] from a caller-held hashed-shingle
+    * table (id, hs) signed with the STORE's geometry — the
+    * compute-the-batch-once seam of the streaming ingest loop: one
+    * (tokenize → gram → hash) pass per micro-batch feeds the store
+    * probe, the within-batch pair pass, AND the survivor append
+    * (guide §1.2). The caller persists `hB`; its lineage must not read
+    * the store (a raw batch projection qualifies). */
+  private[graft] def incrementalNearDupFromStoreHashed(
+      hB: DataFrame, dir: String,
+      bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+    val spark = hB.sparkSession
     requireNoCrashedCompaction(spark, dir)
     val meta = graft.sources.Sources.readJsonSidecarFs(spark, s"$dir/_meta.json")
-    val shingleSize = meta("shingleSize").toInt
     val numHashes = meta("numHashes").toInt
     val seed = meta.getOrElse("minhashSeed", "42").toLong
-    val hB = hashedShingles(shingles(batch, idCol, textCol, shingleSize))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // explicit projections: the store dirs are batch=<id>-partitioned,
     // and the discovered partition column must not ride into unions or
     // aggregation keys
@@ -2501,6 +2547,39 @@ object Dedup {
       jaccardPairs(shingles(df, idCol, textCol, shingleSize), threshold, maxDocFreq)
     else
       minHashLshDedup(df, idCol, textCol, shingleSize, numHashes, bands, threshold)
+
+  /** [[nearDupPairs]] from a caller-held PERSISTED hashed-shingle table
+    * (the streaming loop's compute-once seam). Same routing rule and
+    * same emitted pairs as the from-text entry on the same docs: the
+    * exact path runs the capped jaccard over `h` directly, the LSH
+    * fallback bands `h`'s signatures with the default seed — exactly
+    * what minHashLshDedup derives from the raw text. */
+  private[graft] def nearDupPairsHashed(h: DataFrame, nDocs: Long,
+                                        threshold: Double,
+                                        maxDocFreq: Option[Int] = Some(100),
+                                        maxExactDocs: Long = 10000L,
+                                        numHashes: Int = 64, bands: Int = 16,
+                                        seed: Long = 42L): DataFrame =
+    if (exactJaccardAffordable(nDocs, maxExactDocs))
+      jaccardPairsHashed(h, threshold, maxDocFreq)
+    else {
+      val sig = minHashSignaturesHashed(h, numHashes, seed)
+      jaccardForHashed(h, lshCandidates(sig, numHashes, bands), threshold)
+    }
+
+  /** [[jaccardPairs]] over a caller-held PERSISTED (id, hs) table —
+    * identical plans minus the tokenize+hash projection (the caller's
+    * persist replaces the one this family would otherwise install). */
+  private[graft] def jaccardPairsHashed(h: DataFrame, threshold: Double,
+                                        maxDocFreq: Option[Int]): DataFrame =
+    maxDocFreq match {
+      case None => jaccardAllPairs(h)(threshold)
+      case Some(cap) =>
+        val hot = h.groupBy("hs").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("hs")
+        if (hot.isEmpty) jaccardAllPairs(h)(threshold)
+        else jaccardCapped(h, hot, threshold)
+    }
 
   /** Smallest number of INDEPENDENT MinHash seeds that drives the
     * per-pair LSH miss probability at similarity ≥ `threshold` under

@@ -327,18 +327,26 @@ object EventStream {
           // batch IS the correct kept set; re-derive store rows from it.
           val alreadyPublished = graft.sources.Sources
             .publishedBatches(spark, keptDir).contains(batchId + 1)
+          // ONE (tokenize → gram → hash) pass per micro-batch: the
+          // hashed-shingle table feeds the store probe, the
+          // within-batch pair pass, AND the survivor append (guide
+          // §1.2 — the un-shared loop re-shingled the batch three
+          // times). Lineage is the raw batch only (never the store),
+          // so the persisted blocks stay valid across the appends.
+          val hB = Dedup.hashedShinglesFor(batch, idCol, textCol,
+              shingleSize)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val kept =
             if (alreadyPublished)
               graft.sources.Sources.readPublishedBatch(spark, keptDir,
                 batchId + 1)
             else {
               // vs the landed corpus
-              val vsStore = Dedup.incrementalNearDupFromStore(
-                batch, storeDir, idCol, textCol, threshold = threshold)
+              val vsStore = Dedup.incrementalNearDupFromStoreHashed(
+                hB, storeDir, threshold = threshold)
               // within-batch: keep the smallest id of each near-dup pair
-              val selfPairs = Dedup.nearDupPairs(batch, idCol, textCol,
-                shingleSize = shingleSize, threshold = threshold,
-                numHashes = numHashes)
+              val selfPairs = Dedup.nearDupPairsHashed(hB, batch.count(),
+                threshold = threshold, numHashes = numHashes)
               val dropIds = vsStore.select(col("id_a").as(idCol))
                 .unionByName(selfPairs.select(col("id_b").as(idCol)))
                 .distinct()
@@ -353,10 +361,17 @@ object EventStream {
             graft.sources.Sources.publishBatch(kept, keptDir, batchId + 1)
           // batchId + 1: the stream's ids start at 0, the store reserves
           // batch=0 for the base install; the offset keeps replays keyed
-          // to the same store directory deterministically
-          Dedup.appendToNearDupStore(kept, storeDir, idCol, textCol,
-            batchId + 1)
+          // to the same store directory deterministically. The appended
+          // rows are the SURVIVORS' shingles: hB semi-joined to the
+          // kept ids (on the replay path `kept` is the as-published
+          // batch, a subset of the replayed source batch, so the join
+          // still yields exactly its shingles); the append freezes the
+          // rows before its first write (appendHashedShingles).
+          Dedup.appendToNearDupStoreHashed(
+            hB.join(kept.select(col(idCol).as("id")), "id"),
+            storeDir, batchId + 1)
           kept.unpersist()
+          hB.unpersist(blocking = false)
           // release only what THIS batch created; a long-running stream
           // must not accumulate one plan-keyed block set per batch
           spark.sparkContext.getPersistentRDDs.foreach { case (rddId, rdd) =>
