@@ -75,10 +75,30 @@ object Tables {
 
   /** [[widenIfNarrow]] keyed on an arbitrary deterministic expression —
     * for frames with no id column (hash the payload column instead:
-    * still a stable row→partition map, still a no-op on wide input). */
+    * still a stable row→partition map, still a no-op on wide input).
+    *
+    * The partition-count probe (`df.rdd`) is only cheap on MAP-SHAPED
+    * plans (projections/filters over a leaf): under AQE it eagerly
+    * materializes any shuffle/broadcast stages of the input just to
+    * read a number, running the upstream twice (measured: 2 discarded
+    * jobs on a join-bearing frame, 0 on a scan). Inputs that already
+    * contain an exchange-producing operator are left alone — their
+    * post-shuffle partitioning is AQE-governed and never the one-split
+    * scan this helper exists to fix. */
   def widenIfNarrowBy(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p, key) else df
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def mapShaped(p: LogicalPlan): Boolean = p match {
+      case _: LeafNode => true
+      case p: Project => mapShaped(p.child)
+      case f: Filter => mapShaped(f.child)
+      case s: SubqueryAlias => mapShaped(s.child)
+      case _ => false
+    }
+    if (!mapShaped(df.queryExecution.analyzed)) df
+    else {
+      val p = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < p) df.repartition(p, key) else df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

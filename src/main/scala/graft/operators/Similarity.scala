@@ -116,26 +116,24 @@ object Similarity {
     * reproducible from (points, k, seed) alone, independent of
     * partitioning and core count.
     *
-    * Returns ≤ k centroids (fewer when the sample has fewer distinct
-    * points — the MLlib behavior callers already handle); ties in the
-    * assignment step break to the lowest centroid index, matching
-    * [[graft.functions.PqAssign]]'s rule. Empty clusters keep their
-    * previous centroid (deterministic; matches the "duplicate
-    * centroids are harmless" posture of the padding logic). */
-  /** Multi-restart wrapper: k-means|| earns its centroid quality from
-    * oversampled init; a single k-means++ draw can land a visibly worse
-    * local optimum (the ann16 recall floor caught exactly that). Five
-    * seeded restarts picking the lowest within-cluster sum of squares
-    * recover the quality at local-arithmetic cost (µs–ms per restart)
-    * while staying exactly reproducible from (points, k, seed). */
+    * Multi-restart: k-means|| earns its centroid quality from
+    * oversampled init; a single k-means++ draw can land a visibly
+    * worse local optimum (the ann16 recall floor caught exactly that).
+    * Five seeded restarts — run concurrently, picked by lowest
+    * within-cluster sum of squares — recover the quality while staying
+    * exactly reproducible from (points, k, seed).
+    *
+    * Cost regime: O(restarts · iters · n · k · dim) driver arithmetic.
+    * At the engine's fit bounds (n ≤ 100 k) this is sub-second up to
+    * k·dim ≈ 10⁵; a deployment pushing nCells into the many thousands
+    * at high dim should size `fitCap` down accordingly (centroid
+    * quality needs points-per-centroid, not corpus coverage). */
   private[operators] def localKMeans(points: Array[Array[Float]], k: Int,
                                      seed: Long, maxIter: Int)
       : Array[Array[Double]] = {
+    import scala.collection.parallel.CollectionConverters._
     val restarts = 5
-    var best: Array[Array[Double]] = null
-    var bestCost = Double.MaxValue
-    var r = 0
-    while (r < restarts) {
+    val runs = (0 until restarts).par.map { r =>
       val cs = localKMeansOnce(points, k, seed + 1000L * r, maxIter)
       var cost = 0.0
       val dim = points(0).length
@@ -153,12 +151,20 @@ object Similarity {
         cost += bd
         i += 1
       }
-      if (cost < bestCost) { bestCost = cost; best = cs }
-      r += 1
-    }
-    best
+      (cost, r, cs)
+    }.toArray
+    // lowest cost wins; ties break to the lowest restart index so the
+    // result is independent of the parallel completion order
+    runs.minBy(x => (x._1, x._2))._3
   }
 
+  /** One seeded k-means++ + Lloyd run. Returns ≤ k centroids (fewer
+    * when the sample has fewer distinct points — the MLlib behavior
+    * callers already handle); assignment ties break to the lowest
+    * centroid index, matching [[graft.functions.PqAssign]]'s rule;
+    * empty clusters keep their previous centroid (deterministic;
+    * matches the "duplicate centroids are harmless" posture of the
+    * padding logic). */
   private def localKMeansOnce(points: Array[Array[Float]], k: Int,
                               seed: Long, maxIter: Int)
       : Array[Array[Double]] = {
@@ -693,9 +699,12 @@ object Similarity {
     * (`ivfCellStats` measures, [[shouldRebuildIvf]] decides, this
     * acts): every vector across every landed batch of the old index is
     * re-clustered from scratch into a fresh index at `dstPath`
-    * (quantizer fitted on the FULL current population, so appended
-    * mass gets its fair share of centroids — the thing
-    * nearest-existing-centroid appends structurally cannot give it).
+    * (quantizer fitted on a UNIFORM seeded draw over the full current
+    * population — capped at `quantize`'s bounded fit sample, the FAISS
+    * convention — so appended mass gets its proportional share of
+    * centroids, the thing nearest-existing-centroid appends
+    * structurally cannot give it; the ASSIGNMENT still covers every
+    * live vector).
     * Writes to a NEW path, the [[graft.sources.Sources.compactParquet]]
     * convention: swapping the serving index is the caller's commit
     * protocol (a symlink flip, a config push — serving-stack policy,

@@ -450,15 +450,24 @@ object Sampling {
     * (NOTES gotcha #4: a raw split expression inside the gram lambdas
     * would re-tokenize per element); `keep` columns are aliased in the
     * first select and referenced by NAME after. */
+  /** The DSIR/DoReMi feature-gram builder — unigrams ++ bigrams from a
+    * pre-split token array. ONE definition feeds both the per-doc
+    * bucket-array path (withBuckets) and the explode-then-hash count
+    * path (doremiWeightsTokenized): the two operators share a feature
+    * space by construction, not by textual convention. */
+  private def gramsOf(toks: Column): Column = {
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    concat(toks, bigrams)
+  }
+
   private def withBuckets(df: DataFrame, keep: Seq[(Column, String)],
                           toksCol: Column): DataFrame = {
     val tok = df.select(keep.map { case (c, a) => c.as(a) } :+ toksCol.as("_ws"): _*)
     val names = keep.map { case (_, a) => col(a) }
-    val bigrams = when(size(col("_ws")) >= 2,
-      transform(sequence(lit(0), size(col("_ws")) - 2),
-        i => concat_ws(" ", slice(col("_ws"), i + 1, lit(2)))))
-      .otherwise(array().cast("array<string>"))
-    tok.select(names :+ concat(col("_ws"), bigrams).as("_grams"): _*)
+    tok.select(names :+ gramsOf(col("_ws")).as("_grams"): _*)
       .select(names :+ transform(col("_grams"), g => gramBucket(g)).as("_buckets"): _*)
   }
 
@@ -625,13 +634,10 @@ object Sampling {
     // which would run the whole md5 pass back in the single upstream
     // task — a Generate cannot sink through an exchange, so hashing
     // the generator's output pins the expensive part above it. Same
-    // grams, same md5, same counts as bucketing the array first.
-    val bigrams = when(size(col("toks")) >= 2,
-      transform(sequence(lit(0), size(col("toks")) - 2),
-        i => concat_ws(" ", slice(col("toks"), i + 1, lit(2)))))
-      .otherwise(array().cast("array<string>"))
+    // grams (shared gramsOf builder), same md5, same counts as
+    // bucketing the array first.
     val cnt = wideTok
-      .select(col("domain"), explode(concat(col("toks"), bigrams)).as("_g"))
+      .select(col("domain"), explode(gramsOf(col("toks"))).as("_g"))
       .select(col("domain"), gramBucket(col("_g")).as("_b"))
       .groupBy("domain", "_b").agg(count(lit(1)).as("_c"))
     // everything below runs over ≤ K·256 rows

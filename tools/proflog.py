@@ -15,7 +15,6 @@ show_stages = "--stages" in sys.argv
 
 jobs = {}            # id -> dict
 stages = {}          # id -> dict
-job_of_stage = {}
 
 with open(path) as f:
     for line in f:
@@ -33,8 +32,6 @@ with open(path) as f:
                 "stages": e.get("Stage IDs", []),
                 "end": None,
             }
-            for sid in e.get("Stage IDs", []):
-                job_of_stage[sid] = jid
         elif ev == "SparkListenerJobEnd":
             if e["Job ID"] in jobs:
                 jobs[e["Job ID"]]["end"] = e["Completion Time"]
